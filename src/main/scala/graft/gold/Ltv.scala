@@ -1,0 +1,75 @@
+package graft.gold
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Customer lifetime-value marts.
+  *
+  * Reference capability: daily revenue per user + running cumulative LTV
+  * (`scripts/cdc_metrics_job_gold.py:42-56`), latest-LTV-per-user snapshot
+  * (`:61-71`), and quantile CLV segmentation (`:73-83`).
+  *
+  * Spark-first shape: one hash aggregate (map-side partial + final on a
+  * (user_id, creation_date) shuffle) feeding a running-frame window that
+  * reuses the same user_id hash partitioning — AQE coalesces, no extra
+  * exchange beyond the agg's. The reference's driver-side pandas `qcut`
+  * (its only non-scalable operator) is replaced by distributed exact
+  * percentiles; swap `percentile` → `percentile_approx` at the 100 TB tier.
+  */
+object Ltv {
+
+  /** A1 + W1: daily revenue per user with running cumulative LTV.
+    *
+    * Money is aggregated as exact integer 1e-4 units (source prices carry
+    * exactly 4 decimals, so `round(x*10000)` recovers an exact integer;
+    * integer sums are order-independent and bit-exact across engines up to
+    * 2^53 — switch to DecimalType at the 100 TB tier). The running sum then
+    * adds identical doubles in identical (unique-date) order. */
+  def daily(orderRevenue: DataFrame): DataFrame = {
+    val dailyAgg = orderRevenue
+      .groupBy(col("user_id"), col("creation_date"))
+      .agg(sum(round(col("total_revenue") * 10000)).as("__cents"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("creation_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyAgg
+      .withColumn("daily_revenue", col("__cents") / 10000.0)
+      .withColumn("cumulative_ltv", sum(col("__cents")).over(w) / 10000.0)
+      .drop("__cents")
+      .select(col("user_id"), col("creation_date"), col("daily_revenue"), col("cumulative_ltv"))
+  }
+
+  /** W2 + P8: latest cumulative LTV per user (row_number desc, keep rank 1).
+    * (user_id, creation_date) is unique after `daily`, so the ordering is
+    * deterministic without extra tie-breakers. */
+  def latest(ltvDaily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("creation_date").desc)
+    ltvDaily
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(
+        col("user_id"),
+        col("creation_date").as("last_date"),
+        col("cumulative_ltv").as("lifetime_value"))
+  }
+
+  /** A8: Low/Medium/High segmentation at the exact 20th/80th percentile of
+    * lifetime value (linear-interpolated, same definition as pandas qcut /
+    * DuckDB quantile_cont). Distributed — no driver round-trip. */
+  def segments(ltvLatest: DataFrame): DataFrame = {
+    val cuts = ltvLatest.agg(
+      percentile(col("lifetime_value"), lit(0.2)).as("p20"),
+      percentile(col("lifetime_value"), lit(0.8)).as("p80"))
+    ltvLatest
+      .crossJoin(broadcast(cuts))
+      .select(
+        col("user_id"),
+        col("lifetime_value"),
+        when(col("lifetime_value") <= col("p20"), "Low")
+          .when(col("lifetime_value") <= col("p80"), "Medium")
+          .otherwise("High")
+          .as("clv_segment"))
+  }
+}
