@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.bindings.Conformed
-import graft.gold.Ltv
+import graft.gold.{Churn, Discount, Location, Loyalty, Ltv, Rfm, SalesTrends}
 import graft.oracle.OracleSql
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,7 @@ object SparkEntry {
     queries("q02_ltv_daily")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
-    // ---- silver conform (J2, P10, P4, P12, F6) ----
+    // ---- silver conform (J2, P10, P4, P12, P15, F6) ----
     "q01_order_revenue" -> ((s, dir) =>
       Conformed.orderRevenue(s, dir)
         .orderBy(col("order_id"), col("lineitem_id"))),
@@ -39,6 +39,46 @@ object SparkEntry {
     "q04_clv_segments" -> ((s, dir) =>
       Ltv.segments(Ltv.latest(Ltv.daily(Conformed.orderRevenue(s, dir))))
         .orderBy(col("user_id"))),
+
+    // ---- gold: RFM (A2, A3, A4, J3, F2, P9) ----
+    "q05_rfm" -> ((s, dir) =>
+      Rfm(Conformed.orderRevenue(s, dir))
+        .orderBy(col("user_id"))),
+
+    // ---- gold: churn profile (A2, A5, A6, W3, J4, J5, P11, F6, P9) ----
+    "q06_churn" -> ((s, dir) =>
+      Churn(Conformed.orderRevenue(s, dir))
+        .orderBy(col("user_id"))),
+
+    // ---- gold: sales trends (J6, F1, F4, F5, A9) ----
+    "q07_trends_daily" -> ((s, dir) =>
+      SalesTrends.daily(Conformed.orderRevenue(s, dir))
+        .orderBy(col("creation_date"), col("restaurant_id"), col("item_category"))),
+    "q08_trends_weekly" -> ((s, dir) =>
+      SalesTrends.weekly(Conformed.orderRevenue(s, dir))
+        .orderBy(col("year_week"), col("restaurant_id"), col("item_category"))),
+    "q09_trends_monthly" -> ((s, dir) =>
+      SalesTrends.monthly(Conformed.orderRevenue(s, dir))
+        .orderBy(col("year_month"), col("restaurant_id"), col("item_category"))),
+    "q10_trends_hourly" -> ((s, dir) =>
+      SalesTrends.hourly(Conformed.orderRevenue(s, dir))
+        .orderBy(col("hour_of_day"), col("restaurant_id"), col("item_category"))),
+
+    // ---- gold: loyalty impact (J7, J8, A10, P9) ----
+    "q11_loyalty" -> ((s, dir) =>
+      Loyalty(Conformed.items(s, dir), Conformed.orderRevenue(s, dir))
+        .orderBy(col("is_loyalty"))),
+
+    // ---- gold: location performance (J9, A13, W4) ----
+    "q12_location" -> ((s, dir) =>
+      Location(Conformed.items(s, dir), Conformed.orderRevenue(s, dir))
+        .orderBy(col("restaurant_id"))),
+
+    // ---- gold: discount effectiveness (J10, A11, A12, P9) ----
+    "q13_discount" -> ((s, dir) =>
+      Discount(Conformed.items(s, dir), Conformed.options(s, dir),
+               Conformed.orderRevenue(s, dir))
+        .orderBy(col("is_discounted_order"))),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -61,5 +101,150 @@ object SparkEntry {
                        (SELECT quantile_cont(lifetime_value, 0.8) FROM ltv_latest) THEN 'Medium'
                      ELSE 'High' END AS clv_segment
          FROM ltv_latest ORDER BY user_id"""),
+
+    "q05_rfm" -> OracleSql.withBase(
+      """rfm AS (
+           SELECT user_id,
+                  count(DISTINCT order_id) AS frequency,
+                  sum(round(total_revenue * 10000)) / 10000.0 AS monetary,
+                  max(creation_date) AS last_purchase_date
+           FROM order_revenue GROUP BY 1),
+         rfm2 AS (
+           SELECT user_id, frequency, monetary, last_purchase_date,
+                  date_diff('day', last_purchase_date, (SELECT today FROM anchor)) AS recency
+           FROM rfm)""",
+      """SELECT user_id, frequency, monetary, last_purchase_date, recency,
+                CASE WHEN recency <= 15 AND frequency >= 5 AND monetary >= 100 THEN 'VIP'
+                     WHEN frequency <= 1 AND recency <= 15 THEN 'New'
+                     WHEN recency > 45 AND frequency <= 2 THEN 'Churn Risk'
+                     ELSE 'Standard' END AS segment
+         FROM rfm2 ORDER BY user_id"""),
+
+    "q06_churn" -> OracleSql.withBase(
+      """churn_base AS (
+           SELECT user_id, creation_date,
+                  round(total_revenue * 10000) AS cents,
+                  date_diff('day',
+                    lag(creation_date) OVER (PARTITION BY user_id ORDER BY creation_date),
+                    creation_date) AS order_gap,
+                  (SELECT today FROM anchor) AS today
+           FROM order_revenue),
+         churn AS (
+           SELECT user_id,
+                  max(creation_date) AS last_order_date,
+                  date_diff('day', max(creation_date), max(today)) AS days_since_last_order,
+                  CAST(sum(order_gap) AS DOUBLE) / count(order_gap) AS avg_order_gap_days,
+                  COALESCE(sum(CASE WHEN creation_date > today - 30 THEN cents END), 0) / 10000.0
+                    AS spend_last_30,
+                  COALESCE(sum(CASE WHEN creation_date > today - 60
+                                     AND creation_date <= today - 30 THEN cents END), 0) / 10000.0
+                    AS spend_prev_30
+           FROM churn_base GROUP BY 1)""",
+      """SELECT user_id, last_order_date, days_since_last_order, avg_order_gap_days,
+                spend_last_30, spend_prev_30,
+                CASE WHEN spend_prev_30 = 0 THEN NULL
+                     ELSE (spend_last_30 - spend_prev_30) / spend_prev_30 * 100
+                END AS pct_spend_change,
+                CASE WHEN days_since_last_order > 45 THEN 'At Risk'
+                     WHEN days_since_last_order > 30 THEN 'Monitor'
+                     ELSE 'Active' END AS churn_risk_tag
+         FROM churn ORDER BY user_id"""),
+
+    "q07_trends_daily" -> OracleSql.withBase(
+      """SELECT creation_date, restaurant_id, item_category,
+                sum(round(total_revenue * 10000)) / 10000.0 AS daily_revenue
+         FROM order_revenue GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+
+    "q08_trends_weekly" -> OracleSql.withBase(
+      """SELECT concat_ws('-', year(creation_date), weekofyear(creation_date)) AS year_week,
+                restaurant_id, item_category,
+                sum(round(total_revenue * 10000)) / 10000.0 AS weekly_revenue
+         FROM order_revenue GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+
+    "q09_trends_monthly" -> OracleSql.withBase(
+      """SELECT concat_ws('-', year(creation_date), month(creation_date)) AS year_month,
+                restaurant_id, item_category,
+                sum(round(total_revenue * 10000)) / 10000.0 AS monthly_revenue
+         FROM order_revenue GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+
+    "q10_trends_hourly" -> OracleSql.withBase(
+      """SELECT hour(creation_ts) AS hour_of_day, restaurant_id, item_category,
+                sum(round(total_revenue * 10000)) / 10000.0 AS hourly_revenue
+         FROM order_revenue GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+
+    "q11_loyalty" -> OracleSql.withBase(
+      """loy_flags AS (
+           SELECT DISTINCT order_id, user_id, is_loyalty FROM items),
+         loy_ltv AS (
+           SELECT f.user_id, f.is_loyalty,
+                  sum(round(r.total_revenue * 10000)) AS ltv_cents
+           FROM (SELECT order_id, total_revenue FROM order_revenue) r
+           LEFT JOIN loy_flags f USING (order_id)
+           GROUP BY 1, 2),
+         loy_orders AS (
+           SELECT user_id, is_loyalty,
+                  count(DISTINCT order_id) AS num_orders,
+                  CASE WHEN count(DISTINCT order_id) > 1 THEN 1 ELSE 0 END AS is_repeat
+           FROM items GROUP BY 1, 2),
+         loy AS (
+           SELECT l.is_loyalty,
+                  count(DISTINCT l.user_id) AS num_customers,
+                  sum(l.ltv_cents) / 10000.0 AS spend_dollars,
+                  sum(o.is_repeat) AS num_repeat_customers
+           FROM loy_ltv l JOIN loy_orders o USING (user_id, is_loyalty)
+           GROUP BY 1)""",
+      """SELECT is_loyalty, num_customers,
+                spend_dollars / num_customers AS avg_spend_per_customer,
+                num_repeat_customers,
+                CAST(num_repeat_customers AS DOUBLE) / num_customers AS repeat_order_rate
+         FROM loy ORDER BY is_loyalty"""),
+
+    "q12_location" -> OracleSql.withBase(
+      """loc_joined AS (
+           SELECT i.restaurant_id, i.order_id,
+                  CAST(i.creation_ts AS DATE) AS order_date,
+                  weekofyear(CAST(i.creation_ts AS DATE)) AS week,
+                  round(r.total_revenue * 10000) AS cents
+           FROM items i
+           JOIN (SELECT order_id, total_revenue FROM order_revenue) r USING (order_id)),
+         loc AS (
+           SELECT restaurant_id,
+                  sum(cents) / 10000.0 AS total_revenue,
+                  count(DISTINCT order_id) AS num_orders,
+                  count(DISTINCT order_date) AS active_days,
+                  count(DISTINCT week) AS active_weeks
+           FROM loc_joined GROUP BY 1)""",
+      """SELECT restaurant_id, total_revenue, num_orders, active_days, active_weeks,
+                total_revenue / num_orders AS avg_order_value,
+                CAST(num_orders AS DOUBLE) / active_days AS orders_per_day,
+                CAST(num_orders AS DOUBLE) / active_weeks AS orders_per_week,
+                dense_rank() OVER (ORDER BY total_revenue DESC) AS revenue_rank
+         FROM loc ORDER BY restaurant_id"""),
+
+    "q13_discount" -> OracleSql.withBase(
+      """disc_lines AS (
+           SELECT i.order_id,
+                  CASE WHEN t.option_price < 0 THEN 1 ELSE 0 END AS is_discounted,
+                  round(r.total_revenue * 10000) AS cents
+           FROM (SELECT order_id, lineitem_id, user_id FROM items) i
+           LEFT JOIN (SELECT order_id, lineitem_id, option_price FROM opts) t
+             USING (order_id, lineitem_id)
+           LEFT JOIN (SELECT order_id, total_revenue FROM order_revenue) r
+             USING (order_id)),
+         disc_orders AS (
+           SELECT order_id,
+                  sum(is_discounted) AS discounted_lines,
+                  sum(cents) AS order_cents,
+                  CASE WHEN sum(is_discounted) > 0 THEN 'Yes' ELSE 'No' END
+                    AS is_discounted_order
+           FROM disc_lines GROUP BY 1),
+         disc AS (
+           SELECT is_discounted_order,
+                  count(DISTINCT order_id) AS num_orders,
+                  sum(order_cents) / 10000.0 AS total_revenue
+           FROM disc_orders GROUP BY 1)""",
+      """SELECT is_discounted_order, num_orders, total_revenue,
+                total_revenue / num_orders AS avg_order_value
+         FROM disc ORDER BY is_discounted_order"""),
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.silver.RevenueConform
+import graft.silver.{CleanConform, RevenueConform}
 
 /** Binds the driver's TPC-H-ish testdata onto the engine's conformed
   * business schema (the reference's order_items / order_item_options /
@@ -15,9 +15,15 @@ import graft.silver.RevenueConform
   *  - part     → item dimension:   `item_category`=p_type (broadcast join)
   *  - l_suppkey → location:        `restaurant_id`
   *  - o_orderpriority ∈ {1-URGENT, 2-HIGH} → `is_loyalty`
-  *  - "options" analog: lines with l_tax > 0.04 carry a surcharge row
-  *    `option_price = l_tax * l_extendedprice` (genuinely missing rows so the
-  *    left-join null-fill path is exercised).
+  *  - `creation_ts` — order date plus a deterministic synthetic hour
+  *    (the source dates are midnight-only; the hourly sales mart needs a
+  *    time-of-day axis, reference `cdc_metrics_job_gold.py:219,234`).
+  *  - "options" analog (PK (order, line, option_name), reference
+  *    `cdc_metrics_job_bronze.py:44`): lines with l_tax > 0.04 carry a
+  *    positive `surcharge` row; lines with l_discount >= 0.08 carry a
+  *    negative `discount` row (negative option = discount, reference
+  *    `cdc_metrics_job_gold.py:364`). Lines can carry both, so the
+  *    silver keyed-dedup (`cdc_metrics_job_silver.py:90`) is load-bearing.
   *
   * Scale notes (100 TB): lineitem⨝orders is the one unavoidable fact-fact
   * shuffle (both sides hashed on the order key; bucketing both by order key
@@ -34,6 +40,7 @@ object Conformed {
     val o = Tables.orders(spark, dir).select(
       col("o_orderkey"),
       col("o_custkey").as("user_id"),
+      col("o_orderdate"),
       to_date(col("o_orderdate")).as("creation_date"),
       col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_loyalty"))
     val p = Tables.part(spark, dir).select(
@@ -48,17 +55,42 @@ object Conformed {
         col("item_category"),
         col("is_loyalty"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("item_price"),
-        col("creation_date"))
+        col("creation_date"),
+        expr("timestampadd(HOUR, CAST((l_orderkey * 7 + l_linenumber * 3) % 24 AS INT), o_orderdate)")
+          .as("creation_ts"))
   }
 
-  /** Line-grain "options" (surcharges); deliberately sparse. */
-  def options(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .filter(col("l_tax") > 0.04)
+  /** Option-grain rows (PK order/line/option_name); deliberately sparse,
+    * with genuinely missing lines so the left-join null-fill path runs. */
+  def optionsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val surcharge = li.filter(col("l_tax") > 0.04)
       .select(
         col("l_orderkey").as("order_id"),
         col("l_linenumber").as("lineitem_id"),
+        lit("surcharge").as("option_name"),
         (col("l_tax") * col("l_extendedprice")).as("option_price"))
+    val discount = li.filter(col("l_discount") >= 0.08)
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("lineitem_id"),
+        lit("discount").as("option_name"),
+        (-(col("l_discount") * col("l_extendedprice"))).as("option_price"))
+    surcharge.union(discount)
+  }
+
+  /** Silver-conformed options: the reference's keyed dedup drops the
+    * option_name PK granularity (`cdc_metrics_job_silver.py:90`, SURVEY
+    * §7.4(b)) — we pin keep-first by (option_name, option_price), a TOTAL
+    * order: the testdata has duplicate (order, line) keys by design, so
+    * ordering by option_name alone would tie between two discount rows
+    * and each engine could keep a different one. */
+  def options(spark: SparkSession, dir: String): DataFrame =
+    CleanConform(
+      optionsRaw(spark, dir),
+      casts = Map.empty,
+      dedupKeys = Seq("order_id", "lineitem_id"),
+      orderCols = Seq(col("option_name"), col("option_price")))
 
   /** The conformed silver fact most gold marts consume. */
   def orderRevenue(spark: SparkSession, dir: String): DataFrame =

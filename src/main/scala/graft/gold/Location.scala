@@ -1,0 +1,44 @@
+package graft.gold
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Location (restaurant) performance mart.
+  *
+  * Reference capability: `mart_location_performance`
+  * (`scripts/cdc_metrics_job_gold.py:300-337`): items ⨝ revenue on
+  * ORDER_ID — an N×M per-order fan-out the reference relies on (J9;
+  * preserved exactly, the oracle reproduces it), per-location KPIs
+  * (A13: sum + 3 exact countDistincts + 3 ratio columns), and an
+  * UNPARTITIONED `dense_rank` by revenue (W4 — single-partition window;
+  * fine at mart cardinality, the rank input is one row per restaurant).
+  *
+  * Scale: the fan-out join shuffles both line-grain sides on order_id —
+  * at 100 TB pre-aggregate the revenue side per order first (same result,
+  * reference chose not to); the countDistincts expand 3×, swap to HLL at
+  * the large tier. Revenue sums are exact cents, so the rank order is
+  * reproducible bit-for-bit.
+  */
+object Location {
+  def apply(items: DataFrame, orderRevenue: DataFrame): DataFrame = {
+    val i = items.select(
+      col("order_id"), col("restaurant_id"),
+      to_date(col("creation_ts")).as("order_date"),
+      weekofyear(to_date(col("creation_ts"))).as("week"))
+    val r = orderRevenue.select(col("order_id"), Money.cents(col("total_revenue")).as("cents"))
+    val metrics = i.join(r, Seq("order_id"), "inner")
+      .groupBy(col("restaurant_id"))
+      .agg(
+        (sum(col("cents")) / 10000.0).as("total_revenue"),
+        countDistinct(col("order_id")).as("num_orders"),
+        countDistinct(col("order_date")).as("active_days"),
+        countDistinct(col("week")).as("active_weeks"))
+      .withColumn("avg_order_value", col("total_revenue") / col("num_orders"))
+      .withColumn("orders_per_day", col("num_orders") / col("active_days"))
+      .withColumn("orders_per_week", col("num_orders") / col("active_weeks"))
+    metrics.withColumn(
+      "revenue_rank",
+      dense_rank().over(Window.orderBy(col("total_revenue").desc)))
+  }
+}

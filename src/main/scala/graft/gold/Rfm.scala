@@ -1,0 +1,51 @@
+package graft.gold
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RFM scoring mart (recency / frequency / monetary + rule segment).
+  *
+  * Reference capability: `mart_customer_rfm`
+  * (`scripts/cdc_metrics_job_gold.py:98-131`): per-user
+  * `countDistinct(ORDER_ID)` frequency, `sum(TOTAL_REVENUE)` monetary,
+  * `max(CREATION_DATE)` last purchase joined back (J3), recency vs the
+  * wall clock, and the VIP / New / Churn Risk / Standard CASE chain
+  * (`:120-126`).
+  *
+  * Spark-first deviations (results identical):
+  *  - the reference's two aggregations + left join (`:108-116`) collapse
+  *    into ONE hash aggregate — same rows, one shuffle instead of two and
+  *    a join;
+  *  - "today" is the max conformed date (deterministic anchor), not
+  *    `datetime.now()` (SURVEY §7.4 risk 2);
+  *  - monetary sums use exact integer cents ([[Money]]).
+  *
+  * Scale: one shuffle on user_id; the anchor is a 1-row broadcast. The
+  * exact `countDistinct(order_id)` is a second expand pass — at the
+  * 100 TB tier swap `approxDistinct = true` for HLL.
+  */
+object Rfm {
+  def apply(orderRevenue: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    val anchor = orderRevenue.agg(max(col("creation_date")).as("today"))
+    val freq =
+      if (approxDistinct) approx_count_distinct(col("order_id"))
+      else countDistinct(col("order_id"))
+    orderRevenue
+      .groupBy(col("user_id"))
+      .agg(
+        freq.as("frequency"),
+        Money.sumMoney(col("total_revenue")).as("monetary"),
+        max(col("creation_date")).as("last_purchase_date"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency", datediff(col("today"), col("last_purchase_date")))
+      .withColumn(
+        "segment",
+        when(col("recency") <= 15 && col("frequency") >= 5 && col("monetary") >= 100, "VIP")
+          .when(col("frequency") <= 1 && col("recency") <= 15, "New")
+          .when(col("recency") > 45 && col("frequency") <= 2, "Churn Risk")
+          .otherwise("Standard"))
+      .select(
+        col("user_id"), col("frequency"), col("monetary"),
+        col("last_purchase_date"), col("recency"), col("segment"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.gold
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sales-trend rollup marts (daily / weekly / monthly / hourly).
+  *
+  * Reference capability: `mart_sales_trends`
+  * (`scripts/cdc_metrics_job_gold.py:193-250`): revenue joined back to
+  * item dims (J6, a 1:1 join on the line key — our conformed fact already
+  * carries the dims, so the join is elided with identical results), then
+  * four independent `groupBy().agg(sum)` passes over
+  * (grain × restaurant_id × item_category).
+  *
+  * Semantics preserved exactly:
+  *  - `year_week` / `year_month` are `concat_ws("-", …)` with NO zero-pad
+  *    ("2024-3"), calendar year + ISO-8601 `weekofyear`
+  *    (`cdc_metrics_job_gold.py:215,218` — including the year-boundary
+  *    quirk where 1998-01-01 lands in "1998-53");
+  *  - four independent marts, not one grouping-sets pass (the reference
+  *    writes four separate outputs; callers wanting one pass can cube).
+  *
+  * Scale: each rollup is one partial+final hash agg; output cardinality
+  * is tiny relative to input, so map-side combine does nearly all work.
+  */
+object SalesTrends {
+
+  private def rollup(df: DataFrame, grain: Seq[String], alias: String): DataFrame =
+    df.groupBy(grain.map(col): _*)
+      .agg(Money.sumMoney(col("total_revenue")).as(alias))
+
+  def daily(orderRevenue: DataFrame): DataFrame =
+    rollup(orderRevenue, Seq("creation_date", "restaurant_id", "item_category"), "daily_revenue")
+
+  def weekly(orderRevenue: DataFrame): DataFrame =
+    rollup(
+      orderRevenue.withColumn(
+        "year_week",
+        concat_ws("-", year(col("creation_date")), weekofyear(col("creation_date")))),
+      Seq("year_week", "restaurant_id", "item_category"), "weekly_revenue")
+
+  def monthly(orderRevenue: DataFrame): DataFrame =
+    rollup(
+      orderRevenue.withColumn(
+        "year_month",
+        concat_ws("-", year(col("creation_date")), month(col("creation_date")))),
+      Seq("year_month", "restaurant_id", "item_category"), "monthly_revenue")
+
+  def hourly(orderRevenue: DataFrame): DataFrame =
+    rollup(
+      orderRevenue.withColumn("hour_of_day", hour(col("creation_ts"))),
+      Seq("hour_of_day", "restaurant_id", "item_category"), "hourly_revenue")
+}
