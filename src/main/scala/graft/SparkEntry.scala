@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.bindings.Conformed
+import graft.bindings.{CdcFixture, Conformed}
 import graft.gold.{Churn, Discount, Location, Loyalty, Ltv, Rfm, SalesTrends}
 import graft.oracle.OracleSql
 
@@ -79,6 +79,14 @@ object SparkEntry {
       Discount(Conformed.items(s, dir), Conformed.options(s, dir),
                Conformed.orderRevenue(s, dir))
         .orderBy(col("is_discounted_order"))),
+
+    // ---- cdc: snapshot diff (U1, U2, U3, J1, P7, P3, P14) ----
+    "q14_snapshot_diff" -> ((s, dir) =>
+      graft.cdc.SnapshotDiff(
+        CdcFixture.current(s, dir), CdcFixture.previous(s, dir),
+        pk = Seq("o_orderkey"))
+        .drop("cdc_timestamp")
+        .orderBy(col("o_orderkey"), col("cdc_action"))),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -246,5 +254,31 @@ object SparkEntry {
       """SELECT is_discounted_order, num_orders, total_revenue,
                 total_revenue / num_orders AS avg_order_value
          FROM disc ORDER BY is_discounted_order"""),
+
+    "q14_snapshot_diff" ->
+      """WITH cdc_base AS (
+           SELECT o_orderkey, max(o_custkey) AS custkey,
+                  max(o_totalprice) AS totalprice,
+                  max(CAST(o_orderdate AS DATE)) AS odate,
+                  max(o_orderpriority) AS priority
+           FROM orders GROUP BY 1),
+         cdc_prev AS (
+           SELECT o_orderkey, custkey,
+                  CASE WHEN o_orderkey % 7 = 2 THEN totalprice + 100
+                       ELSE totalprice END AS totalprice,
+                  odate, priority
+           FROM cdc_base WHERE o_orderkey % 10 != 3),
+         cdc_cur AS (SELECT * FROM cdc_base WHERE o_orderkey % 13 != 5),
+         ins AS (SELECT *, 'insert' AS cdc_action
+                 FROM (SELECT * FROM cdc_cur EXCEPT SELECT * FROM cdc_prev)),
+         upd AS (SELECT c.*, 'update' AS cdc_action
+                 FROM cdc_cur c JOIN cdc_prev p USING (o_orderkey)
+                 WHERE c.custkey <> p.custkey OR c.totalprice <> p.totalprice
+                    OR c.odate <> p.odate OR c.priority <> p.priority),
+         del AS (SELECT *, 'delete' AS cdc_action
+                 FROM (SELECT * FROM cdc_prev EXCEPT SELECT * FROM cdc_cur))
+         SELECT * FROM (SELECT * FROM ins UNION ALL SELECT * FROM upd
+                        UNION ALL SELECT * FROM del)
+         ORDER BY o_orderkey, cdc_action""",
   )
 }
