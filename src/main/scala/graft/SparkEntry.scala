@@ -6,8 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.bindings.{CdcFixture, Conformed}
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.gold.{Churn, Discount, Location, Loyalty, Ltv, Rfm, SalesTrends}
-import graft.oracle.OracleSql
+import graft.oracle.{ExtOracleSql, OracleSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -87,6 +89,61 @@ object SparkEntry {
         pk = Seq("o_orderkey"))
         .drop("cdc_timestamp")
         .orderBy(col("o_orderkey"), col("cdc_action"))),
+
+    // ---- ext: deduplication ----
+    "q15_dedup_exact" -> ((s, dir) =>
+      Dedup.keyedDupGroups(Tables.lineitem(s, dir), Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "q16_minhash_neardups" -> ((s, dir) =>
+      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text", minEst = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q17_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "q18_jaccard_verify" -> ((s, dir) =>
+      Dedup.lshVerifiedPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+    "q19_embedding_neardups" -> ((s, dir) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- ext: similarity search ----
+    "q20_topk_cosine" -> ((s, dir) =>
+      Similarity.topKNeighbors(Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)
+        .orderBy(col("vec_id"), col("rank"))),
+    "q21_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 5, centroidEvery = 100)
+        .orderBy(col("vec_id"), col("rank"))),
+
+    // ---- ext: text analysis ----
+    "q22_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "q23_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "q24_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "q25_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ---- ext: event windows (streaming-capable transforms, batch-run) ----
+    "q26_event_windows" -> ((s, dir) =>
+      graft.streaming.EventMetrics.tumbling(Tables.events(s, dir))
+        .orderBy(col("window_start"), col("event_type"))),
+    "q27_sessions" -> ((s, dir) =>
+      graft.streaming.EventMetrics.sessions(Tables.events(s, dir))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // ---- ext: multimodal binary plumbing (stubbed decode) ----
+    "q28_multimodal" -> ((s, dir) =>
+      Multimodal.featurize(
+        Multimodal.toMedia(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF().orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -280,5 +337,49 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM ins UNION ALL SELECT * FROM upd
                         UNION ALL SELECT * FROM del)
          ORDER BY o_orderkey, cdc_action""",
+
+    "q15_dedup_exact" -> ExtOracleSql.exactRowDups,
+    "q16_minhash_neardups" -> ExtOracleSql.minhashNearDups(minEst = 0.5),
+    "q17_simhash" -> ExtOracleSql.simhash,
+    "q18_jaccard_verify" -> ExtOracleSql.jaccardVerify,
+    "q19_embedding_neardups" -> ExtOracleSql.embeddingNearDups(threshold = 0.35),
+    "q20_topk_cosine" -> ExtOracleSql.topKNeighbors(k = 5),
+    "q21_ivf_topk" -> ExtOracleSql.ivfTopK(k = 5, centroidEvery = 100),
+    "q22_langid" -> ExtOracleSql.langId,
+    "q23_quality" -> ExtOracleSql.qualityScore,
+    "q24_token_counts" -> ExtOracleSql.tokenCounts,
+    "q25_fingerprint" -> ExtOracleSql.fingerprint,
+
+    "q26_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                count(*) AS n_events,
+                sum(round(value * 10000)) / 10000.0 AS value_sum
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q27_sessions" ->
+      """WITH m AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events,
+                sum(round(value * 10000)) / 10000.0 AS value_sum
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "q28_multimodal" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                md5(text) AS content_md5,
+                octet_length(encode(text)) % 640 AS width,
+                (octet_length(encode(text)) * 7) % 480 AS height,
+                3 AS channels
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -22,7 +22,18 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  /** The events table carries nanosecond parquet timestamps, which Spark
+    * refuses by default (PARQUET_TYPE_ILLEGAL). Read them as raw nanos
+    * and floor to microseconds — exactly how DuckDB converts
+    * TIMESTAMP_NS, so the oracle sees identical instants. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    // integer `div`, not `/`: epoch-nanos (~1.7e18) overflow double's
+    // 2^53 exact range, so float division would corrupt the low digits
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Portable, WordShingles}
+
+/** Deduplication operator suite for large-scale corpus pipelines.
+  *
+  * Beyond the reference's keyed `dropDuplicates` (silver cleanse,
+  * `scripts/cdc_metrics_job_silver.py:66,90`), a 100 TB training-data
+  * pipeline needs content-level dedup. All hashes are the portable
+  * md5-derived integers from [[Portable]] so the DuckDB oracle can
+  * recompute every stage bit-for-bit.
+  *
+  * Scale design:
+  *  - exact dedup is a single hash aggregate on the content hash — the
+  *    map-side partial collapses duplicates before the shuffle;
+  *  - MinHash signatures are ONE aggregate producing `numPerms` min
+  *    columns (no numPerms× row blowup); LSH banding then self-joins on
+  *    (band, key) — the shuffle is on band keys, whose cardinality scales
+  *    with corpus size, and candidate verification touches only bucket
+  *    collisions, never the full cross product;
+  *  - SimHash is one aggregate with per-bit counters.
+  */
+object Dedup {
+
+  /** Exact full-row duplicate groups (the testdata plants real duplicate
+    * rows in `lineitem`). Returns one row per duplicated tuple with its
+    * multiplicity. */
+  def exactRowGroups(df: DataFrame): DataFrame =
+    df.groupBy(df.columns.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Duplicate-key groups: keys appearing more than once (the planted
+    * duplicates in the testdata are key-level — rows share a PK but
+    * differ in payload, the realistic CDC-ingest shape). */
+  def keyedDupGroups(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Exact content dedup: canonical (min) id per distinct text. */
+  def exactByContent(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signatures: one row per doc, `sig_0 … sig_{p-1}` columns. */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String, numPerms: Int = 16): DataFrame = {
+    val sh = docs.select(
+        col(idCol),
+        explode(WordShingles.shingles(lower(col(textCol)))).as("sh"))
+      .select(col(idCol), Portable.h31(col("sh")).as("h"))
+    val aggs = (0 until numPerms).map { i =>
+      min((col("h") * lit(Portable.aCoef(i)) + lit(Portable.bCoef(i))) % Portable.P31)
+        .as(s"sig_$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: distinct candidate pairs (id_a < id_b) sharing at least
+    * one band bucket. bands × rowsPerBand must equal numPerms. */
+  def lshCandidates(
+      sig: DataFrame, idCol: String, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val bandKeys = (0 until bands).map { j =>
+      concat_ws(",", (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}")): _*)
+    }
+    val exploded = sig.select(col(idCol), posexplode(array(bandKeys: _*)))
+      .toDF(idCol, "band", "key")
+    val a = exploded.toDF("id_a", "band", "key")
+    val b = exploded.toDF("id_b", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Signature-agreement Jaccard estimate for candidate pairs. */
+  def estimatedJaccard(
+      sig: DataFrame, pairs: DataFrame, idCol: String, numPerms: Int = 16): DataFrame = {
+    val sigA = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val sigB = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val agree = (0 until numPerms)
+      .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
+      .reduce((x, y) => x + y)
+    pairs
+      .join(sigA, col("id_a") === col(s"a_$idCol"))
+      .join(sigB, col("id_b") === col(s"b_$idCol"))
+      .select(col("id_a"), col("id_b"), (agree.cast("double") / numPerms).as("est_jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidate pairs with their
+    * estimated Jaccard at or above `minEst`.
+    *
+    * The signature table is persisted: it feeds the band self-join (both
+    * sides) and the two estimate joins, and self-joins duplicate an
+    * un-persisted subtree — without the persist, the shingle+hash+agg
+    * pipeline executes ~5×. Signatures are numPerms longs per doc, so
+    * the cache is tiny relative to the corpus. */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 16, bands: Int = 4, minEst: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = lshCandidates(sig, idCol, bands, numPerms / bands)
+    estimatedJaccard(sig, pairs, idCol, numPerms).filter(col("est_jaccard") >= minEst)
+  }
+
+  /** LSH candidates verified with exact shingle-set Jaccard (the
+    * candidate → verify pattern; same persist rationale as above). */
+  def lshVerifiedPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = lshCandidates(sig, idCol, bands, numPerms / bands)
+    exactJaccard(docs, pairs, idCol, textCol)
+  }
+
+  /** SimHash: per-doc `bits`-bit locality-sensitive hash over the distinct
+    * token set (bit b is the sign of Σ_tokens ±1 by token-hash bit b). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    val tok = docs.select(
+        col(idCol),
+        explode(array_distinct(Portable.tokens(col(textCol)))).as("t"))
+      .select(col(idCol), Portable.h60(col("t")).as("h"))
+    val sums = (0 until bits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s_$b")
+    }
+    val packed = (0 until bits)
+      .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x + y)
+    tok.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs (LSH verification
+    * stage). Intersection/union sizes only — element order of the
+    * distinct arrays is engine-specific and never observed. */
+  def exactJaccard(
+      docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = docs.select(
+      col(idCol),
+      WordShingles.shingles(lower(col(textCol))).as("sh"))
+    val a = sh.toDF("id_a", "sh_a")
+    val b = sh.toDF("id_b", "sh_b")
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold within a blocking
+    * column (e.g. a cluster/label id) — the blocked self-join is the
+    * scale path; an unblocked variant would be a cross product. */
+  def embeddingNearDups(
+      vecs: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val v = vecs.select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("emb"))
+    val a = v.toDF("block", "id_a", "emb_a")
+    val b = v.toDF("block", "id_b", "emb_b")
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Similarity.cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

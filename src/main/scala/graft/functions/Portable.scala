@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Cross-engine-portable primitives shared by the dedup / text-analysis
+  * extension operators.
+  *
+  * The t2 gate re-computes every query in DuckDB, so hash-based operators
+  * (MinHash, SimHash, fingerprints) cannot use engine-specific hashes
+  * (`xxhash64`, DuckDB `hash()`). Instead we derive a 60-bit integer from
+  * the md5 hex prefix — md5 is identical everywhere, and 15 hex chars fit
+  * a signed 64-bit integer on both engines:
+  *
+  *   Spark:  conv(substring(md5(c), 1, 15), 16, 10) :: long
+  *   DuckDB: CAST(('0x' || substr(md5(c), 1, 15)) AS BIGINT)
+  *
+  * All downstream MinHash arithmetic stays below 2^62 so BIGINT never
+  * overflows in either engine (DuckDB raises on overflow; Spark wraps —
+  * both are avoided).
+  */
+object Portable {
+
+  /** 2^31 - 1, the Mersenne prime used as MinHash modulus. Keeping the
+    * hash space at 31 bits bounds `a * h + b` far below 2^63. */
+  val P31: Long = 2147483647L
+
+  /** Portable 60-bit content hash (md5-prefix based). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Portable 31-bit hash for MinHash permutations. */
+  def h31(c: Column): Column = h60(c) % P31
+
+  /** Lowercased whitespace tokens. */
+  def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** MinHash permutation coefficients — fixed, engine-independent. */
+  def aCoef(i: Int): Long = 1L + i.toLong * 1000003L
+  def bCoef(i: Int): Long = (i.toLong * 777767777L) % P31
+
+  /** Distinct word n-gram shingles of a token array; documents shorter
+    * than n collapse to a single whole-text shingle. */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** SQL fragment mirroring [[h60]] for a DuckDB expression `e`. */
+  def h60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** SQL fragment mirroring [[tokens]]. */
+  def tokensSql(e: String): String = s"string_split_regex(lower($e), '\\s+')"
+
+  /** SQL fragment mirroring [[shingles]] over a token-list expression. */
+  def shinglesSql(t: String, n: Int = 3): String = {
+    val parts = (0 until n).map(k => s"$t[i + $k]").mkString(" || ' ' || ")
+    s"CASE WHEN len($t) >= $n THEN list_distinct([$parts FOR i IN range(1, len($t) - ${n - 2})]) " +
+      s"ELSE [array_to_string($t, ' ')] END"
+  }
+}

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for embedding dot products.
+  *
+  * The built-in way to express a dot product over `array<double>` is
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v)` —
+  * correct, but higher-order-function lambdas are interpreted per
+  * element, which made the brute-force top-k bench ~60× slower than the
+  * rest of the suite. This expression participates in whole-stage
+  * codegen: the generated Java is a tight primitive loop over the two
+  * `ArrayData` buffers.
+  *
+  * Summation order is left-to-right — identical to the interpreted
+  * `aggregate` version and to DuckDB's list_cosine_similarity — so the
+  * t2 oracle results are bit-for-bit unchanged.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Dot product of two array<double> columns (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    ColumnShim.column(
+      DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** L2 norm of an array<double> column. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+}

@@ -1,0 +1,213 @@
+package graft.oracle
+
+import graft.functions.Portable
+import graft.ext.TextAnalysis
+
+/** DuckDB mirrors for the extension operators (dedup / similarity / text
+  * analysis). The MinHash/SimHash SQL is generated from the SAME
+  * constants ([[Portable.aCoef]]/[[Portable.bCoef]], perm/bit counts) the
+  * Spark operators use, so the two sides cannot drift.
+  */
+object ExtOracleSql {
+
+  private val P = Portable.P31
+  val NumPerms = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val SimhashBits = 32
+
+  private def h60(e: String): String = Portable.h60Sql(e)
+
+  /** doc_id + token-list CTEs over documents. */
+  private val toksCte =
+    s"""toks AS (
+       |  SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM documents)""".stripMargin
+
+  private val shinglesExpr = Portable.shinglesSql("t")
+
+  private def sigCte: String = {
+    val mins = (0 until NumPerms).map { i =>
+      s"min((h * ${Portable.aCoef(i)} + ${Portable.bCoef(i)}) % $P) AS sig_$i"
+    }.mkString(",\n         ")
+    s"""sh AS (
+       |  SELECT doc_id, unnest($shinglesExpr) AS s FROM toks),
+       |hh AS (
+       |  SELECT doc_id, ${h60("s")} % $P AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM hh GROUP BY 1)""".stripMargin
+  }
+
+  private def bandsCte: String = {
+    val bands = (0 until Bands).map { j =>
+      val cols = (0 until RowsPerBand).map(r => s"sig_${j * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $j AS band, concat_ws(',', $cols) AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""bands AS (
+       |  $bands),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  def minhashNearDups(minEst: Double): String = {
+    val agree = (0 until NumPerms)
+      .map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $toksCte,
+       |$sigCte,
+       |$bandsCte,
+       |est AS (
+       |  SELECT id_a, id_b,
+       |         CAST($agree AS DOUBLE) / $NumPerms AS est_jaccard
+       |  FROM pairs
+       |  JOIN sig sa ON pairs.id_a = sa.doc_id
+       |  JOIN sig sb ON pairs.id_b = sb.doc_id)
+       |SELECT id_a, id_b, est_jaccard FROM est
+       |WHERE est_jaccard >= $minEst ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def jaccardVerify: String =
+    s"""WITH $toksCte,
+       |$sigCte,
+       |$bandsCte,
+       |sharr AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM toks)
+       |SELECT id_a, id_b,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |FROM pairs
+       |JOIN sharr a ON pairs.id_a = a.doc_id
+       |JOIN sharr b ON pairs.id_b = b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
+  def simhash: String = {
+    val sums = (0 until SimhashBits)
+      .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s_$b")
+      .mkString(",\n         ")
+    val packed = (0 until SimhashBits)
+      .map(b => s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(${Portable.tokensSql("text")})) AS t
+       |  FROM documents),
+       |th AS (SELECT doc_id, ${h60("t")} AS h FROM tok),
+       |sums AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM th GROUP BY 1)
+       |SELECT doc_id, $packed AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  def exactRowDups: String =
+    s"""SELECT l_orderkey, l_linenumber, count(*) AS dup_count
+       |FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  private val vecsCte =
+    "v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+
+  def embeddingNearDups(threshold: Double): String =
+    s"""WITH $vecsCte
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+       |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  def topKNeighbors(k: Int): String =
+    s"""WITH $vecsCte,
+       |cj AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+       |  FROM v a JOIN v b ON a.vec_id != b.vec_id),
+       |rk AS (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM cj)
+       |SELECT vec_id, neighbor_id, cosine, rank FROM rk
+       |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+
+  def ivfTopK(k: Int, centroidEvery: Int): String =
+    s"""WITH $vecsCte,
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, emb AS cemb FROM v
+       |  WHERE vec_id % $centroidEvery = 0),
+       |asg AS (
+       |  SELECT vec_id, emb, centroid_id AS cell
+       |  FROM (SELECT v.vec_id, v.emb, c.centroid_id,
+       |               row_number() OVER (PARTITION BY v.vec_id
+       |                 ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 6) DESC,
+       |                          c.centroid_id) AS crn
+       |        FROM v CROSS JOIN cents c)
+       |  WHERE crn = 1),
+       |cj AS (
+       |  SELECT a.vec_id, a.cell, b.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+       |rk AS (
+       |  SELECT vec_id, cell, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM cj)
+       |SELECT vec_id, cell, neighbor_id, cosine, rank FROM rk
+       |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+
+  def langId: String =
+    s"""WITH lex(lex_lang, t) AS (VALUES ${TextAnalysis.lexiconSqlValues}),
+       |tok AS (
+       |  SELECT doc_id, unnest(${Portable.tokensSql("text")}) AS t FROM documents),
+       |hits AS (
+       |  SELECT doc_id, lex_lang, count(*) AS hits
+       |  FROM tok JOIN lex USING (t) GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, lex_lang AS detected_lang, hits
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY hits DESC, lex_lang) AS rn FROM hits)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, COALESCE(b.detected_lang, 'und') AS detected_lang,
+       |       COALESCE(b.hits, 0) AS hits
+       |FROM documents d LEFT JOIN best b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  def qualityScore: String = {
+    val stopList = TextAnalysis.qualityStopwords.map(w => s"'$w'").mkString(", ")
+    val t = Portable.tokensSql("text")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |         length(text) AS n_chars,
+       |         len($t) AS n_tokens,
+       |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+       |         len(list_filter($t, x -> x IN ($stopList))) AS n_stop
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_chars, n_tokens, n_alpha, n_stop,
+       |         CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+       |         CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio
+       |  FROM q)
+       |SELECT doc_id, n_chars, n_tokens, n_alpha, n_stop, alpha_ratio, stop_ratio,
+       |       round(0.5 * least(1.0, n_tokens / 64.0)
+       |             + 0.25 * alpha_ratio
+       |             + 0.25 * least(1.0, stop_ratio * 4.0), 6) AS quality_score
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  def tokenCounts: String =
+    s"""SELECT doc_id,
+       |       len(${Portable.tokensSql("text")}) AS n_ws_tokens,
+       |       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_tokens,
+       |       len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9 ]'))
+       |         AS n_subword_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def fingerprint: String =
+    s"""WITH $toksCte,
+       |sharr AS (SELECT doc_id, $shinglesExpr AS sh FROM toks)
+       |SELECT t.doc_id, md5(d.text) AS content_md5,
+       |       list_min(list_transform(t.sh, s -> ${h60("s")})) AS shingle_fp
+       |FROM sharr t JOIN documents d ON t.doc_id = d.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+}

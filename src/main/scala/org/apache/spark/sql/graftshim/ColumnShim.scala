@@ -1,0 +1,21 @@
+package org.apache.spark.sql
+
+package object graftshim // keeps the file inside the sql package scope
+
+package graftshim {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  /** Bridge between Catalyst [[Expression]]s and the public [[Column]]
+    * API. Spark 4 made `Column.expr` / the Column constructor
+    * `private[sql]` (columns are Connect-compatible ColumnNodes now), so
+    * custom native expressions need this one-file shim inside the
+    * `org.apache.spark.sql` package — the same pattern public Spark
+    * extension libraries use.
+    */
+  object ColumnShim {
+    def column(e: Expression): Column = ExpressionUtils.column(e)
+    def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  }
+}

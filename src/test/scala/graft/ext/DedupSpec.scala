@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer rules engine"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("keyed dup groups finds planted duplicate keys") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val got = Dedup.keyedDupGroups(df, Seq("k")).as[(Int, Long)].collect().toSet
+    assert(got == Set((1, 2L)))
+  }
+
+  test("exact content dedup keeps min id per distinct text") {
+    val got = Dedup.exactByContent(docs, "doc_id", "text")
+      .filter($"dup_count" > 1)
+      .select($"canonical_id", $"dup_count").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L))) // docs 1 and 4 collapse, canonical = 1
+  }
+
+  test("minhash+LSH surfaces the exact and near duplicates, not the unrelated doc") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", minEst = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))            // exact dup: est_jaccard = 1
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated never pairs
+  }
+
+  test("estimated jaccard is 1.0 for identical docs and tracks exact jaccard") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val pairs = Seq((1L, 4L), (1L, 2L)).toDF("id_a", "id_b")
+    val est = Dedup.estimatedJaccard(sig, pairs, "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(est((1L, 4L)) == 1.0)
+    val exact = Dedup.exactJaccard(docs, pairs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(exact((1L, 4L)) == 1.0)
+    assert(exact((1L, 2L)) > 0.5 && exact((1L, 2L)) < 1.0)
+  }
+
+  test("simhash: identical docs collide, near-dups are close in hamming distance") {
+    val h = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(4L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
+  }
+
+  test("embedding near-dups finds only the high-cosine pair within a block") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f), 0),   // near-dup of 1, same block
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),    // orthogonal, same block
+      (4L, Array(1.0f, 0.0f, 0.0f), 1),    // identical to 1 but different block
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", "label", 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(1.0, 1.0), Array(1.0, 1.0)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break, excludes self") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.topKNeighbors(vecs, "vec_id", "embedding", k = 2)
+      .filter($"vec_id" === 1L)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((2L, 1), (3L, 2)))
+  }
+
+  test("IVF assigns to nearest centroid and searches only the cell") {
+    // centroids: ids 0 and 100 (centroidEvery=100)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),    // centroid A
+      (100L, Array(0.0f, 1.0f)),  // centroid B
+      (1L, Array(0.95f, 0.05f)),  // cell A
+      (2L, Array(0.05f, 0.95f)),  // cell B
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 3, centroidEvery = 100)
+    val cells = got.select($"vec_id", $"cell").distinct().as[(Long, Long)].collect().toMap
+    assert(cells(1L) == 0L && cells(2L) == 100L)
+    // vec 1's neighbors are all within cell A — vec 2 never appears
+    val n1 = got.filter($"vec_id" === 1L).select($"neighbor_id").as[Long].collect().toSet
+    assert(n1 == Set(0L))
+  }
+}
