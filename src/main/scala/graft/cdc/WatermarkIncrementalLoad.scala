@@ -46,10 +46,11 @@ object WatermarkIncrementalLoad {
       store: ControlStore,
       key: String,
       input: DataFrame,
-      watermarkCol: String)(
+      watermarkCol: String,
+      defaultWatermark: String = "2020-01-01")(
       process: DataFrame => DataFrame)(
       sink: DataFrame => Unit): Option[String] = {
-    val lastRun = store.get(key)
+    val lastRun = store.get(key, defaultWatermark)
     val fresh = sinceExclusive(input, watermarkCol, lastRun)
     if (fresh.isEmpty) None
     else {

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.bindings.Conformed
+import graft.io.Lakehouse
+
+class CdcPipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val ts = lit("2024-06-01 00:00:00").cast("timestamp")
+
+  /** SnapshotDiff requires PK-unique input (the testdata plants dup
+    * keys); keep-first conform is the pipeline's contract for that. */
+  private def optionsSource = graft.silver.CleanConform(
+    graft.bindings.Conformed.optionsRaw(spark, sf),
+    casts = Map.empty,
+    dedupKeys = Seq("order_id", "lineitem_id", "option_name"),
+    orderCols = Seq(col("option_price")))
+
+  test("bronze -> silver -> gold end-to-end on sf0.001, incremental no-op on rerun") {
+    val root = Files.createTempDirectory("graft-lake").toString
+    val lake = Lakehouse(s"file://$root")
+    val pipe = new CdcPipeline(spark, lake)
+
+    // bronze: watermarked fact + snapshot-diffed options
+    val wm = pipe.bronzeFact(
+      Conformed.items(spark, sf), "order_items", "creation_ts", "2024-06-01", ts)
+    assert(wm.nonEmpty)
+    assert(pipe.store.get("cdc/order_items/last_run.txt", "unset") == wm.get)
+    pipe.bronzeSnapshot(
+      optionsSource, "order_item_options",
+      Seq("order_id", "lineitem_id", "option_name"), "2024-06-01", ts)
+
+    // first snapshot-diff run: everything is an insert
+    val cdcActions = spark.read
+      .parquet(lake.cdc("order_item_options", "2024-06-01"))
+      .select("cdc_action").distinct().collect().map(_.getString(0)).toSet
+    assert(cdcActions == Set("insert"))
+
+    // silver: conform both tables incrementally, then the revenue join
+    val wmItems = pipe.silverConform(
+      "order_items", lake.bronze("order_items", "2024-06-01"), "creation_ts",
+      Map("item_price" -> "double"), Seq("order_id", "lineitem_id"),
+      Seq(col("item_price")))
+    assert(wmItems.nonEmpty)
+    val wmOpts = pipe.silverConform(
+      "order_item_options", lake.bronze("order_item_options", "2024-06-01"),
+      "cdc_timestamp", Map("option_price" -> "double"),
+      Seq("order_id", "lineitem_id"), Seq(col("option_name"), col("option_price")))
+    assert(wmOpts.contains("2024-06-01"))
+    pipe.silverRevenue()
+
+    val revenue = spark.read.parquet(lake.silver("order_revenue"))
+    assert(revenue.count() > 0)
+    assert(revenue.columns.contains("total_revenue"))
+    // silver is date-partitioned on disk (partition pruning surface)
+    assert(new java.io.File(s"$root/silver/order_revenue")
+      .listFiles().exists(_.getName.startsWith("creation_date=")))
+
+    // gold: all marts written and non-empty
+    pipe.runGold()
+    val marts = Seq(
+      "fact_ltv_daily", "mart_customer_ltv_snapshot", "mart_customer_clv_segment",
+      "mart_customer_rfm", "mart_customer_churn_profile",
+      "mart_sales_trends/daily", "mart_sales_trends/weekly",
+      "mart_sales_trends/monthly", "mart_sales_trends/hourly",
+      "mart_loyalty_program_impact", "mart_location_performance",
+      "mart_discount_effectiveness")
+    marts.foreach { m =>
+      assert(spark.read.parquet(lake.gold(m)).count() > 0, s"mart $m is empty")
+    }
+
+    // rerun: silver watermark makes reprocessing a no-op
+    val rerun = pipe.silverConform(
+      "order_items", lake.bronze("order_items", "2024-06-01"), "creation_ts",
+      Map("item_price" -> "double"), Seq("order_id", "lineitem_id"),
+      Seq(col("item_price")))
+    assert(rerun.isEmpty)
+
+    // rerun snapshot diff with identical source: no inserts/updates/deletes
+    pipe.bronzeSnapshot(
+      optionsSource, "order_item_options",
+      Seq("order_id", "lineitem_id", "option_name"), "2024-06-02", ts)
+    // an empty change set writes no partition dirs at all
+    val cdcDir = new java.io.File(s"$root/cdc/order_item_options/date=2024-06-02")
+    assert(!cdcDir.exists() ||
+      !cdcDir.listFiles().exists(_.getName.startsWith("cdc_action=")))
+  }
+}
