@@ -21,19 +21,35 @@ object Discount {
     * @param options silver (deduped) options with option_price
     * @param orderRevenue conformed revenue fact */
   def apply(items: DataFrame, options: DataFrame, orderRevenue: DataFrame): DataFrame = {
-    val perOrder = items
+    // The reference's second join (revenue on ORDER_ID) fans every item
+    // line out by the order's revenue-line count (J10). Distributing the
+    // per-order sums over that fan-out:
+    //   discounted_lines = Σ_item flags × n_revenue_lines
+    //   order_cents      = Σ_revenue cents × n_item_lines
+    // so both sides pre-aggregate per order and join 1:1 — bit-identical
+    // integers, and the shuffle carries one row per order instead of
+    // lines² rows (the 100 TB-safe shape).
+    val itemSide = items
       .select(col("order_id"), col("lineitem_id"), col("user_id"))
       .join(
         options.select(col("order_id"), col("lineitem_id"), col("option_price")),
         Seq("order_id", "lineitem_id"), "left")
-      .join(
-        orderRevenue.select(col("order_id"), Money.cents(col("total_revenue")).as("cents")),
-        Seq("order_id"), "left")
       .withColumn("is_discounted", when(col("option_price") < 0, 1).otherwise(0))
       .groupBy(col("order_id"))
       .agg(
-        sum(col("is_discounted")).as("discounted_lines"),
-        sum(col("cents")).as("order_cents"))
+        sum(col("is_discounted")).as("flags_sum"),
+        count(lit(1)).as("n_item_lines"))
+    val revSide = orderRevenue
+      .groupBy(col("order_id"))
+      .agg(
+        sum(Money.cents(col("total_revenue"))).as("rev_cents"),
+        count(lit(1)).as("n_rev_lines"))
+    val perOrder = itemSide
+      .join(revSide, Seq("order_id"), "left")
+      .select(
+        col("order_id"),
+        (col("flags_sum") * coalesce(col("n_rev_lines"), lit(1L))).as("discounted_lines"),
+        (col("rev_cents") * col("n_item_lines")).as("order_cents"))
       .withColumn(
         "is_discounted_order",
         when(col("discounted_lines") > 0, "Yes").otherwise("No"))

@@ -26,11 +26,21 @@ object Location {
       col("order_id"), col("restaurant_id"),
       to_date(col("creation_ts")).as("order_date"),
       weekofyear(to_date(col("creation_ts"))).as("week"))
-    val r = orderRevenue.select(col("order_id"), Money.cents(col("total_revenue")).as("cents"))
+    // The reference joins line-grain to line-grain (J9) — an N×M
+    // per-order fan-out. Summing cents over that fan-out equals, per
+    // item-side row, the order's total revenue cents; and the distinct
+    // counts are unaffected by the fan-out (revenue exists for every
+    // order). So pre-aggregate revenue per order and join 1:1 — same
+    // numbers bit-for-bit (integer cents), one row per item line instead
+    // of lines², which is the difference between a shuffle of |items|
+    // and a shuffle of |items|·|lines/order| at 100 TB.
+    val r = orderRevenue
+      .groupBy(col("order_id"))
+      .agg(sum(Money.cents(col("total_revenue"))).as("order_cents"))
     val metrics = i.join(r, Seq("order_id"), "inner")
       .groupBy(col("restaurant_id"))
       .agg(
-        (sum(col("cents")) / 10000.0).as("total_revenue"),
+        (sum(col("order_cents")) / 10000.0).as("total_revenue"),
         countDistinct(col("order_id")).as("num_orders"),
         countDistinct(col("order_date")).as("active_days"),
         countDistinct(col("week")).as("active_weeks"))

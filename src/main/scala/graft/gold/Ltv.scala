@@ -55,13 +55,24 @@ object Ltv {
         col("cumulative_ltv").as("lifetime_value"))
   }
 
-  /** A8: Low/Medium/High segmentation at the exact 20th/80th percentile of
-    * lifetime value (linear-interpolated, same definition as pandas qcut /
-    * DuckDB quantile_cont). Distributed — no driver round-trip. */
-  def segments(ltvLatest: DataFrame): DataFrame = {
-    val cuts = ltvLatest.agg(
-      percentile(col("lifetime_value"), lit(0.2)).as("p20"),
-      percentile(col("lifetime_value"), lit(0.8)).as("p80"))
+  /** A8: Low/Medium/High segmentation at the 20th/80th percentile of
+    * lifetime value. Distributed — no driver round-trip (the reference
+    * `toPandas()` + `pd.qcut` here, its only non-scalable operator).
+    *
+    * Exact mode (default) uses linear-interpolated percentiles — the same
+    * definition as pandas qcut / DuckDB quantile_cont — and gates the
+    * oracle. `approxAt` switches to `approx_percentile` (a fixed-memory
+    * sketch) for the 100 TB tier, where exact percentiles would need a
+    * full sort. */
+  def segments(ltvLatest: DataFrame, approxAt: Option[Int] = None): DataFrame = {
+    val cuts = approxAt match {
+      case Some(accuracy) => ltvLatest.agg(
+        approx_percentile(col("lifetime_value"), lit(0.2), lit(accuracy)).as("p20"),
+        approx_percentile(col("lifetime_value"), lit(0.8), lit(accuracy)).as("p80"))
+      case None => ltvLatest.agg(
+        percentile(col("lifetime_value"), lit(0.2)).as("p20"),
+        percentile(col("lifetime_value"), lit(0.8)).as("p80"))
+    }
     ltvLatest
       .crossJoin(broadcast(cuts))
       .select(
