@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, WordShingles}
+
+/** SQL-surface registration for the engine's native expressions, so
+  * `spark.sql("SELECT vec_dot(a, b)")` works alongside the Column API.
+  *
+  * Install at session build time:
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  * or on a live session via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot",
+      info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("word_shingles",
+      info("word_shingles", "word_shingles(text[, n]) - distinct word n-gram shingles"),
+      (es: Seq[Expression]) => es match {
+        case Seq(c) => WordShingles(c, 3)
+        case Seq(c, n) => WordShingles(
+          c, n.eval().asInstanceOf[Number].intValue())
+      }),
+  )
+
+  /** Register on an already-built session (tests, spark-shell). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, i, builder) =>
+      org.apache.spark.sql.graftshim.ColumnShim.registerFunction(spark, name, i, builder)
+    }
+}

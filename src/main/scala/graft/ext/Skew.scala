@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities (SURVEY §7.4 risk 5: salting for skewed
+  * user/restaurant keys at the 100 TB tier).
+  *
+  * AQE's skew-join handling covers sort-merge joins; these helpers cover
+  * the cases it does not: a single hot grouping key whose partial
+  * aggregate state itself overwhelms one task, and broadcast-impossible
+  * skewed equi-joins. Salts are DETERMINISTIC (hashed from caller-chosen
+  * columns) — no rand(), so results stay reproducible.
+  */
+object Skew {
+
+  /** Two-phase salted sum: groupBy(keys + salt) partial, then groupBy
+    * (keys) final. Equivalent to a direct groupBy(keys).sum for
+    * associative integer-unit sums; the salt fans the hot key's partial
+    * state across `numSalts` tasks. */
+  def saltedSum(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      numSalts: Int, saltSource: Column): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(saltSource), lit(numSalts)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+  }
+
+  /** Salted equi-join for a skewed big side vs a non-broadcastable but
+    * replicable right side: the big side gets a deterministic salt, the
+    * right side is exploded across all salts, and the join key becomes
+    * (keys, salt) — splitting each hot key's rows over numSalts tasks. */
+  def saltedJoin(
+      big: DataFrame, right: DataFrame, keys: Seq[String],
+      numSalts: Int, saltSource: Column, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(xxhash64(saltSource), lit(numSalts)))
+    val replicated = right.withColumn(
+      "__salt", explode(array((0 until numSalts).map(i => lit(i.toLong)): _*)))
+    saltedBig.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

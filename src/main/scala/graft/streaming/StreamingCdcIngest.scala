@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.cdc.AppendOnlyCdc
+import graft.io.{Lakehouse, ParquetSink}
+
+/** Structured-Streaming CDC ingestion into the lakehouse — the streaming
+  * counterpart of [[graft.pipeline.CdcPipeline.bronzeFact]] (the
+  * reference is batch-only; SURVEY §2.9 marks this as the additive
+  * extension).
+  *
+  * `readStream` source → append-only CDC tagging → `foreachBatch`
+  * landing each micro-batch in the same bronze/cdc zone layout batch
+  * consumers already read. foreachBatch (rather than a direct parquet
+  * sink) keeps the partitioned-by-action layout and lets one micro-batch
+  * write both zones atomically enough for this layout (the checkpoint
+  * provides exactly-once per batch id).
+  */
+object StreamingCdcIngest {
+
+  /** @param stream     streaming DataFrame (e.g. spark.readStream.parquet dir)
+    * @param lake       target lakehouse
+    * @param table      logical table name
+    * @param runDate    partition date for the cdc zone
+    * @param cdcTs      injected clock column
+    * @param checkpoint checkpoint dir (exactly-once bookkeeping)
+    * @param availableNow drain-available-then-stop (backfills/tests) vs
+    *                     continuous micro-batches */
+  def start(
+      stream: DataFrame, lake: Lakehouse, table: String, runDate: String,
+      cdcTs: Column, checkpoint: String, availableNow: Boolean = true): StreamingQuery = {
+    val tagged = AppendOnlyCdc(stream, cdcTs)
+    val writer = tagged.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ParquetSink.partitioned(
+          batch, lake.cdc(table, runDate), Seq("cdc_action"), SaveMode.Append)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

@@ -17,5 +17,17 @@ package graftshim {
   object ColumnShim {
     def column(e: Expression): Column = ExpressionUtils.column(e)
     def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+    /** Register a native function on a live session's FunctionRegistry
+      * (the registry handle is `private[sql]`, hence here). */
+    def registerFunction(
+        spark: SparkSession,
+        name: String,
+        info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        builder: Seq[Expression] => Expression): Unit =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+        .registerFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
   }
 }
