@@ -22,18 +22,21 @@ object Profile {
     val docs = Tables.documents(spark, sfDir)
     locally {
       import org.apache.spark.sql.functions._
-      import graft.functions.Portable
-      val toks = Portable.tokens(col("text"))
-      time("tokens only")(docs.select(explode(toks)).count())
-      time("shingles explode")(
-        docs.select(explode(Portable.shingles(toks))).count())
-      time("shingles+h31")(
-        docs.select(Portable.h31(explode(Portable.shingles(toks)).as("s"))).count())
-      time("shingles+h31+agg")(
-        docs.select(col("doc_id"), explode(Portable.shingles(toks)).as("sh"))
-          .select(col("doc_id"), Portable.h31(col("sh")).as("h"))
-          .groupBy(col("doc_id"))
-          .agg(min(col("h") * 3 % 7)).count())
+      import graft.functions.VectorFunctions.{dot, l2norm}
+      val vecs = Tables.embeddings(spark, sfDir)
+      val v = vecs.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", l2norm(col("emb")))
+      val a = v.toDF("vec_id", "emb_a", "nrm_a")
+      val b = v.toDF("neighbor_id", "emb_b", "nrm_b")
+      val pairs = a.crossJoin(b).filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cosine",
+          round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+        .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+      time("q20 warmup pairs+cosine")(pairs.count())
+      time("q20 pairs+cosine")(pairs.count())
+      time("q20 full topk")(
+        graft.ext.Similarity.topKNeighbors(vecs, "vec_id", "embedding", 5).count())
     }
     val sig = time("signatures") {
       val s = Dedup.minhashSignatures(docs, "doc_id", "text")
