@@ -62,11 +62,20 @@ object Dedup {
   }
 
   /** LSH banding: distinct candidate pairs (id_a < id_b) sharing at least
-    * one band bucket. bands × rowsPerBand must equal numPerms. */
+    * one band bucket. bands × rowsPerBand must equal numPerms.
+    *
+    * Band keys are int64 folds of the band's signature values
+    * ([[Portable.BandMix]]) rather than string concatenations — the
+    * band self-join shuffles 8-byte keys instead of variable-length
+    * strings, which is the difference that matters when the corpus is
+    * the shuffle. */
   def lshCandidates(
       sig: DataFrame, idCol: String, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    require(rowsPerBand <= 6, "int64 band fold supports at most 6 rows per band")
     val bandKeys = (0 until bands).map { j =>
-      concat_ws(",", (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}")): _*)
+      (0 until rowsPerBand)
+        .map(r => col(s"sig_${j * rowsPerBand + r}"))
+        .reduce((acc, s) => acc * Portable.BandMix + s)
     }
     val exploded = sig.select(col(idCol), posexplode(array(bandKeys: _*)))
       .toDF(idCol, "band", "key")

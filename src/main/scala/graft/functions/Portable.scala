@@ -40,6 +40,11 @@ object Portable {
   def aCoef(i: Int): Long = 1L + i.toLong * 1000003L
   def bCoef(i: Int): Long = (i.toLong * 777767777L) % P31
 
+  /** Multiplier folding a band's signature values into one int64 key:
+    * key = ((s0·M + s1)·M + s2)·M + s3. Values are < 2^31, so up to 6
+    * rows per band stay below 2^63 — no overflow on either engine. */
+  val BandMix: Long = 31L
+
   /** Distinct word n-gram shingles of a token array; documents shorter
     * than n collapse to a single whole-text shingle. */
   def shingles(toks: Column, n: Int = 3): Column = {

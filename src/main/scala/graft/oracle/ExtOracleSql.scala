@@ -41,8 +41,10 @@ object ExtOracleSql {
 
   private def bandsCte: String = {
     val bands = (0 until Bands).map { j =>
-      val cols = (0 until RowsPerBand).map(r => s"sig_${j * RowsPerBand + r}").mkString(", ")
-      s"SELECT doc_id, $j AS band, concat_ws(',', $cols) AS key FROM sig"
+      val folded = (0 until RowsPerBand)
+        .map(r => s"sig_${j * RowsPerBand + r}")
+        .reduce((acc, s) => s"($acc * ${Portable.BandMix} + $s)")
+      s"SELECT doc_id, $j AS band, $folded AS key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""bands AS (
        |  $bands),

@@ -20,6 +20,12 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1, 2L)))
   }
 
+  test("exact full-row dup groups ignore key-only duplicates") {
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val got = Dedup.exactRowGroups(df).as[(Int, String, Long)].collect().toSet
+    assert(got == Set((1, "a", 2L)))
+  }
+
   test("exact content dedup keeps min id per distinct text") {
     val got = Dedup.exactByContent(docs, "doc_id", "text")
       .filter($"dup_count" > 1)

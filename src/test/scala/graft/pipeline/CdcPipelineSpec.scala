@@ -60,6 +60,13 @@ class CdcPipelineSpec extends SparkSpec {
     // silver is date-partitioned on disk (partition pruning surface)
     assert(new java.io.File(s"$root/silver/order_revenue")
       .listFiles().exists(_.getName.startsWith("creation_date=")))
+    // ...and a watermark-style filter actually prunes at the dir level
+    val pruned = revenue.filter(col("creation_date") > lit("1998-01-01"))
+    val planTxt = pruned.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+      org.apache.spark.sql.Row]].queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(planTxt.contains("PartitionFilters") &&
+      planTxt.contains("creation_date"), s"no partition pruning in:\n$planTxt")
 
     // gold: all marts written and non-empty
     pipe.runGold()
