@@ -36,8 +36,10 @@ object GraftExtensions {
       info("word_shingles", "word_shingles(text[, n]) - distinct word n-gram shingles"),
       (es: Seq[Expression]) => es match {
         case Seq(c) => WordShingles(c, 3)
-        case Seq(c, n) => WordShingles(
-          c, n.eval().asInstanceOf[Number].intValue())
+        case Seq(c, n) if n.foldable && n.eval() != null =>
+          WordShingles(c, n.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "word_shingles expects (text) or (text, <integer literal n>)")
       }),
   )
 

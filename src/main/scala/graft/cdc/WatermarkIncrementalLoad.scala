@@ -54,11 +54,18 @@ object WatermarkIncrementalLoad {
     val fresh = sinceExclusive(input, watermarkCol, lastRun)
     if (fresh.isEmpty) None
     else {
+      // persist: the processed lineage is consumed twice (sink + max
+      // aggregate) and `process` typically contains the expensive
+      // cast/dedup work — without this the silver job runs its
+      // dominant cost twice (the reference recomputes, SURVEY §3.2)
       val processed = process(fresh)
-      sink(processed)
-      val wm = maxWatermark(processed, watermarkCol)
-      wm.foreach(store.put(key, _))
-      wm
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sink(processed)
+        val wm = maxWatermark(processed, watermarkCol)
+        wm.foreach(store.put(key, _))
+        wm
+      } finally { processed.unpersist() }
     }
   }
 }

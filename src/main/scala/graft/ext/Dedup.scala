@@ -108,7 +108,10 @@ object Dedup {
     * sides) and the two estimate joins, and self-joins duplicate an
     * un-persisted subtree — without the persist, the shingle+hash+agg
     * pipeline executes ~5×. Signatures are numPerms longs per doc, so
-    * the cache is tiny relative to the corpus. */
+    * the cache is tiny relative to the corpus. The cache lives until the
+    * session drops it (the returned frame is lazy, so this method cannot
+    * unpersist); callers looping over many corpora should
+    * `spark.catalog.clearCache()` between rounds. */
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 16, bands: Int = 4, minEst: Double = 0.5): DataFrame = {

@@ -36,6 +36,12 @@ object Skew {
   def saltedJoin(
       big: DataFrame, right: DataFrame, keys: Seq[String],
       numSalts: Int, saltSource: Column, joinType: String = "inner"): DataFrame = {
+    // right/full outer would surface each unmatched replicated right row
+    // numSalts times — only join types that never emit unmatched RIGHT
+    // rows are sound with a replicated right side
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti", "cross")
+        .contains(joinType),
+      s"saltedJoin does not support '$joinType': unmatched right rows are replicated")
     val saltedBig = big.withColumn("__salt", pmod(xxhash64(saltSource), lit(numSalts)))
     val replicated = right.withColumn(
       "__salt", explode(array((0 until numSalts).map(i => lit(i.toLong)): _*)))

@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -34,9 +34,15 @@ case class TopKAggregate(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+  with ImplicitCastInputTypes {
 
   require(k > 0, "k must be positive")
+
+  // analysis-time contract: int scores/ids get cast in, anything
+  // non-numeric is rejected with a proper AnalysisException instead of a
+  // mid-execution ClassCastException
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   // min-heap: head = the WORST kept entry (lowest score, then highest id)
   private val worstFirst: Ordering[(Double, Long)] =

@@ -25,9 +25,12 @@ object JdbcSource {
 
   /** The reference's incremental extract SQL (S1). The watermark value is
     * a timestamp string from the [[graft.cdc.ControlStore]]; `>=` re-reads
-    * the boundary instant (late-data policy, SURVEY §2.9). */
+    * the boundary instant (late-data policy, SURVEY §2.9). Single quotes
+    * in the value are SQL-escaped — the control file is plain writable
+    * text, so an unescaped interpolation would be an injection vector
+    * against the source database. */
   def incrementalQuery(table: String, watermarkCol: String, lastRun: String): String =
-    s"SELECT * FROM $table WHERE $watermarkCol >= '$lastRun'"
+    s"SELECT * FROM $table WHERE $watermarkCol >= '${lastRun.replace("'", "''")}'"
 
   /** S1: watermarked incremental read with the predicate pushed to the DB. */
   def readIncremental(

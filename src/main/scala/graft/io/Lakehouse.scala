@@ -52,13 +52,20 @@ object ParquetSink {
 
 object ParquetSource {
 
-  /** Read a zone; absent path → empty frame with the supplied schema
-    * (S9 bootstrap, reference `cdc_metrics_job_bronze.py:92-95`). */
-  def readOrEmpty(spark: SparkSession, path: String, like: DataFrame): DataFrame =
-    try spark.read.parquet(path)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
-    }
+  /** Read a zone; ABSENT path → empty frame with the supplied schema
+    * (S9 bootstrap, reference `cdc_metrics_job_bronze.py:92-95`).
+    *
+    * Only genuine absence bootstraps: an existing-but-unreadable path
+    * (partial write, schema-inference failure, permissions) propagates
+    * its error instead of being silently treated as a first run — a
+    * swallowed read failure here would emit the entire current table as
+    * inserts and overwrite the snapshot, corrupting the change history. */
+  def readOrEmpty(spark: SparkSession, path: String, like: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+    else spark.read.parquet(path)
+  }
 }

@@ -29,10 +29,20 @@ final class CdcPipeline(
 
   /** Bronze ingest of the watermarked fact table (reference
     * `cdc_metrics_job_bronze.py:57-90`): incremental extract, dedup, tag
-    * metadata, land bronze + append-only cdc, advance the watermark. */
+    * metadata, land bronze + append-only cdc, advance the watermark.
+    *
+    * The watermark advances to `now` (the injected run clock, mirroring
+    * the reference's `datetime.now()` at `:90`) — NOT to max(processed).
+    * The `>=` filter re-reads the boundary instant, so advancing only to
+    * the max data timestamp would re-ingest (and re-append!) the
+    * boundary rows on every subsequent run; advancing to the run clock
+    * pairs correctly with the inclusive filter.
+    *
+    * @return the new watermark (always Some(now); None only if nothing
+    *         was extracted AND nothing had ever been) */
   def bronzeFact(
       source: DataFrame, table: String, watermarkCol: String,
-      runDate: String, cdcTs: Column): Option[String] = {
+      runDate: String, cdcTs: Column, now: String): Option[String] = {
     val lastRun = store.get(s"cdc/$table/last_run.txt", defaultWatermark)
     val fresh = WatermarkIncrementalLoad.sinceInclusive(source, watermarkCol, lastRun)
       .dropDuplicates()
@@ -42,9 +52,8 @@ final class CdcPipeline(
       ParquetSink.flat(tagged, lake.bronze(table, runDate))
       ParquetSink.partitioned(
         tagged, lake.cdc(table, runDate), Seq("cdc_action"), SaveMode.Append)
-      val wm = WatermarkIncrementalLoad.maxWatermark(tagged, watermarkCol)
-      wm.foreach(store.put(s"cdc/$table/last_run.txt", _))
-      wm
+      store.put(s"cdc/$table/last_run.txt", now)
+      Some(now)
     } finally { tagged.unpersist() }
   }
 

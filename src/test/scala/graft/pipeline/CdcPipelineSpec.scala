@@ -28,9 +28,19 @@ class CdcPipelineSpec extends SparkSpec {
 
     // bronze: watermarked fact + snapshot-diffed options
     val wm = pipe.bronzeFact(
-      Conformed.items(spark, sf), "order_items", "creation_ts", "2024-06-01", ts)
-    assert(wm.nonEmpty)
+      Conformed.items(spark, sf), "order_items", "creation_ts", "2024-06-01", ts,
+      now = "2024-06-01 00:00:00")
+    assert(wm.contains("2024-06-01 00:00:00"))
     assert(pipe.store.get("cdc/order_items/last_run.txt", "unset") == wm.get)
+    // rerun against the advanced watermark: nothing re-ingested (the
+    // inclusive >= filter pairs with advancing to the run clock, so
+    // boundary rows do NOT accumulate run over run)
+    pipe.bronzeFact(
+      Conformed.items(spark, sf), "order_items", "creation_ts", "2024-06-02", ts,
+      now = "2024-06-02 00:00:00")
+    val rerunCdc = new java.io.File(s"$root/cdc/order_items/date=2024-06-02")
+    assert(!rerunCdc.exists() ||
+      !rerunCdc.listFiles().exists(_.getName.startsWith("cdc_action=")))
     pipe.bronzeSnapshot(
       optionsSource, "order_item_options",
       Seq("order_id", "lineitem_id", "option_name"), "2024-06-01", ts)
