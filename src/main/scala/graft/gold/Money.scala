@@ -17,4 +17,12 @@ object Money {
 
   /** Order-independent exact money sum, back in dollars. */
   def sumMoney(c: Column): Column = sum(cents(c)) / 10000.0
+
+  /** 100 TB-tier variant: integer-valued doubles stop being exact past
+    * 2^53 total cents (≈ $9e11 per group); DecimalType(38,4) sums stay
+    * exact at any realistic magnitude at the cost of non-vectorized
+    * decimal arithmetic. Same value as [[sumMoney]] within the double
+    * range (tested), so marts can switch per deployment. */
+  def sumMoneyDecimal(c: Column): Column =
+    sum(c.cast("decimal(38,4)")).cast("double")
 }
