@@ -62,6 +62,15 @@ class CdcPipelineSpec extends SparkSpec {
       "cdc_timestamp", Map("option_price" -> "double"),
       Seq("order_id", "lineitem_id"), Seq(col("option_name"), col("option_price")))
     assert(wmOpts.contains("2024-06-01"))
+    // date_dim: the reference maintains it bronze->silver like any dim
+    pipe.bronzeSnapshot(
+      graft.ext.DateDim.generate(spark, "1995-01-01", "1995-03-31"),
+      "date_dim", Seq("date_key"), "2024-06-01", ts)
+    val wmDim = pipe.silverConform(
+      "date_dim", lake.bronze("date_dim", "2024-06-01"), "date_key",
+      Map.empty, Seq("date_key"), Seq(col("date_key")))
+    assert(wmDim.nonEmpty)
+    assert(spark.read.parquet(lake.silver("date_dim")).count() == 90)
     pipe.silverRevenue()
 
     val revenue = spark.read.parquet(lake.silver("order_revenue"))
