@@ -27,9 +27,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     // ---- silver conform (J2, P10, P4, P12, P15, F6) ----
+    // (order_id, lineitem_id) alone is not a total order — the testdata
+    // plants duplicate keys with differing payloads (q15 detects them) —
+    // so payload tie-breakers make the ordering contract actually hold.
     "q01_order_revenue" -> ((s, dir) =>
       Conformed.orderRevenue(s, dir)
-        .orderBy(col("order_id"), col("lineitem_id"))),
+        .orderBy(col("order_id"), col("lineitem_id"), col("item_category"),
+          col("item_price"), col("restaurant_id"))),
 
     // ---- gold: LTV / CLV (A1, W1, W2, P8, A8) ----
     "q02_ltv_daily" -> ((s, dir) =>
@@ -156,7 +160,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_order_revenue" -> OracleSql.withBase(
-      """SELECT * FROM order_revenue ORDER BY order_id, lineitem_id"""),
+      """SELECT * FROM order_revenue
+         ORDER BY order_id, lineitem_id, item_category, item_price, restaurant_id"""),
 
     "q02_ltv_daily" -> OracleSql.withBase(
       """SELECT user_id, creation_date, daily_revenue, cumulative_ltv

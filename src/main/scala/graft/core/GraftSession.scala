@@ -15,6 +15,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // The events table stores nanosecond parquet timestamps; reading
+      // them as raw longs is a session-level choice made HERE, visibly,
+      // not as a read-time side effect (Tables.events validates it).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.GraftExtensions.register(spark)

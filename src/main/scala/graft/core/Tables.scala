@@ -25,14 +25,24 @@ object Tables {
   /** The events table carries nanosecond parquet timestamps, which Spark
     * refuses by default (PARQUET_TYPE_ILLEGAL). Read them as raw nanos
     * and floor to microseconds — exactly how DuckDB converts
-    * TIMESTAMP_NS, so the oracle sees identical instants. */
+    * TIMESTAMP_NS, so the oracle sees identical instants.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set explicitly
+    * at session build ([[GraftSession.local]]) — deliberately NOT set
+    * here: the conf must hold for the plan's whole lifetime (schema
+    * inference and executor-side scans), so a read-time mutation of the
+    * shared session would be both silent and un-scopeable. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet stores TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession.local does)")
     import org.apache.spark.sql.functions._
-    // integer `div`, not `/`: epoch-nanos (~1.7e18) overflow double's
-    // 2^53 exact range, so float division would corrupt the low digits
+    // integer floor division, not `/`: epoch-nanos (~1.7e18) overflow
+    // double's 2^53 exact range, and `div` alone truncates toward zero
+    // where DuckDB's ns→us conversion floors (differs pre-1970)
     table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -64,18 +64,16 @@ object Dedup {
   /** LSH banding: distinct candidate pairs (id_a < id_b) sharing at least
     * one band bucket. bands × rowsPerBand must equal numPerms.
     *
-    * Band keys are int64 folds of the band's signature values
-    * ([[Portable.BandMix]]) rather than string concatenations — the
-    * band self-join shuffles 8-byte keys instead of variable-length
-    * strings, which is the difference that matters when the corpus is
-    * the shuffle. */
+    * Band keys are md5-derived int64 hashes of the band's signature
+    * values ([[Portable.bandKey]]) — collision-resistant (so the
+    * banding-theory candidate-volume model holds at corpus scale) while
+    * the band self-join still shuffles 8-byte keys, not variable-length
+    * strings. */
   def lshCandidates(
       sig: DataFrame, idCol: String, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    require(rowsPerBand <= 6, "int64 band fold supports at most 6 rows per band")
     val bandKeys = (0 until bands).map { j =>
-      (0 until rowsPerBand)
-        .map(r => col(s"sig_${j * rowsPerBand + r}"))
-        .reduce((acc, s) => acc * Portable.BandMix + s)
+      Portable.bandKey(
+        (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}")))
     }
     val exploded = sig.select(col(idCol), posexplode(array(bandKeys: _*)))
       .toDF(idCol, "band", "key")

@@ -40,10 +40,20 @@ object Portable {
   def aCoef(i: Int): Long = 1L + i.toLong * 1000003L
   def bCoef(i: Int): Long = (i.toLong * 777767777L) % P31
 
-  /** Multiplier folding a band's signature values into one int64 key:
-    * key = ((s0·M + s1)·M + s2)·M + s3. Values are < 2^31, so up to 6
-    * rows per band stay below 2^63 — no overflow on either engine. */
-  val BandMix: Long = 31L
+  /** Fold a band's signature values into one int64 key by hashing their
+    * joined decimal rendering through [[h60]]. An arithmetic fold like
+    * `acc·31 + s` is far from injective over ~31-bit values ((s0, s1)
+    * collides with (s0−1, s1+31)), which admits spurious LSH candidates
+    * from unrelated signatures; a 60-bit md5-derived key makes
+    * cross-band collisions vanishingly rare, is identically computable
+    * in DuckDB ([[bandKeySql]]), and keeps the band self-join shuffling
+    * 8-byte keys. */
+  def bandKey(sigs: Seq[Column]): Column =
+    h60(concat_ws("-", sigs.map(_.cast("string")): _*))
+
+  /** SQL fragment mirroring [[bandKey]] over signature column names. */
+  def bandKeySql(sigs: Seq[String]): String =
+    h60Sql(sigs.map(s => s"CAST($s AS VARCHAR)").mkString(" || '-' || "))
 
   /** Distinct word n-gram shingles of a token array; documents shorter
     * than n collapse to a single whole-text shingle. */

@@ -41,9 +41,8 @@ object ExtOracleSql {
 
   private def bandsCte: String = {
     val bands = (0 until Bands).map { j =>
-      val folded = (0 until RowsPerBand)
-        .map(r => s"sig_${j * RowsPerBand + r}")
-        .reduce((acc, s) => s"($acc * ${Portable.BandMix} + $s)")
+      val folded = Portable.bandKeySql(
+        (0 until RowsPerBand).map(r => s"sig_${j * RowsPerBand + r}"))
       s"SELECT doc_id, $j AS band, $folded AS key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""bands AS (

@@ -18,7 +18,7 @@ class StatefulSessionizerSpec extends SparkSpec {
     StatefulSessionizer.Event(2L, ts("2024-01-01 01:10:00"), 3.0),
     StatefulSessionizer.Event(2L, ts("2024-01-01 01:20:00"), 4.0))
 
-  test("flatMapGroupsWithState sessions match declarative session_window sessions") {
+  test("batch sessions match declarative session_window sessions") {
     val custom = StatefulSessionizer
       .sessions(events.toDS(), gapMs = 30 * 60 * 1000)
       .select($"user_id", $"session_start".cast("string"),
@@ -30,6 +30,50 @@ class StatefulSessionizerSpec extends SparkSpec {
         $"session_end".cast("string"), $"n_events")
       .as[(Long, String, String, Long)].collect().toSet
     assert(custom == declarative)
+  }
+
+  test("streaming sessions stitch across micro-batch boundaries via GroupState") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30 * 60 * 1000L
+    val input = MemoryStream[StatefulSessionizer.Event]
+    val sessions = StatefulSessionizer.sessionsStreaming(
+      input.toDS().withWatermark("ts", "0 seconds")
+        .as[StatefulSessionizer.Event],
+      gapMs)
+    val q = sessions.writeStream.format("memory")
+      .queryName("stitched_sessions").outputMode("append").start()
+    try {
+      // batch 1: two events of what must become ONE session
+      input.addData(
+        StatefulSessionizer.Event(1L, ts("2024-01-01 00:05:00"), 1.0),
+        StatefulSessionizer.Event(1L, ts("2024-01-01 00:10:00"), 2.0))
+      q.processAllAvailable()
+      // batch 2: continuation of the same session after the trigger
+      // boundary (10:00 < 10:00 + 30m gap) — the buggy variant would
+      // already have emitted a fragment for batch 1
+      input.addData(
+        StatefulSessionizer.Event(1L, ts("2024-01-01 00:20:00"), 4.0))
+      q.processAllAvailable()
+      assert(spark.table("stitched_sessions").count() == 0,
+        "open session must not be emitted before the watermark closes it")
+      // batch 3: watermark pusher far past 00:20 + 30m → timeout fires
+      input.addData(
+        StatefulSessionizer.Event(2L, ts("2024-01-01 03:00:00"), 9.0))
+      q.processAllAvailable()
+      input.addData(
+        StatefulSessionizer.Event(2L, ts("2024-01-01 05:00:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("stitched_sessions")
+        .select($"user_id", $"session_start".cast("string"),
+          $"session_end".cast("string"), $"n_events", $"value_sum")
+        .as[(Long, String, String, Long, Double)].collect().toSet
+      assert(got.contains(
+        (1L, "2024-01-01 00:05:00", "2024-01-01 00:50:00", 3L, 7.0)),
+        s"expected one stitched 3-event session, got $got")
+      assert(!got.exists { case (u, _, _, n, _) => u == 1L && n < 3L },
+        s"session fragmented across micro-batches: $got")
+    } finally q.stop()
   }
 }
 
