@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Portable, WordShingles}
+import graft.functions.{Portable, Sketches, WordShingles}
 
 /** Deduplication operator suite for large-scale corpus pipelines.
   *
@@ -47,8 +47,25 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signatures: one row per doc, `sig_0 … sig_{p-1}` columns. */
+  /** MinHash signatures: one row per doc, `sig` = array<long> of
+    * `numPerms` values. Computed by the one-pass native
+    * [[graft.functions.MinHashSig]] expression — a narrow projection
+    * with NO shingle-grain row explosion and NO doc-grain re-aggregation
+    * shuffle, so at corpus scale signature build is a pure scan stage.
+    * Docs with NULL text are excluded (they have no shingle set), same
+    * as the composed form, whose explode dropped them. */
   def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String, numPerms: Int = 16): DataFrame =
+    docs.filter(col(textCol).isNotNull).select(
+      col(idCol),
+      Sketches.minhash_sig(
+        WordShingles.shingles(lower(col(textCol))), numPerms).as("sig"))
+
+  /** The composed-from-built-ins MinHash spec (explode shingles → hash →
+    * 16-way min aggregate): semantically identical to
+    * [[minhashSignatures]] and property-tested against it; kept as the
+    * executable specification and DuckDB-oracle mirror shape. */
+  def minhashSignaturesComposed(
       docs: DataFrame, idCol: String, textCol: String, numPerms: Int = 16): DataFrame = {
     val sh = docs.select(
         col(idCol),
@@ -59,6 +76,7 @@ object Dedup {
         .as(s"sig_$i")
     }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numPerms).map(i => col(s"sig_$i")): _*).as("sig"))
   }
 
   /** LSH banding: distinct candidate pairs (id_a < id_b) sharing at least
@@ -73,7 +91,7 @@ object Dedup {
       sig: DataFrame, idCol: String, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val bandKeys = (0 until bands).map { j =>
       Portable.bandKey(
-        (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}")))
+        (0 until rowsPerBand).map(r => col("sig").getItem(j * rowsPerBand + r)))
     }
     val exploded = sig.select(col(idCol), posexplode(array(bandKeys: _*)))
       .toDF(idCol, "band", "key")
@@ -88,14 +106,14 @@ object Dedup {
   /** Signature-agreement Jaccard estimate for candidate pairs. */
   def estimatedJaccard(
       sig: DataFrame, pairs: DataFrame, idCol: String, numPerms: Int = 16): DataFrame = {
-    val sigA = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
-    val sigB = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val sigA = sig.toDF("a_id", "a_sig")
+    val sigB = sig.toDF("b_id", "b_sig")
     val agree = (0 until numPerms)
-      .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
+      .map(i => when(col("a_sig").getItem(i) === col("b_sig").getItem(i), 1).otherwise(0))
       .reduce((x, y) => x + y)
     pairs
-      .join(sigA, col("id_a") === col(s"a_$idCol"))
-      .join(sigB, col("id_b") === col(s"b_$idCol"))
+      .join(sigA, col("id_a") === col("a_id"))
+      .join(sigB, col("id_b") === col("b_id"))
       .select(col("id_a"), col("id_b"), (agree.cast("double") / numPerms).as("est_jaccard"))
   }
 
@@ -131,8 +149,20 @@ object Dedup {
   }
 
   /** SimHash: per-doc `bits`-bit locality-sensitive hash over the distinct
-    * token set (bit b is the sign of Σ_tokens ±1 by token-hash bit b). */
-  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    * token set (bit b is the sign of Σ_tokens ±1 by token-hash bit b).
+    * One-pass native [[graft.functions.SimHashPack]] over the distinct
+    * token array — a narrow projection, no token explosion or per-bit
+    * sum aggregate (scale rationale as [[minhashSignatures]]). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame =
+    docs.filter(col(textCol).isNotNull).select(
+      col(idCol),
+      Sketches.simhash_pack(
+        array_distinct(Portable.tokens(col(textCol))), bits).as("simhash"))
+
+  /** Composed-from-built-ins SimHash spec (executable specification for
+    * [[simhash]]; property-tested equal). */
+  def simhashComposed(
+      docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
     val tok = docs.select(
         col(idCol),
         explode(array_distinct(Portable.tokens(col(textCol)))).as("t"))

@@ -51,11 +51,93 @@ object Similarity {
   /** For every vector: top-k neighbors by cosine (excluding self),
     * deterministic ordering (rounded cosine desc, neighbor id asc).
     *
-    * Ranking uses the bounded-heap [[TopKAggregate]] rather than a
-    * row_number window: the window variant sorts every group's full
-    * n−1 candidate rows (the dominant cost of this query at sf0.1);
-    * the aggregate keeps k per group map-side and shuffles only those. */
+    * Execution is a blocked matrix sweep, not a row-level cross join:
+    * the corpus is broadcast in blocks of `blockRows` vectors (primitive
+    * double arrays, ~`blockRows · dim · 8` bytes — the same memory
+    * envelope as a broadcast hash join build side), and each probe
+    * partition scores a tight primitive loop against the block, keeping
+    * a bounded k-list per probe. A cross-join shuffle would materialize
+    * n² rows each dragging two full embedding copies through row
+    * machinery; here only `k` candidates per probe per block ever leave
+    * the scan stage. With multiple blocks, per-block winners are merged
+    * by the bounded-heap [[TopKAggregate]] (top-k is mergeable), so the
+    * shuffle is `blocks · k` rows per probe. Brute force stays O(n²·d)
+    * compute by definition — at 100 TB use [[ivfTopK]] to cut the
+    * scored set; this kernel is then the intra-cell scorer. */
   def topKNeighbors(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      blockRows: Int = 4 << 20): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val v = withNorm(vecs, idCol, vecCol)
+      .select(col("id").cast("long"), col("emb"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+    val corpus = v.collect().sortBy(_._1)
+    val blocks = if (corpus.isEmpty) Array(corpus) else corpus.grouped(blockRows).toArray
+    val perBlock = blocks.map { block =>
+      val n = block.length
+      val dim = if (n > 0) block(0)._2.length else 0
+      val ids = block.map(_._1)
+      val norms = block.map(_._3)
+      val flat = new Array[Double](n * dim)
+      var j = 0
+      while (j < n) {
+        System.arraycopy(block(j)._2, 0, flat, j * dim, math.min(dim, block(j)._2.length))
+        j += 1
+      }
+      val bc = spark.sparkContext.broadcast((ids, norms, flat, dim))
+      v.mapPartitions { it =>
+        val (bIds, bNorms, bFlat, bDim) = bc.value
+        it.flatMap { case (pid, pEmb, pNrm) =>
+          val topIds = new Array[Long](k)
+          val topScores = new Array[Double](k)
+          var kept = 0
+          var c = 0
+          while (c < bIds.length) {
+            if (bIds(c) != pid) {
+              var s = 0.0
+              val base = c * bDim
+              val dLim = math.min(bDim, pEmb.length)
+              var d = 0
+              while (d < dLim) { s += pEmb(d) * bFlat(base + d); d += 1 }
+              val cos = roundHalfUp6(s / (pNrm * bNorms(c)))
+              // insertion into the (score desc, id asc)-sorted k-list
+              if (kept < k || cos > topScores(k - 1) ||
+                  (cos == topScores(k - 1) && bIds(c) < topIds(k - 1))) {
+                var pos = math.min(kept, k - 1)
+                while (pos > 0 && (cos > topScores(pos - 1) ||
+                    (cos == topScores(pos - 1) && bIds(c) < topIds(pos - 1)))) {
+                  topScores(pos) = topScores(pos - 1); topIds(pos) = topIds(pos - 1)
+                  pos -= 1
+                }
+                topScores(pos) = cos; topIds(pos) = bIds(c)
+                if (kept < k) kept += 1
+              }
+            }
+            c += 1
+          }
+          (0 until kept).map(r => (pid, topIds(r), topScores(r), r + 1))
+        }
+      }.toDF("vec_id", "neighbor_id", "cosine", "rank")
+    }
+    if (perBlock.length == 1) perBlock.head
+    else explodeTopK(
+      perBlock.reduce(_ union _)
+        .groupBy(col("vec_id"))
+        .agg(top_k(col("cosine"), col("neighbor_id"), k).as("topk")))
+  }
+
+  /** Spark's `round(_, 6)` semantics (HALF_UP over the decimal
+    * rendering), so kernel scores are bit-identical to the Column
+    * expression path and the DuckDB oracle. */
+  private def roundHalfUp6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** The row-level cross-join + bounded-heap-aggregate formulation of
+    * [[topKNeighbors]] — the declarative executable spec it is tested
+    * against (identical output, far heavier execution). */
+  def topKNeighborsCrossJoin(
       vecs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val v = withNorm(vecs, idCol, vecCol)
     val a = v.toDF("vec_id", "emb_a", "nrm_a")

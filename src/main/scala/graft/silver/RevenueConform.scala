@@ -33,9 +33,18 @@ object RevenueConform {
   * (reference `cdc_metrics_job_silver.py:65-66,89-90`).
   *
   * The reference uses keep-any `dropDuplicates(keys)` — nondeterministic
-  * under parallelism. `deterministic = true` switches to keep-first by
-  * an explicit ordering (row_number over the key, P15 note in SURVEY §2.2),
-  * which is what the oracle-gated queries use.
+  * under parallelism. Passing `orderCols` switches to keep-first by that
+  * ordering (P15 note in SURVEY §2.2), which is what the oracle-gated
+  * queries use. Keep-first runs as `min_by(payload, ordering)` — a hash
+  * aggregate with map-side partial combine — rather than a
+  * `row_number` window, which would shuffle and then FULLY SORT every
+  * key group just to discard all but row 1; at 100 TB the agg form
+  * collapses duplicates before the exchange. For determinism
+  * `orderCols` must totally order rows within a key (ties are broken
+  * arbitrarily, exactly like the window form's tie behavior; null
+  * ordering inside the `min_by` struct comparison is nulls-first,
+  * matching the window default). Output column order is keys first,
+  * then remaining columns in input order.
   */
 object CleanConform {
   def apply(
@@ -47,12 +56,11 @@ object CleanConform {
     if (dedupKeys.isEmpty) casted.dropDuplicates()
     else if (orderCols.isEmpty) casted.dropDuplicates(dedupKeys)
     else {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(dedupKeys.map(col): _*).orderBy(orderCols: _*)
-      casted
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn")
+      val payload = casted.columns.filterNot(dedupKeys.contains)
+      casted.groupBy(dedupKeys.map(col): _*)
+        .agg(min_by(struct(payload.map(col): _*), struct(orderCols: _*)).as("__kept"))
+        .select(dedupKeys.map(col) ++
+          payload.map(c => col("__kept").getField(c).as(c)): _*)
     }
   }
 }

@@ -52,6 +52,26 @@ class DedupSpec extends SparkSpec {
     assert(exact((1L, 2L)) > 0.5 && exact((1L, 2L)) < 1.0)
   }
 
+  test("native one-pass sketches equal their composed-from-built-ins specs") {
+    // broader corpus than the fixture: varied lengths incl. shorter-than-
+    // shingle docs, punctuation, unicode, repeated tokens
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "Gamma,", "δélta", "x1", "the", "a", "--")
+    val corpus = (1L to 40L).map { i =>
+      (i, Seq.fill(rnd.nextInt(12) + 1)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val nativeSig = Dedup.minhashSignatures(corpus, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    val composedSig = Dedup.minhashSignaturesComposed(corpus, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(nativeSig == composedSig)
+    val nativeSim = Dedup.simhash(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val composedSim = Dedup.simhashComposed(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(nativeSim == composedSim)
+  }
+
   test("simhash: identical docs collide, near-dups are close in hamming distance") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -27,6 +27,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 1), (3L, 2)))
   }
 
+  test("blocked broadcast kernel matches the cross-join spec, incl. multi-block merge") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 60L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val spec = Similarity.topKNeighborsCrossJoin(vecs, "vec_id", "embedding", k = 3)
+      .select($"vec_id", $"neighbor_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val single = Similarity.topKNeighbors(vecs, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // blockRows=17 forces 4 corpus blocks and the top-k merge path
+    val blocked = Similarity.topKNeighbors(vecs, "vec_id", "embedding", k = 3,
+        blockRows = 17)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(single == spec)
+    assert(blocked == spec)
+  }
+
   test("IVF assigns to nearest centroid and searches only the cell") {
     // centroids: ids 0 and 100 (centroidEvery=100)
     val vecs = Seq(
