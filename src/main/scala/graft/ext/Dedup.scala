@@ -182,10 +182,14 @@ object Dedup {
     * stage). Intersection/union sizes only — element order of the
     * distinct arrays is engine-specific and never observed. */
   def exactJaccard(
-      docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = docs.select(
-      col(idCol),
-      WordShingles.shingles(lower(col(textCol))).as("sh"))
+      docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactJaccardBy(docs, pairs, idCol,
+      WordShingles.shingles(lower(col(textCol))))
+
+  /** [[exactJaccard]] over an arbitrary shingle column. */
+  def exactJaccardBy(
+      docs: DataFrame, pairs: DataFrame, idCol: String, shingleCol: Column): DataFrame = {
+    val sh = docs.select(col(idCol), shingleCol.as("sh"))
     val a = sh.toDF("id_a", "sh_a")
     val b = sh.toDF("id_b", "sh_b")
     pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -195,6 +199,22 @@ object Dedup {
         col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Character-n-gram Jaccard near-dup pipeline: MinHash+LSH candidates
+    * over char n-grams (robust where word shingles are brittle —
+    * tokenization drift, no whitespace, CJK-ish text), verified with
+    * exact char-gram Jaccard. Same candidate→verify scale shape as
+    * [[lshVerifiedPairs]]; only the shingling unit differs. */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    val grams = graft.functions.CharShingles.charShingles(lower(col(textCol)), n)
+    val sig = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), Sketches.minhash_sig(grams, numPerms).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = lshCandidates(sig, idCol, bands, numPerms / bands)
+    exactJaccardBy(docs, pairs, idCol, grams)
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold within a blocking

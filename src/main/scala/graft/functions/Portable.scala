@@ -78,4 +78,12 @@ object Portable {
     s"CASE WHEN len($t) >= $n THEN list_distinct([$parts FOR i IN range(1, len($t) - ${n - 2})]) " +
       s"ELSE [array_to_string($t, ' ')] END"
   }
+
+  /** SQL fragment mirroring [[graft.functions.CharShingles]] over a
+    * string expression `s` (both engines index characters 1-based in
+    * `substr` and count code points in `length`). */
+  def charShinglesSql(s: String, n: Int = 5): String =
+    s"CASE WHEN length($s) >= $n " +
+      s"THEN list_distinct([substr($s, i, $n) FOR i IN range(1, length($s) - ${n - 2})]) " +
+      s"ELSE [$s] END"
 }

@@ -69,3 +69,50 @@ object WordShingles {
   def shingles(c: Column, n: Int = 3): Column =
     ColumnShim.column(WordShingles(ColumnShim.expression(c), n))
 }
+
+/** Distinct CHARACTER n-grams of a string (the other standard dedup
+  * shingling unit — robust to tokenization differences where
+  * [[WordShingles]] is robust to small edits). Strings shorter than n
+  * collapse to one whole-string gram. Positions are Unicode code points
+  * on both engines (Spark `UTF8String.substring` and DuckDB `substr`
+  * are both character-based), mirrored by
+  * [[Portable.charShinglesSql]]. */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression
+    with CodegenFallback {
+
+  require(n >= 1, "char-gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val out =
+      if (len >= n) {
+        val seen = new java.util.LinkedHashSet[UTF8String]()
+        var i = 0
+        while (i + n <= len) {
+          seen.add(s.substring(i, i + n))
+          i += 1
+        }
+        val arr = new Array[Any](seen.size())
+        val it = seen.iterator()
+        var j = 0
+        while (it.hasNext) { arr(j) = it.next(); j += 1 }
+        arr
+      } else {
+        Array[Any](s)
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharShingles {
+  /** Distinct character n-gram shingles of a string column. */
+  def charShingles(c: Column, n: Int = 5): Column =
+    ColumnShim.column(CharShingles(ColumnShim.expression(c), n))
+}

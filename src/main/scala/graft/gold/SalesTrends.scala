@@ -50,4 +50,35 @@ object SalesTrends {
     rollup(
       orderRevenue.withColumn("hour_of_day", hour(col("creation_ts"))),
       Seq("hour_of_day", "restaurant_id", "item_category"), "hourly_revenue")
+
+  /** The three calendar grains in ONE pass via GROUPING SETS — the
+    * scale-preferred alternative to [[daily]]/[[weekly]]/[[monthly]]
+    * (A9 note in SURVEY §2.5): the fact is scanned and partially
+    * aggregated once, with one exchange carrying all three grains'
+    * partials, instead of three full scan+shuffle passes. Output is the
+    * union shape: non-grain key columns are NULL, `grain` labels the
+    * set via `grouping()`. */
+  def multiGrain(orderRevenue: DataFrame): DataFrame = {
+    val base = orderRevenue
+      .withColumn(
+        "year_week",
+        concat_ws("-", year(col("creation_date")), weekofyear(col("creation_date"))))
+      .withColumn(
+        "year_month",
+        concat_ws("-", year(col("creation_date")), month(col("creation_date"))))
+    val dims = Seq(col("restaurant_id"), col("item_category"))
+    base
+      .groupingSets(
+        Seq(
+          col("creation_date") +: dims,
+          col("year_week") +: dims,
+          col("year_month") +: dims),
+        col("creation_date"), col("year_week"), col("year_month"),
+        col("restaurant_id"), col("item_category"))
+      .agg(
+        Money.sumMoney(col("total_revenue")).as("revenue"),
+        when(grouping(col("creation_date")) === 0, "daily")
+          .when(grouping(col("year_week")) === 0, "weekly")
+          .otherwise("monthly").as("grain"))
+  }
 }

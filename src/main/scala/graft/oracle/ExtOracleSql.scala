@@ -25,19 +25,20 @@ object ExtOracleSql {
 
   private val shinglesExpr = Portable.shinglesSql("t")
 
-  private def sigCte: String = {
-    val mins = (0 until NumPerms).map { i =>
+  private def minsSelect: String =
+    (0 until NumPerms).map { i =>
       s"min((h * ${Portable.aCoef(i)} + ${Portable.bCoef(i)}) % $P) AS sig_$i"
     }.mkString(",\n         ")
+
+  private def sigCte: String =
     s"""sh AS (
        |  SELECT doc_id, unnest($shinglesExpr) AS s FROM toks),
        |hh AS (
        |  SELECT doc_id, ${h60("s")} % $P AS h FROM sh),
        |sig AS (
        |  SELECT doc_id,
-       |         $mins
+       |         $minsSelect
        |  FROM hh GROUP BY 1)""".stripMargin
-  }
 
   private def bandsCte: String = {
     val bands = (0 until Bands).map { j =>
@@ -82,6 +83,29 @@ object ExtOracleSql {
        |FROM pairs
        |JOIN sharr a ON pairs.id_a = a.doc_id
        |JOIN sharr b ON pairs.id_b = b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Character-n-gram Jaccard near-dups (mirrors
+    * [[graft.ext.Dedup.ngramJaccardPairs]]): char-gram MinHash+LSH
+    * candidates verified with exact char-gram Jaccard. */
+  def ngramJaccard(n: Int): String =
+    s"""WITH gr AS (
+       |  SELECT doc_id, ${Portable.charShinglesSql("lower(text)", n)} AS sh
+       |  FROM documents),
+       |hh AS (
+       |  SELECT doc_id, ${h60("s")} % $P AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM gr)),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $minsSelect
+       |  FROM hh GROUP BY 1),
+       |$bandsCte
+       |SELECT id_a, id_b,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |FROM pairs
+       |JOIN gr a ON pairs.id_a = a.doc_id
+       |JOIN gr b ON pairs.id_b = b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
 
   def simhash: String = {
