@@ -185,6 +185,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- ext: SRP-LSH-bucketed approximate top-k ----
+    "q35_srp_topk" -> ((s, dir) =>
+      Similarity.srpTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, nBits = 6, dim = 64)
+        .orderBy(col("vec_id"), col("rank"))),
+
     // ---- ext: range (interval) join via day-bucket equi-join ----
     "q34_range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -500,6 +506,8 @@ object SparkEntry {
          FROM w WHERE side = 1 ORDER BY event_id""",
 
     "q33_ngram_jaccard" -> ExtOracleSql.ngramJaccard(n = 5),
+
+    "q35_srp_topk" -> ExtOracleSql.srpTopK(k = 5, nBits = 6, dim = 64),
 
     "q34_range_join" ->
       """WITH win AS (

@@ -151,6 +151,51 @@ object Similarity {
         .agg(top_k(col("cosine"), col("neighbor_id"), k).as("topk")))
   }
 
+  /** Deterministic ±1 random-hyperplane components for SRP-LSH, derived
+    * from the portable md5 hash of "srp-<bit>-<component>" so the DuckDB
+    * oracle regenerates the identical planes. ±1 components keep every
+    * projection term exact in IEEE doubles (no rounding in `x · ±1`), so
+    * the SIGN of the projection — all the bucketing uses — is bit-stable
+    * across engines as long as both sum components in index order. */
+  private[ext] def srpSigns(bit: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      if (graft.functions.Portable.h60Local(s"srp-$bit-$j") % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Signed-random-projection bucket id: bit i of the result is
+    * [projection of the vector onto plane i] > 0. */
+  def srpBucket(emb: Column, nBits: Int, dim: Int): Column =
+    (0 until nBits).map { i =>
+      when(dot(emb, typedlit(srpSigns(i, dim).toSeq)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SRP-LSH-bucketed approximate top-k: vectors are bucketed by
+    * `nBits` hyperplane signs, and each vector searches ONLY its bucket
+    * — the third scale tier beside brute force ([[topKNeighbors]]) and
+    * [[ivfTopK]]. One narrow projection computes buckets (no training
+    * pass at all, unlike IVF's centroid assignment), one shuffle on the
+    * bucket id joins same-bucket vectors, and the bounded-heap top-k
+    * keeps k per vector. Recall < 1 by design: cross-bucket neighbors
+    * are unseen (mitigate with fewer bits or multiple tables). */
+  def srpTopK(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      nBits: Int = 6, dim: Int = 64): DataFrame = {
+    val v = withNorm(vecs, idCol, vecCol)
+      .withColumn("bucket", srpBucket(col("emb"), nBits, dim))
+    val a = v.toDF("vec_id", "emb_a", "nrm_a", "bucket")
+    val b = v.toDF("neighbor_id", "emb_b", "nrm_b", "bucket")
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+    explodeTopK(
+      scored.groupBy(col("vec_id"), col("bucket"))
+        .agg(top_k(col("cosine"), col("neighbor_id"), k).as("topk")))
+      .select(col("vec_id"), col("bucket"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
+
   /** IVF single-probe approximate top-k. Centroids are the vectors whose
     * id ≡ 0 (mod centroidEvery) — deterministic, data-derived, no RNG. */
   def ivfTopK(

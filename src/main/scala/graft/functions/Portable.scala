@@ -30,6 +30,14 @@ object Portable {
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Driver-side mirror of [[h60]] for deriving deterministic constants
+    * (e.g. LSH hyperplane signs) that both engines must agree on. */
+  def h60Local(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+
   /** Portable 31-bit hash for MinHash permutations. */
   def h31(c: Column): Column = h60(c) % P31
 

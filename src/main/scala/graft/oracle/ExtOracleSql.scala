@@ -181,6 +181,36 @@ object ExtOracleSql {
        |SELECT vec_id, cell, neighbor_id, cosine, rank FROM rk
        |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
 
+  /** SRP-LSH-bucketed top-k (mirrors [[graft.ext.Similarity.srpTopK]]).
+    * Hyperplane ±1 signs regenerate from the same md5-derived constants;
+    * the projection is an explicit left-to-right ± chain, matching the
+    * Spark dot product's summation order bit-for-bit. */
+  def srpTopK(k: Int, nBits: Int, dim: Int): String = {
+    val bucketExpr = (0 until nBits).map { i =>
+      val chain = "0" + (0 until dim).map { j =>
+        val sgn = if (Portable.h60Local(s"srp-$i-$j") % 2 == 0) "+" else "-"
+        s" $sgn emb[${j + 1}]"
+      }.mkString
+      s"CASE WHEN ($chain) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n         + ")
+    s"""WITH $vecsCte,
+       |b AS (
+       |  SELECT vec_id, emb,
+       |         $bucketExpr AS bucket
+       |  FROM v),
+       |cj AS (
+       |  SELECT a.vec_id, a.bucket, b2.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(a.emb, b2.emb), 6) AS cosine
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id != b2.vec_id),
+       |rk AS (
+       |  SELECT vec_id, bucket, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM cj)
+       |SELECT vec_id, bucket, neighbor_id, cosine, rank FROM rk
+       |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+  }
+
   def langId: String =
     s"""WITH lex(lex_lang, t) AS (VALUES ${TextAnalysis.lexiconSqlValues}),
        |tok AS (

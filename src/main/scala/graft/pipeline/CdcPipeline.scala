@@ -110,6 +110,31 @@ final class CdcPipeline(
     ParquetSink.partitioned(revenue, lake.silver("order_revenue"), Seq("creation_date"))
   }
 
+  /** Incremental gold (the CDF-style delta path — SURVEY §4 "caching"
+    * row and BASELINE round-2 candidate): maintain `fact_ltv_daily`
+    * from the run's cdc change log instead of recomputing every user.
+    * First run (no prior mart) falls back to the full [[Ltv.daily]]
+    * build. The mart is rewritten via a temp-dir swap because the next
+    * mart is derived FROM the current one — overwriting a path still
+    * being lazily read would race the delete (at 100 TB, swap per
+    * affected `creation_date=` partition instead of the whole mart). */
+  def goldLtvIncremental(runDate: String): Unit = {
+    val revenue = spark.read.parquet(lake.silver("order_revenue"))
+    val martPath = lake.gold("fact_ltv_daily")
+    val p = new org.apache.hadoop.fs.Path(martPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      ParquetSink.partitioned(Ltv.daily(revenue), martPath, Seq("creation_date"))
+    } else {
+      val changes = spark.read.parquet(lake.cdc("order_items", runDate))
+      val next = IncrementalLtv(spark.read.parquet(martPath), revenue, changes)
+      val tmp = new org.apache.hadoop.fs.Path(martPath + "__tmp")
+      ParquetSink.partitioned(next, tmp.toString, Seq("creation_date"))
+      fs.delete(p, true)
+      require(fs.rename(tmp, p), s"swap of $martPath failed")
+    }
+  }
+
   /** Gold mart fan-out (reference `cdc_metrics_job_gold.py`, all 8
     * marts). Reads silver once, persists the conformed fact, writes
     * every mart. */

@@ -45,6 +45,21 @@ class SimilaritySpec extends SparkSpec {
     assert(blocked == spec)
   }
 
+  test("SRP buckets put identical vectors together; topk searches only the bucket") {
+    val vecs = Seq(
+      (1L, Array.fill(64)(1.0f)),
+      (2L, Array.fill(64)(1.0f)),                    // identical to 1
+      (3L, Array.fill(64)(-1.0f)),                   // antipodal: different bucket
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.srpTopK(vecs, "vec_id", "embedding", k = 2)
+    val buckets = got.select($"vec_id", $"bucket").distinct()
+      .as[(Long, Long)].collect().toMap
+    assert(buckets(1L) == buckets(2L))
+    val n1 = got.filter($"vec_id" === 1L).select($"neighbor_id").as[Long]
+      .collect().toSet
+    assert(n1 == Set(2L), s"antipodal vector must be outside the bucket: $n1")
+  }
+
   test("IVF assigns to nearest centroid and searches only the cell") {
     // centroids: ids 0 and 100 (centroidEvery=100)
     val vecs = Seq(

@@ -115,5 +115,33 @@ class CdcPipelineSpec extends SparkSpec {
     val cdcDir = new java.io.File(s"$root/cdc/order_item_options/date=2024-06-02")
     assert(!cdcDir.exists() ||
       !cdcDir.listFiles().exists(_.getName.startsWith("cdc_action=")))
+
+    // incremental gold second run: some users' revenue changes land in
+    // silver + the cdc log; the delta-maintained mart must equal a full
+    // recompute over the new silver
+    val updatedRows = spark.read.parquet(lake.silver("order_revenue"))
+      .withColumn("total_revenue",
+        when(col("user_id") % 5 === 0, col("total_revenue") * 2)
+          .otherwise(col("total_revenue")))
+      .collect().toSeq
+    val silverSchema = spark.read.parquet(lake.silver("order_revenue")).schema
+    val updated = spark.createDataFrame(
+      spark.sparkContext.parallelize(updatedRows), silverSchema)
+    graft.io.ParquetSink.partitioned(
+      updated, lake.silver("order_revenue"), Seq("creation_date"))
+    updated.filter(col("user_id") % 5 === 0).select("user_id").distinct()
+      .write.parquet(lake.cdc("order_items", "2024-06-03"))
+    pipe.goldLtvIncremental("2024-06-03")
+    val martRows = spark.read.parquet(lake.gold("fact_ltv_daily"))
+      .select(col("user_id"), col("creation_date").cast("string"),
+        col("daily_revenue"), col("cumulative_ltv"))
+      .collect().map(_.toSeq).toSet
+    val fullRows = graft.gold.Ltv.daily(
+        spark.read.parquet(lake.silver("order_revenue")))
+      .select(col("user_id"), col("creation_date").cast("string"),
+        col("daily_revenue"), col("cumulative_ltv"))
+      .collect().map(_.toSeq).toSet
+    assert(martRows == fullRows,
+      "incrementally maintained fact_ltv_daily diverged from full recompute")
   }
 }
