@@ -142,6 +142,9 @@ object SparkEntry {
     "q27_sessions" -> ((s, dir) =>
       graft.streaming.EventMetrics.sessions(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_start"))),
+    "q36_sliding_windows" -> ((s, dir) =>
+      graft.streaming.EventMetrics.sliding(Tables.events(s, dir))
+        .orderBy(col("window_start"), col("event_type"))),
 
     // ---- ext: multimodal binary plumbing (stubbed decode) ----
     "q28_multimodal" -> ((s, dir) =>
@@ -439,6 +442,18 @@ object SparkEntry {
                 count(*) AS n_events,
                 sum(round(value * 10000)) / 10000.0 AS value_sum
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "q36_sliding_windows" ->
+      """WITH s AS (
+           SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000
+                    - j * 900000000) AS window_start,
+                  event_type, value
+           FROM events, range(4) t(j))
+         SELECT window_start,
+                window_start + INTERVAL 1 HOUR AS window_end,
+                event_type, count(*) AS n_events,
+                sum(round(value * 10000)) / 10000.0 AS value_sum
+         FROM s GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
 
     "q28_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

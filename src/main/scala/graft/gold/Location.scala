@@ -21,7 +21,24 @@ import org.apache.spark.sql.functions._
   * reproducible bit-for-bit.
   */
 object Location {
-  def apply(items: DataFrame, orderRevenue: DataFrame): DataFrame = {
+  def apply(items: DataFrame, orderRevenue: DataFrame): DataFrame =
+    build(items, orderRevenue, approx = false, rsd = 0.0)
+
+  /** 100 TB-tier variant: the three exact `countDistinct`s become HLL++
+    * sketches (`approx_count_distinct`). The exact form EXPANDs every
+    * input row ×3 (one replica per distinct aggregate) and carries the
+    * full distinct key sets through the shuffle; the sketch form sends
+    * three fixed-size HLL buffers per group. `rsd` is the standard
+    * relative error (default 5%). Oracle-gated queries keep the exact
+    * mode — sketch estimates are engine-specific. */
+  def approx(items: DataFrame, orderRevenue: DataFrame, rsd: Double = 0.05): DataFrame =
+    build(items, orderRevenue, approx = true, rsd = rsd)
+
+  private def build(
+      items: DataFrame, orderRevenue: DataFrame,
+      approx: Boolean, rsd: Double): DataFrame = {
+    def distinctOf(c: org.apache.spark.sql.Column) =
+      if (approx) approx_count_distinct(c, rsd) else countDistinct(c)
     val i = items.select(
       col("order_id"), col("restaurant_id"),
       to_date(col("creation_ts")).as("order_date"),
@@ -41,9 +58,9 @@ object Location {
       .groupBy(col("restaurant_id"))
       .agg(
         (sum(col("order_cents")) / 10000.0).as("total_revenue"),
-        countDistinct(col("order_id")).as("num_orders"),
-        countDistinct(col("order_date")).as("active_days"),
-        countDistinct(col("week")).as("active_weeks"))
+        distinctOf(col("order_id")).as("num_orders"),
+        distinctOf(col("order_date")).as("active_days"),
+        distinctOf(col("week")).as("active_weeks"))
       .withColumn("avg_order_value", col("total_revenue") / col("num_orders"))
       .withColumn("orders_per_day", col("num_orders") / col("active_days"))
       .withColumn("orders_per_week", col("num_orders") / col("active_weeks"))

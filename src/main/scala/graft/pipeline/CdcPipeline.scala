@@ -110,6 +110,30 @@ final class CdcPipeline(
     ParquetSink.partitioned(revenue, lake.silver("order_revenue"), Seq("creation_date"))
   }
 
+  /** Silver revenue over BUCKETED silver tables — the 100 TB layout
+    * (SURVEY §1.2 / BASELINE round-2 candidate): items and options are
+    * both fact-sized and co-keyed on the line key, so writing both
+    * bucketed by it makes [[RevenueConform]]'s join (and every
+    * order-grain pre-aggregation downstream) shuffle-free. Same rows as
+    * [[silverRevenue]] — only the physical plan differs (asserted in
+    * `CdcPipelineSpec`/`PlanSpec`). */
+  def silverRevenueBucketed(buckets: Int = 8): Unit = {
+    val keys = Seq("order_id", "lineitem_id")
+    ParquetSink.bucketed(
+      spark.read.parquet(lake.silver("order_items")),
+      lake.silver("order_items_bucketed"), "graft_order_items_bucketed",
+      keys, buckets)
+    ParquetSink.bucketed(
+      spark.read.parquet(lake.silver("order_item_options"))
+        .drop("creation_date", "cdc_action", "cdc_timestamp", "ingestion_timestamp"),
+      lake.silver("order_item_options_bucketed"), "graft_order_item_options_bucketed",
+      keys, buckets)
+    val revenue = RevenueConform(
+      spark.table("graft_order_items_bucketed"),
+      spark.table("graft_order_item_options_bucketed"), keys)
+    ParquetSink.partitioned(revenue, lake.silver("order_revenue"), Seq("creation_date"))
+  }
+
   /** Incremental gold (the CDF-style delta path — SURVEY §4 "caching"
     * row and BASELINE round-2 candidate): maintain `fact_ltv_daily`
     * from the run's cdc change log instead of recomputing every user.

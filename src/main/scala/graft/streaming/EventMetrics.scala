@@ -45,6 +45,39 @@ object EventMetrics {
         col("session_window.end").as("session_end"),
         col("n_events"), col("value_sum"))
 
+  /** Sliding (hopping) windows: rolling metrics over overlapping
+    * `length` windows advancing every `slide`. Each event lands in
+    * length/slide windows — Spark expands it to those window rows before
+    * the agg, so the shuffle carries the expansion factor; keep
+    * length/slide small at scale (4 here). Window starts are
+    * epoch-aligned multiples of `slide`, mirrored exactly in the oracle
+    * via epoch-microsecond arithmetic. */
+  def sliding(
+      events: DataFrame, length: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 10000)) / 10000.0).as("value_sum"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
+  /** Streaming exact dedup with BOUNDED state: duplicates arriving
+    * within the watermark delay collapse; state for keys older than the
+    * watermark is dropped (vs plain `dropDuplicates` on a stream, whose
+    * key set grows forever). Batch datasets short-circuit to plain
+    * `dropDuplicates` — `dropDuplicatesWithinWatermark` requires a
+    * streaming plan. */
+  def dedupWithinWatermark(
+      events: DataFrame, keys: Seq[String], delay: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else events.dropDuplicates(keys)
+
   /** Bound streaming state: drop events later than `delay` behind the
     * max seen ts. Apply before [[tumbling]]/[[sessions]] on a stream. */
   def withStreamingWatermark(events: DataFrame, delay: String = "2 hours"): DataFrame =

@@ -29,6 +29,31 @@ class IncrementalGoldSpec extends SparkSpec {
     assert(incremental == full)
   }
 
+  test("Location approx (HLL) mode tracks exact counts and avoids the 3x Expand") {
+    val items = Conformed.items(spark, sf)
+    val rev = Conformed.orderRevenue(spark, sf)
+    val exact = Location(items, rev)
+      .select($"restaurant_id", $"num_orders", $"active_days", $"active_weeks")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val est = Location.approx(items, rev, rsd = 0.02)
+      .select($"restaurant_id", $"num_orders", $"active_days", $"active_weeks")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (rid, (_, n, d, w)) =>
+      val (_, en, ed, ew) = est(rid)
+      def close(a: Long, b: Long) = math.abs(a - b) <= math.max(2L, (b * 0.1).toLong)
+      assert(close(en, n) && close(ed, d) && close(ew, w),
+        s"restaurant $rid: approx ($en,$ed,$ew) vs exact ($n,$d,$w)")
+    }
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan.toString
+    assert(planOf(Location(items, rev)).contains("Expand"),
+      "exact multi-countDistinct should Expand (sanity check of the claim)")
+    assert(!planOf(Location.approx(items, rev)).contains("Expand"),
+      "HLL mode must not Expand input rows per distinct aggregate")
+  }
+
   test("IncrementalRollup.addDelta over an append split equals the one-shot rollup") {
     val rev = Conformed.orderRevenue(spark, sf)
     val cutoff = "1996-12-31"

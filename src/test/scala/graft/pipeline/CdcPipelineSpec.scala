@@ -76,6 +76,31 @@ class CdcPipelineSpec extends SparkSpec {
     val revenue = spark.read.parquet(lake.silver("order_revenue"))
     assert(revenue.count() > 0)
     assert(revenue.columns.contains("total_revenue"))
+
+    // bucketed silver layout: identical rows, shuffle-free revenue join
+    val plainRevenue = revenue
+      .select(col("order_id"), col("lineitem_id"), col("option_name"),
+        col("total_revenue"))
+      .collect().map(_.toSeq).toSet
+    pipe.silverRevenueBucketed(buckets = 4)
+    val bucketedRevenue = spark.read.parquet(lake.silver("order_revenue"))
+      .select(col("order_id"), col("lineitem_id"), col("option_name"),
+        col("total_revenue"))
+      .collect().map(_.toSeq).toSet
+    assert(bucketedRevenue == plainRevenue)
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.silver.RevenueConform(
+        spark.table("graft_order_items_bucketed"),
+        spark.table("graft_order_item_options_bucketed"),
+        Seq("order_id", "lineitem_id"))
+      val txt = joined.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+        org.apache.spark.sql.Row]].queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(txt.contains("SortMergeJoin") && !txt.contains("Exchange"),
+        s"bucketed revenue join should be shuffle-free:\n$txt")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
     // silver is date-partitioned on disk (partition pruning surface)
     assert(new java.io.File(s"$root/silver/order_revenue")
       .listFiles().exists(_.getName.startsWith("creation_date=")))

@@ -38,6 +38,42 @@ class EventMetricsSpec extends SparkSpec {
       (2L, "2024-01-01 01:10:00", "2024-01-01 01:50:00", 2L)))
   }
 
+  test("sliding windows: each event lands in length/slide overlapping windows") {
+    val one = Seq(("2024-01-01 00:50:00", 1L, "click", 1.0))
+      .toDF("ts", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = EventMetrics.sliding(one, "1 hour", "15 minutes")
+      .select($"window_start".cast("string"), $"window_end".cast("string"),
+        $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01 00:00:00", "2024-01-01 01:00:00", 1L),
+      ("2024-01-01 00:15:00", "2024-01-01 01:15:00", 1L),
+      ("2024-01-01 00:30:00", "2024-01-01 01:30:00", 1L),
+      ("2024-01-01 00:45:00", "2024-01-01 01:45:00", 1L)))
+  }
+
+  test("streaming dedup within watermark collapses duplicate keys across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "tss", "value")
+      .withColumn("ts", to_timestamp($"tss")).drop("tss")
+    val deduped = EventMetrics.dedupWithinWatermark(events, Seq("event_id"), "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "2024-01-01 00:05:00", 1.0), (1L, "2024-01-01 00:05:00", 1.0))
+      q.processAllAvailable()
+      input.addData((1L, "2024-01-01 00:10:00", 9.0), (2L, "2024-01-01 00:11:00", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select($"event_id").as[Long]
+        .collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L),
+        s"duplicate event_id=1 must collapse across batches, got $ids")
+    } finally q.stop()
+  }
+
   test("the same transform runs as a structured stream and matches the batch result") {
     val dir = Files.createTempDirectory("graft-stream-in").toString
     eventsDf.write.mode("overwrite").parquet(dir)
