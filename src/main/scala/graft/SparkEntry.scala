@@ -31,59 +31,58 @@ object SparkEntry {
     // plants duplicate keys with differing payloads (q15 detects them) —
     // so payload tie-breakers make the ordering contract actually hold.
     "q01_order_revenue" -> ((s, dir) =>
-      Conformed.orderRevenue(s, dir)
+      Conformed.orderRevenueCached(s, dir)
         .orderBy(col("order_id"), col("lineitem_id"), col("item_category"),
           col("item_price"), col("restaurant_id"))),
 
     // ---- gold: LTV / CLV (A1, W1, W2, P8, A8) ----
     "q02_ltv_daily" -> ((s, dir) =>
-      Ltv.daily(Conformed.orderRevenue(s, dir))
+      Ltv.daily(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("user_id"), col("creation_date"))),
     "q03_ltv_latest" -> ((s, dir) =>
-      Ltv.latest(Ltv.daily(Conformed.orderRevenue(s, dir)))
+      Ltv.latest(Ltv.daily(Conformed.orderRevenueCached(s, dir)))
         .orderBy(col("user_id"))),
     "q04_clv_segments" -> ((s, dir) =>
-      Ltv.segments(Ltv.latest(Ltv.daily(Conformed.orderRevenue(s, dir))))
+      Ltv.segments(Ltv.latest(Ltv.daily(Conformed.orderRevenueCached(s, dir))))
         .orderBy(col("user_id"))),
 
     // ---- gold: RFM (A2, A3, A4, J3, F2, P9) ----
     "q05_rfm" -> ((s, dir) =>
-      Rfm(Conformed.orderRevenue(s, dir))
+      Rfm(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("user_id"))),
 
     // ---- gold: churn profile (A2, A5, A6, W3, J4, J5, P11, F6, P9) ----
     "q06_churn" -> ((s, dir) =>
-      Churn(Conformed.orderRevenue(s, dir))
+      Churn(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("user_id"))),
 
     // ---- gold: sales trends (J6, F1, F4, F5, A9) ----
     "q07_trends_daily" -> ((s, dir) =>
-      SalesTrends.daily(Conformed.orderRevenue(s, dir))
+      SalesTrends.daily(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("creation_date"), col("restaurant_id"), col("item_category"))),
     "q08_trends_weekly" -> ((s, dir) =>
-      SalesTrends.weekly(Conformed.orderRevenue(s, dir))
+      SalesTrends.weekly(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("year_week"), col("restaurant_id"), col("item_category"))),
     "q09_trends_monthly" -> ((s, dir) =>
-      SalesTrends.monthly(Conformed.orderRevenue(s, dir))
+      SalesTrends.monthly(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("year_month"), col("restaurant_id"), col("item_category"))),
     "q10_trends_hourly" -> ((s, dir) =>
-      SalesTrends.hourly(Conformed.orderRevenue(s, dir))
+      SalesTrends.hourly(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("hour_of_day"), col("restaurant_id"), col("item_category"))),
 
     // ---- gold: loyalty impact (J7, J8, A10, P9) ----
     "q11_loyalty" -> ((s, dir) =>
-      Loyalty(Conformed.items(s, dir), Conformed.orderRevenue(s, dir))
+      Loyalty(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("is_loyalty"))),
 
     // ---- gold: location performance (J9, A13, W4) ----
     "q12_location" -> ((s, dir) =>
-      Location(Conformed.items(s, dir), Conformed.orderRevenue(s, dir))
+      Location(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("restaurant_id"))),
 
     // ---- gold: discount effectiveness (J10, A11, A12, P9) ----
     "q13_discount" -> ((s, dir) =>
-      Discount(Conformed.items(s, dir), Conformed.options(s, dir),
-               Conformed.orderRevenue(s, dir))
+      Discount(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("is_discounted_order"))),
 
     // ---- cdc: snapshot diff (U1, U2, U3, J1, P7, P3, P14) ----
@@ -162,7 +161,7 @@ object SparkEntry {
 
     // ---- gold: all calendar grains in one GROUPING SETS pass (A9) ----
     "q31_trends_multigrain" -> ((s, dir) =>
-      SalesTrends.multiGrain(Conformed.orderRevenue(s, dir))
+      SalesTrends.multiGrain(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("grain"), col("creation_date"), col("year_week"),
           col("year_month"), col("restaurant_id"), col("item_category"))),
 

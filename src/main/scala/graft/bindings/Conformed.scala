@@ -98,4 +98,21 @@ object Conformed {
       items(spark, dir),
       options(spark, dir),
       Seq("order_id", "lineitem_id"))
+
+  private val revCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** [[orderRevenue]], materialized once per (session, dir) — the shape
+    * the reference actually runs: gold reads silver as a MATERIALIZED
+    * parquet table (`cdc_metrics_job_gold.py:42,99,…`), it never re-runs
+    * the conform join per mart. Queries deriving lineage from raw files
+    * would otherwise rebuild the fact-fact join once per mart (and the
+    * fused single-input marts would rebuild it per SIDE). The cache is
+    * tiny relative to the corpus (one conformed fact) and lives for the
+    * session; `spark.catalog.clearCache()` drops it. */
+  def orderRevenueCached(spark: SparkSession, dir: String): DataFrame =
+    revCache.getOrElseUpdate(
+      (spark, dir),
+      orderRevenue(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 }

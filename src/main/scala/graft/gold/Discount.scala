@@ -17,6 +17,44 @@ import org.apache.spark.sql.functions._
   * bit-for-bit; `avg_order_value` is the explicit sum/count formula.
   */
 object Discount {
+
+  /** Fused single-input form: `order_revenue` IS items ⟕ options row for
+    * row (same left join, option_price null-filled to 0 — `< 0` tests
+    * identically), so when the conformed fact is already in hand the
+    * item and revenue sides collapse into ONE order-grain aggregate over
+    * one scan: flags, line count, and revenue cents in the same pass,
+    * then `discounted_lines = flags·n_lines`, `order_cents =
+    * cents·n_lines` reproduce the reference's lines² fan-out arithmetic
+    * bit-for-bit. Use [[apply(items:*]] when the sources are separate
+    * materialized silver tables (the reference's shape). */
+  def apply(orderRevenue: DataFrame): DataFrame = {
+    val perOrder = orderRevenue
+      .groupBy(col("order_id"))
+      .agg(
+        sum(when(col("option_price") < 0, 1).otherwise(0)).as("flags_sum"),
+        count(lit(1)).as("n_lines"),
+        sum(Money.cents(col("total_revenue"))).as("rev_cents"))
+      .select(
+        col("order_id"),
+        (col("flags_sum") * col("n_lines")).as("discounted_lines"),
+        (col("rev_cents") * col("n_lines")).as("order_cents"))
+      .withColumn(
+        "is_discounted_order",
+        when(col("discounted_lines") > 0, "Yes").otherwise("No"))
+    summarize(perOrder)
+  }
+
+  private def summarize(perOrder: DataFrame): DataFrame =
+    perOrder
+      .groupBy(col("is_discounted_order"))
+      .agg(
+        countDistinct(col("order_id")).as("num_orders"),
+        (sum(col("order_cents")) / 10000.0).as("total_revenue"))
+      .withColumn("avg_order_value", col("total_revenue") / col("num_orders"))
+      .select(
+        col("is_discounted_order"), col("num_orders"),
+        col("total_revenue"), col("avg_order_value"))
+
   /** @param items   line-grain frame with order_id, lineitem_id, user_id
     * @param options silver (deduped) options with option_price
     * @param orderRevenue conformed revenue fact */
@@ -53,14 +91,6 @@ object Discount {
       .withColumn(
         "is_discounted_order",
         when(col("discounted_lines") > 0, "Yes").otherwise("No"))
-    perOrder
-      .groupBy(col("is_discounted_order"))
-      .agg(
-        countDistinct(col("order_id")).as("num_orders"),
-        (sum(col("order_cents")) / 10000.0).as("total_revenue"))
-      .withColumn("avg_order_value", col("total_revenue") / col("num_orders"))
-      .select(
-        col("is_discounted_order"), col("num_orders"),
-        col("total_revenue"), col("avg_order_value"))
+    summarize(perOrder)
   }
 }

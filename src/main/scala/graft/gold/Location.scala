@@ -24,6 +24,12 @@ object Location {
   def apply(items: DataFrame, orderRevenue: DataFrame): DataFrame =
     build(items, orderRevenue, approx = false, rsd = 0.0)
 
+  /** Fused single-input form: the conformed fact carries every item-side
+    * column this mart reads (order_id, restaurant_id, creation_ts), so
+    * both join sides derive from ONE scan of `order_revenue`. */
+  def apply(orderRevenue: DataFrame): DataFrame =
+    build(orderRevenue, orderRevenue, approx = false, rsd = 0.0)
+
   /** 100 TB-tier variant: the three exact `countDistinct`s become HLL++
     * sketches (`approx_count_distinct`). The exact form EXPANDs every
     * input row ×3 (one replica per distinct aggregate) and carries the

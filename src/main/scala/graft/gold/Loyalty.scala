@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   * divisions — never a float `avg` (the oracle mirrors the formula).
   */
 object Loyalty {
+
+  /** Fused single-input form: the conformed fact carries order_id /
+    * user_id / is_loyalty on every line (left-join-preserved from the
+    * same items frame), so the flag dedup, the LTV rollup, and the
+    * order counts all derive from ONE scan of `order_revenue`. Use the
+    * two-frame form when items and revenue are separate materialized
+    * silver tables. */
+  def apply(orderRevenue: DataFrame): DataFrame =
+    apply(
+      orderRevenue.select(col("order_id"), col("user_id"), col("is_loyalty")),
+      orderRevenue)
+
   /** @param items  line-grain frame with order_id, user_id, is_loyalty
     * @param orderRevenue conformed revenue fact */
   def apply(items: DataFrame, orderRevenue: DataFrame): DataFrame = {

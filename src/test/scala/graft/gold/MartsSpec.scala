@@ -102,6 +102,18 @@ class MartsSpec extends SparkSpec {
     assert(out(false) == ((false, 1L, 40.0, 0L, 0.0)))
   }
 
+  test("fused single-input marts equal the reference three/two-frame decompositions") {
+    val sf = "/root/testdata/sf0.001"
+    val items = graft.bindings.Conformed.items(spark, sf)
+    val options = graft.bindings.Conformed.options(spark, sf)
+    val rev = graft.bindings.Conformed.orderRevenue(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Discount(rev)) == rows(Discount(items, options, rev)))
+    assert(rows(Loyalty(rev)) == rows(Loyalty(items, rev)))
+    assert(rows(Location(rev)) == rows(Location(items, rev)))
+  }
+
   test("trends: unpadded year-week/month keys and ISO week at the year boundary") {
     val df = revenue(
       (1, 1, 1, 1, "cat", false, 10.0, "1998-01-01"),   // ISO week 1 of 1998
