@@ -193,6 +193,16 @@ object SparkEntry {
           k = 5, nBits = 6, dim = 64)
         .orderBy(col("vec_id"), col("rank"))),
 
+    // ---- ext: corpus term statistics (df/tf vocabulary) ----
+    "q37_term_stats" -> ((s, dir) =>
+      TextAnalysis.termStats(Tables.documents(s, dir), "doc_id", "text", topK = 100)
+        .orderBy(col("df").desc, col("term"))),
+
+    // ---- ext: exact per-label embedding centroids ----
+    "q38_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy(col("label"), col("pos"))),
+
     // ---- ext: range (interval) join via day-bucket equi-join ----
     "q34_range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -522,6 +532,27 @@ object SparkEntry {
     "q33_ngram_jaccard" -> ExtOracleSql.ngramJaccard(n = 5),
 
     "q35_srp_topk" -> ExtOracleSql.srpTopK(k = 5, nBits = 6, dim = 64),
+
+    "q37_term_stats" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(${graft.functions.Portable.tokensSql("text")}) AS term
+            FROM documents)
+          SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+          FROM tok GROUP BY term
+          ORDER BY df DESC, term LIMIT 100""",
+
+    "q38_label_centroids" ->
+      """WITH v AS (
+           SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         e AS (
+           SELECT label,
+                  unnest(generate_series(1, len(emb))) - 1 AS pos,
+                  unnest(emb) AS x
+           FROM v)
+         SELECT label, pos,
+                (sum(round(x * 1000000)) / count(*)) / 1000000.0
+                  AS centroid_component
+         FROM e GROUP BY 1, 2 ORDER BY label, pos""",
 
     "q34_range_join" ->
       """WITH win AS (

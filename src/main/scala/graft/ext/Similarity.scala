@@ -196,6 +196,25 @@ object Similarity {
         col("rank"))
   }
 
+  /** Per-label embedding centroids (element-wise mean), EXACTLY: float
+    * sums are order-dependent in IEEE doubles, so naive `avg` cannot
+    * hash-match across engines — instead each component (a float32,
+    * exact in double) quantizes to integral 1e-6 units, sums as
+    * order-independent integers, and divides back with one fixed
+    * formula. Shape: posexplode to (label, pos) grain + one hash
+    * aggregate — dim × rows intermediate, partial-agg'd map-side, the
+    * standard distributed centroid shape (k-means update step). */
+  def labelCentroids(
+      vecs: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    vecs
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .toDF("label", "pos", "x")
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("x") * 1000000)).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        ((col("s") / col("n")) / 1000000.0).as("centroid_component"))
+
   /** IVF single-probe approximate top-k. Centroids are the vectors whose
     * id ≡ 0 (mod centroidEvery) — deterministic, data-derived, no RNG. */
   def ivfTopK(

@@ -99,4 +99,22 @@ object TextAnalysis {
       md5(col(textCol)).as("content_md5"),
       array_min(transform(sh, s => Portable.h60(s))).as("shingle_fp"))
   }
+
+  /** Corpus term statistics: the `topK` terms by document frequency
+    * (docs containing the term), with total term frequency — the
+    * vocabulary/df building block of TF-IDF and stopword discovery.
+    * One explode + one hash aggregate; df's exact distinct is per-term
+    * (two-phase partial agg), ties break on the term for a total order.
+    * At 100 TB swap the exact df for `approx_count_distinct` and keep
+    * the same shape. */
+  def termStats(
+      docs: DataFrame, idCol: String, textCol: String, topK: Int = 100): DataFrame =
+    docs
+      .select(col(idCol), explode(Portable.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        countDistinct(col(idCol)).as("df"),
+        count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topK)
 }

@@ -27,10 +27,47 @@ import org.apache.spark.sql.functions._
   *    cents / 1e4, so `round(x·10⁴)` recovers the exact integer cents
   *    before the re-sum ([[Money]] invariant).
   */
+object IncrementalKeyScoped {
+
+  /** Generic key-scoped maintainer: `prevMart` rows for keys untouched
+    * by `delta` (left_anti) + `build` re-run over `source` pruned to
+    * the touched keys (left_semi).
+    *
+    * Valid iff `build` is KEY-LOCAL: a key's output rows depend only on
+    * that key's source rows. [[Ltv.daily]] qualifies unconditionally.
+    * Marts with a data-derived GLOBAL anchor ([[Rfm]]/[[Churn]]'s
+    * `today = max(creation_date)`) are key-local only while the anchor
+    * is unchanged by the delta — if the delta advances the max date,
+    * every user's recency shifts and a full rebuild is the correct
+    * (and cheapest correct) move. Callers guard with
+    * [[anchorAdvanced]]. */
+  def apply(
+      prevMart: DataFrame, source: DataFrame, delta: DataFrame, keyCol: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val affected = delta.select(col(keyCol)).distinct()
+    prevMart.join(affected, Seq(keyCol), "left_anti")
+      .unionByName(build(source.join(affected, Seq(keyCol), "left_semi")))
+  }
+
+  /** True when the delta moves the global `max(dateCol)` anchor past the
+    * pre-delta source's — the signal that anchored marts need a full
+    * rebuild instead of a key-scoped one. */
+  def anchorAdvanced(source: DataFrame, delta: DataFrame, dateCol: String): Boolean = {
+    val d = delta.agg(max(col(dateCol))).head()
+    if (d.isNullAt(0)) false
+    else {
+      val s = source.agg(max(col(dateCol))).head()
+      s.isNullAt(0) || d.getDate(0).after(s.getDate(0))
+    }
+  }
+}
+
 object IncrementalLtv {
 
   /** Next `fact_ltv_daily`: `prevMart` rows for untouched users +
-    * a fresh [[Ltv.daily]] over `revenue` pruned to `delta`'s users.
+    * a fresh [[Ltv.daily]] over `revenue` pruned to `delta`'s users
+    * ([[IncrementalKeyScoped]] instance — LTV has no global anchor, so
+    * it is unconditionally key-local).
     *
     * @param prevMart the current fact_ltv_daily
     * @param revenue  full conformed silver (only affected users are read
@@ -38,12 +75,8 @@ object IncrementalLtv {
     *                 pushed-down predicate)
     * @param delta    any frame carrying `user_id` of changed rows (e.g.
     *                 the run's cdc change log) */
-  def apply(prevMart: DataFrame, revenue: DataFrame, delta: DataFrame): DataFrame = {
-    val affected = delta.select(col("user_id")).distinct()
-    val untouched = prevMart.join(affected, Seq("user_id"), "left_anti")
-    val recomputed = Ltv.daily(revenue.join(affected, Seq("user_id"), "left_semi"))
-    untouched.unionByName(recomputed)
-  }
+  def apply(prevMart: DataFrame, revenue: DataFrame, delta: DataFrame): DataFrame =
+    IncrementalKeyScoped(prevMart, revenue, delta, "user_id")(Ltv.daily)
 }
 
 object IncrementalRollup {

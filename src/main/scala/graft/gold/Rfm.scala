@@ -25,18 +25,37 @@ import org.apache.spark.sql.functions._
   * 100 TB tier swap `approxDistinct = true` for HLL.
   */
 object Rfm {
-  def apply(orderRevenue: DataFrame, approxDistinct: Boolean = false): DataFrame = {
-    val anchor = orderRevenue.agg(max(col("creation_date")).as("today"))
+  def apply(orderRevenue: DataFrame, approxDistinct: Boolean = false): DataFrame =
+    build(orderRevenue, approxDistinct, anchorDate = None)
+
+  /** Fixed-anchor variant: `today` supplied by the caller instead of
+    * derived as `max(creation_date)` of the input. Required for
+    * key-scoped incremental maintenance ([[IncrementalKeyScoped]]) —
+    * a rebuild over a user-pruned subset would otherwise re-derive the
+    * anchor from that subset and shift every recency. */
+  def anchoredAt(
+      orderRevenue: DataFrame, today: java.sql.Date,
+      approxDistinct: Boolean = false): DataFrame =
+    build(orderRevenue, approxDistinct, anchorDate = Some(today))
+
+  private def build(
+      orderRevenue: DataFrame, approxDistinct: Boolean,
+      anchorDate: Option[java.sql.Date]): DataFrame = {
     val freq =
       if (approxDistinct) approx_count_distinct(col("order_id"))
       else countDistinct(col("order_id"))
-    orderRevenue
+    val grouped = orderRevenue
       .groupBy(col("user_id"))
       .agg(
         freq.as("frequency"),
         Money.sumMoney(col("total_revenue")).as("monetary"),
         max(col("creation_date")).as("last_purchase_date"))
-      .crossJoin(broadcast(anchor))
+    val withToday = anchorDate match {
+      case Some(d) => grouped.withColumn("today", lit(d))
+      case None => grouped.crossJoin(broadcast(
+        orderRevenue.agg(max(col("creation_date")).as("today"))))
+    }
+    withToday
       .withColumn("recency", datediff(col("today"), col("last_purchase_date")))
       .withColumn(
         "segment",

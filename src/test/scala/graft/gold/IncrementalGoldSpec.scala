@@ -29,6 +29,26 @@ class IncrementalGoldSpec extends SparkSpec {
     assert(incremental == full)
   }
 
+  test("key-scoped Rfm maintenance is exact while the anchor holds, and flags advance") {
+    val v1 = Conformed.orderRevenue(spark, sf)
+    // delta changes user revenue but does NOT advance max(creation_date)
+    val v2 = v1.withColumn(
+      "total_revenue",
+      when($"user_id" % 11 === 0, $"total_revenue" + 5).otherwise($"total_revenue"))
+    val delta = v2.filter($"user_id" % 11 === 0)
+    assert(!IncrementalKeyScoped.anchorAdvanced(v1, delta, "creation_date"))
+    val anchor = v2.agg(max($"creation_date")).head().getDate(0)
+    val incremental = IncrementalKeyScoped(Rfm(v1), v2, delta, "user_id")(
+        Rfm.anchoredAt(_, anchor))
+      .collect().map(_.toSeq).toSet
+    val full = Rfm(v2).collect().map(_.toSeq).toSet
+    assert(incremental == full)
+    // a delta past the anchor is detected (callers then rebuild fully)
+    val lateDelta = v2.limit(1)
+      .withColumn("creation_date", date_add($"creation_date", 9999))
+    assert(IncrementalKeyScoped.anchorAdvanced(v1, lateDelta, "creation_date"))
+  }
+
   test("Location approx (HLL) mode tracks exact counts and avoids the 3x Expand") {
     val items = Conformed.items(spark, sf)
     val rev = Conformed.orderRevenue(spark, sf)
