@@ -193,6 +193,21 @@ object SparkEntry {
           k = 5, nBits = 6, dim = 64)
         .orderBy(col("vec_id"), col("rank"))),
 
+    // ---- gold: PIVOT, exact median, RANGE frame, NTILE ----
+    "q39_monthly_pivot" -> ((s, dir) =>
+      SalesTrends.monthlyPivot(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"))),
+    "q40_median_line_revenue" -> ((s, dir) =>
+      graft.gold.Percentiles.medianLineRevenue(
+          Conformed.orderRevenueCached(s, dir), "restaurant_id")
+        .orderBy(col("restaurant_id"))),
+    "q41_trailing_revenue" -> ((s, dir) =>
+      Ltv.trailingRevenue(Conformed.orderRevenueCached(s, dir), days = 7)
+        .orderBy(col("user_id"), col("creation_date"))),
+    "q42_ltv_deciles" -> ((s, dir) =>
+      Ltv.deciles(Ltv.latest(Ltv.daily(Conformed.orderRevenueCached(s, dir))))
+        .orderBy(col("user_id"))),
+
     // ---- ext: corpus term statistics (df/tf vocabulary) ----
     "q37_term_stats" -> ((s, dir) =>
       TextAnalysis.termStats(Tables.documents(s, dir), "doc_id", "text", topK = 100)
@@ -532,6 +547,33 @@ object SparkEntry {
     "q33_ngram_jaccard" -> ExtOracleSql.ngramJaccard(n = 5),
 
     "q35_srp_topk" -> ExtOracleSql.srpTopK(k = 5, nBits = 6, dim = 64),
+
+    "q39_monthly_pivot" -> OracleSql.withBase(
+      "SELECT restaurant_id, " +
+        (1 to 12).map(m =>
+          s"sum(CASE WHEN month(creation_date) = $m " +
+            s"THEN round(total_revenue * 10000) END) / 10000.0 AS m$m")
+          .mkString(", ") +
+        " FROM order_revenue GROUP BY 1 ORDER BY restaurant_id"),
+
+    "q40_median_line_revenue" -> OracleSql.withBase(
+      """SELECT restaurant_id, count(*) AS n_lines,
+                median(round(total_revenue * 10000)) / 10000.0
+                  AS median_line_revenue
+         FROM order_revenue GROUP BY 1 ORDER BY restaurant_id"""),
+
+    "q41_trailing_revenue" -> OracleSql.withBase(
+      """SELECT user_id, creation_date, cents / 10000.0 AS daily_revenue,
+                sum(cents) OVER (PARTITION BY user_id
+                  ORDER BY date_diff('day', DATE '1970-01-01', creation_date)
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 10000.0
+                  AS trailing_revenue
+         FROM ltv_daily ORDER BY user_id, creation_date"""),
+
+    "q42_ltv_deciles" -> OracleSql.withBase(
+      """SELECT user_id, lifetime_value,
+                ntile(10) OVER (ORDER BY lifetime_value, user_id) AS decile
+         FROM ltv_latest ORDER BY user_id"""),
 
     "q37_term_stats" ->
       s"""WITH tok AS (

@@ -83,4 +83,39 @@ object Ltv {
           .otherwise("High")
           .as("clv_segment"))
   }
+
+  /** Trailing-N-day revenue per (user, active day) via a RANGE window
+    * frame over the integer day number — the value-range frame
+    * (`rangeBetween`) the reference never uses (SURVEY §2.6 gap): a
+    * ROWS frame would count the last N ROWS regardless of calendar
+    * gaps; RANGE bounds by day distance. Sums run over exact integer
+    * cents inside the frame. Same user_id shuffle as [[daily]] — the
+    * window reuses the aggregate's partitioning. */
+  def trailingRevenue(orderRevenue: DataFrame, days: Int = 7): DataFrame = {
+    val dailyAgg = orderRevenue
+      .groupBy(col("user_id"), col("creation_date"))
+      .agg(sum(round(col("total_revenue") * 10000)).as("__cents"))
+      .withColumn("__day", datediff(col("creation_date"), lit("1970-01-01").cast("date")))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("__day"))
+      .rangeBetween(-(days - 1), Window.currentRow)
+    dailyAgg
+      .withColumn("daily_revenue", col("__cents") / 10000.0)
+      .withColumn("trailing_revenue", sum(col("__cents")).over(w) / 10000.0)
+      .select(col("user_id"), col("creation_date"), col("daily_revenue"),
+        col("trailing_revenue"))
+  }
+
+  /** NTILE decile of each user's lifetime value — the rank-bucket
+    * alternative to percentile-cut segmentation (A8 note in SURVEY
+    * §2.5). The ORDER BY carries a user_id tie-break so the row-ordered
+    * bucket assignment is total; unpartitioned window is fine at mart
+    * cardinality (one row per user). */
+  def deciles(ltvLatest: DataFrame): DataFrame =
+    ltvLatest.select(
+      col("user_id"),
+      col("lifetime_value"),
+      ntile(10).over(
+        Window.orderBy(col("lifetime_value"), col("user_id"))).as("decile"))
 }

@@ -51,6 +51,21 @@ object SalesTrends {
       orderRevenue.withColumn("hour_of_day", hour(col("creation_ts"))),
       Seq("hour_of_day", "restaurant_id", "item_category"), "hourly_revenue")
 
+  /** Revenue pivoted restaurant × calendar month (m1…m12) — the PIVOT
+    * relational operator over a FIXED value list (pivoting on an
+    * unlisted open domain would need a driver-side distinct pass;
+    * always pin the columns at 100 TB). Missing cells stay NULL, sums
+    * are exact money. One hash aggregate wide-form; the DuckDB mirror
+    * is the equivalent sum(CASE …) spread. */
+  def monthlyPivot(orderRevenue: DataFrame): DataFrame = {
+    val pivoted = orderRevenue
+      .withColumn("month", month(col("creation_date")))
+      .groupBy(col("restaurant_id"))
+      .pivot("month", (1 to 12).map(Integer.valueOf))
+      .agg(Money.sumMoney(col("total_revenue")))
+    (1 to 12).foldLeft(pivoted)((d, m) => d.withColumnRenamed(m.toString, s"m$m"))
+  }
+
   /** The three calendar grains in ONE pass via GROUPING SETS — the
     * scale-preferred alternative to [[daily]]/[[weekly]]/[[monthly]]
     * (A9 note in SURVEY §2.5): the fact is scanned and partially
