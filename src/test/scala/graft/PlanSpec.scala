@@ -30,6 +30,32 @@ class PlanSpec extends SparkSpec {
       "expected the part dimension join to broadcast")
   }
 
+  test("asofJoin runs as ONE shuffle + window, never a theta join") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val ev = core.Tables.events(spark, sf)
+    val plan = planText(ext.Temporal.asofJoin(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      Seq("user_id"), "ts", "ts", Seq("event_id")))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"as-of must not plan a theta join:\n$plan")
+    assert(plan.contains("Window"), s"expected a window plan:\n$plan")
+    // formatted explain lists each node once as "(N) Exchange"
+    val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+    // silence unused-import lint paths
+    val _ = to_timestamp(lit("2024-01-01"))
+  }
+
+  test("SRP top-k shuffles on the bucket id — no cross join in the plan") {
+    val plan = planText(ext.Similarity.srpTopK(
+      core.Tables.embeddings(spark, sf), "vec_id", "embedding", k = 3))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"bucketed ANN must not cross-join:\n$plan")
+  }
+
   test("bucketing both fact sides by the join key eliminates the shuffle") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_extendedprice")

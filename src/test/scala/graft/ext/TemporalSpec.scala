@@ -40,6 +40,31 @@ class TemporalSpec extends SparkSpec {
     assert(run(strict = true).isEmpty)
   }
 
+  test("asofJoin equals the brute-force latest-prior lookup on random data") {
+    val rnd = new scala.util.Random(42)
+    // ts made globally unique (id folded into the millis) so the as-of
+    // pick is total without relying on tie order among equal instants
+    def randRows(n: Int, idBase: Long) = (1 to n).map { i =>
+      (idBase + i,
+        rnd.nextInt(8).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 10000L + idBase + i))
+    }
+    val lefts = randRows(120, 0)
+    val rights = randRows(150, 1000)
+    val expected = lefts.map { case (id, u, t) =>
+      val best = rights.filter(r => r._2 == u && !r._3.after(t))
+        .sortBy(_._3.getTime).lastOption
+      id -> best.map(_._1)
+    }.toMap
+    val got = Temporal.asofJoin(
+        lefts.toDF("event_id", "user_id", "ts"),
+        rights.toDF("event_id", "user_id", "ts"),
+        Seq("user_id"), "ts", "ts", Seq("event_id"))
+      .select($"event_id", $"asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == expected)
+  }
+
   test("bucketed range join equals the naive BETWEEN theta join") {
     val points = (1 to 60)
       .map(i => (i.toLong, java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d")))
