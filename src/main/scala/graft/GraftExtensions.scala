@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, WordShingles}
+import graft.functions.{CharShingles, DotProduct, MinHashSig, SimHashPack, WordShingles}
 
 /** SQL-surface registration for the engine's native expressions, so
   * `spark.sql("SELECT vec_dot(a, b)")` works alongside the Column API.
@@ -40,6 +40,35 @@ object GraftExtensions {
           WordShingles(c, n.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException(
           "word_shingles expects (text) or (text, <integer literal n>)")
+      }),
+    ("char_shingles",
+      info("char_shingles", "char_shingles(text[, n]) - distinct character n-grams"),
+      (es: Seq[Expression]) => es match {
+        case Seq(c) => CharShingles(c, 5)
+        case Seq(c, n) if n.foldable && n.eval() != null =>
+          CharShingles(c, n.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "char_shingles expects (text) or (text, <integer literal n>)")
+      }),
+    ("minhash_sig",
+      info("minhash_sig",
+        "minhash_sig(shingles[, p]) - p-permutation MinHash signature of a string array"),
+      (es: Seq[Expression]) => es match {
+        case Seq(c) => MinHashSig(c, 16)
+        case Seq(c, n) if n.foldable && n.eval() != null =>
+          MinHashSig(c, n.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig expects (shingles) or (shingles, <integer literal p>)")
+      }),
+    ("simhash_pack",
+      info("simhash_pack",
+        "simhash_pack(tokens[, bits]) - SimHash of a (distinct) token array"),
+      (es: Seq[Expression]) => es match {
+        case Seq(c) => SimHashPack(c, 32)
+        case Seq(c, n) if n.foldable && n.eval() != null =>
+          SimHashPack(c, n.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "simhash_pack expects (tokens) or (tokens, <integer literal bits>)")
       }),
   )
 

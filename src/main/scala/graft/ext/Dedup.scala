@@ -120,21 +120,41 @@ object Dedup {
   /** Full MinHash+LSH near-dup pipeline: candidate pairs with their
     * estimated Jaccard at or above `minEst`.
     *
-    * The signature table is persisted: it feeds the band self-join (both
-    * sides) and the two estimate joins, and self-joins duplicate an
-    * un-persisted subtree — without the persist, the shingle+hash+agg
-    * pipeline executes ~5×. Signatures are numPerms longs per doc, so
-    * the cache is tiny relative to the corpus. The cache lives until the
-    * session drops it (the returned frame is lazy, so this method cannot
-    * unpersist); callers looping over many corpora should
-    * `spark.catalog.clearCache()` between rounds. */
+    * Signatures ride THROUGH the band self-join (numPerms longs per
+    * row — 128 B at the default 16), so the estimate computes directly
+    * on the joined rows and multi-band duplicate hits collapse in one
+    * grouped aggregate: 3 shuffles total (band explode join sides ×2 +
+    * pair dedup) versus the candidates→rejoin-signatures→distinct form
+    * (5, plus a persist to stop the self-join recomputing the
+    * signature subtree). For very wide signatures where carrying them
+    * would dominate the band shuffle, compose [[lshCandidates]] +
+    * [[estimatedJaccard]] instead — same results
+    * ([[lshVerifiedPairs]] uses that shape because full shingle sets
+    * are join-fetched, never carried). */
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 16, bands: Int = 4, minEst: Double = 0.5): DataFrame = {
+    val rowsPerBand = numPerms / bands
     val sig = minhashSignatures(docs, idCol, textCol, numPerms)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = lshCandidates(sig, idCol, bands, numPerms / bands)
-    estimatedJaccard(sig, pairs, idCol, numPerms).filter(col("est_jaccard") >= minEst)
+    val bandKeys = (0 until bands).map { j =>
+      Portable.bandKey(
+        (0 until rowsPerBand).map(r => col("sig").getItem(j * rowsPerBand + r)))
+    }
+    val exploded = sig
+      .select(col(idCol), col("sig"), posexplode(array(bandKeys: _*)))
+      .toDF(idCol, "sig", "band", "key")
+    val a = exploded.toDF("id_a", "sig_a", "band", "key")
+    val b = exploded.toDF("id_b", "sig_b", "band", "key")
+    val agree = (0 until numPerms)
+      .map(i => when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1).otherwise(0))
+      .reduce((x, y) => x + y)
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / numPerms).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
   }
 
   /** LSH candidates verified with exact shingle-set Jaccard (the
