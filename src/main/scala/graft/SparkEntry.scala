@@ -236,6 +236,44 @@ object SparkEntry {
           graft.gold.Money.sumMoney(col("value")).as("value_sum"))
         .orderBy(col("window_id"))
     }),
+
+    // ---- ext: near-dup clustering (connected components over LSH pairs) ----
+    "q43_dup_clusters" -> ((s, dir) =>
+      graft.ext.Clusters.nearDupClusters(
+          Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.5)
+        .orderBy(col("doc_id"))),
+
+    // ---- ext: behavioral analytics over the event log ----
+    "q44_retention" -> ((s, dir) =>
+      graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+    "q45_funnel" -> ((s, dir) =>
+      graft.ext.Behavior.funnel(Tables.events(s, dir))
+        .orderBy(col("user_id"))),
+
+    // ---- ext: deterministic splitting / sampling ----
+    "q46_hash_split" -> ((s, dir) =>
+      graft.ext.Sampling.hashSplit(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))),
+    "q47_stratified_sample" -> ((s, dir) =>
+      graft.ext.Sampling.stratifiedSample(
+          Tables.documents(s, dir), "source", "doc_id", k = 5)
+        .select(col("source"), col("doc_id"), col("sample_rank"))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // ---- ext: embedding int8 quantization report ----
+    "q48_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8Report(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
+    // ---- ext: TF-IDF relevance + PII scrub ----
+    "q49_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"), col("term_rank"))),
+    "q50_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -609,5 +647,14 @@ object SparkEntry {
          FROM win JOIN ev ON ev.event_date BETWEEN win.window_start
                                                AND win.window_end
          GROUP BY 1, 2, 3 ORDER BY window_id""",
+
+    "q43_dup_clusters" -> ExtOracleSql.dupClusters(minJaccard = 0.5),
+    "q44_retention" -> ExtOracleSql.retentionWeekly,
+    "q45_funnel" -> ExtOracleSql.funnel,
+    "q46_hash_split" -> ExtOracleSql.hashSplit(trainPct = 80, valPct = 10, salt = "split"),
+    "q47_stratified_sample" -> ExtOracleSql.stratifiedSample(k = 5, salt = "sample"),
+    "q48_quantize_int8" -> ExtOracleSql.quantizeInt8,
+    "q49_tfidf" -> ExtOracleSql.tfidfTopTerms(topPerDoc = 3),
+    "q50_pii_scrub" -> ExtOracleSql.piiScrub,
   )
 }

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the event stream: cohort retention and
+  * ordered-step funnels. Extends the reference's user-grain marts (RFM
+  * `scripts/cdc_metrics_job_gold.py:108-126`, churn `:147-183`) with the
+  * two standard event-sequence marts they stop short of.
+  *
+  * Scale shape: both operators reduce the event log to per-user
+  * aggregates first (map-side-combinable hash aggregates keyed on
+  * user_id), then join user-grain frames — never event×event. The
+  * retention matrix is (cohorts × offsets), mart-sized; the funnel is one
+  * row per entered user.
+  */
+object Behavior {
+
+  /** Weekly cohort retention: users bucketed by first-activity week
+    * (Monday-start), counted once per (cohort, week-offset) they were
+    * active in.
+    *
+    * Two shuffles at event grain ((user, week) distinct + cohort min —
+    * AQE-coalesced), then user-grain join and mart-grain count. */
+  def retentionWeekly(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohorts, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Ordered three-step funnel (strictly increasing timestamps):
+    * first `step1` → first `step2` after it → first `step3` after that.
+    * One row per user who entered the funnel, with per-stage timestamps
+    * (NULL once the user drops out) and the stage count reached.
+    *
+    * Each stage is filter → per-user min-timestamp hash aggregate →
+    * user-grain left join: linear scans, no window sorts, no
+    * event-grain joins. */
+  def funnel(
+      events: DataFrame,
+      step1: String = "signup", step2: String = "view", step3: String = "purchase")
+      : DataFrame = {
+    val s1 = events.filter(col("event_type") === step1)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = events.filter(col("event_type") === step2)
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = events.filter(col("event_type") === step3)
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        col("t1").as(s"${step1}_ts"),
+        col("t2").as(s"${step2}_ts"),
+        col("t3").as(s"${step3}_ts"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .otherwise(1).as("stage_reached"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Deterministic sampling / splitting for training-data curation.
+  *
+  * Spark's `df.sample`/`randomSplit` are seed-dependent AND
+  * partitioning-dependent (per-partition RNG streams), so the same call
+  * on the same data reshuffled yields a different sample — useless as a
+  * reproducible train/val/test contract at 100 TB, where partitioning is
+  * never stable. Both operators here derive membership from a portable
+  * content hash ([[Portable.h60]]) of the row's id: the assignment is a
+  * pure function of the data, identical on any cluster layout, any
+  * engine (the DuckDB oracle recomputes it), and stable across reruns —
+  * the property a dataset-versioning pipeline actually needs.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, buckets) for an id column, salted so different
+    * splits/samples of the same table decorrelate. */
+  def hashBucket(idCol: Column, salt: String, buckets: Int = 100): Column =
+    Portable.h60(concat(lit(salt + ":"), idCol.cast("string"))) % buckets
+
+  /** SQL mirror of [[hashBucket]]. */
+  def hashBucketSql(idExpr: String, salt: String, buckets: Int = 100): String =
+    s"${Portable.h60Sql(s"'$salt:' || CAST($idExpr AS VARCHAR)")} % $buckets"
+
+  /** Deterministic train/val/test assignment: hash-bucket the id into
+    * percent space; [0,trainPct) → train, [trainPct,trainPct+valPct) →
+    * val, rest → test. A pure projection — no shuffle, no state; at any
+    * scale the split is a scan-time filter and prunes nothing less than
+    * a stored split column would. */
+  def hashSplit(
+      df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10, salt: String = "split"): DataFrame =
+    df.withColumn("bucket", hashBucket(col(idCol), salt))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+
+  /** Exact-size stratified sample: the `k` rows of each stratum with the
+    * smallest salted id-hash (ties broken by id) — a deterministic
+    * "random" k-per-group sample, reproducible on any layout.
+    *
+    * The rank is a per-stratum window sort; at 100 TB with mart-sized
+    * strata this is one shuffle on the stratum key. For huge strata swap
+    * the window for the bounded-heap top-k aggregate
+    * ([[graft.functions.TopKAggregate]]) — same result, no full sort. */
+  def stratifiedSample(
+      df: DataFrame, stratumCol: String, idCol: String,
+      k: Int, salt: String = "sample"): DataFrame = {
+    val h = Portable.h60(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+}

@@ -245,4 +245,33 @@ object Similarity {
         .agg(top_k(col("cosine"), col("neighbor_id"), k).as("topk")))
       .select(col("vec_id"), col("cell"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** Symmetric int8 quantization quality report, per vector: the
+    * absmax/127 scale plus mean/max absolute reconstruction error —
+    * the storage-tier decision data for embedding compression (4× over
+    * float32 before ANN indexing).
+    *
+    * A pure projection (zero shuffles). Exactness across engines: the
+    * scale is one IEEE division of an exactly-representable float; each
+    * element's |dequantized − original| is a fixed op sequence; the MEAN
+    * sums per-element errors as integral 1e-9 units (order-independent
+    * integers — float addition order would differ between engines),
+    * and MAX is order-free by nature. */
+  def quantizeInt8Report(
+      vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val emb = col(vecCol).cast("array<double>")
+    val scale = greatest(array_max(transform(emb, x => abs(x))), lit(1e-12)) / 127.0
+    // per-element |round(x/scale)*scale − x|, in integral nanos
+    val errNanos = transform(emb,
+      x => round(abs(round(x / col("q_scale")) * col("q_scale") - x) * 1e9).cast("long"))
+    vecs
+      .withColumn("q_scale", scale)
+      .withColumn("err_nanos", errNanos)
+      .select(
+        col(idCol),
+        col("q_scale"),
+        ((aggregate(col("err_nanos"), lit(0L), (acc, e) => acc + e)
+          / size(col("err_nanos"))) / 1e9).as("mean_abs_err"),
+        (array_max(col("err_nanos")) / 1e9).as("max_abs_err"))
+  }
 }

@@ -117,4 +117,58 @@ object TextAnalysis {
         count(lit(1)).as("tf"))
       .orderBy(col("df").desc, col("term"))
       .limit(topK)
+
+  /** Per-document top terms by TF-IDF (tf × ln(N/df)), the relevance
+    * weighting layer over [[termStats]]. Ties (identical scores — same
+    * (tf, df) pair) break on the term, so the per-doc ranking is total.
+    *
+    * Shape: one token explode → (doc, term, tf) hash aggregate → term-df
+    * aggregate joined back on term → per-doc top-k window. The corpus
+    * size N rides in as a broadcast scalar, not a driver constant, so
+    * the plan stays a single job. At 100 TB the df side is
+    * vocabulary-sized (broadcastable) and the window becomes the
+    * bounded-heap top-k aggregate. */
+  def tfidfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, topPerDoc: Int = 3): DataFrame = {
+    val tok = docs.select(col(idCol), explode(Portable.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= topPerDoc)
+      .select(col(idCol), col("term_rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
+  /** PII patterns shared with the DuckDB mirror — deliberately simple
+    * (both Java regex and RE2 execute them identically: no backrefs, no
+    * lookaround). */
+  val EmailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlPat = "https?://[^ ]+"
+  val LongNumPat = "[0-9]{6,}"
+
+  /** PII scrub: per-doc counts of email / URL / long-number matches plus
+    * the md5 of the redacted text (emails → <EMAIL>, URLs → <URL>,
+    * 6+-digit runs → <NUM>, applied in that order). A pure projection —
+    * the scrub adds zero shuffles to whatever pipeline it sits in. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPat, "<EMAIL>"),
+          UrlPat, "<URL>"),
+        LongNumPat, "<NUM>")
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(UrlPat), lit(0))).as("n_urls"),
+      size(regexp_extract_all(col(textCol), lit(LongNumPat), lit(0))).as("n_longnums"),
+      md5(redacted).as("redacted_md5"))
+  }
 }

@@ -265,4 +265,156 @@ object ExtOracleSql {
        |       list_min(list_transform(t.sh, s -> ${h60("s")})) AS shingle_fp
        |FROM sharr t JOIN documents d ON t.doc_id = d.doc_id
        |ORDER BY t.doc_id""".stripMargin
+
+  /** Near-dup clusters (mirrors [[graft.ext.Clusters.nearDupClusters]]):
+    * LSH-verified pairs at `minJaccard`, closed transitively with a
+    * recursive CTE (cluster id = min reachable id; UNION-distinct
+    * fixpoint ≡ the Spark side's min-label-propagation fixpoint). */
+  def dupClusters(minJaccard: Double): String =
+    s"""WITH RECURSIVE $toksCte,
+       |$sigCte,
+       |$bandsCte,
+       |sharr AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM toks),
+       |verified AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs
+       |  JOIN sharr a ON pairs.id_a = a.doc_id
+       |  JOIN sharr b ON pairs.id_b = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |        >= $minJaccard),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM verified
+       |  UNION
+       |  SELECT id_b, id_a FROM verified),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id),
+       |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+       |SELECT cc.id AS doc_id, cc.cluster_id, sizes.cluster_size,
+       |       cc.id = cc.cluster_id AS is_canonical
+       |FROM cc JOIN sizes USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Weekly cohort retention (mirrors
+    * [[graft.ext.Behavior.retentionWeekly]]). */
+  def retentionWeekly: String =
+    s"""WITH wk AS (
+       |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+       |  FROM events),
+       |coh AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1)
+       |SELECT cohort_week,
+       |       CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+       |       count(DISTINCT user_id) AS n_users
+       |FROM wk JOIN coh USING (user_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Ordered signup→view→purchase funnel (mirrors
+    * [[graft.ext.Behavior.funnel]]). */
+  def funnel: String =
+    s"""WITH s1 AS (
+       |  SELECT user_id, min(ts) AS t1 FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |s2 AS (
+       |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       |  WHERE e.event_type = 'view' AND e.ts > t1 GROUP BY 1),
+       |s3 AS (
+       |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.ts > t2 GROUP BY 1)
+       |SELECT s1.user_id, t1 AS signup_ts, t2 AS view_ts, t3 AS purchase_ts,
+       |       CASE WHEN t3 IS NOT NULL THEN 3
+       |            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage_reached
+       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+       |ORDER BY user_id""".stripMargin
+
+  /** Deterministic train/val/test hash split (mirrors
+    * [[graft.ext.Sampling.hashSplit]]). */
+  def hashSplit(trainPct: Int, valPct: Int, salt: String): String = {
+    val bucket = graft.ext.Sampling.hashBucketSql("doc_id", salt)
+    s"""WITH b AS (SELECT doc_id, lang, $bucket AS bucket FROM documents)
+       |SELECT doc_id, lang, bucket,
+       |       CASE WHEN bucket < $trainPct THEN 'train'
+       |            WHEN bucket < ${trainPct + valPct} THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact-size per-stratum deterministic sample (mirrors
+    * [[graft.ext.Sampling.stratifiedSample]]). */
+  def stratifiedSample(k: Int, salt: String): String = {
+    val h = Portable.h60Sql(s"'$salt:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH r AS (
+       |  SELECT source, doc_id,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY $h, doc_id) AS sample_rank
+       |  FROM documents)
+       |SELECT source, doc_id, sample_rank FROM r
+       |WHERE sample_rank <= $k ORDER BY source, doc_id""".stripMargin
+  }
+
+  /** Int8 quantization quality report (mirrors
+    * [[graft.ext.Similarity.quantizeInt8Report]]): same op-for-op double
+    * formulas; the mean sums integral 1e-9-unit errors so float
+    * summation order cannot differ between engines. */
+  def quantizeInt8: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, emb,
+       |         greatest(list_max(list_transform(emb, x -> abs(x))), 1e-12)
+       |           / 127.0 AS q_scale
+       |  FROM v),
+       |e AS (
+       |  SELECT vec_id, q_scale,
+       |         list_transform(emb, x ->
+       |           CAST(round(abs(round(x / q_scale) * q_scale - x) * 1e9)
+       |                AS BIGINT)) AS err_nanos
+       |  FROM s)
+       |SELECT vec_id, q_scale,
+       |       (CAST(list_sum(err_nanos) AS DOUBLE) / len(err_nanos)) / 1e9
+       |         AS mean_abs_err,
+       |       list_max(err_nanos) / 1e9 AS max_abs_err
+       |FROM e ORDER BY vec_id""".stripMargin
+
+  /** Per-doc top TF-IDF terms (mirrors
+    * [[graft.ext.TextAnalysis.tfidfTopTerms]]); ranking compares the
+    * ROUNDED score (ties → term) on both engines. */
+  def tfidfTopTerms(topPerDoc: Int): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${Portable.tokensSql("text")}) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT doc_id, term, tf, df,
+       |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+       |  FROM tf JOIN dfv USING (term) CROSS JOIN n),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY tfidf DESC, term) AS term_rank
+       |  FROM sc)
+       |SELECT doc_id, term_rank, term, tf, df, tfidf FROM rk
+       |WHERE term_rank <= $topPerDoc ORDER BY doc_id, term_rank""".stripMargin
+
+  /** PII scrub counts + redacted-text md5 (mirrors
+    * [[graft.ext.TextAnalysis.piiScrub]]). DuckDB regexp_replace needs
+    * the 'g' flag to match Spark's replace-all. */
+  def piiScrub: String = {
+    val email = graft.ext.TextAnalysis.EmailPat
+    val url = graft.ext.TextAnalysis.UrlPat
+    val num = graft.ext.TextAnalysis.LongNumPat
+    s"""SELECT doc_id,
+       |       len(regexp_extract_all(text, '$email')) AS n_emails,
+       |       len(regexp_extract_all(text, '$url')) AS n_urls,
+       |       len(regexp_extract_all(text, '$num')) AS n_longnums,
+       |       md5(regexp_replace(regexp_replace(regexp_replace(
+       |             text, '$email', '<EMAIL>', 'g'),
+       |             '$url', '<URL>', 'g'),
+       |             '$num', '<NUM>', 'g')) AS redacted_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 }

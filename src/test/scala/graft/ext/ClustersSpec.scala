@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chain, triangle, pair, cross-cluster isolation") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: long chain needs multiple propagation rounds") {
+    // path 0-1-2-...-19: min label must walk the full diameter
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs)
+    assert(got.count() === 20)
+    assert(got.select(countDistinct(col("cluster_id"))).head.getLong(0) === 1)
+    assert(got.agg(min("cluster_id"), max("cluster_id")).head ===
+      org.apache.spark.sql.Row(0L, 0L))
+  }
+
+  test("nearDupClusters emits only multi-member clusters with min-id canonical") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cl = Clusters.nearDupClusters(docs, "doc_id", "text", minJaccard = 0.5)
+      .cache()
+    val bad = cl.filter(col("cluster_size") < 2).count()
+    assert(bad === 0) // singletons are not emitted
+    // exactly one canonical per cluster, and it is the min id
+    val canon = cl.groupBy("cluster_id")
+      .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("n_canon"),
+        min("doc_id").as("min_id"))
+    assert(canon.filter(col("n_canon") =!= 1).count() === 0)
+    assert(canon.filter(col("min_id") =!= col("cluster_id")).count() === 0)
+    cl.unpersist()
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for the round-2 TextAnalysis additions (TF-IDF, PII scrub) and
+  * the int8 quantization report. */
+class TextAnalysis2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidfTopTerms: corpus-wide terms score zero, rare terms rank first") {
+    val docs = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma gamma gamma")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", topPerDoc = 2)
+      .select("doc_id", "term_rank", "term", "tfidf")
+      .as[(Long, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4))).toMap
+    // 'common' appears in every doc -> ln(3/3)=0; distinctive term wins
+    assert(got(1L).head._1 === "alpha")
+    assert(got(1L).head._2 === math.rint(2 * math.log(3.0) * 1e6) / 1e6)
+    assert(got(2L).head._1 === "beta")
+    assert(got(3L).head._1 === "gamma")
+    assert(got(1L)(1) === ("common", 0.0))
+  }
+
+  test("piiScrub: counts and redaction for emails, urls, long numbers") {
+    val docs = Seq(
+      (1L, "contact a.smith+x@corp.example.com or see https://ex.org/p?id=9 ref 1234567"),
+      (2L, "clean text only")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0)._2 === 1 && got(0)._3 === 1 && got(0)._4 === 1)
+    assert(got(1)._2 === 0 && got(1)._3 === 0 && got(1)._4 === 0)
+    // doc 2 has nothing to redact: md5 must equal the original text's
+    assert(got(1)._5 ===
+      docs.filter(col("doc_id") === 2).select(md5(col("text"))).head.getString(0))
+    // doc 1 redacted text no longer contains the email
+    val redacted = Seq((1L,
+      "contact <EMAIL> or see <URL> ref <NUM>")).toDF("doc_id", "text")
+    assert(got(0)._5 ===
+      redacted.select(md5(col("text"))).head.getString(0))
+  }
+
+  test("quantizeInt8Report: reconstruction error bounded by scale/2") {
+    val vecs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rep = Similarity.quantizeInt8Report(vecs, "vec_id", "embedding")
+    val bad = rep.filter(col("max_abs_err") > col("q_scale") * 0.5 + 1e-9).count()
+    assert(bad === 0)
+    assert(rep.filter(col("mean_abs_err") > col("max_abs_err") + 1e-12).count() === 0)
+    assert(rep.count() === vecs.count())
+  }
+}
