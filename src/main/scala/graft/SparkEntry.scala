@@ -274,6 +274,17 @@ object SparkEntry {
     "q50_pii_scrub" -> ((s, dir) =>
       TextAnalysis.piiScrub(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // ---- 100 TB approx tier (sketches are engine-specific: no SQL
+    // oracle, driver records the weaker rows-only check) ----
+    "q51_location_hll" -> ((s, dir) => {
+      val fact = Conformed.orderRevenueCached(s, dir)
+      graft.gold.Location.approx(fact, fact).orderBy(col("restaurant_id"))
+    }),
+    "q52_segments_approx" -> ((s, dir) =>
+      Ltv.segments(Ltv.latest(Ltv.daily(Conformed.orderRevenueCached(s, dir))),
+          approxAt = Some(10000))
+        .orderBy(col("user_id"))),
   )
 
   def oracleSql: Map[String, String] = ListMap(

@@ -80,6 +80,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hash split, PII scrub, and int8 quantization are shuffle-free projections") {
+    val docs = core.Tables.documents(spark, sf)
+    for ((name, df) <- Seq(
+        "hashSplit" -> ext.Sampling.hashSplit(docs, "doc_id"),
+        "piiScrub" -> ext.TextAnalysis.piiScrub(docs, "doc_id", "text"),
+        "quantizeInt8" -> ext.Similarity.quantizeInt8Report(
+          core.Tables.embeddings(spark, sf), "vec_id", "embedding"))) {
+      val plan = planText(df)
+      val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+      assert(exchanges == 0, s"$name must be a pure projection:\n$plan")
+    }
+  }
+
+  test("funnel plans only per-user hash aggregates — no windows, no theta joins") {
+    val plan = planText(ext.Behavior.funnel(core.Tables.events(spark, sf)))
+    assert(!plan.contains("Window"), s"funnel must not sort-window:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"funnel must not theta-join:\n$plan")
+    assert(plan.contains("HashAggregate"))
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
