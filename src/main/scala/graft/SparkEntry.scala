@@ -275,6 +275,12 @@ object SparkEntry {
       TextAnalysis.piiScrub(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- ext: the composed curation pipeline (quality gate → language
+    // gate → near-dup removal → deterministic split), end-to-end gated ----
+    "q53_curated_corpus" -> ((s, dir) =>
+      graft.ext.Curation.curate(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ---- 100 TB approx tier (sketches are engine-specific: no SQL
     // oracle, driver records the weaker rows-only check) ----
     "q51_location_hll" -> ((s, dir) => {
@@ -667,5 +673,7 @@ object SparkEntry {
     "q48_quantize_int8" -> ExtOracleSql.quantizeInt8,
     "q49_tfidf" -> ExtOracleSql.tfidfTopTerms(topPerDoc = 3),
     "q50_pii_scrub" -> ExtOracleSql.piiScrub,
+    "q53_curated_corpus" -> ExtOracleSql.curatedCorpus(
+      minQuality = 0.3, lang = "en", minJaccard = 0.5),
   )
 }

@@ -400,6 +400,80 @@ object ExtOracleSql {
        |SELECT doc_id, term_rank, term, tf, df, tfidf FROM rk
        |WHERE term_rank <= $topPerDoc ORDER BY doc_id, term_rank""".stripMargin
 
+  /** Composed curation pipeline (mirrors [[graft.ext.Curation.curate]]):
+    * quality gate + language gate + near-dup-loser anti-join + hash
+    * split, each stage the same SQL as its standalone oracle. */
+  def curatedCorpus(minQuality: Double, lang: String, minJaccard: Double): String = {
+    val stopList = graft.ext.TextAnalysis.qualityStopwords.map(w => s"'$w'").mkString(", ")
+    val t = Portable.tokensSql("text")
+    val bucket = graft.ext.Sampling.hashBucketSql("doc_id", "split")
+    s"""WITH RECURSIVE $toksCte,
+       |$sigCte,
+       |$bandsCte,
+       |sharr AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM toks),
+       |verified AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs
+       |  JOIN sharr a ON pairs.id_a = a.doc_id
+       |  JOIN sharr b ON pairs.id_b = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |        >= $minJaccard),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM verified
+       |  UNION
+       |  SELECT id_b, id_a FROM verified),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id),
+       |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |losers AS (SELECT id AS doc_id FROM cc WHERE id != cluster_id),
+       |lex(lex_lang, t) AS (VALUES ${graft.ext.TextAnalysis.lexiconSqlValues}),
+       |ltok AS (
+       |  SELECT doc_id, unnest($t) AS t FROM documents),
+       |hits AS (
+       |  SELECT doc_id, lex_lang, count(*) AS hits
+       |  FROM ltok JOIN lex USING (t) GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, lex_lang AS detected_lang
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY hits DESC, lex_lang) AS rn FROM hits)
+       |  WHERE rn = 1),
+       |langv AS (
+       |  SELECT d.doc_id, COALESCE(b.detected_lang, 'und') AS detected_lang
+       |  FROM documents d LEFT JOIN best b USING (doc_id)),
+       |q0 AS (
+       |  SELECT doc_id,
+       |         length(text) AS n_chars,
+       |         len($t) AS n_tokens,
+       |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+       |         len(list_filter($t, x -> x IN ($stopList))) AS n_stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |         round(0.5 * least(1.0, n_tokens / 64.0)
+       |               + 0.25 * (CAST(n_alpha AS DOUBLE) / n_chars)
+       |               + 0.25 * least(1.0, (CAST(n_stop AS DOUBLE) / n_tokens) * 4.0),
+       |               6) AS quality_score
+       |  FROM q0),
+       |cur AS (
+       |  SELECT d.doc_id, l.detected_lang, q.quality_score
+       |  FROM documents d
+       |  JOIN q USING (doc_id)
+       |  JOIN langv l USING (doc_id)
+       |  WHERE q.quality_score >= $minQuality AND l.detected_lang = '$lang'
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM losers)),
+       |bk AS (
+       |  SELECT doc_id, detected_lang, quality_score, $bucket AS bucket FROM cur)
+       |SELECT doc_id, detected_lang, quality_score, bucket,
+       |       CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM bk ORDER BY doc_id""".stripMargin
+  }
+
   /** PII scrub counts + redacted-text md5 (mirrors
     * [[graft.ext.TextAnalysis.piiScrub]]). DuckDB regexp_replace needs
     * the 'g' flag to match Spark's replace-all. */

@@ -32,6 +32,30 @@ class ClustersSpec extends SparkSpec {
       org.apache.spark.sql.Row(0L, 0L))
   }
 
+  test("connectedComponents equals driver union-find on random graphs") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + rng.nextInt(40)
+      val edges = Seq.fill(n) {
+        (rng.nextInt(50).toLong, rng.nextInt(50).toLong)
+      }.filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"trial $trial, ${edges.size} edges")
+    }
+  }
+
   test("nearDupClusters emits only multi-member clusters with min-id canonical") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val cl = Clusters.nearDupClusters(docs, "doc_id", "text", minJaccard = 0.5)
