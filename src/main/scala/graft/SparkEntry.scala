@@ -281,6 +281,21 @@ object SparkEntry {
       graft.ext.Curation.curate(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- ext: dataset profiling (ANALYZE-style per-column stats) ----
+    "q54_profile" -> ((s, dir) =>
+      graft.ext.Profiling.summarize(Tables.lineitem(s, dir), ProfileCols.map(_._1))
+        .orderBy(col("column_name"))),
+
+    // ---- ext: event-sequence mining (first-order transition matrix) ----
+    "q55_transitions" -> ((s, dir) =>
+      graft.ext.Behavior.transitions(Tables.events(s, dir))
+        .orderBy(col("from_type"), col("to_type"))),
+
+    // ---- ext: anomaly detection (z-score outliers over a metric mart) ----
+    "q56_revenue_outliers" -> ((s, dir) =>
+      graft.ext.Anomaly.revenueOutliers(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
+
     // ---- 100 TB approx tier (sketches are engine-specific: no SQL
     // oracle, driver records the weaker rows-only check) ----
     "q51_location_hll" -> ((s, dir) => {
@@ -675,5 +690,15 @@ object SparkEntry {
     "q50_pii_scrub" -> ExtOracleSql.piiScrub,
     "q53_curated_corpus" -> ExtOracleSql.curatedCorpus(
       minQuality = 0.3, lang = "en", minJaccard = 0.5),
+    "q54_profile" -> ExtOracleSql.profileLineitem(ProfileCols),
+    "q55_transitions" -> ExtOracleSql.transitions,
+    "q56_revenue_outliers" -> ExtOracleSql.revenueOutliers(minZ = 2.0, minDays = 5),
   )
+
+  /** Profiled lineitem columns (name, kind) — one list drives BOTH the
+    * Spark profile and its SQL mirror so they cannot drift. */
+  val ProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "num", "l_linenumber" -> "num", "l_quantity" -> "num",
+    "l_extendedprice" -> "num", "l_discount" -> "num",
+    "l_returnflag" -> "str", "l_linestatus" -> "str")
 }

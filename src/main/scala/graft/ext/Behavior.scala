@@ -66,4 +66,30 @@ object Behavior {
           .when(col("t2").isNotNull, 2)
           .otherwise(1).as("stage_reached"))
   }
+
+  /** First-order event-type transition matrix: per (from, to) pair of
+    * consecutive events of one user, the transition count and its
+    * probability among all transitions leaving `from` — sequence mining
+    * over the event log (the Markov layer under next-event prediction
+    * and funnel discovery). Consecutive = by (ts, event_id) — the id
+    * tie-break makes simultaneous events a total order, so the chain is
+    * deterministic.
+    *
+    * One window sort per user (the unavoidable sequence shuffle), then
+    * mart-sized aggregates; probability = count over a window sum, no
+    * second pass. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = steps.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wFrom = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    counts.withColumn("p_transition",
+      round(col("n_transitions") / sum(col("n_transitions")).over(wFrom), 6))
+  }
 }

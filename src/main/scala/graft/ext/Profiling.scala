@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Dataset profiling: one row of statistics per column — the
+  * ANALYZE/data-quality layer a lakehouse runs after every load (the
+  * reference eyeballs `print` checkpoints instead,
+  * `scripts/cdc_metrics_job_silver.py:62,75,119`).
+  *
+  * One pass over the data: all per-column aggregates evaluate in a
+  * single hash-aggregate projection (no per-column jobs, no driver
+  * loop); the row→column pivot happens on the 1-row result. Exact
+  * distincts expand the plan per column — at 100 TB flip `approxDistinct`
+  * and the same shape sends fixed-size HLL buffers instead.
+  *
+  * Numeric min/max/sum are computed on integral 1e-4 units (exact,
+  * order-independent — the cross-engine money rule); string min/max are
+  * lexicographic.
+  */
+object Profiling {
+
+  def summarize(
+      df: DataFrame, cols: Seq[String], approxDistinct: Boolean = false): DataFrame = {
+    val total = count(lit(1))
+    def distinctOf(c: Column) =
+      if (approxDistinct) approx_count_distinct(c) else countDistinct(c)
+    val aggs = cols.flatMap { name =>
+      val c = col(name)
+      val isNum = df.schema(name).dataType.isInstanceOf[NumericType]
+      val isStr = df.schema(name).dataType.isInstanceOf[StringType]
+      Seq(
+        count(c).as(s"${name}__nonnull"),
+        distinctOf(c).as(s"${name}__distinct"),
+        (if (isNum) min(graft.gold.Money.cents(c.cast("double"))) / 10000.0
+         else lit(null).cast("double")).as(s"${name}__min_num"),
+        (if (isNum) max(graft.gold.Money.cents(c.cast("double"))) / 10000.0
+         else lit(null).cast("double")).as(s"${name}__max_num"),
+        // sum as LONG 1e-4 units: double summation would go inexact (and
+        // thus order-dependent) past 2^53 — id-like columns get there
+        (if (isNum) sum(graft.gold.Money.cents(c.cast("double")).cast("long")) / 10000.0
+         else lit(null).cast("double")).as(s"${name}__sum_num"),
+        (if (isStr) min(c) else lit(null).cast("string")).as(s"${name}__min_str"),
+        (if (isStr) max(c) else lit(null).cast("string")).as(s"${name}__max_str"))
+    } :+ total.as("__total")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // pivot the single stats row to one output row per column
+    val perCol = cols.map { name =>
+      struct(
+        lit(name).as("column_name"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"${name}__nonnull")).as("n_nulls"),
+        col(s"${name}__distinct").as("n_distinct"),
+        col(s"${name}__min_num").as("min_num"),
+        col(s"${name}__max_num").as("max_num"),
+        col(s"${name}__sum_num").as("sum_num"),
+        col(s"${name}__min_str").as("min_str"),
+        col(s"${name}__max_str").as("max_str"))
+    }
+    one.select(explode(array(perCol: _*)).as("s")).select(col("s.*"))
+  }
+}

@@ -474,6 +474,84 @@ object ExtOracleSql {
        |FROM bk ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-column profile of lineitem (mirrors
+    * [[graft.ext.Profiling.summarize]]): one UNION ALL branch per
+    * column, numeric stats through exact integral 1e-4 units (sums as
+    * BIGINT — double summation of id-scale columns would pass 2^53 and
+    * go order-dependent). */
+  def profileLineitem(cols: Seq[(String, String)]): String = {
+    val branches = cols.map { case (name, kind) =>
+      val (minN, maxN, sumN) =
+        if (kind == "num")
+          (s"min(round(CAST($name AS DOUBLE) * 10000)) / 10000.0",
+           s"max(round(CAST($name AS DOUBLE) * 10000)) / 10000.0",
+           s"sum(CAST(round(CAST($name AS DOUBLE) * 10000) AS BIGINT)) / 10000.0")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      val (minS, maxS) =
+        if (kind == "str") (s"min($name)", s"max($name)")
+        else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      s"""SELECT '$name' AS column_name, count(*) AS n_rows,
+         |       count(*) - count($name) AS n_nulls,
+         |       count(DISTINCT $name) AS n_distinct,
+         |       $minN AS min_num, $maxN AS max_num, $sumN AS sum_num,
+         |       $minS AS min_str, $maxS AS max_str
+         |FROM lineitem""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  /** First-order event-type transition matrix (mirrors
+    * [[graft.ext.Behavior.transitions]]). */
+  def transitions: String =
+    s"""WITH s AS (
+       |  SELECT user_id, event_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS next_type
+       |  FROM events),
+       |c AS (
+       |  SELECT event_type AS from_type, next_type AS to_type,
+       |         count(*) AS n_transitions
+       |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, to_type, n_transitions,
+       |       round(n_transitions
+       |             / sum(n_transitions) OVER (PARTITION BY from_type), 6)
+       |         AS p_transition
+       |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  /** Daily-revenue z-score outliers (mirrors
+    * [[graft.ext.Anomaly.revenueOutliers]]): daily totals as exact LONG
+    * 1e-4 units, variance moments over whole-dollar integers derived from
+    * them (Σd² over 1e-4 units would overflow BIGINT at TPC-H magnitude),
+    * then one fixed double formula — mirrored op-for-op so even sqrt
+    * agrees bit-for-bit. */
+  def revenueOutliers(minZ: Double, minDays: Int): String =
+    OracleSql.withBase(
+      s"""an_daily AS (
+         |  SELECT restaurant_id, creation_date,
+         |         sum(CAST(round(total_revenue * 10000) AS BIGINT)) AS cents,
+         |         CAST(round(sum(CAST(round(total_revenue * 10000) AS BIGINT))
+         |                    / 10000.0) AS BIGINT) AS dd
+         |  FROM order_revenue GROUP BY 1, 2),
+         |an_m AS (
+         |  SELECT restaurant_id, count(*) AS n_days,
+         |         sum(dd) AS sx, sum(dd * dd) AS sxx
+         |  FROM an_daily GROUP BY 1 HAVING count(*) >= $minDays),
+         |an_z AS (
+         |  SELECT d.restaurant_id, d.creation_date, d.cents, d.dd,
+         |         CAST(m.sx AS DOUBLE) / m.n_days AS mean_d,
+         |         (CAST(m.sxx AS DOUBLE)
+         |            - CAST(m.sx AS DOUBLE) * m.sx / m.n_days) / m.n_days
+         |           AS var_d
+         |  FROM an_daily d JOIN an_m m USING (restaurant_id))""".stripMargin,
+      s"""SELECT restaurant_id, creation_date,
+         |       cents / 10000.0 AS daily_revenue,
+         |       mean_d AS mean_revenue,
+         |       round((dd - mean_d) / sqrt(var_d), 6) AS z_score
+         |FROM an_z
+         |WHERE var_d > 0
+         |  AND abs((dd - mean_d) / sqrt(var_d)) >= $minZ
+         |ORDER BY restaurant_id, creation_date""".stripMargin)
+
   /** PII scrub counts + redacted-text md5 (mirrors
     * [[graft.ext.TextAnalysis.piiScrub]]). DuckDB regexp_replace needs
     * the 'g' flag to match Spark's replace-all. */

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("summarize: per-column stats match hand-computed values") {
+    val df = Seq(
+      (1L, Some(2.5), Some("a")),
+      (2L, None, Some("c")),
+      (3L, Some(-1.0), None),
+      (3L, Some(2.5), Some("b"))
+    ).toDF("id", "x", "s")
+    val got = Profiling.summarize(df, Seq("id", "x", "s"))
+      .orderBy("column_name").collect()
+    val byName = got.map(r => r.getString(0) -> r).toMap
+    val id = byName("id")
+    assert(id.getLong(1) === 4 && id.getLong(2) === 0 && id.getLong(3) === 3)
+    assert(id.getDouble(4) === 1.0 && id.getDouble(5) === 3.0 && id.getDouble(6) === 9.0)
+    val x = byName("x")
+    assert(x.getLong(2) === 1 && x.getLong(3) === 2)
+    assert(x.getDouble(4) === -1.0 && x.getDouble(5) === 2.5 && x.getDouble(6) === 4.0)
+    val s = byName("s")
+    assert(s.getLong(2) === 1 && s.getLong(3) === 3)
+    assert(s.getString(7) === "a" && s.getString(8) === "c")
+    assert(s.isNullAt(4) && s.isNullAt(5) && s.isNullAt(6))
+  }
+
+  test("summarize runs as ONE job with a single aggregate (no per-column passes)") {
+    val df = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val plan = Profiling.summarize(df, Seq("l_orderkey", "l_quantity", "l_returnflag"))
+      .queryExecution.executedPlan.toString
+    // countDistinct columns expand the aggregate, but there must be no
+    // union of per-column subplans — a single scan feeds everything
+    assert(!plan.contains("Union"), s"expected single-pass profile:\n$plan")
+  }
+
+  test("revenueOutliers: z-scores flag exactly the planted spike") {
+    import java.sql.Date
+    val rows = (1 to 30).map { d =>
+      val rev = if (d == 15) 500.0 else 10.0 + (d % 3)
+      (1L, Date.valueOf(f"2024-01-$d%02d"), rev)
+    }
+    val fact = rows.toDF("restaurant_id", "creation_date", "total_revenue")
+    val got = Anomaly.revenueOutliers(fact, minZ = 2.0, minDays = 5)
+    val flagged = got.select("creation_date").as[Date].collect().map(_.toString)
+    assert(flagged.toSeq === Seq("2024-01-15"))
+    assert(got.head.getAs[Double]("z_score") > 2.0)
+  }
+
+  test("transitions: probabilities sum to 1 per from_type and counts are exact") {
+    import java.sql.Timestamp
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "click", 0.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:02:00"), 3L, "view", 0.0),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 4L, "view", 0.0),
+      (2L, Timestamp.valueOf("2024-01-01 11:01:00"), 5L, "click", 0.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Behavior.transitions(events)
+      .select("from_type", "to_type", "n_transitions")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("view", "click", 2L), ("click", "view", 1L)))
+    val sums = Behavior.transitions(events)
+      .groupBy("from_type").agg(sum("p_transition").as("p"))
+      .select("p").as[Double].collect()
+    assert(sums.forall(p => math.abs(p - 1.0) < 1e-9))
+  }
+}
