@@ -237,6 +237,32 @@ object Dedup {
     exactJaccardBy(docs, pairs, idCol, grams)
   }
 
+  /** Benchmark decontamination: per training doc, the number of distinct
+    * word `n`-grams it shares with a held-out benchmark set — the
+    * n-gram-overlap scrub every LLM training pipeline runs so eval
+    * benchmarks don't leak into the corpus. Docs with any overlap are
+    * the contamination report (the pipeline drops them or strips the
+    * overlapping spans).
+    *
+    * Scale: the benchmark side is eval-suite-sized (thousands of docs),
+    * so its distinct-shingle set broadcasts and the whole scrub is a
+    * map-side hash probe over the corpus — zero shuffles on the 100 TB
+    * side except the final per-doc count, which the map-side partial
+    * collapses to contaminated docs only. */
+  def decontaminate(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmarkPred: Column, n: Int = 5): DataFrame = {
+    val sh = explode(WordShingles.shingles(lower(col(textCol)), n)).as("sh")
+    val bench = docs.filter(benchmarkPred).select(sh).distinct()
+    docs.filter(!benchmarkPred)
+      .select(col(idCol), sh)
+      .join(broadcast(bench), Seq("sh"))
+      // shingles are distinct within a doc, so the plain count is the
+      // distinct-shared-shingle count — no countDistinct expand needed
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold within a blocking
     * column (e.g. a cluster/label id) — the blocked self-join is the
     * scale path; an unblocked variant would be a cross product. */

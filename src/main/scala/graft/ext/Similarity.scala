@@ -215,6 +215,59 @@ object Similarity {
       .select(col("label"), col("pos"),
         ((col("s") / col("n")) / 1000000.0).as("centroid_component"))
 
+  /** K-means (Lloyd) over the embedding column: `iters` full
+    * assign→update rounds from deterministic seeds (the vectors whose id
+    * ≡ 0 mod `seedEvery` — data-derived, no RNG), returning each
+    * vector's final cluster and its cosine to that cluster's final
+    * centroid. The corpus-clustering layer under diversity sampling and
+    * cluster-balanced mixture weighting.
+    *
+    * Per iteration: assignment is a broadcast cross join against the
+    * (tiny) centroid set + a per-vector argmax — one shuffle on the
+    * vector id for the bounded top-1 aggregate; the update is the
+    * [[labelCentroids]] shape — posexplode to (cluster, pos) grain with
+    * map-side partial aggregation, so the shuffle is k·dim rows
+    * regardless of corpus size. Driver holds only k·dim doubles.
+    *
+    * Cross-engine exactness: centroid components accumulate as integral
+    * 1e-6 units (order-independent), means round to 6 decimals before
+    * the next iteration, and cosines round to 6 before every argmax with
+    * cluster-id tie-breaks — both engines walk identical Lloyd paths. */
+  def kmeans(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 2, seedEvery: Int = 100): DataFrame = {
+    require(iters >= 1, "kmeans needs at least one iteration")
+    val v = vecs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("emb"))
+    val seeds = v.filter(col("id") % seedEvery === 0)
+      .select(col("id").as("cluster"), col("emb").as("cemb"))
+    val finalAssign = (1 to iters).foldLeft(seeds) { (cents, it) =>
+      val assigned = assignNearest(v, cents)
+      if (it == iters) assigned
+      else // update step: exact integer-unit means, re-quantized to 6dp
+        labelCentroids(assigned.select(col("cluster"), col("emb")), "cluster", "emb")
+          .groupBy(col("label").as("cluster"))
+          .agg(array_sort(collect_list(struct(col("pos"),
+            round(col("centroid_component"), 6).as("c")))).as("ps"))
+          .select(col("cluster"),
+            transform(col("ps"), p => p.getField("c")).as("cemb"))
+    }
+    finalAssign.select(col("id").as("vec_id"), col("cluster"),
+      col("cos").as("cosine"))
+  }
+
+  /** Nearest-centroid assignment (the Lloyd E-step): rounded-cosine
+    * argmax with cluster-id tie-break, via the bounded top-1 aggregate. */
+  private def assignNearest(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .withColumn("c", round(cosine(col("emb"), col("cemb")), 6))
+      .groupBy(col("id"))
+      .agg(top_k(col("c"), col("cluster"), 1).as("topc"),
+        first(col("emb")).as("emb"))
+      .select(col("id"), col("emb"),
+        element_at(col("topc"), 1).getField("id").as("cluster"),
+        element_at(col("topc"), 1).getField("score").as("cos"))
+
   /** IVF single-probe approximate top-k. Centroids are the vectors whose
     * id ≡ 0 (mod centroidEvery) — deterministic, data-derived, no RNG. */
   def ivfTopK(
