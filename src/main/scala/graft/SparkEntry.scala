@@ -418,7 +418,7 @@ object SparkEntry {
            SELECT l.is_loyalty,
                   count(DISTINCT l.user_id) AS num_customers,
                   sum(l.ltv_cents) / 10000.0 AS spend_dollars,
-                  sum(o.is_repeat) AS num_repeat_customers
+                  CAST(sum(o.is_repeat) AS BIGINT) AS num_repeat_customers
            FROM loy_ltv l JOIN loy_orders o USING (user_id, is_loyalty)
            GROUP BY 1)""",
       """SELECT is_loyalty, num_customers,
@@ -559,7 +559,8 @@ object SparkEntry {
 
     "q29_event_props" ->
       """SELECT event_type, count(*) AS n_events,
-                sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT)) AS k_sum,
+                CAST(sum(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT))
+                  AS BIGINT) AS k_sum,
                 max(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT)) AS k_max
          FROM events GROUP BY 1 ORDER BY 1""",
 
