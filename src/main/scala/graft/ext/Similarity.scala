@@ -51,78 +51,99 @@ object Similarity {
   /** For every vector: top-k neighbors by cosine (excluding self),
     * deterministic ordering (rounded cosine desc, neighbor id asc).
     *
-    * Execution is a blocked matrix sweep, not a row-level cross join:
-    * the corpus is broadcast in blocks of `blockRows` vectors (primitive
-    * double arrays, ~`blockRows · dim · 8` bytes — the same memory
-    * envelope as a broadcast hash join build side), and each probe
-    * partition scores a tight primitive loop against the block, keeping
-    * a bounded k-list per probe. A cross-join shuffle would materialize
-    * n² rows each dragging two full embedding copies through row
-    * machinery; here only `k` candidates per probe per block ever leave
-    * the scan stage. With multiple blocks, per-block winners are merged
-    * by the bounded-heap [[TopKAggregate]] (top-k is mergeable), so the
-    * shuffle is `blocks · k` rows per probe. Brute force stays O(n²·d)
-    * compute by definition — at 100 TB use [[ivfTopK]] to cut the
-    * scored set; this kernel is then the intra-cell scorer. */
+    * Execution is a distributed block-nested-loop sweep, not a row-level
+    * cross join: candidates are hash-assigned to `ceil(n / blockRows)`
+    * blocks and each block is packed ON AN EXECUTOR into primitive
+    * arrays (ids, norms, one flat row-major matrix — `blockRows · dim ·
+    * 8` bytes). An RDD `cartesian` then pairs every packed block with
+    * every probe partition, so each task streams one probe partition
+    * through a tight primitive loop against one cached block, keeping a
+    * bounded k-list per probe. Nothing but a COUNT ever reaches the
+    * driver — block construction, scoring, and the merge all stay on the
+    * cluster (the round-2 review flagged a driver-side `collect()` here;
+    * this is its distributed replacement, guarded by a result-size spec).
+    * A cross-join shuffle would materialize n² rows each dragging two
+    * full embedding copies through row machinery; here only `k`
+    * candidates per probe per block ever leave the scan stage, and
+    * per-block winners are merged by the bounded-heap [[TopKAggregate]]
+    * (top-k is mergeable), so the merge shuffle is `blocks · k` rows per
+    * probe. The probe side is re-scanned once per block (recompute beats
+    * caching 100 TB of rows); the packed blocks are persisted
+    * MEMORY_AND_DISK so packing runs once per block, not once per task.
+    * Brute force stays O(n²·d) compute by definition — at 100 TB use
+    * [[ivfTopK]] to cut the scored set; this kernel is then the
+    * intra-cell scorer. */
   def topKNeighbors(
       vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      blockRows: Int = 4 << 20): DataFrame = {
+      blockRows: Int = 1 << 20): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val v = withNorm(vecs, idCol, vecCol)
       .select(col("id").cast("long"), col("emb"), col("nrm"))
       .as[(Long, Array[Double], Double)]
-    val corpus = v.collect().sortBy(_._1)
-    val blocks = if (corpus.isEmpty) Array(corpus) else corpus.grouped(blockRows).toArray
-    val perBlock = blocks.map { block =>
-      val n = block.length
-      val dim = if (n > 0) block(0)._2.length else 0
-      val ids = block.map(_._1)
-      val norms = block.map(_._3)
-      val flat = new Array[Double](n * dim)
-      var j = 0
-      while (j < n) {
-        System.arraycopy(block(j)._2, 0, flat, j * dim, math.min(dim, block(j)._2.length))
-        j += 1
-      }
-      val bc = spark.sparkContext.broadcast((ids, norms, flat, dim))
-      v.mapPartitions { it =>
-        val (bIds, bNorms, bFlat, bDim) = bc.value
-        it.flatMap { case (pid, pEmb, pNrm) =>
-          val topIds = new Array[Long](k)
-          val topScores = new Array[Double](k)
-          var kept = 0
-          var c = 0
-          while (c < bIds.length) {
-            if (bIds(c) != pid) {
-              var s = 0.0
-              val base = c * bDim
-              val dLim = math.min(bDim, pEmb.length)
-              var d = 0
-              while (d < dLim) { s += pEmb(d) * bFlat(base + d); d += 1 }
-              val cos = roundHalfUp6(s / (pNrm * bNorms(c)))
-              // insertion into the (score desc, id asc)-sorted k-list
-              if (kept < k || cos > topScores(k - 1) ||
-                  (cos == topScores(k - 1) && bIds(c) < topIds(k - 1))) {
-                var pos = math.min(kept, k - 1)
-                while (pos > 0 && (cos > topScores(pos - 1) ||
-                    (cos == topScores(pos - 1) && bIds(c) < topIds(pos - 1)))) {
-                  topScores(pos) = topScores(pos - 1); topIds(pos) = topIds(pos - 1)
-                  pos -= 1
-                }
-                topScores(pos) = cos; topIds(pos) = bIds(c)
-                if (kept < k) kept += 1
-              }
-            }
-            c += 1
-          }
-          (0 until kept).map(r => (pid, topIds(r), topScores(r), r + 1))
+    // size probe: the only job whose result touches the driver (one Long)
+    val n = v.count()
+    val nBlocks = math.max(1, math.ceil(n.toDouble / blockRows).toInt)
+    val probes = v.rdd
+    // pack each block on an executor: one reducer task per block builds
+    // the primitive-array image; sorted by id so candidate iteration
+    // order (and thus tie-breaking) is deterministic
+    val packed = probes
+      .keyBy { case (id, _, _) => Math.floorMod(id, nBlocks.toLong).toInt }
+      .groupByKey(nBlocks)
+      .map { case (_, rows) =>
+        val block = rows.toArray.sortBy(_._1)
+        val bn = block.length
+        val dim = if (bn > 0) block(0)._2.length else 0
+        val ids = block.map(_._1)
+        val norms = block.map(_._3)
+        val flat = new Array[Double](bn * dim)
+        var j = 0
+        while (j < bn) {
+          System.arraycopy(block(j)._2, 0, flat, j * dim, math.min(dim, block(j)._2.length))
+          j += 1
         }
-      }.toDF("vec_id", "neighbor_id", "cosine", "rank")
-    }
-    if (perBlock.length == 1) perBlock.head
+        (ids, norms, flat, dim)
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // block side OUTER so each task iterates its probe partition once
+    // against one block (the inner re-iteration lands on the block side,
+    // which has a single cached element per partition)
+    val partial = packed.cartesian(probes).mapPartitions { it =>
+      it.flatMap { case ((bIds, bNorms, bFlat, bDim), (pid, pEmb, pNrm)) =>
+        val topIds = new Array[Long](k)
+        val topScores = new Array[Double](k)
+        var kept = 0
+        var c = 0
+        while (c < bIds.length) {
+          if (bIds(c) != pid) {
+            var s = 0.0
+            val base = c * bDim
+            val dLim = math.min(bDim, pEmb.length)
+            var d = 0
+            while (d < dLim) { s += pEmb(d) * bFlat(base + d); d += 1 }
+            val cos = roundHalfUp6(s / (pNrm * bNorms(c)))
+            // insertion into the (score desc, id asc)-sorted k-list
+            if (kept < k || cos > topScores(k - 1) ||
+                (cos == topScores(k - 1) && bIds(c) < topIds(k - 1))) {
+              var pos = math.min(kept, k - 1)
+              while (pos > 0 && (cos > topScores(pos - 1) ||
+                  (cos == topScores(pos - 1) && bIds(c) < topIds(pos - 1)))) {
+                topScores(pos) = topScores(pos - 1); topIds(pos) = topIds(pos - 1)
+                pos -= 1
+              }
+              topScores(pos) = cos; topIds(pos) = bIds(c)
+              if (kept < k) kept += 1
+            }
+          }
+          c += 1
+        }
+        (0 until kept).map(r => (pid, topIds(r), topScores(r), r + 1))
+      }
+    }.toDF("vec_id", "neighbor_id", "cosine", "rank")
+    if (nBlocks == 1) partial
     else explodeTopK(
-      perBlock.reduce(_ union _)
+      partial
         .groupBy(col("vec_id"))
         .agg(top_k(col("cosine"), col("neighbor_id"), k).as("topk")))
   }

@@ -45,6 +45,33 @@ class SimilaritySpec extends SparkSpec {
     assert(blocked == spec)
   }
 
+  test("topKNeighbors construction ships no corpus-sized result to the driver") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val resultBytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) resultBytes.addAndGet(te.taskMetrics.resultSize)
+    }
+    // ~2 MB of embeddings: a corpus collect would ship megabytes of task
+    // result to the driver; the count size-probe ships a few KB of metrics.
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 4000L).map(i => (i, Array.fill(64)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.topKNeighbors(vecs, "vec_id", "embedding", k = 2) // construction, no action
+      // listener bus is async: poll until the byte count stops moving
+      var last = -1L; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(200); waited += 200
+        val cur = resultBytes.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      assert(resultBytes.get() < 512 * 1024,
+        s"construction shipped ${resultBytes.get()} bytes to the driver — corpus collect regression")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("SRP buckets put identical vectors together; topk searches only the bucket") {
     val vecs = Seq(
       (1L, Array.fill(64)(1.0f)),
