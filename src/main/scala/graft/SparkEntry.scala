@@ -296,15 +296,14 @@ object SparkEntry {
       graft.ext.Anomaly.revenueOutliers(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("restaurant_id"), col("creation_date"))),
 
-    // ---- 100 TB approx tier (sketches are engine-specific: no SQL
-    // oracle, driver records the weaker rows-only check) ----
-    "q51_location_hll" -> ((s, dir) => {
-      val fact = Conformed.orderRevenueCached(s, dir)
-      graft.gold.Location.approx(fact, fact).orderBy(col("restaurant_id"))
-    }),
+    // ---- 100 TB approx tier, bound-check-gated: exact values the SQL
+    // oracle recomputes + booleans asserting each sketch landed within
+    // its error bound (the oracle pins them TRUE) ----
+    "q51_location_hll" -> ((s, dir) =>
+      graft.gold.Location.hllGated(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"))),
     "q52_segments_approx" -> ((s, dir) =>
-      Ltv.segments(Ltv.latest(Ltv.daily(Conformed.orderRevenueCached(s, dir))),
-          approxAt = Some(10000))
+      Ltv.segmentsGated(Ltv.latest(Ltv.daily(Conformed.orderRevenueCached(s, dir))))
         .orderBy(col("user_id"))),
   )
 
@@ -694,6 +693,36 @@ object SparkEntry {
     "q54_profile" -> ExtOracleSql.profileLineitem(ProfileCols),
     "q55_transitions" -> ExtOracleSql.transitions,
     "q56_revenue_outliers" -> ExtOracleSql.revenueOutliers(minZ = 2.0, minDays = 5),
+
+    // Approx-sketch tier, bound-check gated: the oracle recomputes the
+    // exact values and pins the within-tolerance booleans to TRUE — a
+    // Spark-side sketch outside its error bound hash-mismatches.
+    "q51_location_hll" -> OracleSql.withBase(
+      """loc_joined AS (
+           SELECT i.restaurant_id, i.order_id,
+                  CAST(i.creation_ts AS DATE) AS order_date,
+                  weekofyear(CAST(i.creation_ts AS DATE)) AS week
+           FROM items i
+           JOIN (SELECT order_id FROM order_revenue) r USING (order_id)),
+         loc AS (
+           SELECT restaurant_id,
+                  count(DISTINCT order_id) AS num_orders,
+                  count(DISTINCT order_date) AS active_days,
+                  count(DISTINCT week) AS active_weeks
+           FROM loc_joined GROUP BY 1)""",
+      """SELECT restaurant_id, num_orders, active_days, active_weeks,
+                TRUE AS hll_orders_ok, TRUE AS hll_days_ok, TRUE AS hll_weeks_ok
+         FROM loc ORDER BY restaurant_id"""),
+
+    "q52_segments_approx" -> OracleSql.withBase(
+      """SELECT user_id, lifetime_value,
+                CASE WHEN lifetime_value <=
+                       (SELECT quantile_cont(lifetime_value, 0.2) FROM ltv_latest) THEN 'Low'
+                     WHEN lifetime_value <=
+                       (SELECT quantile_cont(lifetime_value, 0.8) FROM ltv_latest) THEN 'Medium'
+                     ELSE 'High' END AS clv_segment,
+                TRUE AS approx_segment_ok
+         FROM ltv_latest ORDER BY user_id"""),
   )
 
   /** Profiled lineitem columns (name, kind) — one list drives BOTH the

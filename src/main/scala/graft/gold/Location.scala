@@ -40,6 +40,31 @@ object Location {
   def approx(items: DataFrame, orderRevenue: DataFrame, rsd: Double = 0.05): DataFrame =
     build(items, orderRevenue, approx = true, rsd = rsd)
 
+  /** Oracle-gatable form of the HLL tier: exact distinct counts (which a
+    * SQL oracle recomputes) plus one boolean per sketch asserting the
+    * HLL++ estimate landed within tolerance of the exact answer. The
+    * tolerance is `max(4, 4·rsd·exact)` — four standard relative errors,
+    * with absolute slack for tiny groups where HLL's sparse mode is
+    * effectively exact. The sketch estimate is deterministic for fixed
+    * data (hash-based, order-independent), so the booleans are stable
+    * and the oracle pins them to TRUE — turning the round-2
+    * `no_oracle` rows-only check into a real error-bound gate. */
+  def hllGated(orderRevenue: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val ex = apply(orderRevenue).select(
+      col("restaurant_id"), col("num_orders"), col("active_days"), col("active_weeks"))
+    val ap = approx(orderRevenue, orderRevenue, rsd).select(
+      col("restaurant_id"), col("num_orders").as("ap_orders"),
+      col("active_days").as("ap_days"), col("active_weeks").as("ap_weeks"))
+    def ok(apc: org.apache.spark.sql.Column, exc: org.apache.spark.sql.Column) =
+      abs(apc - exc) <= greatest(lit(4.0), exc * (4 * rsd))
+    ex.join(ap, Seq("restaurant_id"))
+      .select(
+        col("restaurant_id"), col("num_orders"), col("active_days"), col("active_weeks"),
+        ok(col("ap_orders"), col("num_orders")).as("hll_orders_ok"),
+        ok(col("ap_days"), col("active_days")).as("hll_days_ok"),
+        ok(col("ap_weeks"), col("active_weeks")).as("hll_weeks_ok"))
+  }
+
   private def build(
       items: DataFrame, orderRevenue: DataFrame,
       approx: Boolean, rsd: Double): DataFrame = {

@@ -84,6 +84,41 @@ object Ltv {
           .as("clv_segment"))
   }
 
+  /** Oracle-gatable form of the approx-percentile tier: each user's
+    * exact segment (which a SQL oracle recomputes) plus a boolean
+    * asserting the `approx_percentile`-cut assignment is rank-consistent
+    * — either it agrees with the exact segment, or the user's exact
+    * percentile rank sits within `rankEps` of a cut boundary (the only
+    * place a sketch with relative-rank error 1/accuracy may legitimately
+    * flip a label). The sketch cuts are deterministic for fixed data, so
+    * the boolean is stable and the oracle pins it TRUE — turning the
+    * round-2 `no_oracle` rows-only check into a real rank-bound gate.
+    * The unpartitioned `percent_rank` window is mart-cardinality (one
+    * row per user), same envelope as [[deciles]]. */
+  def segmentsGated(
+      ltvLatest: DataFrame, accuracy: Int = 10000,
+      rankEps: Double = 0.01): DataFrame = {
+    val cuts = ltvLatest.agg(
+      percentile(col("lifetime_value"), lit(0.2)).as("p20e"),
+      percentile(col("lifetime_value"), lit(0.8)).as("p80e"),
+      approx_percentile(col("lifetime_value"), lit(0.2), lit(accuracy)).as("p20a"),
+      approx_percentile(col("lifetime_value"), lit(0.8), lit(accuracy)).as("p80a"))
+    def seg(p20: org.apache.spark.sql.Column, p80: org.apache.spark.sql.Column) =
+      when(col("lifetime_value") <= p20, "Low")
+        .when(col("lifetime_value") <= p80, "Medium")
+        .otherwise("High")
+    ltvLatest
+      .crossJoin(broadcast(cuts))
+      .withColumn("__pr", percent_rank().over(Window.orderBy(col("lifetime_value"))))
+      .select(
+        col("user_id"),
+        col("lifetime_value"),
+        seg(col("p20e"), col("p80e")).as("clv_segment"),
+        (seg(col("p20a"), col("p80a")) === seg(col("p20e"), col("p80e")) ||
+          abs(col("__pr") - 0.2) <= rankEps ||
+          abs(col("__pr") - 0.8) <= rankEps).as("approx_segment_ok"))
+  }
+
   /** Trailing-N-day revenue per (user, active day) via a RANGE window
     * frame over the integer day number — the value-range frame
     * (`rangeBetween`) the reference never uses (SURVEY §2.6 gap): a
