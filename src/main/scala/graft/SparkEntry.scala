@@ -305,6 +305,17 @@ object SparkEntry {
     "q52_segments_approx" -> ((s, dir) =>
       Ltv.segmentsGated(Ltv.latest(Ltv.daily(Conformed.orderRevenueCached(s, dir))))
         .orderBy(col("user_id"))),
+
+    // ---- ext: corpus clustering (Lloyd k-means, exact cross-engine) ----
+    "q57_kmeans" -> ((s, dir) =>
+      graft.ext.Similarity.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
+    // ---- ext: benchmark decontamination (n-gram overlap scrub) ----
+    "q58_decontaminate" -> ((s, dir) =>
+      graft.ext.Dedup.decontaminate(Tables.documents(s, dir), "doc_id", "text",
+          col("doc_id") % 20 === 0)
+        .orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -723,6 +734,9 @@ object SparkEntry {
                      ELSE 'High' END AS clv_segment,
                 TRUE AS approx_segment_ok
          FROM ltv_latest ORDER BY user_id"""),
+
+    "q57_kmeans" -> ExtOracleSql.kmeans(iters = 2, seedEvery = 100),
+    "q58_decontaminate" -> ExtOracleSql.decontaminate(n = 5, modEvery = 20),
   )
 
   /** Profiled lineitem columns (name, kind) — one list drives BOTH the

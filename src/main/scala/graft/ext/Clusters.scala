@@ -69,6 +69,13 @@ object Clusters {
       round += 1
     }
     edges.unpersist()
+    // exiting on maxRounds with changed > 0 would silently return SPLIT
+    // components (labels short of the fixpoint) — wrong dedup keeps, and
+    // an oracle mismatch with no pointer at the cause; fail loudly instead
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        "(component diameter exceeds maxRounds; raise it or switch to the " +
+        "large-star/small-star decomposition for high-diameter graphs)")
     labels
   }
 

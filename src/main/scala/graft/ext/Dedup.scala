@@ -252,9 +252,13 @@ object Dedup {
   def decontaminate(
       docs: DataFrame, idCol: String, textCol: String,
       benchmarkPred: Column, n: Int = 5): DataFrame = {
+    // NULL predicate means "not a benchmark doc": the row stays on the
+    // corpus side (a bare filter(pred)/filter(!pred) pair would silently
+    // drop NULL-predicate rows from BOTH sides)
+    val isBench = coalesce(benchmarkPred, lit(false))
     val sh = explode(WordShingles.shingles(lower(col(textCol)), n)).as("sh")
-    val bench = docs.filter(benchmarkPred).select(sh).distinct()
-    docs.filter(!benchmarkPred)
+    val bench = docs.filter(isBench).select(sh).distinct()
+    docs.filter(!isBench)
       .select(col(idCol), sh)
       .join(broadcast(bench), Seq("sh"))
       // shingles are distinct within a doc, so the plain count is the

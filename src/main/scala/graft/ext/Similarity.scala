@@ -262,6 +262,10 @@ object Similarity {
       col(vecCol).cast("array<double>").as("emb"))
     val seeds = v.filter(col("id") % seedEvery === 0)
       .select(col("id").as("cluster"), col("emb").as("cemb"))
+    // fail fast instead of silently returning an empty result when no id
+    // is ≡ 0 (mod seedEvery) — small corpora / offset id ranges
+    require(!seeds.isEmpty,
+      s"kmeans found no seed vectors (no id divisible by $seedEvery)")
     val finalAssign = (1 to iters).foldLeft(seeds) { (cents, it) =>
       val assigned = assignNearest(v, cents)
       if (it == iters) assigned

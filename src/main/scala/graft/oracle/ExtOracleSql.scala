@@ -211,6 +211,55 @@ object ExtOracleSql {
        |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** Mirrors [[graft.ext.Similarity.kmeans]]: `iters` full Lloyd rounds
+    * from the id ≡ 0 (mod seedEvery) seeds. Both engines walk identical
+    * paths because cosines round to 6 before every argmax (cluster-id
+    * tie-break) and centroid components accumulate as integral 1e-6
+    * units then round to 6 — the [[graft.gold]] exact-money discipline
+    * applied to float vectors. */
+  def kmeans(iters: Int, seedEvery: Int): String = {
+    require(iters >= 1, "kmeans needs at least one iteration")
+    def assign(i: Int, cents: String) =
+      s"""a$i AS (
+         |  SELECT vec_id, emb, cluster, cos FROM (
+         |    SELECT v.vec_id, v.emb, c.cluster,
+         |           round(list_cosine_similarity(v.emb, c.cemb), 6) AS cos,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 6) DESC,
+         |                      c.cluster) AS rn
+         |    FROM v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def update(i: Int) =
+      s"""c$i AS (
+         |  SELECT cluster, list(c ORDER BY pos) AS cemb FROM (
+         |    SELECT cluster, pos,
+         |           round((sum(round(x * 1000000)) / count(*)) / 1000000.0, 6) AS c
+         |    FROM (SELECT cluster,
+         |                 unnest(generate_series(1, len(emb))) AS pos,
+         |                 unnest(emb) AS x
+         |          FROM a$i) GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+    val ctes = Seq(
+      "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+      s"c0 AS (SELECT vec_id AS cluster, emb AS cemb FROM v WHERE vec_id % $seedEvery = 0)") ++
+      (1 to iters).flatMap { i =>
+        Seq(assign(i, s"c${i - 1}")) ++ (if (i < iters) Seq(update(i)) else Nil)
+      }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT vec_id, cluster, cos AS cosine FROM a$iters ORDER BY vec_id""".stripMargin
+  }
+
+  /** Mirrors [[graft.ext.Dedup.decontaminate]] with the benchmark set
+    * `doc_id ≡ 0 (mod modEvery)`. */
+  def decontaminate(n: Int, modEvery: Int): String =
+    s"""WITH $toksCte,
+       |shn AS (
+       |  SELECT doc_id, unnest(${Portable.shinglesSql("t", n)}) AS s FROM toks),
+       |bench AS (
+       |  SELECT DISTINCT s FROM shn WHERE doc_id % $modEvery = 0)
+       |SELECT doc_id, count(*) AS n_shared_ngrams
+       |FROM (SELECT doc_id, s FROM shn WHERE doc_id % $modEvery <> 0) corp
+       |JOIN bench USING (s)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   def langId: String =
     s"""WITH lex(lex_lang, t) AS (VALUES ${TextAnalysis.lexiconSqlValues}),
        |tok AS (

@@ -80,6 +80,18 @@ class DedupSpec extends SparkSpec {
     assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
   }
 
+  test("decontaminate counts shared n-grams; NULL-predicate rows stay in the corpus") {
+    val corpus = Seq(
+      (1L, "a b c d e f", Some(true)),    // benchmark: shingles "a b c d e", "b c d e f"
+      (2L, "a b c d e zzz", Some(false)), // corpus: shares "a b c d e"
+      (3L, "x y z w v u", Some(false)),   // corpus: no overlap -> not reported
+      (4L, "b c d e f qq", None),         // NULL pred -> corpus side, shares "b c d e f"
+    ).toDF("doc_id", "text", "is_bench")
+    val got = Dedup.decontaminate(corpus, "doc_id", "text", $"is_bench", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 4L -> 1L))
+  }
+
   test("embedding near-dups finds only the high-cosine pair within a block") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),

@@ -87,6 +87,22 @@ class SimilaritySpec extends SparkSpec {
     assert(n1 == Set(2L), s"antipodal vector must be outside the bucket: $n1")
   }
 
+  test("kmeans converges to seed-descended clusters; empty seed set fails fast") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // seed -> cluster 0
+      (100L, Array(0.0f, 1.0f)), // seed -> cluster 100
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.1f, 0.9f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(vecs, "vec_id", "embedding", iters = 2, seedEvery = 100)
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 100L -> 100L, 2L -> 100L))
+    val noSeeds = Seq((7L, Array(1.0f)), (9L, Array(0.5f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeans(noSeeds, "vec_id", "embedding", seedEvery = 100)
+    }
+  }
+
   test("IVF assigns to nearest centroid and searches only the cell") {
     // centroids: ids 0 and 100 (centroidEvery=100)
     val vecs = Seq(
