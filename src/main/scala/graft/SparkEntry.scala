@@ -316,6 +316,12 @@ object SparkEntry {
       graft.ext.Dedup.decontaminate(Tables.documents(s, dir), "doc_id", "text",
           col("doc_id") % 20 === 0)
         .orderBy(col("doc_id"))),
+
+    // ---- streaming: GroupState sessionizer proven by file-stream
+    // replay against the SAME SQL oracle as the batch q27 ----
+    "q59_sessions_stream_replay" -> ((s, dir) =>
+      graft.streaming.SessionReplay.sessionsViaStream(s, dir)
+        .orderBy(col("user_id"), col("session_start"))),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -737,6 +743,26 @@ object SparkEntry {
 
     "q57_kmeans" -> ExtOracleSql.kmeans(iters = 2, seedEvery = 100),
     "q58_decontaminate" -> ExtOracleSql.decontaminate(n = 5, modEvery = 20),
+
+    // the streaming replay must reproduce the BATCH sessions exactly —
+    // same oracle SQL as q27
+    "q59_sessions_stream_replay" ->
+      """WITH m AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events,
+                sum(round(value * 10000)) / 10000.0 AS value_sum
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
   )
 
   /** Profiled lineitem columns (name, kind) — one list drives BOTH the

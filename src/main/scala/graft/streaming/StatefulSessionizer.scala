@@ -28,28 +28,54 @@ object StatefulSessionizer {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, value_sum: Double)
 
-  /** The one open (not yet watermark-closed) session of a key. */
-  case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
+  /** The one open (not yet watermark-closed) session of a key. `cents`
+    * accumulates the value sum as integral 1e-4 units (the [[graft.gold]]
+    * exact-money discipline): integer sums are order-independent, so the
+    * emitted `value_sum` is bit-identical whether events arrived in one
+    * batch or were stitched across many — and matches a SQL oracle's
+    * `sum(round(value * 10000)) / 10000.0` exactly. */
+  /** `start`/`last` are event-time MICROseconds — `Timestamp.getTime`
+    * would truncate Spark's microsecond timestamps to millis and shift
+    * every session boundary. */
+  case class OpenSession(start: Long, last: Long, n: Long, cents: Long)
+
+  /** Spark's `round(x)` semantics (HALF_UP over the decimal rendering). */
+  private def toCents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 10000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Full-microsecond extraction (getTime alone drops sub-milli). */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   private def toSession(userId: Long, s: OpenSession, gapMs: Long): Session =
-    Session(userId, new Timestamp(s.start), new Timestamp(s.last + gapMs), s.n, s.sum)
+    Session(userId, tsFromMicros(s.start), tsFromMicros(s.last + gapMs * 1000L),
+      s.n, s.cents / 10000.0)
 
   /** Fold time-ordered events into closed sessions + the trailing open
     * one. `open` carries state from a previous micro-batch, if any. */
   private def fold(
       userId: Long, open: Option[OpenSession], events: Seq[Event], gapMs: Long)
       : (Vector[Session], Option[OpenSession]) = {
+    val gapUs = gapMs * 1000L
     var cur = open
     val closed = Vector.newBuilder[Session]
     events.foreach { e =>
+      val us = micros(e.ts)
       cur match {
-        case Some(s) if e.ts.getTime - s.last >= gapMs =>
+        case Some(s) if us - s.last >= gapUs =>
           closed += toSession(userId, s, gapMs)
-          cur = Some(OpenSession(e.ts.getTime, e.ts.getTime, 1L, e.value))
+          cur = Some(OpenSession(us, us, 1L, toCents(e.value)))
         case Some(s) =>
-          cur = Some(OpenSession(s.start, e.ts.getTime, s.n + 1, s.sum + e.value))
+          cur = Some(OpenSession(s.start, us, s.n + 1, s.cents + toCents(e.value)))
         case None =>
-          cur = Some(OpenSession(e.ts.getTime, e.ts.getTime, 1L, e.value))
+          cur = Some(OpenSession(us, us, 1L, toCents(e.value)))
       }
     }
     (closed.result(), cur)
@@ -71,7 +97,7 @@ object StatefulSessionizer {
     events
       .groupByKey(_.user_id)
       .flatMapGroups { (userId, it) =>
-        val sorted = it.toVector.sortBy(_.ts.getTime)
+        val sorted = it.toVector.sortBy(e => micros(e.ts))
         val (closed, open) = fold(userId, None, sorted, gapMs)
         (closed ++ open.map(toSession(userId, _, gapMs))).iterator
       }
@@ -103,17 +129,19 @@ object StatefulSessionizer {
             state.remove()
             Iterator.single(toSession(userId, s, gapMs))
           } else {
-            val sorted = it.toVector.sortBy(_.ts.getTime)
+            val sorted = it.toVector.sortBy(e => micros(e.ts))
             val (closed, open) = fold(userId, state.getOption, sorted, gapMs)
             state.remove()
             val flushedEarly = open.flatMap { s =>
-              val closeAt = s.last + gapMs
-              if (state.getCurrentWatermarkMs() >= closeAt) {
+              val closeAtUs = s.last + gapMs * 1000L
+              if (state.getCurrentWatermarkMs() * 1000L >= closeAtUs) {
                 // already final (watermark advanced past it this batch)
                 Some(toSession(userId, s, gapMs))
               } else {
                 state.update(s)
-                state.setTimeoutTimestamp(closeAt)
+                // timeout API is millisecond-grained: round UP so the
+                // timeout can never fire before the close instant
+                state.setTimeoutTimestamp(Math.floorDiv(closeAtUs + 999L, 1000L))
                 None
               }
             }

@@ -75,6 +75,27 @@ class StatefulSessionizerSpec extends SparkSpec {
         s"session fragmented across micro-batches: $got")
     } finally q.stop()
   }
+
+  test("file-stream replay equals batch sessionization on the sf0.001 events table") {
+    val dir = "/root/testdata/sf0.001"
+    assume(Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val gapMs = 30L * 60 * 1000
+    val streamed = SessionReplay.sessionsViaStream(spark, dir, gapMs, slices = 3)
+      .select($"user_id", $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events", $"value_sum")
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    val batch = StatefulSessionizer.sessions(
+        graft.core.Tables.events(spark, dir)
+          .select($"user_id".cast("long").as("user_id"),
+            $"ts".cast("timestamp").as("ts"), $"value".cast("double").as("value"))
+          .as[StatefulSessionizer.Event],
+        gapMs)
+      .select($"user_id", $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events", $"value_sum")
+      .as[(Long, String, String, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"replay/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
 }
 
 class StreamingCdcIngestSpec extends SparkSpec {
