@@ -25,11 +25,25 @@ import org.apache.spark.sql.functions._
   * the deterministic max-date anchor.
   */
 object Churn {
-  def apply(orderRevenue: DataFrame): DataFrame = {
-    val anchor = orderRevenue.agg(max(col("creation_date")).as("today"))
+  def apply(orderRevenue: DataFrame): DataFrame =
+    build(orderRevenue, anchorDate = None)
+
+  /** Fixed-anchor variant: `today` supplied by the caller instead of
+    * derived as `max(creation_date)` of the input — required for
+    * key-scoped incremental maintenance (a user-pruned rebuild would
+    * re-derive the anchor from the subset and shift every recency). */
+  def anchoredAt(orderRevenue: DataFrame, today: java.sql.Date): DataFrame =
+    build(orderRevenue, anchorDate = Some(today))
+
+  private def build(
+      orderRevenue: DataFrame, anchorDate: Option[java.sql.Date]): DataFrame = {
+    val withAnchor = anchorDate match {
+      case Some(d) => orderRevenue.withColumn("today", lit(d))
+      case None => orderRevenue.crossJoin(broadcast(
+        orderRevenue.agg(max(col("creation_date")).as("today"))))
+    }
     val w = Window.partitionBy(col("user_id")).orderBy(col("creation_date"))
-    val withGap = orderRevenue
-      .crossJoin(broadcast(anchor))
+    val withGap = withAnchor
       .withColumn("prev_order_date", lag(col("creation_date"), 1).over(w))
       .withColumn("order_gap", datediff(col("creation_date"), col("prev_order_date")))
       .withColumn("cents", Money.cents(col("total_revenue")))

@@ -79,6 +79,52 @@ object IncrementalLtv {
     IncrementalKeyScoped(prevMart, revenue, delta, "user_id")(Ltv.daily)
 }
 
+/** Guarded key-scoped maintenance for the anchored marts (RFM / churn):
+  * the previous mart itself carries the old anchor (its global max
+  * last-purchase/order date), so the guard needs no pre-delta silver —
+  * if the delta advances the anchor, every user's recency shifts and the
+  * maintainer falls back to the full rebuild (the cheapest correct
+  * move); otherwise only the delta's users are recomputed, against the
+  * HELD anchor. */
+object IncrementalRfm {
+  def apply(prevMart: DataFrame, revenue: DataFrame, delta: DataFrame): DataFrame =
+    IncrementalAnchored(
+      prevMart, revenue, delta, "last_purchase_date")(
+      Rfm(_), Rfm.anchoredAt(_, _))
+}
+
+object IncrementalChurn {
+  def apply(prevMart: DataFrame, revenue: DataFrame, delta: DataFrame): DataFrame =
+    IncrementalAnchored(
+      prevMart, revenue, delta, "last_order_date")(
+      Churn(_), Churn.anchoredAt(_, _))
+}
+
+private[gold] object IncrementalAnchored {
+  def apply(
+      prevMart: DataFrame, revenue: DataFrame, delta: DataFrame,
+      prevAnchorCol: String)(
+      rebuild: DataFrame => DataFrame,
+      buildAt: (DataFrame, java.sql.Date) => DataFrame): DataFrame = {
+    val prevAnchor = prevMart.agg(max(col(prevAnchorCol))).head()
+    val deltaMax = delta.agg(max(col("creation_date"))).head()
+    if (deltaMax.isNullAt(0)) prevMart // empty delta: nothing to maintain
+    else if (prevAnchor.isNullAt(0) ||
+        deltaMax.getDate(0).after(prevAnchor.getDate(0))) rebuild(revenue)
+    else IncrementalKeyScoped(prevMart, revenue, delta, "user_id")(
+      buildAt(_, prevAnchor.getDate(0)))
+  }
+}
+
+/** Additive maintenance for the trend rollups: aggregate ONLY the fresh
+  * append-only rows and merge-add into the prior mart by group key —
+  * the run cost scales with the delta, never the history. */
+object IncrementalTrends {
+  def daily(prevMart: DataFrame, freshRevenue: DataFrame): DataFrame =
+    IncrementalRollup.addDelta(prevMart, SalesTrends.daily(freshRevenue),
+      Seq("creation_date", "restaurant_id", "item_category"), "daily_revenue")
+}
+
 object IncrementalRollup {
 
   /** Merge an append-only delta into a grouped money-sum mart: both

@@ -74,6 +74,52 @@ class IncrementalGoldSpec extends SparkSpec {
       "HLL mode must not Expand input rows per distinct aggregate")
   }
 
+  test("IncrementalRfm: key-scoped while anchor holds, full rebuild on advance — both exact") {
+    val v1 = Conformed.orderRevenue(spark, sf)
+    // case 1: revenue-only delta (anchor holds) -> key-scoped path
+    val v2 = v1.withColumn(
+      "total_revenue",
+      when($"user_id" % 13 === 0, $"total_revenue" + 3).otherwise($"total_revenue"))
+    val d2 = v2.filter($"user_id" % 13 === 0)
+    assert(IncrementalRfm(Rfm(v1), v2, d2).collect().map(_.toSeq).toSet ==
+      Rfm(v2).collect().map(_.toSeq).toSet)
+    // case 2: delta advances the max date -> rebuild branch, still exact
+    val late = v1.limit(5).withColumn("creation_date", date_add($"creation_date", 9999))
+    val v3 = v1.unionByName(late)
+    assert(IncrementalRfm(Rfm(v1), v3, late).collect().map(_.toSeq).toSet ==
+      Rfm(v3).collect().map(_.toSeq).toSet)
+    // case 3: empty delta is a no-op
+    assert(IncrementalRfm(Rfm(v1), v1, v1.limit(0)).collect().map(_.toSeq).toSet ==
+      Rfm(v1).collect().map(_.toSeq).toSet)
+  }
+
+  test("IncrementalChurn: key-scoped maintenance equals the full recompute") {
+    val v1 = Conformed.orderRevenue(spark, sf)
+    val v2 = v1.withColumn(
+      "total_revenue",
+      when($"user_id" % 9 === 0, $"total_revenue" * 3).otherwise($"total_revenue"))
+    val d2 = v2.filter($"user_id" % 9 === 0)
+    assert(IncrementalChurn(Churn(v1), v2, d2).collect().map(_.toSeq).toSet ==
+      Churn(v2).collect().map(_.toSeq).toSet)
+  }
+
+  test("IncrementalTrends.daily merge-add equals the one-shot daily rollup") {
+    val rev = Conformed.orderRevenue(spark, sf)
+    val cutoff = "1997-06-30"
+    val old = rev.filter($"creation_date" <= lit(cutoff))
+    val fresh = rev.filter($"creation_date" > lit(cutoff))
+    assert(old.count() > 0 && fresh.count() > 0)
+    val merged = IncrementalTrends.daily(SalesTrends.daily(old), fresh)
+      .select($"creation_date".cast("string"), $"restaurant_id", $"item_category",
+        $"daily_revenue")
+      .as[(String, Long, String, Double)].collect().toSet
+    val oneShot = SalesTrends.daily(rev)
+      .select($"creation_date".cast("string"), $"restaurant_id", $"item_category",
+        $"daily_revenue")
+      .as[(String, Long, String, Double)].collect().toSet
+    assert(merged == oneShot)
+  }
+
   test("IncrementalRollup.addDelta over an append split equals the one-shot rollup") {
     val rev = Conformed.orderRevenue(spark, sf)
     val cutoff = "1996-12-31"
