@@ -37,9 +37,14 @@ object Profiling {
          else lit(null).cast("double")).as(s"${name}__min_num"),
         (if (isNum) max(graft.gold.Money.cents(c.cast("double"))) / 10000.0
          else lit(null).cast("double")).as(s"${name}__max_num"),
-        // sum as LONG 1e-4 units: double summation would go inexact (and
-        // thus order-dependent) past 2^53 — id-like columns get there
-        (if (isNum) sum(graft.gold.Money.cents(c.cast("double")).cast("long")) / 10000.0
+        // sum as DECIMAL(38,0) 1e-4 units: double summation goes inexact
+        // (order-dependent) past 2^53 and a LONG accumulator overflows
+        // past 2^63 — id-scale columns at SF>=10 reach ~1e20 total units,
+        // so only a decimal accumulator survives the 100 TB tier (the
+        // DuckDB mirror sums into HUGEINT, exact the same way)
+        (if (isNum)
+           (sum(graft.gold.Money.cents(c.cast("double")).cast("decimal(38,0)"))
+             / 10000.0).cast("double")
          else lit(null).cast("double")).as(s"${name}__sum_num"),
         (if (isStr) min(c) else lit(null).cast("string")).as(s"${name}__min_str"),
         (if (isStr) max(c) else lit(null).cast("string")).as(s"${name}__max_str"))

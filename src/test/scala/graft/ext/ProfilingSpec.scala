@@ -29,6 +29,18 @@ class ProfilingSpec extends SparkSpec {
     assert(s.isNullAt(4) && s.isNullAt(5) && s.isNullAt(6))
   }
 
+  test("summarize sum survives totals past Long.MaxValue 1e-4 units") {
+    // 20 rows of ~9.2e14 dollars = ~9.2e18 cents each: the total
+    // (~1.8e20 units) overflows an int64 accumulator, which used to wrap
+    // silently in non-ANSI mode; the decimal accumulator stays exact
+    val big = 9.2e14
+    val df = (1 to 20).map(_ => big).toDF("v")
+    val got = Profiling.summarize(df, Seq("v")).head
+    val sumNum = got.getAs[Double]("sum_num")
+    assert(math.abs(sumNum - 20 * big) / (20 * big) < 1e-12,
+      s"sum_num $sumNum should be ~${20 * big} (int64 wrap regression)")
+  }
+
   test("summarize runs as ONE job with a single aggregate (no per-column passes)") {
     val df = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val plan = Profiling.summarize(df, Seq("l_orderkey", "l_quantity", "l_returnflag"))
