@@ -81,6 +81,29 @@ object SnapshotDiff {
       .withColumn("cdc_timestamp", cdcTimestamp)
   }
 
+  /** Reference-FIDELITY mode (SURVEY §2.4 note): the reference diffs
+    * entire bronze rows INCLUDING the pipeline-added metadata columns
+    * (`ingestion_timestamp`, `cdc_timestamp`, `cdc_action`,
+    * `cdc_metrics_job_bronze.py:79-81,112`) — the stored snapshot carries
+    * the PRIOR run's stamps while the current extract gets fresh ones, so
+    * every unchanged row still diffs and each run emits a full
+    * insert+delete storm. That semantic is a reference bug; the default
+    * [[apply]] diffs data columns only. This mode reproduces the storm
+    * for byte-faithful migrations: `current` is stamped with this run's
+    * `ingestionTimestamp` and compared against the metadata-carrying
+    * `previousWithMeta` snapshot over ALL columns. */
+  def referenceFidelity(
+      current: DataFrame,
+      previousWithMeta: DataFrame,
+      pk: Seq[String],
+      ingestionTimestamp: Column,
+      cdcTimestamp: Column = current_timestamp()): DataFrame = {
+    val stamped = current.withColumn("ingestion_timestamp", ingestionTimestamp)
+    val prev = previousWithMeta.select(
+      stamped.columns.map(c => col(c)).toIndexedSeq: _*)
+    apply(stamped, prev, pk, cdcTimestamp)
+  }
+
   /** The reference's literal decomposition (two EXCEPTs + join) — used by
     * tests to cross-check [[apply]]; slower (five shuffles vs two). */
   def referenceDecomposition(

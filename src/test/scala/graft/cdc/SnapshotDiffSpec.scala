@@ -32,6 +32,22 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(SnapshotDiff(d, d, Seq("id"), ts).isEmpty)
   }
 
+  test("referenceFidelity reproduces the every-run insert+delete storm; default does not") {
+    val data = df((1, Some("a"), Some(1.0)), (2, Some("b"), Some(2.0)))
+    // run 1's snapshot carries run 1's stamps
+    val run1Ts = lit("2024-01-01 00:00:00").cast("timestamp")
+    val snapshot = data.withColumn("ingestion_timestamp", run1Ts)
+      .withColumn("cdc_action", lit("insert")).withColumn("cdc_timestamp", run1Ts)
+    // run 2: identical DATA, fresh stamps — the reference still diffs
+    val run2Ts = lit("2024-01-02 00:00:00").cast("timestamp")
+    val storm = actions(SnapshotDiff.referenceFidelity(
+      data, snapshot, Seq("id"), ingestionTimestamp = run2Ts, cdcTimestamp = run2Ts))
+    assert(storm("insert") == Set(1, 2) && storm("delete") == Set(1, 2),
+      s"fidelity mode must re-emit every unchanged row: $storm")
+    // default mode on data columns only: silence
+    assert(SnapshotDiff(data, data, Seq("id"), run2Ts).isEmpty)
+  }
+
   test("bootstrap: empty previous tags everything insert") {
     val cur = df((1, Some("a"), Some(1.0)), (2, Some("b"), None))
     val got = actions(SnapshotDiff(cur, SnapshotDiff.emptyLike(cur), Seq("id"), ts))
