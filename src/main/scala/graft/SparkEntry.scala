@@ -322,6 +322,26 @@ object SparkEntry {
     "q59_sessions_stream_replay" -> ((s, dir) =>
       graft.streaming.SessionReplay.sessionsViaStream(s, dir)
         .orderBy(col("user_id"), col("session_start"))),
+
+    // ---- ext: RAG/pretraining chunking + repetition quality signals ----
+    "q60_chunking" -> ((s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"), col("chunk_id"))),
+    "q62_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ---- ext: skew tooling proven equivalent to the plain aggregate ----
+    "q61_salted_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+        graft.gold.Money.cents(col("l_extendedprice")).cast("long").as("cents"))
+      graft.ext.Skew.saltedSum(li, Seq("l_returnflag", "l_linestatus"), "cents",
+          numSalts = 16, saltSource = col("l_orderkey"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("sum_cents") / 10000.0).as("sum_extendedprice"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
   )
 
   def oracleSql: Map[String, String] = ListMap(
@@ -763,6 +783,16 @@ object SparkEntry {
                 count(*) AS n_events,
                 sum(round(value * 10000)) / 10000.0 AS value_sum
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "q60_chunking" -> ExtOracleSql.chunk(chunkSize = 64, overlap = 16),
+    "q62_repetition" -> ExtOracleSql.repetitionSignals,
+
+    // the salted two-phase aggregate must equal the plain GROUP BY
+    "q61_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 10000.0
+                  AS sum_extendedprice
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 
   /** Profiled lineitem columns (name, kind) — one list drives BOTH the

@@ -90,6 +90,79 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col(textCol)), lit("[a-z]{1,4}|[0-9]|[^a-z0-9 ]"), lit(0)))
         .as("n_subword_tokens"))
 
+  /** Sliding-window document chunking: split each doc into token windows
+    * of `chunkSize` advancing by `chunkSize - overlap` — the
+    * context-window packing step every RAG / pretraining pipeline runs
+    * before embedding or tokenizer batching. Chunk k covers tokens
+    * `[k·stride, k·stride + chunkSize)`; the last window may be short but
+    * always starts within the text, so no chunk is a pure suffix rerun.
+    *
+    * A narrow projection + explode — no shuffle at all; chunk counts per
+    * doc are data-bounded so the explode cannot blow up a partition
+    * beyond `n_tokens / stride` rows per doc. */
+  def chunk(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got ($chunkSize, $overlap)")
+    val stride = chunkSize - overlap
+    docs
+      .select(col(idCol).as("doc_id"), Portable.tokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      // chunks = ceil(max(0, n - chunkSize) / stride) + 1 (n >= 1 always:
+      // splitting "" yields [""])
+      .withColumn("n_chunks",
+        ((greatest(col("n") - chunkSize, lit(0L)) + (stride - 1)) / stride)
+          .cast("long") + 1)
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        least(lit(chunkSize.toLong), col("n") - col("chunk_id") * stride)
+          .as("n_tokens"),
+        concat_ws(" ",
+          slice(col("t"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
+  /** Gopher-style repetition signals per document: duplicate-word and
+    * duplicate-3-gram fractions plus the most-frequent-word share — the
+    * standard repetition filters a pretraining curation pass applies
+    * (high duplicate-n-gram fractions flag boilerplate / degenerate
+    * generation loops). Fractions are exact integer ratios rounded to 6
+    * so both engines agree bit-for-bit.
+    *
+    * Shape: the fractions are array-level projections (no shuffle); the
+    * top-word share is one explode + two hash aggregates keyed on
+    * (doc, word) then doc — map-side partials collapse repeats, so the
+    * shuffle carries distinct words per doc, not tokens. */
+  def repetitionSignals(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), Portable.tokens(col(textCol)).as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
+      .withColumn("g_total",
+        when(col("n_tokens") >= 3, col("n_tokens") - 2).otherwise(lit(1L)))
+      .withColumn("g_distinct",
+        when(col("n_tokens") >= 3,
+          size(Portable.shingles(col("t"), 3)).cast("long")).otherwise(lit(1L)))
+    val top = base
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    base.join(top, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_word_frac"),
+        round(lit(1.0) - col("g_distinct").cast("double") / col("g_total"), 6)
+          .as("dup_3gram_frac"),
+        round(col("top_c").cast("double") / col("n_tokens"), 6)
+          .as("top_word_frac"))
+  }
+
   /** Content fingerprints: exact md5 plus a 1-permutation MinHash over
     * word shingles (computed array-level — no explode). */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -260,6 +260,43 @@ object ExtOracleSql {
        |JOIN bench USING (s)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.ext.TextAnalysis.chunk]]. */
+  def chunk(chunkSize: Int, overlap: Int): String = {
+    val stride = chunkSize - overlap
+    s"""WITH $toksCte,
+       |c AS (
+       |  SELECT doc_id, len(t) AS n, t,
+       |         unnest(range(0,
+       |           (CASE WHEN len(t) > $chunkSize THEN len(t) - $chunkSize ELSE 0 END
+       |              + ${stride - 1}) // $stride + 1)) AS k
+       |  FROM toks)
+       |SELECT doc_id, k AS chunk_id,
+       |       least($chunkSize, n - k * $stride) AS n_tokens,
+       |       array_to_string(
+       |         list_slice(t, k * $stride + 1, k * $stride + $chunkSize), ' ')
+       |         AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  /** Mirrors [[graft.ext.TextAnalysis.repetitionSignals]]. */
+  def repetitionSignals: String =
+    s"""WITH $toksCte,
+       |base AS (
+       |  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+       |         CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 1 END AS g_total,
+       |         CASE WHEN len(t) >= 3
+       |              THEN len(${Portable.shinglesSql("t", 3)}) ELSE 1 END AS g_distinct,
+       |         t
+       |  FROM toks),
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM base),
+       |wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+       |topw AS (SELECT doc_id, max(c) AS top_c FROM wc GROUP BY 1)
+       |SELECT b.doc_id, b.n_tokens,
+       |       round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_word_frac,
+       |       round(1.0 - CAST(g_distinct AS DOUBLE) / g_total, 6) AS dup_3gram_frac,
+       |       round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_word_frac
+       |FROM base b JOIN topw USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def langId: String =
     s"""WITH lex(lex_lang, t) AS (VALUES ${TextAnalysis.lexiconSqlValues}),
        |tok AS (

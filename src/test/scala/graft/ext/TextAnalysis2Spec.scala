@@ -46,6 +46,34 @@ class TextAnalysis2Spec extends SparkSpec {
       redacted.select(md5(col("text"))).head.getString(0))
   }
 
+  test("chunk: sliding token windows with overlap, short docs -> one chunk") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // 8 tokens
+      (2L, "x y"),             // shorter than one window
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, "doc_id", "text", chunkSize = 4, overlap = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    // stride 2: starts 0,2,4 (ceil((8-4)/2)+1 = 3 chunks)
+    assert(got == Set(
+      (1L, 0L, 4L, "a b c d"),
+      (1L, 1L, 4L, "c d e f"),
+      (1L, 2L, 4L, "e f g h"),
+      (2L, 0L, 2L, "x y")))
+  }
+
+  test("repetitionSignals: planted repetition scores above clean text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "every word here is fully unique today"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val (_, n1, dw1, dg1, tw1) = got(1L)
+    assert(n1 == 6 && dw1 > 0.8 && dg1 == 0.75 && tw1 == 1.0)
+    val (_, n2, dw2, dg2, tw2) = got(2L)
+    assert(n2 == 7 && dw2 == 0.0 && dg2 == 0.0 && tw2 == 0.142857) // round(1/7, 6)
+  }
+
   test("quantizeInt8Report: reconstruction error bounded by scale/2") {
     val vecs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rep = Similarity.quantizeInt8Report(vecs, "vec_id", "embedding")
