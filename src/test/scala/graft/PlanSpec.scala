@@ -93,6 +93,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("chunking is shuffle-free; decontaminate probes a broadcast; salted agg is two-phase") {
+    val docs = core.Tables.documents(spark, sf)
+    val chunkPlan = planText(ext.TextAnalysis.chunk(docs, "doc_id", "text"))
+    assert(chunkPlan.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) == 0,
+      s"chunking must not shuffle:\n$chunkPlan")
+    val deconPlan = planText(ext.Dedup.decontaminate(
+      docs, "doc_id", "text", col("doc_id") % 20 === 0))
+    assert(deconPlan.contains("BroadcastHashJoin"),
+      s"the benchmark shingle set must broadcast:\n$deconPlan")
+    assert(!deconPlan.contains("SortMergeJoin"),
+      s"the 100 TB corpus side must never sort-merge against the bench set:\n$deconPlan")
+    val saltedPlan = planText(ext.Skew.saltedSum(
+      core.Tables.lineitem(spark, sf), Seq("l_returnflag"), "l_quantity",
+      numSalts = 8, saltSource = col("l_orderkey")))
+    val exchanges = saltedPlan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 2,
+      s"salted sum is exactly two exchanges (keys+salt, then keys), got $exchanges:\n$saltedPlan")
+  }
+
   test("funnel plans only per-user hash aggregates — no windows, no theta joins") {
     val plan = planText(ext.Behavior.funnel(core.Tables.events(spark, sf)))
     assert(!plan.contains("Window"), s"funnel must not sort-window:\n$plan")
