@@ -330,6 +330,9 @@ object SparkEntry {
     "q62_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "q63_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
 
     // ---- ext: skew tooling proven equivalent to the plain aggregate ----
     "q61_salted_agg" -> ((s, dir) => {
@@ -786,6 +789,7 @@ object SparkEntry {
 
     "q60_chunking" -> ExtOracleSql.chunk(chunkSize = 64, overlap = 16),
     "q62_repetition" -> ExtOracleSql.repetitionSignals,
+    "q63_pack_sequences" -> ExtOracleSql.packSequences(budget = 2048, shards = 8),
 
     // the salted two-phase aggregate must equal the plain GROUP BY
     "q61_salted_agg" ->

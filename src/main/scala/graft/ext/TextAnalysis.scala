@@ -125,6 +125,36 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Deterministic sequence packing: assign documents to fixed
+    * token-budget packs (the concat-then-chunk batching step before
+    * pretraining tokenization). Documents are sharded by a portable hash
+    * and packed WITHIN a shard in doc-id order via a running token
+    * cumsum — pack `k` holds the docs whose preceding shard tokens fill
+    * `[k·budget, (k+1)·budget)`; a doc straddling the boundary overflows
+    * into the earlier pack (contiguous packing, the standard trade vs
+    * bin-perfect packing which is inherently sequential).
+    *
+    * Scale: the window sorts PER SHARD, never globally — `shards` sizes
+    * the parallelism, so the plan is one shuffle on the shard id no
+    * matter the corpus size. */
+  def packSequences(
+      docs: DataFrame, idCol: String, textCol: String,
+      budget: Int = 2048, shards: Int = 8): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        size(Portable.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        pmod(Portable.h60(col("doc_id").cast("string")), lit(shards.toLong)))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"),
+        ((col("__cum") - col("n_tokens")) / budget).cast("long").as("pack_id"))
+  }
+
   /** Gopher-style repetition signals per document: duplicate-word and
     * duplicate-3-gram fractions plus the most-frequent-word share — the
     * standard repetition filters a pretraining curation pass applies

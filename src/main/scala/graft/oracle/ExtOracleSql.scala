@@ -278,6 +278,21 @@ object ExtOracleSql {
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** Mirrors [[graft.ext.TextAnalysis.packSequences]]. */
+  def packSequences(budget: Int, shards: Int): String =
+    s"""WITH $toksCte,
+       |base AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |         ${h60("CAST(doc_id AS VARCHAR)")} % $shards AS shard
+       |  FROM toks),
+       |cum AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM base)
+       |SELECT doc_id, shard, n_tokens, (c - n_tokens) // $budget AS pack_id
+       |FROM cum ORDER BY doc_id""".stripMargin
+
   /** Mirrors [[graft.ext.TextAnalysis.repetitionSignals]]. */
   def repetitionSignals: String =
     s"""WITH $toksCte,

@@ -145,18 +145,84 @@ final class CdcPipeline(
   def goldLtvIncremental(runDate: String): Unit = {
     val revenue = spark.read.parquet(lake.silver("order_revenue"))
     val martPath = lake.gold("fact_ltv_daily")
-    val p = new org.apache.hadoop.fs.Path(martPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    if (!martExists(martPath)) {
       ParquetSink.partitioned(Ltv.daily(revenue), martPath, Seq("creation_date"))
     } else {
       val changes = spark.read.parquet(lake.cdc("order_items", runDate))
-      val next = IncrementalLtv(spark.read.parquet(martPath), revenue, changes)
-      val tmp = new org.apache.hadoop.fs.Path(martPath + "__tmp")
-      ParquetSink.partitioned(next, tmp.toString, Seq("creation_date"))
-      fs.delete(p, true)
-      require(fs.rename(tmp, p), s"swap of $martPath failed")
+      swapWrite(
+        IncrementalLtv(spark.read.parquet(martPath), revenue, changes),
+        martPath, Seq("creation_date"))
     }
+  }
+
+  private def martExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Swap-rewrite a mart whose next version derives FROM its current
+    * one: write to a temp dir, delete, rename — overwriting a path still
+    * being lazily read would race the delete (at 100 TB, swap per
+    * affected partition instead of the whole mart). */
+  private def swapWrite(
+      df: DataFrame, martPath: String, partitionCols: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(martPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(martPath + "__tmp")
+    if (partitionCols.nonEmpty) ParquetSink.partitioned(df, tmp.toString, partitionCols)
+    else ParquetSink.flat(df, tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"swap of $martPath failed")
+  }
+
+  /** One incremental gold refresh from the run's cdc change log — each
+    * mart maintained by its algebra (SURVEY §4 caching note; the
+    * reference recomputes every mart from full silver every run):
+    *
+    *  - `fact_ltv_daily` — key-scoped ([[IncrementalLtv]]);
+    *  - `mart_customer_rfm` / `mart_customer_churn_profile` — guarded
+    *    key-scoped ([[IncrementalRfm]]/[[IncrementalChurn]]): full
+    *    rebuild iff the delta advances the recency anchor;
+    *  - `mart_sales_trends/daily` — additive merge when the change log
+    *    is INSERT-only (the watermarked append path): aggregate only the
+    *    conformed revenue of the appended line keys and merge-add;
+    *    any update/delete in the log forces the full recompute (sums
+    *    are not subtractable without the old images).
+    *
+    * The change log must carry `user_id`, `creation_date`, and the line
+    * key (`order_id`, `lineitem_id`); first run (no prior mart) builds
+    * everything full. */
+  def refreshGold(runDate: String): Unit = {
+    val revenue = spark.read.parquet(lake.silver("order_revenue")).persist()
+    try {
+      goldLtvIncremental(runDate)
+      val changes = spark.read.parquet(lake.cdc("order_items", runDate))
+
+      val rfmPath = lake.gold("mart_customer_rfm")
+      if (!martExists(rfmPath)) ParquetSink.flat(Rfm(revenue), rfmPath)
+      else swapWrite(
+        IncrementalRfm(spark.read.parquet(rfmPath), revenue, changes), rfmPath, Nil)
+
+      val churnPath = lake.gold("mart_customer_churn_profile")
+      if (!martExists(churnPath)) ParquetSink.flat(Churn(revenue), churnPath)
+      else swapWrite(
+        IncrementalChurn(spark.read.parquet(churnPath), revenue, changes),
+        churnPath, Nil)
+
+      val dailyPath = lake.gold("mart_sales_trends/daily")
+      val insertOnly = changes.columns.contains("cdc_action") &&
+        changes.filter(col("cdc_action") =!= "insert").isEmpty
+      if (!martExists(dailyPath))
+        ParquetSink.flat(SalesTrends.daily(revenue), dailyPath)
+      else if (insertOnly) {
+        val fresh = revenue.join(
+          changes.select(col("order_id"), col("lineitem_id")).distinct(),
+          Seq("order_id", "lineitem_id"), "left_semi")
+        swapWrite(
+          IncrementalTrends.daily(spark.read.parquet(dailyPath), fresh),
+          dailyPath, Nil)
+      } else swapWrite(SalesTrends.daily(revenue), dailyPath, Nil)
+    } finally { revenue.unpersist() }
   }
 
   /** Gold mart fan-out (reference `cdc_metrics_job_gold.py`, all 8

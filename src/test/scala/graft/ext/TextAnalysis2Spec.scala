@@ -74,6 +74,23 @@ class TextAnalysis2Spec extends SparkSpec {
     assert(n2 == 7 && dw2 == 0.0 && dg2 == 0.0 && tw2 == 0.142857) // round(1/7, 6)
   }
 
+  test("packSequences: per-shard contiguous packing tracks the running budget") {
+    val docs = (1L to 40L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.packSequences(docs, "doc_id", "text", budget = 10, shards = 2)
+      .select($"shard", $"doc_id", $"n_tokens", $"pack_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).foreach { case (_, doc, n, pack) =>
+        assert(pack == cum / 10,
+          s"shard $shard doc $doc: pack $pack != ${cum / 10} at offset $cum")
+        cum += n
+      }
+    }
+    assert(rows.map(_._2).distinct.length == 40) // every doc packed exactly once
+  }
+
   test("quantizeInt8Report: reconstruction error bounded by scale/2") {
     val vecs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rep = Similarity.quantizeInt8Report(vecs, "vec_id", "embedding")

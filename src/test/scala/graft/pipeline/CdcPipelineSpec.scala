@@ -168,5 +168,46 @@ class CdcPipelineSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(martRows == fullRows,
       "incrementally maintained fact_ltv_daily diverged from full recompute")
+
+    // composed refreshGold over an UPDATE delta: ltv/rfm/churn take the
+    // key-scoped path, daily trends falls back to the full recompute
+    // (sums are not subtractable without old images)
+    val newSilver = spark.read.parquet(lake.silver("order_revenue"))
+    newSilver.filter(col("user_id") % 5 === 0)
+      .select("order_id", "lineitem_id", "user_id", "creation_date")
+      .withColumn("cdc_action", lit("update"))
+      .write.mode("overwrite").parquet(lake.cdc("order_items", "2024-06-04"))
+    pipe.refreshGold("2024-06-04")
+    def martSet(path: String) =
+      spark.read.parquet(path).collect().map(_.toSeq).toSet
+    def dateStr(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq.map {
+      case d: java.sql.Date => d.toString
+      case x => x
+    }).toSet
+    assert(martSet(lake.gold("mart_customer_rfm")) ==
+      graft.gold.Rfm(newSilver).collect().map(_.toSeq).toSet,
+      "refreshGold rfm diverged from full recompute")
+    assert(martSet(lake.gold("mart_customer_churn_profile")) ==
+      graft.gold.Churn(newSilver).collect().map(_.toSeq).toSet,
+      "refreshGold churn diverged from full recompute")
+    assert(dateStr(spark.read.parquet(lake.gold("mart_sales_trends/daily"))) ==
+      dateStr(graft.gold.SalesTrends.daily(newSilver)),
+      "refreshGold daily trends diverged from full recompute")
+
+    // additive path: prior daily mart = history minus the newest day,
+    // change log = that day's line keys tagged insert -> merge-add
+    val maxDate = newSilver.agg(max(col("creation_date"))).head.getDate(0)
+    graft.io.ParquetSink.flat(
+      graft.gold.SalesTrends.daily(
+        newSilver.filter(col("creation_date") =!= lit(maxDate))),
+      lake.gold("mart_sales_trends/daily"))
+    newSilver.filter(col("creation_date") === lit(maxDate))
+      .select("order_id", "lineitem_id", "user_id", "creation_date")
+      .withColumn("cdc_action", lit("insert"))
+      .write.mode("overwrite").parquet(lake.cdc("order_items", "2024-06-05"))
+    pipe.refreshGold("2024-06-05")
+    assert(dateStr(spark.read.parquet(lake.gold("mart_sales_trends/daily"))) ==
+      dateStr(graft.gold.SalesTrends.daily(newSilver)),
+      "additive trends merge diverged from full recompute")
   }
 }
