@@ -80,10 +80,31 @@ class StatefulSessionizerSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     assume(Files.isDirectory(java.nio.file.Paths.get(dir)))
     val gapMs = 30L * 60 * 1000
-    val streamed = SessionReplay.sessionsViaStream(spark, dir, gapMs, slices = 3)
-      .select($"user_id", $"session_start".cast("string"),
-        $"session_end".cast("string"), $"n_events", $"value_sum")
-      .as[(Long, String, String, Long, Double)].collect().toSet
+    // state must stay O(open sessions): one OpenSession row per key at
+    // most, never the event buffer
+    val maxStateRows = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.stateOperators.foreach { so =>
+          maxStateRows.getAndUpdate(m => math.max(m, so.numRowsTotal))
+        }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val streamed =
+      try SessionReplay.sessionsViaStream(spark, dir, gapMs, slices = 3)
+        .select($"user_id", $"session_start".cast("string"),
+          $"session_end".cast("string"), $"n_events", $"value_sum")
+        .as[(Long, String, String, Long, Double)].collect().toSet
+      finally spark.streams.removeListener(listener)
+    val nUsers = graft.core.Tables.events(spark, dir)
+      .select($"user_id").distinct().count()
+    assert(maxStateRows.get() > 0 && maxStateRows.get() <= nUsers + 2,
+      s"state rows ${maxStateRows.get()} exceed the open-session bound ($nUsers users + 2 sentinels)")
     val batch = StatefulSessionizer.sessions(
         graft.core.Tables.events(spark, dir)
           .select($"user_id".cast("long").as("user_id"),
