@@ -334,6 +334,11 @@ object SparkEntry {
       TextAnalysis.packSequences(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- flagship composition #2: curate -> chunk -> pack ----
+    "q64_packed_corpus" -> ((s, dir) =>
+      graft.ext.Curation.packCorpus(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // ---- ext: skew tooling proven equivalent to the plain aggregate ----
     "q61_salted_agg" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(
@@ -790,6 +795,9 @@ object SparkEntry {
     "q60_chunking" -> ExtOracleSql.chunk(chunkSize = 64, overlap = 16),
     "q62_repetition" -> ExtOracleSql.repetitionSignals,
     "q63_pack_sequences" -> ExtOracleSql.packSequences(budget = 2048, shards = 8),
+    "q64_packed_corpus" -> ExtOracleSql.packCorpus(
+      minQuality = 0.3, lang = "en", minJaccard = 0.5,
+      chunkSize = 64, overlap = 16, budget = 2048, shards = 4),
 
     // the salted two-phase aggregate must equal the plain GROUP BY
     "q61_salted_agg" ->

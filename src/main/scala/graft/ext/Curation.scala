@@ -42,4 +42,39 @@ object Curation {
       .select(col(idCol), col("detected_lang"), col("quality_score"),
         col("bucket"), col("split"))
   }
+
+  /** The full corpus→training-batches composition: [[curate]] →
+    * sliding-window chunking ([[TextAnalysis.chunk]]) → per-(split,
+    * shard) sequence packing — curated text turned into fixed
+    * token-budget packs, train/val/test packed separately (packs never
+    * mix splits). Every stage is an oracle-gated building block, so the
+    * composition hash-gates end-to-end.
+    *
+    * Scale: curation as in [[curate]]; chunking is shuffle-free; packing
+    * windows sort per (split, shard), never globally — `shards` sizes
+    * the pack parallelism independently of corpus size. */
+  def packCorpus(
+      docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.3, lang: String = "en", minJaccard: Double = 0.5,
+      chunkSize: Int = 64, overlap: Int = 16,
+      budget: Int = 2048, shards: Int = 4): DataFrame = {
+    val curated = curate(docs, idCol, textCol, minQuality, lang, minJaccard)
+      .select(col(idCol).as("doc_id"), col("split"))
+    val kept = docs.withColumnRenamed(idCol, "doc_id")
+      .join(curated, Seq("doc_id"))
+    val chunks = TextAnalysis.chunk(kept, "doc_id", textCol, chunkSize, overlap)
+      .join(curated, Seq("doc_id"))
+      .withColumn("shard",
+        pmod(graft.functions.Portable.h60(col("doc_id").cast("string")),
+          lit(shards.toLong)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    chunks
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("chunk_id"), col("split"), col("shard"),
+        col("n_tokens"),
+        ((col("__cum") - col("n_tokens")) / budget).cast("long").as("pack_id"))
+  }
 }

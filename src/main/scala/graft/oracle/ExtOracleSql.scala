@@ -293,6 +293,38 @@ object ExtOracleSql {
        |SELECT doc_id, shard, n_tokens, (c - n_tokens) // $budget AS pack_id
        |FROM cum ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.ext.Curation.packCorpus]]: the curated corpus
+    * ([[curatedCorpus]], embedded as a nested-WITH subquery) chunked and
+    * packed per (split, shard). */
+  def packCorpus(
+      minQuality: Double, lang: String, minJaccard: Double,
+      chunkSize: Int, overlap: Int, budget: Int, shards: Int): String = {
+    val stride = chunkSize - overlap
+    s"""WITH curated AS (${curatedCorpus(minQuality, lang, minJaccard)}),
+       |ctoks AS (
+       |  SELECT d.doc_id, c.split, ${Portable.tokensSql("d.text")} AS t
+       |  FROM documents d JOIN curated c USING (doc_id)),
+       |ch AS (
+       |  SELECT doc_id, split, len(t) AS n,
+       |         unnest(range(0,
+       |           (CASE WHEN len(t) > $chunkSize THEN len(t) - $chunkSize ELSE 0 END
+       |              + ${stride - 1}) // $stride + 1)) AS chunk_id
+       |  FROM ctoks),
+       |chn AS (
+       |  SELECT doc_id, split, chunk_id,
+       |         least($chunkSize, n - chunk_id * $stride) AS n_tokens,
+       |         ${h60("CAST(doc_id AS VARCHAR)")} % $shards AS shard
+       |  FROM ch),
+       |cum AS (
+       |  SELECT doc_id, split, chunk_id, shard, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY split, shard
+       |           ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM chn)
+       |SELECT doc_id, chunk_id, split, shard, n_tokens,
+       |       (c - n_tokens) // $budget AS pack_id
+       |FROM cum ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   /** Mirrors [[graft.ext.TextAnalysis.repetitionSignals]]. */
   def repetitionSignals: String =
     s"""WITH $toksCte,
