@@ -339,6 +339,13 @@ object SparkEntry {
       graft.ext.Curation.packCorpus(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // ---- ext: deterministic source-mixture sampling ----
+    "q65_mixture_sample" -> ((s, dir) =>
+      graft.ext.Sampling.mixtureSample(Tables.documents(s, dir), "source", "doc_id",
+          MixRates, defaultRate = 0.1)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // ---- ext: skew tooling proven equivalent to the plain aggregate ----
     "q61_salted_agg" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(
@@ -799,6 +806,12 @@ object SparkEntry {
       minQuality = 0.3, lang = "en", minJaccard = 0.5,
       chunkSize = 64, overlap = 16, budget = 2048, shards = 4),
 
+    "q65_mixture_sample" ->
+      s"""SELECT doc_id, source, lang FROM documents
+          WHERE ${graft.ext.Sampling.mixtureSampleSql(
+              "source", "doc_id", MixRates, defaultRate = 0.1)}
+          ORDER BY doc_id""",
+
     // the salted two-phase aggregate must equal the plain GROUP BY
     "q61_salted_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -806,6 +819,11 @@ object SparkEntry {
                   AS sum_extendedprice
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
   )
+
+  /** Mixture-sampling rates for q65 — ONE map drives both the Spark
+    * filter and its SQL mirror so they cannot drift. */
+  val MixRates: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
 
   /** Profiled lineitem columns (name, kind) — one list drives BOTH the
     * Spark profile and its SQL mirror so they cannot drift. */

@@ -43,6 +43,43 @@ object Sampling {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
 
+  /** Deterministic mixture sampling: keep each group's rows at that
+    * group's rate — the source/language re-weighting step of a training
+    * mix (e.g. temperature-scaled per-language rates). Membership is a
+    * pure hash function of the id (same contract as [[hashSplit]]), so
+    * the mix is reproducible on any layout and any engine; groups
+    * without a configured rate fall back to `defaultRate`.
+    *
+    * A pure projection — the rate lookup is a literal CASE chain, no
+    * join, no shuffle; at 100 TB the filter runs at scan time. Rates are
+    * resolved at 1e-6 granularity (`rate * 1e6` over a [0, 1e6) hash
+    * space), exactly mirrored by the SQL oracle. */
+  def mixtureSample(
+      df: DataFrame, groupCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "mix"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val h = Portable.h60(concat(lit(salt + ":"), col(idCol).cast("string"))) % 1000000L
+    val rate = rates.foldLeft(lit((defaultRate * 1e6).toLong)) {
+      case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit((r * 1e6).toLong)).otherwise(acc)
+    }
+    df.filter(h < rate)
+  }
+
+  /** SQL mirror of [[mixtureSample]]'s keep predicate. */
+  def mixtureSampleSql(
+      groupExpr: String, idExpr: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "mix"): String = {
+    val h = s"${Portable.h60Sql(s"'$salt:' || CAST($idExpr AS VARCHAR)")} % 1000000"
+    val cases = rates.toSeq.sortBy(_._1)
+      .map { case (g, r) => s"WHEN $groupExpr = '$g' THEN ${(r * 1e6).toLong}" }
+      .mkString(" ")
+    s"$h < (CASE $cases ELSE ${(defaultRate * 1e6).toLong} END)"
+  }
+
   /** Exact-size stratified sample: the `k` rows of each stratum with the
     * smallest salted id-hash (ties broken by id) — a deterministic
     * "random" k-per-group sample, reproducible on any layout.

@@ -22,6 +22,22 @@ class SamplingSpec extends SparkSpec {
     assert(counts("train") / n > 0.6 && counts("train") / n < 0.95)
   }
 
+  test("mixtureSample: rate 1 keeps all, rate 0 drops all, mid-rates track, layout-stable") {
+    val m = Sampling.mixtureSample(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    val bySource = m.groupBy("source").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource("src0") == totals("src0"), "rate 1.0 must keep every row")
+    assert(!bySource.contains("src1"), "rate 0.0 must drop every row")
+    val others = bySource.filterKeys(k => k != "src0").values.sum.toDouble /
+      totals.filterKeys(k => !Set("src0", "src1").contains(k)).values.sum
+    assert(others > 0.3 && others < 0.7, s"default 0.5 rate off: $others")
+    val m2 = Sampling.mixtureSample(docs.repartition(7), "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    assert(m.select("doc_id").except(m2.select("doc_id")).isEmpty,
+      "mixture membership must be layout-independent")
+  }
+
   test("stratifiedSample: exactly k per stratum, stable under repartition") {
     val k = 3
     val s1 = Sampling.stratifiedSample(docs, "source", "doc_id", k)
