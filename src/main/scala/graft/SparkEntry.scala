@@ -339,6 +339,11 @@ object SparkEntry {
       graft.ext.Curation.packCorpus(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // ---- ext: token-distribution entropy (repetition complement) ----
+    "q66_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ---- ext: deterministic source-mixture sampling ----
     "q65_mixture_sample" -> ((s, dir) =>
       graft.ext.Sampling.mixtureSample(Tables.documents(s, dir), "source", "doc_id",
@@ -811,6 +816,8 @@ object SparkEntry {
           WHERE ${graft.ext.Sampling.mixtureSampleSql(
               "source", "doc_id", MixRates, defaultRate = 0.1)}
           ORDER BY doc_id""",
+
+    "q66_token_entropy" -> ExtOracleSql.tokenEntropy,
 
     // the salted two-phase aggregate must equal the plain GROUP BY
     "q61_salted_agg" ->

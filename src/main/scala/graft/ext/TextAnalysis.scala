@@ -193,6 +193,29 @@ object TextAnalysis {
           .as("top_word_frac"))
   }
 
+  /** Token-distribution entropy per document (nats) — low entropy flags
+    * repetitive/boilerplate text, complementing [[repetitionSignals]]'
+    * ratio-based checks with a distribution-shape signal.
+    *
+    * Cross-engine exactness: H = ln(n) − (Σ c·ln c)/n, with each c·ln c
+    * term quantized to integral 1e-9 units BEFORE the sum — float sums
+    * are order-dependent and hash-agg order differs between engines, so
+    * only an integer accumulation is bit-stable; the final value rounds
+    * to 6. Shape: one explode + two hash aggregates (the shuffle carries
+    * distinct words per doc after map-side partials). */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(Portable.tokens(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(round(col("c") * log(col("c")) * 1e9).cast("long")).as("sn"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        round(log(col("n")) - (col("sn") / 1e9) / col("n"), 6).as("token_entropy"))
+
   /** Content fingerprints: exact md5 plus a 1-permutation MinHash over
     * word shingles (computed array-level — no explode). */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

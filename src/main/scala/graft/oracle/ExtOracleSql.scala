@@ -325,6 +325,19 @@ object ExtOracleSql {
        |FROM cum ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** Mirrors [[graft.ext.TextAnalysis.tokenEntropy]]. */
+  def tokenEntropy: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |         sum(CAST(round(c * ln(c) * 1e9) AS BIGINT)) AS sn
+       |  FROM wc GROUP BY 1)
+       |SELECT doc_id, n AS n_tokens,
+       |       round(ln(n) - (CAST(sn AS DOUBLE) / 1e9) / n, 6) AS token_entropy
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Mirrors [[graft.ext.TextAnalysis.repetitionSignals]]. */
   def repetitionSignals: String =
     s"""WITH $toksCte,

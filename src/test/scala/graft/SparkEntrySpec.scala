@@ -9,13 +9,11 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("every query has a DuckDB oracle (full-strength t2 gate)") {
-    // Engine-specific sketches (Spark HLL++ buffers) have no cross-engine
-    // SQL mirror; the driver records the weaker rows-only check for them.
-    val rowsOnly = Set("q51_location_hll", "q52_segments_approx")
-    val q = SparkEntry.queries.keySet -- rowsOnly
+    // Since round 3 even the sketch tier is gated: q51/q52 emit exact
+    // values plus error-bound booleans the oracle pins TRUE, so there are
+    // NO rows-only queries left.
+    val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(q == o, s"mismatch: only-in-queries=${q -- o}, only-in-oracle=${o -- q}")
-    assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))
-    assert((SparkEntry.oracleSql.keySet & rowsOnly).isEmpty)
   }
 }

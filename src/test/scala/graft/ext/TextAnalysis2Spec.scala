@@ -91,6 +91,17 @@ class TextAnalysis2Spec extends SparkSpec {
     assert(rows.map(_._2).distinct.length == 40) // every doc packed exactly once
   }
 
+  test("tokenEntropy: uniform text maxes entropy, constant text zeroes it") {
+    val docs = Seq(
+      (1L, "a b c d"),          // 4 uniform tokens -> ln(4)
+      (2L, "x x x x"),          // constant -> 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 4 && math.abs(got(1L)._3 - math.log(4)) < 1e-5)
+    assert(got(2L)._2 == 4 && got(2L)._3 == 0.0)
+  }
+
   test("quantizeInt8Report: reconstruction error bounded by scale/2") {
     val vecs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rep = Similarity.quantizeInt8Report(vecs, "vec_id", "embedding")
