@@ -112,6 +112,17 @@ class PlanSpec extends SparkSpec {
       s"salted sum is exactly two exchanges (keys+salt, then keys), got $exchanges:\n$saltedPlan")
   }
 
+  test("mixture sample is a scan-time filter; packed corpus plans no theta join") {
+    val docs = core.Tables.documents(spark, sf)
+    val mixPlan = planText(ext.Sampling.mixtureSample(
+      docs, "source", "doc_id", Map("src0" -> 1.0), defaultRate = 0.25))
+    assert(mixPlan.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) == 0,
+      s"mixture sampling must not shuffle:\n$mixPlan")
+    val packPlan = planText(ext.Curation.packCorpus(docs, "doc_id", "text"))
+    assert(!packPlan.contains("CartesianProduct") && !packPlan.contains("NestedLoop"),
+      s"curate->chunk->pack must never theta-join:\n$packPlan")
+  }
+
   test("funnel plans only per-user hash aggregates — no windows, no theta joins") {
     val plan = planText(ext.Behavior.funnel(core.Tables.events(spark, sf)))
     assert(!plan.contains("Window"), s"funnel must not sort-window:\n$plan")
