@@ -351,6 +351,11 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ---- ext: equi-width histogram (profiling companion) ----
+    "q67_histogram" -> ((s, dir) =>
+      graft.ext.Profiling.histogram(Tables.lineitem(s, dir), "l_extendedprice", bins = 20)
+        .orderBy(col("bucket"))),
+
     // ---- ext: skew tooling proven equivalent to the plain aggregate ----
     "q61_salted_agg" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(
@@ -818,6 +823,24 @@ object SparkEntry {
           ORDER BY doc_id""",
 
     "q66_token_entropy" -> ExtOracleSql.tokenEntropy,
+
+    "q67_histogram" ->
+      """WITH st AS (
+           SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+                  max(CAST(l_extendedprice AS DOUBLE)) AS mx
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         b AS (
+           SELECT CASE WHEN mx = mn THEN 0
+                       ELSE least(19, CAST(floor(
+                         (CAST(l_extendedprice AS DOUBLE) - mn) * 20 / (mx - mn))
+                         AS BIGINT)) END AS bucket,
+                  mn, mx
+           FROM lineitem, st WHERE l_extendedprice IS NOT NULL)
+         SELECT bucket,
+                mn + bucket * ((mx - mn) / 20) AS lo,
+                mn + (bucket + 1) * ((mx - mn) / 20) AS hi,
+                count(*) AS n
+         FROM b GROUP BY bucket, mn, mx ORDER BY bucket""",
 
     // the salted two-phase aggregate must equal the plain GROUP BY
     "q61_salted_agg" ->

@@ -65,4 +65,33 @@ object Profiling {
     }
     one.select(explode(array(perCol: _*)).as("s")).select(col("s.*"))
   }
+
+  /** Equi-width histogram of a numeric column: `bins` buckets over the
+    * observed [min, max], exact counts — the distribution-shape
+    * companion to [[summarize]] (ANALYZE-style statistics for the query
+    * planner and data-quality drift checks).
+    *
+    * Shape: one scalar min/max aggregate broadcast back (the anchor
+    * pattern), then one hash aggregate on the bucket id — two scans, no
+    * window. Bucket ids and edges use one fixed float formula evaluated
+    * identically by the SQL oracle, so the result hash-gates despite
+    * being pure double arithmetic. */
+  def histogram(df: DataFrame, colName: String, bins: Int = 20): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    val c = col(colName).cast("double")
+    val st = df.filter(c.isNotNull).agg(min(c).as("mn"), max(c).as("mx"))
+    val bucket = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(least(lit(bins - 1L),
+        floor((c - col("mn")) * bins / (col("mx") - col("mn"))).cast("long")))
+    df.filter(c.isNotNull)
+      .crossJoin(broadcast(st))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("bucket"),
+        (col("mn") + col("bucket") * ((col("mx") - col("mn")) / bins)).as("lo"),
+        (col("mn") + (col("bucket") + 1) * ((col("mx") - col("mn")) / bins)).as("hi"),
+        col("n"))
+  }
 }

@@ -50,6 +50,16 @@ class ProfilingSpec extends SparkSpec {
     assert(!plan.contains("Union"), s"expected single-pass profile:\n$plan")
   }
 
+  test("histogram: all rows counted, max value clamps into the last bucket") {
+    val df = (0 until 100).map(_.toDouble).toDF("v")
+    val h = Profiling.histogram(df, "v", bins = 10).orderBy("bucket")
+      .select($"bucket", $"lo", $"hi", $"n").as[(Long, Double, Double, Long)].collect()
+    assert(h.map(_._4).sum == 100, "every non-null row lands in a bucket")
+    assert(h.length == 10 && h.last._1 == 9, "max value must clamp to bins-1")
+    assert(h.head._2 == 0.0 && math.abs(h.last._3 - 99.0) < 1e-9,
+      "edges must span [min, max]")
+  }
+
   test("revenueOutliers: z-scores flag exactly the planted spike") {
     import java.sql.Date
     val rows = (1 to 30).map { d =>
