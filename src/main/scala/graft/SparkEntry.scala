@@ -351,6 +351,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ---- ext: multimodal frame sampling (geometry gated; md5 stub
+    // unit-tested — DuckDB has no byte-window md5) ----
+    "q68_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+          Multimodal.toMedia(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF().select(col("doc_id"), col("frame_idx"), col("byte_offset"),
+          col("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // ---- ext: equi-width histogram (profiling companion) ----
     "q67_histogram" -> ((s, dir) =>
       graft.ext.Profiling.histogram(Tables.lineitem(s, dir), "l_extendedprice", bins = 20)
@@ -823,6 +832,21 @@ object SparkEntry {
           ORDER BY doc_id""",
 
     "q66_token_entropy" -> ExtOracleSql.tokenEntropy,
+
+    // frame-sampling geometry: evenly-spaced byte windows, fan-out
+    // bounded by maxFrames=4, window size 32
+    "q68_frame_sample" ->
+      """WITH m AS (
+           SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+         f AS (
+           SELECT doc_id, n, greatest(1, least(4, n // 32)) AS frames FROM m),
+         e AS (
+           SELECT doc_id, n, frames, unnest(range(0, frames)) AS k FROM f)
+         SELECT doc_id, k AS frame_idx,
+                (n * k) // frames AS byte_offset,
+                CAST(least(n, (n * k) // frames + 32) - (n * k) // frames AS BIGINT)
+                  AS frame_bytes
+         FROM e ORDER BY doc_id, frame_idx""",
 
     "q67_histogram" ->
       """WITH st AS (

@@ -58,4 +58,45 @@ object Multimodal {
       }
     }
   }
+
+  case class Frame(
+      doc_id: Long, frame_idx: Long, byte_offset: Long,
+      frame_md5: String, frame_bytes: Long)
+
+  /** Frame sampling over a binary "video" column: emit `maxFrames`
+    * evenly-spaced frames per media payload — the video-to-training-
+    * examples step of a multimodal pipeline. Decode is the same honest
+    * STUB as [[featurize]] (no codecs in this container): a "frame" is a
+    * fixed-size byte window at the sampled offset, its md5 standing in
+    * for decoded pixels. The plumbing under it is the real deliverable:
+    * per-record fan-out bounded by `maxFrames` (never a data-dependent
+    * explosion), per-partition decoder setup, typed frame schema — and
+    * the byte-window semantics are exactly mirrorable in SQL, so the
+    * whole path hash-gates cross-engine.
+    *
+    * Scale: one narrow pass, output rows = `maxFrames · |media|`;
+    * sampling offsets derive from the payload length alone, so the
+    * operator never buffers a whole partition of video. */
+  def frameSample(
+      media: Dataset[MediaRecord], maxFrames: Int = 4,
+      frameBytes: Int = 32): Dataset[Frame] = {
+    require(maxFrames >= 1 && frameBytes >= 1, "need positive frame params")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val n = r.media.length
+        val frames = math.min(maxFrames.toLong, math.max(1L, n.toLong / frameBytes))
+        (0L until frames).map { k =>
+          val off = (n.toLong * k) / frames
+          val end = math.min(n.toLong, off + frameBytes).toInt
+          md.reset()
+          val hex = md.digest(java.util.Arrays.copyOfRange(r.media, off.toInt, end))
+            .map("%02x".format(_)).mkString
+          Frame(r.doc_id, k, off, hex, (end - off.toInt).toLong)
+        }
+      }
+    }
+  }
 }
