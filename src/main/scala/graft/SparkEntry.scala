@@ -360,6 +360,15 @@ object SparkEntry {
           col("frame_bytes"))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // ---- io: JSON-lines interchange round-trip (schema-explicit read;
+    // payload fidelity incl. unicode/newline escapes is the point) ----
+    "q69_json_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+      graft.io.TextTables.writeJson(docs, tmp)
+      graft.io.TextTables.readJson(s, tmp, docs.schema).orderBy(col("doc_id"))
+    }),
+
     // ---- ext: equi-width histogram (profiling companion) ----
     "q67_histogram" -> ((s, dir) =>
       graft.ext.Profiling.histogram(Tables.lineitem(s, dir), "l_extendedprice", bins = 20)
@@ -847,6 +856,10 @@ object SparkEntry {
                 CAST(least(n, (n * k) // frames + 32) - (n * k) // frames AS BIGINT)
                   AS frame_bytes
          FROM e ORDER BY doc_id, frame_idx""",
+
+    "q69_json_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
 
     "q67_histogram" ->
       """WITH st AS (
