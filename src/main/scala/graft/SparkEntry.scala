@@ -360,6 +360,11 @@ object SparkEntry {
           col("frame_bytes"))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // ---- ext: materialized training sequences (pack text concat) ----
+    "q70_packed_text" -> ((s, dir) =>
+      TextAnalysis.packedText(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("shard"), col("pack_id"))),
+
     // ---- io: JSON-lines interchange round-trip (schema-explicit read;
     // payload fidelity incl. unicode/newline escapes is the point) ----
     "q69_json_roundtrip" -> ((s, dir) => {
@@ -860,6 +865,9 @@ object SparkEntry {
     "q69_json_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+
+    "q70_packed_text" -> ExtOracleSql.packedText(
+      budget = 2048, shards = 8, sep = " <|doc|> "),
 
     "q67_histogram" ->
       """WITH st AS (

@@ -155,6 +155,32 @@ object TextAnalysis {
         ((col("__cum") - col("n_tokens")) / budget).cast("long").as("pack_id"))
   }
 
+  /** Materialized training sequences: concatenate each pack's token
+    * streams (doc-id order, `sep`-joined) into one text per pack — the
+    * final artifact a tokenizer consumes. Builds on [[packSequences]];
+    * the concat is one hash aggregate on (shard, pack) whose groups are
+    * budget-bounded, so no group can exceed ~budget tokens + separators
+    * regardless of corpus size. */
+  def packedText(
+      docs: DataFrame, idCol: String, textCol: String,
+      budget: Int = 2048, shards: Int = 8,
+      sep: String = " <|doc|> "): DataFrame = {
+    val packs = packSequences(docs, idCol, textCol, budget, shards)
+    val txt = docs.select(
+      col(idCol).as("doc_id"),
+      concat_ws(" ", Portable.tokens(col(textCol))).as("txt"))
+    packs.join(txt, Seq("doc_id"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("txt")))),
+            x => x.getField("txt")),
+          sep).as("pack_text"))
+  }
+
   /** Gopher-style repetition signals per document: duplicate-word and
     * duplicate-3-gram fractions plus the most-frequent-word share — the
     * standard repetition filters a pretraining curation pass applies

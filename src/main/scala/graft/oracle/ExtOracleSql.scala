@@ -338,6 +338,26 @@ object ExtOracleSql {
        |       round(ln(n) - (CAST(sn AS DOUBLE) / 1e9) / n, 6) AS token_entropy
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.ext.TextAnalysis.packedText]]. */
+  def packedText(budget: Int, shards: Int, sep: String): String =
+    s"""WITH $toksCte,
+       |base AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |         ${h60("CAST(doc_id AS VARCHAR)")} % $shards AS shard,
+       |         array_to_string(t, ' ') AS txt
+       |  FROM toks),
+       |cum AS (
+       |  SELECT doc_id, shard, n_tokens, txt,
+       |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM base)
+       |SELECT shard, (c - n_tokens) // $budget AS pack_id,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       |       string_agg(txt, '$sep' ORDER BY doc_id) AS pack_text
+       |FROM (SELECT doc_id, shard, n_tokens, txt, c FROM cum)
+       |GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin
+
   /** Mirrors [[graft.ext.TextAnalysis.repetitionSignals]]. */
   def repetitionSignals: String =
     s"""WITH $toksCte,
