@@ -212,15 +212,23 @@ final class CdcPipeline(
       val dailyPath = lake.gold("mart_sales_trends/daily")
       val insertOnly = changes.columns.contains("cdc_action") &&
         changes.filter(col("cdc_action") =!= "insert").isEmpty
+      // RERUN SAFETY: the key-scoped maintainers above are idempotent
+      // (they recompute affected keys from silver), but merge-ADD applied
+      // twice double-counts — so the additive path records an
+      // applied-marker per runDate and a rerun becomes a no-op
+      val applied = s"gold/mart_sales_trends_daily/applied/$runDate"
       if (!martExists(dailyPath))
         ParquetSink.flat(SalesTrends.daily(revenue), dailyPath)
       else if (insertOnly) {
-        val fresh = revenue.join(
-          changes.select(col("order_id"), col("lineitem_id")).distinct(),
-          Seq("order_id", "lineitem_id"), "left_semi")
-        swapWrite(
-          IncrementalTrends.daily(spark.read.parquet(dailyPath), fresh),
-          dailyPath, Nil)
+        if (store.get(applied, "") != "done") {
+          val fresh = revenue.join(
+            changes.select(col("order_id"), col("lineitem_id")).distinct(),
+            Seq("order_id", "lineitem_id"), "left_semi")
+          swapWrite(
+            IncrementalTrends.daily(spark.read.parquet(dailyPath), fresh),
+            dailyPath, Nil)
+          store.put(applied, "done")
+        }
       } else swapWrite(SalesTrends.daily(revenue), dailyPath, Nil)
     } finally { revenue.unpersist() }
   }

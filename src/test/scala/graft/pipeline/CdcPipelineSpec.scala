@@ -209,5 +209,16 @@ class CdcPipelineSpec extends SparkSpec {
     assert(dateStr(spark.read.parquet(lake.gold("mart_sales_trends/daily"))) ==
       dateStr(graft.gold.SalesTrends.daily(newSilver)),
       "additive trends merge diverged from full recompute")
+
+    // rerun safety: replaying the SAME insert-only run must not
+    // double-add (applied-marker short-circuit), and the key-scoped
+    // maintainers are idempotent by construction
+    pipe.refreshGold("2024-06-05")
+    assert(dateStr(spark.read.parquet(lake.gold("mart_sales_trends/daily"))) ==
+      dateStr(graft.gold.SalesTrends.daily(newSilver)),
+      "rerunning the additive refresh double-counted the delta")
+    assert(martSet(lake.gold("mart_customer_rfm")) ==
+      graft.gold.Rfm(newSilver).collect().map(_.toSeq).toSet,
+      "rerunning the key-scoped refresh changed the rfm mart")
   }
 }
