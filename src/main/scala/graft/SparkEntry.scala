@@ -365,6 +365,16 @@ object SparkEntry {
       TextAnalysis.packedText(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("shard"), col("pack_id"))),
 
+    // ---- ext: distribution drift (PSI) between time-sliced versions ----
+    "q71_psi_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ext.Drift.psi(
+          ev.filter(col("ts") < lit("1997-01-01").cast("timestamp")),
+          ev.filter(col("ts") >= lit("1997-01-01").cast("timestamp")),
+          "value", bins = 10)
+        .orderBy(col("bucket"))
+    }),
+
     // ---- io: JSON-lines interchange round-trip (schema-explicit read;
     // payload fidelity incl. unicode/newline escapes is the point) ----
     "q69_json_roundtrip" -> ((s, dir) => {
@@ -868,6 +878,44 @@ object SparkEntry {
 
     "q70_packed_text" -> ExtOracleSql.packedText(
       budget = 2048, shards = 8, sep = " <|doc|> "),
+
+    "q71_psi_drift" ->
+      """WITH b AS (
+           SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE ts < TIMESTAMP '1997-01-01' AND value IS NOT NULL),
+         cur AS (
+           SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE ts >= TIMESTAMP '1997-01-01' AND value IS NOT NULL),
+         st AS (SELECT min(v) AS mn, max(v) AS mx FROM b),
+         bb AS (
+           SELECT CASE WHEN mx = mn THEN 0
+                       ELSE least(9, greatest(0, CAST(floor(
+                         (v - mn) * 10 / (mx - mn)) AS BIGINT))) END AS bucket
+           FROM b, st),
+         cb AS (
+           SELECT CASE WHEN mx = mn THEN 0
+                       ELSE least(9, greatest(0, CAST(floor(
+                         (v - mn) * 10 / (mx - mn)) AS BIGINT))) END AS bucket
+           FROM cur, st),
+         spine AS (SELECT unnest(range(0, 10)) AS bucket),
+         nb AS (SELECT bucket, count(*) AS n FROM bb GROUP BY 1),
+         nc AS (SELECT bucket, count(*) AS n FROM cb GROUP BY 1),
+         j AS (
+           SELECT s.bucket, COALESCE(nb.n, 0) AS n_base, COALESCE(nc.n, 0) AS n_cur
+           FROM spine s LEFT JOIN nb USING (bucket) LEFT JOIN nc USING (bucket)),
+         t AS (
+           SELECT bucket, n_base, n_cur,
+                  CAST(round(
+                    ((CAST(n_base + 1 AS DOUBLE) / (sum(n_base) OVER () + 10))
+                     - (CAST(n_cur + 1 AS DOUBLE) / (sum(n_cur) OVER () + 10)))
+                    * ln((CAST(n_base + 1 AS DOUBLE) / (sum(n_base) OVER () + 10))
+                       / (CAST(n_cur + 1 AS DOUBLE) / (sum(n_cur) OVER () + 10)))
+                    * 1e9) AS BIGINT) AS nanos
+           FROM j)
+         SELECT bucket, n_base, n_cur,
+                round(nanos / 1e9, 6) AS psi_term,
+                round(CAST(sum(nanos) OVER () AS DOUBLE) / 1e9, 6) AS psi_total
+         FROM t ORDER BY bucket""",
 
     "q67_histogram" ->
       """WITH st AS (

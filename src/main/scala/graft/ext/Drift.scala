@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two dataset versions: the
+  * Population Stability Index over shared equi-width bins — the gate a
+  * dataset-versioning pipeline runs before swapping training snapshots
+  * (PSI ≳ 0.2 conventionally flags a shifted feature).
+  *
+  * Bin edges derive from the BASELINE's min/max only (the versioning
+  * contract: the old snapshot defines the reference frame), current
+  * values outside the baseline range clamp into the edge bins, and both
+  * sides get a +1 Laplace floor so empty bins keep the log ratio finite.
+  *
+  * Cross-engine exactness: bucket ids and the Laplace probabilities are
+  * exact-integer-derived doubles; each bin's PSI term quantizes to
+  * integral 1e-9 units before the total (float sums are order-dependent;
+  * integer sums are not), and terms/total round to 6.
+  *
+  * Shape: two scans (one per version) into bucket hash-aggregates, one
+  * broadcast of the baseline min/max, a `bins`-row spine join, and an
+  * unpartitioned window over `bins` rows — nothing scales with the data
+  * beyond the two scans. */
+object Drift {
+
+  def psi(
+      baseline: DataFrame, current: DataFrame, colName: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    val spark = baseline.sparkSession
+    val c = col(colName).cast("double")
+    val st = baseline.filter(c.isNotNull).agg(min(c).as("mn"), max(c).as("mx"))
+    def counts(df: DataFrame, out: String) = df.filter(c.isNotNull)
+      .crossJoin(broadcast(st))
+      .select(
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(bins - 1L), greatest(lit(0L),
+            floor((c - col("mn")) * bins / (col("mx") - col("mn"))).cast("long"))))
+          .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+    val spine = spark.range(bins).toDF("bucket")
+    val j = spine
+      .join(counts(baseline, "nb"), Seq("bucket"), "left")
+      .join(counts(current, "nc"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("nb"), lit(0L)).as("n_base"),
+        coalesce(col("nc"), lit(0L)).as("n_cur"))
+    val w = Window.partitionBy() // bins rows — not a data-sized window
+    val p = (col("n_base") + 1).cast("double") / (sum(col("n_base")).over(w) + bins)
+    val q = (col("n_cur") + 1).cast("double") / (sum(col("n_cur")).over(w) + bins)
+    j.withColumn("nanos", round((p - q) * log(p / q) * 1e9).cast("long"))
+      .select(
+        col("bucket"), col("n_base"), col("n_cur"),
+        round(col("nanos") / 1e9, 6).as("psi_term"),
+        round(sum(col("nanos")).over(w) / 1e9, 6).as("psi_total"))
+  }
+}
