@@ -369,8 +369,18 @@ object SparkEntry {
     "q71_psi_drift" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       graft.ext.Drift.psi(
-          ev.filter(col("ts") < lit("1997-01-01").cast("timestamp")),
-          ev.filter(col("ts") >= lit("1997-01-01").cast("timestamp")),
+          ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+          ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+          "value", bins = 10)
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- ext: binned KS statistic (nonparametric drift companion) ----
+    "q72_ks_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ext.Drift.ksBinned(
+          ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+          ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
           "value", bins = 10)
         .orderBy(col("bucket"))
     }),
@@ -882,10 +892,10 @@ object SparkEntry {
     "q71_psi_drift" ->
       """WITH b AS (
            SELECT CAST(value AS DOUBLE) AS v FROM events
-           WHERE ts < TIMESTAMP '1997-01-01' AND value IS NOT NULL),
+           WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
          cur AS (
            SELECT CAST(value AS DOUBLE) AS v FROM events
-           WHERE ts >= TIMESTAMP '1997-01-01' AND value IS NOT NULL),
+           WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
          st AS (SELECT min(v) AS mn, max(v) AS mx FROM b),
          bb AS (
            SELECT CASE WHEN mx = mn THEN 0
@@ -916,6 +926,43 @@ object SparkEntry {
                 round(nanos / 1e9, 6) AS psi_term,
                 round(CAST(sum(nanos) OVER () AS DOUBLE) / 1e9, 6) AS psi_total
          FROM t ORDER BY bucket""",
+
+    "q72_ks_drift" ->
+      """WITH b AS (
+           SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+         cur AS (
+           SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+         st AS (SELECT min(v) AS mn, max(v) AS mx FROM b),
+         bb AS (
+           SELECT CASE WHEN mx = mn THEN 0
+                       ELSE least(9, greatest(0, CAST(floor(
+                         (v - mn) * 10 / (mx - mn)) AS BIGINT))) END AS bucket
+           FROM b, st),
+         cb AS (
+           SELECT CASE WHEN mx = mn THEN 0
+                       ELSE least(9, greatest(0, CAST(floor(
+                         (v - mn) * 10 / (mx - mn)) AS BIGINT))) END AS bucket
+           FROM cur, st),
+         spine AS (SELECT unnest(range(0, 10)) AS bucket),
+         nb AS (SELECT bucket, count(*) AS n FROM bb GROUP BY 1),
+         nc AS (SELECT bucket, count(*) AS n FROM cb GROUP BY 1),
+         j AS (
+           SELECT s.bucket, COALESCE(nb.n, 0) AS n_base, COALESCE(nc.n, 0) AS n_cur
+           FROM spine s LEFT JOIN nb USING (bucket) LEFT JOIN nc USING (bucket)),
+         cdf AS (
+           SELECT bucket, n_base, n_cur,
+                  round(CAST(sum(n_base) OVER (ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                    / sum(n_base) OVER (), 6) AS cdf_base,
+                  round(CAST(sum(n_cur) OVER (ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                    / sum(n_cur) OVER (), 6) AS cdf_cur
+           FROM j)
+         SELECT bucket, n_base, n_cur, cdf_base, cdf_cur,
+                round(max(abs(cdf_base - cdf_cur)) OVER (), 6) AS ks_d
+         FROM cdf ORDER BY bucket""",
 
     "q67_histogram" ->
       """WITH st AS (

@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   * beyond the two scans. */
 object Drift {
 
-  def psi(
+  /** Baseline-framed per-bucket counts for both versions over a full
+    * `bins`-row spine (zero bins kept — both [[psi]] and [[ksBinned]]
+    * need them). */
+  private def binnedCounts(
       baseline: DataFrame, current: DataFrame, colName: String,
-      bins: Int = 10): DataFrame = {
-    require(bins >= 1, "bins must be positive")
+      bins: Int): DataFrame = {
     val spark = baseline.sparkSession
     val c = col(colName).cast("double")
     val st = baseline.filter(c.isNotNull).agg(min(c).as("mn"), max(c).as("mx"))
@@ -40,13 +42,19 @@ object Drift {
             floor((c - col("mn")) * bins / (col("mx") - col("mn"))).cast("long"))))
           .as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as(out))
-    val spine = spark.range(bins).toDF("bucket")
-    val j = spine
+    spark.range(bins).toDF("bucket")
       .join(counts(baseline, "nb"), Seq("bucket"), "left")
       .join(counts(current, "nc"), Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("nb"), lit(0L)).as("n_base"),
         coalesce(col("nc"), lit(0L)).as("n_cur"))
+  }
+
+  def psi(
+      baseline: DataFrame, current: DataFrame, colName: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    val j = binnedCounts(baseline, current, colName, bins)
     val w = Window.partitionBy() // bins rows — not a data-sized window
     val p = (col("n_base") + 1).cast("double") / (sum(col("n_base")).over(w) + bins)
     val q = (col("n_cur") + 1).cast("double") / (sum(col("n_cur")).over(w) + bins)
@@ -55,5 +63,30 @@ object Drift {
         col("bucket"), col("n_base"), col("n_cur"),
         round(col("nanos") / 1e9, 6).as("psi_term"),
         round(sum(col("nanos")).over(w) / 1e9, 6).as("psi_total"))
+  }
+
+  /** Binned two-sample Kolmogorov–Smirnov statistic over the same
+    * baseline frame: D = max over buckets of |CDF_base − CDF_cur| — the
+    * nonparametric companion to [[psi]] (sensitive to location shifts
+    * even when bin masses stay similar). CDFs are exact integer-cumsum
+    * ratios rounded to 6, so D hash-gates cross-engine. */
+  def ksBinned(
+      baseline: DataFrame, current: DataFrame, colName: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    val j = binnedCounts(baseline, current, colName, bins)
+    val w = Window.partitionBy()
+    val wcum = Window.partitionBy().orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j.withColumn("cdf_base",
+        round(sum(col("n_base")).over(wcum).cast("double")
+          / sum(col("n_base")).over(w), 6))
+      .withColumn("cdf_cur",
+        round(sum(col("n_cur")).over(wcum).cast("double")
+          / sum(col("n_cur")).over(w), 6))
+      .select(
+        col("bucket"), col("n_base"), col("n_cur"),
+        col("cdf_base"), col("cdf_cur"),
+        round(max(abs(col("cdf_base") - col("cdf_cur"))).over(w), 6).as("ks_d"))
   }
 }
