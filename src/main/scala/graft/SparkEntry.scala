@@ -385,6 +385,16 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // ---- ext: chi-square drift for CATEGORICAL columns ----
+    "q73_chi2_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ext.Drift.chiSquare(
+          ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+          ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+          "event_type")
+        .orderBy(col("category"))
+    }),
+
     // ---- io: JSON-lines interchange round-trip (schema-explicit read;
     // payload fidelity incl. unicode/newline escapes is the point) ----
     "q69_json_roundtrip" -> ((s, dir) => {
@@ -963,6 +973,43 @@ object SparkEntry {
          SELECT bucket, n_base, n_cur, cdf_base, cdf_cur,
                 round(max(abs(cdf_base - cdf_cur)) OVER (), 6) AS ks_d
          FROM cdf ORDER BY bucket""",
+
+    "q73_chi2_drift" ->
+      """WITH nb AS (
+           SELECT event_type AS category, count(*) AS n FROM events
+           WHERE ts < TIMESTAMP '2024-01-16' AND event_type IS NOT NULL
+           GROUP BY 1),
+         nc AS (
+           SELECT event_type AS category, count(*) AS n FROM events
+           WHERE ts >= TIMESTAMP '2024-01-16' AND event_type IS NOT NULL
+           GROUP BY 1),
+         j AS (
+           SELECT COALESCE(nb.category, nc.category) AS category,
+                  COALESCE(nb.n, 0) AS n_base, COALESCE(nc.n, 0) AS n_cur
+           FROM nb FULL OUTER JOIN nc ON nb.category = nc.category),
+         e AS (
+           SELECT category, n_base, n_cur,
+                  CAST(sum(n_base) OVER () AS DOUBLE)
+                    * CAST(n_base + n_cur AS DOUBLE)
+                    / CAST(sum(n_base + n_cur) OVER () AS DOUBLE) AS eb,
+                  CAST(sum(n_cur) OVER () AS DOUBLE)
+                    * CAST(n_base + n_cur AS DOUBLE)
+                    / CAST(sum(n_base + n_cur) OVER () AS DOUBLE) AS ec
+           FROM j),
+         t AS (
+           SELECT category, n_base, n_cur,
+                  CAST(round((
+                      (CAST(n_base AS DOUBLE) - eb)
+                        * (CAST(n_base AS DOUBLE) - eb) / eb
+                    + (CAST(n_cur AS DOUBLE) - ec)
+                        * (CAST(n_cur AS DOUBLE) - ec) / ec
+                  ) * 1e9) AS BIGINT) AS nanos
+           FROM e)
+         SELECT category, n_base, n_cur,
+                round(CAST(nanos AS DOUBLE) / 1e9, 6) AS chi2_term,
+                round(CAST(sum(nanos) OVER () AS DOUBLE) / 1e9, 6) AS chi2_total,
+                CAST(count(*) OVER () - 1 AS BIGINT) AS dof
+         FROM t ORDER BY category""",
 
     "q67_histogram" ->
       """WITH st AS (

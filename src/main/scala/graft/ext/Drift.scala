@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -88,5 +88,48 @@ object Drift {
         col("bucket"), col("n_base"), col("n_cur"),
         col("cdf_base"), col("cdf_cur"),
         round(max(abs(col("cdf_base") - col("cdf_cur"))).over(w), 6).as("ks_d"))
+  }
+
+  /** Chi-square homogeneity test between two versions of a CATEGORICAL
+    * column (the companion to the numeric [[psi]]/[[ksBinned]]): for each
+    * category and each side, the (observed − expected)²/expected term
+    * under the pooled distribution, plus the total statistic and degrees
+    * of freedom. NULL categories are excluded; both versions must be
+    * non-empty (expected counts would otherwise be zero).
+    *
+    * Exactness: observed counts are integers, expected counts are ratios
+    * of those integers, and each category's term quantizes to integral
+    * 1e-9 units before the order-independent total; terms/total round
+    * to 6. Shape: two scans into per-category hash-aggregates, one
+    * category-keyed outer join, and an unpartitioned window over the
+    * (category-cardinality-sized) result — nothing data-sized past the
+    * scans. */
+  def chiSquare(
+      baseline: DataFrame, current: DataFrame, colName: String): DataFrame = {
+    val c = col(colName)
+    def counts(df: DataFrame, out: String) = df.filter(c.isNotNull)
+      .groupBy(c.as("category")).agg(count(lit(1)).as(out))
+    val j = counts(baseline, "nb")
+      .join(counts(current, "nc"), Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("nb"), lit(0L)).as("n_base"),
+        coalesce(col("nc"), lit(0L)).as("n_cur"))
+    val w = Window.partitionBy() // category-cardinality rows, not data-sized
+    val nB = sum(col("n_base")).over(w).cast("double")
+    val nC = sum(col("n_cur")).over(w).cast("double")
+    val tot = (col("n_base") + col("n_cur")).cast("double")
+    val grand = nB + nC
+    def term(obs: Column, side: Column) = {
+      val e = side * tot / grand
+      (obs.cast("double") - e) * (obs.cast("double") - e) / e
+    }
+    j.withColumn("nanos",
+        round((term(col("n_base"), nB) + term(col("n_cur"), nC)) * 1e9)
+          .cast("long"))
+      .select(
+        col("category"), col("n_base"), col("n_cur"),
+        round(col("nanos") / 1e9, 6).as("chi2_term"),
+        round(sum(col("nanos")).over(w) / 1e9, 6).as("chi2_total"),
+        (count(lit(1)).over(w) - 1).cast("long").as("dof"))
   }
 }

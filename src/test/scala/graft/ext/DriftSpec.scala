@@ -29,4 +29,23 @@ class DriftSpec extends SparkSpec {
     assert(moved.forall { case (_, cb, cc) => cb >= 0 && cb <= 1 && cc >= 0 && cc <= 1 })
     assert(moved.head._1 > 0.4, s"a 60-point shift must move the CDFs apart: ${moved.head._1}")
   }
+
+  test("chiSquare: identical category mixes score ~0, a planted skew scores large") {
+    val base = (1 to 900).map(i => s"cat${i % 3}").toDF("c")
+    val same = Drift.chiSquare(base, base, "c")
+      .select($"chi2_total").as[Double].head()
+    assert(same == 0.0, s"identical mixes must score 0, got $same")
+    // current heavily over-represents cat0 (700/100/100 vs 300/300/300)
+    val skew = ((1 to 700).map(_ => "cat0") ++ (1 to 100).map(_ => "cat1") ++
+      (1 to 100).map(_ => "cat2")).toDF("c")
+    val out = Drift.chiSquare(base, skew, "c").collect()
+    assert(out.length == 3)
+    val total = out.head.getAs[Double]("chi2_total")
+    // chi2 >> critical value 5.99 (dof=2, alpha=.05)
+    assert(total > 100, s"a 3x over-representation must dominate the statistic: $total")
+    assert(out.forall(_.getAs[Long]("dof") == 2L))
+    // a category absent from one side still appears with n=0
+    val oneSided = Drift.chiSquare(base, Seq("cat0", "catNEW").toDF("c"), "c")
+    assert(oneSided.count() == 4)
+  }
 }
