@@ -93,6 +93,24 @@ object SparkEntry {
         .drop("cdc_timestamp")
         .orderBy(col("o_orderkey"), col("cdc_action"))),
 
+    // ---- cdc: merge the changeset back into the prior snapshot; the
+    // result must BE the current snapshot (oracle derives it independently) ----
+    "q74_cdc_merge" -> ((s, dir) =>
+      graft.cdc.CdcApply.merge(
+        CdcFixture.previous(s, dir),
+        graft.cdc.SnapshotDiff(
+          CdcFixture.current(s, dir), CdcFixture.previous(s, dir),
+          pk = Seq("o_orderkey")),
+        pk = Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- cdc: SCD Type-2 history from the snapshot pair ----
+    "q75_scd2" -> ((s, dir) =>
+      graft.cdc.CdcApply.scd2(
+        CdcFixture.current(s, dir), CdcFixture.previous(s, dir),
+        pk = Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"), col("valid_from"))),
+
     // ---- ext: deduplication ----
     "q15_dedup_exact" -> ((s, dir) =>
       Dedup.keyedDupGroups(Tables.lineitem(s, dir), Seq("l_orderkey", "l_linenumber"))
@@ -614,6 +632,61 @@ object SparkEntry {
          SELECT * FROM (SELECT * FROM ins UNION ALL SELECT * FROM upd
                         UNION ALL SELECT * FROM del)
          ORDER BY o_orderkey, cdc_action""",
+
+    // Independent derivation: merge(prev, diff(cur, prev)) must BE cdc_cur,
+    // so the oracle just selects the current snapshot — any upsert-semantics
+    // bug on the Spark side mismatches.
+    "q74_cdc_merge" ->
+      """WITH cdc_base AS (
+           SELECT o_orderkey, max(o_custkey) AS custkey,
+                  max(o_totalprice) AS totalprice,
+                  max(CAST(o_orderdate AS DATE)) AS odate,
+                  max(o_orderpriority) AS priority
+           FROM orders GROUP BY 1),
+         cdc_cur AS (SELECT * FROM cdc_base WHERE o_orderkey % 13 != 5)
+         SELECT * FROM cdc_cur ORDER BY o_orderkey""",
+
+    "q75_scd2" ->
+      """WITH cdc_base AS (
+           SELECT o_orderkey, max(o_custkey) AS custkey,
+                  max(o_totalprice) AS totalprice,
+                  max(CAST(o_orderdate AS DATE)) AS odate,
+                  max(o_orderpriority) AS priority
+           FROM orders GROUP BY 1),
+         cdc_prev AS (
+           SELECT o_orderkey, custkey,
+                  CASE WHEN o_orderkey % 7 = 2 THEN totalprice + 100
+                       ELSE totalprice END AS totalprice,
+                  odate, priority
+           FROM cdc_base WHERE o_orderkey % 10 != 3),
+         cdc_cur AS (SELECT * FROM cdc_base WHERE o_orderkey % 13 != 5),
+         hist AS (
+           SELECT p.o_orderkey, p.custkey, p.totalprice, p.odate, p.priority,
+                  CAST(1 AS BIGINT) AS valid_from,
+                  CASE WHEN c.o_orderkey IS NULL
+                            OR c.custkey IS DISTINCT FROM p.custkey
+                            OR c.totalprice IS DISTINCT FROM p.totalprice
+                            OR c.odate IS DISTINCT FROM p.odate
+                            OR c.priority IS DISTINCT FROM p.priority
+                       THEN CAST(2 AS BIGINT) END AS valid_to,
+                  (c.o_orderkey IS NOT NULL
+                   AND NOT (c.custkey IS DISTINCT FROM p.custkey
+                            OR c.totalprice IS DISTINCT FROM p.totalprice
+                            OR c.odate IS DISTINCT FROM p.odate
+                            OR c.priority IS DISTINCT FROM p.priority)) AS is_current
+           FROM cdc_prev p LEFT JOIN cdc_cur c ON p.o_orderkey = c.o_orderkey),
+         fresh AS (
+           SELECT c.o_orderkey, c.custkey, c.totalprice, c.odate, c.priority,
+                  CAST(2 AS BIGINT) AS valid_from,
+                  CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+           FROM cdc_cur c LEFT JOIN cdc_prev p ON c.o_orderkey = p.o_orderkey
+           WHERE p.o_orderkey IS NULL
+              OR c.custkey IS DISTINCT FROM p.custkey
+              OR c.totalprice IS DISTINCT FROM p.totalprice
+              OR c.odate IS DISTINCT FROM p.odate
+              OR c.priority IS DISTINCT FROM p.priority)
+         SELECT * FROM (SELECT * FROM hist UNION ALL SELECT * FROM fresh)
+         ORDER BY o_orderkey, valid_from""",
 
     "q15_dedup_exact" -> ExtOracleSql.exactRowDups,
     "q16_minhash_neardups" -> ExtOracleSql.minhashNearDups(minEst = 0.5),

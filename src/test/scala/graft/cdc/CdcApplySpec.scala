@@ -1,0 +1,66 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CdcApplySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def prev = Seq(
+    (1L, "a", 10.0), // unchanged
+    (2L, "b", 20.0), // updated → 25.0
+    (3L, "c", 30.0), // deleted
+    (5L, null.asInstanceOf[String], 50.0) // unchanged with a NULL column
+  ).toDF("k", "name", "amt")
+
+  private def cur = Seq(
+    (1L, "a", 10.0),
+    (2L, "b", 25.0),
+    (4L, "d", 40.0), // inserted
+    (5L, null.asInstanceOf[String], 50.0)
+  ).toDF("k", "name", "amt")
+
+  test("merge replays a SnapshotDiff changeset back to the current snapshot") {
+    val changes = SnapshotDiff(cur, prev, pk = Seq("k"), cdcTimestamp = lit("t"))
+    val merged = CdcApply.merge(prev, changes, pk = Seq("k"))
+    assert(merged.columns.toSeq == Seq("k", "name", "amt"))
+    val got = merged.orderBy("k").as[(Long, String, Double)].collect().toSeq
+    val want = cur.orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("merge handles a minimal one-row-per-key changeset too") {
+    val minimal = Seq(
+      (2L, "b", 25.0, "update"),
+      (3L, "c", 30.0, "delete"),
+      (4L, "d", 40.0, "insert")
+    ).toDF("k", "name", "amt", "cdc_action")
+    val got = CdcApply.merge(prev, minimal, pk = Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    val want = cur.orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("scd2 emits open/closed version rows per key") {
+    val rows = CdcApply.scd2(cur, prev, pk = Seq("k"))
+      .orderBy("k", "valid_from")
+      .select($"k", $"amt", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, Double, Long, Option[Long], Boolean)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 10.0, 1L, None, true),          // unchanged → one open row
+      (2L, 20.0, 1L, Some(2L), false),     // updated → closed old image
+      (2L, 25.0, 2L, None, true),          //           + open new image
+      (3L, 30.0, 1L, Some(2L), false),     // deleted → closed, nothing open
+      (4L, 40.0, 2L, None, true),          // inserted → open new image
+      (5L, 50.0, 1L, None, true)           // NULL column is null-safe unchanged
+    ))
+  }
+
+  test("scd2 run numbers are injectable") {
+    val rows = CdcApply.scd2(cur, prev, pk = Seq("k"), priorRun = 7L, currentRun = 9L)
+      .filter($"k" === 2L).orderBy("valid_from")
+      .select($"valid_from", $"valid_to").as[(Long, Option[Long])].collect().toSeq
+    assert(rows == Seq((7L, Some(9L)), (9L, None)))
+  }
+}
