@@ -362,6 +362,11 @@ object SparkEntry {
       TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- ext: unigram-LM quality scoring (CCNet-style filter) ----
+    "q76_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ---- ext: deterministic source-mixture sampling ----
     "q65_mixture_sample" -> ((s, dir) =>
       graft.ext.Sampling.mixtureSample(Tables.documents(s, dir), "source", "doc_id",
@@ -949,6 +954,7 @@ object SparkEntry {
           ORDER BY doc_id""",
 
     "q66_token_entropy" -> ExtOracleSql.tokenEntropy,
+    "q76_lm_score" -> ExtOracleSql.lmScore,
 
     // frame-sampling geometry: evenly-spaced byte windows, fan-out
     // bounded by maxFrames=4, window size 32

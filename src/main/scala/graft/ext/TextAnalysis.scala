@@ -323,4 +323,39 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(LongNumPat), lit(0))).as("n_longnums"),
       md5(redacted).as("redacted_md5"))
   }
+
+  /** Unigram-LM document scoring (the CCNet-style LM quality filter):
+    * fit a unigram model on the corpus itself (token → corpus
+    * probability) and score each document by its mean token log-prob —
+    * low scores flag gibberish/boilerplate, high scores flag
+    * stopword-heavy fluff; pretraining curation keeps the middle band.
+    *
+    * Cross-engine exactness: each distinct (doc, token)'s contribution
+    * `tf · round(ln(c/total)·1e9)` is an integer BEFORE the per-doc sum
+    * (float sums are order-dependent across engines, integer sums are
+    * not); the mean rounds to 6.
+    *
+    * Shape: one token explode feeding two hash aggregates (per-doc tf
+    * and the corpus model), one join on the token, one per-doc agg. The
+    * model side is vocabulary-sized — far sublinear in the corpus — so
+    * AQE broadcasts it for moderate vocabularies and falls back to a
+    * token-keyed shuffle for web-scale ones; the corpus total rides in
+    * as a broadcast scalar, keeping this a single job with no driver
+    * constants. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(
+      col(idCol).as("doc_id"), explode(Portable.tokens(col(textCol))).as("w"))
+    val docTf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val model = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = model.agg(sum(col("c")).as("total"))
+    docTf.join(model, Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("units",
+        col("tf") * round(log(col("c").cast("double") / col("total")) * 1e9).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("units")).as("su"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round((col("su") / 1e9) / col("n_tokens"), 6).as("avg_logprob"))
+  }
 }

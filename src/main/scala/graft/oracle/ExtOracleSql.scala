@@ -338,6 +338,23 @@ object ExtOracleSql {
        |       round(ln(n) - (CAST(sn AS DOUBLE) / 1e9) / n, 6) AS token_entropy
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.ext.TextAnalysis.lmScore]]. */
+  def lmScore: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |dtf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |model AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM model),
+       |scored AS (
+       |  SELECT d.doc_id, d.tf,
+       |         d.tf * CAST(round(ln(CAST(m.c AS DOUBLE) / t.total) * 1e9) AS BIGINT)
+       |           AS units
+       |  FROM dtf d JOIN model m USING (w) CROSS JOIN tot t)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |       round((CAST(sum(units) AS DOUBLE) / 1e9)
+       |             / CAST(sum(tf) AS BIGINT), 6) AS avg_logprob
+       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Mirrors [[graft.ext.TextAnalysis.packedText]]. */
   def packedText(budget: Int, shards: Int, sep: String): String =
     s"""WITH $toksCte,

@@ -110,4 +110,35 @@ class TextAnalysis2Spec extends SparkSpec {
     assert(rep.filter(col("mean_abs_err") > col("max_abs_err") + 1e-12).count() === 0)
     assert(rep.count() === vecs.count())
   }
+
+  test("lmScore: mean token log-prob under the corpus unigram model, rare-token docs score lower") {
+    val docs = Seq(
+      (1L, "x x y z"), // common mix
+      (2L, "y"),       // single common token
+      (3L, "z")        // single rare token
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // corpus counts: x:2, y:2, z:2, total 6 — uniform model
+    val expect = { // replicate the quantized math for doc 1
+      def u(c: Long, total: Long) = math.rint(math.log(c.toDouble / total) * 1e9).toLong
+      val total = 6L
+      val su = 2 * u(2, total) + 1 * u(2, total) + 1 * u(2, total)
+      math.rint((su / 1e9) / 4 * 1e6) / 1e6
+    }
+    assert(got.map(_._2) == Seq(4L, 1L, 1L))
+    assert(got.head._3 == expect)
+    // all tokens equally frequent here -> every doc has the same mean
+    assert(got.map(_._3).distinct.size == 1)
+    // now plant a genuinely rare token: doc 3 must score strictly lower
+    val uneven = Seq(
+      (1L, "x x x y"),
+      (2L, "x y"),
+      (3L, "rare")
+    ).toDF("doc_id", "text")
+    val s2 = TextAnalysis.lmScore(uneven, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(s2(2)._3 < s2(0)._3 && s2(2)._3 < s2(1)._3)
+  }
 }
