@@ -261,6 +261,16 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.5)
         .orderBy(col("doc_id"))),
 
+    // ---- ext: PageRank quality prior over the near-dup graph ----
+    "q77_pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.Clusters.pageRank(
+          Dedup.lshVerifiedPairs(docs, "doc_id", "text")
+            .filter(col("jaccard") >= 0.5),
+          docs, "doc_id", iterations = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -874,6 +884,7 @@ object SparkEntry {
          GROUP BY 1, 2, 3 ORDER BY window_id""",
 
     "q43_dup_clusters" -> ExtOracleSql.dupClusters(minJaccard = 0.5),
+    "q77_pagerank" -> ExtOracleSql.pageRank(minJaccard = 0.5, iterations = 3),
     "q44_retention" -> ExtOracleSql.retentionWeekly,
     "q45_funnel" -> ExtOracleSql.funnel,
     "q46_hash_split" -> ExtOracleSql.hashSplit(trainPct = 80, valPct = 10, salt = "split"),

@@ -79,6 +79,69 @@ object Clusters {
     labels
   }
 
+  /** Fixed-iteration PageRank over an undirected pair list — the
+    * link-analysis quality prior of corpus curation (rank docs by how
+    * central they sit in the near-dup / citation / link graph).
+    *
+    * Cross-engine exactness: float PageRank is order-dependent (per-node
+    * sums of double contributions), so this runs ENTIRELY in integer
+    * arithmetic — ranks are 1e-9 units (longs), each iteration
+    * `units' = (100−d)·SCALE div (100·n) + Σ_in (d·units) div (100·deg)`
+    * with integral `div`; sums of longs are order-independent, so the
+    * result is bit-identical on any engine that mirrors the recurrence.
+    * Dangling mass leaks (no redistribution) — documented contract, same
+    * on both sides; floors lose ≤1 unit per edge per round.
+    *
+    * Shape per iteration: one join of edges⨝(ranks, degrees) + one
+    * hash-agg on dst + a left join back to the node list — two shuffles,
+    * the standard distributed PageRank step. `localCheckpoint` truncates
+    * lineage per round (O(1) plan depth at any iteration count). The
+    * node count rides in as a broadcast scalar, not a driver constant.
+    *
+    * @param pairs undirected edges (one row per pair, `id_a`/`id_b`)
+    * @param nodes one row per graph node (isolated nodes rank at the
+    *              teleport floor)
+    * @return (id, degree, rank_units, pagerank), rank_units exact */
+  def pageRank(
+      pairs: DataFrame, nodes: DataFrame, idCol: String,
+      iterations: Int = 3, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
+    val Scale = 1000000000L
+    val teleportNum = (100L - dampingPct) * Scale
+
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+
+    val nRow = nodes.select(count(lit(1)).as("n"))
+    val base = nodes.select(col(idCol).as("id"))
+      .crossJoin(broadcast(nRow))
+      .localCheckpoint(true)
+
+    var ranks = base.select(col("id"), col("n"), expr(s"$Scale div n").as("units"))
+    (1 to iterations).foreach { _ =>
+      val contrib = edges
+        .join(deg, Seq("src"))
+        .join(ranks.select(col("id").as("src"), col("units")), Seq("src"))
+        .select(col("dst"), expr(s"($dampingPct * units) div (100 * deg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = base
+        .join(contrib, base("id") === contrib("dst"), "left")
+        .select(col("id"), col("n"),
+          (expr(s"$teleportNum div (100 * n)") + coalesce(col("s"), lit(0L)))
+            .as("units"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    ranks
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        col("units").as("rank_units"),
+        (col("units") / 1e9).as("pagerank"))
+  }
+
   /** Near-dup clusters of a document corpus: LSH-verified pairs at
     * `minJaccard` or above → connected components → cluster membership
     * with size and a canonical-keeper flag (the component's min id — the

@@ -482,6 +482,55 @@ object ExtOracleSql {
        |FROM cc JOIN sizes USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Fixed-iteration integer-unit PageRank over the LSH-verified
+    * near-dup graph (mirrors [[graft.ext.Clusters.pageRank]] fed by
+    * `lshVerifiedPairs`): the recurrence unrolls to `iterations` chained
+    * CTEs, all arithmetic in BIGINT floor-division (`//`), so the ranks
+    * are bit-exact across engines. */
+  def pageRank(minJaccard: Double, iterations: Int): String = {
+    val scale = 1000000000L
+    val teleport = s"${15 * scale} // (100 * nn.n)" // pre-folded: 15·SCALE overflows INT32
+    val its = (1 to iterations).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s"""it$i AS (
+         |  SELECT d.doc_id AS id, $teleport + COALESCE(c.s, 0) AS units
+         |  FROM documents d CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst, CAST(sum((85 * r.units) // (100 * g.deg)) AS BIGINT) AS s
+         |    FROM edges e JOIN $prev r ON e.src = r.id JOIN deg g ON g.src = e.src
+         |    GROUP BY 1) c ON c.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $toksCte,
+       |$sigCte,
+       |$bandsCte,
+       |sharr AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM toks),
+       |verified AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs
+       |  JOIN sharr a ON pairs.id_a = a.doc_id
+       |  JOIN sharr b ON pairs.id_b = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |        >= $minJaccard),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM verified
+       |  UNION
+       |  SELECT id_b, id_a FROM verified),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |r0 AS (
+       |  SELECT doc_id AS id, $scale // nn.n AS units
+       |  FROM documents CROSS JOIN nn),
+       |$its
+       |SELECT it$iterations.id AS doc_id,
+       |       COALESCE(deg.deg, 0) AS degree,
+       |       it$iterations.units AS rank_units,
+       |       it$iterations.units / 1e9 AS pagerank
+       |FROM it$iterations LEFT JOIN deg ON deg.src = it$iterations.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Weekly cohort retention (mirrors
     * [[graft.ext.Behavior.retentionWeekly]]). */
   def retentionWeekly: String =

@@ -70,4 +70,29 @@ class ClustersSpec extends SparkSpec {
     assert(canon.filter(col("min_id") =!= col("cluster_id")).count() === 0)
     cl.unpersist()
   }
+
+  test("pageRank: exact integer recurrence on a star graph, teleport floor for isolates") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node_id")
+    // hand-run one iteration: n=5, r0 = 1e9 div 5 = 200_000_000,
+    // teleport = 15e9 div 500 = 30_000_000; center deg 3, leaves deg 1
+    val one = Clusters.pageRank(pairs, nodes, "node_id", iterations = 1)
+      .orderBy("node_id")
+      .select($"node_id", $"degree", $"rank_units")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(one == Seq(
+      (1L, 3L, 30000000L + 3 * (85L * 200000000L / 100L)),       // 540_000_000
+      (2L, 1L, 30000000L + 85L * 200000000L / 300L),             //  86_666_666
+      (3L, 1L, 30000000L + 85L * 200000000L / 300L),
+      (4L, 1L, 30000000L + 85L * 200000000L / 300L),
+      (5L, 0L, 30000000L)))                                       // isolated
+    // three iterations: mass never exceeds SCALE (floors only leak),
+    // the hub stays on top, symmetric leaves stay tied
+    val three = Clusters.pageRank(pairs, nodes, "node_id", iterations = 3)
+      .select($"node_id", $"rank_units").as[(Long, Long)].collect().toMap
+    assert(three.values.sum <= 1000000000L)
+    assert(three(1L) > three(2L) && three(2L) == three(3L) && three(3L) == three(4L))
+    assert(three(5L) == 30000000L)
+  }
 }
