@@ -271,6 +271,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- ext: Z-order layout zone-map stats ----
+    "q78_zorder_stats" -> ((s, dir) => {
+      val src = Tables.orders(s, dir).select(
+        (col("o_custkey") % 1024).as("ck"),
+        (datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long") % 1024).as("ed"))
+      graft.ext.Layout.zorderStats(src, "ck", "ed", bits = 10, prefixBits = 6)
+        .orderBy(col("z_cell"))
+    }),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -885,6 +895,7 @@ object SparkEntry {
 
     "q43_dup_clusters" -> ExtOracleSql.dupClusters(minJaccard = 0.5),
     "q77_pagerank" -> ExtOracleSql.pageRank(minJaccard = 0.5, iterations = 3),
+    "q78_zorder_stats" -> ExtOracleSql.zorderStats(bits = 10, prefixBits = 6),
     "q44_retention" -> ExtOracleSql.retentionWeekly,
     "q45_funnel" -> ExtOracleSql.funnel,
     "q46_hash_split" -> ExtOracleSql.hashSplit(trainPct = 80, valPct = 10, salt = "split"),

@@ -531,6 +531,28 @@ object ExtOracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Z-order cell stats over orders (mirrors
+    * [[graft.ext.Layout.zorderStats]] on `o_custkey % 2^bits` ×
+    * `epoch-day % 2^bits`): the Morton interleave spelled out as SQL
+    * bit ops — bit-exact across engines. */
+  def zorderStats(bits: Int, prefixBits: Int): String = {
+    val mask = (1L << bits) - 1
+    val interleave = (0 until bits).map { i =>
+      s"((((a >> $i) & 1) << ${2 * i + 1}) | (((b >> $i) & 1) << ${2 * i}))"
+    }.mkString(" | ")
+    s"""WITH src AS (
+       |  SELECT o_custkey % ${mask + 1} AS a,
+       |         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % ${mask + 1} AS b
+       |  FROM orders),
+       |zz AS (SELECT a, b, $interleave AS z FROM src)
+       |SELECT z >> ${2 * bits - prefixBits} AS z_cell,
+       |       count(*) AS n_rows,
+       |       min(a) AS min_a, max(a) AS max_a,
+       |       min(b) AS min_b, max(b) AS max_b,
+       |       min(z) AS min_z, max(z) AS max_z
+       |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Weekly cohort retention (mirrors
     * [[graft.ext.Behavior.retentionWeekly]]). */
   def retentionWeekly: String =
