@@ -290,7 +290,7 @@ object ExtOracleSql {
        |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
        |           ROWS UNBOUNDED PRECEDING) AS c
        |  FROM base)
-       |SELECT doc_id, shard, n_tokens, (c - n_tokens) // $budget AS pack_id
+       |SELECT doc_id, shard, n_tokens, CAST((c - n_tokens) // $budget AS BIGINT) AS pack_id
        |FROM cum ORDER BY doc_id""".stripMargin
 
   /** Mirrors [[graft.ext.Curation.packCorpus]]: the curated corpus
@@ -321,7 +321,7 @@ object ExtOracleSql {
        |           ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING) AS c
        |  FROM chn)
        |SELECT doc_id, chunk_id, split, shard, n_tokens,
-       |       (c - n_tokens) // $budget AS pack_id
+       |       CAST((c - n_tokens) // $budget AS BIGINT) AS pack_id
        |FROM cum ORDER BY doc_id, chunk_id""".stripMargin
   }
 
@@ -368,7 +368,7 @@ object ExtOracleSql {
        |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
        |           ROWS UNBOUNDED PRECEDING) AS c
        |  FROM base)
-       |SELECT shard, (c - n_tokens) // $budget AS pack_id,
+       |SELECT shard, CAST((c - n_tokens) // $budget AS BIGINT) AS pack_id,
        |       count(*) AS n_docs,
        |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
        |       string_agg(txt, '$sep' ORDER BY doc_id) AS pack_text

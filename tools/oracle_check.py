@@ -57,6 +57,17 @@ def main():
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             n_fail += 1
             continue
+        # Driver parity: its hash is dtype-sensitive (e.g. a DuckDB HUGEINT
+        # window sum lands as float64 while Spark writes int64 — values equal,
+        # hash differs). Fail on dtype-kind mismatch; width-only differences
+        # (int32 vs int64) stringify identically and pass the driver hash.
+        kind = lambda s: {"u": "i"}.get(s.dtype.kind, s.dtype.kind)
+        dtype_cols = [f"{c} (spark={got[c].dtype} oracle={exp[c].dtype})"
+                      for c in got.columns if kind(got[c]) != kind(exp[c])]
+        if dtype_cols:
+            print(f"FAIL {name}: dtype mismatch: {'; '.join(dtype_cols)}")
+            n_fail += 1
+            continue
         diff_cols = []
         for c in got.columns:
             a, b = got[c], exp[c]
