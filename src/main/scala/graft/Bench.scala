@@ -26,16 +26,37 @@ object Bench {
       val cand = if (p == null) null else p.resolve("sf0.001")
       if (cand != null && java.nio.file.Files.isDirectory(cand)) cand.toString else sfDir
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name-prefix filter for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=q16,q20); absent → all queries, the driver
+    // contract. Diagnostics per query (GC delta, persisted-RDD count)
+    // go to stderr and a "gc_ms" JSON key so driver-environment
+    // regressions (cold codegen vs GC pressure vs cache eviction) are
+    // attributable from BENCH_rN.json alone.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gc = gcMillis() - gc0
+      val cached = spark.sparkContext.getPersistentRDDs.size
+      Console.err.println(f"[bench] $name%-28s $sec%8.3fs gc=${gc}ms cachedRdds=$cached")
+      (name, sec, gc)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, g) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

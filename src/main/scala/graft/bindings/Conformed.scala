@@ -110,9 +110,16 @@ object Conformed {
     * fused single-input marts would rebuild it per SIDE). The cache is
     * tiny relative to the corpus (one conformed fact) and lives for the
     * session; `spark.catalog.clearCache()` drops it. */
-  def orderRevenueCached(spark: SparkSession, dir: String): DataFrame =
-    revCache.getOrElseUpdate(
+  def orderRevenueCached(spark: SparkSession, dir: String): DataFrame = {
+    val df = revCache.getOrElseUpdate(
       (spark, dir),
       orderRevenue(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // a user-level spark.catalog.clearCache() unpersists the frame while
+    // this map still hands it out — re-arm the persist so the next
+    // action re-materializes instead of silently recomputing per use
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 }

@@ -56,7 +56,7 @@ object Dedup {
     * as the composed form, whose explode dropped them. */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String, numPerms: Int = 16): DataFrame =
-    docs.filter(col(textCol).isNotNull).select(
+    graft.core.Scans.spread(docs.filter(col(textCol).isNotNull)).select(
       col(idCol),
       Sketches.minhash_sig(
         WordShingles.shingles(lower(col(textCol))), numPerms).as("sig"))
@@ -140,9 +140,16 @@ object Dedup {
       Portable.bandKey(
         (0 until rowsPerBand).map(r => col("sig").getItem(j * rowsPerBand + r)))
     }
+    // Persist the banded table: the self-join otherwise evaluates the
+    // whole signature subtree (per-shingle md5 × numPerms perms — the
+    // pipeline's entire compute cost) once PER SIDE; Catalyst's exchange
+    // reuse does not kick in across the two aliased sides (verified on
+    // the executed adaptive plan). The cached rows are numPerms longs +
+    // band key per doc·band — tiny next to the text they summarize.
     val exploded = sig
       .select(col(idCol), col("sig"), posexplode(array(bandKeys: _*)))
       .toDF(idCol, "sig", "band", "key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = exploded.toDF("id_a", "sig_a", "band", "key")
     val b = exploded.toDF("id_b", "sig_b", "band", "key")
     val agree = (0 until numPerms)
@@ -174,7 +181,7 @@ object Dedup {
     * token array — a narrow projection, no token explosion or per-bit
     * sum aggregate (scale rationale as [[minhashSignatures]]). */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame =
-    docs.filter(col(textCol).isNotNull).select(
+    graft.core.Scans.spread(docs.filter(col(textCol).isNotNull)).select(
       col(idCol),
       Sketches.simhash_pack(
         array_distinct(Portable.tokens(col(textCol))), bits).as("simhash"))
@@ -209,7 +216,7 @@ object Dedup {
   /** [[exactJaccard]] over an arbitrary shingle column. */
   def exactJaccardBy(
       docs: DataFrame, pairs: DataFrame, idCol: String, shingleCol: Column): DataFrame = {
-    val sh = docs.select(col(idCol), shingleCol.as("sh"))
+    val sh = graft.core.Scans.spread(docs).select(col(idCol), shingleCol.as("sh"))
     val a = sh.toDF("id_a", "sh_a")
     val b = sh.toDF("id_b", "sh_b")
     pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -230,7 +237,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numPerms: Int = 16, bands: Int = 4): DataFrame = {
     val grams = graft.functions.CharShingles.charShingles(lower(col(textCol)), n)
-    val sig = docs.filter(col(textCol).isNotNull)
+    val sig = graft.core.Scans.spread(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), Sketches.minhash_sig(grams, numPerms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidates(sig, idCol, bands, numPerms / bands)
@@ -258,7 +265,7 @@ object Dedup {
     val isBench = coalesce(benchmarkPred, lit(false))
     val sh = explode(WordShingles.shingles(lower(col(textCol)), n)).as("sh")
     val bench = docs.filter(isBench).select(sh).distinct()
-    docs.filter(!isBench)
+    graft.core.Scans.spread(docs.filter(!isBench))
       .select(col(idCol), sh)
       .join(broadcast(bench), Seq("sh"))
       // shingles are distinct within a doc, so the plain count is the

