@@ -281,6 +281,56 @@ object SparkEntry {
         .orderBy(col("z_cell"))
     }),
 
+    // ---- gold: incremental maintenance replay (SURVEY §4 delta path;
+    // reference contract: gold equals a full rebuild from silver,
+    // cdc_metrics_job_silver.py:53-75 + cdc_metrics_job_gold.py) — a
+    // mid-range day is withheld from the prior mart and re-applied as
+    // the CDC delta; the oracle is the plain full recompute ----
+    "q79_incremental_ltv" -> ((s, dir) =>
+      graft.gold.IncrementalReplay.ltvDaily(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("user_id"), col("creation_date"))),
+    "q80_incremental_rfm" -> ((s, dir) =>
+      graft.gold.IncrementalReplay.rfm(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("user_id"))),
+    "q81_incremental_churn" -> ((s, dir) =>
+      graft.gold.IncrementalReplay.churn(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("user_id"))),
+    "q82_incremental_trends" -> ((s, dir) =>
+      graft.gold.IncrementalReplay.trendsDaily(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("creation_date"), col("restaurant_id"), col("item_category"))),
+
+    // ---- cdc: bronze watermark two-run replay (C2/C3, reference entry
+    // point cdc_metrics_job_bronze.py:57-90) — run 1 cold-starts the
+    // watermark and ingests the pre-cutover world, run 2 ingests the
+    // full extract THROUGH the stored watermark; the union of both
+    // runs' append-only cdc landings must equal one clean partition of
+    // the whole table, which the oracle derives independently ----
+    "q83_watermark_replay" -> ((s, dir) => {
+      val lake = graft.io.Lakehouse(
+        java.nio.file.Files.createTempDirectory("graft-replay").toString)
+      val pipe = new graft.pipeline.CdcPipeline(s, lake, defaultWatermark = "1900-01-01")
+      val orders = Tables.orders(s, dir)
+      val cut = "1998-01-01 00:00:00"
+      // run 1: the world as of the cutover; watermark advances to it
+      pipe.bronzeFact(
+        orders.filter(col("o_orderdate") < lit(cut).cast("timestamp")),
+        "orders", "o_orderdate", runDate = "1998-01-01",
+        cdcTs = lit(cut).cast("timestamp"), now = cut)
+      // run 2: full current extract; only rows at/after the stored
+      // watermark are ingested (>= re-reads the boundary instant)
+      pipe.bronzeFact(
+        orders, "orders", "o_orderdate", runDate = "2001-12-31",
+        cdcTs = lit("2001-12-31 00:00:00").cast("timestamp"),
+        now = "2001-12-31 00:00:00")
+      // read the cdc zone root: partition discovery surfaces date= (the
+      // runDate) and cdc_action=; both runs' landings come back in one scan
+      s.read.parquet(s"${lake.root}/cdc/orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+          col("ingestion_timestamp"), col("cdc_action"), col("cdc_timestamp"))
+        .orderBy(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    }),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -465,7 +515,33 @@ object SparkEntry {
     }),
   )
 
-  def oracleSql: Map[String, String] = ListMap(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // The incremental-maintenance replays (q79-q82) must reproduce the
+    // full recompute EXACTLY, so their oracles ARE the corresponding
+    // full-mart oracles, shared by reference — the gate then proves
+    // delta maintenance == full rebuild, the reference's gold contract.
+    base ++ ListMap(
+      "q79_incremental_ltv" -> base("q02_ltv_daily"),
+      "q80_incremental_rfm" -> base("q05_rfm"),
+      "q81_incremental_churn" -> base("q06_churn"),
+      "q82_incremental_trends" -> base("q07_trends_daily"),
+      "q83_watermark_replay" ->
+        """WITH o AS (SELECT DISTINCT * FROM orders),
+             r1 AS (SELECT o.*, TIMESTAMP '1998-01-01 00:00:00' AS ts FROM o
+                    WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+             r2 AS (SELECT o.*, TIMESTAMP '2001-12-31 00:00:00' AS ts FROM o
+                    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+             u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority,
+                  ts AS ingestion_timestamp, 'insert' AS cdc_action,
+                  ts AS cdc_timestamp
+           FROM u ORDER BY o_orderkey, o_orderdate, o_totalprice""",
+    )
+  }
+
+  private def oracleSqlBase: Map[String, String] = ListMap(
     "q01_order_revenue" -> OracleSql.withBase(
       """SELECT * FROM order_revenue
          ORDER BY order_id, lineitem_id, item_category, item_price, restaurant_id"""),
