@@ -68,14 +68,18 @@ object Sampling {
     df.filter(h < rate)
   }
 
-  /** SQL mirror of [[mixtureSample]]'s keep predicate. */
+  /** SQL mirror of [[mixtureSample]]'s keep predicate. Group keys and
+    * the salt are embedded as SQL string literals, so single quotes are
+    * doubled — an apostrophe in a source name must not break (or
+    * redirect) the oracle SQL. */
   def mixtureSampleSql(
       groupExpr: String, idExpr: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: String = "mix"): String = {
-    val h = s"${Portable.h60Sql(s"'$salt:' || CAST($idExpr AS VARCHAR)")} % 1000000"
+    def lit(s: String): String = s.replace("'", "''")
+    val h = s"${Portable.h60Sql(s"'${lit(salt)}:' || CAST($idExpr AS VARCHAR)")} % 1000000"
     val cases = rates.toSeq.sortBy(_._1)
-      .map { case (g, r) => s"WHEN $groupExpr = '$g' THEN ${(r * 1e6).toLong}" }
+      .map { case (g, r) => s"WHEN $groupExpr = '${lit(g)}' THEN ${(r * 1e6).toLong}" }
       .mkString(" ")
     s"$h < (CASE $cases ELSE ${(defaultRate * 1e6).toLong} END)"
   }

@@ -210,20 +210,32 @@ final class CdcPipeline(
         churnPath, Nil)
 
       val dailyPath = lake.gold("mart_sales_trends/daily")
+      // null-SAFE: a NULL cdc_action is NOT an insert — `=!= "insert"`
+      // would drop NULL rows from the check and let them ride the
+      // additive path as phantom inserts
       val insertOnly = changes.columns.contains("cdc_action") &&
-        changes.filter(col("cdc_action") =!= "insert").isEmpty
+        changes.filter(!(col("cdc_action") <=> "insert")).isEmpty
       // RERUN SAFETY: the key-scoped maintainers above are idempotent
       // (they recompute affected keys from silver), but merge-ADD applied
-      // twice double-counts — so the additive path records an
-      // applied-marker per runDate and a rerun becomes a no-op
+      // twice double-counts — so the additive path records a TWO-PHASE
+      // applied-marker per runDate: "pending" before the swap, "done"
+      // after. done → rerun is a no-op; pending → the swap may or may
+      // not have landed (crash between swap and marker), so the rerun
+      // falls back to the full recompute, which is correct from either
+      // state; absent → normal additive apply.
       val applied = s"gold/mart_sales_trends_daily/applied/$runDate"
+      val marker = store.get(applied, "")
       if (!martExists(dailyPath))
         ParquetSink.flat(SalesTrends.daily(revenue), dailyPath)
-      else if (insertOnly) {
-        if (store.get(applied, "") != "done") {
+      else if (marker == "pending") {
+        swapWrite(SalesTrends.daily(revenue), dailyPath, Nil)
+        store.put(applied, "done")
+      } else if (insertOnly) {
+        if (marker != "done") {
           val fresh = revenue.join(
             changes.select(col("order_id"), col("lineitem_id")).distinct(),
             Seq("order_id", "lineitem_id"), "left_semi")
+          store.put(applied, "pending")
           swapWrite(
             IncrementalTrends.daily(spark.read.parquet(dailyPath), fresh),
             dailyPath, Nil)

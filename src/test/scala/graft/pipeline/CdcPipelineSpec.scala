@@ -220,5 +220,28 @@ class CdcPipelineSpec extends SparkSpec {
     assert(martSet(lake.gold("mart_customer_rfm")) ==
       graft.gold.Rfm(newSilver).collect().map(_.toSeq).toSet,
       "rerunning the key-scoped refresh changed the rfm mart")
+
+    // crash ambiguity: a "pending" marker means the swap may or may not
+    // have landed — the rerun must fall back to the full recompute (and
+    // settle the marker), never merge-add again from either state
+    pipe.store.put("gold/mart_sales_trends_daily/applied/2024-06-05", "pending")
+    pipe.refreshGold("2024-06-05")
+    assert(dateStr(spark.read.parquet(lake.gold("mart_sales_trends/daily"))) ==
+      dateStr(graft.gold.SalesTrends.daily(newSilver)),
+      "pending-marker rerun did not settle to the full recompute")
+    assert(pipe.store.get(
+      "gold/mart_sales_trends_daily/applied/2024-06-05", "") == "done")
+
+    // a NULL cdc_action is NOT an insert: a change log of already-counted
+    // line keys with NULL actions must take the full-recompute path —
+    // the additive path would double-add their revenue
+    newSilver.filter(col("user_id") % 7 === 0)
+      .select("order_id", "lineitem_id", "user_id", "creation_date")
+      .withColumn("cdc_action", lit(null).cast("string"))
+      .write.mode("overwrite").parquet(lake.cdc("order_items", "2024-06-06"))
+    pipe.refreshGold("2024-06-06")
+    assert(dateStr(spark.read.parquet(lake.gold("mart_sales_trends/daily"))) ==
+      dateStr(graft.gold.SalesTrends.daily(newSilver)),
+      "NULL cdc_action rode the additive path and double-counted")
   }
 }
