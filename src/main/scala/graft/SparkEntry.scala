@@ -177,9 +177,10 @@ object SparkEntry {
       graft.ext.DateDim.generate(s, "1995-01-01", "2001-12-31")
         .orderBy(col("date_key"))),
 
-    // ---- gold: all calendar grains in one GROUPING SETS pass (A9) ----
+    // ---- gold: all calendar grains in one pass, rolled up from daily
+    // partials (A9; Expand-free — GROUPING SETS variant spec-pinned equal) ----
     "q31_trends_multigrain" -> ((s, dir) =>
-      SalesTrends.multiGrain(Conformed.orderRevenueCached(s, dir))
+      SalesTrends.multiGrainFromDaily(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("grain"), col("creation_date"), col("year_week"),
           col("year_month"), col("restaurant_id"), col("item_category"))),
 

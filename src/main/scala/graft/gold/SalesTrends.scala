@@ -96,4 +96,47 @@ object SalesTrends {
           .when(grouping(col("year_week")) === 0, "weekly")
           .otherwise("monthly").as("grain"))
   }
+
+  /** Same result as [[multiGrain]] without the 3× Expand: the fact is
+    * partially aggregated ONCE at the finest grain (daily), and the
+    * weekly/monthly grains re-aggregate those daily partials — valid
+    * because week and month are functions of the date and the measure
+    * is a pure sum. The daily-agg subplan is identical in all three
+    * branches, so Catalyst's ReuseExchange ships the fact's
+    * scan+partial-agg+shuffle once; the two extra exchanges move only
+    * the tiny daily rollup (days × restaurants × categories), not fact
+    * rows. Exactness: hierarchical sums run in integral 1e-4 units end
+    * to end and convert to dollars once, so values are bit-identical to
+    * the one-level sum (equivalence spec-pinned against [[multiGrain]]).
+    * At 100 TB this is the shape to prefer: Expand triples the rows
+    * entering partial aggregation, all CPU. */
+  def multiGrainFromDaily(orderRevenue: DataFrame): DataFrame = {
+    val nullStr = lit(null).cast("string")
+    val daily = orderRevenue
+      .groupBy(col("creation_date"), col("restaurant_id"), col("item_category"))
+      .agg(sum(Money.cents(col("total_revenue"))).as("units"))
+    def grainOut(d: DataFrame, keys: Seq[String]): DataFrame =
+      d.groupBy(keys.map(col): _*).agg((sum(col("units")) / 10000.0).as("revenue"))
+    val dailyOut = daily // keys already unique at this grain — no re-agg
+      .select(col("creation_date"), nullStr.as("year_week"), nullStr.as("year_month"),
+        col("restaurant_id"), col("item_category"),
+        (col("units") / 10000.0).as("revenue"), lit("daily").as("grain"))
+    val weeklyOut = grainOut(
+      daily.withColumn(
+        "year_week",
+        concat_ws("-", year(col("creation_date")), weekofyear(col("creation_date")))),
+      Seq("year_week", "restaurant_id", "item_category"))
+      .select(lit(null).cast("date").as("creation_date"), col("year_week"),
+        nullStr.as("year_month"), col("restaurant_id"), col("item_category"),
+        col("revenue"), lit("weekly").as("grain"))
+    val monthlyOut = grainOut(
+      daily.withColumn(
+        "year_month",
+        concat_ws("-", year(col("creation_date")), month(col("creation_date")))),
+      Seq("year_month", "restaurant_id", "item_category"))
+      .select(lit(null).cast("date").as("creation_date"), nullStr.as("year_week"),
+        col("year_month"), col("restaurant_id"), col("item_category"),
+        col("revenue"), lit("monthly").as("grain"))
+    dailyOut.unionByName(weeklyOut).unionByName(monthlyOut)
+  }
 }

@@ -105,6 +105,18 @@ class TemporalSpec extends SparkSpec {
     assert(weekly == expectedW)
   }
 
+  test("multiGrainFromDaily equals multiGrain bit-for-bit, with no Expand") {
+    val rev = graft.bindings.Conformed.orderRevenue(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"grain", $"creation_date".cast("string"), $"year_week",
+        $"year_month", $"restaurant_id", $"item_category", $"revenue")
+      .as[(String, String, String, String, Long, String, Double)].collect().toSet
+    val fromDaily = graft.gold.SalesTrends.multiGrainFromDaily(rev)
+    assert(rows(fromDaily) == rows(graft.gold.SalesTrends.multiGrain(rev)))
+    val plan = fromDaily.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "rollup-from-daily must not Expand the fact")
+  }
+
   test("char n-gram jaccard: exact dup scores 1.0, unrelated text never pairs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
