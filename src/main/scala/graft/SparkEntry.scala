@@ -332,6 +332,17 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
     }),
 
+    // ---- ext: corpus-frequency boilerplate signal (frequent n-gram
+    // share per doc — the frequent-line filter analogue) ----
+    "q84_boilerplate_share" -> ((s, dir) =>
+      TextAnalysis.boilerplateShare(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ---- ext: doc-inside-doc containment over LSH candidates ----
+    "q85_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -973,6 +984,8 @@ object SparkEntry {
     "q43_dup_clusters" -> ExtOracleSql.dupClusters(minJaccard = 0.5),
     "q77_pagerank" -> ExtOracleSql.pageRank(minJaccard = 0.5, iterations = 3),
     "q78_zorder_stats" -> ExtOracleSql.zorderStats(bits = 10, prefixBits = 6),
+    "q84_boilerplate_share" -> ExtOracleSql.boilerplateShare(n = 3, minDf = 10),
+    "q85_containment_pairs" -> ExtOracleSql.containmentVerify,
     "q44_retention" -> ExtOracleSql.retentionWeekly,
     "q45_funnel" -> ExtOracleSql.funnel,
     "q46_hash_split" -> ExtOracleSql.hashSplit(trainPct = 80, valPct = 10, salt = "split"),

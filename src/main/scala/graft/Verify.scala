@@ -10,9 +10,14 @@ object Verify {
     val spark = graft.core.GraftSession.local(cpus.toInt, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // optional name-prefix filter for local iteration (same contract as
+    // Bench); the driver leaves it unset → all queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     // plain parallel write — the checker globs *.parquet, and coalesce(1)
     // would serialize each query's final stage at bigger SFs
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -175,6 +175,34 @@ object Dedup {
     exactJaccard(docs, pairs, idCol, textCol)
   }
 
+  /** LSH candidates verified with DIRECTIONAL containment —
+    * |sh(a)∩sh(b)| / |sh(side)| — instead of Jaccard. Containment is
+    * the signal for doc-inside-doc duplication, which Jaccard
+    * under-scores: a short doc quoted whole inside a long one has
+    * Jaccard ≈ |short|/|long| (arbitrarily small) but containment 1.0
+    * on the short side; curation pipelines drop the contained side and
+    * keep the superset doc. Same candidate → verify scale shape (and
+    * persist rationale) as [[lshVerifiedPairs]]; only the verification
+    * formula differs. Both divisions are one IEEE op on exact integers,
+    * so scores are bit-identical across engines with no rounding. */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = lshCandidates(sig, idCol, bands, numPerms / bands)
+    val sh = graft.core.Scans.spread(docs)
+      .select(col(idCol), WordShingles.shingles(lower(col(textCol))).as("sh"))
+    val a = sh.toDF("id_a", "sh_a")
+    val b = sh.toDF("id_b", "sh_b")
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / size(col("sh_a"))).as("containment_a"),
+        (col("inter") / size(col("sh_b"))).as("containment_b"))
+  }
+
   /** SimHash: per-doc `bits`-bit locality-sensitive hash over the distinct
     * token set (bit b is the sign of Σ_tokens ±1 by token-hash bit b).
     * One-pass native [[graft.functions.SimHashPack]] over the distinct

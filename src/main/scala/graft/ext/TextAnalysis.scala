@@ -90,6 +90,51 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col(textCol)), lit("[a-z]{1,4}|[0-9]|[^a-z0-9 ]"), lit(0)))
         .as("n_subword_tokens"))
 
+  /** Document frequency of word n-gram shingles: how many distinct docs
+    * contain each n-gram. [[WordShingles.shingles]] is distinct-per-doc,
+    * so a plain count IS the doc frequency — no countDistinct Expand.
+    * One hash aggregation over the exploded shingles; map-side partials
+    * collapse each task to its local gram set before the single shuffle
+    * on the gram key. At 100 TB shuffle `Portable.h60(gram)` (8-byte
+    * keys) instead of the strings when the report doesn't need gram
+    * text. */
+  def ngramDocFreq(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    graft.core.Scans.spread(docs.filter(col(textCol).isNotNull))
+      .select(col(idCol),
+        explode(WordShingles.shingles(lower(col(textCol)), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("doc_freq"))
+
+  /** Boilerplate-share signal — the analogue of the frequent-LINE
+    * filters web-curation pipelines run (headers, footers, licence
+    * blurbs repeat across pages): an n-gram appearing in ≥ `minDf`
+    * distinct docs is boilerplate; each doc reports its distinct n-gram
+    * count, how many are boilerplate, and the share (a doc that is
+    * mostly boilerplate gets dropped or down-weighted).
+    *
+    * Scale shape: the frequent set is the power-law head — small by
+    * construction at any corpus size — so it broadcasts, and the
+    * per-doc pass is a map-side probe: the corpus is scanned twice
+    * (recompute beats caching 100 TB of shingles), shuffled once for
+    * the doc-freq aggregation plus the tiny per-doc agg. The share is
+    * one IEEE division of two exact longs — no rounding — so both
+    * engines produce the identical double. */
+  def boilerplateShare(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDf: Long = 10): DataFrame = {
+    val freq = ngramDocFreq(docs, idCol, textCol, n)
+      .filter(col("doc_freq") >= minDf)
+      .select(col("ngram"), lit(1).as("hit"))
+    graft.core.Scans.spread(docs.filter(col(textCol).isNotNull))
+      .select(col(idCol),
+        explode(WordShingles.shingles(lower(col(textCol)), n)).as("ngram"))
+      .join(broadcast(freq), Seq("ngram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_boiler"))
+      .withColumn("boiler_share", col("n_boiler") / col("n_ngrams"))
+  }
+
   /** Sliding-window document chunking: split each doc into token windows
     * of `chunkSize` advancing by `chunkSize - overlap` — the
     * context-window packing step every RAG / pretraining pipeline runs

@@ -85,6 +85,39 @@ object ExtOracleSql {
        |JOIN sharr b ON pairs.id_b = b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Mirrors [[graft.ext.Dedup.containmentPairs]]: the same candidate
+    * pairs as [[jaccardVerify]] scored with directional containment. */
+  def containmentVerify: String =
+    s"""WITH $toksCte,
+       |$sigCte,
+       |$bandsCte,
+       |sharr AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM toks)
+       |SELECT id_a, id_b,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+       |         AS containment_a,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)
+       |         AS containment_b
+       |FROM pairs
+       |JOIN sharr a ON pairs.id_a = a.doc_id
+       |JOIN sharr b ON pairs.id_b = b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Mirrors [[graft.ext.TextAnalysis.boilerplateShare]]. `count(*)`
+    * and `count(hit)` are BIGINT on both engines (no HUGEINT window
+    * sums here), and the share is a bare integer division — dtype- and
+    * bit-exact. */
+  def boilerplateShare(n: Int, minDf: Long): String =
+    s"""WITH $toksCte,
+       |shn AS (
+       |  SELECT doc_id, unnest(${Portable.shinglesSql("t", n)}) AS s FROM toks),
+       |freq AS (
+       |  SELECT s, 1 AS hit FROM shn GROUP BY s HAVING count(*) >= $minDf)
+       |SELECT doc_id, count(*) AS n_ngrams, count(f.hit) AS n_boiler,
+       |       count(f.hit) / count(*) AS boiler_share
+       |FROM shn LEFT JOIN freq f USING (s)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Character-n-gram Jaccard near-dups (mirrors
     * [[graft.ext.Dedup.ngramJaccardPairs]]): char-gram MinHash+LSH
     * candidates verified with exact char-gram Jaccard. */

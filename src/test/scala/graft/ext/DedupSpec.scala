@@ -103,4 +103,23 @@ class DedupSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("containment pairs: exact dup scores 1/1; prefix-contained doc is directional") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base),                          // exact dup -> guaranteed candidate
+      (3L, base + " and beyond the hill"), // 1 is a shingle-prefix of 3
+      (4L, "completely different content about spark catalyst optimizer rules"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got((1L, 2L)) == (1.0, 1.0))
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // every shingle of doc 1 appears in doc 3, not vice versa
+    got.get((1L, 3L)).foreach { case (ca, cb) => assert(ca == 1.0 && cb < 1.0) }
+    // the near-identical 1-in-3 pair must actually surface via LSH here
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)))
+  }
 }

@@ -141,4 +141,24 @@ class TextAnalysis2Spec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Double)].collect()
     assert(s2(2)._3 < s2(0)._3 && s2(2)._3 < s2(1)._3)
   }
+
+  test("boilerplateShare: frequent trigram counted, clean doc keeps share 0") {
+    // "a b c" appears in docs 1..3 (df=3 >= minDf); each doc carries
+    // unique tail trigrams; doc 4 shares nothing frequent
+    val docs = Seq(
+      (1L, "a b c t1a t1b"),
+      (2L, "a b c t2a t2b"),
+      (3L, "a b c t3a t3b"),
+      (4L, "u v w u2 v2"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateShare(docs, "doc_id", "text", n = 3, minDf = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1 trigrams: "a b c", "b c t1a", "c t1a t1b" -> 3 total, 1 frequent
+    assert(got(1L) == ((1L, 3L, 1L, 1.0 / 3)))
+    assert(got(4L) == ((4L, 3L, 0L, 0.0)))
+    // doc frequency table itself: "a b c" has df 3
+    val df3 = TextAnalysis.ngramDocFreq(docs, "doc_id", "text", n = 3)
+      .filter($"ngram" === "a b c").as[(String, Long)].collect()
+    assert(df3.toSeq == Seq(("a b c", 3L)))
+  }
 }
