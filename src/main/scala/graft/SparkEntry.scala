@@ -343,6 +343,11 @@ object SparkEntry {
       Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- ext: BPE-style merge-candidate (bigram) statistics ----
+    "q86_bigram_merges" -> ((s, dir) =>
+      TextAnalysis.bigramMergeStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("merge_rank"))),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -986,6 +991,7 @@ object SparkEntry {
     "q78_zorder_stats" -> ExtOracleSql.zorderStats(bits = 10, prefixBits = 6),
     "q84_boilerplate_share" -> ExtOracleSql.boilerplateShare(n = 3, minDf = 10),
     "q85_containment_pairs" -> ExtOracleSql.containmentVerify,
+    "q86_bigram_merges" -> ExtOracleSql.bigramMergeStats(topK = 50),
     "q44_retention" -> ExtOracleSql.retentionWeekly,
     "q45_funnel" -> ExtOracleSql.funnel,
     "q46_hash_split" -> ExtOracleSql.hashSplit(trainPct = 80, valPct = 10, salt = "split"),

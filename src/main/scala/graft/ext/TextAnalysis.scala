@@ -113,13 +113,16 @@ object TextAnalysis {
     * count, how many are boilerplate, and the share (a doc that is
     * mostly boilerplate gets dropped or down-weighted).
     *
-    * Scale shape: the frequent set is the power-law head — small by
-    * construction at any corpus size — so it broadcasts, and the
-    * per-doc pass is a map-side probe: the corpus is scanned twice
-    * (recompute beats caching 100 TB of shingles), shuffled once for
-    * the doc-freq aggregation plus the tiny per-doc agg. The share is
-    * one IEEE division of two exact longs — no rounding — so both
-    * engines produce the identical double. */
+    * Scale shape: the corpus is scanned twice (recompute beats caching
+    * 100 TB of shingles) and shuffled once for the doc-freq
+    * aggregation plus the tiny per-doc agg. The probe join carries NO
+    * broadcast hint on purpose: with a proportionally-chosen minDf the
+    * frequent set is the power-law head and AQE broadcasts it from its
+    * runtime size, but an absolute minDf on a huge corpus qualifies
+    * most n-grams, and a forced broadcast would OOM the driver where
+    * AQE degrades to a sane shuffle join. The share is one IEEE
+    * division of two exact longs — no rounding — so both engines
+    * produce the identical double. */
   def boilerplateShare(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minDf: Long = 10): DataFrame = {
@@ -129,10 +132,41 @@ object TextAnalysis {
     graft.core.Scans.spread(docs.filter(col(textCol).isNotNull))
       .select(col(idCol),
         explode(WordShingles.shingles(lower(col(textCol)), n)).as("ngram"))
-      .join(broadcast(freq), Seq("ngram"), "left")
+      .join(freq, Seq("ngram"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_boiler"))
       .withColumn("boiler_share", col("n_boiler") / col("n_ngrams"))
+  }
+
+  /** Adjacent-token-pair (bigram) merge statistics — the counting core
+    * of BPE-style vocabulary induction: the highest-occurrence adjacent
+    * pair is the next merge candidate, and corpus-wide pair counts are
+    * what each merge round recomputes. Reports the top-`topK` pairs by
+    * total occurrences (ties broken by pair text) with their document
+    * frequency.
+    *
+    * Scale shape: pairs come from two array slices zipped per doc — a
+    * narrow projection, no self-join — then ONE hash aggregation on the
+    * pair key (count + countDistinct; the distinct Expand doubles
+    * exploded rows before partial agg, the standard price of an exact
+    * doc frequency). Top-K is `orderBy().limit()` — Spark plans
+    * TakeOrderedAndProject, a per-partition bounded heap merged on the
+    * driver, never a global sort — and only the `topK` survivors see
+    * the rank window. */
+  def bigramMergeStats(
+      docs: DataFrame, idCol: String, textCol: String, topK: Int = 50): DataFrame = {
+    val t = Portable.tokens(col(textCol))
+    val pairs = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val counts = graft.core.Scans.spread(docs.filter(col(textCol).isNotNull))
+      .select(col(idCol), explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col(idCol)).as("n_docs"))
+    counts.orderBy(col("n_occurrences").desc, col("pair").asc).limit(topK)
+      .withColumn("merge_rank",
+        row_number().over(Window.orderBy(col("n_occurrences").desc, col("pair").asc)))
+      .select(col("merge_rank"), col("pair"), col("n_occurrences"), col("n_docs"))
   }
 
   /** Sliding-window document chunking: split each doc into token windows

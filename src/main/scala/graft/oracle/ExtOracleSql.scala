@@ -118,6 +118,23 @@ object ExtOracleSql {
        |FROM shn LEFT JOIN freq f USING (s)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.ext.TextAnalysis.bigramMergeStats]]. Counts are
+    * `count(*)`/`count(DISTINCT …)` — BIGINT on both engines. */
+  def bigramMergeStats(topK: Int): String =
+    s"""WITH $toksCte,
+       |prs AS (
+       |  SELECT doc_id, unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))])
+       |    AS pair
+       |  FROM toks),
+       |agg AS (
+       |  SELECT pair, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+       |  FROM prs GROUP BY 1)
+       |SELECT row_number() OVER (ORDER BY n_occurrences DESC, pair) AS merge_rank,
+       |       pair, n_occurrences, n_docs
+       |FROM agg
+       |QUALIFY merge_rank <= $topK
+       |ORDER BY merge_rank""".stripMargin
+
   /** Character-n-gram Jaccard near-dups (mirrors
     * [[graft.ext.Dedup.ngramJaccardPairs]]): char-gram MinHash+LSH
     * candidates verified with exact char-gram Jaccard. */

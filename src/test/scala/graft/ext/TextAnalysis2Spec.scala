@@ -161,4 +161,16 @@ class TextAnalysis2Spec extends SparkSpec {
       .filter($"ngram" === "a b c").as[(String, Long)].collect()
     assert(df3.toSeq == Seq(("a b c", 3L)))
   }
+
+  test("bigramMergeStats: occurrence vs doc counts, ties on pair text, 1-token edge") {
+    val docs = Seq(
+      (1L, "x y x y"),   // "x y" twice, "y x" once
+      (2L, "x y"),       // "x y" once
+      (3L, "a b"),       // "a b" once -> ties with "y x" on count, a < y
+      (4L, "solo"),      // single token -> zero pairs, must not error
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramMergeStats(docs, "doc_id", "text", topK = 2)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1, "x y", 3L, 2L), (2, "a b", 1L, 1L)))
+  }
 }
