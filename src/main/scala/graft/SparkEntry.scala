@@ -348,6 +348,12 @@ object SparkEntry {
       TextAnalysis.bigramMergeStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("merge_rank"))),
 
+    // ---- ext: per-source length distribution (exact discrete quantiles) ----
+    "q87_length_quantiles" -> ((s, dir) =>
+      graft.ext.Profiling.groupQuantilesDisc(
+          Tables.documents(s, dir), "source", "n_chars")
+        .orderBy(col("source"))),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -992,6 +998,7 @@ object SparkEntry {
     "q84_boilerplate_share" -> ExtOracleSql.boilerplateShare(n = 3, minDf = 10),
     "q85_containment_pairs" -> ExtOracleSql.containmentVerify,
     "q86_bigram_merges" -> ExtOracleSql.bigramMergeStats(topK = 50),
+    "q87_length_quantiles" -> ExtOracleSql.lengthQuantiles(Seq(0.5, 0.9, 0.99)),
     "q44_retention" -> ExtOracleSql.retentionWeekly,
     "q45_funnel" -> ExtOracleSql.funnel,
     "q46_hash_split" -> ExtOracleSql.hashSplit(trainPct = 80, valPct = 10, salt = "split"),

@@ -94,4 +94,39 @@ object Profiling {
         (col("mn") + (col("bucket") + 1) * ((col("mx") - col("mn")) / bins)).as("hi"),
         col("n"))
   }
+
+  /** Exact per-group discrete quantiles: for each probability p, the
+    * value at 1-indexed position max(1, ceil(p·n)) of the group's
+    * ascending sort — percentile_disc semantics. Discrete quantiles
+    * never interpolate, so there is no float formula for two engines
+    * to disagree on, and value ties collapse to the same answer
+    * whatever the sort's tie order. The length-distribution report a
+    * corpus pipeline keeps per source/language.
+    *
+    * One shuffle on the group key + a per-group window sort; with
+    * mart-sized groups that is the standard window envelope. For
+    * millions of tiny groups the same positions could come from a
+    * groupBy count + sort-merge re-join — identical result, no window
+    * — if the sort ever dominates. */
+  def groupQuantilesDisc(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), "ps must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(valueCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+    val aggs = ps.map { p =>
+      val pos = greatest(lit(1L), ceil(lit(p) * col("cnt")))
+      max(when(col("rn") === pos, col(valueCol))).as(quantileLabel(p))
+    } :+ max(col("cnt")).as("n_rows")
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** "p50" / "p99" / "p99_9" — the SQL mirror uses the same labels. */
+  def quantileLabel(p: Double): String =
+    "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+      .replace('.', '_')
 }

@@ -135,6 +135,26 @@ object ExtOracleSql {
        |QUALIFY merge_rank <= $topK
        |ORDER BY merge_rank""".stripMargin
 
+  /** Mirrors [[graft.ext.Profiling.groupQuantilesDisc]] over
+    * documents(source, n_chars). Discrete quantiles take an existing
+    * BIGINT value — no interpolation, no float drift. */
+  def lengthQuantiles(ps: Seq[Double]): String = {
+    val cols = ps.map { p =>
+      val lit = BigDecimal(p).underlying.toPlainString
+      s"max(CASE WHEN rn = greatest(1, CAST(ceil($lit * cnt) AS BIGINT)) " +
+        s"THEN n_chars END) AS ${graft.ext.Profiling.quantileLabel(p)}"
+    }.mkString(",\n       |       ").stripMargin
+    s"""WITH r AS (
+       |  SELECT source, n_chars,
+       |         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+       |         count(*) OVER (PARTITION BY source) AS cnt
+       |  FROM documents)
+       |SELECT source,
+       |       $cols,
+       |       max(cnt) AS n_rows
+       |FROM r GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   /** Character-n-gram Jaccard near-dups (mirrors
     * [[graft.ext.Dedup.ngramJaccardPairs]]): char-gram MinHash+LSH
     * candidates verified with exact char-gram Jaccard. */

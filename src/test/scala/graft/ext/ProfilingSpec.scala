@@ -91,4 +91,17 @@ class ProfilingSpec extends SparkSpec {
       .select("p").as[Double].collect()
     assert(sums.forall(p => math.abs(p - 1.0) < 1e-9))
   }
+
+  test("groupQuantilesDisc: percentile_disc positions, singleton group, labels") {
+    val df = (1L to 10L).map(v => ("a", v)) ++ Seq(("b", 42L))
+    val got = Profiling.groupQuantilesDisc(
+        df.toDF("g", "v"), "g", "v", Seq(0.5, 0.9, 0.99))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // group a (1..10): p50 -> ceil(5)=pos 5, p90 -> pos 9, p99 -> ceil(9.9)=pos 10
+    assert(got(0) == (("a", 5L, 9L, 10L, 10L)))
+    // singleton group: every quantile is the single value
+    assert(got(1) == (("b", 42L, 42L, 42L, 1L)))
+    assert(Profiling.quantileLabel(0.999) == "p99_9")
+    assert(Profiling.quantileLabel(0.5) == "p50")
+  }
 }
