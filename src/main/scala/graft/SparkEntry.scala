@@ -354,6 +354,12 @@ object SparkEntry {
           Tables.documents(s, dir), "source", "n_chars")
         .orderBy(col("source"))),
 
+    // ---- streaming: exact dedup proven by file-stream replay — keys
+    // recurring across micro-batches must be suppressed by state ----
+    "q88_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingDedup.distinctKeysViaStream(s, dir)
+        .orderBy(col("user_id"), col("event_type"))),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -999,6 +1005,9 @@ object SparkEntry {
     "q85_containment_pairs" -> ExtOracleSql.containmentVerify,
     "q86_bigram_merges" -> ExtOracleSql.bigramMergeStats(topK = 50),
     "q87_length_quantiles" -> ExtOracleSql.lengthQuantiles(Seq(0.5, 0.9, 0.99)),
+    "q88_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     "q44_retention" -> ExtOracleSql.retentionWeekly,
     "q45_funnel" -> ExtOracleSql.funnel,
     "q46_hash_split" -> ExtOracleSql.hashSplit(trainPct = 80, valPct = 10, salt = "split"),
