@@ -360,6 +360,11 @@ object SparkEntry {
       graft.streaming.StreamingDedup.distinctKeysViaStream(s, dir)
         .orderBy(col("user_id"), col("event_type"))),
 
+    // ---- ext: inverted-index postings with bounded-heap samples ----
+    "q89_postings" -> ((s, dir) =>
+      TextAnalysis.postings(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("term"))),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -1008,6 +1013,7 @@ object SparkEntry {
     "q88_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "q89_postings" -> ExtOracleSql.postings(maxPostings = 20),
     "q44_retention" -> ExtOracleSql.retentionWeekly,
     "q45_funnel" -> ExtOracleSql.funnel,
     "q46_hash_split" -> ExtOracleSql.hashSplit(trainPct = 80, valPct = 10, salt = "split"),

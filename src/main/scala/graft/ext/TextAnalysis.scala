@@ -169,6 +169,33 @@ object TextAnalysis {
       .select(col("merge_rank"), col("pair"), col("n_occurrences"), col("n_docs"))
   }
 
+  /** Inverted-index postings: per term (distinct token per doc), the
+    * document frequency and a BOUNDED ascending sample of its posting
+    * list, emitted as a comma-joined string — the index-construction
+    * step of a corpus search/retrieval layer.
+    *
+    * The posting sample rides the bounded-heap top-k aggregate
+    * ([[graft.functions.TopKAggregate]]): only `maxPostings` ids per
+    * term ever cross the shuffle, never the full list — a stopword's
+    * posting list is corpus-sized, and `collect_list` there is the OOM.
+    * Doc ids are negated into the heap's double score (exact below
+    * 2^53, plenty for any id space), so rank order IS ascending id.
+    * One shuffle total, map-side partial top-k included. */
+  def postings(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = 20): DataFrame =
+    graft.core.Scans.spread(docs.filter(col(textCol).isNotNull))
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(Portable.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"),
+        graft.functions.TopKAggregate.top_k(
+          -col("doc_id").cast("double"), col("doc_id"), maxPostings).as("tk"))
+      .select(col("term"), col("doc_freq"),
+        concat_ws(",",
+          transform(col("tk"), x => x.getField("id").cast("string")))
+          .as("posting_sample"))
+
   /** Sliding-window document chunking: split each doc into token windows
     * of `chunkSize` advancing by `chunkSize - overlap` — the
     * context-window packing step every RAG / pretraining pipeline runs

@@ -155,6 +155,16 @@ object ExtOracleSql {
        |FROM r GROUP BY 1 ORDER BY source""".stripMargin
   }
 
+  /** Mirrors [[graft.ext.TextAnalysis.postings]]. */
+  def postings(maxPostings: Int): String =
+    s"""WITH $toksCte,
+       |tok AS (
+       |  SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+       |SELECT term, count(*) AS doc_freq,
+       |       array_to_string(list_sort(list(doc_id))[1:$maxPostings], ',')
+       |         AS posting_sample
+       |FROM tok GROUP BY 1 ORDER BY term""".stripMargin
+
   /** Character-n-gram Jaccard near-dups (mirrors
     * [[graft.ext.Dedup.ngramJaccardPairs]]): char-gram MinHash+LSH
     * candidates verified with exact char-gram Jaccard. */

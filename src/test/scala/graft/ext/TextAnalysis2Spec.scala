@@ -173,4 +173,17 @@ class TextAnalysis2Spec extends SparkSpec {
       .as[(Int, String, Long, Long)].collect().toSeq
     assert(got == Seq((1, "x y", 3L, 2L), (2, "a b", 1L, 1L)))
   }
+
+  test("postings: df exact, sample ascending and capped, repeats collapse per doc") {
+    val docs = Seq(
+      (3L, "w w common"),  // repeated token counts once per doc
+      (1L, "common only1"),
+      (2L, "common only2"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.postings(docs, "doc_id", "text", maxPostings = 2)
+      .as[(String, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("common") == ((3L, "1,2")))  // capped at 2, ascending ids
+    assert(got("w") == ((1L, "3")))
+    assert(got("only1") == ((1L, "1")))
+  }
 }
