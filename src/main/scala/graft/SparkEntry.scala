@@ -365,6 +365,11 @@ object SparkEntry {
       TextAnalysis.postings(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("term"))),
 
+    // ---- ext: cross-source rare-n-gram contamination matrix ----
+    "q90_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlapMatrix(Tables.documents(s, dir), "source", "text")
+        .orderBy(col("source_a"), col("source_b"))),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -1014,6 +1019,7 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
     "q89_postings" -> ExtOracleSql.postings(maxPostings = 20),
+    "q90_source_overlap" -> ExtOracleSql.sourceOverlap(n = 3, maxDf = 5),
     "q44_retention" -> ExtOracleSql.retentionWeekly,
     "q45_funnel" -> ExtOracleSql.funnel,
     "q46_hash_split" -> ExtOracleSql.hashSplit(trainPct = 80, valPct = 10, salt = "split"),

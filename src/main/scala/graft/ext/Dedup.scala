@@ -203,6 +203,39 @@ object Dedup {
         (col("inter") / size(col("sh_b"))).as("containment_b"))
   }
 
+  /** Cross-source contamination matrix: for each pair of sources, the
+    * number of distinct RARE word n-grams they share — the leakage
+    * signal for source-partitioned train/test splits (two sources
+    * sharing many rare n-grams are copying from each other; frequent
+    * n-grams are boilerplate and excluded by the `maxDf` cap).
+    *
+    * Scale shape: NO self-join. One aggregation per shingle collects
+    * (doc frequency, distinct source set); the df cap both selects the
+    * signal and BOUNDS the source set at `maxDf` entries, so the pair
+    * explosion is ≤ maxDf²/2 rows per kept shingle — a skew-proof
+    * constant — and the final matrix agg is |sources|² at most. Two
+    * shuffles total (shingle agg + matrix agg), both map-side
+    * combined. */
+  def sourceOverlapMatrix(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      n: Int = 3, maxDf: Long = 5): DataFrame = {
+    val perShingle = graft.core.Scans.spread(docs.filter(col(textCol).isNotNull))
+      .select(col(sourceCol).as("source"),
+        explode(WordShingles.shingles(lower(col(textCol)), n)).as("s"))
+      .groupBy(col("s"))
+      // shingles are distinct within a doc, so count(*) IS the doc freq
+      .agg(count(lit(1)).as("df_docs"), collect_set(col("source")).as("srcs"))
+      .filter(col("df_docs") <= maxDf && size(col("srcs")) >= 2)
+    val sorted = array_sort(col("srcs"))
+    val pairs = flatten(
+      transform(sorted, (a, i) =>
+        transform(slice(sorted, i + lit(2), size(sorted)),
+          b => struct(a.as("source_a"), b.as("source_b")))))
+    perShingle.select(explode(pairs).as("p"))
+      .groupBy(col("p.source_a"), col("p.source_b"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
   /** SimHash: per-doc `bits`-bit locality-sensitive hash over the distinct
     * token set (bit b is the sign of Σ_tokens ±1 by token-hash bit b).
     * One-pass native [[graft.functions.SimHashPack]] over the distinct

@@ -165,6 +165,21 @@ object ExtOracleSql {
        |         AS posting_sample
        |FROM tok GROUP BY 1 ORDER BY term""".stripMargin
 
+  /** Mirrors [[graft.ext.Dedup.sourceOverlapMatrix]]. */
+  def sourceOverlap(n: Int, maxDf: Long): String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, source, ${Portable.tokensSql("text")} AS t FROM documents),
+       |shn AS (
+       |  SELECT doc_id, source, unnest(${Portable.shinglesSql("t", n)}) AS s FROM dt),
+       |keep AS (
+       |  SELECT s FROM shn GROUP BY s HAVING count(*) <= $maxDf),
+       |ss AS (
+       |  SELECT DISTINCT source, s FROM shn JOIN keep USING (s))
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       count(*) AS n_shared_ngrams
+       |FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Character-n-gram Jaccard near-dups (mirrors
     * [[graft.ext.Dedup.ngramJaccardPairs]]): char-gram MinHash+LSH
     * candidates verified with exact char-gram Jaccard. */

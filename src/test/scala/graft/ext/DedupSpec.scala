@@ -122,4 +122,21 @@ class DedupSpec extends SparkSpec {
     // the near-identical 1-in-3 pair must actually surface via LSH here
     assert(got.contains((1L, 3L)) && got.contains((2L, 3L)))
   }
+
+  test("sourceOverlapMatrix: rare shared shingles counted, df cap excludes boilerplate") {
+    val corpus = Seq(
+      (1L, "sA", "p q r unique1"),     // "p q r" in sA, sB, sC (df 3)
+      (2L, "sB", "p q r unique2"),
+      (3L, "sC", "p q r unique3"),
+      (4L, "sA", "m n o tail4"),       // "m n o" in sA, sB (df 2)
+      (5L, "sB", "m n o tail5"),
+      // boilerplate: "z z z" in 4 docs across sA/sB -> df 4 > maxDf 3
+      (6L, "sA", "z z z"), (7L, "sA", "z z z"),
+      (8L, "sB", "z z z"), (9L, "sB", "z z z"),
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlapMatrix(corpus, "source", "text", n = 3, maxDf = 3)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // sA-sB share "p q r" and "m n o"; the df-4 "z z z" is capped out
+    assert(got == Map(("sA", "sB") -> 2L, ("sA", "sC") -> 1L, ("sB", "sC") -> 1L))
+  }
 }
