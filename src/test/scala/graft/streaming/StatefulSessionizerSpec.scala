@@ -140,4 +140,40 @@ class StreamingCdcIngestSpec extends SparkSpec {
     assert(landed.count() == 3)
     assert(landed.select($"cdc_action").distinct().as[String].collect().toSeq == Seq("insert"))
   }
+
+  test("rate-source soak: continuous input flows, sessions emit, state stays bounded") {
+    // ~6 s against the built-in rate source: 500 rows/s over 5000 sparse
+    // users (per-user inter-arrival ≈ 10 s >> the 1 s gap, so sessions
+    // close and must be emitted while the stream is still running) —
+    // the backpressure/liveness proof the file-replay gates don't give.
+    import org.apache.spark.sql.streaming.Trigger
+    val nUsers = 5000L
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select((col("value") % nUsers).as("user_id"),
+        col("timestamp").as("ts"), lit(1.0).as("value"))
+      .withWatermark("ts", "0 seconds")
+      .as[StatefulSessionizer.Event]
+    val out = StatefulSessionizer.sessionsStreaming(stream, gapMs = 1000L)
+    val qn = "graft_rate_soak_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      // wait until sessions actually emit (usually ~3-6 s), hard cap 30 s
+      while (spark.table(qn).isEmpty && System.currentTimeMillis() < deadline &&
+          q.exception.isEmpty) {
+        Thread.sleep(500)
+      }
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      assert(!spark.table(qn).isEmpty, "no sessions emitted within the soak window")
+      val p = q.lastProgress
+      val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= nUsers,
+        s"state rows $stateRows exceed the open-session bound ($nUsers users)")
+    } finally q.stop()
+  }
 }
