@@ -370,6 +370,123 @@ object SparkEntry {
       Dedup.sourceOverlapMatrix(Tables.documents(s, dir), "source", "text")
         .orderBy(col("source_a"), col("source_b"))),
 
+    // ---- ext: salted skew join gated against the plain join — the
+    // join sibling of q61's salted agg (equivalence is the contract) ----
+    "q91_salted_join" -> ((s, dir) => {
+      val brands = Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.ext.Skew.saltedJoin(Tables.lineitem(s, dir), brands,
+          Seq("l_partkey"), numSalts = 8, saltSource = col("l_orderkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(round(col("l_extendedprice") * 10000)) / 10000.0)
+            .as("gross_revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- gold: UNPIVOT — melt the pivot report back to long; the
+    // oracle recomputes the direct monthly aggregate, so the gate pins
+    // pivot∘unpivot == groupBy(month), both operators' semantics ----
+    "q92_unpivot_months" -> ((s, dir) =>
+      SalesTrends.unpivotMonths(
+          SalesTrends.monthlyPivot(Conformed.orderRevenueCached(s, dir)))
+        .orderBy(col("restaurant_id"), col("month"))),
+
+    // ---- ext: CUBE with grouping_id over order year × priority ----
+    "q93_orders_cube" -> ((s, dir) =>
+      graft.ext.Olap.ordersCube(Tables.orders(s, dir))
+        .orderBy(col("gid"), col("order_year"), col("o_orderpriority"))),
+
+    // ---- cdc: change-log compaction (latest surviving state per key,
+    // newest-delete keys drop) ----
+    "q94_cdc_compaction" -> ((s, dir) => {
+      val log = Tables.orders(s, dir).withColumn("cdc_action",
+        when(pmod(col("o_orderkey"), lit(10)) === 0, "delete")
+          .when(pmod(col("o_orderkey"), lit(3)) === 0, "update")
+          .otherwise("insert"))
+      graft.cdc.CdcApply.compactLog(log, Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("cdc_action"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- ext: cross-system reconciliation fingerprints (bucketed
+    // order-independent checksums both engines derive independently) ----
+    "q95_fingerprint" -> ((s, dir) =>
+      graft.ext.Reconcile.fingerprint(Tables.orders(s, dir),
+          keyCols = Seq(col("o_orderkey")),
+          canonCols = Seq(
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 10000).cast("long"),
+            col("o_orderdate").cast("date"), col("o_orderpriority")))
+        .orderBy(col("bucket"))),
+
+    // ---- ext: deterministic weighted sampling (repeated hashing —
+    // exact integer competition, no cross-engine float pow) ----
+    "q96_weighted_sample" -> ((s, dir) =>
+      graft.ext.Sampling.weightedSample(
+          Tables.documents(s, dir), "doc_id",
+          lit(1L) + pmod(col("doc_id"), lit(3L)), k = 50)
+        .orderBy(col("sample_rank"))),
+
+    // ---- ext: typo-tolerant entity matching (blocked levenshtein) ----
+    "q97_fuzzy_match" -> ((s, dir) =>
+      Dedup.fuzzyNamePairs(Tables.part(s, dir), "p_partkey", "p_name",
+          "p_brand", maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- streaming: watermarked stream-stream inner join replayed
+    // from a sliced file stream == the batch range join ----
+    "q98_stream_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamJoin.purchaseViewJoinViaStream(s, dir)
+        .orderBy(col("purchase_id"), col("view_id"))),
+
+    // ---- ext: event-time debounce (sequential recurrence via
+    // secondary-sort mapPartitions; oracle is a recursive CTE) ----
+    "q99_debounce" -> ((s, dir) =>
+      graft.ext.Behavior.debounce(Tables.events(s, dir), deltaSeconds = 86400)
+        .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))),
+
+    // ---- ext: time-series gap fill over per-key calendar spines ----
+    "q100_gap_fill" -> ((s, dir) =>
+      graft.ext.Timeseries.gapFillDaily(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
+
+    // ---- gold: the analytic-ranking family in one window pass ----
+    "q101_rank_suite" -> ((s, dir) =>
+      graft.gold.Percentiles.rankReport(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"))),
+
+    // ---- multiset set operations (INTERSECT ALL / EXCEPT ALL) ----
+    "q102_set_ops" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def yr(y: Int) =
+        o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+      val ia = yr(1997).intersectAll(yr(1998)).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val ea = yr(1997).exceptAll(yr(1998)).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      ia.unionByName(ea).select(col("op"), col("o_custkey"), col("n"))
+        .orderBy(col("op"), col("o_custkey"))
+    }),
+
+    // ---- ext: L2 normalization via higher-order array functions ----
+    "q103_l2_normalize" -> ((s, dir) =>
+      Similarity.l2NormalizeReport(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
+    // ---- ext: bloom-pruned semi join == plain semi join ----
+    "q104_bloom_join" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.ext.Prune.bloomPrunedSemiJoin(
+          Tables.lineitem(s, dir), "l_orderkey", urgent, "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -1020,6 +1137,195 @@ object SparkEntry {
          ORDER BY user_id, event_type""",
     "q89_postings" -> ExtOracleSql.postings(maxPostings = 20),
     "q90_source_overlap" -> ExtOracleSql.sourceOverlap(n = 3, maxDf = 5),
+
+    // the oracle runs the PLAIN join — the gate proves salted == plain
+    "q91_salted_join" ->
+      """SELECT p_brand, count(*) AS n_lines,
+                sum(round(l_extendedprice * 10000)) / 10000.0 AS gross_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY p_brand""",
+
+    // the oracle recomputes the DIRECT monthly aggregate — the gate
+    // proves pivot∘unpivot equals it
+    "q92_unpivot_months" -> OracleSql.withBase(
+      """SELECT restaurant_id, month(creation_date) AS month,
+                sum(round(total_revenue * 10000)) / 10000.0 AS revenue
+         FROM order_revenue GROUP BY 1, 2 ORDER BY restaurant_id, month"""),
+
+    "q93_orders_cube" ->
+      """WITH y AS (SELECT year(o_orderdate) AS order_year, o_orderpriority,
+                           o_totalprice FROM orders)
+         SELECT GROUPING(order_year, o_orderpriority) AS gid,
+                order_year, o_orderpriority, count(*) AS n_orders,
+                sum(round(o_totalprice * 10000)) / 10000.0 AS revenue
+         FROM y GROUP BY CUBE (order_year, o_orderpriority)
+         ORDER BY gid, order_year, o_orderpriority""",
+
+    "q94_cdc_compaction" ->
+      """WITH log AS (
+           SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'delete'
+                       WHEN o_orderkey % 3 = 0 THEN 'update'
+                       ELSE 'insert' END AS cdc_action
+           FROM orders),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM log)
+         SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, cdc_action
+         FROM r WHERE rn = 1 AND cdc_action <> 'delete'
+         ORDER BY o_custkey""",
+
+    "q95_fingerprint" -> {
+      val canon = Seq(
+        "CAST(o_orderkey AS VARCHAR)",
+        "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus",
+        "CAST(CAST(round(o_totalprice * 10000) AS BIGINT) AS VARCHAR)",
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+        "o_orderpriority")
+        .map(e => s"coalesce($e, ' null')").mkString(", ")
+      val keyCanon = "coalesce(CAST(o_orderkey AS VARCHAR), ' null')"
+      s"""WITH c AS (SELECT $keyCanon AS kc, concat_ws('|', $canon) AS canon
+                     FROM orders),
+          h AS (SELECT ${graft.functions.Portable.h60Sql("kc")} % 16 AS bucket,
+                       ${graft.functions.Portable.h60Sql("canon")} AS h FROM c)
+          SELECT bucket, count(*) AS n_rows, bit_xor(h) AS xor_h,
+                 CAST(sum(h) AS DECIMAL(38,0)) AS sum_h
+          FROM h GROUP BY 1 ORDER BY bucket"""
+    },
+
+    "q96_weighted_sample" -> {
+      val draw = graft.functions.Portable.h60Sql(
+        "'wsample' || '#' || CAST(doc_id AS VARCHAR) || '#' || CAST(cpy AS VARCHAR)")
+      s"""WITH w AS (SELECT doc_id, 1 + doc_id % 3 AS weight FROM documents),
+          c AS (SELECT doc_id, weight,
+                       unnest(generate_series(1, weight)) AS cpy FROM w),
+          d AS (SELECT doc_id, weight, min($draw) AS draw
+                FROM c GROUP BY 1, 2)
+          SELECT doc_id, weight, draw,
+                 row_number() OVER (ORDER BY draw, doc_id) AS sample_rank
+          FROM d ORDER BY draw, doc_id LIMIT 50"""
+    },
+
+    "q97_fuzzy_match" ->
+      """WITH p AS (SELECT p_brand, p_partkey, p_name FROM part)
+         SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+                a.p_name AS name_a, b.p_name AS name_b,
+                levenshtein(a.p_name, b.p_name) AS edit_dist
+         FROM p a JOIN p b ON a.p_brand = b.p_brand
+                          AND a.p_partkey < b.p_partkey
+         WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+           AND levenshtein(a.p_name, b.p_name) <= 2
+         ORDER BY id_a, id_b""",
+
+    // the oracle is the BATCH range join — the gate proves the
+    // watermarked streaming join loses/duplicates nothing across batches
+    "q98_stream_stream_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+                    FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, purchase_id, purchase_ts, view_id, view_ts
+         FROM p JOIN v ON p.user_id = v.user_id
+          AND v.view_ts >= p.purchase_ts - INTERVAL 3600 SECONDS
+          AND v.view_ts <= p.purchase_ts
+         ORDER BY purchase_id, view_id""",
+
+    "q100_gap_fill" -> OracleSql.withBase(
+      """gfd AS (
+           SELECT restaurant_id, creation_date,
+                  sum(round(total_revenue * 10000)) AS cents
+           FROM order_revenue GROUP BY 1, 2),
+         gfspan AS (
+           SELECT restaurant_id, min(creation_date) AS d0,
+                  max(creation_date) AS d1
+           FROM gfd GROUP BY 1),
+         gfspine AS (
+           SELECT restaurant_id,
+                  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                    AS creation_date
+           FROM gfspan)""",
+      """SELECT s.restaurant_id, s.creation_date,
+                coalesce(d.cents, 0) / 10000.0 AS revenue,
+                CASE WHEN d.cents IS NULL THEN 1 ELSE 0 END AS is_gap
+         FROM gfspine s LEFT JOIN gfd d
+           ON s.restaurant_id = d.restaurant_id
+          AND s.creation_date = d.creation_date
+         ORDER BY s.restaurant_id, s.creation_date"""),
+
+    "q101_rank_suite" -> OracleSql.withBase(
+      """rr AS (
+           SELECT restaurant_id,
+                  sum(round(total_revenue * 10000)) / 10000.0 AS total_revenue
+           FROM order_revenue GROUP BY 1)""",
+      """SELECT restaurant_id, total_revenue,
+                rank() OVER wt AS rnk, dense_rank() OVER wt AS drnk,
+                round(percent_rank() OVER wt, 6) AS pct_rank,
+                round(cume_dist() OVER wt, 6) AS cume,
+                ntile(4) OVER wo AS quartile
+         FROM rr WINDOW wt AS (ORDER BY total_revenue DESC),
+                  wo AS (ORDER BY total_revenue DESC, restaurant_id)
+         ORDER BY restaurant_id"""),
+
+    "q102_set_ops" ->
+      """WITH y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+         y98 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998),
+         ia AS (SELECT o_custkey FROM y97 INTERSECT ALL SELECT o_custkey FROM y98),
+         ea AS (SELECT o_custkey FROM y97 EXCEPT ALL SELECT o_custkey FROM y98)
+         SELECT 'intersect_all' AS op, o_custkey, count(*) AS n
+         FROM ia GROUP BY 2
+         UNION ALL
+         SELECT 'except_all' AS op, o_custkey, count(*) AS n
+         FROM ea GROUP BY 2
+         ORDER BY op, o_custkey""",
+
+    // list_reduce mirrors Spark's strict left fold (0.0 seed + x ==
+    // first-element seed for non-negative squares), so the float sums
+    // are bit-identical; 6-decimal rounds are the shared rendering
+    "q103_l2_normalize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+         n AS (SELECT vec_id, emb,
+                      sqrt(list_reduce(list_transform(emb, x -> x * x),
+                                       (a, b) -> a + b)) AS nrm
+               FROM v),
+         u AS (SELECT vec_id, nrm, list_transform(emb, x -> x / nrm) AS unit
+               FROM n)
+         SELECT vec_id, round(nrm, 6) AS norm_l2,
+                round(unit[1], 6) AS u1, round(unit[2], 6) AS u2,
+                round(list_reduce(list_transform(unit, x -> x * x),
+                                  (a, b) -> a + b), 6) AS unit_dot
+         FROM u ORDER BY vec_id""",
+
+    // the oracle is the PLAIN key-set semi join — the gate proves the
+    // bloom prefilter + exact join composite loses/keeps nothing
+    "q104_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
+
+    // the sequential keep/suppress recurrence as a recursive CTE: each
+    // step jumps from a kept event to the earliest event >= Δ later
+    "q99_debounce" ->
+      """WITH RECURSIVE ord AS (
+           SELECT user_id, event_type, ts, event_id,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS rn
+           FROM events),
+         keep AS (
+           SELECT user_id, event_type, ts, event_id FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT n.user_id, n.event_type, n.ts, n.event_id
+           FROM keep k JOIN LATERAL (
+             SELECT o.user_id, o.event_type, o.ts, o.event_id FROM ord o
+             WHERE o.user_id = k.user_id AND o.event_type = k.event_type
+               AND o.ts >= k.ts + INTERVAL 86400 SECONDS
+             ORDER BY o.ts, o.event_id LIMIT 1) n ON true)
+         SELECT user_id, event_type, ts, event_id FROM keep
+         ORDER BY user_id, event_type, ts, event_id""",
     "q44_retention" -> ExtOracleSql.retentionWeekly,
     "q45_funnel" -> ExtOracleSql.funnel,
     "q46_hash_split" -> ExtOracleSql.hashSplit(trainPct = 80, valPct = 10, salt = "split"),

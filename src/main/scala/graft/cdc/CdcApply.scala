@@ -88,4 +88,28 @@ object CdcApply {
         :+ lit(true).as("is_current"): _*)
     history.unionByName(fresh)
   }
+
+  /** Change-log compaction: collapse an append-only change log (multiple
+    * actions per key over time) to the latest SURVIVING state per key —
+    * the Kafka-compacted-topic / CDC-log-to-snapshot contract. The
+    * newest entry per key wins by `ordering` (which must be a total
+    * order within a key — include a unique id as the final tiebreaker);
+    * keys whose newest entry is a delete leave the snapshot entirely.
+    *
+    * One shuffle on the pk + a per-key window sort (rows-per-key is the
+    * log's version depth — small). An unknown/NULL action on the newest
+    * entry is conservatively treated as an upsert, not a delete: a
+    * malformed log row must never silently destroy a key (same
+    * null-handling rule as the merge path's insert detection). */
+  def compactLog(
+      log: DataFrame, pk: Seq[String],
+      ordering: Seq[org.apache.spark.sql.Column],
+      actionCol: String = "cdc_action", deleteValue: String = "delete"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pk.map(col): _*).orderBy(ordering.map(_.desc): _*)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 &&
+        !coalesce(col(actionCol) === deleteValue, lit(false)))
+      .drop("__rn")
+  }
 }

@@ -92,4 +92,49 @@ object Behavior {
     counts.withColumn("p_transition",
       round(col("n_transitions") / sum(col("n_transitions")).over(wFrom), 6))
   }
+
+  /** Event-time debounce (rolling throttle): per (user, event_type),
+    * keep the first event, then suppress every event closer than
+    * `deltaSeconds` to the LAST KEPT one — the retry/burst collapse an
+    * ingest pipeline applies before counting. Unlike a tumbling bucket
+    * (floor(ts/Δ)), the window restarts at each kept event, so the
+    * contract is inherently sequential: whether an event survives
+    * depends on which earlier events survived.
+    *
+    * That sequential dependency is exactly what windows/aggregates
+    * cannot express, so this is the secondary-sort pattern done the
+    * scale-right way: hash-repartition on the key, sort WITHIN each
+    * partition by (key, ts, id) — a partition-local spillable sort, no
+    * global exchange — then one streaming `mapPartitions` pass that
+    * never materializes a group. State is two longs per open key; ties
+    * break on event_id so the kept set is deterministic. The DuckDB
+    * oracle recomputes the same recurrence as a recursive CTE. */
+  def debounce(events: DataFrame, deltaSeconds: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val deltaMicros = deltaSeconds * 1000000L
+    val sorted = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        col("event_id").cast("long").as("event_id"))
+      .repartition(col("user_id"), col("event_type"))
+      .sortWithinPartitions(col("user_id"), col("event_type"),
+        col("tsu"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+    sorted.mapPartitions { it =>
+      var curUser = Long.MinValue
+      var curType: String = null
+      var lastKept = Long.MinValue
+      it.flatMap { case row @ (u, t, tsu, _) =>
+        val newKey = u != curUser || t != curType
+        if (newKey || tsu >= lastKept + deltaMicros) {
+          curUser = u; curType = t; lastKept = tsu
+          Some(row)
+        } else None
+      }
+    }.toDF("user_id", "event_type", "tsu", "event_id")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("tsu")).as("ts"), col("event_id"))
+  }
 }

@@ -351,4 +351,34 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Typo-tolerant entity matching (record linkage): pairs whose names
+    * are within `maxDist` edits, found by a blocked candidate join +
+    * exact Levenshtein verify — never all-pairs. Blocking is two-level:
+    * the exact `blockCol` equi-key drives the join (a hash join on the
+    * block), and the length band `|len(a) − len(b)| ≤ maxDist` — a
+    * sound lower bound on edit distance — prunes candidates before the
+    * O(len²) verify kernel runs. Deduplicating entity catalogs (vendor
+    * names, product titles) is where near-dup text ops meet CDC
+    * conform.
+    *
+    * At 100 TB the block key is what matters: block cardinality scales
+    * with the table, each block stays bounded, and a skewed block can
+    * be salted on the candidate side ([[graft.ext.Skew]]). */
+  def fuzzyNamePairs(
+      df: DataFrame, idCol: String, nameCol: String, blockCol: String,
+      maxDist: Int): DataFrame = {
+    val slim = df.select(col(blockCol).as("block"),
+      col(idCol).as("id"), col(nameCol).as("name"))
+    val a = slim.toDF("block", "id_a", "name_a")
+    val b = slim.toDF("block", "id_b", "name_b")
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("block").as(blockCol), col("id_a"), col("id_b"),
+        col("name_a"), col("name_b"), col("edit_dist"))
+  }
 }

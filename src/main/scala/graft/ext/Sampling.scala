@@ -100,4 +100,36 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Deterministic WEIGHTED sampling by repeated hashing: a row with
+    * integer weight w draws w independent salted hashes and competes
+    * with its minimum; the sample is the k smallest minima. Selection
+    * probability rises with w (the min of w uniform draws is
+    * stochastically smaller), yet everything stays exact integer
+    * arithmetic — reproducible on any engine/partitioning, unlike
+    * float `pow(u, 1/w)` A-ES keys, whose cross-engine rounding can
+    * flip near-ties.
+    *
+    * Scale shape: explode is bounded by max weight (cap small — weights
+    * are priorities, not magnitudes); the per-id min is a hash
+    * aggregate with map-side partials, and the global top-k is
+    * sort+limit — Spark's TakeOrdered, a per-partition heap + driver
+    * merge of k rows, never a global sort. The final rank window runs
+    * on k rows. */
+  def weightedSample(
+      df: DataFrame, idCol: String, weight: Column, k: Int,
+      salt: String = "wsample"): DataFrame = {
+    val drawn = df
+      .withColumn("weight", weight.cast("long"))
+      .withColumn("__copy", explode(sequence(lit(1L), col("weight"))))
+      .withColumn("__draw", Portable.h60(concat_ws("#",
+        lit(salt), col(idCol).cast("string"), col("__copy").cast("string"))))
+      .groupBy(col(idCol), col("weight"))
+      .agg(min(col("__draw")).as("draw"))
+      .orderBy(col("draw"), col(idCol))
+      .limit(k)
+    drawn.withColumn(
+      "sample_rank",
+      row_number().over(Window.orderBy(col("draw"), col(idCol))))
+  }
 }

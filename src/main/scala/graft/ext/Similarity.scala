@@ -399,4 +399,32 @@ object Similarity {
           / size(col("err_nanos"))) / 1e9).as("mean_abs_err"),
         (array_max(col("err_nanos")) / 1e9).as("max_abs_err"))
   }
+
+  /** L2 normalization via higher-order array functions — the embedding
+    * prep step before cosine retrieval (unit vectors turn cosine into a
+    * dot product). Emits the norm plus probe values of the normalized
+    * vector; all floats are 6-decimal-rounded under the same
+    * cross-engine contract as the cosine operators (identical fold
+    * order → identical IEEE results, rounding as the shared rendering).
+    *
+    * Pure per-row projection: transform/aggregate/zip_with all run
+    * inside codegen, no shuffle, no UDF. */
+  def l2NormalizeReport(
+      vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val emb = col(vecCol).cast("array<double>")
+    val norm = sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + x * x))
+    vecs
+      .withColumn("__norm", norm)
+      .withColumn("__unit", transform(emb, x => x / col("__norm")))
+      .select(
+        col(idCol),
+        round(col("__norm"), 6).as("norm_l2"),
+        round(element_at(col("__unit"), 1), 6).as("u1"),
+        round(element_at(col("__unit"), 2), 6).as("u2"),
+        // zip_with self dot of the unit vector — 1 up to rounding; the
+        // oracle recomputes it rather than pinning the constant
+        round(aggregate(
+          zip_with(col("__unit"), col("__unit"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x), 6).as("unit_dot"))
+  }
 }

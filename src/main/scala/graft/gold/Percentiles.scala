@@ -26,4 +26,40 @@ object Percentiles {
         count(lit(1)).as("n_lines"),
         (median(round(col("total_revenue") * 10000)) / 10000.0)
           .as("median_line_revenue"))
+
+  /** The full analytic-ranking family over per-restaurant revenue in
+    * one window pass: rank / dense_rank / percent_rank / cume_dist /
+    * ntile(4). percent_rank and cume_dist are emitted rounded: their
+    * defining ratios ((rank−1)/(n−1), peers/n) are identical FORMULAS
+    * across engines but not exactly representable, so the 6-decimal
+    * round is the same cross-engine contract the cosine operators use.
+    *
+    * Two orderings by necessity: the rank functions run over the VALUE
+    * ordering (ties must share ranks — that is their semantics, and
+    * their outputs are tie-order-invariant, hence deterministic), while
+    * ntile needs a TOTAL order (tile assignment within a tie group is
+    * positional, so without the id tiebreaker it would be
+    * engine-arbitrary).
+    *
+    * The window is unpartitioned BY DESIGN — ranking is over the
+    * restaurant dimension (mart-sized after the aggregate), the same
+    * single-task envelope as q12's dense_rank; never run an
+    * unpartitioned window at fact grain. */
+  def rankReport(orderRevenue: DataFrame): DataFrame = {
+    val byRest = orderRevenue
+      .groupBy(col("restaurant_id"))
+      .agg((sum(round(col("total_revenue") * 10000)) / 10000.0)
+        .as("total_revenue"))
+    val wTies = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_revenue").desc)
+    val wTotal = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_revenue").desc, col("restaurant_id"))
+    byRest.select(
+      col("restaurant_id"), col("total_revenue"),
+      rank().over(wTies).as("rnk"),
+      dense_rank().over(wTies).as("drnk"),
+      round(percent_rank().over(wTies), 6).as("pct_rank"),
+      round(cume_dist().over(wTies), 6).as("cume"),
+      ntile(4).over(wTotal).as("quartile"))
+  }
 }

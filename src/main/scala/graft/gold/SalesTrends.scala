@@ -66,6 +66,28 @@ object SalesTrends {
     (1 to 12).foldLeft(pivoted)((d, m) => d.withColumnRenamed(m.toString, s"m$m"))
   }
 
+  /** Inverse of [[monthlyPivot]]: melt the wide m1..m12 report back to
+    * long (restaurant_id, month, revenue), dropping absent months — the
+    * UNPIVOT relational operator. Pivot∘unpivot must equal the direct
+    * monthly aggregate (the oracle recomputes that side), which pins
+    * both operators' semantics, not just the round-trip's.
+    *
+    * Narrow per-row explode (12 fixed columns → ≤ 12 rows), no shuffle:
+    * unpivot is Expand under the hood, the same scale-free shape as
+    * GROUPING SETS' — output cardinality is bounded by 12× the pivoted
+    * (already mart-sized) input. */
+  def unpivotMonths(pivoted: DataFrame): DataFrame =
+    pivoted
+      .unpivot(
+        Array(col("restaurant_id")),
+        (1 to 12).map(m => col(s"m$m")).toArray,
+        "month_label", "revenue")
+      .filter(col("revenue").isNotNull)
+      .select(
+        col("restaurant_id"),
+        substring(col("month_label"), 2, 2).cast("long").as("month"),
+        col("revenue"))
+
   /** The three calendar grains in ONE pass via GROUPING SETS — the
     * scale-preferred alternative to [[daily]]/[[weekly]]/[[monthly]]
     * (A9 note in SURVEY §2.5): the fact is scanned and partially

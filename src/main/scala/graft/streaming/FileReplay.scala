@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared replay construction for the streaming gates: split a batch
+  * history into `slices` disjoint increasing time ranges, one parquet
+  * file per slice with strictly increasing mtimes, so a
+  * `maxFilesPerTrigger=1` file source replays history in time order —
+  * one slice per micro-batch. Any cross-batch contract (session
+  * stitching, dedup state, join state retention) is then actually
+  * exercised: rows that must pair across slices can only do so through
+  * the operator's state.
+  *
+  * Time-ordered slices keep a `0 seconds` watermark exact: the
+  * watermark after slice k is slice k's max event time and every later
+  * event lands in a later range, so nothing is ever late-dropped and
+  * the streaming result must equal the batch oracle.
+  */
+private[streaming] final class FileReplay(prefix: String) {
+  val inDir: String = Files.createTempDirectory(s"$prefix-in").toString
+  val checkpointDir: String = Files.createTempDirectory(s"$prefix-ckpt").toString
+  private val stamped = scala.collection.mutable.Set[String]()
+  private var nextIdx = 0
+
+  /** Append one slice; mtime ordering is assigned by call order. */
+  def writeSlice(df: DataFrame): Unit = {
+    df.coalesce(1).write.mode("append").parquet(inDir)
+    Files.list(Paths.get(inDir)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .filterNot(p => stamped.contains(p.toString))
+      .foreach { p =>
+        p.toFile.setLastModified(1700000000000L + nextIdx * 60000L)
+        stamped += p.toString
+      }
+    nextIdx += 1
+  }
+
+  /** Split `df` on `tsCol` into `slices` equal time ranges (oldest
+    * first) and write each as one slice. Returns (minTs, maxTs) epoch
+    * millis for follow-up sentinel construction. */
+  def writeHistory(df: DataFrame, tsCol: String, slices: Int): (Long, Long) = {
+    val row = df.agg(min(unix_millis(col(tsCol))), max(unix_millis(col(tsCol)))).head()
+    require(!row.isNullAt(0), "replay history is empty")
+    val (minMs, maxMs) = (row.getLong(0), row.getLong(1))
+    val span = maxMs - minMs + 1
+    val bounds = (0 to slices).map(k => minMs + span * k / slices)
+    (0 until slices).foreach { k =>
+      writeSlice(df.filter(unix_millis(col(tsCol)) >= bounds(k) &&
+        unix_millis(col(tsCol)) < bounds(k + 1)))
+    }
+    (minMs, maxMs)
+  }
+}

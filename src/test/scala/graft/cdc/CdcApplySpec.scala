@@ -63,4 +63,25 @@ class CdcApplySpec extends SparkSpec {
       .select($"valid_from", $"valid_to").as[(Long, Option[Long])].collect().toSeq
     assert(rows == Seq((7L, Some(9L)), (9L, None)))
   }
+
+  test("compactLog keeps the newest surviving state and drops delete-terminated keys") {
+    val log = Seq(
+      (1L, 1L, "insert", 10.0), (1L, 2L, "update", 11.0),   // live → seq 2 wins
+      (2L, 1L, "insert", 20.0), (2L, 3L, "delete", 0.0),    // newest is delete → gone
+      (3L, 5L, "delete", 0.0), (3L, 6L, "insert", 30.0),    // re-inserted after delete → live
+      (4L, 1L, "insert", 40.0), (4L, 2L, null, 41.0)        // NULL action newest → upsert, kept
+    ).toDF("k", "seq", "cdc_action", "amt")
+    val got = CdcApply.compactLog(log, Seq("k"), Seq($"seq"))
+      .orderBy("k").select($"k", $"seq", $"amt").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(got == Seq((1L, 2L, 11.0), (3L, 6L, 30.0), (4L, 2L, 41.0)))
+  }
+
+  test("compactLog ordering tiebreaker makes the winner deterministic") {
+    val log = Seq((1L, 7L, 100L, "insert"), (1L, 7L, 101L, "update"))
+      .toDF("k", "seq", "id", "cdc_action")
+    val got = CdcApply.compactLog(log, Seq("k"), Seq($"seq", $"id"))
+      .select($"id").as[Long].collect().toSeq
+    assert(got == Seq(101L))
+  }
 }

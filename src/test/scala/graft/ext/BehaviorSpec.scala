@@ -53,4 +53,36 @@ class BehaviorSpec extends SparkSpec {
       ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
       ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
   }
+
+  test("debounce: window restarts at each KEPT event, not each event") {
+    val events = Seq(
+      // u1/view: t=0 kept; t=50 suppressed; t=90 suppressed (only 40
+      // after the last KEPT — a naive gap-to-previous-event would keep
+      // it); t=100 kept; t=230 kept
+      (1L, "view", 0L, 10L), (1L, "view", 50L, 11L), (1L, "view", 90L, 12L),
+      (1L, "view", 100L, 13L), (1L, "view", 230L, 14L),
+      // same user, other type: independent state
+      (1L, "click", 55L, 20L),
+      (2L, "view", 10L, 30L), (2L, "view", 200L, 31L)
+    ).map { case (u, t, sec, id) =>
+      (u, t, new java.sql.Timestamp(sec * 1000), id)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.debounce(events, deltaSeconds = 100)
+      .select(col("event_id")).as[Long].collect().toSet
+    assert(got == Set(10L, 13L, 14L, 20L, 30L, 31L))
+  }
+
+  test("debounce: equal-timestamp ties keep the lowest event_id, layout-stable") {
+    val events = Seq(
+      (1L, "view", 100L, 7L), (1L, "view", 100L, 5L), (1L, "view", 100L, 9L)
+    ).map { case (u, t, sec, id) =>
+      (u, t, new java.sql.Timestamp(sec * 1000), id)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.debounce(events, deltaSeconds = 10)
+      .select(col("event_id")).as[Long].collect().toSeq
+    assert(got == Seq(5L))
+    val got2 = Behavior.debounce(events.repartition(5), deltaSeconds = 10)
+      .select(col("event_id")).as[Long].collect().toSeq
+    assert(got2 == Seq(5L))
+  }
 }

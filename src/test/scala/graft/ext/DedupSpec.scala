@@ -139,4 +139,27 @@ class DedupSpec extends SparkSpec {
     // sA-sB share "p q r" and "m n o"; the df-4 "z z z" is capped out
     assert(got == Map(("sA", "sB") -> 2L, ("sA", "sC") -> 1L, ("sB", "sC") -> 1L))
   }
+
+  test("fuzzyNamePairs: blocked levenshtein matches within maxDist, never across blocks") {
+    val parts = Seq(
+      (1L, "B1", "red widget"),
+      (2L, "B1", "red wodget"),   // dist 1 from 1
+      (3L, "B1", "red gadget"),   // dist 2 from 1 (w→g, i→a)
+      (4L, "B2", "red widget"),   // dist 0 from 1 but different block → out
+      (5L, "B1", "blue widgets")  // dist ≥ 3 from every B1 name → out
+    ).toDF("id", "brand", "name")
+    val got = Dedup.fuzzyNamePairs(parts, "id", "name", "brand", maxDist = 2)
+      .select($"id_a", $"id_b", $"edit_dist").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 2L)))
+  }
+
+  test("fuzzyNamePairs: length band never prunes a within-distance pair") {
+    // distance 2 with length diff exactly 2 — the band boundary case
+    val parts = Seq((1L, "B", "abcd"), (2L, "B", "abcdef")).toDF("id", "b", "n")
+    val got = Dedup.fuzzyNamePairs(parts, "id", "n", "b", maxDist = 2)
+      .select($"id_a", $"id_b", $"edit_dist").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 2L, 2L)))
+  }
 }

@@ -1,0 +1,74 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OlapReconcileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  private lazy val orders = Seq(
+    (1L, 10L, "O", 100.0, ts("2023-01-05"), "1-URGENT"),
+    (2L, 11L, "F", 200.0, ts("2023-06-10"), "2-HIGH"),
+    (3L, 10L, "O", 300.0, ts("2024-02-01"), "1-URGENT"),
+    (4L, 12L, "F", 400.0, ts("2024-08-20"), "2-HIGH")
+  ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  test("ordersCube emits all four grouping sets with consistent totals") {
+    val rows = Olap.ordersCube(orders)
+      .select($"gid", $"order_year", $"o_orderpriority", $"n_orders", $"revenue")
+      .as[(Long, Option[Int], Option[String], Long, Double)].collect()
+    val byGid = rows.groupBy(_._1)
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    // grand total (both axes rolled up)
+    val grand = byGid(3L).toSeq
+    assert(grand == Seq((3L, None, None, 4L, 1000.0)))
+    // per-year subtotals (priority rolled up → bit 1 set)
+    assert(byGid(1L).map(r => r._2.get -> r._4).toMap == Map(2023 -> 2L, 2024 -> 2L))
+    // per-priority subtotals (year rolled up → bit 2 set)
+    assert(byGid(2L).map(r => r._3.get -> r._5).toMap ==
+      Map("1-URGENT" -> 400.0, "2-HIGH" -> 600.0))
+    // cells sum to the grand total
+    assert(byGid(0L).map(_._4).sum == 4L)
+  }
+
+  private val keyCols = Seq(col("o_orderkey"))
+  private val canonCols = Seq(col("o_orderkey"), col("o_custkey"),
+    col("o_orderstatus"), round(col("o_totalprice") * 10000).cast("long"),
+    col("o_orderdate").cast("date"), col("o_orderpriority"))
+
+  test("fingerprint is order- and layout-independent") {
+    val f1 = Reconcile.fingerprint(orders, keyCols, canonCols, buckets = 4)
+    val f2 = Reconcile.fingerprint(
+      orders.orderBy($"o_totalprice".desc).repartition(7),
+      keyCols, canonCols, buckets = 4)
+    assert(f1.except(f2).isEmpty && f2.except(f1).isEmpty)
+  }
+
+  test("fingerprint localizes a single-row difference to its key's bucket") {
+    val mutated = orders.withColumn("o_totalprice",
+      when($"o_orderkey" === 2L, 200.01).otherwise($"o_totalprice"))
+    val f1 = Reconcile.fingerprint(orders, keyCols, canonCols, buckets = 4)
+    val f2 = Reconcile.fingerprint(mutated, keyCols, canonCols, buckets = 4)
+    val diff = f1.except(f2)
+    assert(diff.count() == 1, "exactly one bucket must diverge")
+    // key buckets are value-independent: row counts match everywhere,
+    // only the changed key's bucket hashes moved
+    assert(f1.select($"bucket", $"n_rows")
+      .except(f2.select($"bucket", $"n_rows")).isEmpty)
+  }
+
+  test("fingerprint distinguishes NULL from its rendered marker position") {
+    val a = Seq((1L, Option("x"), Option.empty[String])).toDF("k", "c1", "c2")
+    val b = Seq((1L, Option.empty[String], Option("x"))).toDF("k", "c1", "c2")
+    val cols = Seq(col("k"), col("c1"), col("c2"))
+    val fa = Reconcile.fingerprint(a, Seq(col("k")), cols, buckets = 1)
+    val fb = Reconcile.fingerprint(b, Seq(col("k")), cols, buckets = 1)
+    assert(fa.except(fb).count() == 1, "NULL position must change the fingerprint")
+  }
+}

@@ -46,4 +46,24 @@ class SamplingSpec extends SparkSpec {
     val s2 = Sampling.stratifiedSample(docs.repartition(5), "source", "doc_id", k)
     assert(s1.select("doc_id").except(s2.select("doc_id")).isEmpty)
   }
+
+  test("weightedSample: k rows, rank contract, layout-stable, weight biases selection") {
+    val ids = (1L to 400L).toDF("id")
+    val w = when(col("id") % 5 === 0, 10L).otherwise(1L)
+    val s1 = Sampling.weightedSample(ids, "id", w, k = 60)
+    val rows = s1.orderBy("sample_rank")
+      .select($"id", $"weight", $"draw", $"sample_rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(rows.length == 60)
+    assert(rows.map(_._4).toSeq == (1 to 60), "ranks must be dense 1..k")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq,
+      "rank order must follow ascending draws")
+    // layout independence: same sample from a different partitioning
+    val s2 = Sampling.weightedSample(ids.repartition(7), "id", w, k = 60)
+    assert(s1.select("id").except(s2.select("id")).isEmpty)
+    // weight 10 ids are 20% of the population; with 10 draws each they
+    // must land well above their base rate in the winner set
+    val heavy = rows.count(_._2 == 10L).toDouble / rows.length
+    assert(heavy > 0.4, s"weight-10 ids underrepresented: $heavy")
+  }
 }

@@ -1,0 +1,52 @@
+package graft.ext
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TimeseriesPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gapFillDaily zero-fills each key's own span and flags the fills") {
+    val revenue = Seq(
+      (1L, Date.valueOf("2024-01-01"), 5.0),
+      (1L, Date.valueOf("2024-01-01"), 2.5),   // same day, summed
+      (1L, Date.valueOf("2024-01-04"), 1.0),   // 2 missing days between
+      (2L, Date.valueOf("2024-02-10"), 9.0)    // single-day span → no fill
+    ).toDF("restaurant_id", "creation_date", "total_revenue")
+    val got = Timeseries.gapFillDaily(revenue)
+      .orderBy($"restaurant_id", $"creation_date")
+      .select($"restaurant_id", $"creation_date".cast("string"),
+        $"revenue", $"is_gap")
+      .as[(Long, String, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01", 7.5, 0L),
+      (1L, "2024-01-02", 0.0, 1L),
+      (1L, "2024-01-03", 0.0, 1L),
+      (1L, "2024-01-04", 1.0, 0L),
+      (2L, "2024-02-10", 9.0, 0L)))
+  }
+
+  private lazy val dir = "/root/testdata/sf0.001"
+
+  test("bloomPrunedSemiJoin equals the plain semi join") {
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val urgent = graft.core.Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val got = Prune.bloomPrunedSemiJoin(li, "l_orderkey", urgent, "o_orderkey")
+    val want = li.join(
+      urgent.select(col("o_orderkey").as("l_orderkey")).distinct(),
+      Seq("l_orderkey"), "left_semi")
+    assert(got.count() > 0, "bloom-pruned join returned nothing")
+    assert(got.except(want).isEmpty, "bloom path emitted rows the semi join lacks")
+    assert(want.except(got).isEmpty, "bloom path lost matching rows")
+  }
+
+  test("bloomPrunedSemiJoin with an empty dim returns an empty frame") {
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val none = graft.core.Tables.orders(spark, dir).filter(lit(false))
+    assert(Prune.bloomPrunedSemiJoin(li, "l_orderkey", none, "o_orderkey").isEmpty)
+  }
+}

@@ -1,0 +1,32 @@
+package graft.gold
+
+import java.sql.Date
+
+import graft.SparkSpec
+
+class RankReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rankReport: rank family over per-restaurant totals, ties share ranks") {
+    val d = Date.valueOf("2024-01-01")
+    val revenue = Seq(
+      (1L, d, 50.0), (1L, d, 50.0),  // r1 total 100 — tied with r2
+      (2L, d, 100.0),
+      (3L, d, 70.0),
+      (4L, d, 10.0)
+    ).toDF("restaurant_id", "creation_date", "total_revenue")
+    val got = Percentiles.rankReport(revenue)
+      .orderBy($"restaurant_id")
+      .select($"restaurant_id", $"total_revenue", $"rnk", $"drnk",
+        $"pct_rank", $"cume", $"quartile")
+      .as[(Long, Double, Int, Int, Double, Double, Int)].collect().toSeq
+    // value ordering: r1(100) = r2(100) tie, r3(70), r4(10). Rank
+    // functions share the tie (rnk 1,1,3,4; drnk 1,1,2,3); ntile runs
+    // over the id-tiebroken total order so tiles stay deterministic
+    assert(got == Seq(
+      (1L, 100.0, 1, 1, 0.0, 0.5, 1),
+      (2L, 100.0, 1, 1, 0.0, 0.5, 2),
+      (3L, 70.0, 3, 2, 0.666667, 0.75, 3),
+      (4L, 10.0, 4, 3, 1.0, 1.0, 4)))
+  }
+}
