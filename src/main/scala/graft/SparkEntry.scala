@@ -487,6 +487,66 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     }),
 
+    // ---- io: CSV round-trip of the conformed fact (schema-explicit;
+    // the gate equals q01's oracle, so the format is proven lossless
+    // for dates / doubles / nullable strings) ----
+    "q105_csv_roundtrip" -> ((s, dir) => {
+      val conformed = Conformed.orderRevenueCached(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      graft.io.TextTables.writeCsv(conformed, tmp)
+      graft.io.TextTables.readCsv(s, tmp, conformed.schema)
+        .orderBy(col("order_id"), col("lineitem_id"), col("item_category"),
+          col("item_price"), col("restaurant_id"))
+    }),
+
+    // ---- io: ORC round-trip of the raw fact (timestamps + doubles +
+    // planted duplicate rows survive bit-exact) ----
+    "q106_orc_roundtrip" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      graft.io.OrcTables.write(li, tmp)
+      graft.io.OrcTables.read(s, tmp, li.schema)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_quantity"))
+    }),
+
+    // ---- the SQL front door: scalar subqueries + correlated EXISTS,
+    // decorrelated by Catalyst (threshold compared in exact integer
+    // units so the boundary never floats between engines) ----
+    "q107_sql_subqueries" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o.o_custkey, count(*) AS n_big_orders,
+                  sum(round(o.o_totalprice * 10000)) / 10000.0 AS big_total
+           FROM orders_v o
+           WHERE round(o.o_totalprice * 10000)
+                   * (SELECT count(*) FROM orders_v)
+                 > (SELECT sum(round(o_totalprice * 10000)) FROM orders_v)
+             AND EXISTS (SELECT 1 FROM orders_v i
+                         WHERE i.o_custkey = o.o_custkey
+                           AND year(i.o_orderdate) = 2001)
+           GROUP BY o.o_custkey ORDER BY o.o_custkey""")
+    }),
+
+    // ---- gold: running DISTINCT users per restaurant (first-seen
+    // reduction + cumsum — exact, no per-frame distinct sets) ----
+    "q108_running_distinct" -> ((s, dir) =>
+      graft.gold.Location.runningDistinctUsers(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
+
+    // ---- schema evolution: two writer generations merged with
+    // unionByName(allowMissingColumns) — absent columns become NULLs ----
+    "q109_schema_evolution" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val v1 = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .drop("o_orderpriority")
+      val v2 = o.filter(pmod(col("o_orderkey"), lit(2)) =!= 0)
+        .withColumn("o_channel",
+          concat(lit("ch"), pmod(col("o_orderkey"), lit(3)).cast("string")))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -1306,6 +1366,55 @@ object SparkEntry {
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                               WHERE o_orderpriority = '1-URGENT')
          ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
+
+    // round-trips: the oracle never sees the interchange format — it
+    // recomputes from parquet, so any CSV/ORC lossiness hash-fails
+    "q105_csv_roundtrip" -> OracleSql.withBase(
+      """SELECT * FROM order_revenue
+         ORDER BY order_id, lineitem_id, item_category, item_price,
+                  restaurant_id"""),
+
+    "q106_orc_roundtrip" ->
+      """SELECT * FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity""",
+
+    "q107_sql_subqueries" ->
+      """SELECT o.o_custkey, count(*) AS n_big_orders,
+                sum(round(o.o_totalprice * 10000)) / 10000.0 AS big_total
+         FROM orders o
+         WHERE round(o.o_totalprice * 10000)
+                 * (SELECT count(*) FROM orders)
+               > (SELECT sum(round(o_totalprice * 10000)) FROM orders)
+           AND EXISTS (SELECT 1 FROM orders i
+                       WHERE i.o_custkey = o.o_custkey
+                         AND year(i.o_orderdate) = 2001)
+         GROUP BY o.o_custkey ORDER BY o.o_custkey""",
+
+    "q108_running_distinct" -> OracleSql.withBase(
+      """rdfs AS (
+           SELECT restaurant_id, user_id, min(creation_date) AS creation_date
+           FROM order_revenue GROUP BY 1, 2),
+         rdpd AS (
+           SELECT restaurant_id, creation_date, count(*) AS new_users
+           FROM rdfs GROUP BY 1, 2)""",
+      """SELECT restaurant_id, creation_date, new_users,
+                CAST(sum(new_users) OVER (PARTITION BY restaurant_id
+                  ORDER BY creation_date
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS distinct_users_to_date
+         FROM rdpd ORDER BY restaurant_id, creation_date"""),
+
+    "q109_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, CAST(NULL AS VARCHAR) AS o_orderpriority,
+                CAST(NULL AS VARCHAR) AS o_channel
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority,
+                'ch' || CAST(o_orderkey % 3 AS VARCHAR) AS o_channel
+         FROM orders WHERE o_orderkey % 2 <> 0
+         ORDER BY o_orderkey""",
 
     // the sequential keep/suppress recurrence as a recursive CTE: each
     // step jumps from a kept event to the earliest event >= Δ later

@@ -375,9 +375,13 @@ object Dedup {
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      // threshold-bounded Levenshtein: the DP abandons a pair the moment
+      // its distance provably exceeds maxDist (O(len·k) instead of
+      // O(len²) per pair — most candidates are far, so the bound does
+      // the heavy pruning); it returns −1 above the threshold
       .withColumn("edit_dist",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("block").as(blockCol), col("id_a"), col("id_b"),
         col("name_a"), col("name_b"), col("edit_dist"))
   }

@@ -21,6 +21,27 @@ import org.apache.spark.sql.functions._
   * reproducible bit-for-bit.
   */
 object Location {
+
+  /** Running DISTINCT user count per restaurant over time — the
+    * cumulative-reach curve. `count(DISTINCT x) OVER (ORDER BY t)` is
+    * unsupported (and would hold a set per frame anyway); the scale
+    * formulation is exact and set-free: a user contributes to the curve
+    * exactly once, at their FIRST date — so reduce to (key, user) →
+    * min(date), count the first-appearances per day, and cumsum. Two
+    * map-side-combinable hash aggregates + one mart-grain window. */
+  def runningDistinctUsers(orderRevenue: DataFrame): DataFrame = {
+    val firstSeen = orderRevenue
+      .groupBy(col("restaurant_id"), col("user_id"))
+      .agg(min(col("creation_date")).as("creation_date"))
+    val perDay = firstSeen
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("restaurant_id")).orderBy(col("creation_date"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perDay.withColumn("distinct_users_to_date", sum(col("new_users")).over(w))
+  }
+
   def apply(items: DataFrame, orderRevenue: DataFrame): DataFrame =
     build(items, orderRevenue, approx = false, rsd = 0.0)
 

@@ -87,6 +87,19 @@ object TextTables {
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
 }
 
+/** ORC read/write — the second columnar format Spark bundles natively.
+  * Same explicit-schema rule as [[TextTables]]: ORC stores its own
+  * schema, but pinning the expected one turns silent drift (a writer
+  * upstream changing a type) into an immediate analysis error. */
+object OrcTables {
+  def read(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+}
+
 object ParquetSource {
 
   /** Read a zone; ABSENT path → empty frame with the supplied schema

@@ -61,12 +61,22 @@ object StreamJoin {
 
     val qn = "graft_sjoin_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .option("checkpointLocation", replay.checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a stream-stream join keeps FOUR state stores per shuffle
+    // partition (keyWithIndex + keyToNumValues per side), each
+    // checkpointed every micro-batch — at replay scale the store
+    // commits dominate, so size the state partitioning to the state
+    // volume (tiny here), not the batch-compute default. The setting is
+    // baked into the new checkpoint; restored after the run.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", replay.checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(qn)
   }
 }

@@ -131,6 +131,44 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"))
   }
 
+  test("fingerprint is one aggregate exchange; l2-normalize is shuffle-free") {
+    val fpPlan = planText(ext.Reconcile.fingerprint(
+      core.Tables.orders(spark, sf), Seq(col("o_orderkey")),
+      Seq(col("o_orderkey"), col("o_orderstatus"))))
+    val fpEx = fpPlan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(fpEx == 1,
+      s"fingerprint is one hash-agg exchange on the bucket id, got $fpEx:\n$fpPlan")
+    val nPlan = planText(ext.Similarity.l2NormalizeReport(
+      core.Tables.embeddings(spark, sf), "vec_id", "embedding"))
+    assert(nPlan.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) == 0,
+      s"l2 normalize must be a pure projection:\n$nPlan")
+  }
+
+  test("debounce plans one hash-partition exchange and a partition-local sort") {
+    val plan = planText(ext.Behavior.debounce(
+      core.Tables.events(spark, sf), deltaSeconds = 3600))
+    val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1,
+      s"debounce is exactly the secondary-sort shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("Window"),
+      s"debounce must not plan a window (sortWithinPartitions only):\n$plan")
+  }
+
+  test("fuzzy match hash-joins on the block key — never a nested loop") {
+    val plan = planText(ext.Dedup.fuzzyNamePairs(
+      core.Tables.part(spark, sf), "p_partkey", "p_name", "p_brand", maxDist = 2))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"blocked fuzzy matching must not theta-join:\n$plan")
+  }
+
+  test("gap fill joins at mart grain with the fact reduced first") {
+    val plan = planText(ext.Timeseries.gapFillDaily(
+      bindings.Conformed.orderRevenue(spark, sf)))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"spine join must be equi:\n$plan")
+    assert(plan.contains("Generate"), s"expected the sequence explode:\n$plan")
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
