@@ -547,6 +547,20 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- ext: winsorize to per-group exact discrete quantiles ----
+    "q110_winsorize" -> ((s, dir) =>
+      graft.ext.Profiling.winsorize(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("clipped"))
+        .orderBy(col("doc_id"))),
+
+    // ---- ext: ordered session paths (deterministic sequence feature) ----
+    "q111_session_paths" -> ((s, dir) =>
+      graft.ext.Behavior.sessionPaths(Tables.events(s, dir))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -1415,6 +1429,43 @@ object SparkEntry {
                 'ch' || CAST(o_orderkey % 3 AS VARCHAR) AS o_channel
          FROM orders WHERE o_orderkey % 2 <> 0
          ORDER BY o_orderkey""",
+
+    // same discrete-position formulation as q87's quantiles
+    "q110_winsorize" ->
+      """WITH wr AS (
+           SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                  count(*) OVER (PARTITION BY source) AS cnt
+           FROM documents),
+         wq AS (
+           SELECT source,
+                  max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * cnt) AS BIGINT))
+                           THEN n_chars END) AS lo,
+                  max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * cnt) AS BIGINT))
+                           THEN n_chars END) AS hi
+           FROM wr GROUP BY 1)
+         SELECT d.doc_id, d.source, d.n_chars,
+                least(greatest(d.n_chars, q.lo), q.hi) AS clipped
+         FROM documents d JOIN wq q USING (source)
+         ORDER BY d.doc_id""",
+
+    "q111_session_paths" ->
+      """WITH sm AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         ss AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+           FROM sm)
+         SELECT user_id, min(ts) AS session_start,
+                array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+                  AS path,
+                count(*) AS n_events
+         FROM ss GROUP BY user_id, sid ORDER BY user_id, session_start""",
 
     // the sequential keep/suppress recurrence as a recursive CTE: each
     // step jumps from a kept event to the earliest event >= Δ later

@@ -93,6 +93,34 @@ object Behavior {
       round(col("n_transitions") / sum(col("n_transitions")).over(wFrom), 6))
   }
 
+  /** Ordered event-type path per session (the first `k` steps, joined
+    * with '>') — the sequence feature a funnel/intent model consumes.
+    * Ordering inside `collect_list` is partition-dependent, so the
+    * aggregate collects (ts, event_id, type) STRUCTS and sorts them
+    * after the fact — `sort_array` on structs orders by field position,
+    * and (ts, event_id) is a total order, making the path deterministic
+    * on any layout.
+    *
+    * One `session_window` aggregate (same shuffle as sessionization);
+    * per-group state is the session's events — bounded by the session
+    * gap, the same envelope any session aggregate carries. */
+  def sessionPaths(
+      events: DataFrame, gapMinutes: Int = 30, k: Int = 5): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("__evs"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("session_start"),
+        concat_ws(">",
+          transform(slice(col("__evs"), 1, k), e => e.getField("event_type")))
+          .as("path"),
+        col("n_events"))
+
   /** Event-time debounce (rolling throttle): per (user, event_type),
     * keep the first event, then suppress every event closer than
     * `deltaSeconds` to the LAST KEPT one — the retry/burst collapse an

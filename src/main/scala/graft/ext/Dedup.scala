@@ -356,23 +356,41 @@ object Dedup {
     * are within `maxDist` edits, found by a blocked candidate join +
     * exact Levenshtein verify — never all-pairs. Blocking is two-level:
     * the exact `blockCol` equi-key drives the join (a hash join on the
-    * block), and the length band `|len(a) − len(b)| ≤ maxDist` — a
-    * sound lower bound on edit distance — prunes candidates before the
-    * O(len²) verify kernel runs. Deduplicating entity catalogs (vendor
-    * names, product titles) is where near-dup text ops meet CDC
+    * block), and a length bucket bounds the candidates to length-near
+    * pairs (|len diff| ≤ maxDist is a sound edit-distance lower bound,
+    * so nothing within distance is lost). Deduplicating entity catalogs
+    * (vendor names, product titles) is where near-dup text ops meet CDC
     * conform.
     *
     * At 100 TB the block key is what matters: block cardinality scales
-    * with the table, each block stays bounded, and a skewed block can
-    * be salted on the candidate side ([[graft.ext.Skew]]). */
+    * with the table and each (block, length-bucket) cell stays bounded.
+    * When cells are still dense (tiny name vocabularies — this testdata
+    * verifies 6.9M pairs per 20k names), the next pruning tier is a
+    * PPJoin-style q-gram prefix filter (share ≥ 1 of the maxDist+1
+    * rarest q-grams) feeding the same verify kernel — the q33 candidate
+    * architecture applied to edit distance. */
   def fuzzyNamePairs(
       df: DataFrame, idCol: String, nameCol: String, blockCol: String,
       maxDist: Int): DataFrame = {
     val slim = df.select(col(blockCol).as("block"),
       col(idCol).as("id"), col(nameCol).as("name"))
+    // two-level blocking: the exact key AND a length bucket of width
+    // maxDist+1 join the candidates. A within-distance pair differs by
+    // ≤ maxDist characters of length < bucket width, so it lands at
+    // most one bucket apart — replicating the right side to its three
+    // neighboring buckets keeps the candidate set complete while the
+    // bucket key shrinks each block by the length spread (the classic
+    // sorted-neighborhood blocking). Exactly one replica matches per
+    // pair, so no dedup pass is needed.
+    val wBand = maxDist + 1
     val a = slim.toDF("block", "id_a", "name_a")
+      .withColumn("lb", floor(length(col("name_a")) / wBand))
     val b = slim.toDF("block", "id_b", "name_b")
-    a.join(b, Seq("block"))
+      .withColumn("lb0", floor(length(col("name_b")) / wBand))
+      .withColumn("lb", explode(array(
+        col("lb0") - 1, col("lb0"), col("lb0") + 1)))
+      .drop("lb0")
+    a.join(b, Seq("block", "lb"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       // threshold-bounded Levenshtein: the DP abandons a pair the moment

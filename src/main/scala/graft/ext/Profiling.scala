@@ -129,4 +129,27 @@ object Profiling {
   def quantileLabel(p: Double): String =
     "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
       .replace('.', '_')
+
+  /** Winsorize (clip) a numeric column to its per-group discrete
+    * [pLo, pHi] quantiles — the outlier-capping step before scaling /
+    * feature extraction. Discrete quantiles keep everything exact
+    * (values from the data, no interpolation), so the clip bounds are
+    * cross-engine stable in a way interpolated percentiles are not.
+    *
+    * The per-group bound table is mart-sized (one row per group) and
+    * broadcast back onto the fact — the fact is scanned twice (once
+    * ranked, once clipped); at 100 TB swap stage one for the
+    * approx-percentile sketch and keep the same broadcast-clip shape. */
+  def winsorize(
+      df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo > 0 && pHi <= 1 && pLo < pHi, "need 0 < pLo < pHi <= 1")
+    val bounds = groupQuantilesDisc(df, groupCol, valueCol, Seq(pLo, pHi))
+      .select(col(groupCol),
+        col(quantileLabel(pLo)).as("__lo"), col(quantileLabel(pHi)).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("clipped",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

@@ -54,6 +54,32 @@ class BehaviorSpec extends SparkSpec {
       ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
   }
 
+  test("sessionPaths: ordered first-k types per session, deterministic under repartition") {
+    val events = Seq(
+      // one session: three events within the gap, out-of-order ids
+      (1L, ts("2024-01-01 10:00:00"), "view", 11L),
+      (1L, ts("2024-01-01 10:05:00"), "click", 10L),
+      (1L, ts("2024-01-01 10:10:00"), "purchase", 12L),
+      // second session for the same user, 31 min later
+      (1L, ts("2024-01-01 10:41:30"), "view", 13L),
+      (2L, ts("2024-01-01 09:00:00"), "signup", 20L)
+    ).map { case (u, t, ty, id) => (u, t, ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Behavior.sessionPaths(events, gapMinutes = 30, k = 2)
+      .orderBy(col("user_id"), col("session_start"))
+      .select(col("user_id"), col("path"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "view>click", 3L),   // k=2 truncates the purchase
+      (1L, "view", 1L),
+      (2L, "signup", 1L)))
+    val got2 = Behavior.sessionPaths(events.repartition(5), gapMinutes = 30, k = 2)
+      .orderBy(col("user_id"), col("session_start"))
+      .select(col("user_id"), col("path"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got2 == got, "path must be layout-independent")
+  }
+
   test("debounce: window restarts at each KEPT event, not each event") {
     val events = Seq(
       // u1/view: t=0 kept; t=50 suppressed; t=90 suppressed (only 40

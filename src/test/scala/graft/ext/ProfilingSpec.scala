@@ -104,4 +104,19 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.quantileLabel(0.999) == "p99_9")
     assert(Profiling.quantileLabel(0.5) == "p50")
   }
+
+  test("winsorize clips to per-group discrete quantile bounds") {
+    val df = ((1L to 100L).map(v => ("a", v)) ++ Seq(("b", 7L)))
+      .toDF("g", "v")
+    val got = Profiling.winsorize(df, "g", "v", pLo = 0.05, pHi = 0.95)
+      .select($"g", $"v", $"clipped").as[(String, Long, Long)].collect()
+    val a = got.filter(_._1 == "a")
+    // group a (1..100): lo = pos ceil(5) = 5, hi = pos ceil(95) = 95
+    assert(a.filter(_._2 < 5L).forall(_._3 == 5L), "low tail must clip to p05")
+    assert(a.filter(_._2 > 95L).forall(_._3 == 95L), "high tail must clip to p95")
+    assert(a.filter(r => r._2 >= 5L && r._2 <= 95L).forall(r => r._3 == r._2),
+      "mid values must pass through")
+    // singleton group clips to itself
+    assert(got.filter(_._1 == "b").toSeq == Seq(("b", 7L, 7L)))
+  }
 }
