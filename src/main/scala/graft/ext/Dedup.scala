@@ -353,50 +353,65 @@ object Dedup {
   }
 
   /** Typo-tolerant entity matching (record linkage): pairs whose names
-    * are within `maxDist` edits, found by a blocked candidate join +
-    * exact Levenshtein verify — never all-pairs. Blocking is two-level:
-    * the exact `blockCol` equi-key drives the join (a hash join on the
-    * block), and a length bucket bounds the candidates to length-near
-    * pairs (|len diff| ≤ maxDist is a sound edit-distance lower bound,
-    * so nothing within distance is lost). Deduplicating entity catalogs
-    * (vendor names, product titles) is where near-dup text ops meet CDC
-    * conform.
+    * are within `maxDist` edits, found by an Ed-Join-style q-gram
+    * PREFIX FILTER + exact Levenshtein verify — never all-pairs.
+    * Deduplicating entity catalogs (vendor names, product titles) is
+    * where near-dup text ops meet CDC conform.
     *
-    * At 100 TB the block key is what matters: block cardinality scales
-    * with the table and each (block, length-bucket) cell stays bounded.
-    * When cells are still dense (tiny name vocabularies — this testdata
-    * verifies 6.9M pairs per 20k names), the next pruning tier is a
-    * PPJoin-style q-gram prefix filter (share ≥ 1 of the maxDist+1
-    * rarest q-grams) feeding the same verify kernel — the q33 candidate
-    * architecture applied to edit distance. */
+    * Candidate tier (the part that scales): one edit alters at most `q`
+    * of a string's distinct unpositioned q-grams (a type only vanishes
+    * when every occurrence is touched; shifts don't change gram
+    * strings), so two names within `maxDist` edits share all but
+    * ≤ maxDist·q gram types. By the standard prefix-filter argument,
+    * each string's `maxDist·q + 1` RAREST grams (any fixed global
+    * order — df-ascending makes the join cheapest) must then intersect
+    * for every true pair. The candidate join runs on (block, rare
+    * gram) — rare by construction, so bucket fan-out stays small —
+    * and the threshold-bounded Levenshtein (O(len·k), abandons far
+    * pairs) verifies. Names too short to own a full prefix
+    * (len < q·(maxDist+1)) can legitimately share zero grams with a
+    * within-distance partner, so they pair against all length-near
+    * block members directly — a vanishing fraction at any realistic
+    * length distribution.
+    *
+    * The gate (q97) proves filter+verify == the plain quadratic join. */
   def fuzzyNamePairs(
       df: DataFrame, idCol: String, nameCol: String, blockCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, q: Int = 2): DataFrame = {
     val slim = df.select(col(blockCol).as("block"),
       col(idCol).as("id"), col(nameCol).as("name"))
-    // two-level blocking: the exact key AND a length bucket of width
-    // maxDist+1 join the candidates. A within-distance pair differs by
-    // ≤ maxDist characters of length < bucket width, so it lands at
-    // most one bucket apart — replicating the right side to its three
-    // neighboring buckets keeps the candidate set complete while the
-    // bucket key shrinks each block by the length spread (the classic
-    // sorted-neighborhood blocking). Exactly one replica matches per
-    // pair, so no dedup pass is needed.
-    val wBand = maxDist + 1
-    val a = slim.toDF("block", "id_a", "name_a")
-      .withColumn("lb", floor(length(col("name_a")) / wBand))
-    val b = slim.toDF("block", "id_b", "name_b")
-      .withColumn("lb0", floor(length(col("name_b")) / wBand))
-      .withColumn("lb", explode(array(
-        col("lb0") - 1, col("lb0"), col("lb0") + 1)))
-      .drop("lb0")
-    a.join(b, Seq("block", "lb"))
+    val minPrefixLen = q * (maxDist + 1)
+    val prefixLen = maxDist * q + 1
+
+    val long = slim.filter(length(col("name")) >= minPrefixLen)
+    val grams = long.select(col("block"), col("id"),
+      explode(graft.functions.CharShingles.charShingles(col("name"), q))
+        .as("gram"))
+    val gramDf = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    val wRank = Window.partitionBy(col("id"))
+      .orderBy(col("gdf").asc, col("gram").asc)
+    val prefix = grams.join(broadcast(gramDf), Seq("gram"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= prefixLen)
+      .select(col("block"), col("id"), col("gram"))
+    val candLong = prefix.toDF("block", "id_a", "gram")
+      .join(prefix.toDF("block", "id_b", "gram"), Seq("block", "gram"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("block"), col("id_a"), col("id_b"))
+
+    val candShort = slim.filter(length(col("name")) < minPrefixLen)
+      .toDF("block", "id_s", "name_s")
+      .join(slim.toDF("block", "id_o", "name_o"), Seq("block"))
+      .filter(col("id_s") =!= col("id_o"))
+      .filter(abs(length(col("name_s")) - length(col("name_o"))) <= maxDist)
+      .select(col("block"),
+        least(col("id_s"), col("id_o")).as("id_a"),
+        greatest(col("id_s"), col("id_o")).as("id_b"))
+
+    candLong.unionByName(candShort).distinct()
+      .join(slim.toDF("block", "id_a", "name_a"), Seq("block", "id_a"))
+      .join(slim.toDF("block", "id_b", "name_b"), Seq("block", "id_b"))
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      // threshold-bounded Levenshtein: the DP abandons a pair the moment
-      // its distance provably exceeds maxDist (O(len·k) instead of
-      // O(len²) per pair — most candidates are far, so the bound does
-      // the heavy pruning); it returns −1 above the threshold
       .withColumn("edit_dist",
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)

@@ -155,11 +155,37 @@ class DedupSpec extends SparkSpec {
   }
 
   test("fuzzyNamePairs: length band never prunes a within-distance pair") {
-    // distance 2 with length diff exactly 2 — the band boundary case
+    // distance 2 with length diff exactly 2 — the band boundary case;
+    // "abcd" is below the prefix-length regime, so this also pins the
+    // short-name pool's cross pairing
     val parts = Seq((1L, "B", "abcd"), (2L, "B", "abcdef")).toDF("id", "b", "n")
     val got = Dedup.fuzzyNamePairs(parts, "id", "n", "b", maxDist = 2)
       .select($"id_a", $"id_b", $"edit_dist").as[(Long, Long, Long)]
       .collect().toSet
     assert(got == Set((1L, 2L, 2L)))
+  }
+
+  test("fuzzyNamePairs prefix filter equals the naive quadratic join") {
+    // adversarial mix: short names (below the prefix regime), repeated
+    // grams, shifts (insert/delete), substitutions, and cross-length
+    // pairs — generated deterministically
+    val vocab = Seq("ab", "abc", "abcd", "xaybz", "abcdef", "abcdeg",
+      "zbcdef", "abdcef", "qrstuv", "qrstuw", "aaaaaa", "aaaaba",
+      "abababab", "babababa", "mn", "mo")
+    val parts = vocab.zipWithIndex.map { case (n, i) =>
+      (i.toLong, if (i % 2 == 0) "X" else "Y", n)
+    } ++ vocab.zipWithIndex.map { case (n, i) =>
+      ((100 + i).toLong, "X", n)   // every name again, one shared block
+    }
+    val df = parts.toDF("id", "b", "n")
+    val got = Dedup.fuzzyNamePairs(df, "id", "n", "b", maxDist = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val naive = df.select($"b", $"id".as("id_a"), $"n".as("n_a"))
+      .join(df.select($"b", $"id".as("id_b"), $"n".as("n_b")), Seq("b"))
+      .filter($"id_a" < $"id_b")
+      .filter(levenshtein($"n_a", $"n_b") <= 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == naive,
+      s"missing=${naive -- got}, spurious=${got -- naive}")
   }
 }
