@@ -561,6 +561,11 @@ object SparkEntry {
       graft.ext.Behavior.sessionPaths(Tables.events(s, dir))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // ---- ext: market-basket category co-occurrence with lift ----
+    "q112_category_lift" -> ((s, dir) =>
+      graft.ext.Association.categoryLift(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("cat_a"), col("cat_b"))),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -1448,6 +1453,21 @@ object SparkEntry {
                 least(greatest(d.n_chars, q.lo), q.hi) AS clipped
          FROM documents d JOIN wq q USING (source)
          ORDER BY d.doc_id""",
+
+    "q112_category_lift" -> OracleSql.withBase(
+      """cloc AS (SELECT DISTINCT order_id, item_category AS cat
+                  FROM order_revenue WHERE item_category IS NOT NULL),
+         clt AS (SELECT cat, count(*) AS n_cat FROM cloc GROUP BY 1),
+         cln AS (SELECT count(DISTINCT order_id) AS n_orders FROM cloc),
+         clp AS (SELECT a.cat AS cat_a, b.cat AS cat_b, count(*) AS n_both
+                 FROM cloc a JOIN cloc b
+                   ON a.order_id = b.order_id AND a.cat < b.cat
+                 GROUP BY 1, 2 HAVING count(*) >= 10)""",
+      """SELECT cat_a, cat_b, n_both, ta.n_cat AS n_a, tb.n_cat AS n_b,
+                round(n_both * n_orders / (ta.n_cat * tb.n_cat), 6) AS lift
+         FROM clp JOIN clt ta ON clp.cat_a = ta.cat
+                  JOIN clt tb ON clp.cat_b = tb.cat, cln
+         ORDER BY cat_a, cat_b"""),
 
     "q111_session_paths" ->
       """WITH sm AS (

@@ -161,6 +161,16 @@ class PlanSpec extends SparkSpec {
       s"blocked fuzzy matching must not theta-join:\n$plan")
   }
 
+  test("category lift broadcasts totals onto the pair mart") {
+    val plan = planText(ext.Association.categoryLift(
+      bindings.Conformed.orderRevenue(spark, sf), minSupport = 1))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"category totals and the grand total must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbroadcast cartesian allowed:\n$plan")
+  }
+
   test("gap fill joins at mart grain with the fact reduced first") {
     val plan = planText(ext.Timeseries.gapFillDaily(
       bindings.Conformed.orderRevenue(spark, sf)))
