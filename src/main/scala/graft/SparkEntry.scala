@@ -566,6 +566,11 @@ object SparkEntry {
       graft.ext.Association.categoryLift(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("cat_a"), col("cat_b"))),
 
+    // ---- gold: month-over-month growth (period-over-period KPI) ----
+    "q113_mom_growth" -> ((s, dir) =>
+      SalesTrends.monthlyGrowth(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("y"), col("m"))),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -1468,6 +1473,19 @@ object SparkEntry {
          FROM clp JOIN clt ta ON clp.cat_a = ta.cat
                   JOIN clt tb ON clp.cat_b = tb.cat, cln
          ORDER BY cat_a, cat_b"""),
+
+    "q113_mom_growth" -> OracleSql.withBase(
+      """momg AS (
+           SELECT restaurant_id, year(creation_date) AS y,
+                  month(creation_date) AS m,
+                  sum(round(total_revenue * 10000)) / 10000.0 AS revenue
+           FROM order_revenue GROUP BY 1, 2, 3)""",
+      """SELECT restaurant_id, y, m, revenue,
+                lag(revenue) OVER w AS prev_revenue,
+                round((revenue - lag(revenue) OVER w)
+                      / lag(revenue) OVER w * 100, 6) AS mom_pct
+         FROM momg WINDOW w AS (PARTITION BY restaurant_id ORDER BY y, m)
+         ORDER BY restaurant_id, y, m"""),
 
     "q111_session_paths" ->
       """WITH sm AS (

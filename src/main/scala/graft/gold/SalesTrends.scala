@@ -66,6 +66,29 @@ object SalesTrends {
     (1 to 12).foldLeft(pivoted)((d, m) => d.withColumnRenamed(m.toString, s"m$m"))
   }
 
+  /** Month-over-month revenue growth per restaurant — the
+    * period-over-period KPI every trends dashboard derives from the
+    * monthly mart. `lag` compares against the previous EXISTING month
+    * (hollow months are a gap-fill concern — compose with
+    * [[graft.ext.Timeseries.gapFillDaily]] upstream when calendar
+    * adjacency matters). The growth ratio divides two exact
+    * integer-unit revenues and is 6-decimal-rounded — the shared
+    * cross-engine float contract; the first month's growth is NULL, not
+    * a fake zero. One hash aggregate + one mart-grain window. */
+  def monthlyGrowth(orderRevenue: DataFrame): DataFrame = {
+    val monthly = orderRevenue
+      .groupBy(col("restaurant_id"),
+        year(col("creation_date")).as("y"), month(col("creation_date")).as("m"))
+      .agg(Money.sumMoney(col("total_revenue")).as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("restaurant_id")).orderBy(col("y"), col("m"))
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("mom_pct",
+        round((col("revenue") - col("prev_revenue"))
+          / col("prev_revenue") * 100, 6))
+  }
+
   /** Inverse of [[monthlyPivot]]: melt the wide m1..m12 report back to
     * long (restaurant_id, month, revenue), dropping absent months — the
     * UNPIVOT relational operator. Pivot∘unpivot must equal the direct

@@ -29,4 +29,22 @@ class RankReportSpec extends SparkSpec {
       (3L, 70.0, 3, 2, 0.666667, 0.75, 3),
       (4L, 10.0, 4, 3, 1.0, 1.0, 4)))
   }
+
+  test("monthlyGrowth: lag-based MoM percentage, NULL on each key's first month") {
+    val revenue = Seq(
+      (1L, Date.valueOf("2024-01-05"), 100.0),
+      (1L, Date.valueOf("2024-02-10"), 150.0),   // +50%
+      (1L, Date.valueOf("2024-04-01"), 75.0),    // vs Feb (gap month): -50%
+      (2L, Date.valueOf("2024-03-03"), 10.0)
+    ).toDF("restaurant_id", "creation_date", "total_revenue")
+    val rows = SalesTrends.monthlyGrowth(revenue)
+      .orderBy($"restaurant_id", $"y", $"m")
+      .select($"restaurant_id", $"m", $"revenue", $"mom_pct")
+      .as[(Long, Int, Double, Option[Double])].collect().toSeq
+    assert(rows == Seq(
+      (1L, 1, 100.0, None),
+      (1L, 2, 150.0, Some(50.0)),
+      (1L, 4, 75.0, Some(-50.0)),
+      (2L, 3, 10.0, None)))
+  }
 }
