@@ -571,6 +571,24 @@ object SparkEntry {
       SalesTrends.monthlyGrowth(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("restaurant_id"), col("y"), col("m"))),
 
+    // ---- gold: rolling 7-day distinct users (explode-to-window-ends,
+    // never a range join) ----
+    "q114_sliding_distinct" -> ((s, dir) =>
+      graft.gold.Location.slidingDistinctUsers(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("window_end"))),
+
+    // ---- ext: robust median/MAD outliers (heavy-tail-safe anomaly tier) ----
+    "q115_mad_outliers" -> ((s, dir) =>
+      graft.ext.Anomaly.madOutliers(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
+
+    // ---- ext: exact-moment Pearson correlation (quantity vs price) ----
+    "q116_group_corr" -> ((s, dir) =>
+      graft.ext.Profiling.groupCorr(
+          Tables.lineitem(s, dir), Seq("l_returnflag", "l_linestatus"),
+          round(col("l_quantity")), round(col("l_extendedprice") * 10000))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
     // ---- ext: behavioral analytics over the event log ----
     "q44_retention" -> ((s, dir) =>
       graft.ext.Behavior.retentionWeekly(Tables.events(s, dir))
@@ -1473,6 +1491,63 @@ object SparkEntry {
          FROM clp JOIN clt ta ON clp.cat_a = ta.cat
                   JOIN clt tb ON clp.cat_b = tb.cat, cln
          ORDER BY cat_a, cat_b"""),
+
+    "q114_sliding_distinct" -> OracleSql.withBase(
+      """sdt AS (SELECT DISTINCT restaurant_id, user_id, creation_date AS d
+                 FROM order_revenue),
+         sdd AS (SELECT DISTINCT restaurant_id, d FROM sdt),
+         sdw AS (SELECT t.restaurant_id, t.user_id,
+                        t.d + CAST(r.i AS INT) AS window_end
+                 FROM sdt t, range(7) r(i)),
+         sdx AS (SELECT w.restaurant_id, w.user_id, w.window_end
+                 FROM sdw w JOIN sdd ON sdd.restaurant_id = w.restaurant_id
+                                    AND sdd.d = w.window_end)""",
+      """SELECT restaurant_id, window_end,
+                count(DISTINCT user_id) AS active_users
+         FROM sdx GROUP BY 1, 2 ORDER BY restaurant_id, window_end"""),
+
+    "q115_mad_outliers" -> OracleSql.withBase(
+      """madd AS (
+           SELECT restaurant_id, creation_date,
+                  CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS cents
+           FROM order_revenue GROUP BY 1, 2),
+         madm AS (
+           SELECT restaurant_id, count(*) AS n_days, median(cents) AS med
+           FROM madd GROUP BY 1 HAVING count(*) >= 5),
+         madv AS (
+           SELECT d.restaurant_id, d.creation_date, d.cents, m.med,
+                  abs(d.cents - m.med) AS abs_dev
+           FROM madd d JOIN madm m ON d.restaurant_id = m.restaurant_id),
+         mada AS (
+           SELECT restaurant_id, median(abs_dev) AS mad
+           FROM madv GROUP BY 1)""",
+      """SELECT v.restaurant_id, v.creation_date,
+                v.cents / 10000.0 AS daily_revenue,
+                v.med / 10000.0 AS median_revenue,
+                a.mad / 10000.0 AS mad_revenue
+         FROM madv v JOIN mada a ON v.restaurant_id = a.restaurant_id
+         WHERE v.abs_dev * 10000 > a.mad * 44478
+         ORDER BY v.restaurant_id, v.creation_date"""),
+
+    "q116_group_corr" ->
+      """WITH gm AS (
+           SELECT l_returnflag, l_linestatus, count(*) AS n,
+                  sum(CAST(round(l_quantity) AS HUGEINT)) AS sx,
+                  sum(CAST(round(l_extendedprice * 10000) AS HUGEINT)) AS sy,
+                  sum(CAST(round(l_quantity) AS HUGEINT)
+                      * CAST(round(l_extendedprice * 10000) AS HUGEINT)) AS sxy,
+                  sum(CAST(round(l_quantity) AS HUGEINT)
+                      * CAST(round(l_quantity) AS HUGEINT)) AS sxx,
+                  sum(CAST(round(l_extendedprice * 10000) AS HUGEINT)
+                      * CAST(round(l_extendedprice * 10000) AS HUGEINT)) AS syy
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus, n,
+                CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                     THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                END AS corr
+         FROM gm ORDER BY l_returnflag, l_linestatus""",
 
     "q113_mom_growth" -> OracleSql.withBase(
       """momg AS (

@@ -56,4 +56,42 @@ object Anomaly {
         col("mean_d").as("mean_revenue"),
         round(col("z"), 6).as("z_score"))
   }
+
+  /** Robust (median/MAD) outliers — the heavy-tail-safe sibling of
+    * [[revenueOutliers]]: a single extreme day inflates the variance
+    * enough to hide real anomalies, while the median absolute deviation
+    * barely moves. Flagged when |x − median| > k·1.4826·MAD (1.4826
+    * normalizes MAD to σ under normality).
+    *
+    * Exactness: daily revenue is integral 1e-4 units; medians of
+    * integers interpolate to exact halves, so median, MAD, and every
+    * deviation are exactly representable doubles, and the flag compares
+    * `dev·10000 > MAD·⌈k·1.4826·10000⌉` — pure integer-valued
+    * arithmetic, no float boundary for engines to disagree on. Same
+    * two-shuffle + broadcast shape as the z-score path. */
+  def madOutliers(
+      orderRevenue: DataFrame, k: Double = 3.0, minDays: Int = 5): DataFrame = {
+    val scaledK = math.ceil(k * 1.4826 * 10000).toLong
+    // the daily mart feeds three consumers (median, deviations, final
+    // join); persist it so the fact aggregates once — Catalyst does not
+    // share the subtree across the two median passes otherwise
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(Money.cents(col("total_revenue")).cast("long")).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = daily.groupBy(col("restaurant_id"))
+      .agg(count(lit(1)).as("n_days"), median(col("cents")).as("med"))
+      .filter(col("n_days") >= minDays)
+    val dev = daily.join(broadcast(med), Seq("restaurant_id"))
+      .withColumn("abs_dev", abs(col("cents") - col("med")))
+    val mad = dev.groupBy(col("restaurant_id"))
+      .agg(median(col("abs_dev")).as("mad"))
+    dev.join(broadcast(mad), Seq("restaurant_id"))
+      .filter(col("abs_dev") * 10000 > col("mad") * scaledK)
+      .select(
+        col("restaurant_id"), col("creation_date"),
+        (col("cents") / 10000.0).as("daily_revenue"),
+        (col("med") / 10000.0).as("median_revenue"),
+        (col("mad") / 10000.0).as("mad_revenue"))
+  }
 }

@@ -130,6 +130,33 @@ object Profiling {
     "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
       .replace('.', '_')
 
+  /** Exact-moment Pearson correlation per group. Spark's `corr` and
+    * DuckDB's use different incremental update formulas, so their last
+    * float bits disagree; here the five moments (Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate as EXACT integers (DECIMAL(38,0) — callers pass
+    * integer-unit columns), the combined terms n·Σxy − ΣxΣy stay exact,
+    * and only the final ratio runs in doubles — one fixed IEEE formula
+    * from identical integers on both engines, 6-decimal-rounded. One
+    * hash aggregate; moments combine map-side. */
+  def groupCorr(
+      df: DataFrame, groupCols: Seq[String],
+      xCol: Column, yCol: Column): DataFrame = {
+    val x = xCol.cast("decimal(38,0)")
+    val y = yCol.cast("decimal(38,0)")
+    val m = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      when(varX > 0 && varY > 0,
+        round(num / (sqrt(varX) * sqrt(varY)), 6)).as("corr")): _*)
+  }
+
   /** Winsorize (clip) a numeric column to its per-group discrete
     * [pLo, pHi] quantiles — the outlier-capping step before scaling /
     * feature extraction. Discrete quantiles keep everything exact

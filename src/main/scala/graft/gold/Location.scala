@@ -42,6 +42,30 @@ object Location {
     perDay.withColumn("distinct_users_to_date", sum(col("new_users")).over(w))
   }
 
+  /** Rolling `windowDays`-day distinct users per restaurant, evaluated
+    * at each observed activity day — the sliding sibling of
+    * [[runningDistinctUsers]]. Sliding distinct cannot reduce to a
+    * cumsum (users leave the window), so each (restaurant, user, day)
+    * activity triple is exploded to the `windowDays` window-ends it can
+    * serve (bounded constant fan-out), window-ends are kept to observed
+    * activity days (left-semi against the day set), and one
+    * countDistinct aggregate finishes — no theta/range join at any
+    * point. */
+  def slidingDistinctUsers(
+      orderRevenue: DataFrame, windowDays: Int = 7): DataFrame = {
+    val triples = orderRevenue
+      .select(col("restaurant_id"), col("user_id"), col("creation_date"))
+      .distinct()
+    val days = triples.select(col("restaurant_id"),
+      col("creation_date").as("window_end")).distinct()
+    triples
+      .withColumn("__i", explode(sequence(lit(0), lit(windowDays - 1))))
+      .withColumn("window_end", date_add(col("creation_date"), col("__i")))
+      .join(days, Seq("restaurant_id", "window_end"), "left_semi")
+      .groupBy(col("restaurant_id"), col("window_end"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   def apply(items: DataFrame, orderRevenue: DataFrame): DataFrame =
     build(items, orderRevenue, approx = false, rsd = 0.0)
 
