@@ -390,10 +390,14 @@ object Dedup {
     val gramDf = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
     val wRank = Window.partitionBy(col("id"))
       .orderBy(col("gdf").asc, col("gram").asc)
+    // both sides of the candidate self-join read the prefix table —
+    // persist it or the gram explode + df join + rank window runs twice
+    // (the same exchange-reuse gap as the LSH band table)
     val prefix = grams.join(broadcast(gramDf), Seq("gram"))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= prefixLen)
       .select(col("block"), col("id"), col("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candLong = prefix.toDF("block", "id_a", "gram")
       .join(prefix.toDF("block", "id_b", "gram"), Seq("block", "gram"))
       .filter(col("id_a") < col("id_b"))
