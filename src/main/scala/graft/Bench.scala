@@ -56,7 +56,16 @@ object Bench {
     val gcs = results.map { case (k, _, g) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_ms":$gcs,"sf":"$sfDir"}""")
+    // Key order matters: the driver captures the output TAIL, and in r4
+    // the line outgrew the capture window — gc_ms (printed last then)
+    // survived while the per-query wall map was truncated away. Print
+    // gc_ms FIRST and queries LAST so a truncated head loses diagnostics,
+    // never the wall evidence; then emit a compact second line (total +
+    // 15 slowest) that survives any capture window on its own.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","gc_ms":$gcs,"sf":"$sfDir","queries":$qs}""")
+    val slowest = results.sortBy(-_._2).take(15)
+      .map { case (k, v, _) => s"""["$k",$v]""" }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest":$slowest}""")
     spark.stop()
   }
 }

@@ -1293,7 +1293,8 @@ object SparkEntry {
           h AS (SELECT ${graft.functions.Portable.h60Sql("kc")} % 16 AS bucket,
                        ${graft.functions.Portable.h60Sql("canon")} AS h FROM c)
           SELECT bucket, count(*) AS n_rows, bit_xor(h) AS xor_h,
-                 CAST(sum(h) AS DECIMAL(38,0)) AS sum_h
+                 CAST(CAST(sum(h) AS DECIMAL(38,0))
+                      % ${graft.ext.Reconcile.SumModulus} AS BIGINT) AS sum_h
           FROM h GROUP BY 1 ORDER BY bucket"""
     },
 

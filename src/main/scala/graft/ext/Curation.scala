@@ -58,8 +58,16 @@ object Curation {
       minQuality: Double = 0.3, lang: String = "en", minJaccard: Double = 0.5,
       chunkSize: Int = 64, overlap: Int = 16,
       budget: Int = 2048, shards: Int = 4): DataFrame = {
+    // Materialize the curated set between the curation and packing
+    // stages: it feeds BOTH downstream joins (kept docs, chunk→split),
+    // and Catalyst does not share subplans across consumers — without
+    // this the whole curation (including the LSH candidate→verify→
+    // cluster pass) runs twice. A production pipeline writes this
+    // doc_id→split manifest to a lakehouse zone between jobs; within
+    // one job a persist of the id-sized frame is the same cut.
     val curated = curate(docs, idCol, textCol, minQuality, lang, minJaccard)
       .select(col(idCol).as("doc_id"), col("split"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = docs.withColumnRenamed(idCol, "doc_id")
       .join(curated, Seq("doc_id"))
     val chunks = TextAnalysis.chunk(kept, "doc_id", textCol, chunkSize, overlap)

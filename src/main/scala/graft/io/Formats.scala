@@ -1,0 +1,92 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Interchange-format sources/sinks beyond Parquet: CSV, JSON-lines,
+  * and ORC, with options pinned so a write→read round-trip is
+  * byte-faithful per column type.
+  *
+  * The reference's landscape is Parquet-only
+  * (`scripts/cdc_metrics_job_bronze.py:53-55`), but a real ingestion
+  * tier receives CSV extracts and JSONL event feeds long before they
+  * become columnar — these readers are the bronze-ingest front door.
+  *
+  * Fidelity rules encoded here (the places CSV round-trips silently rot):
+  *  - NULL vs empty string: CSV has no native distinction; a sentinel
+  *    `nullValue` that cannot appear in data keeps `NULL <> ''`;
+  *  - timestamps: an explicit ISO micros pattern on both write and read
+  *    (default patterns drop sub-second precision asymmetrically);
+  *  - doubles: Spark writes the shortest digits that round-trip (Java
+  *    `Double.toString`), so no precision option is needed;
+  *  - schema is ALWAYS caller-supplied on read. `inferSchema` is a full
+  *    extra pass over the data (2× the scan at 100 TB) and guesses —
+  *    an all-digit VARCHAR column silently becomes BIGINT.
+  *
+  * Malformed input: PERMISSIVE with a named corrupt-record column, so
+  * bad rows land in a quarantine filter instead of failing the job
+  * (FAILFAST is the debug mode, not the production mode at 100 TB —
+  * one bad row out of 10^11 must not kill a 6-hour ingest).
+  */
+object Formats {
+
+  /** Sentinel distinguishing NULL from '' in CSV. Control-character
+    * framed so no business string collides with it. */
+  val CsvNull = "NULL"
+  val TsPattern = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  val CorruptCol = "_corrupt_record"
+
+  private def csvOptions = Map(
+    "header" -> "true",
+    "nullValue" -> CsvNull,
+    "emptyValue" -> "",
+    "timestampFormat" -> TsPattern,
+    "dateFormat" -> "yyyy-MM-dd",
+    // quote only when needed; escape embedded quotes the RFC-4180 way
+    "quote" -> "\"", "escape" -> "\"")
+
+  def writeCsv(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).options(csvOptions)
+      .option("compression", "gzip").csv(path)
+
+  /** Schema-enforced CSV read; malformed lines survive in
+    * [[CorruptCol]] (add it to `schema` via [[withCorrupt]] to keep
+    * them; absent, they are dropped by Spark's PERMISSIVE contract). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.options(csvOptions)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(schema).csv(path)
+
+  def writeJsonl(df: DataFrame, path: String,
+                 mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("timestampFormat", TsPattern)
+      .option("compression", "gzip").json(path)
+
+  /** Schema-enforced JSON-lines read. JSON distinguishes null/''
+    * natively; the explicit timestamp pattern mirrors the writer. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("timestampFormat", TsPattern)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(schema).json(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("compression", "zstd").orc(path)
+
+  /** ORC read. ORC is self-describing like Parquet; the schema arg
+    * still pins column order and types (a projection pushdown contract,
+    * not an inference). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** `schema` + the corrupt-record column, for quarantine-keeping reads. */
+  def withCorrupt(schema: StructType): StructType =
+    StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(
+        CorruptCol, org.apache.spark.sql.types.StringType, nullable = true))
+}

@@ -12,9 +12,27 @@ depend on it.
 import json
 import sys
 
+import glob
+
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow.parquet as pq
+
+
+def load_spark_dump(path: str) -> pd.DataFrame:
+    """Read the Spark parquet dump via pyarrow, NOT DuckDB.
+
+    The driver reads Spark's parquet natively, so its hash sees the exact
+    written types (DECIMAL(38,0) stays an exact decimal). Loading through
+    DuckDB's pandas bridge flattens decimals to approximate float64 on BOTH
+    sides of the local compare, hiding exactly the bug class the driver
+    catches (r4's q95). pyarrow keeps decimals as exact `object` values, so
+    an exact-decimal-vs-float64 divergence now fails locally first.
+    """
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    parts = [pq.read_table(f).to_pandas(date_as_object=False) for f in files]
+    return pd.concat(parts, ignore_index=True)
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -46,7 +64,7 @@ def main():
         if not os.path.isdir(f"{out}/{name}"):  # filtered SPARK_GRAFT_ONLY dump
             continue
         try:
-            got = canon(con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df())
+            got = canon(load_spark_dump(f"{out}/{name}"))
             exp = canon(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: load/exec error: {e}")
