@@ -771,6 +771,49 @@ object SparkEntry {
           (col("sum_cents") / 10000.0).as("sum_extendedprice"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+
+    // ---- io: interchange-format round-trips (CSV / JSONL / ORC front
+    // doors — write with pinned options, read back schema-enforced, and
+    // the gate proves byte-fidelity per column type vs the parquet
+    // original) ----
+    "q117_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      val orders = Tables.orders(s, dir)
+      graft.io.Formats.writeCsv(orders, s"$tmp/orders")
+      graft.io.Formats.readCsv(s, s"$tmp/orders", orders.schema)
+        .orderBy(col("o_orderkey"))
+    }),
+    "q118_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      val ev = Tables.events(s, dir)
+      graft.io.Formats.writeJsonl(ev, s"$tmp/events")
+      graft.io.Formats.readJsonl(s, s"$tmp/events", ev.schema)
+        .orderBy(col("event_id"))
+    }),
+    "q119_orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      val li = Tables.lineitem(s, dir)
+      graft.io.Formats.writeOrc(li, s"$tmp/lineitem")
+      graft.io.Formats.readOrc(s, s"$tmp/lineitem", li.schema)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- ext: schema-enforced semi-structured extraction (from_json
+    // over the raw props feed — typed struct, codegen'd, no UDF) ----
+    "q120_json_extract" -> ((s, dir) => {
+      val k = from_json(col("props"), "k LONG", Map.empty[String, String])
+        .getField("k")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -796,6 +839,30 @@ object SparkEntry {
                   ts AS ingestion_timestamp, 'insert' AS cdc_action,
                   ts AS cdc_timestamp
            FROM u ORDER BY o_orderkey, o_orderdate, o_totalprice""",
+      // Round-trips must return the table unchanged: the oracle is the
+      // parquet original, so any CSV/JSON/ORC parse infidelity (null vs
+      // '', timestamp precision, double shortest-digits) hash-fails.
+      "q117_csv_roundtrip" ->
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders ORDER BY o_orderkey""",
+      "q118_jsonl_roundtrip" ->
+        """SELECT event_id, ts, user_id, event_type, value, props
+           FROM events ORDER BY event_id""",
+      "q119_orc_roundtrip" ->
+        """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                  l_extendedprice, l_discount, l_tax, l_returnflag,
+                  l_linestatus, l_shipdate
+           FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+      "q120_json_extract" ->
+        """WITH j AS (
+             SELECT event_type,
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             FROM events)
+           SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+                  CAST(sum(k) AS BIGINT) AS sum_k,
+                  min(k) AS min_k, max(k) AS max_k
+           FROM j GROUP BY 1 ORDER BY event_type""",
     )
   }
 

@@ -30,18 +30,22 @@ import org.apache.spark.sql.types.StructType
   */
 object Formats {
 
-  /** Sentinel distinguishing NULL from '' in CSV. Control-character
-    * framed so no business string collides with it. */
-  val CsvNull = "NULL"
+  /** Sentinel distinguishing NULL from '' in CSV (the classic backslash-N).
+    * A literal data value equal to the sentinel would collide; quote-force
+    * that column upstream if it can occur in a feed. */
+  val CsvNull = "\\N"
   val TsPattern = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
   val CorruptCol = "_corrupt_record"
 
   private def csvOptions = Map(
     "header" -> "true",
     "nullValue" -> CsvNull,
-    "emptyValue" -> "",
     "timestampFormat" -> TsPattern,
     "dateFormat" -> "yyyy-MM-dd",
+    // WRITE-side trimming is ON by default in Spark's CSV writer:
+    // leading/trailing whitespace would be silently eaten on the way out
+    "ignoreLeadingWhiteSpace" -> "false",
+    "ignoreTrailingWhiteSpace" -> "false",
     // quote only when needed; escape embedded quotes the RFC-4180 way
     "quote" -> "\"", "escape" -> "\"")
 
@@ -55,6 +59,10 @@ object Formats {
     * them; absent, they are dropped by Spark's PERMISSIVE contract). */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.options(csvOptions)
+      // multiLine honors RFC-4180 quoted newlines; it makes each file
+      // single-split, which gzip already is — and a 100 TB CSV landing
+      // zone wants many modest files either way (the writer's layout)
+      .option("multiLine", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .schema(schema).csv(path)
@@ -74,6 +82,11 @@ object Formats {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .schema(schema).json(path)
 
+  /** ORC sink. Caveat found by `FormatsSpec`: the bundled ORC writer
+    * mis-rounds PRE-EPOCH sub-second timestamps (sign/nanos interact:
+    * 1969-12-31T23:59:59.999999 comes back as 1970-01-01T00:00:00.999999).
+    * Post-1970 instants round-trip exactly. Route pre-epoch event data
+    * through Parquet/CSV/JSONL, which are exact. */
   def writeOrc(df: DataFrame, path: String,
                mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("compression", "zstd").orc(path)
