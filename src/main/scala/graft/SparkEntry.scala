@@ -814,6 +814,20 @@ object SparkEntry {
           max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
     }),
+
+    // ---- ext: SemDeDup semantic deduplication (paraphrase-level dups
+    // that share no n-grams — kmeans cells bound the quadratic) ----
+    "q121_semantic_dedup" -> ((s, dir) =>
+      graft.ext.Similarity.semanticDedup(
+          Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.35)
+        .orderBy(col("vec_id"))),
+
+    // ---- ext: contrastive hard-negative mining (top-k most-similar
+    // DIFFERENT-label vectors per anchor) ----
+    "q122_hard_negatives" -> ((s, dir) =>
+      graft.ext.Similarity.hardNegatives(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("vec_id"), col("rank"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -863,6 +877,9 @@ object SparkEntry {
                   CAST(sum(k) AS BIGINT) AS sum_k,
                   min(k) AS min_k, max(k) AS max_k
            FROM j GROUP BY 1 ORDER BY event_type""",
+      "q121_semantic_dedup" ->
+        ExtOracleSql.semanticDedup(tau = 0.35, iters = 2, seedEvery = 100),
+      "q122_hard_negatives" -> ExtOracleSql.hardNegatives(k = 5),
     )
   }
 

@@ -264,6 +264,44 @@ object Similarity {
         col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor,
+    * the `k` most-similar vectors carrying a DIFFERENT label — the
+    * near-boundary negatives that make a contrastive batch informative
+    * (easy negatives saturate the loss at zero gradient).
+    *
+    * The label-inequality predicate rides INSIDE the pair scorer, so
+    * pruning happens before the bounded top-k heap — never a full
+    * neighbor list post-filtered (which would need k·(max label share)
+    * neighbors to survive a filter-after-rank).
+    *
+    * This is the exhaustive within-block scorer: quadratic in the block,
+    * exact. At 100 TB compose it the IVF way — assign anchors to cells
+    * ([[ivfTopK]]'s broadcast-centroid step), then mine within cells;
+    * the per-cell math is THIS operator unchanged. Same contract as
+    * [[topKNeighbors]]: cosine rounds to 6dp, ties break on neighbor
+    * id, so ranks are engine-stable. */
+  def hardNegatives(
+      vecs: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    val v = vecs.select(
+      col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("emb"),
+      col(labelCol).as("label"))
+      .withColumn("nrm", l2norm(col("emb")))
+    val a = v.select(col("id").as("vec_id"), col("label").as("anchor_label"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("id").as("neighbor_id"), col("label").as("neighbor_label"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val scored = a.join(b, col("anchor_label") =!= col("neighbor_label"))
+      .withColumn("cosine",
+        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+    explodeTopK(
+      scored.groupBy(col("vec_id"), col("anchor_label"))
+        .agg(top_k(col("cosine"), col("neighbor_id"), k).as("topk")))
+      .select(col("vec_id"), col("anchor_label"), col("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Per-label embedding centroids (element-wise mean), EXACTLY: float
     * sums are order-dependent in IEEE doubles, so naive `avg` cannot
     * hash-match across engines — instead each component (a float32,
@@ -326,6 +364,57 @@ object Similarity {
     }
     finalAssign.select(col("id").as("vec_id"), col("cluster"),
       col("cos").as("cosine"))
+  }
+
+  /** SemDeDup-style semantic deduplication (SemDeDup, Abbas et al.
+    * 2023): embedding-space near-duplicates removed cluster-locally —
+    * [[kmeans]] cells bound the quadratic, pairwise cosine ≥ `tau`
+    * within a cell marks duplicate pairs, the pair graph closes
+    * transitively ([[Clusters.connectedComponents]]), and each group
+    * keeps exactly one representative (its min vec_id — deterministic,
+    * unlike the paper's random keep).
+    *
+    * The missing tier between exact/MinHash dedup (surface overlap) and
+    * nothing: paraphrases and re-renderings that share no n-grams but
+    * embed together. Cells make it tractable — pair work is
+    * Σ cellsize², never corpus², the exact trade the paper runs at
+    * billion-doc scale (their k ≈ n/10k keeps cells ~10⁴ → 10⁸ dots per
+    * cell, embarrassingly parallel across cells).
+    *
+    * Shape: one persist of the assigned corpus (it feeds both self-join
+    * sides and the final projection — at 100 TB this is the
+    * materialize-to-lakehouse cut between the cluster job and the dedup
+    * job), a cell-keyed self-join (shuffle on cell id), then min-label
+    * propagation over the (tiny) duplicate-pair list.
+    *
+    * Cross-engine exactness: cosines round to 6dp before the threshold
+    * (the [[topKNeighbors]] convention), so both engines see identical
+    * edge sets; everything after is integer ids. */
+  def semanticDedup(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      tau: Double, iters: Int = 2, seedEvery: Int = 100): DataFrame = {
+    val assigned = kmeans(vecs, idCol, vecCol, iters, seedEvery)
+      .select(col("vec_id").as("id"), col("cluster").as("cell"))
+    val v = withNorm(vecs, idCol, vecCol)
+      .join(assigned, Seq("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = v.select(col("cell"), col("id").as("id_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("cell"), col("id").as("id_b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val dupPairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(
+        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6)
+          >= tau)
+      .select(col("id_a"), col("id_b"))
+    val groups = Clusters.connectedComponents(dupPairs)
+      .select(col("id"), col("cluster_id").as("dup_group"))
+    v.join(groups, Seq("id"), "left")
+      .select(
+        col("id").as("vec_id"), col("cell"),
+        coalesce(col("dup_group"), col("id")).as("dup_group"),
+        (coalesce(col("dup_group"), col("id")) === col("id")).as("is_kept"))
   }
 
   /** Nearest-centroid assignment (the Lloyd E-step): rounded-cosine

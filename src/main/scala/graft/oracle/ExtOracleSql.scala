@@ -251,6 +251,23 @@ object ExtOracleSql {
        |SELECT vec_id, neighbor_id, cosine, rank FROM rk
        |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
 
+  /** Mirrors [[graft.ext.Similarity.hardNegatives]]. */
+  def hardNegatives(k: Int): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+       |  FROM embeddings),
+       |cj AS (
+       |  SELECT a.vec_id, a.label AS anchor_label, b.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+       |  FROM v a JOIN v b ON a.label != b.label),
+       |rk AS (
+       |  SELECT vec_id, anchor_label, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM cj)
+       |SELECT vec_id, anchor_label, neighbor_id, cosine, rank FROM rk
+       |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+
   def ivfTopK(k: Int, centroidEvery: Int): String =
     s"""WITH $vecsCte,
        |cents AS (
@@ -312,7 +329,13 @@ object ExtOracleSql {
     * tie-break) and centroid components accumulate as integral 1e-6
     * units then round to 6 — the [[graft.gold]] exact-money discipline
     * applied to float vectors. */
-  def kmeans(iters: Int, seedEvery: Int): String = {
+  def kmeans(iters: Int, seedEvery: Int): String =
+    s"""WITH ${kmeansCtes(iters, seedEvery).mkString(",\n")}
+       |SELECT vec_id, cluster, cos AS cosine FROM a$iters ORDER BY vec_id""".stripMargin
+
+  /** The Lloyd CTE chain shared by [[kmeans]] and [[semanticDedup]]:
+    * yields `a$iters` = (vec_id, emb, cluster, cos). */
+  private def kmeansCtes(iters: Int, seedEvery: Int): Seq[String] = {
     require(iters >= 1, "kmeans needs at least one iteration")
     def assign(i: Int, cents: String) =
       s"""a$i AS (
@@ -332,15 +355,38 @@ object ExtOracleSql {
          |                 unnest(generate_series(1, len(emb))) AS pos,
          |                 unnest(emb) AS x
          |          FROM a$i) GROUP BY 1, 2) GROUP BY 1)""".stripMargin
-    val ctes = Seq(
+    Seq(
       "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
       s"c0 AS (SELECT vec_id AS cluster, emb AS cemb FROM v WHERE vec_id % $seedEvery = 0)") ++
       (1 to iters).flatMap { i =>
         Seq(assign(i, s"c${i - 1}")) ++ (if (i < iters) Seq(update(i)) else Nil)
       }
-    s"""WITH ${ctes.mkString(",\n")}
-       |SELECT vec_id, cluster, cos AS cosine FROM a$iters ORDER BY vec_id""".stripMargin
   }
+
+  /** Mirrors [[graft.ext.Similarity.semanticDedup]]: Lloyd cells, then
+    * within-cell pairwise rounded cosine ≥ tau, closed transitively with
+    * the recursive min-reachable-id CTE (the [[dupClusters]] idiom). */
+  def semanticDedup(tau: Double, iters: Int, seedEvery: Int): String =
+    s"""WITH RECURSIVE ${kmeansCtes(iters, seedEvery).mkString(",\n")},
+       |dp AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM a$iters x JOIN a$iters y
+       |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= $tau),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM dp
+       |  UNION
+       |  SELECT id_b, id_a FROM dp),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id),
+       |cc AS (SELECT id, min(r) AS dup_group FROM reach GROUP BY 1)
+       |SELECT a.vec_id, a.cluster AS cell,
+       |       COALESCE(cc.dup_group, a.vec_id) AS dup_group,
+       |       COALESCE(cc.dup_group, a.vec_id) = a.vec_id AS is_kept
+       |FROM a$iters a LEFT JOIN cc ON cc.id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 
   /** Mirrors [[graft.ext.Dedup.decontaminate]] with the benchmark set
     * `doc_id ≡ 0 (mod modEvery)`. */
