@@ -828,6 +828,40 @@ object SparkEntry {
       graft.ext.Similarity.hardNegatives(
           Tables.embeddings(s, dir), "vec_id", "embedding", "label", k = 5)
         .orderBy(col("vec_id"), col("rank"))),
+
+    // ---- ext: degree-ordered triangle counting over the co-purchase
+    // graph (parts sharing >= 2 orders) ----
+    "q123_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("id_a"))
+        .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("id_b")),
+          Seq("ok"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("id_a"), col("id_b"))
+      graft.ext.Clusters.triangleCounts(edges)
+        .orderBy(col("node"))
+    }),
+
+    // ---- ext: CUSUM level-shift change points (sustained-shift tier
+    // of the anomaly suite; robust median/MAD target) ----
+    "q124_cusum_shift" -> ((s, dir) =>
+      graft.ext.Anomaly.cusumShift(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
+
+    // ---- ext: Cohen's kappa — chance-corrected agreement between the
+    // upstream lang tag and the n-gram language detector ----
+    "q125_kappa_agreement" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val detected = graft.ext.TextAnalysis.langId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("detected_lang"))
+      graft.ext.Profiling.cohenKappa(
+        docs.select(col("doc_id"), col("lang")).join(detected, Seq("doc_id")),
+        col("lang"), col("detected_lang"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -880,6 +914,62 @@ object SparkEntry {
       "q121_semantic_dedup" ->
         ExtOracleSql.semanticDedup(tau = 0.35, iters = 2, seedEvery = 100),
       "q122_hard_negatives" -> ExtOracleSql.hardNegatives(k = 5),
+      // Oracle counts each triangle once via the id-ordered triple join
+      // (u<v<w) — orientation-independent, so it checks the Spark side's
+      // degree-ordered counting without sharing its mechanism.
+      "q123_triangles" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+                   FROM li a JOIN li b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+             t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                   FROM e e1
+                   JOIN e e2 ON e2.u = e1.v
+                   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             n AS (SELECT x AS node FROM t
+                   UNION ALL SELECT y FROM t
+                   UNION ALL SELECT z FROM t)
+           SELECT node, count(*) AS n_triangles
+           FROM n GROUP BY 1 ORDER BY node""",
+      "q124_cusum_shift" -> OracleSql.withBaseRecursive(
+        """cud AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS cents
+             FROM order_revenue GROUP BY 1, 2),
+           cum AS (
+             SELECT restaurant_id, count(*) AS n_days, median(cents) AS med
+             FROM cud GROUP BY 1 HAVING count(*) >= 5),
+           cua AS (
+             SELECT d.restaurant_id, median(abs(d.cents - m.med)) AS mad
+             FROM cud d JOIN cum m USING (restaurant_id) GROUP BY 1),
+           cds AS (
+             SELECT d.restaurant_id, d.creation_date, d.cents,
+                    CAST(2 * m.med AS BIGINT) AS m2,
+                    CAST(2 * a.mad AS BIGINT) AS mad2,
+                    row_number() OVER (PARTITION BY d.restaurant_id
+                      ORDER BY d.creation_date) AS rn
+             FROM cud d
+             JOIN cum m USING (restaurant_id)
+             JOIN cua a USING (restaurant_id)),
+           cr AS (
+             SELECT restaurant_id, rn,
+                    greatest(0, (2 * cents - m2) - mad2 // 2) AS sp,
+                    greatest(0, (m2 - 2 * cents) - mad2 // 2) AS sn
+             FROM cds WHERE rn = 1
+             UNION ALL
+             SELECT d.restaurant_id, d.rn,
+                    greatest(0, r.sp + (2 * d.cents - d.m2) - d.mad2 // 2),
+                    greatest(0, r.sn + (d.m2 - 2 * d.cents) - d.mad2 // 2)
+             FROM cr r JOIN cds d
+               ON d.restaurant_id = r.restaurant_id AND d.rn = r.rn + 1)""",
+        """SELECT d.restaurant_id, d.creation_date,
+                  d.cents / 10000.0 AS daily_revenue,
+                  r.sp / 20000.0 AS cusum_pos, r.sn / 20000.0 AS cusum_neg,
+                  (r.sp > 5 * d.mad2 OR r.sn > 5 * d.mad2) AS alarm
+           FROM cr r JOIN cds d USING (restaurant_id, rn)
+           ORDER BY d.restaurant_id, d.creation_date"""),
+      "q125_kappa_agreement" -> ExtOracleSql.kappaLangAgreement,
     )
   }
 

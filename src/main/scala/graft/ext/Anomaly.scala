@@ -94,4 +94,72 @@ object Anomaly {
         (col("med") / 10000.0).as("median_revenue"),
         (col("mad") / 10000.0).as("mad_revenue"))
   }
+
+  /** Two-sided CUSUM level-shift detector per restaurant — the
+    * change-point tier of the anomaly suite. Point detectors
+    * ([[revenueOutliers]], [[madOutliers]]) only see single extreme
+    * days; a SUSTAINED small shift (price change, lost traffic) never
+    * trips them. CUSUM accumulates deviations from a robust target:
+    *
+    *   sp_i = max(0, sp_{i-1} + (x_i − median) − slack)
+    *   sn_i = max(0, sn_{i-1} + (median − x_i) − slack)
+    *
+    * with slack = MAD/2 (drift allowance) and alarm at 5·MAD — the
+    * classic k=σ/2, h=5σ tuning with robust estimators substituted.
+    *
+    * The recurrence is sequential by construction (each day folds into
+    * a clipped running state — no window function computes a
+    * data-dependent max(0, ·) chain), so it runs as the [[graft.ext
+    * .Behavior.debounce]] shape: repartition by restaurant, sort within
+    * partitions, one `mapPartitions` pass holding O(1) state. Scale =
+    * one shuffle of the DAILY mart (already reduced), then a linear
+    * scan; the per-group medians ride in via broadcast join.
+    *
+    * Exactness: all state is integral HALF-1e-4 units (2·cents, so the
+    * `.5`-interpolated medians of [[madOutliers]] stay integers); both
+    * engines fold identical integer sequences. */
+  def cusumShift(orderRevenue: DataFrame, minDays: Int = 5): DataFrame = {
+    val spark = orderRevenue.sparkSession
+    import spark.implicits._
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(Money.cents(col("total_revenue")).cast("long")).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = daily.groupBy(col("restaurant_id"))
+      .agg(count(lit(1)).as("n_days"), median(col("cents")).as("med"))
+      .filter(col("n_days") >= minDays)
+    val mad = daily.join(broadcast(med), Seq("restaurant_id"))
+      .groupBy(col("restaurant_id"))
+      .agg(median(abs(col("cents") - col("med"))).as("mad"))
+    val scaled = daily
+      .join(broadcast(med), Seq("restaurant_id"))
+      .join(broadcast(mad), Seq("restaurant_id"))
+      .select(
+        col("restaurant_id").cast("long").as("rid"),
+        col("creation_date").cast("date").as("d"),
+        col("cents"),
+        (col("med") * 2).cast("long").as("m2"),
+        (col("mad") * 2).cast("long").as("mad2"))
+      .repartition(col("rid"))
+      .sortWithinPartitions(col("rid"), col("d"))
+      .as[(Long, java.sql.Date, Long, Long, Long)]
+    scaled.mapPartitions { it =>
+      var curR = Long.MinValue
+      var sp = 0L
+      var sn = 0L
+      it.map { case (rid, d, cents, m2, mad2) =>
+        if (rid != curR) { curR = rid; sp = 0L; sn = 0L }
+        val slack = mad2 / 2
+        sp = math.max(0L, sp + (2 * cents - m2) - slack)
+        sn = math.max(0L, sn + (m2 - 2 * cents) - slack)
+        (rid, d, cents, sp, sn, sp > 5 * mad2 || sn > 5 * mad2)
+      }
+    }.toDF("restaurant_id", "creation_date", "cents", "sp", "sn", "alarm")
+      .select(
+        col("restaurant_id"), col("creation_date"),
+        (col("cents") / 10000.0).as("daily_revenue"),
+        (col("sp") / 20000.0).as("cusum_pos"),
+        (col("sn") / 20000.0).as("cusum_neg"),
+        col("alarm"))
+  }
 }

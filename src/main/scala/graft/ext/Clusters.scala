@@ -147,6 +147,60 @@ object Clusters {
     * with size and a canonical-keeper flag (the component's min id — the
     * row a dedup pipeline keeps). Singletons (docs with no near-dup) are
     * not emitted; they are trivially their own keeper. */
+  /** Per-node triangle counts over an undirected pair list — the
+    * clustering-coefficient primitive (community density, link-spam and
+    * bot-ring detection over co-occurrence graphs).
+    *
+    * Degree-ordered compact-forward counting: every edge is oriented
+    * from its (degree, id)-smaller endpoint to the larger, turning the
+    * graph into a DAG in which each triangle appears as EXACTLY one
+    * wedge (two out-edges of one apex) plus its closing edge. The
+    * orientation is the scale move: wedge fan-out is Σ out-degree², and
+    * out-degree is bounded by ~√(2·|E|) under degree ordering — a
+    * celebrity node with 10⁷ neighbors generates no wedges at all
+    * because its edges all point INTO it. Naive id-ordering would
+    * square the hub's degree instead.
+    *
+    * Shape: two node-keyed joins to attach degrees, one self-join on
+    * the apex, one edge-existence semi-join, one count — all hash
+    * joins/aggregates on ids, no iteration. */
+  def triangleCounts(
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val canon = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("id"))
+      .union(canon.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = canon
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("dd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = oriented.select(col("src"), col("dst").as("a"), col("dd").as("da"))
+    val e2 = oriented.select(col("src"), col("dst").as("b"), col("dd").as("db"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+    val closed = wedges.join(
+      oriented.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"),
+      "left_semi")
+    // oriented stays persisted: it feeds e1, e2, AND the closing-edge
+    // probe (an eager unpersist here would cancel the cache before the
+    // consuming action ever runs — lazy evaluation)
+    val tri = closed.select(col("src").as("node"))
+      .union(closed.select(col("a").as("node")))
+      .union(closed.select(col("b").as("node")))
+    tri.groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   def nearDupClusters(
       docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5): DataFrame = {

@@ -157,6 +157,42 @@ object Profiling {
         round(num / (sqrt(varX) * sqrt(varY)), 6)).as("corr")): _*)
   }
 
+  /** Cohen's kappa between two categorical raters (columns) — the
+    * chance-corrected agreement metric of labeling-pipeline QA: how
+    * much does a model tagger agree with the upstream tag beyond what
+    * their marginal label distributions force anyway? (Raw accuracy is
+    * inflated whenever one class dominates; kappa subtracts that.)
+    *
+    *   kappa = (po − pe) / (1 − pe)
+    *         = (n·n_agree − Σ_c rowsum_c·colsum_c) / (n² − Σ_c …)
+    *
+    * computed entirely from the confusion-matrix COUNTS: one hash
+    * aggregate over the data to the (a, b) confusion grain
+    * (categories², map-side combined), then all marginals and the
+    * kappa formula derive from that tiny frame — integer-exact until
+    * one final double division (beyond ~10⁹ rows move the n² products
+    * to DECIMAL; the gated output is only the double). */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val conf = df
+      .select(aCol.cast("string").as("a"), bCol.cast("string").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = conf.agg(
+      sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("n_agree"))
+    val pe = conf.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+      .join(conf.groupBy(col("b")).agg(sum(col("c")).as("cb")),
+        col("a") === col("b"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("pe_num"))
+    tot.crossJoin(broadcast(pe))
+      .select(
+        col("n"), col("n_agree"),
+        when(col("n") * col("n") - col("pe_num") > 0,
+          round((col("n") * col("n_agree") - col("pe_num")).cast("double")
+            / (col("n") * col("n") - col("pe_num")), 6)).as("kappa"))
+  }
+
   /** Winsorize (clip) a numeric column to its per-group discrete
     * [pLo, pHi] quantiles — the outlier-capping step before scaling /
     * feature extraction. Discrete quantiles keep everything exact

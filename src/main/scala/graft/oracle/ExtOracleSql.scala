@@ -552,6 +552,40 @@ object ExtOracleSql {
        |FROM documents d LEFT JOIN best b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.ext.Profiling.cohenKappa]] applied to the lang tag
+    * vs [[graft.ext.TextAnalysis.langId]]'s prediction: confusion-count
+    * marginals, integer numerators, one final double division. */
+  def kappaLangAgreement: String =
+    s"""WITH lex(lex_lang, t) AS (VALUES ${TextAnalysis.lexiconSqlValues}),
+       |tok AS (
+       |  SELECT doc_id, unnest(${Portable.tokensSql("text")}) AS t FROM documents),
+       |hits AS (
+       |  SELECT doc_id, lex_lang, count(*) AS hits
+       |  FROM tok JOIN lex USING (t) GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, lex_lang AS detected_lang
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY hits DESC, lex_lang) AS rn FROM hits)
+       |  WHERE rn = 1),
+       |pred AS (
+       |  SELECT d.lang AS a, COALESCE(b.detected_lang, 'und') AS b
+       |  FROM documents d LEFT JOIN best b USING (doc_id)),
+       |conf AS (SELECT a, b, count(*) AS c FROM pred GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM conf),
+       |ma AS (SELECT a AS cat, sum(c) AS ca FROM conf GROUP BY 1),
+       |mb AS (SELECT b AS cat, sum(c) AS cb FROM conf GROUP BY 1),
+       |pe AS (
+       |  SELECT CAST(COALESCE(sum(ca * cb), 0) AS BIGINT) AS pe_num
+       |  FROM ma JOIN mb USING (cat))
+       |SELECT n, n_agree,
+       |       CASE WHEN n * n - pe_num > 0
+       |            THEN round(CAST(n * n_agree - pe_num AS DOUBLE)
+       |                       / (n * n - pe_num), 6) END AS kappa
+       |FROM tot, pe""".stripMargin
+
   def qualityScore: String = {
     val stopList = TextAnalysis.qualityStopwords.map(w => s"'$w'").mkString(", ")
     val t = Portable.tokensSql("text")

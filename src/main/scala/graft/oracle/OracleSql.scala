@@ -83,4 +83,9 @@ ltv_latest AS (
   /** Compose with extra CTEs appended after the shared block. */
   def withBase(extraCtes: String, select: String): String =
     s"WITH $conformedCtes,\n$extraCtes\n$select"
+
+  /** [[withBase]] whose extra CTEs include a recursive one (the
+    * RECURSIVE keyword must lead the whole WITH clause). */
+  def withBaseRecursive(extraCtes: String, select: String): String =
+    s"WITH RECURSIVE $conformedCtes,\n$extraCtes\n$select"
 }
