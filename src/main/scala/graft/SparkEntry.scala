@@ -862,6 +862,19 @@ object SparkEntry {
         docs.select(col("doc_id"), col("lang")).join(detected, Seq("doc_id")),
         col("lang"), col("detected_lang"))
     }),
+
+    // ---- ext: k-anonymity / l-diversity governance audit ----
+    "q126_anonymity_audit" -> ((s, dir) =>
+      graft.ext.Profiling.anonymityReport(
+          Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
+          when(col("c_acctbal") < 0, "debt").otherwise("credit"),
+          k = 15, l = 2)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    // ---- ext: per-dimension feature moments (normalization stats) ----
+    "q127_feature_moments" -> ((s, dir) =>
+      graft.ext.Profiling.featureMoments(Tables.embeddings(s, dir), "embedding")
+        .orderBy(col("pos"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -970,6 +983,32 @@ object SparkEntry {
            FROM cr r JOIN cds d USING (restaurant_id, rn)
            ORDER BY d.restaurant_id, d.creation_date"""),
       "q125_kappa_agreement" -> ExtOracleSql.kappaLangAgreement,
+      "q126_anonymity_audit" ->
+        """WITH s AS (
+             SELECT c_nationkey, c_mktsegment,
+                    CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS sv
+             FROM customer)
+           SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+                  count(DISTINCT sv) AS n_sensitive,
+                  count(*) < 15 AS k_violation,
+                  count(DISTINCT sv) < 2 AS l_violation
+           FROM s GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""",
+      // HUGEINT sums stay internal: mean/std divide down to DOUBLE
+      // before the output schema (the q54/q116 invariant).
+      "q127_feature_moments" ->
+        """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             e AS (SELECT unnest(generate_series(1, len(emb))) - 1 AS pos,
+                          unnest(emb) AS x
+                   FROM v),
+             u AS (SELECT pos, CAST(round(x * 1000000) AS BIGINT) AS u FROM e)
+           SELECT pos, count(*) AS n,
+                  round(CAST(sum(u) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean,
+                  round(sqrt(greatest(0.0,
+                          (CAST(sum(u * u) AS DOUBLE)
+                           - CAST(sum(u) AS DOUBLE) * sum(u) / count(*))
+                          / count(*)))
+                        / 1000000.0, 6) AS std
+           FROM u GROUP BY 1 ORDER BY pos""",
     )
   }
 

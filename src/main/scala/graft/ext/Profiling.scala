@@ -157,6 +157,60 @@ object Profiling {
         round(num / (sqrt(varX) * sqrt(varY)), 6)).as("corr")): _*)
   }
 
+  /** k-anonymity / l-diversity audit — the governance gate a training
+    * corpus passes before release: every equivalence class of the
+    * quasi-identifier columns must hold ≥ k records (k-anonymity: no
+    * individual hides in a crowd smaller than k) and ≥ l distinct
+    * sensitive values (l-diversity: a crowd that all shares the
+    * sensitive value still leaks it).
+    *
+    * One hash aggregate to the quasi-identifier grain (count +
+    * count-distinct), map-side combined; the report is class-sized, not
+    * corpus-sized. Suppression/generalization decisions consume this
+    * table — the audit itself never touches row payloads. */
+  def anonymityReport(
+      df: DataFrame, quasiCols: Seq[String], sensitive: Column,
+      k: Int, l: Int): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("group_size"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("group_size"), col("n_sensitive"),
+        (col("group_size") < k).as("k_violation"),
+        (col("n_sensitive") < l).as("l_violation")): _*)
+
+  /** Per-dimension moments (mean/std) of an embedding column — the
+    * feature-scaling statistics a normalization layer or whitening
+    * transform consumes. [[graft.ext.Similarity.labelCentroids]]'s
+    * exactness discipline applied to second moments: each float32
+    * component quantizes to integral 1e-6 units, Σx and Σx² accumulate
+    * as order-independent longs (components are in [−1, 1]-ish embedding
+    * range, so Σx² ≲ n·10¹² — exact to n ≈ 10⁶ rows per dimension;
+    * beyond that, cast the squares to DECIMAL), and mean/std derive with
+    * one fixed double formula rounded to 6dp.
+    *
+    * Shape: posexplode to (pos, x) grain + one hash aggregate —
+    * dim·rows intermediate, partial-agg'd map-side, dim-sized output. */
+  def featureMoments(vecs: DataFrame, vecCol: String): DataFrame =
+    vecs
+      .select(posexplode(col(vecCol).cast("array<double>")))
+      .toDF("pos", "x")
+      .withColumn("u", round(col("x") * 1000000).cast("long"))
+      .groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("u")).as("su"),
+        sum(col("u") * col("u")).as("suu"))
+      .select(
+        col("pos"), col("n"),
+        round(col("su").cast("double") / col("n") / 1000000.0, 6).as("mean"),
+        round(
+          sqrt(greatest(lit(0.0),
+            (col("suu").cast("double")
+              - col("su").cast("double") * col("su") / col("n")) / col("n")))
+            / 1000000.0, 6).as("std"))
+
   /** Cohen's kappa between two categorical raters (columns) — the
     * chance-corrected agreement metric of labeling-pipeline QA: how
     * much does a model tagger agree with the upstream tag beyond what

@@ -71,6 +71,23 @@ class ClustersSpec extends SparkSpec {
     cl.unpersist()
   }
 
+  test("triangleCounts: K4 minus an edge, hub orientation, dedup of input") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3) and (1,2,4).
+    // Node 1 and 2 sit in both; 3 and 4 in one each. Edges arrive
+    // unordered and duplicated — canonicalization must absorb both.
+    val pairs = Seq(
+      (1L, 2L), (2L, 1L), // duplicate reversed edge
+      (1L, 3L), (1L, 4L), (3L, 2L), (2L, 4L), (1L, 1L) // self-loop dropped
+    ).toDF("id_a", "id_b")
+    val got = Clusters.triangleCounts(pairs)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    // a triangle-free star produces no rows at all
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    assert(Clusters.triangleCounts(star).count() === 0)
+  }
+
   test("pageRank: exact integer recurrence on a star graph, teleport floor for isolates") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")

@@ -36,4 +36,31 @@ class MultimodalSpec extends SparkSpec {
     val want = md.digest("tiny".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(f2.head.frame_md5 == want)
   }
+  test("featurizeImages: REAL PNG/JPEG decode via JDK ImageIO, corrupt quarantine") {
+    import java.awt.image.BufferedImage
+    def bytes(w: Int, h: Int, kind: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, kind)
+      img.setRGB(0, 0, 0xff00ff)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt codec")
+      out.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, bytes(3, 2, BufferedImage.TYPE_INT_RGB, "png"), "image/png"),
+      Multimodal.MediaRecord(2L, bytes(5, 4, BufferedImage.TYPE_INT_ARGB, "png"), "image/png"),
+      Multimodal.MediaRecord(3L, bytes(2, 2, BufferedImage.TYPE_INT_RGB, "jpg"), "image/jpeg"),
+      Multimodal.MediaRecord(4L, "definitely not an image".getBytes("UTF-8"), "image/png"))
+    val media = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    val got = Multimodal.featurizeImages(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(got(1L).decoded && got(1L).width == 3 && got(1L).height == 2
+      && got(1L).channels == 3)
+    assert(got(2L).decoded && got(2L).width == 5 && got(2L).height == 4
+      && got(2L).channels == 4, "ARGB PNG keeps its alpha channel")
+    assert(got(3L).decoded && got(3L).width == 2 && got(3L).height == 2)
+    assert(!got(4L).decoded && got(4L).width == -1
+      && got(4L).n_bytes == 23 && got(4L).content_md5.length == 32,
+      "undecodable payloads quarantine with length+md5 intact")
+  }
 }

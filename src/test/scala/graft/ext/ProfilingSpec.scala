@@ -119,4 +119,51 @@ class ProfilingSpec extends SparkSpec {
     // singleton group clips to itself
     assert(got.filter(_._1 == "b").toSeq == Seq(("b", 7L, 7L)))
   }
+
+  test("anonymityReport: class sizes, sensitive diversity, violation flags") {
+    // quasi (city): A has 3 rows / 2 sensitive values; B has 1 row / 1 value
+    val rows = Seq(
+      ("A", "s1"), ("A", "s1"), ("A", "s2"),
+      ("B", "s1")
+    ).toDF("city", "sv")
+    val got = Profiling.anonymityReport(rows, Seq("city"), col("sv"), k = 2, l = 2)
+      .orderBy("city")
+      .as[(String, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("A", 3L, 2L, false, false),
+      ("B", 1L, 1L, true, true)))
+  }
+
+  test("featureMoments: exact mean/std per dimension, zero-variance guard") {
+    // dim 0: values 1.0, 3.0 -> mean 2, std 1; dim 1: constant 0.5 -> std 0
+    val vecs = Seq(
+      Tuple1(Array(1.0f, 0.5f)),
+      Tuple1(Array(3.0f, 0.5f))
+    ).toDF("embedding")
+    val got = Profiling.featureMoments(vecs, "embedding")
+      .orderBy("pos")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((0, 2L, 2.0, 1.0), (1, 2L, 0.5, 0.0)))
+  }
+
+  test("cohenKappa: hand-computed confusion matrix, perfect and chance floors") {
+    // 2x2 confusion: a=yes/b=yes 20, yes/no 5, no/yes 10, no/no 15; n=50
+    // po = 35/50; pe = (25*30 + 25*20)/2500 = 1250/2500
+    // kappa = (50*35 - 1250) / (2500 - 1250) = 500/1250 = 0.4
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val df = rows.toDF("a", "b")
+    val got = Profiling.cohenKappa(df, $"a", $"b")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got == ((50L, 35L, Some(0.4))))
+    // perfect agreement with >1 category = kappa 1.0
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    assert(Profiling.cohenKappa(perfect, $"a", $"b")
+      .as[(Long, Long, Option[Double])].collect().head._3 == Some(1.0))
+    // degenerate single-category agreement: pe = n*n, kappa undefined -> null
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Profiling.cohenKappa(degen, $"a", $"b")
+      .as[(Long, Long, Option[Double])].collect().head._3.isEmpty)
+  }
 }

@@ -55,4 +55,31 @@ class RobustStatsSpec extends SparkSpec {
       "2024-01-05" -> 2L,   // u10 (day 1 within 7) + u11
       "2024-01-09" -> 1L))  // u11 only — u10 aged out
   }
+  test("cusumShift: hand-computed level shift accumulates, slack absorbs noise") {
+    val d = (i: Int) => Date.valueOf(f"2024-01-$i%02d")
+    // days 1-5 at 10.00, days 6-10 at 20.00: median 15, MAD 5 (half-cent
+    // units m2=300000, mad2=100000, slack=50000). Positive side sleeps
+    // through the low half, then climbs 50000/day; negative side climbs
+    // through the low half and drains after the shift. Alarm at 5*MAD
+    // (=500000) never trips.
+    val r1 = (1 to 5).map(i => (1L, d(i), 10.0)) ++
+      (6 to 10).map(i => (1L, d(i), 20.0))
+    // restaurant 2: 5 flat days then a 10x jump with MAD=0 - zero slack,
+    // zero threshold, alarm fires on every shifted day
+    val r2 = (1 to 5).map(i => (2L, d(i), 10.0)) ++
+      (6 to 9).map(i => (2L, d(i), 100.0))
+    val got = Anomaly.cusumShift((r1 ++ r2)
+        .toDF("restaurant_id", "creation_date", "total_revenue"))
+      .select($"restaurant_id", $"creation_date".cast("string"),
+        $"cusum_pos", $"cusum_neg", $"alarm")
+      .as[(Long, String, Double, Double, Boolean)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val g1 = got.filter(_._1 == 1L)
+    assert(g1.map(_._3) == Seq(0.0, 0.0, 0.0, 0.0, 0.0, 2.5, 5.0, 7.5, 10.0, 12.5))
+    assert(g1.map(_._4) == Seq(2.5, 5.0, 7.5, 10.0, 12.5, 5.0, 0.0, 0.0, 0.0, 0.0))
+    assert(g1.forall(!_._5))
+    val g2 = got.filter(_._1 == 2L)
+    assert(g2.take(5).forall(r => !r._5 && r._3 == 0.0 && r._4 == 0.0))
+    assert(g2.drop(5).forall(_._5), "every post-shift day alarms at MAD=0")
+  }
 }

@@ -125,4 +125,40 @@ class SimilaritySpec extends SparkSpec {
     val n1 = got.filter($"vec_id" === 1L).select($"neighbor_id").as[Long].collect().toSet
     assert(n1 == Set(0L))
   }
+  test("semanticDedup: within-cell dup groups keep min id, distinct vectors survive") {
+    // seeds (id % 100 == 0): 0 -> cell around (1,0), 100 -> cell around (0,1)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f)),   // ~0 and ~2: one dup group {0,1,2}
+      (2L, Array(0.98f, 0.02f)),
+      (3L, Array(0.8f, 0.6f)),     // same cell, cos < tau to all: kept
+      (100L, Array(0.0f, 1.0f)),
+      (101L, Array(0.1f, 0.995f))  // dups 100 -> group {100,101}
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, "vec_id", "embedding", tau = 0.9)
+      .orderBy("vec_id")
+      .select($"vec_id", $"dup_group", $"is_kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, true), (1L, 0L, false), (2L, 0L, false), (3L, 3L, true),
+      (100L, 100L, true), (101L, 100L, false)))
+  }
+
+  test("hardNegatives: only different-label neighbors, ranked by cosine") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "x"),
+      (2L, Array(0.9f, 0.1f), "x"),
+      (3L, Array(0.0f, 1.0f), "y"),
+      (4L, Array(0.7f, 0.7f), "y")
+    ).toDF("vec_id", "embedding", "label")
+    val all = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label", k = 5)
+    // no neighbor ever shares the anchor's label
+    val labels = Map(1L -> "x", 2L -> "x", 3L -> "y", 4L -> "y")
+    val pairs = all.select($"vec_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty && pairs.forall { case (a, n) => labels(a) != labels(n) })
+    // k=1 picks the closest opposite-label vector for every anchor
+    val top1 = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label", k = 1)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1 == Map(1L -> 4L, 2L -> 4L, 3L -> 2L, 4L -> 2L))
+  }
 }
