@@ -493,8 +493,8 @@ object SparkEntry {
     "q105_csv_roundtrip" -> ((s, dir) => {
       val conformed = Conformed.orderRevenueCached(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
-      graft.io.TextTables.writeCsv(conformed, tmp)
-      graft.io.TextTables.readCsv(s, tmp, conformed.schema)
+      graft.io.Formats.writeCsv(conformed, tmp)
+      graft.io.Formats.readCsv(s, tmp, conformed.schema)
         .orderBy(col("order_id"), col("lineitem_id"), col("item_category"),
           col("item_price"), col("restaurant_id"))
     }),
@@ -504,8 +504,8 @@ object SparkEntry {
     "q106_orc_roundtrip" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
-      graft.io.OrcTables.write(li, tmp)
-      graft.io.OrcTables.read(s, tmp, li.schema)
+      graft.io.Formats.writeOrc(li, tmp)
+      graft.io.Formats.readOrc(s, tmp, li.schema)
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
           col("l_quantity"))
     }),
@@ -751,8 +751,8 @@ object SparkEntry {
     "q69_json_roundtrip" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
-      graft.io.TextTables.writeJson(docs, tmp)
-      graft.io.TextTables.readJson(s, tmp, docs.schema).orderBy(col("doc_id"))
+      graft.io.Formats.writeJsonl(docs, tmp)
+      graft.io.Formats.readJsonl(s, tmp, docs.schema).orderBy(col("doc_id"))
     }),
 
     // ---- ext: equi-width histogram (profiling companion) ----
@@ -875,6 +875,14 @@ object SparkEntry {
     "q127_feature_moments" -> ((s, dir) =>
       graft.ext.Profiling.featureMoments(Tables.embeddings(s, dir), "embedding")
         .orderBy(col("pos"))),
+
+    // ---- ext: BM25 sparse retrieval (inverted-index probe, the
+    // lexical complement of the dense similarity tier) ----
+    "q128_bm25_search" -> ((s, dir) =>
+      graft.ext.Retrieval.bm25Search(
+          Tables.documents(s, dir), "doc_id", "text",
+          queryModEvery = 50, k = 10)
+        .orderBy(col("query_id"), col("rank"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1009,6 +1017,7 @@ object SparkEntry {
                           / count(*)))
                         / 1000000.0, 6) AS std
            FROM u GROUP BY 1 ORDER BY pos""",
+      "q128_bm25_search" -> ExtOracleSql.bm25Search(queryModEvery = 50, k = 10),
     )
   }
 

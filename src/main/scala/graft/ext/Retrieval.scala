@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.functions.TopKAggregate.top_k
+
+/** Sparse lexical retrieval — BM25 (Robertson/Spärck Jones) top-k
+  * search of a document corpus for a set of query documents. The
+  * term-overlap complement of the dense tier ([[Similarity]]): curation
+  * pipelines run both to mine retrieval training pairs, pick few-shot
+  * exemplars, and audit near-duplicate leakage that embeddings smooth
+  * over.
+  *
+  *   score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+  *   idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)      (the Lucene form)
+  *
+  * Shape — an inverted-index probe, never a doc×doc join: postings are
+  * (term, doc, tf) rows; the query-term list (queries · unique terms —
+  * tiny) broadcasts onto them, so only documents SHARING a term with a
+  * query are ever scored, and the per-(query, doc) accumulation is one
+  * hash aggregate. At 100 TB add a stopword/df cap on the probed terms
+  * (the [[TextAnalysis]] postings discipline) — the top of the df curve
+  * is precisely the terms BM25's idf already near-zeroes.
+  *
+  * Cross-engine exactness: the per-term score is one fixed double
+  * formula (identical literal parenthesization in the DuckDB mirror),
+  * quantized to integral 1e-9 units BEFORE the per-pair sum (float
+  * addition order differs between engines; long addition is
+  * order-free), ranked on the rounded total with doc-id tie-break. */
+object Retrieval {
+
+  def bm25Search(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryModEvery: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = docs.select(
+      col(idCol).as("doc_id"), explode(Portable.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val dfv = tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    // corpus scalars ride in as a broadcast row, never driver constants
+    val scal = dl.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    val qt = tf.filter(pmod(col("doc_id"), lit(queryModEvery.toLong)) === 0)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) *
+        ((col("len").cast("double") * col("n_docs")) / col("sum_len")))
+    val scored = tf
+      .join(dfv, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scal))
+      .withColumn("tn",
+        round(idf * ((col("tf") * lit(k1 + 1)) / norm) * lit(1e9)).cast("long"))
+    val hits = scored.join(broadcast(qt), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tn")).as("sn"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("sn") / lit(1e9), 6).as("bm25"))
+    hits.groupBy(col("query_id"))
+      .agg(top_k(col("bm25"), col("doc_id"), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("t"))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.score").as("bm25"), col("t.rank").as("rank"))
+  }
+}

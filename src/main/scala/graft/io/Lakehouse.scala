@@ -65,41 +65,6 @@ object ParquetSink {
       .saveAsTable(tableName)
 }
 
-/** Schema-explicit JSON-lines / CSV readers and writers — the interchange
-  * formats a lakehouse ingests beside Parquet. Schemas are ALWAYS passed
-  * explicitly: inference runs a whole sampling job before the real read
-  * and can silently widen/narrow types between runs, both unacceptable at
-  * 100 TB (and nondeterministic as a pipeline contract). */
-object TextTables {
-  def readJson(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(schema).json(path)
-
-  def readCsv(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType,
-      header: Boolean = true): DataFrame =
-    spark.read.schema(schema).option("header", header.toString).csv(path)
-
-  def writeJson(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).json(path)
-
-  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
-    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
-}
-
-/** ORC read/write — the second columnar format Spark bundles natively.
-  * Same explicit-schema rule as [[TextTables]]: ORC stores its own
-  * schema, but pinning the expected one turns silent drift (a writer
-  * upstream changing a type) into an immediate analysis error. */
-object OrcTables {
-  def read(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(schema).orc(path)
-
-  def write(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).orc(path)
-}
-
 object ParquetSource {
 
   /** Read a zone; ABSENT path → empty frame with the supplied schema

@@ -829,6 +829,44 @@ object ExtOracleSql {
        |SELECT doc_id, term_rank, term, tf, df, tfidf FROM rk
        |WHERE term_rank <= $topPerDoc ORDER BY doc_id, term_rank""".stripMargin
 
+  /** Mirrors [[graft.ext.Retrieval.bm25Search]]: identical literal
+    * parenthesization (constants interpolated from the same Scala
+    * doubles), per-term scores quantized to 1e-9 units before the
+    * order-free integer sum, rounded-score ranking with doc-id ties. */
+  def bm25Search(queryModEvery: Int, k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${Portable.tokensSql("text")}) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+       |dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |sc AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len
+       |       FROM dl),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf
+       |       WHERE doc_id % $queryModEvery = 0),
+       |ts AS (
+       |  SELECT f.doc_id, f.term,
+       |         CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |                    * ((f.tf * ${k1 + 1}) /
+       |                       (f.tf + $k1 * (${1.0 - b} + $b *
+       |                          ((CAST(l.len AS DOUBLE) * n_docs) / sum_len))))
+       |                    * 1e9) AS BIGINT) AS tn
+       |  FROM tf f JOIN dfv USING (term) JOIN dl l ON l.doc_id = f.doc_id
+       |  CROSS JOIN sc),
+       |hit AS (
+       |  SELECT q.query_id, t.doc_id,
+       |         round(CAST(sum(t.tn) AS DOUBLE) / 1e9, 6) AS bm25
+       |  FROM ts t JOIN qt q USING (term)
+       |  WHERE t.doc_id <> q.query_id GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT query_id, doc_id, bm25,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY bm25 DESC, doc_id) AS rank
+       |  FROM hit)
+       |SELECT query_id, doc_id, bm25, rank FROM rk
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** Composed curation pipeline (mirrors [[graft.ext.Curation.curate]]):
     * quality gate + language gate + near-dup-loser anti-join + hash
     * split, each stage the same SQL as its standalone oracle. */

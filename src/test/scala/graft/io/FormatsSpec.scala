@@ -72,6 +72,21 @@ class FormatsSpec extends SparkSpec {
       Formats.readOrc(spark, s"$p/t", schema))
   }
 
+  test("JSONL round-trip preserves unicode, embedded newlines, and nulls") {
+    val df = Seq(
+      (1L, Some("h\u00e9llo w\u00f6rld\nsecond line"), Some("en")),
+      (2L, Some("\u4e2d\u6587 \u6587\u672c"), None),
+      (3L, None, Some("de"))
+    ).toDF("id", "text", "lang")
+    val dir = tmp("fmt-json-uni")
+    Formats.writeJsonl(df, s"$dir/t")
+    val back = Formats.readJsonl(spark, s"$dir/t", df.schema)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // file reads are always nullable; names/types must hold exactly
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+  }
+
   test("malformed JSON lines quarantine into _corrupt_record, good rows parse") {
     val p = tmp("fmt-badjson")
     Seq("""{"id": 1, "s": "ok", "x": 2.5, "ts": null}""",
