@@ -883,6 +883,20 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text",
           queryModEvery = 50, k = 10)
         .orderBy(col("query_id"), col("rank"))),
+
+    // ---- ext: incremental ingestion dedup (batch probes the corpus
+    // band index — never re-dedups history) ----
+    "q129_dedup_against" -> ((s, dir) =>
+      graft.ext.Dedup.dedupAgainst(
+          Tables.documents(s, dir), "doc_id", "text",
+          isBatch = pmod(col("doc_id"), lit(10L)) === 0, minJaccard = 0.5)
+        .orderBy(col("batch_id"))),
+
+    // ---- ext: first/last-touch attribution (windowed credit
+    // assignment — one shuffle, no purchase-by-touch range join) ----
+    "q130_attribution" -> ((s, dir) =>
+      graft.ext.Behavior.attribution(Tables.events(s, dir), lookbackDays = 7)
+        .orderBy(col("purchase_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1018,6 +1032,40 @@ object SparkEntry {
                         / 1000000.0, 6) AS std
            FROM u GROUP BY 1 ORDER BY pos""",
       "q128_bm25_search" -> ExtOracleSql.bm25Search(queryModEvery = 50, k = 10),
+      "q129_dedup_against" ->
+        ExtOracleSql.dedupAgainst(modEvery = 10, minJaccard = 0.5),
+      // Oracle is the NAIVE purchase-by-touch BETWEEN join — independent
+      // mechanism from the Spark side's single range-frame window.
+      "q130_attribution" ->
+        s"""WITH base AS (
+              SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS tsu
+              FROM events),
+            p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                         tsu FROM base WHERE event_type = 'purchase'),
+            t AS (SELECT user_id, event_id, event_type, tsu FROM base
+                  WHERE event_type <> 'purchase'),
+            j AS (
+              SELECT p.user_id, p.purchase_id, p.purchase_ts,
+                     t.event_id AS tid, t.event_type AS tty, t.tsu AS ttsu
+              FROM p LEFT JOIN t
+                ON p.user_id = t.user_id
+               AND t.tsu BETWEEN p.tsu - ${7 * 86400L * 1000000L} AND p.tsu),
+            rk AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY purchase_id
+                       ORDER BY ttsu ASC NULLS LAST, tid ASC) AS rf,
+                     row_number() OVER (PARTITION BY purchase_id
+                       ORDER BY ttsu DESC NULLS LAST, tid DESC) AS rl
+              FROM j),
+            f AS (SELECT purchase_id, tid AS first_touch_id,
+                         tty AS first_touch_type FROM rk WHERE rf = 1),
+            l AS (SELECT purchase_id, tid AS last_touch_id,
+                         tty AS last_touch_type FROM rk WHERE rl = 1)
+          SELECT DISTINCT p.user_id, p.purchase_id, p.purchase_ts,
+                 f.first_touch_id, f.first_touch_type,
+                 l.last_touch_id, l.last_touch_type
+          FROM p JOIN f USING (purchase_id) JOIN l USING (purchase_id)
+          ORDER BY purchase_id""",
     )
   }
 

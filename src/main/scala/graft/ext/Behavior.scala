@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over the event stream: cohort retention and
@@ -120,6 +121,44 @@ object Behavior {
           transform(slice(col("__evs"), 1, k), e => e.getField("event_type")))
           .as("path"),
         col("n_events"))
+
+  /** First/last-touch attribution: for every purchase, the earliest and
+    * latest NON-purchase event of the same user inside a trailing
+    * lookback window — the credit-assignment mart of campaign analytics
+    * (first touch = acquisition channel, last touch = conversion
+    * trigger).
+    *
+    * Shape: one window over the unioned event stream, NOT a
+    * purchase×touch range join — the range frame (in epoch micros)
+    * slides over each user's timeline once, so cost is one shuffle on
+    * user_id regardless of touch density; the oracle cross-checks with
+    * the naive BETWEEN join. Determinism: candidate touches reduce via
+    * min/max over a (ts, event_id, type) struct — total order, no
+    * first()/last() physical-row dependence; a purchase with no touch
+    * in window keeps NULL attribution (it is still a conversion). */
+  def attribution(events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+    val lookbackMicros = lookbackDays * 86400L * 1000000L
+    val base = events.select(
+      col("user_id"), col("event_id"), col("event_type"), col("ts"),
+      unix_micros(col("ts")).as("tsu"))
+    val tagged = base.withColumn("touch",
+      when(col("event_type") =!= "purchase",
+        struct(col("tsu").as("t"), col("event_id").as("id"),
+          col("event_type").as("ty"))))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(-lookbackMicros, 0)
+    tagged
+      .withColumn("first_touch", min(col("touch")).over(w))
+      .withColumn("last_touch", max(col("touch")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"),
+        col("first_touch.id").as("first_touch_id"),
+        col("first_touch.ty").as("first_touch_type"),
+        col("last_touch.id").as("last_touch_id"),
+        col("last_touch.ty").as("last_touch_type"))
+  }
 
   /** Event-time debounce (rolling throttle): per (user, event_type),
     * keep the first event, then suppress every event closer than

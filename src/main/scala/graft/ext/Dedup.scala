@@ -175,6 +175,56 @@ object Dedup {
     exactJaccard(docs, pairs, idCol, textCol)
   }
 
+  /** Incremental ingestion dedup gate: for each BATCH document, its
+    * near-duplicate matches in the already-ingested CORPUS — the
+    * new-data-versus-history check an incremental pipeline runs per
+    * landing, where re-deduplicating the whole corpus
+    * ([[lshVerifiedPairs]]) would rescan history every day.
+    *
+    * Same MinHash/LSH machinery, but the band join is ASYMMETRIC:
+    * corpus band table ⨝ batch band table, so the join output is
+    * bounded by batch-side bucket hits, never corpus². At 100 TB the
+    * corpus band table is a MATERIALIZED index zone (append-only,
+    * partitioned by band) that each landing probes — this operator is
+    * that probe; only the batch side computes signatures fresh.
+    *
+    * Output per flagged batch doc: match count, best corpus match
+    * (highest exact Jaccard, ties to the smaller corpus id). Batch
+    * docs with no verified match produce no row — they are the clean
+    * majority, and emitting them would make the result batch-sized
+    * instead of collision-sized. */
+  def dedupAgainst(
+      docs: DataFrame, idCol: String, textCol: String, isBatch: Column,
+      numPerms: Int = 16, bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    import graft.functions.TopKAggregate.top_k
+    val sig = minhashSignatures(docs, idCol, textCol, numPerms)
+      .join(docs.select(col(idCol), isBatch.as("is_batch")), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowsPerBand = numPerms / bands
+    val bandKeys = (0 until bands).map { j =>
+      Portable.bandKey(
+        (0 until rowsPerBand).map(r => col("sig").getItem(j * rowsPerBand + r)))
+    }
+    val exploded = sig
+      .select(col(idCol), col("is_batch"), posexplode(array(bandKeys: _*)))
+      .toDF(idCol, "is_batch", "band", "key")
+    val corpusSide = exploded.filter(!col("is_batch"))
+      .select(col(idCol).as("id_a"), col("band"), col("key"))
+    val batchSide = exploded.filter(col("is_batch"))
+      .select(col(idCol).as("id_b"), col("band"), col("key"))
+    val cand = corpusSide.join(batchSide, Seq("band", "key"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val ver = exactJaccard(docs, cand, idCol, textCol)
+      .filter(col("jaccard") >= minJaccard)
+    ver.groupBy(col("id_b").as("batch_id"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        top_k(col("jaccard"), col("id_a"), 1).as("t"))
+      .select(col("batch_id"), col("n_matches"),
+        element_at(col("t"), 1).getField("id").as("best_match_id"),
+        element_at(col("t"), 1).getField("score").as("best_jaccard"))
+  }
+
   /** LSH candidates verified with DIRECTIONAL containment —
     * |sh(a)∩sh(b)| / |sh(side)| — instead of Jaccard. Containment is
     * the signal for doc-inside-doc duplication, which Jaccard

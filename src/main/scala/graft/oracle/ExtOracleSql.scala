@@ -54,6 +54,40 @@ object ExtOracleSql {
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Mirrors [[graft.ext.Dedup.dedupAgainst]] with the batch flagged as
+    * `doc_id ≡ 0 (mod modEvery)`: cross-side band candidates derived
+    * from the symmetric `pairs` CTE by orientation, exact-Jaccard
+    * verify, per-batch best match (jaccard desc, corpus id asc). */
+  def dedupAgainst(modEvery: Int, minJaccard: Double): String =
+    s"""WITH $toksCte,
+       |$sigCte,
+       |$bandsCte,
+       |sharr AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM toks),
+       |cand AS (
+       |  SELECT CASE WHEN id_a % $modEvery = 0 THEN id_b ELSE id_a END AS corpus_id,
+       |         CASE WHEN id_a % $modEvery = 0 THEN id_a ELSE id_b END AS batch_id
+       |  FROM pairs
+       |  WHERE (id_a % $modEvery = 0) <> (id_b % $modEvery = 0)),
+       |ver AS (
+       |  SELECT c.batch_id, c.corpus_id,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |           AS jaccard
+       |  FROM cand c
+       |  JOIN sharr a ON c.corpus_id = a.doc_id
+       |  JOIN sharr b ON c.batch_id = b.doc_id),
+       |hitsv AS (SELECT * FROM ver WHERE jaccard >= $minJaccard),
+       |rk AS (
+       |  SELECT batch_id, corpus_id, jaccard,
+       |         count(*) OVER (PARTITION BY batch_id) AS n_matches,
+       |         row_number() OVER (PARTITION BY batch_id
+       |           ORDER BY jaccard DESC, corpus_id) AS rn
+       |  FROM hitsv)
+       |SELECT batch_id, n_matches, corpus_id AS best_match_id,
+       |       jaccard AS best_jaccard
+       |FROM rk WHERE rn = 1 ORDER BY batch_id""".stripMargin
+
   def minhashNearDups(minEst: Double): String = {
     val agree = (0 until NumPerms)
       .map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")

@@ -171,6 +171,41 @@ class PlanSpec extends SparkSpec {
       s"no unbroadcast cartesian allowed:\n$plan")
   }
 
+  test("triangle counting hash-joins degree-oriented edges — no theta join") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val plan = planText(ext.Clusters.triangleCounts(edges))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"triangle counting must stay hash joins:\n$plan")
+  }
+
+  test("BM25 probes broadcast query terms; corpus scalars broadcast too") {
+    val plan = planText(ext.Retrieval.bm25Search(
+      core.Tables.documents(spark, sf), "doc_id", "text",
+      queryModEvery = 50, k = 5))
+    assert(!plan.contains("CartesianProduct"),
+      s"BM25 must never plan a doc-by-doc product:\n$plan")
+    // the query-term probe and the corpus-scalar row both broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the query-term probe to broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the single-row scalar frame to broadcast:\n$plan")
+  }
+
+  test("CUSUM plans one hash-partition exchange and a partition-local sort") {
+    import spark.implicits._
+    val d = (i: Int) => java.sql.Date.valueOf(f"2024-01-$i%02d")
+    val rows = (1 to 6).map(i => (1L, d(i), 10.0))
+      .toDF("restaurant_id", "creation_date", "total_revenue")
+    val plan = planText(ext.Anomaly.cusumShift(rows))
+    // the recurrence input: repartition(rid) + sortWithinPartitions —
+    // hashpartitioning exchange, sort with global=false
+    assert(plan.contains("hashpartitioning(rid"),
+      s"expected the per-restaurant repartition:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"a global sort would be a second shuffle:\n$plan")
+  }
+
   test("gap fill joins at mart grain with the fact reduced first") {
     val plan = planText(ext.Timeseries.gapFillDaily(
       bindings.Conformed.orderRevenue(spark, sf)))

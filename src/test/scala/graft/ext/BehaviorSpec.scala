@@ -111,4 +111,26 @@ class BehaviorSpec extends SparkSpec {
       .select(col("event_id")).as[Long].collect().toSeq
     assert(got2 == Seq(5L))
   }
+  test("attribution: first/last touch within lookback, nulls when none") {
+    val ts = (sec: Long) => new java.sql.Timestamp(sec * 1000)
+    // user 1: view(t=10,id=1) click(t=20,id=2) purchase(t=30,id=3)
+    //         -> first=1, last=2 within 7d
+    // user 2: purchase(t=50,id=4) with no touches -> null attribution
+    // user 3: view 9 days before purchase -> outside window -> null
+    val nineDays = 9L * 86400
+    val events = Seq(
+      (1L, "view", 10L, 1L), (1L, "click", 20L, 2L), (1L, "purchase", 30L, 3L),
+      (2L, "purchase", 50L, 4L),
+      (3L, "view", 100L, 5L), (3L, "purchase", 100L + nineDays, 6L)
+    ).map { case (u, t, sec, id) => (u, t, ts(sec), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.attribution(events, lookbackDays = 7)
+      .orderBy("purchase_id")
+      .select($"purchase_id", $"first_touch_id", $"last_touch_id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (3L, Some(1L), Some(2L)),
+      (4L, None, None),
+      (6L, None, None)))
+  }
 }

@@ -188,4 +188,22 @@ class DedupSpec extends SparkSpec {
     assert(got == naive,
       s"missing=${naive -- got}, spurious=${got -- naive}")
   }
+  test("dedupAgainst: batch docs match corpus near-dups only, best by jaccard") {
+    import org.apache.spark.sql.functions._
+    // corpus: 1, 2, 3; batch: 10, 20. Doc 10 ~ doc 1 (near-identical
+    // text), doc 20 is unrelated. Batch-batch and corpus-corpus pairs
+    // must not appear.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different subject matter about databases and indexes"),
+      (3L, "a third unrelated document discussing cooking recipes at length"),
+      (10L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (20L, "nothing like anything else entirely novel text with unique words")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainst(docs, "doc_id", "text",
+        isBatch = col("doc_id") >= 10L, minJaccard = 0.3)
+      .select(col("batch_id"), col("best_match_id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 1L)))
+  }
 }

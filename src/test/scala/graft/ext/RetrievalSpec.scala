@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25Search: shared rare terms outrank common ones, self excluded") {
+    // query doc 0 (id % 50 == 0): shares the rare term "zebra" with doc 1
+    // and only the ubiquitous term "the" with docs 2 and 3 — doc 1 must
+    // rank first; the query doc itself never appears.
+    val docs = Seq(
+      (0L, "the zebra runs"),
+      (1L, "a zebra sleeps"),
+      (2L, "the cat sits"),
+      (3L, "the dog barks")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25Search(docs, "doc_id", "text",
+        queryModEvery = 50, k = 3)
+      .orderBy("rank")
+      .select($"query_id", $"doc_id", $"bm25", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got.forall(_._1 == 0L))
+    assert(got.forall(_._2 != 0L), "self must be excluded")
+    assert(got.head._2 == 1L, s"rare-term match must rank first: $got")
+    assert(got.map(_._3).forall(_ > 0.0))
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse, "scores descend by rank")
+  }
+
+  test("bm25Search: length normalization prefers the shorter of two equal-tf docs") {
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (0L, "needle"),
+      (1L, "needle haystack"),
+      (2L, s"needle $filler")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25Search(docs, "doc_id", "text",
+        queryModEvery = 50, k = 2)
+      .orderBy("rank").select($"doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L), "b>0 must favor the shorter matching doc")
+  }
+}
