@@ -881,7 +881,7 @@ object SparkEntry {
     "q128_bm25_search" -> ((s, dir) =>
       graft.ext.Retrieval.bm25Search(
           Tables.documents(s, dir), "doc_id", "text",
-          queryModEvery = 50, k = 10)
+          queryModEvery = 50, k = 10, maxDfFraction = 1.0)
         .orderBy(col("query_id"), col("rank"))),
 
     // ---- ext: incremental ingestion dedup (batch probes the corpus
@@ -1031,7 +1031,8 @@ object SparkEntry {
                           / count(*)))
                         / 1000000.0, 6) AS std
            FROM u GROUP BY 1 ORDER BY pos""",
-      "q128_bm25_search" -> ExtOracleSql.bm25Search(queryModEvery = 50, k = 10),
+      "q128_bm25_search" ->
+        ExtOracleSql.bm25Search(queryModEvery = 50, k = 10, maxDfFraction = 1.0),
       "q129_dedup_against" ->
         ExtOracleSql.dedupAgainst(modEvery = 10, minJaccard = 0.5),
       // Oracle is the NAIVE purchase-by-touch BETWEEN join — independent

@@ -20,9 +20,15 @@ import graft.functions.TopKAggregate.top_k
   * (term, doc, tf) rows; the query-term list (queries · unique terms —
   * tiny) broadcasts onto them, so only documents SHARING a term with a
   * query are ever scored, and the per-(query, doc) accumulation is one
-  * hash aggregate. At 100 TB add a stopword/df cap on the probed terms
-  * (the [[TextAnalysis]] postings discipline) — the top of the df curve
-  * is precisely the terms BM25's idf already near-zeroes.
+  * hash aggregate. `maxDfFraction` prunes terms above a document-
+  * frequency share from the probe on BOTH engines (the
+  * [[TextAnalysis]] postings discipline): a ubiquitous term's postings
+  * row count is the corpus itself while its idf is ~0.5/N — all the
+  * join fan-out of a stopword for none of the signal. The cap is part
+  * of the scoring spec (the oracle mirrors it exactly), not an
+  * approximation knob; 1.0 disables it, which the gated query does
+  * because the synthetic corpus's ~31-term vocabulary is nearly all
+  * ubiquitous — a Zipfian real corpus wants the 0.5 default.
   *
   * Cross-engine exactness: the per-term score is one fixed double
   * formula (identical literal parenthesization in the DuckDB mirror),
@@ -34,7 +40,8 @@ object Retrieval {
   def bm25Search(
       docs: DataFrame, idCol: String, textCol: String,
       queryModEvery: Int, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 0.5): DataFrame = {
     val tok = docs.select(
       col(idCol).as("doc_id"), explode(Portable.tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
@@ -55,6 +62,7 @@ object Retrieval {
       .join(dfv, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(scal))
+      .filter(col("df") <= col("n_docs") * lit(maxDfFraction))
       .withColumn("tn",
         round(idf * ((col("tf") * lit(k1 + 1)) / norm) * lit(1e9)).cast("long"))
     val hits = scored.join(broadcast(qt), Seq("term"))

@@ -868,7 +868,8 @@ object ExtOracleSql {
     * doubles), per-term scores quantized to 1e-9 units before the
     * order-free integer sum, rounded-score ranking with doc-id ties. */
   def bm25Search(queryModEvery: Int, k: Int,
-                 k1: Double = 1.2, b: Double = 0.75): String =
+                 k1: Double = 1.2, b: Double = 0.75,
+                 maxDfFraction: Double = 0.5): String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(${Portable.tokensSql("text")}) AS term
        |  FROM documents),
@@ -887,7 +888,8 @@ object ExtOracleSql {
        |                          ((CAST(l.len AS DOUBLE) * n_docs) / sum_len))))
        |                    * 1e9) AS BIGINT) AS tn
        |  FROM tf f JOIN dfv USING (term) JOIN dl l ON l.doc_id = f.doc_id
-       |  CROSS JOIN sc),
+       |  CROSS JOIN sc
+       |  WHERE df <= n_docs * $maxDfFraction),
        |hit AS (
        |  SELECT q.query_id, t.doc_id,
        |         round(CAST(sum(t.tn) AS DOUBLE) / 1e9, 6) AS bm25

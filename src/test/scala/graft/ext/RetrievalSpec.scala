@@ -37,8 +37,27 @@ class RetrievalSpec extends SparkSpec {
       (2L, s"needle $filler")
     ).toDF("doc_id", "text")
     val got = Retrieval.bm25Search(docs, "doc_id", "text",
-        queryModEvery = 50, k = 2)
+        queryModEvery = 50, k = 2, maxDfFraction = 1.0)
       .orderBy("rank").select($"doc_id").as[Long].collect().toSeq
     assert(got == Seq(1L, 2L), "b>0 must favor the shorter matching doc")
+  }
+
+  test("bm25Search: the df cap prunes ubiquitous terms from the probe") {
+    // "common" appears in all 4 docs; "rare" only in docs 0 and 2.
+    val docs = Seq(
+      (0L, "common rare"),
+      (1L, "common alpha"),
+      (2L, "common rare"),
+      (3L, "common beta")
+    ).toDF("doc_id", "text")
+    val capped = Retrieval.bm25Search(docs, "doc_id", "text",
+        queryModEvery = 50, k = 4, maxDfFraction = 0.5)
+      .select($"doc_id").as[Long].collect().toSeq
+    // only the rare term survives the probe: doc 2 is the sole match
+    assert(capped == Seq(2L))
+    val uncapped = Retrieval.bm25Search(docs, "doc_id", "text",
+        queryModEvery = 50, k = 4, maxDfFraction = 1.0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(uncapped == Set(1L, 2L, 3L), "uncapped probe reaches common-term docs")
   }
 }
