@@ -897,6 +897,19 @@ object SparkEntry {
     "q130_attribution" -> ((s, dir) =>
       graft.ext.Behavior.attribution(Tables.events(s, dir), lookbackDays = 7)
         .orderBy(col("purchase_id"))),
+
+    // ---- streaming: the withheld CDC day arrives as a file stream;
+    // foreachBatch lands each micro-batch (silver append + key-scoped
+    // mart maintenance) — the final mart must equal the full recompute ----
+    "q131_stream_incremental_ltv" -> ((s, dir) =>
+      graft.streaming.IncrementalGoldStream.ltvViaStream(s, dir)
+        .orderBy(col("user_id"), col("creation_date"))),
+
+    // ---- ext: online rolling-baseline z-score (self-excluding
+    // calendar-RANGE frame — what a live monitor would have known) ----
+    "q132_rolling_z" -> ((s, dir) =>
+      graft.ext.Anomaly.rollingZ(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -907,6 +920,8 @@ object SparkEntry {
     // delta maintenance == full rebuild, the reference's gold contract.
     base ++ ListMap(
       "q79_incremental_ltv" -> base("q02_ltv_daily"),
+      // Streamed maintenance must ALSO reproduce the full recompute.
+      "q131_stream_incremental_ltv" -> base("q02_ltv_daily"),
       "q80_incremental_rfm" -> base("q05_rfm"),
       "q81_incremental_churn" -> base("q06_churn"),
       "q82_incremental_trends" -> base("q07_trends_daily"),
@@ -1037,6 +1052,33 @@ object SparkEntry {
         ExtOracleSql.dedupAgainst(modEvery = 10, minJaccard = 0.5),
       // Oracle is the NAIVE purchase-by-touch BETWEEN join — independent
       // mechanism from the Spark side's single range-frame window.
+      "q132_rolling_z" -> OracleSql.withBase(
+        """rzd AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS cents,
+                    CAST(round(sum(round(total_revenue * 10000)) / 10000.0)
+                         AS BIGINT) AS dd,
+                    datediff('day', DATE '1970-01-01', creation_date) AS dnum
+             FROM order_revenue GROUP BY 1, 2),
+           rzw AS (
+             SELECT restaurant_id, creation_date, cents, dd,
+                    count(*) OVER w AS n,
+                    sum(dd) OVER w AS sx,
+                    sum(dd * dd) OVER w AS sxx
+             FROM rzd
+             WINDOW w AS (PARTITION BY restaurant_id ORDER BY dnum
+                          RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING))""",
+        """SELECT restaurant_id, creation_date,
+                  cents / 10000.0 AS daily_revenue,
+                  COALESCE(n, 0) AS baseline_n,
+                  CASE WHEN n >= 5
+                        AND (CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * sx / n) / n > 0
+                       THEN round((dd - CAST(sx AS DOUBLE) / n)
+                                  / sqrt((CAST(sxx AS DOUBLE)
+                                          - CAST(sx AS DOUBLE) * sx / n) / n), 6)
+                  END AS rolling_z
+           FROM rzw ORDER BY restaurant_id, creation_date"""),
       "q130_attribution" ->
         s"""WITH base AS (
               SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS tsu

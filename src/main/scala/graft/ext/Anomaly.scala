@@ -95,6 +95,48 @@ object Anomaly {
         (col("mad") / 10000.0).as("mad_revenue"))
   }
 
+  /** Rolling-baseline z-score per restaurant day — the ONLINE sibling
+    * of [[revenueOutliers]]: each day scores against the trailing
+    * `days`-day window EXCLUDING itself (`RANGE BETWEEN days PRECEDING
+    * AND 1 PRECEDING` over the integer day number), so the baseline is
+    * what a live monitor would have known the moment the day closed,
+    * a seasonal drift re-baselines itself, and an extreme day cannot
+    * dilute its own score (the self-inclusion bug of naive rolling z).
+    * RANGE (not ROWS) bounds by CALENDAR distance — sparse restaurants
+    * don't smear months-old days into the window.
+    *
+    * Days with fewer than `minN` baseline days or zero variance score
+    * NULL (insufficient evidence ≠ score 0). One shuffle on
+    * restaurant_id; the frame reuses the daily rollup's partitioning.
+    * Same integer-moment exactness as [[revenueOutliers]]: whole-dollar
+    * Σd/Σd² inside the frame, one fixed double formula, round 6. */
+  def rollingZ(
+      orderRevenue: DataFrame, days: Int = 28, minN: Int = 5): DataFrame = {
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(Money.cents(col("total_revenue")).cast("long")).as("cents"))
+      .withColumn("dd", round(col("cents") / 10000.0).cast("long"))
+      .withColumn("__day",
+        datediff(col("creation_date"), lit("1970-01-01").cast("date")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("restaurant_id"))
+      .orderBy(col("__day"))
+      .rangeBetween(-days, -1)
+    val scored = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("dd")).over(w))
+      .withColumn("sxx", sum(col("dd") * col("dd")).over(w))
+    val mean = col("sx").cast("double") / col("n")
+    val variance = (col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx") / col("n")) / col("n")
+    scored.select(
+      col("restaurant_id"), col("creation_date"),
+      (col("cents") / 10000.0).as("daily_revenue"),
+      coalesce(col("n"), lit(0L)).as("baseline_n"),
+      when(col("n") >= minN && variance > 0,
+        round((col("dd") - mean) / sqrt(variance), 6)).as("rolling_z"))
+  }
+
   /** Two-sided CUSUM level-shift detector per restaurant — the
     * change-point tier of the anomaly suite. Point detectors
     * ([[revenueOutliers]], [[madOutliers]]) only see single extreme

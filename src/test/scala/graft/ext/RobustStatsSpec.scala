@@ -55,6 +55,26 @@ class RobustStatsSpec extends SparkSpec {
       "2024-01-05" -> 2L,   // u10 (day 1 within 7) + u11
       "2024-01-09" -> 1L))  // u11 only — u10 aged out
   }
+  test("rollingZ: self-excluding baseline, minN gate, hand-computed scores") {
+    val d = (i: Int) => Date.valueOf(f"2024-01-$i%02d")
+    // days 1-6 alternate 10/20; day 7 spikes to 40.
+    // day 6 baseline = days 1-5 (n=5): mean 14, var 24 -> z = 6/sqrt(24)
+    // day 7 baseline = days 1-6 (n=6): mean 15, var 25 -> z = 25/5 = 5
+    // days 1-5 have n < 5 -> NULL (insufficient evidence, not zero)
+    val rows = Seq(10.0, 20.0, 10.0, 20.0, 10.0, 20.0, 40.0).zipWithIndex
+      .map { case (r, i) => (1L, d(i + 1), r) }
+      .toDF("restaurant_id", "creation_date", "total_revenue")
+    val got = Anomaly.rollingZ(rows, days = 28, minN = 5)
+      .orderBy("creation_date")
+      .select($"baseline_n", $"rolling_z")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got.take(5).forall(_._2.isEmpty))
+    assert(got(5)._2 == Some(BigDecimal(6.0 / math.sqrt(24.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got(6)._2 == Some(5.0))
+  }
+
   test("cusumShift: hand-computed level shift accumulates, slack absorbs noise") {
     val d = (i: Int) => Date.valueOf(f"2024-01-$i%02d")
     // days 1-5 at 10.00, days 6-10 at 20.00: median 15, MAD 5 (half-cent
