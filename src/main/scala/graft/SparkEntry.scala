@@ -910,6 +910,15 @@ object SparkEntry {
     "q132_rolling_z" -> ((s, dir) =>
       graft.ext.Anomaly.rollingZ(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("restaurant_id"), col("creation_date"))),
+
+    // ---- ext: quantile normalization across sources (pooled-rank
+    // value remap — identical post-map distributions per source) ----
+    "q133_quantile_normalize" -> ((s, dir) =>
+      graft.ext.Profiling.quantileNormalize(
+          Tables.documents(s, dir), "source", "n_chars", "doc_id")
+        .select(col("id").as("doc_id"), col("g").as("source"),
+          col("v").as("n_chars"), col("norm_v").as("norm_chars"))
+        .orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1052,6 +1061,26 @@ object SparkEntry {
         ExtOracleSql.dedupAgainst(modEvery = 10, minJaccard = 0.5),
       // Oracle is the NAIVE purchase-by-touch BETWEEN join — independent
       // mechanism from the Spark side's single range-frame window.
+      "q133_quantile_normalize" ->
+        """WITH qv AS (SELECT doc_id AS id, source AS g, n_chars AS val
+                       FROM documents),
+             qr AS (SELECT *,
+                           row_number() OVER (PARTITION BY g
+                             ORDER BY val, id) AS rn,
+                           count(*) OVER (PARTITION BY g) AS cnt
+                    FROM qv),
+             qn AS (SELECT count(*) AS n_total FROM qv),
+             qd AS (SELECT val, count(*) AS c FROM qv GROUP BY 1),
+             qc AS (SELECT val,
+                           sum(c) OVER (ORDER BY val) AS cum_hi,
+                           sum(c) OVER (ORDER BY val) - c + 1 AS cum_lo
+                    FROM qd),
+             qt AS (SELECT qr.*, (rn * n_total + cnt - 1) // cnt AS tgt
+                    FROM qr CROSS JOIN qn)
+           SELECT qt.id AS doc_id, qt.g AS source, qt.val AS n_chars,
+                  qc.val AS norm_chars
+           FROM qt JOIN qc ON qt.tgt BETWEEN qc.cum_lo AND qc.cum_hi
+           ORDER BY doc_id""",
       "q132_rolling_z" -> OracleSql.withBase(
         """rzd AS (
              SELECT restaurant_id, creation_date,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -155,6 +156,45 @@ object Profiling {
       col("n"),
       when(varX > 0 && varY > 0,
         round(num / (sqrt(varX) * sqrt(varY)), 6)).as("corr")): _*)
+  }
+
+  /** Quantile normalization of a numeric column ACROSS groups: each
+    * value is replaced by the pooled distribution's value at the same
+    * within-group rank fraction — after which every group has an
+    * identical value distribution. The cross-source alignment step of
+    * feature preprocessing (microarray-style normalization): length/
+    * score features from different crawls become comparable without a
+    * parametric model.
+    *
+    * Exact discrete spec, no interpolation: within-group rank rn of cnt
+    * maps to pooled position ⌈rn·N/cnt⌉ (integer arithmetic; rn·N stays
+    * in int64 to ~10⁹ rows), and the pooled position resolves through
+    * the VALUE-GRAIN cumulative histogram — (value, cum_lo, cum_hi)
+    * rows, one per distinct value. That histogram is the only globally
+    * ordered structure, and it is distinct-value-sized, not row-sized:
+    * the global window costs |values|, broadcast back onto the ranked
+    * rows as a range probe. Row-grain work is one per-group window. */
+  def quantileNormalize(
+      df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val ranked = v
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+    val dist = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = dist
+      .withColumn("cum_hi", sum(col("c")).over(Window.orderBy(col("v"))))
+      .withColumn("cum_lo", col("cum_hi") - col("c") + 1)
+      .select(col("v").as("norm_v"), col("cum_lo"), col("cum_hi"))
+    val total = v.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("tgt",
+        expr("(rn * n_total + cnt - 1) div cnt"))
+      .join(broadcast(cum),
+        col("tgt") >= col("cum_lo") && col("tgt") <= col("cum_hi"))
+      .select(col("id"), col("g"), col("v"), col("norm_v"))
   }
 
   /** k-anonymity / l-diversity audit — the governance gate a training

@@ -120,6 +120,21 @@ class ProfilingSpec extends SparkSpec {
     assert(got.filter(_._1 == "b").toSeq == Seq(("b", 7L, 7L)))
   }
 
+  test("quantileNormalize: identical post-map distributions across groups") {
+    // pooled sorted = [1,2,3,10,20,30], N=6; both groups have cnt=3, so
+    // ranks 1,2,3 map to pooled positions 2,4,6 -> values 2,10,30
+    val df = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (4L, "b", 10L), (5L, "b", 20L), (6L, "b", 30L)
+    ).toDF("doc_id", "source", "n_chars")
+    val got = Profiling.quantileNormalize(df, "source", "n_chars", "doc_id")
+      .orderBy("id")
+      .select($"id", $"norm_v").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L), (2L, 10L), (3L, 30L),
+      (4L, 2L), (5L, 10L), (6L, 30L)))
+  }
+
   test("anonymityReport: class sizes, sensitive diversity, violation flags") {
     // quasi (city): A has 3 rows / 2 sensitive values; B has 1 row / 1 value
     val rows = Seq(
