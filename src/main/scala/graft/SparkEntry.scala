@@ -919,6 +919,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("g").as("source"),
           col("v").as("n_chars"), col("norm_v").as("norm_chars"))
         .orderBy(col("doc_id"))),
+
+    // ---- ext: temporal-split entity-leakage audit (eval hygiene) ----
+    "q134_leakage_audit" -> ((s, dir) =>
+      graft.ext.Sampling.temporalLeakage(
+          Conformed.orderRevenueCached(s, dir), "user_id", "creation_date",
+          cutoff = "1998-01-01")
+        .orderBy(col("user_id"))),
+
+    // ---- ext: weekday seasonal profile (additive seasonality tier) ----
+    "q135_weekday_seasonality" -> ((s, dir) =>
+      graft.ext.Timeseries.weekdaySeasonality(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("weekday"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1061,6 +1073,42 @@ object SparkEntry {
         ExtOracleSql.dedupAgainst(modEvery = 10, minJaccard = 0.5),
       // Oracle is the NAIVE purchase-by-touch BETWEEN join — independent
       // mechanism from the Spark side's single range-frame window.
+      "q134_leakage_audit" -> OracleSql.withBase(
+        """lk AS (
+             SELECT user_id,
+                    CAST(sum(CASE WHEN creation_date < DATE '1998-01-01'
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+                    CAST(sum(CASE WHEN creation_date >= DATE '1998-01-01'
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+                    CAST(min(creation_date) AS DATE) AS first_date,
+                    CAST(max(creation_date) AS DATE) AS last_date
+             FROM order_revenue GROUP BY 1)""",
+        """SELECT user_id, n_before, n_after, first_date, last_date,
+                  CASE WHEN n_before > 0 AND n_after > 0 THEN 'both'
+                       WHEN n_before > 0 THEN 'train_only'
+                       ELSE 'test_only' END AS leak_class
+           FROM lk ORDER BY user_id"""),
+      "q135_weekday_seasonality" -> OracleSql.withBase(
+        """wsd AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS cents
+             FROM order_revenue GROUP BY 1, 2),
+           wsw AS (
+             SELECT restaurant_id, isodow(creation_date) - 1 AS weekday,
+                    count(*) AS n_days, CAST(sum(cents) AS BIGINT) AS sw
+             FROM wsd GROUP BY 1, 2),
+           wsa AS (
+             SELECT restaurant_id, count(*) AS na,
+                    CAST(sum(cents) AS BIGINT) AS sa
+             FROM wsd GROUP BY 1)""",
+        """SELECT w.restaurant_id, w.weekday, w.n_days,
+                  round(CAST(w.sw AS DOUBLE) / w.n_days / 10000.0, 6)
+                    AS weekday_avg,
+                  round((CAST(w.sw AS DOUBLE) / w.n_days
+                         - CAST(a.sa AS DOUBLE) / a.na) / 10000.0, 6)
+                    AS seasonal_effect
+           FROM wsw w JOIN wsa a USING (restaurant_id)
+           ORDER BY w.restaurant_id, w.weekday"""),
       "q133_quantile_normalize" ->
         """WITH qv AS (SELECT doc_id AS id, source AS g, n_chars AS val
                        FROM documents),

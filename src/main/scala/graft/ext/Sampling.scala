@@ -116,6 +116,32 @@ object Sampling {
     * sort+limit — Spark's TakeOrdered, a per-partition heap + driver
     * merge of k rows, never a global sort. The final rank window runs
     * on k rows. */
+  /** Temporal-split leakage audit: split a fact at a date cutoff and
+    * report, per key, whether it appears only before, only after, or on
+    * BOTH sides — the entity-overlap check an evaluation split must
+    * pass before metrics mean anything (a user in both train and test
+    * leaks their behavior across the boundary; time-based splits
+    * guarantee no ROW overlap but say nothing about entities).
+    *
+    * One hash aggregate to key grain (min/max date + side counts);
+    * the output is key-sized. The summary a release gate would assert
+    * on derives from this table (`GROUP BY leak_class`). */
+  def temporalLeakage(
+      df: DataFrame, keyCol: String, dateCol: String,
+      cutoff: String): DataFrame = {
+    val c = lit(cutoff).cast("date")
+    df.groupBy(col(keyCol))
+      .agg(
+        sum(when(col(dateCol) < c, 1L).otherwise(0L)).as("n_before"),
+        sum(when(col(dateCol) >= c, 1L).otherwise(0L)).as("n_after"),
+        min(col(dateCol)).cast("date").as("first_date"),
+        max(col(dateCol)).cast("date").as("last_date"))
+      .withColumn("leak_class",
+        when(col("n_before") > 0 && col("n_after") > 0, "both")
+          .when(col("n_before") > 0, "train_only")
+          .otherwise("test_only"))
+  }
+
   def weightedSample(
       df: DataFrame, idCol: String, weight: Column, k: Int,
       salt: String = "wsample"): DataFrame = {

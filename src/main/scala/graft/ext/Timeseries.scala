@@ -19,6 +19,40 @@ object Timeseries {
 
   /** Daily revenue per restaurant with missing days zero-filled across
     * each restaurant's own active span; `is_gap` marks filled rows. */
+  /** Weekday seasonal profile per restaurant: each ISO weekday's mean
+    * daily revenue and its effect (weekday mean − overall mean) — the
+    * additive seasonal component a forecast or anomaly baseline
+    * subtracts first (a Saturday spike is not an anomaly if Saturdays
+    * always spike; [[graft.ext.Anomaly.rollingZ]]'s window absorbs
+    * slow drift but not weekly periodicity).
+    *
+    * Two mart-grain hash aggregates (daily rollup → weekday rollup) +
+    * a broadcast of the restaurant-grain totals. Exactness: integer
+    * cent sums; means and the effect are single fixed double formulas
+    * rounded once at the end — identical expression trees in the
+    * oracle. Weekday is ISO (0 = Monday … 6 = Sunday): Spark
+    * `weekday()`, DuckDB `isodow − 1`. */
+  def weekdaySeasonality(orderRevenue: DataFrame): DataFrame = {
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(graft.gold.Money.cents(col("total_revenue")).cast("long"))
+        .as("cents"))
+    val byWd = daily
+      .withColumn("weekday", weekday(col("creation_date")))
+      .groupBy(col("restaurant_id"), col("weekday"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("sw"))
+    val overall = daily.groupBy(col("restaurant_id"))
+      .agg(count(lit(1)).as("na"), sum(col("cents")).as("sa"))
+    byWd.join(broadcast(overall), Seq("restaurant_id"))
+      .select(
+        col("restaurant_id"), col("weekday"), col("n_days"),
+        round(col("sw").cast("double") / col("n_days") / 10000.0, 6)
+          .as("weekday_avg"),
+        round((col("sw").cast("double") / col("n_days")
+          - col("sa").cast("double") / col("na")) / 10000.0, 6)
+          .as("seasonal_effect"))
+  }
+
   def gapFillDaily(orderRevenue: DataFrame): DataFrame = {
     val daily = orderRevenue
       .groupBy(col("restaurant_id"), col("creation_date"))

@@ -66,4 +66,21 @@ class SamplingSpec extends SparkSpec {
     val heavy = rows.count(_._2 == 10L).toDouble / rows.length
     assert(heavy > 0.4, s"weight-10 ids underrepresented: $heavy")
   }
+  test("temporalLeakage: classifies keys as train_only / test_only / both") {
+    import java.sql.Date
+    val rows = Seq(
+      (1L, Date.valueOf("1997-05-01")),                   // train_only
+      (2L, Date.valueOf("1998-02-01")),                   // test_only
+      (3L, Date.valueOf("1997-12-31")), (3L, Date.valueOf("1998-01-01")) // both
+    ).toDF("user_id", "creation_date")
+    val got = Sampling.temporalLeakage(rows, "user_id", "creation_date",
+        cutoff = "1998-01-01")
+      .orderBy("user_id")
+      .select($"user_id", $"n_before", $"n_after", $"leak_class")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, "train_only"),
+      (2L, 0L, 1L, "test_only"),
+      (3L, 1L, 1L, "both")))
+  }
 }

@@ -49,4 +49,21 @@ class TimeseriesPruneSpec extends SparkSpec {
     val none = graft.core.Tables.orders(spark, dir).filter(lit(false))
     assert(Prune.bloomPrunedSemiJoin(li, "l_orderkey", none, "o_orderkey").isEmpty)
   }
+  test("weekdaySeasonality: ISO weekday effects against the overall mean") {
+    import java.sql.Date
+    // 2024-01-01 is a Monday. Mondays: 10, 10; Tuesday: 40.
+    // overall mean 20 -> Monday effect -10, Tuesday effect +20.
+    val rows = Seq(
+      (1L, Date.valueOf("2024-01-01"), 10.0),
+      (1L, Date.valueOf("2024-01-08"), 10.0),
+      (1L, Date.valueOf("2024-01-02"), 40.0)
+    ).toDF("restaurant_id", "creation_date", "total_revenue")
+    val got = graft.ext.Timeseries.weekdaySeasonality(rows)
+      .orderBy("weekday")
+      .select($"weekday", $"n_days", $"weekday_avg", $"seasonal_effect")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0, 2L, 10.0, -10.0),
+      (1, 1L, 40.0, 20.0)))
+  }
 }
