@@ -1102,10 +1102,10 @@ object SparkEntry {
                     CAST(sum(cents) AS BIGINT) AS sa
              FROM wsd GROUP BY 1)""",
         """SELECT w.restaurant_id, w.weekday, w.n_days,
-                  round(CAST(w.sw AS DOUBLE) / w.n_days / 10000.0, 6)
+                  CAST(w.sw AS DOUBLE) / w.n_days / 10000.0
                     AS weekday_avg,
-                  round((CAST(w.sw AS DOUBLE) / w.n_days
-                         - CAST(a.sa AS DOUBLE) / a.na) / 10000.0, 6)
+                  (CAST(w.sw AS DOUBLE) / w.n_days
+                   - CAST(a.sa AS DOUBLE) / a.na) / 10000.0
                     AS seasonal_effect
            FROM wsw w JOIN wsa a USING (restaurant_id)
            ORDER BY w.restaurant_id, w.weekday"""),

@@ -29,9 +29,13 @@ object Timeseries {
     * Two mart-grain hash aggregates (daily rollup → weekday rollup) +
     * a broadcast of the restaurant-grain totals. Exactness: integer
     * cent sums; means and the effect are single fixed double formulas
-    * rounded once at the end — identical expression trees in the
-    * oracle. Weekday is ISO (0 = Monday … 6 = Sunday): Spark
-    * `weekday()`, DuckDB `isodow − 1`. */
+    * emitted UNROUNDED — the identical IEEE division chain is
+    * bit-identical on both engines, whereas a 6dp round would diverge
+    * exactly on the half-ulp boundaries money-per-day values often
+    * land on (Spark rounds the decimal expansion HALF_UP, DuckDB
+    * multiplies-then-rounds; sf0.1 exhibits real collisions). Weekday
+    * is ISO (0 = Monday … 6 = Sunday): Spark `weekday()`, DuckDB
+    * `isodow − 1`. */
   def weekdaySeasonality(orderRevenue: DataFrame): DataFrame = {
     val daily = orderRevenue
       .groupBy(col("restaurant_id"), col("creation_date"))
@@ -46,10 +50,10 @@ object Timeseries {
     byWd.join(broadcast(overall), Seq("restaurant_id"))
       .select(
         col("restaurant_id"), col("weekday"), col("n_days"),
-        round(col("sw").cast("double") / col("n_days") / 10000.0, 6)
+        (col("sw").cast("double") / col("n_days") / 10000.0)
           .as("weekday_avg"),
-        round((col("sw").cast("double") / col("n_days")
-          - col("sa").cast("double") / col("na")) / 10000.0, 6)
+        ((col("sw").cast("double") / col("n_days")
+          - col("sa").cast("double") / col("na")) / 10000.0)
           .as("seasonal_effect"))
   }
 
