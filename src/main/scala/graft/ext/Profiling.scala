@@ -169,31 +169,88 @@ object Profiling {
     * Exact discrete spec, no interpolation: within-group rank rn of cnt
     * maps to pooled position ⌈rn·N/cnt⌉ (integer arithmetic; rn·N stays
     * in int64 to ~10⁹ rows), and the pooled position resolves through
-    * the VALUE-GRAIN cumulative histogram — (value, cum_lo, cum_hi)
-    * rows, one per distinct value. That histogram is the only globally
-    * ordered structure, and it is distinct-value-sized, not row-sized:
-    * the global window costs |values|, broadcast back onto the ranked
-    * rows as a range probe. Row-grain work is one per-group window. */
+    * the VALUE-GRAIN cumulative histogram (value, cum_lo, cum_hi).
+    *
+    * Distributed-prefix-sum formulation — NO unpartitioned window and NO
+    * value-grain broadcast anywhere in the plan (for money-like long
+    * domains distinct-value cardinality approaches row cardinality, so
+    * both would funnel the whole domain through one task / one driver):
+    *   1. the cumulative histogram is a range-bucketed prefix sum: a
+    *      monotone integer bucket id from a broadcast min/max anchor,
+    *      per-bucket counts (≤ `buckets` rows), cumulative bucket
+    *      OFFSETS from a constant-size broadcast self-join (the
+    *      [[Skew]] offsets pattern), and a within-bucket running sum
+    *      whose window is PARTITIONED by bucket;
+    *   2. the position→value probe is a bucketed MERGE, not a broadcast
+    *      range join: pooled positions [1..N] split into uniform
+    *      position-buckets, each value's [cum_lo, cum_hi] interval is
+    *      replicated into the position-buckets it overlaps (≤
+    *      |values| + `buckets` rows total), and one window PARTITIONED
+    *      by position-bucket carries the covering value forward onto
+    *      the probe rows (boundaries sort before probes at equal
+    *      position).
+    * Row-grain work: the per-group rank windows plus ONE shuffle of
+    * rows + distinct values on the position-bucket; probe rows are
+    * uniform across position-buckets by construction (positions are
+    * ranks). Every window in the plan is partitioned — ProfilingSpec
+    * asserts it on the physical plan. Envelope: mx − mn and rn·N must
+    * fit in int64 (length/score/money domains to ~10⁹ rows do); size
+    * `buckets` ≈ desired parallelism. */
   def quantileNormalize(
       df: DataFrame, groupCol: String, valueCol: String,
-      idCol: String): DataFrame = {
+      idCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
     val v = df.select(col(idCol).as("id"), col(groupCol).as("g"),
       col(valueCol).cast("long").as("v"))
     val ranked = v
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+    // value-grain histogram, range-bucketed on a broadcast min/max anchor
+    // (integer div keeps the bucket id exact and monotone in v)
     val dist = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val cum = dist
-      .withColumn("cum_hi", sum(col("c")).over(Window.orderBy(col("v"))))
+    val anchor = dist.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val bdist = dist.crossJoin(broadcast(anchor))
+      .withColumn("b",
+        expr(s"(v - mn) div greatest(1L, (mx - mn) div $buckets + 1)"))
+    // per-bucket totals → cumulative offsets: ≤ `buckets` rows, so the
+    // prefix sum is a constant-size broadcast self-join, never a window
+    val btot = bdist.groupBy(col("b")).agg(sum(col("c")).as("bc"))
+    val off = btot
+      .join(broadcast(btot.select(col("b").as("pb"), col("bc").as("pbc"))),
+        col("pb") < col("b"), "left")
+      .groupBy(col("b"))
+      .agg(coalesce(sum(col("pbc")), lit(0L)).as("off"))
+    // within-bucket running sum (PARTITIONED window) + broadcast offset
+    val cum = bdist
+      .join(broadcast(off), Seq("b"))
+      .withColumn("cum_hi", col("off") + sum(col("c")).over(
+        Window.partitionBy(col("b")).orderBy(col("v"))))
       .withColumn("cum_lo", col("cum_hi") - col("c") + 1)
-      .select(col("v").as("norm_v"), col("cum_lo"), col("cum_hi"))
+    // bucketed merge probe over uniform position-buckets of width pw
     val total = v.agg(count(lit(1)).as("n_total"))
-    ranked.crossJoin(broadcast(total))
-      .withColumn("tgt",
-        expr("(rn * n_total + cnt - 1) div cnt"))
-      .join(broadcast(cum),
-        col("tgt") >= col("cum_lo") && col("tgt") <= col("cum_hi"))
+      .select(col("n_total"),
+        expr(s"greatest(1L, (n_total + $buckets - 1) div $buckets)").as("pw"))
+    val idT = v.schema("id").dataType
+    val gT = v.schema("g").dataType
+    val bounds = cum.crossJoin(broadcast(total))
+      .select(
+        explode(sequence(
+          expr("(cum_lo - 1) div pw"), expr("(cum_hi - 1) div pw"))).as("pbk"),
+        col("cum_lo").as("pos"), lit(1).as("isb"),
+        lit(null).cast(idT).as("id"), lit(null).cast(gT).as("g"),
+        lit(null).cast("long").as("v"), col("v").as("norm_v"))
+    val probes = ranked.crossJoin(broadcast(total))
+      .withColumn("tgt", expr("(rn * n_total + cnt - 1) div cnt"))
+      .select(expr("(tgt - 1) div pw").as("pbk"), col("tgt").as("pos"),
+        lit(0).as("isb"), col("id"), col("g"), col("v"),
+        lit(null).cast("long").as("norm_v"))
+    val wm = Window.partitionBy(col("pbk"))
+      .orderBy(col("pos").asc, col("isb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probes.unionByName(bounds)
+      .withColumn("norm_v", last(col("norm_v"), ignoreNulls = true).over(wm))
+      .filter(col("isb") === 0)
       .select(col("id"), col("g"), col("v"), col("norm_v"))
   }
 
