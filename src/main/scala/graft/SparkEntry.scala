@@ -884,6 +884,15 @@ object SparkEntry {
           queryModEvery = 50, k = 10, maxDfFraction = 1.0)
         .orderBy(col("query_id"), col("rank"))),
 
+    // ---- ext: BM25 with the document-frequency cap ACTIVE — the
+    // Zipfian-corpus branch (0.78 splits the synthetic vocabulary:
+    // the rare df-share-0.05 term survives, the stopword band drops) ----
+    "q136_bm25_capped" -> ((s, dir) =>
+      graft.ext.Retrieval.bm25Search(
+          Tables.documents(s, dir), "doc_id", "text",
+          queryModEvery = 50, k = 10, maxDfFraction = 0.78)
+        .orderBy(col("query_id"), col("rank"))),
+
     // ---- ext: incremental ingestion dedup (batch probes the corpus
     // band index — never re-dedups history) ----
     "q129_dedup_against" -> ((s, dir) =>
@@ -1069,6 +1078,8 @@ object SparkEntry {
            FROM u GROUP BY 1 ORDER BY pos""",
       "q128_bm25_search" ->
         ExtOracleSql.bm25Search(queryModEvery = 50, k = 10, maxDfFraction = 1.0),
+      "q136_bm25_capped" ->
+        ExtOracleSql.bm25Search(queryModEvery = 50, k = 10, maxDfFraction = 0.78),
       "q129_dedup_against" ->
         ExtOracleSql.dedupAgainst(modEvery = 10, minJaccard = 0.5),
       // Oracle is the NAIVE purchase-by-touch BETWEEN join — independent

@@ -26,15 +26,23 @@ import graft.functions.TopKAggregate.top_k
   * row count is the corpus itself while its idf is ~0.5/N — all the
   * join fan-out of a stopword for none of the signal. The cap is part
   * of the scoring spec (the oracle mirrors it exactly), not an
-  * approximation knob; 1.0 disables it, which the gated query does
-  * because the synthetic corpus's ~31-term vocabulary is nearly all
-  * ubiquitous — a Zipfian real corpus wants the 0.5 default.
+  * approximation knob. Two gated queries cover both branches: the
+  * uncapped spec (1.0 — the synthetic ~31-term vocabulary is nearly
+  * all ubiquitous, so the Zipfian-default 0.5 would empty it) and the
+  * capped path at 0.78, which genuinely splits that vocabulary (one
+  * rare term at df-share 0.05 plus a 0.746–0.83 stopword band) — the
+  * branch a real corpus runs is oracle-evidenced, not parameter-tested.
   *
   * Cross-engine exactness: the per-term score is one fixed double
   * formula (identical literal parenthesization in the DuckDB mirror),
   * quantized to integral 1e-9 units BEFORE the per-pair sum (float
   * addition order differs between engines; long addition is
-  * order-free), ranked on the rounded total with doc-id tie-break. */
+  * order-free), ranked on the rounded total with doc-id tie-break.
+  * The emitted score rounds to 6dp IN THE INTEGER DOMAIN —
+  * (sn + 500) div 1000 half-up on the 1e-9-unit long, then one double
+  * division — never `round(double, 6)`: a double `round` re-derives the
+  * decimal expansion, and Spark/DuckDB disagree on half-1e-6 ties
+  * (scores are ≥ 0, so truncating div and floor div agree too). */
 object Retrieval {
 
   def bm25Search(
@@ -70,7 +78,7 @@ object Retrieval {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("tn")).as("sn"))
       .select(col("query_id"), col("doc_id"),
-        round(col("sn") / lit(1e9), 6).as("bm25"))
+        (expr("(sn + 500) div 1000").cast("double") / lit(1e6)).as("bm25"))
     hits.groupBy(col("query_id"))
       .agg(top_k(col("bm25"), col("doc_id"), k).as("topk"))
       .select(col("query_id"), explode(col("topk")).as("t"))

@@ -892,7 +892,8 @@ object ExtOracleSql {
        |  WHERE df <= n_docs * $maxDfFraction),
        |hit AS (
        |  SELECT q.query_id, t.doc_id,
-       |         round(CAST(sum(t.tn) AS DOUBLE) / 1e9, 6) AS bm25
+       |         CAST((CAST(sum(t.tn) AS BIGINT) + 500) // 1000 AS DOUBLE)
+       |           / 1000000.0 AS bm25
        |  FROM ts t JOIN qt q USING (term)
        |  WHERE t.doc_id <> q.query_id GROUP BY 1, 2),
        |rk AS (
