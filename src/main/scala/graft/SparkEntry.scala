@@ -1097,7 +1097,8 @@ object SparkEntry {
         """SELECT user_id, n_before, n_after, first_date, last_date,
                   CASE WHEN n_before > 0 AND n_after > 0 THEN 'both'
                        WHEN n_before > 0 THEN 'train_only'
-                       ELSE 'test_only' END AS leak_class
+                       WHEN n_after > 0 THEN 'test_only'
+                       ELSE 'no_dates' END AS leak_class
            FROM lk ORDER BY user_id"""),
       "q135_weekday_seasonality" -> OracleSql.withBase(
         """wsd AS (

@@ -101,21 +101,6 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
-  /** Deterministic WEIGHTED sampling by repeated hashing: a row with
-    * integer weight w draws w independent salted hashes and competes
-    * with its minimum; the sample is the k smallest minima. Selection
-    * probability rises with w (the min of w uniform draws is
-    * stochastically smaller), yet everything stays exact integer
-    * arithmetic — reproducible on any engine/partitioning, unlike
-    * float `pow(u, 1/w)` A-ES keys, whose cross-engine rounding can
-    * flip near-ties.
-    *
-    * Scale shape: explode is bounded by max weight (cap small — weights
-    * are priorities, not magnitudes); the per-id min is a hash
-    * aggregate with map-side partials, and the global top-k is
-    * sort+limit — Spark's TakeOrdered, a per-partition heap + driver
-    * merge of k rows, never a global sort. The final rank window runs
-    * on k rows. */
   /** Temporal-split leakage audit: split a fact at a date cutoff and
     * report, per key, whether it appears only before, only after, or on
     * BOTH sides — the entity-overlap check an evaluation split must
@@ -125,7 +110,11 @@ object Sampling {
     *
     * One hash aggregate to key grain (min/max date + side counts);
     * the output is key-sized. The summary a release gate would assert
-    * on derives from this table (`GROUP BY leak_class`). */
+    * on derives from this table (`GROUP BY leak_class`). A key whose
+    * dates are ALL NULL falls on neither side (`n_before = n_after =
+    * 0`) and is labeled `no_dates`, never `test_only` — an audit
+    * consumers act on must not lump unknowable keys into a real
+    * class. */
   def temporalLeakage(
       df: DataFrame, keyCol: String, dateCol: String,
       cutoff: String): DataFrame = {
@@ -139,15 +128,42 @@ object Sampling {
       .withColumn("leak_class",
         when(col("n_before") > 0 && col("n_after") > 0, "both")
           .when(col("n_before") > 0, "train_only")
-          .otherwise("test_only"))
+          .when(col("n_after") > 0, "test_only")
+          .otherwise("no_dates"))
   }
 
+  /** Deterministic WEIGHTED sampling by repeated hashing: a row with
+    * integer weight w draws w independent salted hashes and competes
+    * with its minimum; the sample is the k smallest minima. Selection
+    * probability rises with w (the min of w uniform draws is
+    * stochastically smaller), yet everything stays exact integer
+    * arithmetic — reproducible on any engine/partitioning, unlike
+    * float `pow(u, 1/w)` A-ES keys, whose cross-engine rounding can
+    * flip near-ties.
+    *
+    * Scale shape: the explode fans each row into its draw count, so
+    * total work is O(Σ min(w, maxDraws)) — with the default UNCAPPED
+    * maxDraws that is O(Σ w), exact but only safe when weights are
+    * small integers (priorities, not magnitudes: a single weight of
+    * 10⁶ becomes 10⁶ rows). For large-weight domains set `maxDraws`:
+    * fan-out is then bounded per row, the result is IDENTICAL to the
+    * exact mode whenever every weight ≤ maxDraws (same draws, same
+    * hashes — SamplingSpec pins this), and above the cap selection
+    * probability saturates at min-of-maxDraws (rows with w > maxDraws
+    * compete as equals; rank the cap large enough that saturation is
+    * acceptable, e.g. 64 ⇒ P(selected) within 2⁻⁶⁴-ish of the w→∞
+    * limit). The per-id min is a hash aggregate with map-side
+    * partials, and the global top-k is sort+limit — Spark's
+    * TakeOrdered, a per-partition heap + driver merge of k rows, never
+    * a global sort. The final rank window runs on k rows. */
   def weightedSample(
       df: DataFrame, idCol: String, weight: Column, k: Int,
-      salt: String = "wsample"): DataFrame = {
+      salt: String = "wsample", maxDraws: Long = Long.MaxValue): DataFrame = {
+    require(maxDraws >= 1, "maxDraws must be positive")
     val drawn = df
       .withColumn("weight", weight.cast("long"))
-      .withColumn("__copy", explode(sequence(lit(1L), col("weight"))))
+      .withColumn("__copy",
+        explode(sequence(lit(1L), least(col("weight"), lit(maxDraws)))))
       .withColumn("__draw", Portable.h60(concat_ws("#",
         lit(salt), col(idCol).cast("string"), col("__copy").cast("string"))))
       .groupBy(col(idCol), col("weight"))

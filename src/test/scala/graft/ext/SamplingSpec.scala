@@ -66,12 +66,30 @@ class SamplingSpec extends SparkSpec {
     val heavy = rows.count(_._2 == 10L).toDouble / rows.length
     assert(heavy > 0.4, s"weight-10 ids underrepresented: $heavy")
   }
-  test("temporalLeakage: classifies keys as train_only / test_only / both") {
+  test("weightedSample: capped mode identical to exact mode when weights <= cap") {
+    val ids = (1L to 300L).toDF("id")
+    val w = when(col("id") % 7 === 0, 8L).otherwise(2L)
+    val exact = Sampling.weightedSample(ids, "id", w, k = 40)
+    val tiered = Sampling.weightedSample(ids, "id", w, k = 40, maxDraws = 8L)
+    val e = exact.orderBy("sample_rank")
+      .select($"id", $"draw", $"sample_rank").as[(Long, Long, Int)].collect().toSeq
+    val t = tiered.orderBy("sample_rank")
+      .select($"id", $"draw", $"sample_rank").as[(Long, Long, Int)].collect().toSeq
+    assert(e == t, "cap >= max weight must not change a single draw")
+    // above the cap the fan-out is bounded: weight 8 rows compete with
+    // only maxDraws=3 hashes — still a legal sample of the right size
+    val capped = Sampling.weightedSample(ids, "id", w, k = 40, maxDraws = 3L)
+    assert(capped.count() == 40)
+  }
+
+  test("temporalLeakage: train_only / test_only / both / no_dates classes") {
     import java.sql.Date
     val rows = Seq(
-      (1L, Date.valueOf("1997-05-01")),                   // train_only
-      (2L, Date.valueOf("1998-02-01")),                   // test_only
-      (3L, Date.valueOf("1997-12-31")), (3L, Date.valueOf("1998-01-01")) // both
+      (1L, Option(Date.valueOf("1997-05-01"))),           // train_only
+      (2L, Option(Date.valueOf("1998-02-01"))),           // test_only
+      (3L, Option(Date.valueOf("1997-12-31"))),
+      (3L, Option(Date.valueOf("1998-01-01"))),           // both
+      (4L, Option.empty[Date])                            // no_dates
     ).toDF("user_id", "creation_date")
     val got = Sampling.temporalLeakage(rows, "user_id", "creation_date",
         cutoff = "1998-01-01")
@@ -81,6 +99,7 @@ class SamplingSpec extends SparkSpec {
     assert(got == Seq(
       (1L, 1L, 0L, "train_only"),
       (2L, 0L, 1L, "test_only"),
-      (3L, 1L, 1L, "both")))
+      (3L, 1L, 1L, "both"),
+      (4L, 0L, 0L, "no_dates")))
   }
 }
