@@ -829,6 +829,14 @@ object SparkEntry {
           Tables.embeddings(s, dir), "vec_id", "embedding", "label", k = 5)
         .orderBy(col("vec_id"), col("rank"))),
 
+    // ---- ext: cell-blocked hard negatives — the 100 TB composition
+    // (kmeans cells bound the different-label scorer; exact within
+    // cells, q122's exhaustive form is its spec) ----
+    "q137_hard_negatives_cells" -> ((s, dir) =>
+      graft.ext.Similarity.hardNegativesInCells(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("vec_id"), col("rank"))),
+
     // ---- ext: degree-ordered triangle counting over the co-purchase
     // graph (parts sharing >= 2 orders) ----
     "q123_triangles" -> ((s, dir) => {
@@ -994,6 +1002,8 @@ object SparkEntry {
       "q121_semantic_dedup" ->
         ExtOracleSql.semanticDedup(tau = 0.35, iters = 2, seedEvery = 100),
       "q122_hard_negatives" -> ExtOracleSql.hardNegatives(k = 5),
+      "q137_hard_negatives_cells" ->
+        ExtOracleSql.hardNegativesInCells(k = 5, iters = 2, seedEvery = 100),
       // Oracle counts each triangle once via the id-ordered triple join
       // (u<v<w) — orientation-independent, so it checks the Spark side's
       // degree-ordered counting without sharing its mechanism.

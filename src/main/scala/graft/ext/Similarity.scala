@@ -275,9 +275,9 @@ object Similarity {
     * neighbors to survive a filter-after-rank).
     *
     * This is the exhaustive within-block scorer: quadratic in the block,
-    * exact. At 100 TB compose it the IVF way — assign anchors to cells
-    * ([[ivfTopK]]'s broadcast-centroid step), then mine within cells;
-    * the per-cell math is THIS operator unchanged. Same contract as
+    * exact — the executable spec. At 100 TB run
+    * [[hardNegativesInCells]], the cell-blocked composition of this
+    * operator (oracle-gated as a sibling query). Same contract as
     * [[topKNeighbors]]: cosine rounds to 6dp, ties break on neighbor
     * id, so ranks are engine-stable. */
   def hardNegatives(
@@ -300,6 +300,49 @@ object Similarity {
         .agg(top_k(col("cosine"), col("neighbor_id"), k).as("topk")))
       .select(col("vec_id"), col("anchor_label"), col("neighbor_id"),
         col("cosine"), col("rank"))
+  }
+
+  /** Cell-blocked hard-negative mining — [[hardNegatives]]'s different-
+    * label top-k scorer bounded by [[kmeans]] cells: the 100 TB
+    * composition the exhaustive form is the spec for. Pair work drops
+    * from corpus² to Σ cellsize² (the SemDeDup trade), and the result
+    * stays EXACT WITHIN cells: each anchor's negatives come from its
+    * own cell, which is where the near-boundary (hardest) negatives
+    * live by construction — what's forgone are cross-cell candidates
+    * that the very metric defining "hard" already placed farther away.
+    *
+    * Shape: one persist of the cell-assigned labeled corpus feeding
+    * both self-join sides ([[semanticDedup]]'s materialize cut), a
+    * cell-keyed self-join (one shuffle on cell id), label predicate
+    * BEFORE the bounded top-k heap. Anchors in singleton or
+    * single-label cells emit nothing — at scale, widen `seedEvery`
+    * (fewer, larger cells) rather than post-patching with the
+    * exhaustive scorer. */
+  def hardNegativesInCells(
+      vecs: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, iters: Int = 2, seedEvery: Int = 100): DataFrame = {
+    val assigned = kmeans(vecs, idCol, vecCol, iters, seedEvery)
+      .select(col("vec_id").as("id"), col("cluster").as("cell"))
+    val v = vecs.select(
+        col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("emb"),
+        col(labelCol).as("label"))
+      .withColumn("nrm", l2norm(col("emb")))
+      .join(assigned, Seq("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = v.select(col("cell"), col("id").as("vec_id"),
+      col("label").as("anchor_label"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("cell"), col("id").as("neighbor_id"),
+      col("label").as("neighbor_label"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("anchor_label") =!= col("neighbor_label"))
+      .withColumn("cosine",
+        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+    explodeTopK(
+      scored.groupBy(col("vec_id"), col("cell"), col("anchor_label"))
+        .agg(top_k(col("cosine"), col("neighbor_id"), k).as("topk")))
+      .select(col("vec_id"), col("cell"), col("anchor_label"),
+        col("neighbor_id"), col("cosine"), col("rank"))
   }
 
   /** Per-label embedding centroids (element-wise mean), EXACTLY: float

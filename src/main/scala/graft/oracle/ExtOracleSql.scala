@@ -422,6 +422,28 @@ object ExtOracleSql {
        |FROM a$iters a LEFT JOIN cc ON cc.id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** Mirrors [[graft.ext.Similarity.hardNegativesInCells]]: the Lloyd
+    * CTE chain supplies the cell of every vector, then the different-
+    * label top-k runs within cells only. */
+  def hardNegativesInCells(k: Int, iters: Int, seedEvery: Int): String =
+    s"""WITH ${kmeansCtes(iters, seedEvery).mkString(",\n")},
+       |lv AS (SELECT vec_id, label FROM embeddings),
+       |cj AS (
+       |  SELECT x.vec_id, x.cluster AS cell, lx.label AS anchor_label,
+       |         y.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(x.emb, y.emb), 6) AS cosine
+       |  FROM a$iters x JOIN a$iters y ON x.cluster = y.cluster
+       |  JOIN lv lx ON lx.vec_id = x.vec_id
+       |  JOIN lv ly ON ly.vec_id = y.vec_id
+       |  WHERE lx.label != ly.label),
+       |rk AS (
+       |  SELECT vec_id, cell, anchor_label, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM cj)
+       |SELECT vec_id, cell, anchor_label, neighbor_id, cosine, rank FROM rk
+       |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+
   /** Mirrors [[graft.ext.Dedup.decontaminate]] with the benchmark set
     * `doc_id ≡ 0 (mod modEvery)`. */
   def decontaminate(n: Int, modEvery: Int): String =

@@ -161,4 +161,35 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
     assert(top1 == Map(1L -> 4L, 2L -> 4L, 3L -> 2L, 4L -> 2L))
   }
+
+  test("hardNegativesInCells: single cell reproduces the exhaustive spec") {
+    // seedEvery larger than any id -> only id 0 seeds -> ONE cell: the
+    // cell-blocked scorer must then equal hardNegatives row for row
+    val vecs = (0L to 15L).map { i =>
+      (i, Array((math.cos(i * 0.4)).toFloat, (math.sin(i * 0.4)).toFloat),
+        if (i % 2 == 0) "x" else "y")
+    }.toDF("vec_id", "embedding", "label")
+    val exhaustive = Similarity
+      .hardNegatives(vecs, "vec_id", "embedding", "label", k = 3)
+      .select($"vec_id", $"neighbor_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val cellBlocked = Similarity
+      .hardNegativesInCells(vecs, "vec_id", "embedding", "label", k = 3,
+        iters = 2, seedEvery = 1000)
+      .select($"vec_id", $"neighbor_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(cellBlocked == exhaustive)
+    // with several cells, every emitted negative shares the anchor's cell
+    // and never its label — and each anchor's list is still dense-ranked
+    val multi = Similarity.hardNegativesInCells(
+        vecs, "vec_id", "embedding", "label", k = 3, iters = 2, seedEvery = 5)
+      .select($"vec_id", $"anchor_label", $"neighbor_id", $"rank")
+      .as[(Long, String, Long, Int)].collect()
+    val lab = (0L to 15L).map(i => i -> (if (i % 2 == 0) "x" else "y")).toMap
+    assert(multi.nonEmpty && multi.forall { case (a, al, n, _) =>
+      al == lab(a) && lab(n) != al })
+    multi.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+  }
 }
