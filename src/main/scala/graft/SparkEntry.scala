@@ -922,6 +922,20 @@ object SparkEntry {
       graft.streaming.IncrementalGoldStream.ltvViaStream(s, dir)
         .orderBy(col("user_id"), col("creation_date"))),
 
+    // ---- streaming: the ANCHORED maintainer through the same replay —
+    // the RFM guard re-evaluates per micro-batch against the evolving
+    // mart; final mart must equal the full recompute (q05's oracle) ----
+    "q138_stream_incremental_rfm" -> ((s, dir) =>
+      graft.streaming.IncrementalGoldStream.rfmViaStream(s, dir)
+        .orderBy(col("user_id"))),
+
+    // ---- streaming: the ADDITIVE maintainer through the same replay —
+    // per-batch partial aggregates merge-add into the mart (q07's
+    // oracle; exact because money rides integral 1e-4 cents) ----
+    "q139_stream_incremental_trends" -> ((s, dir) =>
+      graft.streaming.IncrementalGoldStream.trendsViaStream(s, dir)
+        .orderBy(col("creation_date"), col("restaurant_id"), col("item_category"))),
+
     // ---- ext: online rolling-baseline z-score (self-excluding
     // calendar-RANGE frame — what a live monitor would have known) ----
     "q132_rolling_z" -> ((s, dir) =>
@@ -958,8 +972,12 @@ object SparkEntry {
     // delta maintenance == full rebuild, the reference's gold contract.
     base ++ ListMap(
       "q79_incremental_ltv" -> base("q02_ltv_daily"),
-      // Streamed maintenance must ALSO reproduce the full recompute.
+      // Streamed maintenance must ALSO reproduce the full recompute —
+      // one gate per maintenance algebra (key-scoped / anchored /
+      // additive) through the streaming engine's batch boundaries.
       "q131_stream_incremental_ltv" -> base("q02_ltv_daily"),
+      "q138_stream_incremental_rfm" -> base("q05_rfm"),
+      "q139_stream_incremental_trends" -> base("q07_trends_daily"),
       "q80_incremental_rfm" -> base("q05_rfm"),
       "q81_incremental_churn" -> base("q06_churn"),
       "q82_incremental_trends" -> base("q07_trends_daily"),

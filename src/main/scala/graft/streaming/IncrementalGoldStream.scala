@@ -12,31 +12,73 @@ import org.apache.spark.sql.streaming.Trigger
   * `foreachBatch` —
   *
   *   1. append the batch to the silver zone (the ingest write),
-  *   2. maintain the gold mart key-scoped against updated silver
-  *      ([[graft.gold.IncrementalLtv]]), writing a NEW mart version
-  *      (never overwriting the version being read — the swap-write
-  *      discipline of `CdcPipeline.refreshGold`).
+  *   2. maintain the gold mart against updated silver, writing a NEW
+  *      mart version (never overwriting the version being read — the
+  *      swap-write discipline of `CdcPipeline.refreshGold`).
   *
   * After the stream drains, the final mart version must hash-match the
   * plain full recompute over all of silver — the same oracle as the
-  * batch replay (q79/q02), now proven THROUGH the streaming engine's
+  * batch replay (q79-q82), now proven THROUGH the streaming engine's
   * batch boundaries: the delta's users arrive split across
   * micro-batches, so a maintainer that mishandles repeated maintenance
   * of the same day (double-counting appends, stale-mart reads,
   * cross-batch key overlap) cannot match.
+  *
+  * All three maintenance algebras ride the SAME harness:
+  *   - [[ltvViaStream]]: unconditional key-scoped recompute
+  *     ([[graft.gold.IncrementalLtv]] — no global anchor);
+  *   - [[rfmViaStream]]: GUARDED key-scoped recompute
+  *     ([[graft.gold.IncrementalRfm]]) — the anchored guard re-evaluates
+  *     per micro-batch against the evolving mart, proving the
+  *     hold-the-anchor branch composes across batch boundaries;
+  *   - [[trendsViaStream]]: additive merge
+  *     ([[graft.gold.IncrementalTrends]]) — per-batch partial aggregates
+  *     merge-add into the mart, exact because money rides integral
+  *     1e-4 cents on both sides, so batch slicing and arrival order
+  *     cannot perturb the sum.
   *
   * `Trigger.AvailableNow` + `maxFilesPerTrigger=1` drains the sliced
   * input one file per micro-batch and stops — no sentinels or
   * watermarks needed because `foreachBatch` sees every batch exactly
   * once through the checkpoint. Batch order is irrelevant by design:
   * the landing sequence is order-insensitive (appends commute; the
-  * maintainer recomputes affected keys from silver, not from the batch
-  * payload), which is itself a property worth proving — real CDC
-  * landings arrive in whatever order the bus delivers.
+  * key-scoped maintainers recompute affected keys from silver, not from
+  * the batch payload; the additive maintainer's merge is commutative),
+  * which is itself a property worth proving — real CDC landings arrive
+  * in whatever order the bus delivers.
   */
 object IncrementalGoldStream {
 
-  def ltvViaStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame = {
+  def ltvViaStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame =
+    replayViaStream(spark, dir, slices, graft.gold.Ltv.daily)(
+      (prev, silver, batch) => graft.gold.IncrementalLtv(prev, silver, batch))
+
+  /** RFM through the stream: the anchored guard
+    * ([[graft.gold.IncrementalAnchored]]) runs once PER micro-batch —
+    * the replayed day is mid-range, so every batch must take the
+    * held-anchor key-scoped branch against the mart version its
+    * predecessor wrote. Shares q05's full-recompute oracle. */
+  def rfmViaStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame =
+    replayViaStream(spark, dir, slices, graft.gold.Rfm(_))(
+      (prev, silver, batch) => graft.gold.IncrementalRfm(prev, silver, batch))
+
+  /** Daily trends through the stream: the ADDITIVE path — each batch's
+    * partial aggregate merge-adds into the prior mart version; silver
+    * still lands (the ingest write) but maintenance never re-reads it.
+    * Shares q07's full-recompute oracle. */
+  def trendsViaStream(spark: SparkSession, dir: String, slices: Int = 3): DataFrame =
+    replayViaStream(spark, dir, slices, graft.gold.SalesTrends.daily)(
+      (prev, _, batch) => graft.gold.IncrementalTrends.daily(prev, batch))
+
+  /** The shared replay harness: withhold the replay day from silver,
+    * build mart v0 from the base, stream the day's rows back user-hash-
+    * sliced one file per micro-batch, and land each batch with
+    * `maintain(prevMart, updatedSilver, batch)` under the swap-write
+    * discipline. Returns the final mart version. */
+  private def replayViaStream(
+      spark: SparkSession, dir: String, slices: Int,
+      buildMart: DataFrame => DataFrame)(
+      maintain: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
     val revenue = graft.bindings.Conformed.orderRevenue(spark, dir)
     val d = to_date(lit(graft.gold.IncrementalReplay.replayDate))
     val base = revenue.filter(col("creation_date") =!= d)
@@ -46,7 +88,7 @@ object IncrementalGoldStream {
     val silverPath = s"$root/silver"
     val inDir = s"$root/in"
     base.write.mode("overwrite").parquet(silverPath)
-    graft.gold.Ltv.daily(spark.read.parquet(silverPath))
+    buildMart(spark.read.parquet(silverPath))
       .write.mode("overwrite").parquet(s"$root/mart_v0")
 
     // slice the delta by user hash — users split ACROSS micro-batches
@@ -72,7 +114,7 @@ object IncrementalGoldStream {
         b.write.mode("append").parquet(silverPath)
         val silver = s.read.parquet(silverPath)
         val prev = s.read.parquet(s"$root/mart_v$version")
-        graft.gold.IncrementalLtv(prev, silver, b)
+        maintain(prev, silver, b)
           .write.mode("overwrite").parquet(s"$root/mart_v${version + 1}")
         version += 1
         b.unpersist()
