@@ -1008,10 +1008,18 @@ object SparkEntry {
                   l_extendedprice, l_discount, l_tax, l_returnflag,
                   l_linestatus, l_shipdate
            FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+      // The k extraction must match Spark's from_json("k LONG") on
+      // HOSTILE payloads too, not just the gated feed: from_json nulls
+      // out anything but a native in-range JSON integer, while a bare
+      // CAST(json_extract_string(...)) coerces "5" to 5 and errors on
+      // "5.5". The json_type guard pins the same nulling semantics
+      // (quoted/float/bool/overflow/missing all -> NULL on both engines).
       "q120_json_extract" ->
         """WITH j AS (
              SELECT event_type,
-                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                    CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                         THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+                    END AS k
              FROM events)
            SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
                   CAST(sum(k) AS BIGINT) AS sum_k,
