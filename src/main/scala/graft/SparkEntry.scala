@@ -936,6 +936,29 @@ object SparkEntry {
       graft.streaming.IncrementalGoldStream.trendsViaStream(s, dir)
         .orderBy(col("creation_date"), col("restaurant_id"), col("item_category"))),
 
+    // ---- ext: mutual information between source and language —
+    // information-theoretic dependence for feature/redundancy audits ----
+    "q140_mutual_information" -> ((s, dir) =>
+      graft.ext.Profiling.mutualInformation(
+        Tables.documents(s, dir), col("source"), col("lang"))),
+
+    // ---- ext: reciprocal-rank fusion of the lexical (BM25) and dense
+    // (cosine top-k) rankers — hybrid retrieval without score
+    // calibration (ranks only) ----
+    "q141_rrf_fusion" -> ((s, dir) => {
+      val lex = graft.ext.Retrieval.bm25Search(
+          Tables.documents(s, dir), "doc_id", "text",
+          queryModEvery = 50, k = 10, maxDfFraction = 1.0)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val den = Similarity.topKNeighbors(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 10)
+        .filter(pmod(col("vec_id"), lit(50L)) === 0)
+        .select(col("vec_id").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ext.Retrieval.rrfFuse(Seq(lex, den), c = 60, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- ext: online rolling-baseline z-score (self-excluding
     // calendar-RANGE frame — what a live monitor would have known) ----
     "q132_rolling_z" -> ((s, dir) =>
@@ -1116,6 +1139,9 @@ object SparkEntry {
         ExtOracleSql.bm25Search(queryModEvery = 50, k = 10, maxDfFraction = 1.0),
       "q136_bm25_capped" ->
         ExtOracleSql.bm25Search(queryModEvery = 50, k = 10, maxDfFraction = 0.78),
+      "q140_mutual_information" -> ExtOracleSql.mutualInformation(),
+      "q141_rrf_fusion" -> ExtOracleSql.rrfFusion(
+        queryModEvery = 50, kLex = 10, kDen = 10, c = 60, k = 10),
       "q129_dedup_against" ->
         ExtOracleSql.dedupAgainst(modEvery = 10, minJaccard = 0.5),
       // Oracle is the NAIVE purchase-by-touch BETWEEN join — independent

@@ -344,6 +344,54 @@ object Profiling {
             / (col("n") * col("n") - col("pe_num")), 6)).as("kappa"))
   }
 
+  /** Mutual information I(A;B) plus marginal entropies H(A), H(B)
+    * between two categorical columns (natural log) — the information-
+    * theoretic dependence measure of feature selection and redundancy
+    * audits: how many nats does knowing the source tell you about the
+    * language? Unlike [[cohenKappa]] (agreement between two raters over
+    * the SAME label space) this needs no shared categories.
+    *
+    * Everything derives from the joint-count table: one hash aggregate
+    * to (a, b) grain (categories², map-side combined), marginals and
+    * the total reduce from it, and every term —
+    *   I += (n_ab/n)·ln(n·n_ab / (n_a·n_b)),  H −= (n_a/n)·ln(n_a/n)
+    * — is one fixed IEEE formula from exact longs, quantized to
+    * integral 1e-9 nats per term and summed as order-free longs.
+    * Pointwise MI terms can be NEGATIVE, so the emitted doubles are
+    * single divisions of identical longs (no half-tie rounding surface
+    * at all — the integer-div half-up trick is for nonnegative sums).
+    * The n·n_ab and n_a·n_b products run in doubles INSIDE the log
+    * (their ratio is what matters; long multiplication would overflow
+    * past ~10⁹ rows). */
+  def mutualInformation(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val joint = df.select(aCol.cast("string").as("a"), bCol.cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ma = joint.groupBy(col("a")).agg(sum(col("nab")).as("na"))
+    val mb = joint.groupBy(col("b")).agg(sum(col("nab")).as("nb"))
+    val tot = joint.agg(sum(col("nab")).as("n"))
+    val miU = joint
+      .join(broadcast(ma), Seq("a")).join(broadcast(mb), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(
+        round((col("nab").cast("double") / col("n"))
+          * log((col("n").cast("double") * col("nab"))
+            / (col("na").cast("double") * col("nb"))) * lit(1e9))
+          .cast("long")).as("mi_u"))
+    def entropyU(m: DataFrame, cnt: String) = m.crossJoin(broadcast(tot))
+      .agg(sum(
+        round(-(col(cnt).cast("double") / col("n"))
+          * log(col(cnt).cast("double") / col("n")) * lit(1e9))
+          .cast("long")).as(s"${cnt}_u"))
+    tot.crossJoin(broadcast(miU))
+      .crossJoin(broadcast(entropyU(ma, "na")))
+      .crossJoin(broadcast(entropyU(mb, "nb")))
+      .select(col("n"),
+        (col("mi_u").cast("double") / lit(1e9)).as("mi_nats"),
+        (col("na_u").cast("double") / lit(1e9)).as("h_a"),
+        (col("nb_u").cast("double") / lit(1e9)).as("h_b"))
+  }
+
   /** Winsorize (clip) a numeric column to its per-group discrete
     * [pLo, pHi] quantiles — the outlier-capping step before scaling /
     * feature extraction. Discrete quantiles keep everything exact

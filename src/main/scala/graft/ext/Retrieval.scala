@@ -85,4 +85,46 @@ object Retrieval {
       .select(col("query_id"), col("t.id").as("doc_id"),
         col("t.score").as("bm25"), col("t.rank").as("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of retrieval
+    * rank lists: score(q, d) = Σ_lists 1/(c + rank_list(q, d)), summed
+    * over the lists where (q, d) appears — the standard way to merge a
+    * lexical ([[bm25Search]]) and a dense
+    * ([[graft.ext.Similarity.topKNeighbors]]) ranking without score
+    * calibration, since only RANKS enter the formula. Hybrid retrieval
+    * is the default for training-pair mining: BM25 finds term-overlap
+    * pairs embeddings smooth over, dense finds paraphrases sharing no
+    * terms; fusion keeps both.
+    *
+    * Input contract: each frame carries (query_id, doc_id, rank). A
+    * document missing from a list simply contributes no term (the RRF
+    * convention) — the doc universes need not coincide.
+    *
+    * Shape: union of the (already top-k-bounded, so queries·k-sized)
+    * rank lists, one hash aggregate per (query, doc), bounded top-k
+    * heap per query — nothing here scales with the corpus, only with
+    * the fused lists. Exactness: 1/(c+rank) quantizes to integral 1e-9
+    * units per term (a pure function of the integer rank — identical on
+    * both engines), sums as order-free longs, and the emitted score is
+    * a single division of identical longs. Ties break on doc_id. */
+  def rrfFuse(rankings: Seq[DataFrame], c: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(c >= 0, "c must be nonnegative")
+    val u = rankings
+      .map(_.select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+    val fused = u
+      .withColumn("u",
+        round(lit(1e9) / (lit(c.toLong) + col("rank"))).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("u")).as("su"))
+      .select(col("query_id"), col("doc_id"),
+        (col("su").cast("double") / lit(1e9)).as("rrf"))
+    fused.groupBy(col("query_id"))
+      .agg(top_k(col("rrf"), col("doc_id"), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("t"))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.score").as("rrf"), col("t.rank").as("rank"))
+  }
 }

@@ -892,7 +892,15 @@ object ExtOracleSql {
   def bm25Search(queryModEvery: Int, k: Int,
                  k1: Double = 1.2, b: Double = 0.75,
                  maxDfFraction: Double = 0.5): String =
-    s"""WITH tok AS (
+    s"""WITH ${bm25Ctes(queryModEvery, k1, b, maxDfFraction)}
+       |SELECT query_id, doc_id, bm25, rank FROM rk
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** The BM25 CTE chain shared by [[bm25Search]] and [[rrfFusion]]:
+    * yields `rk` = (query_id, doc_id, bm25, rank). */
+  private def bm25Ctes(queryModEvery: Int, k1: Double, b: Double,
+                       maxDfFraction: Double): String =
+    s"""tok AS (
        |  SELECT doc_id, unnest(${Portable.tokensSql("text")}) AS term
        |  FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -922,9 +930,69 @@ object ExtOracleSql {
        |  SELECT query_id, doc_id, bm25,
        |         row_number() OVER (PARTITION BY query_id
        |           ORDER BY bm25 DESC, doc_id) AS rank
-       |  FROM hit)
-       |SELECT query_id, doc_id, bm25, rank FROM rk
+       |  FROM hit)""".stripMargin
+
+  /** Mirrors [[graft.ext.Retrieval.rrfFuse]] over the gated hybrid:
+    * uncapped BM25 top-kLex fused with the dense all-pairs top-kDen
+    * ([[topKNeighbors]] restricted to the query anchors). */
+  def rrfFusion(queryModEvery: Int, kLex: Int, kDen: Int,
+                c: Int, k: Int): String =
+    s"""WITH ${bm25Ctes(queryModEvery, 1.2, 0.75, 1.0)},
+       |bmr AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= $kLex),
+       |ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |       FROM embeddings),
+       |dcj AS (
+       |  SELECT a.vec_id AS query_id, b2.vec_id AS doc_id,
+       |         round(list_cosine_similarity(a.emb, b2.emb), 6) AS cosine
+       |  FROM ve a JOIN ve b2
+       |    ON a.vec_id % $queryModEvery = 0 AND a.vec_id != b2.vec_id),
+       |drk AS (
+       |  SELECT query_id, doc_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, doc_id) AS rank
+       |  FROM dcj),
+       |dtop AS (SELECT query_id, doc_id, rank FROM drk WHERE rank <= $kDen),
+       |uni AS (SELECT * FROM bmr UNION ALL SELECT * FROM dtop),
+       |fs AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(sum(CAST(round(1e9 / ($c + rank)) AS BIGINT)) AS BIGINT)
+       |           AS su
+       |  FROM uni GROUP BY 1, 2),
+       |fr AS (
+       |  SELECT query_id, doc_id, CAST(su AS DOUBLE) / 1e9 AS rrf,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY CAST(su AS DOUBLE) / 1e9 DESC, doc_id) AS rank
+       |  FROM fs)
+       |SELECT query_id, doc_id, rrf, rank FROM fr
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Mirrors [[graft.ext.Profiling.mutualInformation]] over
+    * (source, lang) of the documents table. */
+  def mutualInformation(): String =
+    s"""WITH j AS (
+       |  SELECT CAST(source AS VARCHAR) AS a, CAST(lang AS VARCHAR) AS b,
+       |         count(*) AS nab
+       |  FROM documents GROUP BY 1, 2),
+       |ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM j GROUP BY 1),
+       |mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb FROM j GROUP BY 1),
+       |t AS (SELECT CAST(sum(nab) AS BIGINT) AS n FROM j),
+       |mi AS (
+       |  SELECT CAST(sum(CAST(round((CAST(nab AS DOUBLE) / n)
+       |           * ln((CAST(n AS DOUBLE) * nab) / (CAST(na AS DOUBLE) * nb))
+       |           * 1e9) AS BIGINT)) AS BIGINT) AS u
+       |  FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t),
+       |ha AS (
+       |  SELECT CAST(sum(CAST(round(-(CAST(na AS DOUBLE) / n)
+       |           * ln(CAST(na AS DOUBLE) / n) * 1e9) AS BIGINT)) AS BIGINT) AS u
+       |  FROM ma CROSS JOIN t),
+       |hb AS (
+       |  SELECT CAST(sum(CAST(round(-(CAST(nb AS DOUBLE) / n)
+       |           * ln(CAST(nb AS DOUBLE) / n) * 1e9) AS BIGINT)) AS BIGINT) AS u
+       |  FROM mb CROSS JOIN t)
+       |SELECT n, CAST(mi.u AS DOUBLE) / 1e9 AS mi_nats,
+       |       CAST(ha.u AS DOUBLE) / 1e9 AS h_a,
+       |       CAST(hb.u AS DOUBLE) / 1e9 AS h_b
+       |FROM t CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
 
   /** Composed curation pipeline (mirrors [[graft.ext.Curation.curate]]):
     * quality gate + language gate + near-dup-loser anti-join + hash

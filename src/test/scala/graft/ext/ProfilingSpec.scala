@@ -105,6 +105,20 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.quantileLabel(0.5) == "p50")
   }
 
+  test("mutualInformation: zero under independence, H under determinism") {
+    // independent: all four (a, b) combos equally likely -> MI = 0
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val gi = Profiling.mutualInformation(indep, col("a"), col("b"))
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(gi._1 == 4L && gi._2 == 0.0)
+    // deterministic: b == a, 50/50 -> MI = H(A) = H(B) = ln 2
+    // (quantized per term: 2 x round(0.5 ln2 * 1e9) = 693147180 units)
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    val gd = Profiling.mutualInformation(dep, col("a"), col("b"))
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(gd._2 == 0.69314718 && gd._3 == gd._2 && gd._4 == gd._2)
+  }
+
   test("winsorize clips to per-group discrete quantile bounds") {
     val df = ((1L to 100L).map(v => ("a", v)) ++ Seq(("b", 7L)))
       .toDF("g", "v")

@@ -60,4 +60,23 @@ class RetrievalSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(uncapped == Set(1L, 2L, 3L), "uncapped probe reaches common-term docs")
   }
+
+  test("rrfFuse: hand-computed fusion, single-list docs, doc-id ties") {
+    // list1 ranks d1, d2; list2 ranks d2, d3. c = 60:
+    //   d2 = round(1e9/61) + round(1e9/62) = 16393443 + 16129032 units
+    //   d1 = 16393443 units; d3 = 16129032 units
+    val l1 = Seq((7L, 1L, 1), (7L, 2L, 2)).toDF("query_id", "doc_id", "rank")
+    val l2 = Seq((7L, 2L, 1), (7L, 3L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(l1, l2), c = 60, k = 10)
+      .orderBy($"rank")
+      .select($"doc_id", $"rrf", $"rank").as[(Long, Double, Int)].collect().toSeq
+    assert(got == Seq(
+      (2L, 0.032522475, 1), (1L, 0.016393443, 2), (3L, 0.016129032, 3)))
+    // equal-score ties (same rank in disjoint lists) break on doc_id
+    val t1 = Seq((8L, 5L, 1)).toDF("query_id", "doc_id", "rank")
+    val t2 = Seq((8L, 4L, 1)).toDF("query_id", "doc_id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(t1, t2), c = 60, k = 2)
+      .orderBy($"rank").select($"doc_id").as[Long].collect().toSeq
+    assert(tied == Seq(4L, 5L))
+  }
 }
