@@ -942,6 +942,13 @@ object SparkEntry {
       graft.ext.Profiling.mutualInformation(
         Tables.documents(s, dir), col("source"), col("lang"))),
 
+    // ---- ext: join-key skew profile — the measurement that decides
+    // between the plain plan, salting (q61/q91), and a broadcast ----
+    "q142_skew_profile" -> ((s, dir) =>
+      graft.ext.Skew.skewProfile(
+          Tables.lineitem(s, dir), col("l_partkey"), topK = 50)
+        .orderBy(col("rank"))),
+
     // ---- ext: reciprocal-rank fusion of the lexical (BM25) and dense
     // (cosine top-k) rankers — hybrid retrieval without score
     // calibration (ranks only) ----
@@ -1140,6 +1147,19 @@ object SparkEntry {
       "q136_bm25_capped" ->
         ExtOracleSql.bm25Search(queryModEvery = 50, k = 10, maxDfFraction = 0.78),
       "q140_mutual_information" -> ExtOracleSql.mutualInformation(),
+      "q142_skew_profile" ->
+        """WITH k AS (
+             SELECT l_partkey AS key, count(*) AS n_rows
+             FROM lineitem GROUP BY 1),
+           t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+                        count(*) AS n_keys FROM k),
+           r AS (SELECT key, n_rows,
+                        row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+                 FROM k)
+           SELECT r.key, r.n_rows, r.rank,
+                  CAST(r.n_rows AS DOUBLE) / t.n_total AS share,
+                  (CAST(r.n_rows AS DOUBLE) * t.n_keys) / t.n_total AS skew
+           FROM r CROSS JOIN t WHERE rank <= 50 ORDER BY rank""",
       "q141_rrf_fusion" -> ExtOracleSql.rrfFusion(
         queryModEvery = 50, kLex = 10, kDen = 10, c = 60, k = 10),
       "q129_dedup_against" ->

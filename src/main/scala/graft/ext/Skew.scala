@@ -29,6 +29,34 @@ object Skew {
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
   }
 
+  /** Key-skew profile: the top-K heaviest keys of a prospective
+    * join/group key with their row share and skew ratio (share ×
+    * distinct-key count — 1.0 means perfectly uniform, N means one key
+    * owns everything). The measurement that DECIDES between the plain
+    * plan, [[saltedSum]]/[[saltedJoin]], and a broadcast — run it
+    * before committing a 100 TB shuffle, not after it straggles.
+    *
+    * Shape: one hash aggregate to key grain (map-side combined), a
+    * broadcast scalar frame for the totals, and the global top-K is
+    * orderBy+limit — Spark's TakeOrdered (per-partition heap + driver
+    * merge of K rows), never a full sort; the rank window runs on the
+    * K-row result. The emitted doubles are single divisions of
+    * identical longs — no rounding surface. */
+  def skewProfile(df: DataFrame, keyCol: Column, topK: Int = 50): DataFrame = {
+    val k = df.groupBy(keyCol.as("key")).agg(count(lit(1)).as("n_rows"))
+    val t = k.agg(sum(col("n_rows")).as("n_total"), count(lit(1)).as("n_keys"))
+    val top = k.orderBy(col("n_rows").desc, col("key")).limit(topK)
+    top
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_rows").desc, col("key"))))
+      .crossJoin(broadcast(t))
+      .select(col("key"), col("n_rows"), col("rank"),
+        (col("n_rows").cast("double") / col("n_total")).as("share"),
+        ((col("n_rows").cast("double") * col("n_keys")) / col("n_total"))
+          .as("skew"))
+  }
+
   /** Salted equi-join for a skewed big side vs a non-broadcastable but
     * replicable right side: the big side gets a deterministic salt, the
     * right side is exploded across all salts, and the join key becomes

@@ -29,4 +29,21 @@ class SkewSpec extends SparkSpec {
       .as[(String, Long, String)].collect().sorted.toSeq
     assert(salted == direct)
   }
+
+  test("skewProfile: hot key ranked first with exact share and skew ratio") {
+    // 1000 hot + 10 cold rows, 2 keys: hot share = 1000/1010,
+    // skew = share * n_keys = 2000/1010
+    val got = Skew.skewProfile(skewed.toDF("k", "v"), col("k"), topK = 10)
+      .orderBy($"rank")
+      .as[(String, Long, Int, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("hot", 1000L, 1, 1000.0 / 1010, 1000.0 * 2 / 1010),
+      ("cold", 10L, 2, 10.0 / 1010, 10.0 * 2 / 1010)))
+    // the top-K truncation keeps the heaviest keys only
+    val many = ((1 to 100).map(i => (s"k$i", 1L)) ++ Seq(("big", 50L)))
+      .flatMap { case (k, n) => Seq.fill(n.toInt)(k) }.toDF("k")
+    val top3 = Skew.skewProfile(many, col("k"), topK = 3)
+      .orderBy($"rank").select($"key", $"rank").as[(String, Int)].collect()
+    assert(top3.head == (("big", 1)) && top3.length == 3)
+  }
 }
