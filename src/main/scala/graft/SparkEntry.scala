@@ -942,6 +942,12 @@ object SparkEntry {
       graft.ext.Profiling.mutualInformation(
         Tables.documents(s, dir), col("source"), col("lang"))),
 
+    // ---- ext: per-source Jensen-Shannon divergence vs the pooled
+    // token mix — vocabulary drift for training-mix audits ----
+    "q143_jsd_sources" -> ((s, dir) =>
+      graft.ext.Drift.jsdPerGroup(Tables.documents(s, dir), "source", "text")
+        .orderBy(col("source"))),
+
     // ---- ext: join-key skew profile — the measurement that decides
     // between the plain plan, salting (q61/q91), and a broadcast ----
     "q142_skew_profile" -> ((s, dir) =>
@@ -1147,6 +1153,7 @@ object SparkEntry {
       "q136_bm25_capped" ->
         ExtOracleSql.bm25Search(queryModEvery = 50, k = 10, maxDfFraction = 0.78),
       "q140_mutual_information" -> ExtOracleSql.mutualInformation(),
+      "q143_jsd_sources" -> ExtOracleSql.jsdPerGroup(),
       "q142_skew_profile" ->
         """WITH k AS (
              SELECT l_partkey AS key, count(*) AS n_rows

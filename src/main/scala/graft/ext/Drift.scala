@@ -132,4 +132,52 @@ object Drift {
         round(sum(col("nanos")).over(w) / 1e9, 6).as("chi2_total"),
         (count(lit(1)).over(w) - 1).cast("long").as("dof"))
   }
+
+  /** Per-group Jensen-Shannon divergence of each group's TOKEN
+    * distribution against the pooled corpus distribution — the
+    * vocabulary-drift companion to [[psi]]/[[ksBinned]]/[[chiSquare]]
+    * (those watch numeric/categorical columns; this watches what the
+    * text itself is made of). The training-mix audit: which sources'
+    * language diverges most from the blend the model will actually see?
+    * JSD is symmetric, bounded by ln 2, and never infinite (unlike KL),
+    * so one threshold works across sources of any size.
+    *
+    *   JSD(P‖M) = ½·Σ_t p·ln(p/a) + ½·Σ_t m·ln(m/a),  a = (p+m)/2
+    *
+    * with P the group's term distribution and M the pooled one (which
+    * includes the group — the standard vs-mix convention). Terms with
+    * p = 0 contribute only their m-side; m = 0 cannot occur (m ≥ p/|G|).
+    *
+    * Shape: token explode + one hash aggregate to (group, term) grain,
+    * then everything is vocabulary-sized: pooled counts broadcast onto a
+    * groups × vocab spine (exact JSD needs the m-side sum over the FULL
+    * vocabulary per group — at web scale cap the vocabulary first, e.g.
+    * [[graft.ext.Retrieval]]'s df discipline, and the spine stays
+    * bounded). Per-term quantization to 1e-9 nats, order-free long sums,
+    * single-division emit — the [[graft.ext.Profiling.mutualInformation]]
+    * exactness contract. */
+  def jsdPerGroup(
+      docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(groupCol).as("g"),
+      explode(graft.functions.Portable.tokens(col(textCol))).as("term"))
+    val cst = tok.groupBy(col("g"), col("term")).agg(count(lit(1)).as("cst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ct = cst.groupBy(col("term")).agg(sum(col("cst")).as("ct"))
+    val ns = cst.groupBy(col("g")).agg(sum(col("cst")).as("ns"))
+    val n = cst.agg(sum(col("cst")).as("n"))
+    val full = ns.crossJoin(broadcast(ct)).crossJoin(broadcast(n))
+      .join(cst, Seq("g", "term"), "left")
+      .na.fill(0L, Seq("cst"))
+    val p = col("cst").cast("double") / col("ns")
+    val m = col("ct").cast("double") / col("n")
+    val a = (p + m) / lit(2.0)
+    full
+      .withColumn("u",
+        round((when(col("cst") > 0, p * log(p / a)).otherwise(lit(0.0))
+          + m * log(m / a)) * lit(0.5) * lit(1e9)).cast("long"))
+      .groupBy(col("g"), col("ns"))
+      .agg(sum(col("u")).as("su"))
+      .select(col("g").as(groupCol), col("ns").as("n_tokens"),
+        (col("su").cast("double") / lit(1e9)).as("jsd_nats"))
+  }
 }

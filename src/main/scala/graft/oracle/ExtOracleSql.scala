@@ -966,6 +966,38 @@ object ExtOracleSql {
        |SELECT query_id, doc_id, rrf, rank FROM fr
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors [[graft.ext.Drift.jsdPerGroup]] over (source, text) of the
+    * documents table. */
+  def jsdPerGroup(): String =
+    s"""WITH tok AS (
+       |  SELECT source AS g, unnest(${Portable.tokensSql("text")}) AS term
+       |  FROM documents),
+       |cst AS (SELECT g, term, count(*) AS cst FROM tok GROUP BY 1, 2),
+       |ct AS (SELECT term, CAST(sum(cst) AS BIGINT) AS ct FROM cst GROUP BY 1),
+       |ns AS (SELECT g, CAST(sum(cst) AS BIGINT) AS ns FROM cst GROUP BY 1),
+       |t AS (SELECT CAST(sum(cst) AS BIGINT) AS n FROM cst),
+       |fl AS (
+       |  SELECT ns.g, ns.ns, ct.term, ct.ct, t.n, COALESCE(c.cst, 0) AS cst
+       |  FROM ns CROSS JOIN ct CROSS JOIN t
+       |  LEFT JOIN cst c ON c.g = ns.g AND c.term = ct.term),
+       |u AS (
+       |  SELECT g, ns,
+       |         CAST(round((CASE WHEN cst > 0
+       |                THEN (CAST(cst AS DOUBLE) / ns)
+       |                     * ln((CAST(cst AS DOUBLE) / ns)
+       |                          / ((CAST(cst AS DOUBLE) / ns
+       |                              + CAST(ct AS DOUBLE) / n) / 2.0))
+       |                ELSE 0.0 END
+       |              + (CAST(ct AS DOUBLE) / n)
+       |                * ln((CAST(ct AS DOUBLE) / n)
+       |                     / ((CAST(cst AS DOUBLE) / ns
+       |                         + CAST(ct AS DOUBLE) / n) / 2.0)))
+       |             * 0.5 * 1e9) AS BIGINT) AS u
+       |  FROM fl)
+       |SELECT g AS source, ns AS n_tokens,
+       |       CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / 1e9 AS jsd_nats
+       |FROM u GROUP BY 1, 2 ORDER BY source""".stripMargin
+
   /** Mirrors [[graft.ext.Profiling.mutualInformation]] over
     * (source, lang) of the documents table. */
   def mutualInformation(): String =

@@ -48,4 +48,24 @@ class DriftSpec extends SparkSpec {
     val oneSided = Drift.chiSquare(base, Seq("cat0", "catNEW").toDF("c"), "c")
     assert(oneSided.count() == 4)
   }
+
+  test("jsdPerGroup: zero for identical mixes, hand value for disjoint vocab") {
+    import spark.implicits._
+    // every source emits the same token -> each equals the pool exactly
+    val same = Seq(("a", "x"), ("a", "x"), ("b", "x")).toDF("source", "text")
+    val gs = Drift.jsdPerGroup(same, "source", "text")
+      .as[(String, Long, Double)].collect()
+      .map { case (g, n, j) => g -> ((n, j)) }.toMap
+    assert(gs == Map("a" -> ((2L, 0.0)), "b" -> ((1L, 0.0))))
+    // disjoint vocabularies, equal sizes: per-term 1e-9-unit quantization
+    //   u(a,x) = round((ln(4/3) + 0.5 ln(2/3)) * 0.5e9) =  42474759
+    //   u(a,y) = round((0.5 ln 2) * 0.5e9)              = 173286795
+    // jsd = 0.215761554 nats for both sources (< ln 2 bound)
+    val disj = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("source", "text")
+    val gd = Drift.jsdPerGroup(disj, "source", "text")
+      .as[(String, Long, Double)].collect()
+      .map { case (g, n, j) => g -> ((n, j)) }.toMap
+    assert(gd == Map("a" -> ((2L, 0.215761554)), "b" -> ((2L, 0.215761554))))
+  }
 }
