@@ -837,6 +837,22 @@ object SparkEntry {
           Tables.embeddings(s, dir), "vec_id", "embedding", "label", k = 5)
         .orderBy(col("vec_id"), col("rank"))),
 
+    // ---- ext: ANN index-quality audit — per-probe recall@k of the IVF
+    // index (q21) against the exact scorer (q20); singleton-cell probes
+    // surface as recall 0, never as missing rows ----
+    "q144_ann_recall" -> ((s, dir) =>
+      graft.ext.Similarity.annRecall(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, centroidEvery = 100)
+        .orderBy(col("vec_id"))),
+
+    // ---- ext: label-noise audit via k-NN disagreement (the deep-kNN /
+    // confident-learning shortlist a relabeling pass reviews) ----
+    "q145_label_noise" -> ((s, dir) =>
+      graft.ext.Similarity.labelNoise(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("vec_id"))),
+
     // ---- ext: degree-ordered triangle counting over the co-purchase
     // graph (parts sharing >= 2 orders) ----
     "q123_triangles" -> ((s, dir) => {
@@ -1066,6 +1082,8 @@ object SparkEntry {
       "q122_hard_negatives" -> ExtOracleSql.hardNegatives(k = 5),
       "q137_hard_negatives_cells" ->
         ExtOracleSql.hardNegativesInCells(k = 5, iters = 2, seedEvery = 100),
+      "q144_ann_recall" -> ExtOracleSql.annRecall(k = 5, centroidEvery = 100),
+      "q145_label_noise" -> ExtOracleSql.labelNoise(k = 5),
       // Oracle counts each triangle once via the id-ordered triple join
       // (u<v<w) — orientation-independent, so it checks the Spark side's
       // degree-ordered counting without sharing its mechanism.

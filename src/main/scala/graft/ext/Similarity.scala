@@ -532,6 +532,76 @@ object Similarity {
         (array_max(col("err_nanos")) / 1e9).as("max_abs_err"))
   }
 
+  /** ANN index-quality audit: per-probe recall@k of the IVF index
+    * ([[ivfTopK]]) against the exact scorer ([[topKNeighbors]]) — the
+    * measurement that decides whether a single-probe cell search is
+    * good enough or the index needs more probes / finer cells before a
+    * retrieval pipeline trusts it.
+    *
+    * Both sides share one determinism contract (6dp-rounded cosine,
+    * neighbor-id tie-break), so the intersection is engine-stable —
+    * recall is a property of the INDEX, not of float noise. Probes with
+    * no IVF output (singleton cells) surface as recall 0, not as
+    * missing rows: an audit that silently drops the worst cases is
+    * wrong.
+    *
+    * Scale shape: the exact side is the expensive one (O(probes·n·d));
+    * at 100 TB run the audit over a SAMPLED probe set (hash-sample the
+    * probe side — the corpus side must stay complete or recall is
+    * biased upward) while the IVF side reuses the production index.
+    * The intersection join and count are one shuffle at probes·k rows. */
+  def annRecall(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroidEvery: Int = 100): DataFrame = {
+    val exact = topKNeighbors(vecs, idCol, vecCol, k)
+      .select(col("vec_id"), col("neighbor_id"))
+    val approx = ivfTopK(vecs, idCol, vecCol, k, centroidEvery)
+      .select(col("vec_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("vec_id")).distinct()
+      .join(hits, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
+  /** Label-noise audit via k-NN disagreement (the deep-kNN /
+    * confident-learning signal): for every vector, how many of its `k`
+    * exact nearest neighbors carry a DIFFERENT label, and a `suspect`
+    * flag when disagreers form a strict majority — the shortlist a
+    * relabeling pass reviews before the labels train anything.
+    *
+    * The neighbor list comes from [[topKNeighbors]] (6dp-rounded
+    * cosine, id tie-break), so the flagged set is engine-stable. The
+    * disagreement count is one hash aggregate over probes·k rows after
+    * two label lookups (broadcast-sized when labels ride a dim table;
+    * here a self-join on the id — Spark picks the sort-merge it
+    * shuffles anyway for the top-k merge).
+    *
+    * At 100 TB: neighbor lists are the expensive input — reuse the
+    * retrieval tier's cells ([[hardNegativesInCells]]'s composition)
+    * or audit a stratified sample per label; the aggregate itself is
+    * linear in probes·k. */
+  def labelNoise(
+      vecs: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    val labels = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(labelCol).as("label"))
+    val nbrs = topKNeighbors(vecs, idCol, vecCol, k)
+      .select(col("vec_id"), col("neighbor_id"))
+    nbrs
+      .join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label")), Seq("neighbor_id"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(when(col("neighbor_label") =!= col("label"), 1L)
+        .otherwise(0L)).as("n_disagree"))
+      .select(col("vec_id"), col("label"), col("n_disagree"),
+        (col("n_disagree") * 2 > k).as("suspect"))
+  }
+
   /** L2 normalization via higher-order array functions — the embedding
     * prep step before cosine retrieval (unit vectors turn cosine into a
     * dot product). Emits the norm plus probe values of the normalized

@@ -285,6 +285,74 @@ object ExtOracleSql {
        |SELECT vec_id, neighbor_id, cosine, rank FROM rk
        |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
 
+  /** Shared exact-top-k CTE chain (the q20 contract: 6dp-rounded
+    * cosine, neighbor-id tie-break), ending in `exk(vec_id,
+    * neighbor_id)`. Assumes `v` from [[vecsCte]] is already in scope. */
+  private def exactTopKCtes(k: Int): String =
+    s"""excj AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+       |  FROM v a JOIN v b ON a.vec_id != b.vec_id),
+       |exrk AS (
+       |  SELECT vec_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM excj),
+       |exk AS (SELECT vec_id, neighbor_id FROM exrk WHERE rank <= $k)""".stripMargin
+
+  /** Mirrors [[graft.ext.Similarity.annRecall]] — the exact and IVF
+    * top-k chains (q20/q21's own CTEs) intersected per probe. */
+  def annRecall(k: Int, centroidEvery: Int): String =
+    s"""WITH $vecsCte,
+       |${exactTopKCtes(k)},
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, emb AS cemb FROM v
+       |  WHERE vec_id % $centroidEvery = 0),
+       |asg AS (
+       |  SELECT vec_id, emb, centroid_id AS cell
+       |  FROM (SELECT v.vec_id, v.emb, c.centroid_id,
+       |               row_number() OVER (PARTITION BY v.vec_id
+       |                 ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 6) DESC,
+       |                          c.centroid_id) AS crn
+       |        FROM v CROSS JOIN cents c)
+       |  WHERE crn = 1),
+       |ivcj AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+       |ivrk AS (
+       |  SELECT vec_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM ivcj),
+       |ivk AS (SELECT vec_id, neighbor_id FROM ivrk WHERE rank <= $k),
+       |h AS (
+       |  SELECT e.vec_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM exk e JOIN ivk i
+       |    ON e.vec_id = i.vec_id AND e.neighbor_id = i.neighbor_id
+       |  GROUP BY e.vec_id)
+       |SELECT x.vec_id,
+       |       COALESCE(h.hits, 0) AS hits,
+       |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / $k AS recall_at_k
+       |FROM (SELECT DISTINCT vec_id FROM exk) x
+       |LEFT JOIN h ON x.vec_id = h.vec_id
+       |ORDER BY x.vec_id""".stripMargin
+
+  /** Mirrors [[graft.ext.Similarity.labelNoise]]. */
+  def labelNoise(k: Int): String =
+    s"""WITH $vecsCte,
+       |${exactTopKCtes(k)}
+       |SELECT e.vec_id, a.label,
+       |       CAST(sum(CASE WHEN b.label != a.label THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_disagree,
+       |       CAST(sum(CASE WHEN b.label != a.label THEN 1 ELSE 0 END) AS BIGINT)
+       |         * 2 > $k AS suspect
+       |FROM exk e
+       |JOIN v a ON e.vec_id = a.vec_id
+       |JOIN v b ON e.neighbor_id = b.vec_id
+       |GROUP BY e.vec_id, a.label
+       |ORDER BY e.vec_id""".stripMargin
+
   /** Mirrors [[graft.ext.Similarity.hardNegatives]]. */
   def hardNegatives(k: Int): String =
     s"""WITH v AS (

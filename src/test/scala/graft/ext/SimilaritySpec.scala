@@ -192,4 +192,43 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
     }
   }
+
+  test("annRecall: single-cell IVF scores perfect recall, split cells lose cross-cell hits") {
+    // one centroid (only id 0 seeds) -> IVF == exact -> recall 1 for all
+    val one = (0L to 5L).map { i =>
+      (i, Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val perfect = Similarity.annRecall(one, "vec_id", "embedding", k = 2,
+        centroidEvery = 1000)
+      .select($"vec_id", $"hits", $"recall_at_k").as[(Long, Long, Double)]
+      .collect()
+    assert(perfect.length == 6 && perfect.forall { case (_, h, r) => h == 2L && r == 1.0 })
+    // two tight cells (centroids 0 and 100): every probe's exact top-2
+    // includes the opposite cell's near-axis vector, which single-probe
+    // IVF can never return -> hits 1, recall 0.5, and EVERY probe is a
+    // row (the audit must not drop the misses)
+    val split = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.95f, 0.05f)),
+      (100L, Array(0.0f, 1.0f)), (101L, Array(0.05f, 0.95f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.annRecall(split, "vec_id", "embedding", k = 2,
+        centroidEvery = 100)
+      .select($"vec_id", $"hits", $"recall_at_k").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got == Set((0L, 1L, 0.5), (1L, 1L, 0.5), (100L, 1L, 0.5), (101L, 1L, 0.5)))
+  }
+
+  test("labelNoise: majority-disagreeing neighbors flag the suspect label") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.01f), 0),
+      (3L, Array(0.98f, 0.02f), 1), // nearest two neighbors are both label 0
+      (4L, Array(0.0f, 1.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelNoise(vecs, "vec_id", "embedding", "label", k = 2)
+      .select($"vec_id", $"label", $"n_disagree", $"suspect")
+      .as[(Long, Int, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 1L, false), (2L, 0, 1L, false), (3L, 1, 2L, true), (4L, 1, 1L, false)))
+  }
 }
