@@ -988,6 +988,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- ext: per-source LM-quality pruning audit — rank-based keep
+    // fraction (integer predicate, no float threshold) over q76's
+    // unigram-LM scores ----
+    "q146_lm_prune" -> ((s, dir) =>
+      graft.ext.TextAnalysis.lmPruneBySource(
+          Tables.documents(s, dir), "doc_id", "text", "source",
+          keepNum = 4, keepDen = 5)
+        .orderBy(col("source"))),
+
+    // ---- ext: CUPED variance-reduced A/B readout over the event
+    // stream (hash-assigned variants, pre/post split mid-month) ----
+    "q147_cuped" -> ((s, dir) =>
+      graft.ext.Experiment.cupedReadout(
+          Tables.events(s, dir), "user_id", "ts", "value",
+          splitTs = "2024-01-16")
+        .orderBy(col("variant"))),
+
+    // ---- ext: per-doc duplicated-n-gram share — the span-level dedup
+    // signal document-level dedup misses (templated/stitched content) ----
+    "q148_dup_ngram_share" -> ((s, dir) =>
+      graft.ext.Dedup.dupNgramShare(
+          Tables.documents(s, dir), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))),
+
     // ---- ext: online rolling-baseline z-score (self-excluding
     // calendar-RANGE frame — what a live monitor would have known) ----
     "q132_rolling_z" -> ((s, dir) =>
@@ -1172,6 +1196,10 @@ object SparkEntry {
         ExtOracleSql.bm25Search(queryModEvery = 50, k = 10, maxDfFraction = 0.78),
       "q140_mutual_information" -> ExtOracleSql.mutualInformation(),
       "q143_jsd_sources" -> ExtOracleSql.jsdPerGroup(),
+      "q146_lm_prune" -> ExtOracleSql.lmPruneBySource(keepNum = 4, keepDen = 5),
+      "q147_cuped" -> ExtOracleSql.cupedReadout(
+        splitTs = "2024-01-16", salt = "cuped"),
+      "q148_dup_ngram_share" -> ExtOracleSql.dupNgramShare(n = 5),
       "q142_skew_profile" ->
         """WITH k AS (
              SELECT l_partkey AS key, count(*) AS n_rows

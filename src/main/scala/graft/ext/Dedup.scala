@@ -286,6 +286,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** Per-document duplicated-n-gram share — the span-level dedup signal
+    * from the "Deduplicating Training Data Makes Language Models Better"
+    * line of work: document-level dedup misses the boilerplate PARTS of
+    * otherwise-unique pages, so curation also wants, per doc, what
+    * fraction of its distinct word n-grams occur in at least one other
+    * document. High-share docs are stitched/templated content; the
+    * corpus-wide mean is the number the dedup pass is judged by.
+    *
+    * Shape: one shingle explode feeding a gram-keyed doc-frequency
+    * aggregate (map-side partials — shingles are distinct within a doc,
+    * so count(*) IS the doc frequency), then one join back on the gram
+    * and a per-doc aggregate. Both shuffles key on the gram / doc id;
+    * nothing is pairwise — this reads the same inverted-index shape as
+    * [[crossSourceContamination]] and scales identically. Sub-`n`-token
+    * docs collapse to their whole-text shingle (the [[WordShingles]]
+    * fallback), so every document is audited. */
+  def dupNgramShare(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val sh = graft.core.Scans.spread(docs.filter(col(textCol).isNotNull))
+      .select(col(idCol).as("doc_id"),
+        explode(WordShingles.shingles(lower(col(textCol)), n)).as("g"))
+    val df = sh.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+    sh.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams")).as("dup_share"))
+  }
+
   /** SimHash: per-doc `bits`-bit locality-sensitive hash over the distinct
     * token set (bit b is the sign of Σ_tokens ±1 by token-hash bit b).
     * One-pass native [[graft.functions.SimHashPack]] over the distinct

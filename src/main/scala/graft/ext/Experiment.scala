@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Experiment-analysis tier: variance-reduced A/B readouts over the
+  * behavioral event stream.
+  *
+  * The reference pipeline ends at descriptive gold marts; an analytics
+  * engine that feeds experimentation also needs the readout that turns
+  * those marts into a decision. CUPED (Controlled-experiment Using
+  * Pre-Experiment Data) is the industry-standard first step: regress
+  * the in-experiment metric on its own pre-period value and compare
+  * adjusted means, typically cutting required sample size ~40-50% for
+  * sticky metrics like revenue.
+  */
+object Experiment {
+
+  /** CUPED-adjusted experiment readout. Users are assigned to variants
+    * by the engine's portable salted hash (the [[Sampling.hashSplit]]
+    * contract — reproducible on any engine and layout); the covariate
+    * is each user's PRE-period metric, the outcome the POST-period
+    * metric, split at `splitTs`. Emits one row per variant: raw mean,
+    * CUPED-adjusted mean (`ȳ_v − θ·(x̄_v − x̄)`), and the pooled θ.
+    *
+    * Exactness across engines: money rides as integral cents, so every
+    * per-user covariate/outcome and every pooled sum (Σx, Σy, Σxy, Σx²)
+    * is an order-free integer; θ and the means are then a FIXED chain
+    * of IEEE double ops over those exact integers, mirrored
+    * parenthesis-for-parenthesis in the oracle — emitted unrounded
+    * because identical chains produce identical bits (rounding, by
+    * contrast, can diverge on half-ulp boundaries). A zero pre-period
+    * variance pins θ = 0 (the unadjusted readout) on both engines.
+    *
+    * Shape: one user-keyed hash aggregate (map-side partials) feeding
+    * a 2-row variant aggregate and a 1-row global moment aggregate
+    * that returns via `broadcast` — no window, no second scan of the
+    * event log, nothing driver-side. At 100 TB this is exactly the
+    * metrics-cube shape: the per-user frame is the reusable
+    * materialization, everything above it is constant-sized. */
+  def cupedReadout(
+      events: DataFrame, userCol: String, tsCol: String, valueCol: String,
+      splitTs: String, salt: String = "cuped"): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val pre = col(tsCol) < lit(splitTs).cast("timestamp")
+    val perUser = events
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).cast("long").as("user_id"))
+      .agg(
+        sum(when(pre, cents).otherwise(0L)).as("x"),
+        sum(when(!pre, cents).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        when(Sampling.hashBucket(col("user_id"), salt, 2) === 0, "control")
+          .otherwise("treatment"))
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val byVariant = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("nv"),
+        sum(col("x")).as("sxv"), sum(col("y")).as("syv"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val nvD = col("nv").cast("double")
+    byVariant.crossJoin(broadcast(pooled))
+      .withColumn("theta", when(den === 0.0, 0.0).otherwise(num / den))
+      .withColumn("mean_x_all", col("sx").cast("double") / nD)
+      .select(
+        col("variant"),
+        col("nv").as("n_users"),
+        ((col("syv").cast("double") / nvD) / 100.0).as("mean_y"),
+        ((col("syv").cast("double") / nvD) / 100.0 -
+          col("theta") * ((col("sxv").cast("double") / nvD - col("mean_x_all"))
+            / 100.0)).as("mean_y_adj"),
+        col("theta"))
+  }
+}

@@ -464,4 +464,42 @@ object TextAnalysis {
         col("doc_id"), col("n_tokens"),
         round((col("su") / 1e9) / col("n_tokens"), 6).as("avg_logprob"))
   }
+
+  /** Rank-based LM-quality pruning audit, per source: keep each source's
+    * top `keepNum/keepDen` fraction of documents by [[lmScore]] and
+    * report what the cut does — kept count and the cutoff log-prob (the
+    * per-source quality bar a curation run would publish next to its
+    * manifest). Per-source (not pooled) ranking is the point: a pooled
+    * threshold silently empties the noisiest source.
+    *
+    * The keep predicate is pure integer arithmetic — `rank ≤ ⌈p·n⌉`
+    * rewritten as `keepDen·(rank−1) < keepNum·n` — so no float
+    * threshold can straddle engines, and ties at the cutoff break on
+    * (score DESC, doc_id): deterministic membership, not approximate.
+    *
+    * Shape: [[lmScore]]'s aggregates plus one source-partitioned
+    * ranking window — a per-source sort, the quantile-by-rank cost. At
+    * 100 TB swap the exact window for the approx-quantile threshold
+    * tier (the q52 pattern): compute each source's cutoff from a
+    * sketch, then keep is a scan-time filter. */
+  def lmPruneBySource(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      keepNum: Int, keepDen: Int): DataFrame = {
+    require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
+      s"keep fraction $keepNum/$keepDen outside [0, 1]")
+    val scored = lmScore(docs, idCol, textCol)
+    val src = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+    val byScore = Window.partitionBy(col("source"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    scored.join(src, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(byScore))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("keep",
+        lit(keepDen) * (col("rnk") - 1) < lit(keepNum) * col("n"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("keep"), col("avg_logprob"))).as("cutoff_logprob"))
+  }
 }

@@ -604,9 +604,10 @@ object ExtOracleSql {
        |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Mirrors [[graft.ext.TextAnalysis.lmScore]]. */
-  def lmScore: String =
-    s"""WITH $toksCte,
-       |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+  /** Shared unigram-LM scoring CTE chain (the q76 contract), ending in
+    * `sc(doc_id, n_tokens, avg_logprob)`. Assumes `toks` is in scope. */
+  private def lmScoreCtes: String =
+    s"""tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
        |dtf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
        |model AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM model),
@@ -614,11 +615,90 @@ object ExtOracleSql {
        |  SELECT d.doc_id, d.tf,
        |         d.tf * CAST(round(ln(CAST(m.c AS DOUBLE) / t.total) * 1e9) AS BIGINT)
        |           AS units
-       |  FROM dtf d JOIN model m USING (w) CROSS JOIN tot t)
-       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-       |       round((CAST(sum(units) AS DOUBLE) / 1e9)
-       |             / CAST(sum(tf) AS BIGINT), 6) AS avg_logprob
-       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+       |  FROM dtf d JOIN model m USING (w) CROSS JOIN tot t),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |         round((CAST(sum(units) AS DOUBLE) / 1e9)
+       |               / CAST(sum(tf) AS BIGINT), 6) AS avg_logprob
+       |  FROM scored GROUP BY 1)""".stripMargin
+
+  def lmScore: String =
+    s"""WITH $toksCte,
+       |$lmScoreCtes
+       |SELECT doc_id, n_tokens, avg_logprob FROM sc ORDER BY doc_id""".stripMargin
+
+  /** Mirrors [[graft.ext.TextAnalysis.lmPruneBySource]] — the keep
+    * predicate is the same integer rewrite of rank ≤ ⌈p·n⌉. */
+  def lmPruneBySource(keepNum: Int, keepDen: Int): String =
+    s"""WITH $toksCte,
+       |$lmScoreCtes,
+       |r AS (
+       |  SELECT d.source, s.avg_logprob,
+       |         row_number() OVER (PARTITION BY d.source
+       |           ORDER BY s.avg_logprob DESC, s.doc_id) AS rnk,
+       |         count(*) OVER (PARTITION BY d.source) AS n
+       |  FROM sc s JOIN documents d USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN $keepDen * (rnk - 1) < $keepNum * n
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       min(CASE WHEN $keepDen * (rnk - 1) < $keepNum * n
+       |                THEN avg_logprob END) AS cutoff_logprob
+       |FROM r GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** Mirrors [[graft.ext.Dedup.dupNgramShare]]. */
+  def dupNgramShare(n: Int): String =
+    s"""WITH $toksCte,
+       |sh AS (SELECT doc_id, unnest(${Portable.shinglesSql("t", n)}) AS g FROM toks),
+       |gc AS (SELECT g, count(*) AS nd FROM sh GROUP BY 1)
+       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(sum(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       CAST(CAST(sum(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS DOUBLE) / CAST(count(*) AS BIGINT) AS dup_share
+       |FROM sh s JOIN gc USING (g)
+       |GROUP BY 1 ORDER BY s.doc_id""".stripMargin
+
+  /** Mirrors [[graft.ext.Experiment.cupedReadout]] — θ and the means
+    * replicate the Spark side's double chain parenthesis-for-
+    * parenthesis over the same exact integer sums. */
+  def cupedReadout(splitTs: String, salt: String): String = {
+    val bucket = graft.ext.Sampling.hashBucketSql("user_id", salt, 2)
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |         CAST(sum(CASE WHEN ts < TIMESTAMP '$splitTs'
+       |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+       |         CAST(sum(CASE WHEN ts >= TIMESTAMP '$splitTs'
+       |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+       |         CASE WHEN $bucket = 0 THEN 'control' ELSE 'treatment' END AS variant
+       |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY user_id),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM pu),
+       |th AS (
+       |  SELECT n, sx,
+       |         CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN 0
+       |              ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS theta
+       |  FROM g),
+       |v AS (
+       |  SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+       |         CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+       |  FROM pu GROUP BY variant)
+       |SELECT v.variant, v.nv AS n_users,
+       |       (CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE)) / 100.0 AS mean_y,
+       |       (CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE)) / 100.0
+       |         - th.theta * ((CAST(v.sxv AS DOUBLE) / CAST(v.nv AS DOUBLE)
+       |                        - CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE))
+       |                       / 100.0) AS mean_y_adj,
+       |       th.theta
+       |FROM v CROSS JOIN th ORDER BY v.variant""".stripMargin
+  }
 
   /** Mirrors [[graft.ext.TextAnalysis.packedText]]. */
   def packedText(budget: Int, shards: Int, sep: String): String =

@@ -206,4 +206,20 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((10L, 1L)))
   }
+
+  test("dupNgramShare: shared n-grams counted per doc, short docs audit via whole-text fallback") {
+    val docs = Seq(
+      (1L, "a b c"),  // bigrams {a b, b c}: "a b" shared with doc 2
+      (2L, "a b d"),  // bigrams {a b, b d}
+      (3L, "x y"),    // bigram {x y}: unique
+      (4L, "z"),      // sub-n fallback: whole-text shingle "z", unique
+      (5L, "z")       // same fallback shingle -> both count as dup
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramShare(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0),
+      (4L, 1L, 1L, 1.0), (5L, 1L, 1L, 1.0)))
+  }
 }

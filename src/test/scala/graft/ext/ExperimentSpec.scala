@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Portable
+
+class ExperimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(rows: Seq[(Long, String, Double)]) =
+    rows.toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+  test("cupedReadout: hash variants, pooled theta, adjusted means match the exact-sum formula") {
+    val events = mkEvents(Seq(
+      (1L, "2024-01-10 00:00:00", 10.00), (1L, "2024-01-20 00:00:00", 20.00),
+      (2L, "2024-01-11 00:00:00", 20.00), (2L, "2024-01-21 00:00:00", 30.00),
+      (3L, "2024-01-12 00:00:00", 30.00), (3L, "2024-01-22 00:00:00", 45.00),
+      (4L, "2024-01-23 00:00:00", 5.00) // no pre-period activity -> x = 0
+    ))
+    val got = Experiment
+      .cupedReadout(events, "user_id", "ts", "value", splitTs = "2024-01-16")
+      .orderBy("variant")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+
+    // replicate: per-user exact cents, then the identical double chain
+    val xs = Map(1L -> 1000L, 2L -> 2000L, 3L -> 3000L, 4L -> 0L)
+    val ys = Map(1L -> 2000L, 2L -> 3000L, 3L -> 4500L, 4L -> 500L)
+    val users = Seq(1L, 2L, 3L, 4L)
+    val variant = users.map(u =>
+      u -> (if (Portable.h60Local(s"cuped:$u") % 2 == 0) "control" else "treatment")).toMap
+    val n = users.size.toLong
+    val sx = users.map(xs).sum; val sy = users.map(ys).sum
+    val sxy = users.map(u => xs(u) * ys(u)).sum
+    val sxx = users.map(u => xs(u) * xs(u)).sum
+    val theta = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val meanXAll = sx.toDouble / n.toDouble
+    val expect = variant.values.toSeq.distinct.sorted.map { v =>
+      val us = users.filter(variant(_) == v)
+      val nv = us.size.toLong
+      val meanY = (us.map(ys).sum.toDouble / nv.toDouble) / 100.0
+      val adj = meanY -
+        theta * ((us.map(xs).sum.toDouble / nv.toDouble - meanXAll) / 100.0)
+      (v, nv, meanY, adj, theta)
+    }
+    assert(got == expect)
+    assert(got.map(_._2).sum == 4L)          // every user lands in a variant
+    assert(got.map(_._5).distinct.size == 1) // pooled theta is global
+  }
+
+  test("cupedReadout: zero pre-period variance pins theta to 0 (unadjusted readout)") {
+    // all users identical pre-period -> var(x) = 0
+    val events = mkEvents(Seq(
+      (1L, "2024-01-10 00:00:00", 10.00), (1L, "2024-01-20 00:00:00", 1.00),
+      (2L, "2024-01-10 00:00:00", 10.00), (2L, "2024-01-20 00:00:00", 2.00),
+      (3L, "2024-01-10 00:00:00", 10.00), (3L, "2024-01-20 00:00:00", 3.00)
+    ))
+    val got = Experiment
+      .cupedReadout(events, "user_id", "ts", "value", splitTs = "2024-01-16")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.forall(_._5 == 0.0))
+    assert(got.forall(r => r._3 == r._4)) // adjusted == raw when theta = 0
+  }
+}

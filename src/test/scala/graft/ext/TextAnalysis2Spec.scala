@@ -142,6 +142,31 @@ class TextAnalysis2Spec extends SparkSpec {
     assert(s2(2)._3 < s2(0)._3 && s2(2)._3 < s2(1)._3)
   }
 
+  test("lmPruneBySource: per-source keep fraction by rank, cutoff is min kept score") {
+    // source A: 5 docs, source B: 2 docs; keep 4/5 -> A keeps ceil(4) = 4,
+    // B keeps ceil(1.6) = 2
+    val docs = Seq(
+      (1L, "x x x x", "A"), (2L, "x x x y", "A"), (3L, "x x y y", "A"),
+      (4L, "x y y rare", "A"), (5L, "rare2 rare3 rare4 rare5", "A"),
+      (6L, "x x", "B"), (7L, "rare6", "B")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis
+      .lmPruneBySource(docs, "doc_id", "text", "source", keepNum = 4, keepDen = 5)
+      .orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq(("A", 5L, 4L), ("B", 2L, 2L)))
+    // cutoff = the 4th-highest avg_logprob within A (rank tie-break on id)
+    val scores = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .filter(_._1 <= 5L).sortBy(r => (-r._3, r._1))
+    assert(got.head._4 == scores(3)._3)
+    // keep everything: cutoff is the per-source min score
+    val all = TextAnalysis
+      .lmPruneBySource(docs, "doc_id", "text", "source", keepNum = 1, keepDen = 1)
+      .as[(String, Long, Long, Double)].collect()
+    assert(all.forall(r => r._2 == r._3))
+  }
+
   test("boilerplateShare: frequent trigram counted, clean doc keeps share 0") {
     // "a b c" appears in docs 1..3 (df=3 >= minDf); each doc carries
     // unique tail trigrams; doc 4 shares nothing frequent
