@@ -1012,6 +1012,39 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))),
 
+    // ---- ext: multi-probe IVF — the recall lever q144 measures the
+    // need for (queries probe 2 cells, index unchanged) ----
+    "q149_ivf_multiprobe" -> ((s, dir) =>
+      Similarity.ivfTopKMultiProbe(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, centroidEvery = 100, nProbe = 2)
+        .orderBy(col("vec_id"), col("rank"))),
+
+    // ---- ext: score-calibration bins over the unigram-LM score
+    // (reliability diagram: mean score vs positive rate per decile) ----
+    "q150_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.ext.TextAnalysis.lmScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+      graft.ext.Profiling.calibrationBins(
+          scored, "source", "doc_id", "avg_logprob",
+          positive = col("lang") === "en", bins = 10)
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // ---- ext: seasonally-adjusted anomaly flags (weekday baseline
+    // removed before the z-score — q135's effect made operational) ----
+    "q151_seasonal_outliers" -> ((s, dir) =>
+      graft.ext.Timeseries.seasonalResidualOutliers(
+          Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
+
+    // ---- ext: per-label embedding-centroid drift vs the pooled
+    // centroid — the training-mix audit in embedding space ----
+    "q152_centroid_drift" -> ((s, dir) =>
+      Similarity.centroidDrift(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy(col("label"))),
+
     // ---- ext: online rolling-baseline z-score (self-excluding
     // calendar-RANGE frame — what a live monitor would have known) ----
     "q132_rolling_z" -> ((s, dir) =>
@@ -1200,6 +1233,49 @@ object SparkEntry {
       "q147_cuped" -> ExtOracleSql.cupedReadout(
         splitTs = "2024-01-16", salt = "cuped"),
       "q148_dup_ngram_share" -> ExtOracleSql.dupNgramShare(n = 5),
+      "q149_ivf_multiprobe" -> ExtOracleSql.ivfTopKMultiProbe(
+        k = 5, centroidEvery = 100, nProbe = 2),
+      "q150_calibration" -> ExtOracleSql.lmCalibrationBins(bins = 10),
+      "q151_seasonal_outliers" -> OracleSql.withBase(
+        """sod AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS cents
+             FROM order_revenue GROUP BY 1, 2),
+           sow AS (
+             SELECT restaurant_id, isodow(creation_date) - 1 AS weekday,
+                    count(*) AS n_days, CAST(sum(cents) AS BIGINT) AS sw
+             FROM sod GROUP BY 1, 2),
+           sor AS (
+             SELECT d.restaurant_id, d.creation_date,
+                    CAST(round((CAST(d.cents AS DOUBLE)
+                                - CAST(w.sw AS DOUBLE) / w.n_days) / 100.0)
+                         AS BIGINT) AS runits
+             FROM sod d JOIN sow w
+               ON d.restaurant_id = w.restaurant_id
+              AND isodow(d.creation_date) - 1 = w.weekday),
+           som AS (
+             SELECT restaurant_id, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(runits) AS BIGINT) AS sr,
+                    CAST(sum(runits * runits) AS BIGINT) AS srr
+             FROM sor GROUP BY 1),
+           soz AS (
+             SELECT r.restaurant_id, r.creation_date, r.runits,
+                    CASE WHEN CAST(m.srr AS DOUBLE) / CAST(m.n AS DOUBLE)
+                              - (CAST(m.sr AS DOUBLE) / CAST(m.n AS DOUBLE))
+                                * (CAST(m.sr AS DOUBLE) / CAST(m.n AS DOUBLE))
+                              <= 0 THEN 0
+                         ELSE (CAST(r.runits AS DOUBLE)
+                               - CAST(m.sr AS DOUBLE) / CAST(m.n AS DOUBLE))
+                              / sqrt(CAST(m.srr AS DOUBLE) / CAST(m.n AS DOUBLE)
+                                     - (CAST(m.sr AS DOUBLE) / CAST(m.n AS DOUBLE))
+                                       * (CAST(m.sr AS DOUBLE) / CAST(m.n AS DOUBLE)))
+                    END AS z
+             FROM sor r JOIN som m USING (restaurant_id))""",
+        """SELECT restaurant_id, creation_date,
+                  CAST(runits AS DOUBLE) / 100.0 AS residual, z,
+                  abs(z) >= 3.0 AS is_outlier
+           FROM soz ORDER BY restaurant_id, creation_date"""),
+      "q152_centroid_drift" -> ExtOracleSql.centroidDrift,
       "q142_skew_profile" ->
         """WITH k AS (
              SELECT l_partkey AS key, count(*) AS n_rows

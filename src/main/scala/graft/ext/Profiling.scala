@@ -392,6 +392,47 @@ object Profiling {
         (col("nb_u").cast("double") / lit(1e9)).as("h_b"))
   }
 
+  /** Classifier/score calibration bins, per group: rank each group's
+    * rows by score into `bins` equal-population bins and report each
+    * bin's mean score next to its positive rate — the reliability-
+    * diagram table that decides whether a quality/LM score can be
+    * thresholded as a probability or needs recalibration first. Per-
+    * group (not pooled) binning matches how thresholds get deployed
+    * and keeps the ranking window PARTITIONED — no global sort.
+    *
+    * Exactness: bin assignment is pure integer arithmetic over a
+    * deterministic rank (score ASC, id tie-break): `(rank−1)·bins div
+    * n`. Mean scores accumulate as integral 1e-6 units of the (already
+    * 6dp) score; rates are one double division each.
+    *
+    * Shape: one group-partitioned ranking window + one hash aggregate
+    * at (group, bin) grain. The window is group-grain — the same
+    * envelope as every per-source ranking here; at 100 TB with a
+    * single giant group, swap the rank for approx-quantile bin edges
+    * (the q52 tier) and keep the aggregate. */
+  def calibrationBins(
+      scored: DataFrame, groupCol: String, idCol: String, scoreCol: String,
+      positive: Column, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val byScore = Window.partitionBy(col("grp"))
+      .orderBy(col("score"), col("id"))
+    scored.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(scoreCol).as("score"), positive.as("pos"))
+      .withColumn("rnk", row_number().over(byScore))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .withColumn("bin", expr(s"((CAST(rnk AS BIGINT) - 1) * $bins) div n"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(round(col("score") * 1000000).cast("long")).as("su"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+      .select(
+        col("grp").as(groupCol), col("bin"), col("n_rows"),
+        ((col("su").cast("double") / 1000000.0)
+          / col("n_rows").cast("double")).as("mean_score"),
+        (col("np").cast("double") / col("n_rows").cast("double")).as("pos_rate"))
+  }
+
   /** Winsorize (clip) a numeric column to its per-group discrete
     * [pLo, pHi] quantiles — the outlier-capping step before scaling /
     * feature extraction. Discrete quantiles keep everything exact

@@ -503,6 +503,96 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Multi-probe IVF top-k: corpus vectors stay indexed in their single
+    * nearest cell (the [[ivfTopK]] build side), but each QUERY probes
+    * its `nProbe` nearest cells and merges one bounded top-k over the
+    * union — the standard recall lever when single-probe recall (as
+    * measured by [[annRecall]]) is not good enough: probe work scales
+    * linearly in `nProbe` while the index is untouched, so recall is a
+    * per-query knob, not a rebuild.
+    *
+    * Shape: the centroid cross join stays broadcast; the probe side
+    * explodes to `nProbe` rows per query before the one shuffle on the
+    * cell id, and the per-query top-k merges across probed cells with
+    * the bounded heap ([[TopKAggregate]] is mergeable — exactly why the
+    * union needs no second ranking pass). Each neighbor lives in one
+    * cell, so the union is duplicate-free by construction. The assigned
+    * corpus is persisted once and consumed by both the index side and
+    * the probe side ([[semanticDedup]]'s materialize cut — Catalyst
+    * would otherwise recompute the centroid argmax per consumer). */
+  def ivfTopKMultiProbe(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroidEvery: Int = 100, nProbe: Int = 2): DataFrame = {
+    val v = withNorm(vecs, idCol, vecCol)
+    val centroids = v.filter(col("id") % centroidEvery === 0)
+      .select(col("id").as("centroid_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    val agged = v.crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        round(dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 6))
+      .groupBy(col("id"))
+      .agg(
+        top_k(col("ccos"), col("centroid_id"), nProbe).as("topc"),
+        first(col("emb")).as("emb"),
+        first(col("nrm")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = agged.select(col("id").as("neighbor_id"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"),
+      element_at(col("topc"), 1).getField("id").as("cell"))
+    val probes = agged.select(col("id").as("vec_id"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"),
+      explode(transform(col("topc"), t => t.getField("id"))).as("cell"))
+    val scored = probes.join(indexed, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+    explodeTopK(
+      scored.groupBy(col("vec_id"))
+        .agg(top_k(col("cosine"), col("neighbor_id"), k).as("topk")))
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Per-label embedding-centroid drift vs the pooled centroid: the
+    * training-mix audit in EMBEDDING space ([[graft.ext.Drift.jsdPerGroup]]
+    * is its lexical sibling) — a label/source whose centroid swings away
+    * from the pooled mean is over- or under-represented semantically,
+    * not just lexically. Emits per label the vector count and the
+    * cosine between its centroid and the pooled centroid.
+    *
+    * Exactness: centroid components accumulate as integral 1e-6 units
+    * (the [[labelCentroids]] contract — order-free), both centroids are
+    * assembled pos-sorted, and the cosine is the engine-shared
+    * left-to-right fold rounded to 6dp. Pooled sums derive from the
+    * same per-label aggregate (integer partials re-aggregate exactly).
+    *
+    * Shape: one posexplode into a (label, pos)-keyed aggregate with
+    * map-side partials (shuffle is labels·dim rows regardless of corpus
+    * size), a labels-sized array roll-up, and a broadcast single-row
+    * pooled array. Nothing here grows with the corpus. */
+  def centroidDrift(
+      vecs: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val lc = vecs
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .toDF("label", "pos", "x")
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("x") * 1000000)).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", (col("s") / col("n")) / 1000000.0)
+    def packed(c: Column) =
+      transform(array_sort(collect_list(struct(col("pos"), c.as("c")))),
+        t => t.getField("c"))
+    val la = lc.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"), packed(col("c")).as("arr"))
+    val pa = lc.groupBy(col("pos"))
+      .agg(sum(col("s")).as("sp"), sum(col("n")).as("np"))
+      .withColumn("c", (col("sp") / col("np")) / 1000000.0)
+      .agg(packed(col("c")).as("parr"))
+    la.crossJoin(broadcast(pa))
+      .select(col("label"), col("n_vecs"),
+        round(dot(col("arr"), col("parr"))
+          / (l2norm(col("arr")) * l2norm(col("parr"))), 6)
+          .as("cosine_to_pooled"))
+  }
+
   /** Symmetric int8 quantization quality report, per vector: the
     * absmax/127 scale plus mean/max absolute reconstruction error —
     * the storage-tier decision data for embedding compression (4× over

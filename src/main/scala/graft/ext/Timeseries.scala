@@ -57,6 +57,61 @@ object Timeseries {
           .as("seasonal_effect"))
   }
 
+  /** Seasonally-adjusted daily anomaly flags: subtract each
+    * restaurant's weekday mean (the [[weekdaySeasonality]] baseline)
+    * from its daily revenue, then z-score the RESIDUALS against the
+    * restaurant's own residual distribution — the detector that stops
+    * crying wolf every Saturday: a spike is only anomalous relative to
+    * what that weekday usually does ([[graft.ext.Anomaly]]'s plain z
+    * treats weekly periodicity itself as signal).
+    *
+    * Exactness: daily revenue rides integral 1e-4-unit cents; the
+    * residual is one fixed double subtraction then re-quantized to
+    * integer CENT (1e-2) units (`round` of identical doubles is
+    * identical), so the moment sums (Σr, Σr²) are order-free integers
+    * and z is a fixed IEEE chain over them, emitted unrounded. Cent
+    * grain keeps Σr² inside int64 for daily-revenue magnitudes up to
+    * ~10⁷ cents across ~10⁴ days per key (finer 1e-4 units overflow
+    * exactly there); a deployment with larger marts drops to whole
+    * units the same way. Zero residual variance pins z = 0 on both
+    * engines.
+    *
+    * Shape: two mart-grain hash aggregates (daily rollup, weekday
+    * baseline), a restaurant-grain moment aggregate, and joins at
+    * restaurant(×weekday) grain — AQE-broadcastable, no windows, fact
+    * touched once. */
+  def seasonalResidualOutliers(
+      orderRevenue: DataFrame, zThresh: Double = 3.0): DataFrame = {
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(graft.gold.Money.cents(col("total_revenue")).cast("long"))
+        .as("cents"))
+    val byWd = daily
+      .withColumn("weekday", weekday(col("creation_date")))
+      .groupBy(col("restaurant_id"), col("weekday"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("sw"))
+    val res = daily
+      .withColumn("weekday", weekday(col("creation_date")))
+      .join(byWd, Seq("restaurant_id", "weekday"))
+      .withColumn("runits",
+        round((col("cents").cast("double")
+          - col("sw").cast("double") / col("n_days")) / 100.0).cast("long"))
+    val moments = res.groupBy(col("restaurant_id"))
+      .agg(count(lit(1)).as("n"), sum(col("runits")).as("sr"),
+        sum(col("runits") * col("runits")).as("srr"))
+    val mean = col("sr").cast("double") / col("n").cast("double")
+    val variance = col("srr").cast("double") / col("n").cast("double") - mean * mean
+    res.join(moments, Seq("restaurant_id"))
+      .withColumn("z",
+        when(variance <= 0.0, 0.0)
+          .otherwise((col("runits").cast("double") - mean) / sqrt(variance)))
+      .select(
+        col("restaurant_id"), col("creation_date"),
+        (col("runits").cast("double") / 100.0).as("residual"),
+        col("z"),
+        (abs(col("z")) >= zThresh).as("is_outlier"))
+  }
+
   def gapFillDaily(orderRevenue: DataFrame): DataFrame = {
     val daily = orderRevenue
       .groupBy(col("restaurant_id"), col("creation_date"))

@@ -395,6 +395,85 @@ object ExtOracleSql {
        |SELECT vec_id, cell, neighbor_id, cosine, rank FROM rk
        |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
 
+  /** Mirrors [[graft.ext.Similarity.ivfTopKMultiProbe]] — the q21
+    * chain with the probe side widened to `crn <= nProbe`. */
+  def ivfTopKMultiProbe(k: Int, centroidEvery: Int, nProbe: Int): String =
+    s"""WITH $vecsCte,
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, emb AS cemb FROM v
+       |  WHERE vec_id % $centroidEvery = 0),
+       |scoredc AS (
+       |  SELECT v.vec_id, v.emb, c.centroid_id,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 6) DESC,
+       |                    c.centroid_id) AS crn
+       |  FROM v CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, emb, centroid_id AS cell FROM scoredc WHERE crn = 1),
+       |prb AS (SELECT vec_id, emb, centroid_id AS cell FROM scoredc
+       |        WHERE crn <= $nProbe),
+       |cj AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+       |  FROM prb a JOIN asg b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+       |rk AS (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM cj)
+       |SELECT vec_id, neighbor_id, cosine, rank FROM rk
+       |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+
+  /** Mirrors [[graft.ext.Similarity.centroidDrift]] — per-label vs
+    * pooled centroids through the q38 integer-unit chain, cosine via
+    * the shared pos-ordered list fold. */
+  def centroidDrift: String =
+    s"""WITH v AS (
+       |  SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |e AS (
+       |  SELECT label,
+       |         unnest(generate_series(1, len(emb))) - 1 AS pos,
+       |         unnest(emb) AS x
+       |  FROM v),
+       |lc AS (
+       |  SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+       |         sum(round(x * 1000000)) AS s,
+       |         (sum(round(x * 1000000)) / count(*)) / 1000000.0 AS c
+       |  FROM e GROUP BY 1, 2),
+       |la AS (
+       |  SELECT label, max(n) AS n_vecs, list(c ORDER BY pos) AS arr
+       |  FROM lc GROUP BY 1),
+       |pc AS (
+       |  SELECT pos, (sum(s) / sum(n)) / 1000000.0 AS c
+       |  FROM lc GROUP BY 1),
+       |pa AS (SELECT list(c ORDER BY pos) AS parr FROM pc)
+       |SELECT l.label, l.n_vecs,
+       |       round(list_cosine_similarity(l.arr, p.parr), 6) AS cosine_to_pooled
+       |FROM la l CROSS JOIN pa p ORDER BY l.label""".stripMargin
+
+  /** Mirrors [[graft.ext.Profiling.calibrationBins]] applied to the
+    * unigram-LM score with `lang = 'en'` as the positive class. */
+  def lmCalibrationBins(bins: Int): String =
+    s"""WITH $toksCte,
+       |$lmScoreCtes,
+       |r AS (
+       |  SELECT d.source, s.doc_id, s.avg_logprob AS score,
+       |         (d.lang = 'en') AS pos,
+       |         row_number() OVER (PARTITION BY d.source
+       |           ORDER BY s.avg_logprob, s.doc_id) AS rnk,
+       |         count(*) OVER (PARTITION BY d.source) AS n
+       |  FROM sc s JOIN documents d USING (doc_id)),
+       |b AS (
+       |  SELECT source, ((rnk - 1) * $bins) // n AS bin,
+       |         CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT) AS su,
+       |         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |  FROM r GROUP BY 1, 2)
+       |SELECT source, bin, n_rows,
+       |       (CAST(su AS DOUBLE) / 1000000.0) / CAST(n_rows AS DOUBLE)
+       |         AS mean_score,
+       |       CAST(np AS DOUBLE) / CAST(n_rows AS DOUBLE) AS pos_rate
+       |FROM b ORDER BY source, bin""".stripMargin
+
   /** SRP-LSH-bucketed top-k (mirrors [[graft.ext.Similarity.srpTopK]]).
     * Hyperplane ±1 signs regenerate from the same md5-derived constants;
     * the projection is an explicit left-to-right ± chain, matching the

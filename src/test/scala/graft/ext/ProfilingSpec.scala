@@ -237,4 +237,20 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.cohenKappa(degen, $"a", $"b")
       .as[(Long, Long, Option[Double])].collect().head._3.isEmpty)
   }
+
+  test("calibrationBins: equal-population rank bins, mean score and positive rate per bin") {
+    val df = Seq(
+      ("g", 1L, 0.1, false), ("g", 2L, 0.2, false),
+      ("g", 3L, 0.3, true), ("g", 4L, 0.4, true),
+      ("h", 5L, 0.5, true) // second group: one row lands alone in bin 0
+    ).toDF("src", "id", "score", "gold")
+    val got = Profiling.calibrationBins(df, "src", "id", "score",
+        positive = $"gold", bins = 2)
+      .orderBy("src", "bin")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("g", 0L, 2L, (300000.0 / 1000000.0) / 2.0, 0.0),
+      ("g", 1L, 2L, (700000.0 / 1000000.0) / 2.0, 1.0),
+      ("h", 0L, 1L, (500000.0 / 1000000.0) / 1.0, 1.0)))
+  }
 }

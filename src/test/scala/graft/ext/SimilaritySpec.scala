@@ -218,6 +218,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((0L, 1L, 0.5), (1L, 1L, 0.5), (100L, 1L, 0.5), (101L, 1L, 0.5)))
   }
 
+  test("ivfTopKMultiProbe: nProbe=1 equals single-probe IVF; probing 2 cells recovers cross-cell neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.95f, 0.05f)),
+      (100L, Array(0.0f, 1.0f)), (101L, Array(0.05f, 0.95f)),
+    ).toDF("vec_id", "embedding")
+    val single = Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 2,
+        centroidEvery = 100)
+      .select($"vec_id", $"neighbor_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val probe1 = Similarity.ivfTopKMultiProbe(vecs, "vec_id", "embedding",
+        k = 2, centroidEvery = 100, nProbe = 1)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(probe1 == single)
+    // with both cells probed, vec 1's list now reaches 101 across cells
+    val probe2 = Similarity.ivfTopKMultiProbe(vecs, "vec_id", "embedding",
+        k = 2, centroidEvery = 100, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    val n1 = probe2.filter(_._1 == 1L).map(_._2).toSet
+    assert(n1 == Set(0L, 101L))
+    // candidate superset can only improve the list: every probe keeps k rows
+    assert(probe2.groupBy(_._1).forall(_._2.length == 2))
+  }
+
+  test("centroidDrift: symmetric labels drift equally from the pooled centroid") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(vecs, "label", "embedding")
+      .orderBy("label")
+      .as[(Int, Long, Double)].collect().toSeq
+    // pooled centroid (0.5, 0.5): cos to each axis centroid = 1/sqrt(2)
+    assert(got == Seq((0, 2L, 0.707107), (1, 2L, 0.707107)))
+  }
+
   test("labelNoise: majority-disagreeing neighbors flag the suspect label") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0),

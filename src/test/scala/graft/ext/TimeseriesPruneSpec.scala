@@ -66,4 +66,33 @@ class TimeseriesPruneSpec extends SparkSpec {
       (0, 2L, 10.0, -10.0),
       (1, 1L, 40.0, 20.0)))
   }
+
+  test("seasonalResidualOutliers: weekday baseline removed, z on residuals, zero-variance guard") {
+    import java.sql.Date
+    // Mondays always 10 -> residual 0; Tuesdays 40/40 -> residual 0 too:
+    // perfectly seasonal weeks are NOT outliers despite the 4x swing
+    val seasonal = Seq(
+      (1L, Date.valueOf("2024-01-01"), 10.0),
+      (1L, Date.valueOf("2024-01-08"), 10.0),
+      (1L, Date.valueOf("2024-01-02"), 40.0),
+      (1L, Date.valueOf("2024-01-09"), 40.0)
+    ).toDF("restaurant_id", "creation_date", "total_revenue")
+    val flat = graft.ext.Timeseries.seasonalResidualOutliers(seasonal)
+      .select($"residual", $"z", $"is_outlier")
+      .as[(Double, Double, Boolean)].collect()
+    assert(flat.forall(r => r._1 == 0.0 && r._2 == 0.0 && !r._3))
+    // one Monday breaks pattern: residuals are nonzero and z splits signs
+    val broken = Seq(
+      (1L, Date.valueOf("2024-01-01"), 10.0),
+      (1L, Date.valueOf("2024-01-08"), 10.0),
+      (1L, Date.valueOf("2024-01-15"), 70.0)
+    ).toDF("restaurant_id", "creation_date", "total_revenue")
+    val got = graft.ext.Timeseries.seasonalResidualOutliers(broken)
+      .orderBy("creation_date")
+      .select($"creation_date", $"residual", $"z")
+      .as[(Date, Double, Double)].collect().toSeq
+    // weekday mean 30 -> residuals -20, -20, +40
+    assert(got.map(_._2) == Seq(-20.0, -20.0, 40.0))
+    assert(got(0)._3 < 0 && got(2)._3 > 0)
+  }
 }
