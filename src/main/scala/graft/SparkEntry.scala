@@ -1045,6 +1045,19 @@ object SparkEntry {
       Similarity.centroidDrift(Tables.embeddings(s, dir), "label", "embedding")
         .orderBy(col("label"))),
 
+    // ---- ext: cross-split near-dup contamination (LSH pairs that
+    // straddle the train/val/test boundary — eval-inflating leakage) ----
+    "q153_split_contamination" -> ((s, dir) =>
+      graft.ext.Sampling.splitContamination(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("split_lo"), col("split_hi"))),
+
+    // ---- ext: per-restaurant OLS revenue trend (slope + R² from five
+    // moment sums — 100 TB of facts reduce to five longs per key) ----
+    "q154_trend_fit" -> ((s, dir) =>
+      graft.ext.Timeseries.revenueTrendFit(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"))),
+
     // ---- ext: online rolling-baseline z-score (self-excluding
     // calendar-RANGE frame — what a live monitor would have known) ----
     "q132_rolling_z" -> ((s, dir) =>
@@ -1276,6 +1289,41 @@ object SparkEntry {
                   abs(z) >= 3.0 AS is_outlier
            FROM soz ORDER BY restaurant_id, creation_date"""),
       "q152_centroid_drift" -> ExtOracleSql.centroidDrift,
+      "q153_split_contamination" -> ExtOracleSql.splitContamination(
+        trainPct = 80, valPct = 10, salt = "split", minEst = 0.5),
+      "q154_trend_fit" -> OracleSql.withBase(
+        """trd AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS cents
+             FROM order_revenue GROUP BY 1, 2),
+           trx AS (
+             SELECT restaurant_id,
+                    CAST(datediff('day', DATE '1992-01-01', creation_date)
+                         AS BIGINT) AS x,
+                    CAST(round(CAST(cents AS DOUBLE) / 100.0) AS BIGINT) AS y
+             FROM trd),
+           trm AS (
+             SELECT restaurant_id, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x * y) AS BIGINT) AS sxy,
+                    CAST(sum(x * x) AS BIGINT) AS sxx,
+                    CAST(sum(y * y) AS BIGINT) AS syy
+             FROM trx GROUP BY 1),
+           trq AS (
+             SELECT restaurant_id, n,
+                    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+                    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+             FROM trm)""",
+        """SELECT restaurant_id, n AS n_days,
+                  CASE WHEN denx = 0 THEN NULL
+                       ELSE (num / denx) / 100.0 END AS slope_per_day,
+                  CASE WHEN denx = 0 OR deny = 0 THEN NULL
+                       ELSE (num * num) / (denx * deny) END AS r2
+           FROM trq ORDER BY restaurant_id"""),
       "q142_skew_profile" ->
         """WITH k AS (
              SELECT l_partkey AS key, count(*) AS n_rows

@@ -174,4 +174,39 @@ object Sampling {
       "sample_rank",
       row_number().over(Window.orderBy(col("draw"), col(idCol))))
   }
+
+  /** Cross-split near-duplicate contamination audit: how many
+    * near-duplicate pairs ([[Dedup.minhashNearDups]]'s LSH tier)
+    * STRADDLE the train/val/test boundary of [[hashSplit]] — the
+    * leakage [[temporalLeakage]] cannot see, because a near-copy of a
+    * training document sitting in test inflates eval without sharing a
+    * key or a timestamp. One row per unordered split pair with its
+    * pair count; `is_leak` marks the cross-split rows a release gate
+    * would assert empty (or re-assign: move each leaked pair's
+    * lower-id doc's duplicates into its split).
+    *
+    * Shape: the banded LSH self-join is the whole cost (its persist /
+    * asymmetry arguments live on [[Dedup.minhashNearDups]]); split
+    * labels are a pure hash projection joined at pair grain, and the
+    * final aggregate is at most split² rows. Nothing new scales with
+    * the corpus. */
+  def splitContamination(
+      docs: DataFrame, idCol: String, textCol: String,
+      trainPct: Int = 80, valPct: Int = 10, salt: String = "split",
+      numPerms: Int = 16, bands: Int = 4, minEst: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashNearDups(docs, idCol, textCol, numPerms, bands, minEst)
+    val splits = hashSplit(docs.select(col(idCol)), idCol, trainPct, valPct, salt)
+      .select(col(idCol).as("id"), col("split"))
+    pairs
+      .join(splits.select(col("id").as("id_a"), col("split").as("split_a")),
+        Seq("id_a"))
+      .join(splits.select(col("id").as("id_b"), col("split").as("split_b")),
+        Seq("id_b"))
+      .groupBy(
+        least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+        (col("split_lo") =!= col("split_hi")).as("is_leak"))
+  }
 }

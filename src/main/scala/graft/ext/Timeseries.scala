@@ -112,6 +112,55 @@ object Timeseries {
         (abs(col("z")) >= zThresh).as("is_outlier"))
   }
 
+  /** Per-restaurant linear revenue trend: OLS slope/intercept of daily
+    * revenue over the day index, with R² — the per-key trend feature a
+    * forecasting or ranking model consumes, and the "is this account
+    * growing" KPI in one aggregate. Days are indexed from a fixed epoch
+    * (slope is translation-invariant; the intercept is reported AT the
+    * key's mean day, which is the stable formulation).
+    *
+    * Exactness: y rides integral CENT units (Σy² at 1e-4 grain
+    * overflows int64 exactly where [[seasonalResidualOutliers]]
+    * documents), x is an integral day offset, so all five moment sums
+    * are order-free integers; slope/R² are fixed IEEE chains over
+    * them, unrounded. Single-day keys (zero x-variance) emit NULL
+    * slope/R²; zero y-variance keys emit NULL R² (flat is not "fit").
+    *
+    * Shape: daily rollup, then ONE moment aggregate at key grain —
+    * map-side partials, no window, no second scan. The textbook
+    * sufficient-statistics trade: 100 TB of facts reduce to five longs
+    * per key. */
+  def revenueTrendFit(
+      orderRevenue: DataFrame, epoch: String = "1992-01-01"): DataFrame = {
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(graft.gold.Money.cents(col("total_revenue")).cast("long"))
+        .as("cents"))
+      .select(col("restaurant_id"),
+        datediff(col("creation_date"), lit(epoch).cast("date"))
+          .cast("long").as("x"),
+        round(col("cents").cast("double") / 100.0).cast("long").as("y"))
+    val m = daily.groupBy(col("restaurant_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val denX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val denY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(
+      col("restaurant_id"), col("n").as("n_days"),
+      when(denX === 0.0, lit(null).cast("double"))
+        .otherwise((num / denX) / 100.0).as("slope_per_day"),
+      when(denX === 0.0 || denY === 0.0, lit(null).cast("double"))
+        .otherwise((num * num) / (denX * denY)).as("r2"))
+  }
+
   def gapFillDaily(orderRevenue: DataFrame): DataFrame = {
     val daily = orderRevenue
       .groupBy(col("restaurant_id"), col("creation_date"))

@@ -105,6 +105,41 @@ object ExtOracleSql {
        |WHERE est_jaccard >= $minEst ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Mirrors [[graft.ext.Sampling.splitContamination]] — the
+    * [[minhashNearDups]] pair chain labeled with [[hashSplit]]'s
+    * assignment and rolled up per unordered split pair. */
+  def splitContamination(
+      trainPct: Int, valPct: Int, salt: String, minEst: Double): String = {
+    val agree = (0 until NumPerms)
+      .map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bucket = graft.ext.Sampling.hashBucketSql("doc_id", salt)
+    s"""WITH $toksCte,
+       |$sigCte,
+       |$bandsCte,
+       |est AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs
+       |  JOIN sig sa ON pairs.id_a = sa.doc_id
+       |  JOIN sig sb ON pairs.id_b = sb.doc_id
+       |  WHERE CAST($agree AS DOUBLE) / $NumPerms >= $minEst),
+       |sp AS (
+       |  SELECT doc_id,
+       |         CASE WHEN $bucket < $trainPct THEN 'train'
+       |              WHEN $bucket < ${trainPct + valPct} THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents),
+       |lab AS (
+       |  SELECT least(sa.split, sb.split) AS split_lo,
+       |         greatest(sa.split, sb.split) AS split_hi
+       |  FROM est e
+       |  JOIN sp sa ON e.id_a = sa.doc_id
+       |  JOIN sp sb ON e.id_b = sb.doc_id)
+       |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       split_lo != split_hi AS is_leak
+       |FROM lab GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin
+  }
+
   def jaccardVerify: String =
     s"""WITH $toksCte,
        |$sigCte,

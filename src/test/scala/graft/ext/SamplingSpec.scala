@@ -102,4 +102,29 @@ class SamplingSpec extends SparkSpec {
       (3L, 1L, 1L, "both"),
       (4L, 0L, 0L, "no_dates")))
   }
+
+  test("splitContamination: near-dup pairs rolled up by unordered split pair, leaks flagged") {
+    // many near-identical docs + unique ones; the roll-up must equal a
+    // recomputation from the pair list and the split assignment
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = (1L to 12L).map { i =>
+      if (i <= 8) (i, s"$shared extra$i") else (i, s"unique only $i body ${i * 7}")
+    }.toDF("doc_id", "text")
+    val got = Sampling.splitContamination(docs, "doc_id", "text")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val split = Sampling.hashSplit(docs.select($"doc_id"), "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val expect = pairs
+      .map { case (a, b) =>
+        val (lo, hi) = (Seq(split(a), split(b)).min, Seq(split(a), split(b)).max)
+        (lo, hi)
+      }
+      .groupBy(identity).map { case ((lo, hi), g) =>
+        (lo, hi, g.length.toLong, lo != hi)
+      }.toSet
+    assert(pairs.nonEmpty && got.toSet == expect)
+    assert(got.forall(r => r._4 == (r._1 != r._2)))
+  }
 }

@@ -95,4 +95,26 @@ class TimeseriesPruneSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(-20.0, -20.0, 40.0))
     assert(got(0)._3 < 0 && got(2)._3 > 0)
   }
+
+  test("revenueTrendFit: perfect line fits slope and r2=1; degenerate keys emit nulls") {
+    import java.sql.Date
+    val rows = Seq(
+      // key 1: revenue climbs exactly 10/day -> slope 10, r2 = 1
+      (1L, Date.valueOf("2024-01-01"), 10.0),
+      (1L, Date.valueOf("2024-01-02"), 20.0),
+      (1L, Date.valueOf("2024-01-03"), 30.0),
+      // key 2: single day -> zero x-variance -> NULL slope and r2
+      (2L, Date.valueOf("2024-01-01"), 50.0),
+      // key 3: flat revenue -> slope 0, zero y-variance -> NULL r2
+      (3L, Date.valueOf("2024-01-01"), 5.0),
+      (3L, Date.valueOf("2024-01-02"), 5.0)
+    ).toDF("restaurant_id", "creation_date", "total_revenue")
+    val got = graft.ext.Timeseries.revenueTrendFit(rows, epoch = "2024-01-01")
+      .orderBy("restaurant_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, Some(10.0), Some(1.0)),
+      (2L, 1L, None, None),
+      (3L, 2L, Some(0.0), None)))
+  }
 }
