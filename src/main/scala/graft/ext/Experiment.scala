@@ -52,6 +52,9 @@ object Experiment {
       .withColumn("variant",
         when(Sampling.hashBucket(col("user_id"), salt, 2) === 0, "control")
           .otherwise("treatment"))
+      // both the pooled-moment and per-variant consumers read this frame;
+      // without the persist each would re-scan the event log
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pooled = perUser.agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),

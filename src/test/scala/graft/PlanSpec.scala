@@ -206,6 +206,41 @@ class PlanSpec extends SparkSpec {
       s"a global sort would be a second shuffle:\n$plan")
   }
 
+  test("round-6 additions keep their claimed shapes: equi-joins, partitioned windows, persisted reuse") {
+    import spark.implicits._
+    // dupNgramShare: inverted-index shape — gram-keyed equi joins only
+    val docs = core.Tables.documents(spark, sf)
+    val dupPlan = planText(ext.Dedup.dupNgramShare(docs, "doc_id", "text"))
+    assert(!dupPlan.contains("CartesianProduct") &&
+      !dupPlan.contains("BroadcastNestedLoopJoin"),
+      s"dupNgramShare must stay on gram-keyed equi joins:\n$dupPlan")
+    // calibrationBins: every ranking window is group-partitioned
+    val scored = Seq(("a", 1L, 0.5, true), ("a", 2L, 0.7, false))
+      .toDF("src", "id", "score", "gold")
+    val calib = ext.Profiling.calibrationBins(
+      scored, "src", "id", "score", $"gold", bins = 2)
+    val wins = calib.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+      org.apache.spark.sql.Row]].queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "calibration ranking must never run an unpartitioned window")
+    // cupedReadout: the per-user frame is persisted — both the pooled
+    // and per-variant consumers read the cache, not the event log
+    val events = core.Tables.events(spark, sf)
+    val cupedDf = ext.Experiment.cupedReadout(
+      events, "user_id", "ts", "value", splitTs = "2024-01-16")
+    val cupedPlan = planText(cupedDf)
+    assert(cupedPlan.contains("InMemoryTableScan"),
+      s"cuped consumers must read the persisted per-user frame:\n$cupedPlan")
+    // multi-probe IVF: centroids broadcast; the cell join is equi
+    val vecs = core.Tables.embeddings(spark, sf)
+    val mpPlan = planText(ext.Similarity.ivfTopKMultiProbe(
+      vecs, "vec_id", "embedding", k = 2, centroidEvery = 100, nProbe = 2))
+    assert(!mpPlan.contains("CartesianProduct"),
+      s"multi-probe IVF must never plan a cartesian:\n$mpPlan")
+  }
+
   test("gap fill joins at mart grain with the fact reduced first") {
     val plan = planText(ext.Timeseries.gapFillDaily(
       bindings.Conformed.orderRevenue(spark, sf)))
