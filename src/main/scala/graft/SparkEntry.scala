@@ -1058,6 +1058,26 @@ object SparkEntry {
       graft.ext.Timeseries.revenueTrendFit(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("restaurant_id"))),
 
+    // ---- ext: EWMA level + one-step forecast (the q124 sequential-
+    // recurrence pattern: mapPartitions per-key state, recursive-CTE
+    // oracle; one fixed IEEE chain, emitted unrounded) ----
+    "q155_ewma_forecast" -> ((s, dir) =>
+      graft.ext.Timeseries.ewmaForecast(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
+
+    // ---- ext: funnel time-to-convert quantiles (exact nearest-rank
+    // over a (transition, second) histogram — no user-grain window) ----
+    "q156_funnel_latency" -> ((s, dir) =>
+      graft.ext.Behavior.funnelLatencyQuantiles(Tables.events(s, dir))
+        .orderBy(col("transition"), col("quantile"))),
+
+    // ---- ext: training-mix token plan (largest-remainder integer
+    // apportionment of a token budget across sources) ----
+    "q157_token_plan" -> ((s, dir) =>
+      graft.ext.Curation.tokenBudgetPlan(
+          Tables.documents(s, dir), "doc_id", "text", "source")
+        .orderBy(col("source"))),
+
     // ---- ext: online rolling-baseline z-score (self-excluding
     // calendar-RANGE frame — what a live monitor would have known) ----
     "q132_rolling_z" -> ((s, dir) =>
@@ -1324,6 +1344,92 @@ object SparkEntry {
                   CASE WHEN denx = 0 OR deny = 0 THEN NULL
                        ELSE (num * num) / (denx * deny) END AS r2
            FROM trq ORDER BY restaurant_id"""),
+      "q155_ewma_forecast" -> OracleSql.withBaseRecursive(
+        """ewd AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS cents
+             FROM order_revenue GROUP BY 1, 2),
+           ews AS (
+             SELECT restaurant_id, creation_date, cents,
+                    row_number() OVER (PARTITION BY restaurant_id
+                      ORDER BY creation_date) AS rn
+             FROM ewd),
+           ewr AS (
+             SELECT restaurant_id, rn, CAST(cents AS DOUBLE) AS ew,
+                    CAST(NULL AS DOUBLE) AS prev
+             FROM ews WHERE rn = 1
+             UNION ALL
+             SELECT d.restaurant_id, d.rn,
+                    r.ew + 0.125 * (CAST(d.cents AS DOUBLE) - r.ew), r.ew
+             FROM ewr r JOIN ews d
+               ON d.restaurant_id = r.restaurant_id AND d.rn = r.rn + 1)""",
+        """SELECT d.restaurant_id, d.creation_date,
+                  d.cents / 10000.0 AS daily_revenue,
+                  r.ew / 10000.0 AS smoothed_revenue,
+                  r.prev / 10000.0 AS forecast_revenue
+           FROM ewr r JOIN ews d USING (restaurant_id, rn)
+           ORDER BY d.restaurant_id, d.creation_date"""),
+      "q156_funnel_latency" ->
+        """WITH s1 AS (
+             SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'signup' GROUP BY 1),
+           s2 AS (
+             SELECT e.user_id, min(e.ts) AS t2
+             FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'view' AND e.ts > t1 GROUP BY 1),
+           s3 AS (
+             SELECT e.user_id, min(e.ts) AS t3
+             FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > t2 GROUP BY 1),
+           lat AS (
+             SELECT 'signup>view' AS transition,
+                    CAST(date_diff('second', t1, t2) AS BIGINT) AS sec
+             FROM s1 JOIN s2 USING (user_id)
+             UNION ALL
+             SELECT 'view>purchase',
+                    CAST(date_diff('second', t2, t3) AS BIGINT)
+             FROM s2 JOIN s3 USING (user_id)),
+           hist AS (SELECT transition, sec, count(*) AS c
+                    FROM lat GROUP BY 1, 2),
+           cum AS (
+             SELECT transition, sec,
+                    CAST(sum(c) OVER (PARTITION BY transition ORDER BY sec)
+                         AS BIGINT) AS cum
+             FROM hist),
+           tot AS (SELECT transition, CAST(count(*) AS BIGINT) AS n_pairs
+                   FROM lat GROUP BY 1),
+           qs AS (SELECT * FROM (VALUES (25), (50), (75), (90)) t(q)),
+           tgt AS (SELECT transition, CAST(q AS BIGINT) AS quantile, n_pairs,
+                          (q * n_pairs + 99) // 100 AS tgt
+                   FROM tot CROSS JOIN qs)
+           SELECT t.transition, t.quantile, t.n_pairs,
+                  CAST(min(c.sec) AS BIGINT) AS latency_sec
+           FROM tgt t JOIN cum c
+             ON c.transition = t.transition AND c.cum >= t.tgt
+           GROUP BY 1, 2, 3 ORDER BY 1, 2""",
+      "q157_token_plan" ->
+        s"""WITH tk AS (
+             SELECT source,
+                    CAST(sum(len(${graft.functions.Portable.tokensSql("text")}))
+                         AS BIGINT) AS n_tokens
+             FROM documents GROUP BY 1),
+           tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS w_total FROM tk),
+           sh AS (
+             SELECT source, n_tokens,
+                    (1000000 * n_tokens) // w_total AS share,
+                    (1000000 * n_tokens) % w_total AS rem
+             FROM tk CROSS JOIN tt),
+           rk AS (
+             SELECT source, n_tokens, CAST(share AS BIGINT) AS share,
+                    1000000 - CAST(sum(share) OVER () AS BIGINT) AS r_extra,
+                    row_number() OVER (ORDER BY rem DESC, source) AS rnk
+             FROM sh)
+           SELECT source, n_tokens,
+                  CAST(share + CASE WHEN rnk <= r_extra THEN 1 ELSE 0 END
+                       AS BIGINT) AS alloc_tokens,
+                  CAST(share + CASE WHEN rnk <= r_extra THEN 1 ELSE 0 END
+                       AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+           FROM rk ORDER BY source""",
       "q142_skew_profile" ->
         """WITH k AS (
              SELECT l_partkey AS key, count(*) AS n_rows

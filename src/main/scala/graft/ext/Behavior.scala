@@ -160,6 +160,57 @@ object Behavior {
         col("last_touch.ty").as("last_touch_type"))
   }
 
+  /** Time-to-convert quantiles per funnel transition: the exact
+    * nearest-rank p25/p50/p75/p90 (plus pair count) of the latency, in
+    * whole seconds, between consecutive completed [[funnel]] stages —
+    * the "how long does conversion take" readout next to the funnel's
+    * "how many convert".
+    *
+    * Exact discrete spec, no interpolation: quantile q is the value at
+    * position ⌈q·n/100⌉ = (q·n + 99) div 100 of the sorted latencies —
+    * pure integer arithmetic, so both engines pick the identical
+    * element (ties in the latency value cannot diverge: the value at a
+    * position is tie-order-independent).
+    *
+    * Scale shape: latencies reduce to a (transition, second) histogram
+    * FIRST (hash aggregate, map-side combine); the cumulative count is
+    * a window over DISTINCT seconds partitioned by transition — its
+    * grain is bounded by the clock span of the funnel in seconds, not
+    * by row count, so it does not grow with data volume; the
+    * position→value probe joins the mart-sized quantile targets
+    * against the histogram. No user-grain window anywhere. */
+  def funnelLatencyQuantiles(
+      events: DataFrame,
+      step1: String = "signup", step2: String = "view", step3: String = "purchase",
+      quantiles: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val f = funnel(events, step1, step2, step3)
+    val lat = f.filter(col(s"${step2}_ts").isNotNull)
+      .select(lit(s"$step1>$step2").as("transition"),
+        (unix_timestamp(col(s"${step2}_ts"))
+          - unix_timestamp(col(s"${step1}_ts"))).as("sec"))
+      .unionByName(f.filter(col(s"${step3}_ts").isNotNull)
+        .select(lit(s"$step2>$step3").as("transition"),
+          (unix_timestamp(col(s"${step3}_ts"))
+            - unix_timestamp(col(s"${step2}_ts"))).as("sec")))
+    val hist = lat.groupBy(col("transition"), col("sec"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(
+      Window.partitionBy(col("transition")).orderBy(col("sec"))))
+    val targets = hist.groupBy(col("transition"))
+      .agg(sum(col("c")).as("n_pairs"))
+      .crossJoin(quantiles.toDF("quantile"))
+      .withColumn("tgt", expr("(quantile * n_pairs + 99) div 100"))
+    cum.join(broadcast(targets), Seq("transition"))
+      .filter(col("cum") >= col("tgt"))
+      .groupBy(col("transition"), col("quantile").cast("long").as("quantile"),
+        col("n_pairs"))
+      .agg(min(col("sec")).as("latency_sec"))
+      .select(col("transition"), col("quantile"), col("n_pairs"),
+        col("latency_sec"))
+  }
+
   /** Event-time debounce (rolling throttle): per (user, event_type),
     * keep the first event, then suppress every event closer than
     * `deltaSeconds` to the LAST KEPT one — the retry/burst collapse an

@@ -85,4 +85,46 @@ object Curation {
         col("n_tokens"),
         ((col("__cum") - col("n_tokens")) / budget).cast("long").as("pack_id"))
   }
+
+  /** Training-mix token plan: apportion a fixed token `budget` across
+    * sources proportionally to each source's available (whitespace-)
+    * token mass, by largest-remainder (Hamilton) apportionment — the
+    * allocator that turns "sample sources by weight" into an exact
+    * integer plan a data loader can execute, with Σ alloc = budget by
+    * construction (floor shares + one extra token to the R sources
+    * with the largest remainders, ties broken by source name).
+    *
+    * `epochs` = alloc/available is the oversampling factor the mix
+    * implies (> 1 means the source repeats). All apportionment
+    * arithmetic is int64 (exact on both engines): budget·w_s must fit
+    * in int64, i.e. budget × the largest source's token count < 2⁶³ —
+    * a 1e6-token plan over exabyte-scale (1e12-token) sources is at
+    * 1e18, inside the envelope; larger plans divide weights down first.
+    *
+    * Scale shape: one doc-grain projection + hash aggregate to source
+    * grain; everything after runs at mix grain (#sources rows — the
+    * unpartitioned rank window is over that mart, not data). */
+  def tokenBudgetPlan(
+      docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budget: Long = 1000000L): DataFrame = {
+    val perSource = TextAnalysis.tokenCounts(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(sourceCol).as("source")), Seq(idCol))
+      .groupBy(col("source"))
+      .agg(sum(col("n_ws_tokens").cast("long")).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("w_total"))
+    val shares = perSource.crossJoin(broadcast(total))
+      .withColumn("share", expr(s"(${budget}L * n_tokens) div w_total"))
+      .withColumn("rem", expr(s"(${budget}L * n_tokens) % w_total"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val alloc = col("share") +
+      when(col("rnk") <= col("r_extra"), 1L).otherwise(0L)
+    shares
+      .withColumn("r_extra", lit(budget) - sum(col("share")).over(wAll))
+      .withColumn("rnk", row_number().over(
+        wAll.orderBy(col("rem").desc, col("source"))))
+      .select(
+        col("source"), col("n_tokens"),
+        alloc.as("alloc_tokens"),
+        (alloc.cast("double") / col("n_tokens").cast("double")).as("epochs"))
+  }
 }

@@ -161,6 +161,61 @@ object Timeseries {
         .otherwise((num * num) / (denX * denY)).as("r2"))
   }
 
+  /** EWMA smoothing + one-step-ahead forecast of daily revenue per
+    * restaurant: `ewma_t = ewma_{t-1} + α·(y_t − ewma_{t-1})` with
+    * α = 1/8, seeded at the key's first observed day; the forecast for
+    * day t is the smoothed level after day t−1 (NULL on the first day).
+    * The simplest forecasting baseline a revenue-anomaly or capacity
+    * model compares against — and the sequential-recurrence sibling of
+    * [[graft.ext.Anomaly.cusumShift]].
+    *
+    * Exactness: y rides exact integer cents lifted into doubles; the
+    * recurrence is ONE fixed IEEE chain (`prev + 0.125 * (y − prev)`,
+    * α = 1/8 exactly representable) evaluated in date order on both
+    * engines — multiply/add/subtract are exactly rounded, so identical
+    * input sequences give bit-identical levels; emitted UNROUNDED.
+    * DuckDB mirrors the same chain via a recursive CTE over the
+    * per-key row_number (the q124 CUSUM pattern).
+    *
+    * Scale shape: the fact reduces to (key, day) partials first; the
+    * recurrence runs inside `mapPartitions` after repartition-by-key +
+    * `sortWithinPartitions` — per-key sequential state, all keys in
+    * parallel, no window over more than one key's days and no driver
+    * collection. State is two doubles per task. */
+  def ewmaForecast(orderRevenue: DataFrame): DataFrame = {
+    val spark = orderRevenue.sparkSession
+    import spark.implicits._
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(graft.gold.Money.cents(col("total_revenue")).cast("long"))
+        .as("cents"))
+      .select(
+        col("restaurant_id").cast("long").as("rid"),
+        col("creation_date").cast("date").as("d"),
+        col("cents"))
+      .repartition(col("rid"))
+      .sortWithinPartitions(col("rid"), col("d"))
+      .as[(Long, java.sql.Date, Long)]
+    daily.mapPartitions { it =>
+      var curR = Long.MinValue
+      var ew = 0.0
+      it.map { case (rid, d, cents) =>
+        val y = cents.toDouble
+        val prev: Option[Double] = if (rid != curR) None else Some(ew)
+        ew = prev match {
+          case None    => curR = rid; y
+          case Some(p) => p + 0.125 * (y - p)
+        }
+        (rid, d, cents, ew, prev)
+      }
+    }.toDF("restaurant_id", "creation_date", "cents", "ew", "prev")
+      .select(
+        col("restaurant_id"), col("creation_date"),
+        (col("cents") / 10000.0).as("daily_revenue"),
+        (col("ew") / 10000.0).as("smoothed_revenue"),
+        (col("prev") / 10000.0).as("forecast_revenue"))
+  }
+
   def gapFillDaily(orderRevenue: DataFrame): DataFrame = {
     val daily = orderRevenue
       .groupBy(col("restaurant_id"), col("creation_date"))

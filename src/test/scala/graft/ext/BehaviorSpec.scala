@@ -34,6 +34,39 @@ class BehaviorSpec extends SparkSpec {
     assert(got === Map(1L -> 3, 2L -> 2, 3L -> 1))
   }
 
+  test("funnelLatencyQuantiles: exact nearest-rank per transition") {
+    def u(id: Long, base: String, viewAfterSec: Int,
+        purchaseAfterSec: Option[Int]) = {
+      val t0 = ts(base)
+      Seq((id, t0, "signup", 0.0),
+        (id, new Timestamp(t0.getTime + viewAfterSec * 1000L), "view", 0.0)) ++
+        purchaseAfterSec.map(p => (id,
+          new Timestamp(t0.getTime + (viewAfterSec + p) * 1000L),
+          "purchase", 1.0))
+    }
+    val events = (
+      u(1L, "2024-01-01 10:00:00", 10, Some(5)) ++
+      u(2L, "2024-01-02 10:00:00", 20, Some(15)) ++
+      u(3L, "2024-01-03 10:00:00", 30, None) ++
+      u(4L, "2024-01-04 10:00:00", 40, None)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = Behavior.funnelLatencyQuantiles(events)
+      .orderBy(col("transition"), col("quantile"))
+      .select("transition", "quantile", "n_pairs", "latency_sec")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // signup>view latencies {10,20,30,40}: ranks ⌈qn/100⌉ = 1,2,3,4
+    // view>purchase latencies {5,15}: ranks 1,1,2,2
+    assert(got == Seq(
+      ("signup>view", 25L, 4L, 10L),
+      ("signup>view", 50L, 4L, 20L),
+      ("signup>view", 75L, 4L, 30L),
+      ("signup>view", 90L, 4L, 40L),
+      ("view>purchase", 25L, 2L, 5L),
+      ("view>purchase", 50L, 2L, 5L),
+      ("view>purchase", 75L, 2L, 15L),
+      ("view>purchase", 90L, 2L, 15L)))
+  }
+
   test("retentionWeekly: offsets count from each user's first week") {
     val events = Seq(
       // u1 active weeks 0 and 2 of cohort 2024-01-01 (a Monday)

@@ -117,4 +117,25 @@ class TimeseriesPruneSpec extends SparkSpec {
       (2L, 1L, None, None),
       (3L, 2L, Some(0.0), None)))
   }
+
+  test("ewmaForecast: seeded recurrence per key, forecast is prior level") {
+    val rows = Seq(
+      (1L, Date.valueOf("2024-01-01"), 1.0),
+      (1L, Date.valueOf("2024-01-02"), 2.0),
+      (1L, Date.valueOf("2024-01-03"), 2.0),
+      // second key must restart the recurrence (no state bleed)
+      (2L, Date.valueOf("2024-01-05"), 3.0)
+    ).toDF("restaurant_id", "creation_date", "total_revenue")
+    val got = graft.ext.Timeseries.ewmaForecast(rows)
+      .orderBy("restaurant_id", "creation_date")
+      .select($"restaurant_id", $"daily_revenue", $"smoothed_revenue",
+        $"forecast_revenue")
+      .as[(Long, Double, Double, Option[Double])].collect().toSeq
+    // ew1 = y1; ew2 = 1 + 0.125*(2-1) = 1.125; ew3 = 1.125 + 0.125*0.875
+    assert(got == Seq(
+      (1L, 1.0, 1.0, None),
+      (1L, 2.0, 1.125, Some(1.0)),
+      (1L, 2.0, 1.125 + 0.125 * 0.875, Some(1.125)),
+      (2L, 3.0, 3.0, None)))
+  }
 }
