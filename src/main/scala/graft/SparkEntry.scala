@@ -1078,6 +1078,26 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", "source")
         .orderBy(col("source"))),
 
+    // ---- ext: Kaplan-Meier customer-lifetime survival per restaurant
+    // (censoring-aware churn; product recurrence via mapPartitions) ----
+    "q158_kaplan_meier" -> ((s, dir) =>
+      graft.ext.Survival.kaplanMeier(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("duration_days"))),
+
+    // ---- ext: Benford first-digit audit of revenue amounts (shared
+    // 17-digit literals on both engines — no engine log10 in the gate) ----
+    "q159_benford" -> ((s, dir) =>
+      graft.ext.Profiling.benfordAudit(
+          Conformed.orderRevenueCached(s, dir), "total_revenue")
+        .orderBy(col("leading_digit"))),
+
+    // ---- ext: count-min-sketch heavy hitters audited vs exact counts
+    // (constant-memory frequency summary; identical sketch in SQL) ----
+    "q160_cms_heavy_hitters" -> ((s, dir) =>
+      graft.ext.Skew.cmsHeavyHitters(
+          Tables.lineitem(s, dir), col("l_partkey"))
+        .orderBy(col("key"))),
+
     // ---- ext: online rolling-baseline z-score (self-excluding
     // calendar-RANGE frame — what a live monitor would have known) ----
     "q132_rolling_z" -> ((s, dir) =>
@@ -1430,6 +1450,94 @@ object SparkEntry {
                   CAST(share + CASE WHEN rnk <= r_extra THEN 1 ELSE 0 END
                        AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
            FROM rk ORDER BY source""",
+      "q158_kaplan_meier" -> OracleSql.withBaseRecursive(
+        """kmu AS (
+             SELECT restaurant_id, user_id,
+                    min(creation_date) AS first_date,
+                    max(creation_date) AS last_date
+             FROM order_revenue GROUP BY 1, 2),
+           kma AS (SELECT max(creation_date) AS anchor FROM order_revenue),
+           kmh AS (
+             SELECT restaurant_id,
+                    CAST(datediff('day', first_date, last_date) AS BIGINT)
+                      AS dur,
+                    CAST(sum(CASE WHEN datediff('day', last_date, anchor) >= 30
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                    CAST(count(*) AS BIGINT) AS m
+             FROM kmu CROSS JOIN kma GROUP BY 1, 2),
+           kmr AS (
+             SELECT restaurant_id, dur, d,
+                    CAST(sum(m) OVER (PARTITION BY restaurant_id
+                      ORDER BY dur DESC) AS BIGINT) AS n
+             FROM kmh),
+           kme AS (
+             SELECT restaurant_id, dur, d, n,
+                    row_number() OVER (PARTITION BY restaurant_id
+                      ORDER BY dur) AS rn
+             FROM kmr WHERE d > 0),
+           kms AS (
+             SELECT restaurant_id, rn, dur, d, n,
+                    CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) AS s
+             FROM kme WHERE rn = 1
+             UNION ALL
+             SELECT e.restaurant_id, e.rn, e.dur, e.d, e.n,
+                    r.s * (CAST(e.n - e.d AS DOUBLE) / CAST(e.n AS DOUBLE))
+             FROM kms r JOIN kme e
+               ON e.restaurant_id = r.restaurant_id AND e.rn = r.rn + 1)""",
+        """SELECT restaurant_id, dur AS duration_days, n AS n_risk,
+                  d AS n_events, s AS survival
+           FROM kms ORDER BY restaurant_id, duration_days"""),
+      "q159_benford" -> OracleSql.withBase(
+        s"""bfd AS (
+             SELECT CAST(substr(CAST(CAST(round(total_revenue * 10000)
+                      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                      AS leading_digit
+             FROM order_revenue
+             WHERE CAST(round(total_revenue * 10000) AS BIGINT) > 0),
+           bfc AS (
+             SELECT leading_digit, CAST(count(*) AS BIGINT) AS n_obs
+             FROM bfd GROUP BY 1),
+           bft AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM bfc),
+           bfp AS (SELECT * FROM (VALUES
+             ${graft.ext.Profiling.benfordPSqlValues}) t(leading_digit, benford_p))""",
+        """SELECT CAST(p.leading_digit AS BIGINT) AS leading_digit,
+                  COALESCE(c.n_obs, 0) AS n_obs,
+                  CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
+                    / CAST(t.n_total AS DOUBLE) AS share,
+                  p.benford_p,
+                  CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
+                    / CAST(t.n_total AS DOUBLE) - p.benford_p AS excess
+           FROM bfp p LEFT JOIN bfc c ON c.leading_digit = p.leading_digit
+           CROSS JOIN bft t
+           ORDER BY leading_digit"""),
+      "q160_cms_heavy_hitters" -> {
+        val h = graft.functions.Portable.h60Sql(
+          "'cms' || CAST(i.i AS VARCHAR) || ':' || CAST(c.key AS VARCHAR)")
+        val hTop = graft.functions.Portable.h60Sql(
+          "'cms' || CAST(i.i AS VARCHAR) || ':' || CAST(t.key AS VARCHAR)")
+        s"""WITH c AS (
+             SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_exact
+             FROM lineitem GROUP BY 1),
+           i AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(i)),
+           ctr AS (
+             SELECT i.i, $h % 1024 AS bucket,
+                    CAST(sum(c.n_exact) AS BIGINT) AS cnt
+             FROM c CROSS JOIN i GROUP BY 1, 2),
+           tot AS (SELECT CAST(sum(n_exact) AS BIGINT) AS n_total FROM c),
+           top AS (SELECT key, n_exact FROM c
+                   ORDER BY n_exact DESC, key LIMIT 20),
+           est AS (
+             SELECT t.key, t.n_exact, min(ctr.cnt) AS n_est
+             FROM top t CROSS JOIN i
+             JOIN ctr ON ctr.i = i.i AND ctr.bucket = $hTop % 1024
+             GROUP BY 1, 2)
+           SELECT e.key, e.n_exact, e.n_est,
+                  e.n_est - e.n_exact AS overcount,
+                  e.n_est <= e.n_exact + (2 * t.n_total + 1023) // 1024
+                    AS within_eps
+           FROM est e CROSS JOIN tot t
+           ORDER BY key"""
+      },
       "q142_skew_profile" ->
         """WITH k AS (
              SELECT l_partkey AS key, count(*) AS n_rows

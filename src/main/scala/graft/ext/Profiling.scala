@@ -433,6 +433,59 @@ object Profiling {
         (col("np").cast("double") / col("n_rows").cast("double")).as("pos_rate"))
   }
 
+  /** Benford first-significant-digit audit of a money column: observed
+    * share of each leading digit (of the exact integer cent value)
+    * against Benford's law p(d) = log10(1 + 1/d) — the classic
+    * fabricated-/truncated-data screen for financial facts (organic
+    * multiplicative amounts follow Benford; capped, minimum-fee, or
+    * synthetic amounts visibly do not).
+    *
+    * Exactness: digit extraction is string-of-integer on both engines
+    * (no float log in the hot path); the Benford targets are the SAME
+    * 17-significant-digit literals on both sides (decimal→double parse
+    * is correctly rounded in both engines, whereas each engine's own
+    * log10 need not be), and share/excess are single IEEE ops emitted
+    * UNROUNDED. One hash aggregate to digit grain (9 rows). */
+  val benfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
+  /** SQL VALUES list mirroring [[benfordP]] — generated from the same
+    * literals so the two engines cannot drift. */
+  def benfordPSqlValues: String =
+    benfordP.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = round(col(valueCol) * 10000).cast("long")
+    val digits = df.select(cents.as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+        .as("leading_digit"))
+      .groupBy(col("leading_digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).as("n_total"))
+    // all nine digits always present in the report: a digit with ZERO
+    // observations is itself a red flag the audit must show
+    benfordP.toDF("leading_digit", "benford_p")
+      .select(col("leading_digit").cast("long").as("leading_digit"),
+        col("benford_p"))
+      .join(digits, Seq("leading_digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("leading_digit"), col("n_obs"),
+        (col("n_obs").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        col("benford_p"),
+        ((col("n_obs").cast("double") / col("n_total").cast("double"))
+          - col("benford_p")).as("excess"))
+  }
+
   /** Winsorize (clip) a numeric column to its per-group discrete
     * [pLo, pHi] quantiles — the outlier-capping step before scaling /
     * feature extraction. Discrete quantiles keep everything exact

@@ -75,4 +75,52 @@ object Skew {
       "__salt", explode(array((0 until numSalts).map(i => lit(i.toLong)): _*)))
     saltedBig.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Count-min-sketch frequency estimates, audited against the exact
+    * counts: a depth×width counter grid built with the portable salted
+    * hash family, evaluated on the exact top-K keys. The fixed-size
+    * (depth·width counters) sibling of [[skewProfile]]: at 100 TB the
+    * exact key histogram may itself be too large to hold, while the CMS
+    * is a constant-memory mergeable summary a monitor keeps per
+    * partition/stream — this operator measures what that summary would
+    * report (`n_est`), the one-sided error (`overcount` ≥ 0 always, by
+    * construction), and whether the classic ε = 2/width envelope held
+    * (`within_eps`).
+    *
+    * Everything is exact integer arithmetic on BOTH engines — counters
+    * are plain hash-bucket sums with [[graft.functions.Portable.h60]]
+    * buckets, so the oracle rebuilds the IDENTICAL sketch in SQL; no
+    * randomness, no float. Shape: one hash aggregate to key grain, a
+    * depth-way explode to (row, bucket) grain (depth·width rows), a
+    * TakeOrdered top-K, and a broadcast-join probe of K·depth rows. */
+  def cmsHeavyHitters(
+      df: DataFrame, keyCol: Column,
+      depth: Int = 4, width: Int = 1024, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2 && topK >= 1, "bad CMS parameters")
+    val counts = df.groupBy(keyCol.cast("long").as("key"))
+      .agg(count(lit(1)).as("n_exact"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bucket(c: Column): Column =
+      pmod(graft.functions.Portable.h60(
+        concat(lit("cms"), col("i").cast("string"), lit(":"), c.cast("string"))),
+        lit(width.toLong))
+    val depthIdx = explode(array((0 until depth).map(i => lit(i)): _*)).as("i")
+    val counters = counts.select(col("key"), col("n_exact"), depthIdx)
+      .withColumn("bucket", bucket(col("key")))
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(col("n_exact")).as("c"))
+    val total = counts.agg(sum(col("n_exact")).as("n_total"))
+    val top = counts.orderBy(col("n_exact").desc, col("key")).limit(topK)
+    top.select(col("key"), col("n_exact"), depthIdx)
+      .withColumn("bucket", bucket(col("key")))
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy(col("key"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("key"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"),
+        (col("n_est") <= col("n_exact")
+          + expr(s"(2 * n_total + ${width - 1}) div $width")).as("within_eps"))
+  }
 }

@@ -253,4 +253,19 @@ class ProfilingSpec extends SparkSpec {
       ("g", 1L, 2L, (700000.0 / 1000000.0) / 2.0, 1.0),
       ("h", 0L, 1L, (500000.0 / 1000000.0) / 1.0, 1.0)))
   }
+
+  test("benfordAudit: leading digit of exact cents, zero rows kept, nonpositive dropped") {
+    val df = Seq(1.0, 12.5, 199.99, 2.5, 0.09, 0.0, -5.0)
+      .toDF("total_revenue")
+    val got = Profiling.benfordAudit(df, "total_revenue")
+      .orderBy($"leading_digit")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq(
+      (1L, 3L), (2L, 1L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (6L, 0L), (7L, 0L), (8L, 0L), (9L, 1L)))
+    val d1 = got.head
+    assert(d1._3 == 3.0 / 5.0 && d1._4 == 0.3010299956639812
+      && d1._5 == 3.0 / 5.0 - 0.3010299956639812)
+    assert(got.map(_._2).sum == 5L)
+  }
 }

@@ -46,4 +46,18 @@ class SkewSpec extends SparkSpec {
       .orderBy($"rank").select($"key", $"rank").as[(String, Int)].collect()
     assert(top3.head == (("big", 1)) && top3.length == 3)
   }
+
+  test("cmsHeavyHitters: estimates never undercount and hold the eps bound") {
+    // 10 keys in 4x1024 buckets: no full-depth collision, so every
+    // estimate is exact (a deterministic fact of the fixed hash family)
+    val rows = (1L to 10L).flatMap(k => Seq.fill(k.toInt * 3)(k)).toDF("key")
+    val got = Skew.cmsHeavyHitters(rows, col("key"), topK = 5)
+      .orderBy($"key")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq(6L, 7L, 8L, 9L, 10L)) // top-5 by count
+    got.foreach { case (k, exact, est, over, within) =>
+      assert(exact == k * 3)
+      assert(est == exact && over == 0L && within)
+    }
+  }
 }
