@@ -1098,6 +1098,34 @@ object SparkEntry {
           Tables.lineitem(s, dir), col("l_partkey"))
         .orderBy(col("key"))),
 
+    // ---- ext: upper-triangle embedding covariance (whitening/PCA
+    // sufficient stats; integer-quantized pair sums) ----
+    "q161_covariance" -> ((s, dir) =>
+      graft.ext.Profiling.covariancePairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("i"), col("j"))),
+
+    // ---- ext: best decision-stump split per category (Gini gain over
+    // a dollar-grain threshold sweep — the tree-learner primitive) ----
+    "q162_stump_split" -> ((s, dir) =>
+      graft.ext.Profiling.bestStumpSplit(
+          Conformed.orderRevenueCached(s, dir), "item_category",
+          graft.gold.Money.cents(col("total_revenue")), col("is_loyalty"))
+        .orderBy(col("item_category"))),
+
+    // ---- ext: per-source rank AUC (Mann-Whitney with tie-averaged
+    // ranks) of the quality score predicting lang='en' ----
+    "q163_rank_auc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qs = graft.ext.TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      graft.ext.Profiling.rankAuc(
+          docs.select(col("doc_id"), col("source"), col("lang"))
+            .join(qs, Seq("doc_id")),
+          "source", col("quality_score"), col("lang") === "en")
+        .orderBy(col("source"))
+    }),
+
     // ---- ext: online rolling-baseline z-score (self-excluding
     // calendar-RANGE frame — what a live monitor would have known) ----
     "q132_rolling_z" -> ((s, dir) =>
@@ -1538,6 +1566,79 @@ object SparkEntry {
            FROM est e CROSS JOIN tot t
            ORDER BY key"""
       },
+      "q161_covariance" ->
+        """WITH cq AS (
+             SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                      x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+             FROM embeddings),
+           cd AS (SELECT range AS i FROM range(64)),
+           cp AS (
+             SELECT di.i, dj.i AS j,
+                    CAST(sum(qv[di.i + 1] * qv[dj.i + 1]) AS BIGINT) AS spp
+             FROM cq, cd di, cd dj WHERE dj.i >= di.i GROUP BY 1, 2),
+           cs AS (
+             SELECT cd.i, CAST(sum(qv[cd.i + 1]) AS BIGINT) AS sd
+             FROM cq, cd GROUP BY 1),
+           cn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM cq)
+           SELECT CAST(cp.i AS BIGINT) AS i, CAST(cp.j AS BIGINT) AS j,
+                  cn.n_rows,
+                  (CAST(cp.spp AS DOUBLE) / CAST(cn.n_rows AS DOUBLE)
+                   - (CAST(si.sd AS DOUBLE) / CAST(cn.n_rows AS DOUBLE))
+                     * (CAST(sj.sd AS DOUBLE) / CAST(cn.n_rows AS DOUBLE)))
+                  / 1000000.0 AS cov
+           FROM cp JOIN cs si ON si.i = cp.i JOIN cs sj ON sj.i = cp.j
+           CROSS JOIN cn
+           ORDER BY i, j""",
+      "q162_stump_split" -> OracleSql.withBase(
+        """sth AS (
+             SELECT item_category AS grp,
+                    CAST(round(total_revenue * 10000) AS BIGINT) // 10000 AS t,
+                    CASE WHEN is_loyalty THEN 1 ELSE 0 END AS pos
+             FROM order_revenue),
+           stg AS (
+             SELECT grp, t, CAST(count(*) AS BIGINT) AS m,
+                    CAST(sum(pos) AS BIGINT) AS mp
+             FROM sth GROUP BY 1, 2),
+           stc AS (
+             SELECT grp, t,
+                    CAST(sum(m) OVER w AS BIGINT) AS nl,
+                    CAST(sum(mp) OVER w AS BIGINT) AS pl
+             FROM stg WINDOW w AS (PARTITION BY grp ORDER BY t)),
+           stt AS (
+             SELECT grp, CAST(sum(m) AS BIGINT) AS n,
+                    CAST(sum(mp) AS BIGINT) AS p
+             FROM stg GROUP BY 1),
+           sts AS (
+             SELECT c.grp, c.t, c.nl, c.pl, t.n, t.p,
+                    t.n - c.nl AS nr, t.p - c.pl AS pr
+             FROM stc c JOIN stt t USING (grp) WHERE c.nl < t.n),
+           stx AS (
+             SELECT grp, t, n, p, nl, pl, nr, pr,
+                    (1.0 - (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                         - (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE)))
+                    - ((CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                                * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                              - (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                                * (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+                       + (CAST(nr AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+                                  * (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+                                - (CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE))
+                                  * (CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE))))
+                      AS gain
+             FROM sts),
+           str AS (
+             SELECT *, row_number() OVER (PARTITION BY grp
+                      ORDER BY gain DESC, t) AS rnk
+             FROM stx)""",
+        """SELECT grp AS item_category, t AS threshold_units, gain, n,
+                  p AS n_pos, nl AS n_left, pl AS pos_left,
+                  nr AS n_right, pr AS pos_right
+           FROM str WHERE rnk = 1 ORDER BY item_category"""),
+      "q163_rank_auc" -> ExtOracleSql.rankAucQualityBySource,
       "q142_skew_profile" ->
         """WITH k AS (
              SELECT l_partkey AS key, count(*) AS n_rows

@@ -433,6 +433,163 @@ object Profiling {
         (col("np").cast("double") / col("n_rows").cast("double")).as("pos_rate"))
   }
 
+  /** Upper-triangle covariance of an embedding column — the d·(d+1)/2
+    * sufficient statistics of whitening / PCA preprocessing: 100 TB of
+    * vectors reduce to one pair-sum per (i ≤ j) plus per-dimension
+    * sums, all exact integers.
+    *
+    * Exactness: components quantize to integer `unitsPerValue` units
+    * (declared fidelity — the covariance OF THE QUANTIZED values is
+    * exact, the quantization error is the caller's stated tolerance);
+    * pair products and their sums are int64, and the final covariance
+    * is one fixed IEEE chain over exact longs, emitted UNROUNDED.
+    * Envelope: n · (max|q|)² must fit in int64 — at the default 1e3
+    * units and unit-norm-ish vectors that is ~9e12 rows; divide units
+    * down for more rows.
+    *
+    * Shape: one nested-transform explode to (i, j, product) grain
+    * (d(d+1)/2 terms per row, map-side combined to 2080 partials per
+    * task at d = 64), one dim-grain aggregate for the means, and
+    * mart-grain joins. No shuffle exceeds pair-grain cardinality. */
+  def covariancePairs(
+      df: DataFrame, idCol: String, embCol: String,
+      dim: Int = 64, unitsPerValue: Int = 1000): DataFrame = {
+    require(dim >= 1 && unitsPerValue >= 1, "bad covariance parameters")
+    val q = df.select(col(idCol),
+      transform(col(embCol), x =>
+        round(x.cast("double") * unitsPerValue).cast("long")).as("qv"))
+    val pairs = q.select(explode(flatten(
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        transform(sequence(i, lit(dim - 1)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("qv"), i + 1) * element_at(col("qv"), j + 1))
+              .as("p")))))).as("u"))
+      .select(col("u.i").cast("long").as("i"), col("u.j").cast("long").as("j"),
+        col("u.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("spp"))
+    val dimSums = q.select(posexplode(col("qv")).as(Seq("pos", "qd")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(sum(col("qd")).as("sd"))
+    val n = q.agg(count(lit(1)).as("n_rows"))
+    val u2 = unitsPerValue.toDouble * unitsPerValue.toDouble
+    pairs
+      .join(broadcast(dimSums.select(col("pos").as("i"), col("sd").as("si"))),
+        Seq("i"))
+      .join(broadcast(dimSums.select(col("pos").as("j"), col("sd").as("sj"))),
+        Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("i"), col("j"), col("n_rows"),
+        ((col("spp").cast("double") / col("n_rows").cast("double")
+          - (col("si").cast("double") / col("n_rows").cast("double"))
+            * (col("sj").cast("double") / col("n_rows").cast("double")))
+          / lit(u2)).as("cov"))
+  }
+
+  /** Best decision-stump split per group: over a label-vs-threshold
+    * sweep of the (group, value) histogram, the threshold with the
+    * highest Gini gain for predicting a boolean label — the
+    * feature-evaluation primitive under tree learners and feature
+    * ranking, at "which price point separates loyalty orders" shape.
+    *
+    * Thresholds are the distinct COARSENED integer values
+    * (`value div grain` — the knob that bounds the candidate set: at
+    * dollar grain a money domain has ~price-range candidates
+    * regardless of row count). Counts are exact integers; each Gini
+    * term is the same fixed IEEE chain on both engines, and the argmax
+    * compares those identical doubles (ties → smaller threshold).
+    * Splits are `value ≤ t` vs `> t`; the largest value's degenerate
+    * all-left split is excluded.
+    *
+    * Shape: fact → (group, bucket) histogram (hash aggregate), one
+    * cumulative window over distinct buckets partitioned by group,
+    * mart-grain totals broadcast back, rank-1 filter per group. */
+  def bestStumpSplit(
+      df: DataFrame, groupCol: String, valueUnits: Column, label: Column,
+      grain: Long = 10000L): DataFrame = {
+    require(grain >= 1, "grain must be positive")
+    val hist = df
+      .select(col(groupCol).as("grp"), valueUnits.cast("long").as("__v"),
+        when(label, 1L).otherwise(0L).as("pos"))
+      .select(col("grp"), expr(s"__v div ${grain}L").as("t"), col("pos"))
+      .groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("m"), sum(col("pos")).as("mp"))
+    val wc = Window.partitionBy(col("grp")).orderBy(col("t"))
+    val cum = hist
+      .withColumn("nl", sum(col("m")).over(wc))
+      .withColumn("pl", sum(col("mp")).over(wc))
+    val tot = hist.groupBy(col("grp"))
+      .agg(sum(col("m")).as("n"), sum(col("mp")).as("p"))
+    def gini(pp: Column, nn: Column): Column = {
+      val fp = pp.cast("double") / nn.cast("double")
+      val fn = (nn - pp).cast("double") / nn.cast("double")
+      lit(1.0) - fp * fp - fn * fn
+    }
+    val scored = cum.join(broadcast(tot), Seq("grp"))
+      .filter(col("nl") < col("n")) // drop the degenerate all-left split
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("pr", col("p") - col("pl"))
+      .withColumn("gain",
+        gini(col("p"), col("n"))
+          - ((col("nl").cast("double") / col("n").cast("double"))
+              * gini(col("pl"), col("nl"))
+            + (col("nr").cast("double") / col("n").cast("double"))
+              * gini(col("pr"), col("nr"))))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("gain").desc, col("t"))))
+      .filter(col("rnk") === 1)
+      .select(
+        col("grp").as(groupCol), col("t").as("threshold_units"),
+        col("gain"), col("n"), col("p").as("n_pos"),
+        col("nl").as("n_left"), col("pl").as("pos_left"),
+        col("nr").as("n_right"), col("pr").as("pos_right"))
+  }
+
+  /** Rank-based AUC (Mann–Whitney with average-rank tie handling) of a
+    * score against a boolean label, per group — THE threshold-free
+    * eval metric of a classifier/quality score, next to
+    * [[calibrationBins]]'s reliability view.
+    *
+    * Exactness: with minimum tie-rank r and tie-group size c, a
+    * positive contributes average rank r + (c−1)/2; doubling keeps
+    * everything integer: Σ(2r + c − 1) over positives, so
+    * AUC = (S₂ − P(P+1)) / (2·P·N_neg) is ONE division of exact
+    * int64s (S₂ ≤ 2·n² per group — fine to ~2e9 rows per group).
+    * Groups with no positives or no negatives emit NULL.
+    *
+    * Shape: one rank window + one tie-count window partitioned by
+    * group (row grain — the unavoidable sort of exact ranking), then a
+    * mart-grain aggregate. At 100 TB pre-aggregate equal scores per
+    * group first if the score domain is discrete. */
+  def rankAuc(
+      df: DataFrame, groupCol: String, scoreCol: Column, label: Column)
+      : DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), scoreCol.as("score"),
+      when(label, 1L).otherwise(0L).as("pos"))
+    val wg = Window.partitionBy(col("grp"))
+    val ranked = base
+      .withColumn("rmin", rank().over(wg.orderBy(col("score"))))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("grp"), col("score"))))
+    ranked.groupBy(col("grp").as(groupCol))
+      .agg(
+        sum(col("pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("pos"))).as("n_neg"),
+        sum(when(col("pos") === 1L,
+          lit(2L) * col("rmin") + col("cnt") - 1L).otherwise(0L)).as("s2"))
+      .select(
+        col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("s2") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
+              / (lit(2.0) * col("n_pos").cast("double")
+                * col("n_neg").cast("double"))).as("auc"))
+  }
+
   /** Benford first-significant-digit audit of a money column: observed
     * share of each leading digit (of the exact integer cent value)
     * against Benford's law p(d) = log10(1 + 1/d) — the classic

@@ -926,6 +926,53 @@ object ExtOracleSql {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source Mann–Whitney AUC of the quality score predicting
+    * lang = 'en' (mirrors [[graft.ext.Profiling.rankAuc]] over
+    * [[graft.ext.TextAnalysis.qualityScore]]); the score CTEs are the
+    * same expressions as [[qualityScore]], so the ranks cannot drift. */
+  def rankAucQualityBySource: String = {
+    val stopList = TextAnalysis.qualityStopwords.map(w => s"'$w'").mkString(", ")
+    val t = Portable.tokensSql("text")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |         length(text) AS n_chars,
+       |         len($t) AS n_tokens,
+       |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+       |         len(list_filter($t, x -> x IN ($stopList))) AS n_stop
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+       |         CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio
+       |  FROM q),
+       |sc AS (
+       |  SELECT d.source,
+       |         round(0.5 * least(1.0, r.n_tokens / 64.0)
+       |               + 0.25 * alpha_ratio
+       |               + 0.25 * least(1.0, stop_ratio * 4.0), 6) AS score,
+       |         d.lang = 'en' AS pos
+       |  FROM r JOIN documents d USING (doc_id)),
+       |rk AS (
+       |  SELECT source, pos,
+       |         rank() OVER (PARTITION BY source ORDER BY score) AS rmin,
+       |         count(*) OVER (PARTITION BY source, score) AS cnt
+       |  FROM sc),
+       |ag AS (
+       |  SELECT source,
+       |         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |         CAST(count(*) - sum(CASE WHEN pos THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_neg,
+       |         CAST(sum(CASE WHEN pos THEN 2 * rmin + cnt - 1 ELSE 0 END)
+       |              AS BIGINT) AS s2
+       |  FROM rk GROUP BY 1)
+       |SELECT source, n_pos, n_neg,
+       |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |            ELSE CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       |       END AS auc
+       |FROM ag ORDER BY source""".stripMargin
+  }
+
   def tokenCounts: String =
     s"""SELECT doc_id,
        |       len(${Portable.tokensSql("text")}) AS n_ws_tokens,

@@ -254,6 +254,56 @@ class ProfilingSpec extends SparkSpec {
       ("h", 0L, 1L, (500000.0 / 1000000.0) / 1.0, 1.0)))
   }
 
+  test("covariancePairs: hand-computed 2-dim covariance, upper triangle only") {
+    // vectors (1,2), (3,6), (5,4): mean (3,4); cov00 = 8/3, cov11 = 8/3,
+    // cov01 = ((2+18+20)/3 - 12) = 4/3
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 6.0f)), (3L, Array(5.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Profiling.covariancePairs(df, "vec_id", "embedding", dim = 2)
+      .orderBy($"i", $"j")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((0L, 0L, 3L), (0L, 1L, 3L), (1L, 1L, 3L)))
+    val eps = 1e-9
+    assert(math.abs(got(0)._4 - 8.0 / 3.0) < eps)
+    assert(math.abs(got(1)._4 - 4.0 / 3.0) < eps)
+    assert(math.abs(got(2)._4 - 8.0 / 3.0) < eps)
+  }
+
+  test("bestStumpSplit: perfect separator wins with full Gini gain") {
+    // group g: values 1,2 negative; 8,9 positive (units = grain*value)
+    // -> threshold 2 splits perfectly, gain = gini(2/4) - 0 = 0.5
+    val df = Seq(
+      ("g", 1L, false), ("g", 2L, false), ("g", 8L, true), ("g", 9L, true),
+      ("h", 5L, true), ("h", 5L, false) // single threshold -> no valid split
+    ).toDF("grp", "v", "y")
+    val got = Profiling.bestStumpSplit(
+        df, "grp", $"v" * 10000L, $"y", grain = 10000L)
+      .orderBy($"grp")
+      .select($"grp", $"threshold_units", $"gain", $"n_left", $"n_right")
+      .as[(String, Long, Double, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 2L, 0.5, 2L, 2L)))
+  }
+
+  test("rankAuc: perfect ranking 1.0, ties average, degenerate group NULL") {
+    val df = Seq(
+      // g: scores separate perfectly -> AUC 1
+      ("g", 0.1, false), ("g", 0.2, false), ("g", 0.8, true), ("g", 0.9, true),
+      // t: all scores tied -> AUC 0.5 by average ranks
+      ("t", 0.5, true), ("t", 0.5, false),
+      // z: no negatives -> NULL
+      ("z", 0.3, true)
+    ).toDF("src", "score", "y")
+    val got = Profiling.rankAuc(df, "src", $"score", $"y")
+      .orderBy($"src")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("g", 2L, 2L, Some(1.0)),
+      ("t", 1L, 1L, Some(0.5)),
+      ("z", 1L, 0L, None)))
+  }
+
   test("benfordAudit: leading digit of exact cents, zero rows kept, nonpositive dropped") {
     val df = Seq(1.0, 12.5, 199.99, 2.5, 0.09, 0.0, -5.0)
       .toDF("total_revenue")
