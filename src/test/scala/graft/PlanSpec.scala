@@ -241,6 +241,65 @@ class PlanSpec extends SparkSpec {
       s"multi-probe IVF must never plan a cartesian:\n$mpPlan")
   }
 
+  test("q155-q163 additions keep their claimed shapes") {
+    import spark.implicits._
+    def windowsPartitioned(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val wins = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+        org.apache.spark.sql.Row]].queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$what must never run an unpartitioned window")
+    }
+    val d = (i: Int) => java.sql.Date.valueOf(f"2024-01-$i%02d")
+    val rev = (1 to 6).map(i => (i.toLong % 2, d(i), 10.0))
+      .toDF("restaurant_id", "creation_date", "total_revenue")
+    // EWMA + Kaplan-Meier: per-key repartition + partition-local sort,
+    // never a global (range) sort; KM's at-risk window is key-partitioned
+    val ewmaPlan = planText(ext.Timeseries.ewmaForecast(rev))
+    assert(ewmaPlan.contains("hashpartitioning(rid") &&
+      !ewmaPlan.contains("rangepartitioning"),
+      s"EWMA recurrence must sort within hash partitions:\n$ewmaPlan")
+    val km = ext.Survival.kaplanMeier(
+      rev.withColumn("user_id", col("restaurant_id") + 10L))
+    windowsPartitioned(km, "kaplanMeier")
+    val kmPlan = planText(km)
+    // the at-risk window's exchange already hash-partitions on the key,
+    // so the recurrence's repartition(rid) may be elided as redundant —
+    // either way the only partitioning in the plan is by restaurant
+    assert((kmPlan.contains("hashpartitioning(rid") ||
+        kmPlan.contains("hashpartitioning(restaurant_id")) &&
+      !kmPlan.contains("rangepartitioning"),
+      s"KM recurrence must stay hash-partitioned by key:\n$kmPlan")
+    // funnel latency: the cumulative histogram window is partitioned by
+    // transition, quantile targets broadcast onto it
+    val ev = core.Tables.events(spark, sf)
+    val fl = ext.Behavior.funnelLatencyQuantiles(ev)
+    windowsPartitioned(fl, "funnelLatencyQuantiles")
+    assert(planText(fl).contains("BroadcastHashJoin"),
+      "quantile targets must broadcast onto the histogram")
+    // CMS: the probe joins the (depth x width) counter grid via broadcast
+    val li = core.Tables.lineitem(spark, sf)
+    val cmsPlan = planText(ext.Skew.cmsHeavyHitters(li, col("l_partkey")))
+    assert(cmsPlan.contains("BroadcastHashJoin") &&
+      !cmsPlan.contains("CartesianProduct"),
+      s"CMS probe must broadcast-join the counter grid:\n$cmsPlan")
+    assert(cmsPlan.contains("TakeOrderedAndProject"),
+      "CMS top-K must be TakeOrdered, not a global sort")
+    // covariance: pair sums are generate+hashAggregate — no cartesian
+    val vecs = core.Tables.embeddings(spark, sf)
+    val covPlan = planText(ext.Profiling.covariancePairs(vecs, "vec_id", "embedding"))
+    assert(!covPlan.contains("CartesianProduct"),
+      s"covariance must never plan a cartesian:\n$covPlan")
+    // stump sweep + AUC: every window partitioned by the group key
+    windowsPartitioned(ext.Profiling.bestStumpSplit(
+      rev.withColumn("c", lit("x")), "c",
+      gold.Money.cents(col("total_revenue")), lit(true)), "bestStumpSplit")
+    windowsPartitioned(ext.Profiling.rankAuc(
+      Seq(("s", 0.5, true)).toDF("src", "score", "y"),
+      "src", col("score"), col("y")), "rankAuc")
+  }
+
   test("gap fill joins at mart grain with the fact reduced first") {
     val plan = planText(ext.Timeseries.gapFillDaily(
       bindings.Conformed.orderRevenue(spark, sf)))
