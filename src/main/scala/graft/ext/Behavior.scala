@@ -160,6 +160,95 @@ object Behavior {
         col("last_touch.ty").as("last_touch_type"))
   }
 
+  /** Per-user sequence log-likelihood under the corpus's own
+    * first-order Markov model ([[transitions]]) — users whose event
+    * order is improbable under the global transition matrix surface
+    * with a high average negative log-likelihood: the behavioral-
+    * anomaly / bot-detection score a sequence model starts from.
+    *
+    * Exactness: transition probabilities are ratios of exact counts;
+    * each DISTINCT transition's log gets quantized ONCE to integer
+    * 1e-9 units (ln of identical doubles agrees across engines — the
+    * q76 LM-score precedent), so per-user totals are order-free
+    * integer sums; the final average is one fixed IEEE chain.
+    *
+    * Shape: one window sort per user (the unavoidable sequence
+    * shuffle, shared with [[transitions]]), a mart-sized (|types|²)
+    * broadcast of the log-prob matrix, and a per-user hash aggregate.
+    * The step frame is persisted: it feeds both the matrix and the
+    * per-user join, and Catalyst does not share subplans. */
+  def sequenceLikelihood(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_ft"))
+    val tot = m.groupBy(col("from_type")).agg(sum(col("n_ft")).as("n_f"))
+    val lp = m.join(broadcast(tot), Seq("from_type"))
+      .withColumn("lp_units",
+        round(log(col("n_ft").cast("double") / col("n_f").cast("double"))
+          * 1e9).cast("long"))
+      .select(col("from_type"), col("to_type"), col("lp_units"))
+    steps.join(broadcast(lp), Seq("from_type", "to_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("lp_units")).as("loglik_units"))
+      .select(
+        col("user_id"), col("n_transitions"), col("loglik_units"),
+        ((col("loglik_units").cast("double") / lit(-1.0e9))
+          / col("n_transitions").cast("double")).as("avg_nll"))
+  }
+
+  /** Funnel conversion rates with Wilson 95% confidence intervals:
+    * per transition, entrants, conversions, the raw rate, and the
+    * score-interval bounds — the uncertainty-aware readout a growth
+    * dashboard needs before comparing funnels of different sizes.
+    *
+    * Exactness: counts are exact integers; rate and the Wilson bounds
+    * are fixed IEEE chains over them with the z = 1.96 literal,
+    * mirrored parenthesis-for-parenthesis (z² stays the expression
+    * 1.96 * 1.96 on both engines — never a pre-squared decimal, whose
+    * parse could differ from the IEEE product). Mart-grain output. */
+  def funnelConversion(
+      events: DataFrame,
+      step1: String = "signup", step2: String = "view", step3: String = "purchase")
+      : DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val f = funnel(events, step1, step2, step3)
+    val counts = f.agg(
+      count(col(s"${step1}_ts")).as("n1"),
+      count(col(s"${step2}_ts")).as("n2"),
+      count(col(s"${step3}_ts")).as("n3"))
+    val pairs = counts.select(
+      lit(s"$step1>$step2").as("transition"),
+      col("n1").as("n_entered"), col("n2").as("n_converted"))
+      .unionByName(counts.select(lit(s"$step2>$step3").as("transition"),
+        col("n2").as("n_entered"), col("n3").as("n_converted")))
+    val n = col("n_entered").cast("double")
+    val x = col("n_converted").cast("double")
+    val z = lit(1.96)
+    val z2 = z * z
+    val phat = x / n
+    val denom = lit(1.0) + z2 / n
+    val centerNum = phat + z2 / (lit(2.0) * n)
+    val rad = z * sqrt(phat * (lit(1.0) - phat) / n
+      + z2 / (lit(4.0) * n * n))
+    pairs.select(
+      col("transition"), col("n_entered"), col("n_converted"),
+      when(col("n_entered") === 0L, lit(null).cast("double"))
+        .otherwise(phat).as("conv_rate"),
+      when(col("n_entered") === 0L, lit(null).cast("double"))
+        .otherwise((centerNum - rad) / denom).as("wilson_lo"),
+      when(col("n_entered") === 0L, lit(null).cast("double"))
+        .otherwise((centerNum + rad) / denom).as("wilson_hi"))
+  }
+
   /** Time-to-convert quantiles per funnel transition: the exact
     * nearest-rank p25/p50/p75/p90 (plus pair count) of the latency, in
     * whole seconds, between consecutive completed [[funnel]] stages —
