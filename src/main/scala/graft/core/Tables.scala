@@ -22,27 +22,38 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** The events table carries nanosecond parquet timestamps, which Spark
-    * refuses by default (PARQUET_TYPE_ILLEGAL). Read them as raw nanos
-    * and floor to microseconds — exactly how DuckDB converts
-    * TIMESTAMP_NS, so the oracle sees identical instants.
+  /** The events table's `ts` column has shipped in two physical forms:
+    * TIMESTAMP(NANOS) — which Spark refuses by default
+    * (PARQUET_TYPE_ILLEGAL) and reads as raw int64 nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — and plain
+    * TIMESTAMP(MICROS). The loader adapts on the INFERRED schema, so
+    * every consumer always sees a microsecond TimestampType `ts`.
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set explicitly
-    * at session build ([[GraftSession.local]]) — deliberately NOT set
-    * here: the conf must hold for the plan's whole lifetime (schema
-    * inference and executor-side scans), so a read-time mutation of the
-    * shared session would be both silent and un-scopeable. */
+    * Nanos branch: floor (not truncate) to micros — exactly how DuckDB
+    * converts TIMESTAMP_NS, so the oracle sees identical instants.
+    * Integer floor division, not `/`: epoch-nanos (~1.7e18) overflow
+    * double's 2^53 exact range, and `div` alone truncates toward zero
+    * where DuckDB floors (differs pre-1970).
+    *
+    * The nanosAsLong conf is set at session build ([[GraftSession]]) —
+    * deliberately NOT here: the conf must hold for the plan's whole
+    * lifetime (schema inference and executor-side scans), so a
+    * read-time mutation of the shared session would be both silent and
+    * un-scopeable. It is a no-op for non-NANOS files. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet stores TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession.local does)")
     import org.apache.spark.sql.functions._
-    // integer floor division, not `/`: epoch-nanos (~1.7e18) overflow
-    // double's 2^53 exact range, and `div` alone truncates toward zero
-    // where DuckDB's ns→us conversion floors (differs pre-1970)
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case _: TimestampType => raw
+      case LongType =>
+        raw.withColumn(
+          "ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other (expected " +
+            "TIMESTAMP or int64 nanos under nanosAsLong=true)")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
