@@ -22,12 +22,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** The events table's `ts` column has shipped in two physical forms:
-    * TIMESTAMP(NANOS) — which Spark refuses by default
-    * (PARQUET_TYPE_ILLEGAL) and reads as raw int64 nanos under
-    * `spark.sql.legacy.parquet.nanosAsLong=true` — and plain
-    * TIMESTAMP(MICROS). The loader adapts on the INFERRED schema, so
-    * every consumer always sees a microsecond TimestampType `ts`.
+  /** The events table's `ts` column has shipped in three physical /
+    * inferred forms:
+    *   - TIMESTAMP(NANOS) — Spark refuses it by default
+    *     (PARQUET_TYPE_ILLEGAL) and reads it as raw int64 nanos under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` → LongType;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=true) → TimestampType;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType
+    *     (Spark 4's `spark.sql.parquet.inferTimestampNTZ.enabled`
+    *     defaults to true).
+    * The loader normalizes on the INFERRED schema so every consumer
+    * sees a microsecond TimestampType `ts`: LongType → floor-div to
+    * micros; NTZ → cast to TimestampType, which under the session's
+    * fixed UTC timezone ([[GraftSession]]) preserves the stored
+    * wall-clock micros bit-for-bit and matches DuckDB's TIMESTAMP
+    * (also naive) semantics in the oracle.
     *
     * Nanos branch: floor (not truncate) to micros — exactly how DuckDB
     * converts TIMESTAMP_NS, so the oracle sees identical instants.
@@ -42,17 +51,21 @@ object Tables {
     * un-scopeable. It is a no-op for non-NANOS files. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case _: TimestampType => raw
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case LongType =>
         raw.withColumn(
           "ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case other =>
         throw new IllegalStateException(
           s"events.ts has unsupported physical type $other (expected " +
-            "TIMESTAMP or int64 nanos under nanosAsLong=true)")
+            "TIMESTAMP, TIMESTAMP_NTZ, or int64 nanos under " +
+            "spark.sql.legacy.parquet.nanosAsLong=true — build the " +
+            "session via graft.core.GraftSession to get the right confs)")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
