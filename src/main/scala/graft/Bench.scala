@@ -51,23 +51,35 @@ object Bench {
     def repsFor(firstSec: Double): Int =
       if (repsEnv == "auto") { if (firstSec >= 1.5) 3 else 1 }
       else math.max(1, repsEnv.toInt)
-    val results = selected.map { case (name, fn) =>
+    // A throwing query must NOT report its time-to-throw as a wall (r6:
+    // 22 broken events queries "ran" in 0.05-0.08s and contaminated the
+    // total). Failures are dropped from the queries/total JSON and carried
+    // in a distinct "failed" key instead.
+    val ran = selected.map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-      def once(): (Double, Long) = {
+      def once(): (Double, Long, Boolean) = {
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            Console.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0, ok)
       }
       val first = once()
       val extra = (2 to repsFor(first._1)).map(_ => once())
-      val (sec, gc) = (first +: extra).minBy(_._1)
-      val reps = 1 + extra.size
+      val all = first +: extra
+      val (sec, gc, ok) = all.filter(_._3).minByOption(_._1).getOrElse(all.head)
+      val reps = all.size
       val cached = spark.sparkContext.getPersistentRDDs.size
       Console.err.println(
-        f"[bench] $name%-28s $sec%8.3fs reps=$reps gc=${gc}ms cachedRdds=$cached")
-      (name, sec, gc, reps)
+        f"[bench] $name%-28s $sec%8.3fs ok=$ok reps=$reps gc=${gc}ms cachedRdds=$cached")
+      (name, sec, gc, reps, ok)
     }
+    val failed = ran.filter(!_._5).map(_._1)
+    val results = ran.filter(_._5).map { case (n, s, g, r, _) => (n, s, g, r) }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
@@ -83,10 +95,11 @@ object Bench {
     // compact second line (total + 15 slowest) that survives any capture
     // window on its own. The second line carries a DISTINCT metric name
     // so a consumer keying on "total" never double-counts.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","gc_ms":$gcs,"reps":$reps,"sf":"$sfDir","queries":$qs}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"gc_ms":$gcs,"reps":$reps,"sf":"$sfDir","queries":$qs}""")
     val slowest = results.sortBy(-_._2).take(15)
       .map { case (k, v, _, _) => s"""["$k",$v]""" }.mkString("[", ",", "]")
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest":$slowest}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest}""")
     spark.stop()
   }
 }
