@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.bindings.{CdcFixture, Conformed}
+import graft.bindings.{CdcFixture, Conformed, Corpus}
 import graft.core.Tables
 import graft.ext.{Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.gold.{Churn, Discount, Location, Loyalty, Ltv, Rfm, SalesTrends}
@@ -901,10 +901,12 @@ object SparkEntry {
         .orderBy(col("pos"))),
 
     // ---- ext: BM25 sparse retrieval (inverted-index probe, the
-    // lexical complement of the dense similarity tier) ----
+    // lexical complement of the dense similarity tier). All three
+    // lexical queries (q128/q136/q141) probe ONE session-cached scored
+    // index (bindings.Corpus) — the materialized-index shape ----
     "q128_bm25_search" -> ((s, dir) =>
-      graft.ext.Retrieval.bm25Search(
-          Tables.documents(s, dir), "doc_id", "text",
+      graft.ext.Retrieval.bm25FromPostings(
+          Corpus.scoredPostingsCached(s, dir),
           queryModEvery = 50, k = 10, maxDfFraction = 1.0)
         .orderBy(col("query_id"), col("rank"))),
 
@@ -912,8 +914,8 @@ object SparkEntry {
     // Zipfian-corpus branch (0.78 splits the synthetic vocabulary:
     // the rare df-share-0.05 term survives, the stopword band drops) ----
     "q136_bm25_capped" -> ((s, dir) =>
-      graft.ext.Retrieval.bm25Search(
-          Tables.documents(s, dir), "doc_id", "text",
+      graft.ext.Retrieval.bm25FromPostings(
+          Corpus.scoredPostingsCached(s, dir),
           queryModEvery = 50, k = 10, maxDfFraction = 0.78)
         .orderBy(col("query_id"), col("rank"))),
 
@@ -975,13 +977,16 @@ object SparkEntry {
     // (cosine top-k) rankers — hybrid retrieval without score
     // calibration (ranks only) ----
     "q141_rrf_fusion" -> ((s, dir) => {
-      val lex = graft.ext.Retrieval.bm25Search(
-          Tables.documents(s, dir), "doc_id", "text",
+      val lex = graft.ext.Retrieval.bm25FromPostings(
+          Corpus.scoredPostingsCached(s, dir),
           queryModEvery = 50, k = 10, maxDfFraction = 1.0)
         .select(col("query_id"), col("doc_id"), col("rank"))
+      // dense side: score ONLY the query anchors (probeFilter) — the
+      // corpus/block side stays full, so scores are identical to an
+      // all-probes run; q·n·d instead of n²·d
       val den = Similarity.topKNeighbors(
-          Tables.embeddings(s, dir), "vec_id", "embedding", k = 10)
-        .filter(pmod(col("vec_id"), lit(50L)) === 0)
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 10,
+          probeFilter = Some(pmod(col("id"), lit(50L)) === 0))
         .select(col("vec_id").as("query_id"),
           col("neighbor_id").as("doc_id"), col("rank"))
       graft.ext.Retrieval.rrfFuse(Seq(lex, den), c = 60, k = 10)

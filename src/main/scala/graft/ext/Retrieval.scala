@@ -45,11 +45,18 @@ import graft.functions.TopKAggregate.top_k
   * (scores are ≥ 0, so truncating div and floor div agree too). */
 object Retrieval {
 
-  def bm25Search(
+  /** The scored inverted index: one row per (doc, term) posting carrying
+    * the quantized per-term BM25 contribution `tn` (integral 1e-9 units)
+    * plus `df`/`n_docs` so a document-frequency cap can prune AFTER the
+    * index is built. This is the subtree every lexical query shares —
+    * the materialized-index shape a real retrieval system persists once
+    * and probes many times. The df-cap filter commutes with `tn` (it
+    * only drops rows), so one index serves every `maxDfFraction`.
+    * Callers running several probes over the same corpus should
+    * `persist` the result (see [[graft.bindings.Corpus]]). */
+  def scoredPostings(
       docs: DataFrame, idCol: String, textCol: String,
-      queryModEvery: Int, k: Int,
-      k1: Double = 1.2, b: Double = 0.75,
-      maxDfFraction: Double = 0.5): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tok = docs.select(
       col(idCol).as("doc_id"), explode(Portable.tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
@@ -59,21 +66,30 @@ object Retrieval {
       .agg(countDistinct(col("doc_id")).as("df"))
     // corpus scalars ride in as a broadcast row, never driver constants
     val scal = dl.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
-    val qt = tf.filter(pmod(col("doc_id"), lit(queryModEvery.toLong)) === 0)
-      .select(col("doc_id").as("query_id"), col("term"))
     val idf = log(
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val norm = col("tf") + lit(k1) *
       (lit(1.0 - b) + lit(b) *
         ((col("len").cast("double") * col("n_docs")) / col("sum_len")))
-    val scored = tf
+    tf
       .join(dfv, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(scal))
-      .filter(col("df") <= col("n_docs") * lit(maxDfFraction))
       .withColumn("tn",
         round(idf * ((col("tf") * lit(k1 + 1)) / norm) * lit(1e9)).cast("long"))
-    val hits = scored.join(broadcast(qt), Seq("term"))
+  }
+
+  /** Probe a [[scoredPostings]] index: broadcast the query-term list onto
+    * the (optionally df-capped) postings, accumulate per (query, doc),
+    * bounded top-k per query. */
+  def bm25FromPostings(
+      scored: DataFrame, queryModEvery: Int, k: Int,
+      maxDfFraction: Double = 0.5): DataFrame = {
+    val qt = scored.filter(pmod(col("doc_id"), lit(queryModEvery.toLong)) === 0)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val hits = scored
+      .filter(col("df") <= col("n_docs") * lit(maxDfFraction))
+      .join(broadcast(qt), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("tn")).as("sn"))
@@ -85,6 +101,14 @@ object Retrieval {
       .select(col("query_id"), col("t.id").as("doc_id"),
         col("t.score").as("bm25"), col("t.rank").as("rank"))
   }
+
+  def bm25Search(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryModEvery: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 0.5): DataFrame =
+    bm25FromPostings(
+      scoredPostings(docs, idCol, textCol, k1, b), queryModEvery, k, maxDfFraction)
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of retrieval
     * rank lists: score(q, d) = Σ_lists 1/(c + rank_list(q, d)), summed

@@ -77,7 +77,8 @@ object Similarity {
     * scored set; this kernel is then the intra-cell scorer. */
   def topKNeighbors(
       vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      blockRows: Int = 1 << 20): DataFrame = {
+      blockRows: Int = 1 << 20,
+      probeFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val v = withNorm(vecs, idCol, vecCol)
@@ -86,12 +87,18 @@ object Similarity {
     // size probe: one corpus scan whose result is a single Long
     val n = v.count()
     val nBlocks = math.max(1, math.ceil(n.toDouble / blockRows).toInt)
+    // `probeFilter` (a predicate over the renamed `id` column) restricts
+    // WHICH vectors get a neighbor list; the candidate/block side always
+    // stays the full corpus, so surviving probes score identically to an
+    // unfiltered run. The asymmetric-retrieval shape: q queries against
+    // an n-vector corpus costs q·n·d, not n²·d.
+    val probeSet = probeFilter.map(v.filter(_)).getOrElse(v)
     // a small corpus file can arrive in 1-2 scan partitions, which would
     // serialize the O(n²·d) kernel on one core; spread probes first (the
     // shuffle materializes once and is re-read by every block pass)
     val probes =
-      if (v.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) v
-      else v.repartition(spark.sparkContext.defaultParallelism)
+      if (probeSet.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) probeSet
+      else probeSet.repartition(spark.sparkContext.defaultParallelism)
     def probePass(bIds: Array[Long], bNorms: Array[Double],
         bFlat: Array[Double], bDim: Int): DataFrame = {
       val bc = spark.sparkContext.broadcast((bIds, bNorms, bFlat, bDim))
