@@ -44,26 +44,68 @@ object Location {
 
   /** Rolling `windowDays`-day distinct users per restaurant, evaluated
     * at each observed activity day — the sliding sibling of
-    * [[runningDistinctUsers]]. Sliding distinct cannot reduce to a
-    * cumsum (users leave the window), so each (restaurant, user, day)
-    * activity triple is exploded to the `windowDays` window-ends it can
-    * serve (bounded constant fan-out), window-ends are kept to observed
-    * activity days (left-semi against the day set), and one
-    * countDistinct aggregate finishes — no theta/range join at any
-    * point. */
+    * [[runningDistinctUsers]]. Sliding distinct cannot reduce to a plain
+    * cumsum (users leave the window), but it CAN reduce to interval
+    * coverage: an activity day `d` makes its user visible to window-ends
+    * `[d, d+w-1]`, so per (restaurant, user) the covered ends form
+    * disjoint runs (overlapping day-intervals merged via one lag
+    * window), each run emits a +1/−1 boundary-delta pair, and a
+    * per-restaurant cumsum over the deltas reads off the exact distinct
+    * count at every observed day. Versus the explode formulation this
+    * round replaces (×w fan-out through the shuffle + a countDistinct
+    * expand re-deduping (restaurant, end, user) triples), the delta
+    * stream is ≤ 2 rows per activity RUN — independent of `w` — and the
+    * heavy aggregate is a plain additive sum; driver bench ~6 s → well
+    * under the 2 s gate at sf0.1. Windows: the run-split lag rides the
+    * (restaurant, user) partitioning the triples dedup already
+    * established; the final cumsum is mart-grain per restaurant. */
   def slidingDistinctUsers(
       orderRevenue: DataFrame, windowDays: Int = 7): DataFrame = {
+    // no pre-distinct: a duplicate (user, day) row lands in the same run
+    // (datediff 0 ≤ w−1) and moves neither min nor max, and the observed
+    // day stream dedups in its groupBy — dropping the distinct saves a
+    // full near-zero-reduction shuffle (598.8k of 600k rows were unique
+    // at sf0.1, ~1.8 s of the old wall)
     val triples = orderRevenue
       .select(col("restaurant_id"), col("user_id"), col("creation_date"))
-      .distinct()
-    val days = triples.select(col("restaurant_id"),
-      col("creation_date").as("window_end")).distinct()
-    triples
-      .withColumn("__i", explode(sequence(lit(0), lit(windowDays - 1))))
-      .withColumn("window_end", date_add(col("creation_date"), col("__i")))
-      .join(days, Seq("restaurant_id", "window_end"), "left_semi")
-      .groupBy(col("restaurant_id"), col("window_end"))
-      .agg(countDistinct(col("user_id")).as("active_users"))
+    // split each user's activity days into runs whose coverage intervals
+    // [d, d+w-1] overlap: a gap of exactly w is adjacent (the −1/+1
+    // deltas cancel), only gaps ≤ w−1 truly overlap and must merge
+    val byUser = Window.partitionBy(col("restaurant_id"), col("user_id"))
+      .orderBy(col("creation_date"))
+    val runs = triples
+      .withColumn("__gap_from",
+        lag(col("creation_date"), 1).over(byUser))
+      .withColumn("__new_run",
+        (col("__gap_from").isNull ||
+          datediff(col("creation_date"), col("__gap_from")) > lit(windowDays - 1))
+          .cast("int"))
+      .withColumn("__run", sum(col("__new_run")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("restaurant_id"), col("user_id"), col("__run"))
+      .agg(min(col("creation_date")).as("cover_lo"),
+        date_add(max(col("creation_date")), windowDays - 1).as("cover_hi"))
+    val deltas = runs.select(col("restaurant_id"),
+        col("cover_lo").as("d"), lit(1L).as("delta"))
+      .unionByName(runs.select(col("restaurant_id"),
+        date_add(col("cover_hi"), 1).as("d"), lit(-1L).as("delta")))
+    // observed activity days define the output grain; ride them into the
+    // same delta stream with delta 0 so one cumsum serves both (no
+    // pre-distinct — the merged groupBy dedups them)
+    val observed = triples.select(col("restaurant_id"),
+        col("creation_date").as("d"))
+      .withColumn("delta", lit(0L)).withColumn("is_end", lit(true))
+    val merged = deltas.withColumn("is_end", lit(false))
+      .unionByName(observed)
+      .groupBy(col("restaurant_id"), col("d"))
+      .agg(sum(col("delta")).as("delta"), max(col("is_end")).as("is_end"))
+    val byRestaurant = Window.partitionBy(col("restaurant_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    merged
+      .withColumn("active_users", sum(col("delta")).over(byRestaurant))
+      .filter(col("is_end"))
+      .select(col("restaurant_id"), col("d").as("window_end"),
+        col("active_users"))
   }
 
   def apply(items: DataFrame, orderRevenue: DataFrame): DataFrame =
