@@ -300,6 +300,62 @@ class PlanSpec extends SparkSpec {
       "src", col("score"), col("y")), "rankAuc")
   }
 
+  test("sliding distinct plans no explode and no distinct-aggregate expand") {
+    import spark.implicits._
+    val d = (i: Int) => java.sql.Date.valueOf(f"2024-01-$i%02d")
+    val rows = Seq(
+      (1L, 10L, d(1)), (1L, 10L, d(3)), (1L, 11L, d(2)), (2L, 10L, d(5)))
+      .toDF("restaurant_id", "user_id", "creation_date")
+    val plan = planText(gold.Location.slidingDistinctUsers(rows))
+    // the round-6 formulation exploded each triple ×windowDays
+    // (Generate) and re-deduped inside countDistinct (Expand); the
+    // interval-delta rewrite must plan neither
+    assert(!plan.contains("Generate"),
+      s"delta formulation must not explode window offsets:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"delta formulation must not carry a distinct-aggregate expand:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"no theta join:\n$plan")
+    // both windows are partitioned — never a global ORDER BY window
+    assert(!plan.contains("rangepartitioning"),
+      s"windows must stay partition-local:\n$plan")
+  }
+
+  test("shared scored-postings index: q128/q136/q141 probe ONE cached frame") {
+    val scored = bindings.Corpus.scoredPostingsCached(spark, sf)
+    val capped = planText(
+      ext.Retrieval.bm25FromPostings(scored, queryModEvery = 50, k = 5,
+        maxDfFraction = 0.78))
+    // both the probe side and the postings side must read the
+    // InMemoryRelation, not re-derive tokenize→tf→df from the file scan
+    // (the `Scan parquet` nodes inside the InMemoryRelation description
+    // are the cache's OWN lineage, not live scans)
+    val imts = capped.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(imts >= 2,
+      s"expected the probe AND postings sides to read the cached index, got $imts InMemoryTableScan:\n$capped")
+    // every parquet scan in the tree must sit INSIDE an InMemoryRelation
+    // description (the cache's own lineage, drawn with the node id
+    // trailing: `+- Scan parquet  (3)`) — a live scan would appear as a
+    // first-class tree node `+- Scan parquet ` with its id in the detail
+    // section header instead
+    val treeLiveScans = capped.linesIterator
+      .takeWhile(l => !l.startsWith("(1)"))
+      .count(l => l.contains("+- Scan parquet") && !l.matches(""".*Scan parquet\s+\(\d+\)\s*$"""))
+    assert(treeLiveScans == 0,
+      s"probe must not rebuild the index from the corpus files ($treeLiveScans live scans):\n$capped")
+  }
+
+  test("topKNeighbors probeFilter restricts probes without changing scores") {
+    val vecs = core.Tables.embeddings(spark, sf)
+    val full = ext.Similarity
+      .topKNeighbors(vecs, "vec_id", "embedding", k = 3)
+      .filter(pmod(col("vec_id"), lit(50L)) === 0)
+    val probed = ext.Similarity.topKNeighbors(vecs, "vec_id", "embedding", k = 3,
+      probeFilter = Some(pmod(col("id"), lit(50L)) === 0))
+    assert(probed.unionByName(full).except(probed.intersect(full)).isEmpty,
+      "probe-filtered neighbor lists must equal the filtered full run")
+  }
+
   test("gap fill joins at mart grain with the fact reduced first") {
     val plan = planText(ext.Timeseries.gapFillDaily(
       bindings.Conformed.orderRevenue(spark, sf)))
