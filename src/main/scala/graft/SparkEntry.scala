@@ -1157,6 +1157,48 @@ object SparkEntry {
     "q135_weekday_seasonality" -> ((s, dir) =>
       graft.ext.Timeseries.weekdaySeasonality(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("restaurant_id"), col("weekday"))),
+
+    // ---- ext: A-Priori frequent item pairs (support-pruned basket
+    // self-join at the ITEM grain — pass 1+2 of the classic algorithm) ----
+    "q164_frequent_pairs" -> ((s, dir) =>
+      graft.ext.Association.frequentItemPairs(
+          Tables.lineitem(s, dir).select(
+            col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+          "basket", "item", minItemSupport = 20, minPairSupport = 2)
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // ---- ext: Pareto 80/20 revenue-contribution cut over categories ----
+    "q165_pareto" -> ((s, dir) =>
+      graft.ext.Olap.paretoCut(
+          Conformed.orderRevenueCached(s, dir), "item_category")
+        .orderBy(col("rank"))),
+
+    // ---- ext: last-observation-carried-forward over the daily spine
+    // (the imputation sibling of q100's zero-fill) ----
+    "q166_locf" -> ((s, dir) =>
+      graft.ext.Timeseries.gapFillLocf(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
+
+    // ---- ext: per-source vocabulary profile (Heaps'-law vitals:
+    // tokens, types, hapax, TTR) ----
+    "q167_vocab_growth" -> ((s, dir) =>
+      graft.ext.TextAnalysis.vocabGrowth(Tables.documents(s, dir), "source", "text")
+        .orderBy(col("source"))),
+
+    // ---- ext: blocked Jaro-Winkler entity pairs via the native
+    // codegen expression (bit-identical to the oracle's rapidfuzz
+    // convention, verified over every within-block pair) ----
+    "q168_jw_pairs" -> ((s, dir) =>
+      graft.ext.Dedup.jaroWinklerPairs(Tables.part(s, dir), "p_partkey",
+          "p_name", "p_brand", minSim = 0.9)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- ext: rolling 28-day Pearson correlation of each restaurant's
+    // revenue vs the market total (zero-filled spine; exact long frame
+    // sums; full windows only) ----
+    "q169_rolling_corr" -> ((s, dir) =>
+      graft.ext.Timeseries.rollingMarketCorr(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1700,6 +1742,137 @@ object SparkEntry {
                     AS seasonal_effect
            FROM wsw w JOIN wsa a USING (restaurant_id)
            ORDER BY w.restaurant_id, w.weekday"""),
+      "q164_frequent_pairs" ->
+        """WITH fpb AS (SELECT DISTINCT l_orderkey AS basket_id,
+                               l_partkey AS item
+                        FROM lineitem),
+             fpf AS (SELECT item, count(*) AS n_item FROM fpb
+                     GROUP BY 1 HAVING count(*) >= 20),
+             fpp AS (SELECT b.basket_id, b.item FROM fpb b
+                     SEMI JOIN fpf f ON b.item = f.item),
+             fpc AS (SELECT a.item AS item_a, c.item AS item_b,
+                            count(*) AS n_both
+                     FROM fpp a JOIN fpp c
+                       ON a.basket_id = c.basket_id AND a.item < c.item
+                     GROUP BY 1, 2 HAVING count(*) >= 2)
+           SELECT item_a, item_b, n_both, fa.n_item AS n_a, fb.n_item AS n_b,
+                  round(CAST(n_both AS DOUBLE) / fa.n_item, 6) AS confidence
+           FROM fpc JOIN fpf fa ON fpc.item_a = fa.item
+                    JOIN fpf fb ON fpc.item_b = fb.item
+           ORDER BY item_a, item_b""",
+      "q165_pareto" -> OracleSql.withBase(
+        """pcg AS (SELECT item_category AS dim,
+                         CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                           AS cents
+                  FROM order_revenue GROUP BY 1),
+           pct AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM pcg),
+           pcr AS (SELECT dim, cents,
+                          row_number() OVER wr AS rank,
+                          CAST(sum(cents) OVER (ORDER BY cents DESC, dim
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+                   FROM pcg WINDOW wr AS (ORDER BY cents DESC, dim))""",
+        """SELECT dim AS item_category, rank,
+                  cents / 10000.0 AS revenue,
+                  round(CAST(cum_cents AS DOUBLE) / total_cents, 6)
+                    AS cum_share,
+                  CAST(cum_cents - cents AS DOUBLE) / total_cents < 0.8
+                    AS in_head
+           FROM pcr, pct ORDER BY rank"""),
+      "q166_locf" -> OracleSql.withBase(
+        """lcd AS (SELECT restaurant_id, creation_date,
+                         CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                           AS cents
+                  FROM order_revenue GROUP BY 1, 2),
+           lcs AS (SELECT restaurant_id, min(creation_date) AS d0,
+                         max(creation_date) AS d1
+                  FROM lcd GROUP BY 1),
+           lcn AS (SELECT restaurant_id,
+                         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                           AS DATE) AS creation_date
+                  FROM lcs),
+           lcj AS (SELECT n.restaurant_id, n.creation_date, d.cents
+                   FROM lcn n LEFT JOIN lcd d
+                     ON n.restaurant_id = d.restaurant_id
+                    AND n.creation_date = d.creation_date)""",
+        """SELECT restaurant_id, creation_date,
+                  last_value(cents IGNORE NULLS) OVER wl / 10000.0
+                    AS revenue_locf,
+                  CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS is_imputed,
+                  datediff('day',
+                    max(CASE WHEN cents IS NOT NULL THEN creation_date END)
+                      OVER wl,
+                    creation_date) AS staleness_days
+           FROM lcj WINDOW wl AS (PARTITION BY restaurant_id
+             ORDER BY creation_date ROWS UNBOUNDED PRECEDING)
+           ORDER BY restaurant_id, creation_date"""),
+      "q167_vocab_growth" ->
+        s"""WITH vgt AS (
+              SELECT source, unnest(${graft.functions.Portable.tokensSql("text")})
+                       AS term
+              FROM documents),
+            vgf AS (SELECT source, term, count(*) AS tf
+                    FROM vgt GROUP BY 1, 2)
+           SELECT source,
+                  CAST(sum(tf) AS BIGINT) AS n_tokens,
+                  count(*) AS n_types,
+                  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_hapax,
+                  round(CAST(count(*) AS DOUBLE) / sum(tf), 6) AS ttr,
+                  round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                        / count(*), 6) AS hapax_ratio
+           FROM vgf GROUP BY 1 ORDER BY source""",
+      "q168_jw_pairs" ->
+        """WITH jwp AS (SELECT p_brand, p_partkey, p_name FROM part)
+           SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+                  a.p_name AS name_a, b.p_name AS name_b,
+                  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+           FROM jwp a JOIN jwp b ON a.p_brand = b.p_brand
+                              AND a.p_partkey < b.p_partkey
+           WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+           ORDER BY id_a, id_b""",
+      "q169_rolling_corr" -> OracleSql.withBase(
+        """rcd AS (SELECT restaurant_id, creation_date,
+                         CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                           AS cents
+                  FROM order_revenue GROUP BY 1, 2),
+           rcm AS (SELECT creation_date,
+                         CAST(sum(cents) AS BIGINT) AS mcents
+                  FROM rcd GROUP BY 1),
+           rcs AS (SELECT restaurant_id, min(creation_date) AS d0,
+                         max(creation_date) AS d1
+                  FROM rcd GROUP BY 1),
+           rcn AS (SELECT restaurant_id,
+                         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                           AS DATE) AS creation_date
+                  FROM rcs),
+           rcg AS (SELECT n.restaurant_id, n.creation_date,
+                          coalesce(d.cents, 0) // 10000 AS x,
+                          coalesce(m.mcents, 0) // 10000 AS y
+                   FROM rcn n
+                   LEFT JOIN rcd d ON n.restaurant_id = d.restaurant_id
+                                  AND n.creation_date = d.creation_date
+                   LEFT JOIN rcm m ON n.creation_date = m.creation_date),
+           rcw AS (SELECT restaurant_id, creation_date,
+                          CAST(sum(x) OVER wf AS DOUBLE) AS sx,
+                          CAST(sum(y) OVER wf AS DOUBLE) AS sy,
+                          CAST(sum(x * y) OVER wf AS DOUBLE) AS sxy,
+                          CAST(sum(x * x) OVER wf AS DOUBLE) AS sxx,
+                          CAST(sum(y * y) OVER wf AS DOUBLE) AS syy,
+                          row_number() OVER wo AS rn
+                   FROM rcg WINDOW
+                     wf AS (PARTITION BY restaurant_id ORDER BY creation_date
+                            ROWS BETWEEN 27 PRECEDING AND CURRENT ROW),
+                     wo AS (PARTITION BY restaurant_id ORDER BY creation_date)),
+           rcc AS (SELECT restaurant_id, creation_date,
+                          28.0 * sxy - sx * sy AS num,
+                          28.0 * sxx - sx * sx AS varx,
+                          28.0 * syy - sy * sy AS vary
+                   FROM rcw WHERE rn >= 28)""",
+        """SELECT restaurant_id, creation_date,
+                  CASE WHEN varx > 0 AND vary > 0
+                       THEN round(num / sqrt(varx * vary), 6)
+                       ELSE NULL END AS market_corr
+           FROM rcc ORDER BY restaurant_id, creation_date"""),
       "q133_quantile_normalize" ->
         """WITH qv AS (SELECT doc_id AS id, source AS g, n_chars AS val
                        FROM documents),

@@ -31,4 +31,42 @@ object Olap {
         grouping_id().as("gid"),
         count(lit(1)).as("n_orders"),
         (sum(round(col("o_totalprice") * 10000)) / 10000.0).as("revenue"))
+
+  /** Pareto (80/20) contribution analysis over a grouping dimension:
+    * rank groups by exact integer-unit revenue, cumulative share of the
+    * grand total, and the head set that reaches `threshold` of revenue
+    * (a group is `in_head` if the share BEFORE it is still under the
+    * threshold — so the head is the minimal prefix crossing it, and is
+    * non-empty even when one group alone exceeds it).
+    *
+    * Scale shape: one hash aggregate reduces the fact to group grain
+    * first; the rank/cumsum window is unpartitioned BUT runs at group
+    * cardinality (~150 categories here), mart-sized by construction —
+    * the same single-partition-window-at-mart-grain judgment as the
+    * reference's dense_rank ([[graft.gold.Location]] W4). Shares are
+    * single divisions of exact longs, 6dp-rounded; ties rank
+    * deterministically (revenue desc, group asc). */
+  def paretoCut(
+      orderRevenue: DataFrame, dimCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val grouped = orderRevenue
+      .groupBy(col(dimCol).as("dim"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents").desc, col("dim"))
+    grouped
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cents",
+        sum(col("cents")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(grouped.agg(sum(col("cents")).as("total_cents"))))
+      .select(
+        col("dim").as(dimCol),
+        col("rank"),
+        (col("cents") / 10000.0).as("revenue"),
+        round(col("cum_cents").cast("double") / col("total_cents"), 6)
+          .as("cum_share"),
+        ((col("cum_cents") - col("cents")).cast("double") / col("total_cents")
+          < threshold).as("in_head"))
+  }
 }

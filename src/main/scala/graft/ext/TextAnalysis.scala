@@ -502,4 +502,30 @@ object TextAnalysis {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         min(when(col("keep"), col("avg_logprob"))).as("cutoff_logprob"))
   }
+
+  /** Per-source vocabulary profile: token volume, type (distinct-term)
+    * count, hapax legomena (terms occurring exactly once in the
+    * source), and the derived type-token and hapax-type ratios — the
+    * Heaps'-law vitals a corpus audit reads to spot boilerplate-heavy
+    * (low TTR) or OCR-noisy (hapax-inflated) sources before training.
+    *
+    * Shape: one token explode → (source, term) hash aggregate (map-side
+    * combinable; vocabulary-sized, not token-sized, past the exchange)
+    * → one source-grain rollup. The ratios are single divisions of
+    * exact longs, 6dp-rounded. */
+  def vocabGrowth(
+      docs: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(Portable.tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_ratio"))
 }

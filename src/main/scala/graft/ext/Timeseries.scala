@@ -231,4 +231,102 @@ object Timeseries {
         (coalesce(col("cents"), lit(0.0)) / 10000.0).as("revenue"),
         when(col("cents").isNull, lit(1L)).otherwise(lit(0L)).as("is_gap"))
   }
+
+  /** Last-observation-carried-forward over the daily spine: gap days
+    * inherit the most recent observed day's revenue (the standard
+    * forward-fill for downstream models that can't see NULL/0 gaps),
+    * plus the staleness in days. Distinct from [[gapFillDaily]]'s
+    * zero-fill: LOCF is the imputation, zero-fill is the truth.
+    *
+    * Shape: the same mart-grain spine join, then ONE partitioned window
+    * pass — `last(_, ignoreNulls)` for the carried value and a second
+    * frame-identical `max` for the anchor date the staleness derives
+    * from (both ride the same sort, one window exchange). The window is
+    * per restaurant ordered by day — partition-local, never global. */
+  def gapFillLocf(orderRevenue: DataFrame): DataFrame = {
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(round(col("total_revenue") * 10000)).as("cents"))
+    val spine = daily
+      .groupBy(col("restaurant_id"))
+      .agg(min(col("creation_date")).as("d0"), max(col("creation_date")).as("d1"))
+      .select(col("restaurant_id"),
+        explode(sequence(col("d0"), col("d1"))).as("creation_date"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("restaurant_id")).orderBy(col("creation_date"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("restaurant_id", "creation_date"), "left")
+      .withColumn("filled_cents", last(col("cents"), ignoreNulls = true).over(w))
+      .withColumn("obs_date",
+        max(when(col("cents").isNotNull, col("creation_date"))).over(w))
+      .select(
+        col("restaurant_id"), col("creation_date"),
+        (col("filled_cents") / 10000.0).as("revenue_locf"),
+        when(col("cents").isNull, lit(1L)).otherwise(lit(0L)).as("is_imputed"),
+        datediff(col("creation_date"), col("obs_date")).as("staleness_days"))
+  }
+
+  /** Rolling `windowDays` Pearson correlation between each restaurant's
+    * daily revenue and the whole-market daily total — the co-movement
+    * screen that separates "rides the market" locations from
+    * idiosyncratic ones. Evaluated on the zero-filled continuous spine
+    * (same day-grid as [[gapFillDaily]]) so the row-frame window IS a
+    * day window; only full windows emit.
+    *
+    * Exactness: x (restaurant cents) and y (market cents) are exact
+    * longs; the five frame sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    * longs — order-free, so engines agree bit-for-bit — and the Pearson
+    * formula is evaluated once per row on doubles cast from those longs
+    * with a fixed parenthesization mirrored in the oracle. Zero-variance
+    * windows yield NULL (guarded, not NaN/Inf). Units: the correlation
+    * inputs are WHOLE DOLLARS (cents div 10000, identical floor on both
+    * engines) — Pearson is per-variable scale-invariant, and cents
+    * overflow int64 in Σy²: market-day cents ≈ 7.5e8 at sf0.01 squares
+    * to 5.6e17, ×28 ≈ 1.6e19 > 2^63 (ANSI Spark threw exactly this).
+    * Dollar units give ~1e8 headroom on top of sf0.1.
+    *
+    * Shape: fact → (restaurant, day) hash aggregate; the market series
+    * is day-grain (broadcast back onto the spine); one partitioned
+    * window pass computes all five frame sums on a single sort. */
+  def rollingMarketCorr(
+      orderRevenue: DataFrame, windowDays: Int = 28): DataFrame = {
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val market = daily
+      .groupBy(col("creation_date"))
+      .agg(sum(col("cents")).as("mcents"))
+    val spine = daily
+      .groupBy(col("restaurant_id"))
+      .agg(min(col("creation_date")).as("d0"), max(col("creation_date")).as("d1"))
+      .select(col("restaurant_id"),
+        explode(sequence(col("d0"), col("d1"))).as("creation_date"))
+    val grid = spine
+      .join(daily, Seq("restaurant_id", "creation_date"), "left")
+      .join(broadcast(market), Seq("creation_date"), "left")
+      .select(col("restaurant_id"), col("creation_date"),
+        expr("coalesce(cents, 0L) div 10000").as("x"),
+        expr("coalesce(mcents, 0L) div 10000").as("y"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("restaurant_id")).orderBy(col("creation_date"))
+    val w = ord.rowsBetween(-(windowDays - 1), 0)
+    val n = lit(windowDays.toDouble)
+    // all five frame sums + the completeness rank share ONE window sort;
+    // the full-window filter comes after, so frames see complete history
+    grid
+      .withColumn("sx", sum(col("x")).over(w).cast("double"))
+      .withColumn("sy", sum(col("y")).over(w).cast("double"))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w).cast("double"))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w).cast("double"))
+      .withColumn("syy", sum(col("y") * col("y")).over(w).cast("double"))
+      .withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") >= windowDays)
+      .withColumn("num", n * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varx", n * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary", n * col("syy") - col("sy") * col("sy"))
+      .select(col("restaurant_id"), col("creation_date"),
+        when(col("varx") > 0 && col("vary") > 0,
+          round(col("num") / sqrt(col("varx") * col("vary")), 6))
+          .as("market_corr"))
+  }
 }
