@@ -1199,6 +1199,12 @@ object SparkEntry {
     "q169_rolling_corr" -> ((s, dir) =>
       graft.ext.Timeseries.rollingMarketCorr(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("restaurant_id"), col("creation_date"))),
+
+    // ---- ext: product quantization (per-subspace Lloyd codebooks —
+    // the ANN compression tier; deterministic seeds, L2 assignment) ----
+    "q170_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("blk"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1873,6 +1879,46 @@ object SparkEntry {
                        THEN round(num / sqrt(varx * vary), 6)
                        ELSE NULL END AS market_corr
            FROM rcc ORDER BY restaurant_id, creation_date"""),
+      // PQ mirrors the q57 Lloyd-CTE discipline per subspace: L2
+      // assignment on round(list_distance, 6) with code-asc tie-break,
+      // integer-quantized centroid means between iterations.
+      "q170_pq_encode" ->
+        """WITH pqv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                        FROM embeddings),
+             pqsub AS (SELECT vec_id, b.blk,
+                              emb[(b.blk * (len(emb) // 4) + 1)
+                                  :((b.blk + 1) * (len(emb) // 4))] AS semb
+                       FROM pqv CROSS JOIN
+                         (SELECT unnest(range(4)) AS blk) b),
+             pqc0 AS (SELECT blk, vec_id AS code, semb AS cemb
+                      FROM pqsub WHERE vec_id % 100 = 0),
+             pqa1 AS (SELECT vec_id, blk, semb, code, dist FROM (
+                        SELECT s.vec_id, s.blk, s.semb, c.code,
+                               round(list_distance(s.semb, c.cemb), 6) AS dist,
+                               row_number() OVER (PARTITION BY s.vec_id, s.blk
+                                 ORDER BY round(list_distance(s.semb, c.cemb), 6),
+                                          c.code) AS rn
+                        FROM pqsub s JOIN pqc0 c ON s.blk = c.blk)
+                      WHERE rn = 1),
+             pqc1 AS (SELECT blk, code, list(c ORDER BY pos) AS cemb FROM (
+                        SELECT blk, code, pos,
+                               round((sum(round(x * 1000000)) / count(*))
+                                     / 1000000.0, 6) AS c
+                        FROM (SELECT blk, code,
+                                     unnest(generate_series(1, len(semb))) AS pos,
+                                     unnest(semb) AS x
+                              FROM pqa1)
+                        GROUP BY 1, 2, 3) GROUP BY 1, 2),
+             pqa2 AS (SELECT vec_id, blk, code, dist FROM (
+                        SELECT s.vec_id, s.blk, c.code,
+                               round(list_distance(s.semb, c.cemb), 6) AS dist,
+                               row_number() OVER (PARTITION BY s.vec_id, s.blk
+                                 ORDER BY round(list_distance(s.semb, c.cemb), 6),
+                                          c.code) AS rn
+                        FROM pqsub s JOIN pqc1 c ON s.blk = c.blk)
+                      WHERE rn = 1)
+           SELECT vec_id, blk, code, dist FROM pqa2
+           ORDER BY vec_id, blk""",
       "q133_quantile_normalize" ->
         """WITH qv AS (SELECT doc_id AS id, source AS g, n_chars AS val
                        FROM documents),

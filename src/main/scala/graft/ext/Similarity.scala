@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TopKAggregate.top_k
-import graft.functions.VectorFunctions.{dot, l2norm}
+import graft.functions.VectorFunctions.{dot, l2dist, l2norm}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -725,5 +725,73 @@ object Similarity {
         round(aggregate(
           zip_with(col("__unit"), col("__unit"), (a, b) => a * b),
           lit(0.0), (acc, x) => acc + x), 6).as("unit_dot"))
+  }
+
+  /** Product quantization (Jégou et al., PAMI 2011) — the compression
+    * tier of the ANN stack: the embedding splits into `blocks`
+    * contiguous subvectors, each subspace learns its own Lloyd codebook
+    * (same deterministic seeding/iteration discipline as [[kmeans]]:
+    * seeds are the vectors with id ≡ 0 mod `seedEvery`, `iters` fixed
+    * E/M rounds, integer-quantized centroid means), and every vector
+    * encodes as one code per block. A d-dim float vector becomes
+    * `blocks` small ints — the 100 TB memory story (×100-ish
+    * compression) that lets the IVF probe ([[ivfTopK]]) hold its
+    * candidate lists in RAM and score by ADC table lookups.
+    *
+    * Distances are Euclidean per subspace — [[l2dist]]'s strict
+    * left-to-right accumulation matches DuckDB's `list_distance`, so
+    * the 6dp-rounded assignment (distance ASC, code ASC tie-break) is
+    * identical cross-engine. Output grain: (vec_id, blk) with the
+    * assigned code and the rounded subspace distance (the
+    * reconstruction-error witness the oracle re-derives).
+    *
+    * Shape: one explode to (vector, block) grain — ×`blocks`, a small
+    * constant; codebooks are (blocks · seeds)-sized and BROADCAST to
+    * both Lloyd steps; the M-step is a (blk, cluster, pos) hash
+    * aggregate. Nothing shuffles at corpus grain except the one
+    * explode-aggregate cycle per iteration, all map-side combinable. */
+  def pqEncode(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      blocks: Int = 4, iters: Int = 2, seedEvery: Int = 100): DataFrame = {
+    require(iters >= 1, "pqEncode needs at least one iteration")
+    require(blocks >= 1, "pqEncode needs at least one block")
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("emb"))
+    val sub = v
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+      .select(col("id"), col("blk"),
+        expr(s"slice(emb, blk * (size(emb) div $blocks) + 1, " +
+          s"size(emb) div $blocks)").as("semb"))
+    val seeds = sub.filter(col("id") % seedEvery === 0)
+      .select(col("blk"), col("id").as("code"), col("semb").as("cemb"))
+    require(!seeds.isEmpty,
+      s"pqEncode found no seed vectors (no id divisible by $seedEvery)")
+    def assign(cents: DataFrame): DataFrame =
+      sub.join(broadcast(cents), Seq("blk"))
+        .withColumn("nd", -round(l2dist(col("semb"), col("cemb")), 6))
+        .groupBy(col("id"), col("blk"))
+        .agg(top_k(col("nd"), col("code"), 1).as("top1"),
+          first(col("semb")).as("semb"))
+        .select(col("id"), col("blk"), col("semb"),
+          element_at(col("top1"), 1).getField("id").as("code"),
+          (-element_at(col("top1"), 1).getField("score")).as("dist"))
+    val finalAssign = (1 to iters).foldLeft(seeds) { (cents, it) =>
+      val assigned = assign(cents)
+      if (it == iters)
+        assigned // sentinel: the last fold step returns the assignment
+      else
+        assigned
+          .select(col("blk"), col("code"), posexplode(col("semb")).as(Seq("pos", "x")))
+          .groupBy(col("blk"), col("code"), col("pos"))
+          .agg(round(
+            (sum(round(col("x") * 1000000)) / count(lit(1))) / 1000000.0, 6)
+            .as("c"))
+          .groupBy(col("blk"), col("code"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
+          .select(col("blk"), col("code"),
+            transform(col("ps"), p => p.getField("c")).as("cemb"))
+    }
+    finalAssign.select(col("id").as("vec_id"), col("blk"),
+      col("code"), col("dist"))
   }
 }

@@ -56,6 +56,51 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ (aᵢ − bᵢ)² accumulated left-to-right — the squared Euclidean
+  * distance kernel. Same codegen rationale as [[DotProduct]]; the
+  * strict element order matches DuckDB's `list_distance` accumulation,
+  * so `sqrt` of this value 6dp-rounds identically in both engines. */
+case class SquaredL2(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -66,4 +111,10 @@ object VectorFunctions {
 
   /** L2 norm of an array<double> column. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Euclidean distance of two array<double> columns (codegen'd sum of
+    * squared diffs, then sqrt — DuckDB list_distance parity). */
+  def l2dist(a: Column, b: Column): Column =
+    sqrt(ColumnShim.column(
+      SquaredL2(ColumnShim.expression(a), ColumnShim.expression(b))))
 }

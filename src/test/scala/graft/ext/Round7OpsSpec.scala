@@ -103,6 +103,36 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.forall(_._2.contains(1.0)), s"expected r=1, got ${got.toSeq}")
   }
 
+  test("pqEncode: per-block codes, self-seeds at zero distance") {
+    // 8-dim vectors, 2 blocks of 4; ids 0 and 100 seed the codebooks
+    val vecs = Seq(
+      (0L, Array(0.0, 0.0, 0.0, 0.0, 9.0, 9.0, 9.0, 9.0)),
+      (100L, Array(5.0, 5.0, 5.0, 5.0, 0.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.1, 0.1, 0.1, 0.1, 0.2, 0.2, 0.2, 0.2)), // blk0→0, blk1→100
+      (2L, Array(4.8, 4.9, 5.0, 5.1, 8.8, 9.0, 9.1, 9.2))) // blk0→100, blk1→0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(vecs, "vec_id", "embedding",
+      blocks = 2, iters = 1, seedEvery = 100)
+      .orderBy("vec_id", "blk")
+      .select("vec_id", "blk", "code", "dist")
+      .as[(Long, Int, Long, Double)].collect()
+    val codes = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(codes((0L, 0)) == 0L && codes((0L, 1)) == 0L)
+    assert(codes((100L, 0)) == 100L && codes((100L, 1)) == 100L)
+    assert(got.filter(r => r._1 == 0L || r._1 == 100L).forall(_._4 == 0.0),
+      "seeds must encode to themselves at distance 0")
+    assert(codes((1L, 0)) == 0L && codes((1L, 1)) == 100L)
+    assert(codes((2L, 0)) == 100L && codes((2L, 1)) == 0L)
+  }
+
+  test("SquaredL2/l2dist: strict left-to-right accumulation") {
+    val d = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 0.0, 3.0)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.l2dist(col("a"), col("b")).as("d"))
+      .as[Double].head()
+    assert(d == math.sqrt(9.0 + 4.0 + 0.0))
+  }
+
   test("rollingMarketCorr: zero-variance windows yield NULL, not NaN") {
     val d = (i: Int) => java.sql.Date.valueOf(f"2024-01-$i%02d")
     val rev = (1 to 30).map(i => (1L, d(i), 5.0))
