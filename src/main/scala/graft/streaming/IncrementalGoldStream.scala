@@ -75,29 +75,51 @@ object IncrementalGoldStream {
     * sliced one file per micro-batch, and land each batch with
     * `maintain(prevMart, updatedSilver, batch)` under the swap-write
     * discipline. Returns the final mart version. */
+  /** The base-silver parquet + sliced input files are identical for all
+    * three maintainers at a given (session, dir, slices) — prepare them
+    * once per session (the [[graft.bindings.Conformed]] memoization
+    * pattern): each query still gets its OWN checkpoint, silver copy,
+    * and mart-version chain (those are the mutable state under test),
+    * but the immutable inputs stop being re-conformed and re-written
+    * three times. */
+  private val prepCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), (String, String)]
+
+  private def preparedInputs(
+      spark: SparkSession, dir: String, slices: Int): (String, String) =
+    prepCache.getOrElseUpdate((spark, dir, slices), {
+      val revenue = graft.bindings.Conformed.orderRevenueCached(spark, dir)
+      val d = to_date(lit(graft.gold.IncrementalReplay.replayDate))
+      val root = Files.createTempDirectory("graft-incr-stream-base").toString
+      val basePath = s"$root/base"
+      val inDir = s"$root/in"
+      revenue.filter(col("creation_date") =!= d)
+        .write.mode("overwrite").parquet(basePath)
+      val delta = revenue.filter(col("creation_date") === d)
+      // slice the delta by user hash — users split ACROSS micro-batches
+      (0 until slices).foreach { k =>
+        delta.filter(
+            pmod(graft.functions.Portable.h60(col("user_id").cast("string")),
+              lit(slices.toLong)) === k)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      (basePath, inDir)
+    })
+
   private def replayViaStream(
       spark: SparkSession, dir: String, slices: Int,
       buildMart: DataFrame => DataFrame)(
       maintain: (DataFrame, DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val revenue = graft.bindings.Conformed.orderRevenue(spark, dir)
-    val d = to_date(lit(graft.gold.IncrementalReplay.replayDate))
-    val base = revenue.filter(col("creation_date") =!= d)
-    val delta = revenue.filter(col("creation_date") === d)
+    val (basePath, inDir) = preparedInputs(spark, dir, slices)
+    val delta = spark.read.parquet(inDir)
 
     val root = Files.createTempDirectory("graft-incr-stream").toString
-    val silverPath = s"$root/silver"
-    val inDir = s"$root/in"
-    base.write.mode("overwrite").parquet(silverPath)
-    buildMart(spark.read.parquet(silverPath))
+    // silver = immutable shared base ∪ this run's append zone — the
+    // ingest write lands ONLY in the per-run zone, so runs stay
+    // isolated without copying the 600k-row base per query
+    val appendPath = s"$root/silver_append"
+    buildMart(spark.read.parquet(basePath))
       .write.mode("overwrite").parquet(s"$root/mart_v0")
-
-    // slice the delta by user hash — users split ACROSS micro-batches
-    (0 until slices).foreach { k =>
-      delta.filter(
-          pmod(graft.functions.Portable.h60(col("user_id").cast("string")),
-            lit(slices.toLong)) === k)
-        .coalesce(1).write.mode("append").parquet(inDir)
-    }
 
     // driver-side mart-version cursor; foreachBatch bodies run on the
     // driver sequentially, one per micro-batch
@@ -111,8 +133,8 @@ object IncrementalGoldStream {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val s = batch.sparkSession
         val b = batch.toDF().persist()
-        b.write.mode("append").parquet(silverPath)
-        val silver = s.read.parquet(silverPath)
+        b.write.mode("append").parquet(appendPath)
+        val silver = s.read.parquet(basePath, appendPath)
         val prev = s.read.parquet(s"$root/mart_v$version")
         maintain(prev, silver, b)
           .write.mode("overwrite").parquet(s"$root/mart_v${version + 1}")
