@@ -1205,6 +1205,19 @@ object SparkEntry {
     "q170_pq_encode" -> ((s, dir) =>
       Similarity.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("blk"))),
+
+    // ---- ext: ADC top-k over the PQ codes — codes-only database side,
+    // broadcast per-query distance tables (the IVF-PQ query path) ----
+    "q171_pq_adc_topk" -> ((s, dir) =>
+      Similarity.pqAdcTopK(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ---- ext: temperature-flattened training mix (T=2 via integer
+    // sqrt weights; same Hamilton apportionment as q157) ----
+    "q172_temperature_mix" -> ((s, dir) =>
+      graft.ext.Curation.temperatureMixPlan(
+          Tables.documents(s, dir), "doc_id", "text", "source")
+        .orderBy(col("source"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1919,6 +1932,91 @@ object SparkEntry {
                       WHERE rn = 1)
            SELECT vec_id, blk, code, dist FROM pqa2
            ORDER BY vec_id, blk""",
+      // ADC extends the same chain: per-(query, block, codeword) squared
+      // distances quantize to 1e-9-unit longs BEFORE the per-pair sum
+      // (order-free), ranking on (sn asc, vec asc).
+      "q171_pq_adc_topk" ->
+        """WITH pqv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                        FROM embeddings),
+             pqsub AS (SELECT vec_id, b.blk,
+                              emb[(b.blk * (len(emb) // 4) + 1)
+                                  :((b.blk + 1) * (len(emb) // 4))] AS semb
+                       FROM pqv CROSS JOIN
+                         (SELECT unnest(range(4)) AS blk) b),
+             pqc0 AS (SELECT blk, vec_id AS code, semb AS cemb
+                      FROM pqsub WHERE vec_id % 100 = 0),
+             pqa1 AS (SELECT vec_id, blk, semb, code FROM (
+                        SELECT s.vec_id, s.blk, s.semb, c.code,
+                               row_number() OVER (PARTITION BY s.vec_id, s.blk
+                                 ORDER BY round(list_distance(s.semb, c.cemb), 6),
+                                          c.code) AS rn
+                        FROM pqsub s JOIN pqc0 c ON s.blk = c.blk)
+                      WHERE rn = 1),
+             pqc1 AS (SELECT blk, code, list(c ORDER BY pos) AS cemb FROM (
+                        SELECT blk, code, pos,
+                               round((sum(round(x * 1000000)) / count(*))
+                                     / 1000000.0, 6) AS c
+                        FROM (SELECT blk, code,
+                                     unnest(generate_series(1, len(semb))) AS pos,
+                                     unnest(semb) AS x
+                              FROM pqa1)
+                        GROUP BY 1, 2, 3) GROUP BY 1, 2),
+             pqa2 AS (SELECT vec_id, blk, code FROM (
+                        SELECT s.vec_id, s.blk, c.code,
+                               row_number() OVER (PARTITION BY s.vec_id, s.blk
+                                 ORDER BY round(list_distance(s.semb, c.cemb), 6),
+                                          c.code) AS rn
+                        FROM pqsub s JOIN pqc1 c ON s.blk = c.blk)
+                      WHERE rn = 1),
+             pqq AS (SELECT vec_id AS query_id, blk, semb FROM pqsub
+                     WHERE vec_id % 50 = 0),
+             pqt AS (SELECT q.query_id, c.blk, c.code,
+                            CAST(round(
+                              round(list_distance(q.semb, c.cemb), 6)
+                              * round(list_distance(q.semb, c.cemb), 6)
+                              * 1e9) AS BIGINT) AS pn
+                     FROM pqq q JOIN pqc1 c ON q.blk = c.blk),
+             pqs AS (SELECT t.query_id, a.vec_id,
+                            CAST(sum(t.pn) AS BIGINT) AS sn
+                     FROM pqa2 a JOIN pqt t
+                       ON a.blk = t.blk AND a.code = t.code
+                     WHERE a.vec_id <> t.query_id
+                     GROUP BY 1, 2),
+             pqr AS (SELECT query_id, vec_id, sn,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY sn, vec_id) AS rank
+                     FROM pqs)
+           SELECT query_id, vec_id,
+                  (sn + 500) // 1000 / 1e6 AS adc_dist, rank
+           FROM pqr WHERE rank <= 5
+           ORDER BY query_id, rank""",
+      "q172_temperature_mix" ->
+        s"""WITH tmk AS (
+             SELECT source,
+                    CAST(sum(len(${graft.functions.Portable.tokensSql("text")}))
+                         AS BIGINT) AS n_tokens
+             FROM documents GROUP BY 1),
+           tmw AS (SELECT source, n_tokens,
+                          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                            AS w
+                   FROM tmk),
+           tmt AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM tmw),
+           tms AS (
+             SELECT source, n_tokens, w,
+                    (1000000 * w) // w_total AS share,
+                    (1000000 * w) % w_total AS rem
+             FROM tmw CROSS JOIN tmt),
+           tmr AS (
+             SELECT source, n_tokens, w, CAST(share AS BIGINT) AS share,
+                    1000000 - CAST(sum(share) OVER () AS BIGINT) AS r_extra,
+                    row_number() OVER (ORDER BY rem DESC, source) AS rnk
+             FROM tms)
+           SELECT source, n_tokens, w AS weight,
+                  CAST(share + CASE WHEN rnk <= r_extra THEN 1 ELSE 0 END
+                       AS BIGINT) AS alloc_tokens,
+                  CAST(share + CASE WHEN rnk <= r_extra THEN 1 ELSE 0 END
+                       AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+           FROM tmr ORDER BY source""",
       "q133_quantile_normalize" ->
         """WITH qv AS (SELECT doc_id AS id, source AS g, n_chars AS val
                        FROM documents),

@@ -127,4 +127,41 @@ object Curation {
         alloc.as("alloc_tokens"),
         (alloc.cast("double") / col("n_tokens").cast("double")).as("epochs"))
   }
+
+  /** Temperature-scaled training mix (the multilingual/DoReMi-style
+    * flattening of [[tokenBudgetPlan]]'s proportional plan): source
+    * weights are n_tokens^(1/T) with T = 2 — i.e. integer
+    * `floor(sqrt(n_tokens))`, so big sources stop dominating and tail
+    * sources up-sample — then the same largest-remainder integer
+    * apportionment (Σ alloc = budget exactly). The sqrt keeps the
+    * weight integral and cross-engine exact: one IEEE sqrt of an exact
+    * long, floored — no pow(x, 1/T) (libm pow is not pinned across
+    * engines; sqrt is correctly rounded by IEEE 754).
+    *
+    * Scale shape: identical to [[tokenBudgetPlan]] — doc-grain
+    * aggregate to source grain, then mix-grain (#sources) windows. */
+  def temperatureMixPlan(
+      docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budget: Long = 1000000L): DataFrame = {
+    val perSource = TextAnalysis.tokenCounts(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(sourceCol).as("source")), Seq(idCol))
+      .groupBy(col("source"))
+      .agg(sum(col("n_ws_tokens").cast("long")).as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val total = perSource.agg(sum(col("w")).as("w_total"))
+    val shares = perSource.crossJoin(broadcast(total))
+      .withColumn("share", expr(s"(${budget}L * w) div w_total"))
+      .withColumn("rem", expr(s"(${budget}L * w) % w_total"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val alloc = col("share") +
+      when(col("rnk") <= col("r_extra"), 1L).otherwise(0L)
+    shares
+      .withColumn("r_extra", lit(budget) - sum(col("share")).over(wAll))
+      .withColumn("rnk", row_number().over(
+        wAll.orderBy(col("rem").desc, col("source"))))
+      .select(
+        col("source"), col("n_tokens"), col("w").as("weight"),
+        alloc.as("alloc_tokens"),
+        (alloc.cast("double") / col("n_tokens").cast("double")).as("epochs"))
+  }
 }

@@ -750,48 +750,111 @@ object Similarity {
     * both Lloyd steps; the M-step is a (blk, cluster, pos) hash
     * aggregate. Nothing shuffles at corpus grain except the one
     * explode-aggregate cycle per iteration, all map-side combinable. */
-  def pqEncode(
-      vecs: DataFrame, idCol: String, vecCol: String,
-      blocks: Int = 4, iters: Int = 2, seedEvery: Int = 100): DataFrame = {
-    require(iters >= 1, "pqEncode needs at least one iteration")
-    require(blocks >= 1, "pqEncode needs at least one block")
-    val v = vecs.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("emb"))
-    val sub = v
+  /** (id, blk, semb) subvector rows — the shared PQ working grain. */
+  private def pqSub(vecs: DataFrame, idCol: String, vecCol: String,
+      blocks: Int): DataFrame =
+    vecs.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("emb"))
       .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
       .select(col("id"), col("blk"),
         expr(s"slice(emb, blk * (size(emb) div $blocks) + 1, " +
           s"size(emb) div $blocks)").as("semb"))
+
+  /** Nearest-codeword assignment per (vector, block): 6dp-rounded L2
+    * argmin, code-asc tie-break. Keeps `semb` so the M-step can reuse
+    * the frame. */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), Seq("blk"))
+      .withColumn("nd", -round(l2dist(col("semb"), col("cemb")), 6))
+      .groupBy(col("id"), col("blk"))
+      .agg(top_k(col("nd"), col("code"), 1).as("top1"),
+        first(col("semb")).as("semb"))
+      .select(col("id"), col("blk"), col("semb"),
+        element_at(col("top1"), 1).getField("id").as("code"),
+        (-element_at(col("top1"), 1).getField("score")).as("dist"))
+
+  /** The per-subspace codebook the FINAL assignment uses: seeds (id ≡ 0
+    * mod `seedEvery`) refined by `iters − 1` integer-quantized-mean
+    * update steps. (blk, code, cemb) rows — blocks·seeds-sized, the
+    * broadcast side of every PQ consumer. */
+  def pqCodebook(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      blocks: Int = 4, iters: Int = 2, seedEvery: Int = 100): DataFrame = {
+    require(iters >= 1, "pqCodebook needs at least one iteration")
+    require(blocks >= 1, "pqCodebook needs at least one block")
+    val sub = pqSub(vecs, idCol, vecCol, blocks)
     val seeds = sub.filter(col("id") % seedEvery === 0)
       .select(col("blk"), col("id").as("code"), col("semb").as("cemb"))
     require(!seeds.isEmpty,
-      s"pqEncode found no seed vectors (no id divisible by $seedEvery)")
-    def assign(cents: DataFrame): DataFrame =
-      sub.join(broadcast(cents), Seq("blk"))
-        .withColumn("nd", -round(l2dist(col("semb"), col("cemb")), 6))
-        .groupBy(col("id"), col("blk"))
-        .agg(top_k(col("nd"), col("code"), 1).as("top1"),
-          first(col("semb")).as("semb"))
-        .select(col("id"), col("blk"), col("semb"),
-          element_at(col("top1"), 1).getField("id").as("code"),
-          (-element_at(col("top1"), 1).getField("score")).as("dist"))
-    val finalAssign = (1 to iters).foldLeft(seeds) { (cents, it) =>
-      val assigned = assign(cents)
-      if (it == iters)
-        assigned // sentinel: the last fold step returns the assignment
-      else
-        assigned
-          .select(col("blk"), col("code"), posexplode(col("semb")).as(Seq("pos", "x")))
-          .groupBy(col("blk"), col("code"), col("pos"))
-          .agg(round(
-            (sum(round(col("x") * 1000000)) / count(lit(1))) / 1000000.0, 6)
-            .as("c"))
-          .groupBy(col("blk"), col("code"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
-          .select(col("blk"), col("code"),
-            transform(col("ps"), p => p.getField("c")).as("cemb"))
+      s"pqCodebook found no seed vectors (no id divisible by $seedEvery)")
+    (1 until iters).foldLeft(seeds) { (cents, _) =>
+      pqAssign(sub, cents)
+        .select(col("blk"), col("code"), posexplode(col("semb")).as(Seq("pos", "x")))
+        .groupBy(col("blk"), col("code"), col("pos"))
+        .agg(round(
+          (sum(round(col("x") * 1000000)) / count(lit(1))) / 1000000.0, 6)
+          .as("c"))
+        .groupBy(col("blk"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
+        .select(col("blk"), col("code"),
+          transform(col("ps"), p => p.getField("c")).as("cemb"))
     }
-    finalAssign.select(col("id").as("vec_id"), col("blk"),
-      col("code"), col("dist"))
+  }
+
+  def pqEncode(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      blocks: Int = 4, iters: Int = 2, seedEvery: Int = 100): DataFrame =
+    pqAssign(
+      pqSub(vecs, idCol, vecCol, blocks),
+      pqCodebook(vecs, idCol, vecCol, blocks, iters, seedEvery))
+      .select(col("id").as("vec_id"), col("blk"), col("code"), col("dist"))
+
+  /** Asymmetric-distance (ADC) top-k search over PQ codes — how an
+    * IVF-PQ index actually answers queries at 100 TB: the database side
+    * is CODES ONLY (`blocks` small ints per vector), each query keeps
+    * its full subvectors, and the per-(query, block, codeword) distance
+    * table — queries · codes · blocks rows, tiny — BROADCASTS onto the
+    * code table. approx_dist²(q, x) = Σ_blk d²(q_blk, codeword(x, blk));
+    * no full vector is ever touched on the database side.
+    *
+    * Exactness: the per-block d is the 6dp-rounded [[l2dist]] (identical
+    * cross-engine); its square is a deterministic double; partials
+    * quantize to integral 1e-9 units BEFORE the per-pair sum (float
+    * addition order differs between engines; long addition is
+    * order-free — the BM25 discipline), and the emitted distance rounds
+    * in the integer domain. Ranking: quantized distance asc, vec id asc.
+    *
+    * Shape: one hash aggregate per (query, vec) pair over blocks·|hits|
+    * rows, bounded top-k heap per query; database-side cost scales with
+    * |codes| = n·blocks, never n·d. */
+  def pqAdcTopK(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      queryModEvery: Int = 50, k: Int = 5,
+      blocks: Int = 4, iters: Int = 2, seedEvery: Int = 100): DataFrame = {
+    val book = pqCodebook(vecs, idCol, vecCol, blocks, iters, seedEvery)
+    val codes = pqEncode(vecs, idCol, vecCol, blocks, iters, seedEvery)
+      .select(col("vec_id"), col("blk"), col("code"))
+    val qsub = pqSub(vecs, idCol, vecCol, blocks)
+      .filter(col("id") % queryModEvery === 0)
+      .select(col("id").as("query_id"), col("blk"), col("semb"))
+    val table = qsub.join(broadcast(book), Seq("blk"))
+      .withColumn("d6", round(l2dist(col("semb"), col("cemb")), 6))
+      .select(col("query_id"), col("blk"), col("code"),
+        round(col("d6") * col("d6") * lit(1e9)).cast("long").as("pn"))
+    // rank on -sn (distance asc, id-asc tie-break via the heap); sn is
+    // exact in double far below 2^53, so the emitted distance re-derives
+    // from the heap's score — no second pass over the pair sums
+    codes.join(broadcast(table), Seq("blk", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pn")).as("sn"))
+      .select(col("query_id"), col("vec_id"), (-col("sn").cast("double")).as("negsn"))
+      .groupBy(col("query_id"))
+      .agg(top_k(col("negsn"), col("vec_id"), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"),
+        (expr("(cast(-t.score as bigint) + 500) div 1000").cast("double") / lit(1e6))
+          .as("adc_dist"),
+        col("t.rank").as("rank"))
   }
 }

@@ -356,6 +356,20 @@ class PlanSpec extends SparkSpec {
       "probe-filtered neighbor lists must equal the filtered full run")
   }
 
+  test("PQ tier: codebooks broadcast, no theta join anywhere") {
+    val vecs = core.Tables.embeddings(spark, sf)
+    val enc = planText(ext.Similarity.pqEncode(vecs, "vec_id", "embedding"))
+    assert(!enc.contains("NestedLoop") && !enc.contains("CartesianProduct"),
+      s"PQ assignment must be a broadcast join, not a product:\n$enc")
+    assert(enc.contains("BroadcastHashJoin"),
+      s"expected the codebook to broadcast onto the subvectors:\n$enc")
+    val adc = planText(ext.Similarity.pqAdcTopK(vecs, "vec_id", "embedding"))
+    assert(!adc.contains("NestedLoop") && !adc.contains("CartesianProduct"),
+      s"ADC must probe codes via broadcast, never a product:\n$adc")
+    assert(adc.contains("BroadcastHashJoin"),
+      s"expected the distance table to broadcast onto the code table:\n$adc")
+  }
+
   test("gap fill joins at mart grain with the fact reduced first") {
     val plan = planText(ext.Timeseries.gapFillDaily(
       bindings.Conformed.orderRevenue(spark, sf)))

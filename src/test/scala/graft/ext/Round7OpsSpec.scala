@@ -125,6 +125,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(codes((2L, 0)) == 100L && codes((2L, 1)) == 0L)
   }
 
+  test("pqAdcTopK ranks by summed per-block codeword distances") {
+    val vecs = Seq(
+      (0L, Array(0.0, 0.0, 0.0, 0.0, 9.0, 9.0, 9.0, 9.0)),
+      (100L, Array(5.0, 5.0, 5.0, 5.0, 0.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.1, 0.1, 0.1, 0.1, 0.2, 0.2, 0.2, 0.2)), // codes (0, 100)
+      (2L, Array(4.8, 4.9, 5.0, 5.1, 8.8, 9.0, 9.1, 9.2))) // codes (100, 0)
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqAdcTopK(vecs, "vec_id", "embedding",
+      queryModEvery = 100, k = 3, blocks = 2, iters = 1, seedEvery = 100)
+      .filter(col("query_id") === 0L)
+      .orderBy("rank")
+      .select("vec_id", "adc_dist")
+      .as[(Long, Double)].collect()
+    // ADC(0→2): d²(q0_b0, cw100_b0)=100 + d²(q0_b1, cw0_b1)=0  → 100
+    // ADC(0→1): 0 + d²([9...], [0...])=324                     → 324
+    // ADC(0→100): 100 + 324                                    → 424
+    assert(got.toSeq == Seq((2L, 100.0), (1L, 324.0), (100L, 424.0)))
+  }
+
   test("SquaredL2/l2dist: strict left-to-right accumulation") {
     val d = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 0.0, 3.0)))
       .toDF("a", "b")
