@@ -1218,6 +1218,19 @@ object SparkEntry {
       graft.ext.Curation.temperatureMixPlan(
           Tables.documents(s, dir), "doc_id", "text", "source")
         .orderBy(col("source"))),
+
+    // ---- ext: daily-revenue autocorrelation at lags 1..7 (the
+    // periodicity screen; all lags ride one window sort) ----
+    "q173_acf" -> ((s, dir) =>
+      graft.ext.Timeseries.revenueAcf(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("lag"))),
+
+    // ---- ext: in-engine multinomial naive Bayes (add-one smoothing,
+    // quantized log units) scored back as a lang confusion matrix ----
+    "q174_nb_confusion" -> ((s, dir) =>
+      graft.ext.TextAnalysis.naiveBayesConfusion(
+          Tables.documents(s, dir), "doc_id", "text", "lang")
+        .orderBy(col("true_label"), col("predicted"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1892,6 +1905,47 @@ object SparkEntry {
                        THEN round(num / sqrt(varx * vary), 6)
                        ELSE NULL END AS market_corr
            FROM rcc ORDER BY restaurant_id, creation_date"""),
+      "q173_acf" -> OracleSql.withBase(
+        """acd AS (SELECT restaurant_id, creation_date,
+                         CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                           AS cents
+                  FROM order_revenue GROUP BY 1, 2),
+           acs AS (SELECT restaurant_id, min(creation_date) AS d0,
+                         max(creation_date) AS d1
+                  FROM acd GROUP BY 1),
+           acn AS (SELECT restaurant_id,
+                         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                           AS DATE) AS creation_date
+                  FROM acs),
+           acg AS (SELECT n.restaurant_id, n.creation_date,
+                          coalesce(d.cents, 0) // 10000 AS x
+                   FROM acn n LEFT JOIN acd d
+                     ON n.restaurant_id = d.restaurant_id
+                    AND n.creation_date = d.creation_date),
+           acl AS (SELECT g.restaurant_id, l.lag, g.x,
+                          lag(g.x, l.lag) OVER (
+                            PARTITION BY g.restaurant_id, l.lag
+                            ORDER BY g.creation_date) AS xl
+                   FROM acg g CROSS JOIN
+                     (SELECT unnest(range(1, 8)) AS lag) l),
+           aca AS (SELECT restaurant_id, lag,
+                          CAST(count(*) AS DOUBLE) AS n,
+                          CAST(sum(x) AS DOUBLE) AS sx,
+                          CAST(sum(xl) AS DOUBLE) AS sy,
+                          CAST(sum(x * xl) AS DOUBLE) AS sxy,
+                          CAST(sum(x * x) AS DOUBLE) AS sxx,
+                          CAST(sum(xl * xl) AS DOUBLE) AS syy
+                   FROM acl WHERE xl IS NOT NULL GROUP BY 1, 2),
+           acc AS (SELECT restaurant_id, lag, CAST(n AS BIGINT) AS n_pairs,
+                          n * sxy - sx * sy AS num,
+                          n * sxx - sx * sx AS varx,
+                          n * syy - sy * sy AS vary
+                   FROM aca)""",
+        """SELECT restaurant_id, lag, n_pairs,
+                  CASE WHEN varx > 0 AND vary > 0
+                       THEN round(num / sqrt(varx * vary), 6)
+                       ELSE NULL END AS acf
+           FROM acc ORDER BY restaurant_id, lag"""),
       // PQ mirrors the q57 Lloyd-CTE discipline per subspace: L2
       // assignment on round(list_distance, 6) with code-asc tie-break,
       // integer-quantized centroid means between iterations.
@@ -2017,6 +2071,45 @@ object SparkEntry {
                   CAST(share + CASE WHEN rnk <= r_extra THEN 1 ELSE 0 END
                        AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
            FROM tmr ORDER BY source""",
+      "q174_nb_confusion" ->
+        s"""WITH nbt AS (
+              SELECT doc_id, lang AS label,
+                     unnest(${graft.functions.Portable.tokensSql("text")}) AS w
+              FROM documents),
+            nbtf AS (SELECT doc_id, w, count(*) AS tf FROM nbt GROUP BY 1, 2),
+            nbcw AS (SELECT label, w, count(*) AS cwc FROM nbt GROUP BY 1, 2),
+            nbct AS (SELECT label, count(*) AS ctok FROM nbt GROUP BY 1),
+            nbv AS (SELECT DISTINCT w FROM nbt),
+            nbvs AS (SELECT count(*) AS v FROM nbv),
+            nbn AS (SELECT count(*) AS ndocs FROM documents),
+            nbpr AS (
+              SELECT lang AS label,
+                     CAST(round(ln(CAST(count(*) AS DOUBLE) / nbn.ndocs)
+                       * 1e9) AS BIGINT) AS prior_units
+              FROM documents CROSS JOIN nbn GROUP BY lang, nbn.ndocs),
+            nbm AS (
+              SELECT nbv.w, ct.label,
+                     CAST(round(ln(
+                       CAST(coalesce(cw.cwc, 0) + 1 AS DOUBLE)
+                         / (ct.ctok + vs.v)) * 1e9) AS BIGINT) AS ll_units
+              FROM nbv CROSS JOIN nbct ct CROSS JOIN nbvs vs
+              LEFT JOIN nbcw cw ON cw.label = ct.label AND cw.w = nbv.w),
+            nbsc AS (
+              SELECT tf.doc_id, m.label,
+                     CAST(sum(tf.tf * m.ll_units) AS BIGINT) AS tu
+              FROM nbtf tf JOIN nbm m ON tf.w = m.w
+              GROUP BY 1, 2),
+            nbp AS (
+              SELECT doc_id, label AS predicted FROM (
+                SELECT s.doc_id, s.label,
+                       row_number() OVER (PARTITION BY s.doc_id
+                         ORDER BY CAST(s.tu + p.prior_units AS DOUBLE) DESC,
+                                  s.label) AS rn
+                FROM nbsc s JOIN nbpr p USING (label))
+              WHERE rn = 1)
+           SELECT d.lang AS true_label, p.predicted, count(*) AS n_docs
+           FROM documents d JOIN nbp p USING (doc_id)
+           GROUP BY 1, 2 ORDER BY true_label, predicted""",
       "q133_quantile_normalize" ->
         """WITH qv AS (SELECT doc_id AS id, source AS g, n_chars AS val
                        FROM documents),

@@ -528,4 +528,68 @@ object TextAnalysis {
       .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
         round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
         round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_ratio"))
+
+  /** Multinomial naive Bayes trained in-engine (add-one smoothing over
+    * the shared vocabulary) and evaluated on the corpus, reported as a
+    * (true label, predicted label) confusion matrix — the fit/score
+    * primitive behind supervised quality/language classifiers, run as
+    * pure aggregates instead of an ML-library export.
+    *
+    *   score(d, c) = log P(c) + Σ_w tf(d, w) · log P̂(w|c)
+    *   P̂(w|c) = (count(w, c) + 1) / (tokens_c + V)
+    *
+    * Exactness: each log quantizes to integral 1e-9 units (one IEEE
+    * log of a ratio of exact longs — the [[lmScore]] discipline), the
+    * per-doc sum is order-free long arithmetic, and argmax breaks ties
+    * on the class label asc. Smoothing is over the FULL vocab × class
+    * grid, so every class scores every document.
+    *
+    * Shape: the model is vocabulary × classes — broadcast-sized by
+    * construction (vocab past the aggregate, not corpus tokens); the
+    * scoring join fans doc-terms × classes (a small constant), one hash
+    * aggregate per (doc, class), top-1 heap per doc, and the confusion
+    * matrix is a classes² rollup. */
+  def naiveBayesConfusion(
+      docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(labelCol).as("label"), col(textCol).as("text"))
+    val tok = base.select(col("doc_id"), col("label"),
+      explode(Portable.tokens(col("text"))).as("w"))
+    val docTf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val classCount = tok.groupBy(col("label"), col("w")).agg(count(lit(1)).as("cwc"))
+    val classTokens = tok.groupBy(col("label")).agg(count(lit(1)).as("ctok"))
+    val vocab = tok.select(col("w")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val priors = base.groupBy(col("label")).agg(count(lit(1)).as("cdocs"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("ndocs"))))
+      .select(col("label"),
+        round(log(col("cdocs").cast("double") / col("ndocs")) * 1e9)
+          .cast("long").as("prior_units"))
+    // smoothed log-likelihood over the full vocab × class grid
+    val model = vocab.crossJoin(classTokens)
+      .join(classCount, Seq("label", "w"), "left")
+      .crossJoin(broadcast(vsize))
+      .select(col("w"), col("label"),
+        round(log(
+          (coalesce(col("cwc"), lit(0L)) + lit(1L)).cast("double")
+            / (col("ctok") + col("v"))) * 1e9)
+          .cast("long").as("ll_units"))
+    val scores = docTf.join(broadcast(model), Seq("w"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("tf") * col("ll_units")).as("tu"))
+      .join(broadcast(priors), Seq("label"))
+      .select(col("doc_id"), col("label"),
+        (col("tu") + col("prior_units")).cast("double").as("score"))
+    // argmax via an order-free min over (−score, label) structs: score
+    // DESC with label-ASC tie-break, no window, no Long-id constraint
+    val predicted = scores
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("label")))
+        .getField("label").as("predicted"))
+    base.select(col("doc_id"), col("label").as("true_label"))
+      .join(predicted, Seq("doc_id"))
+      .groupBy(col("true_label"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -329,4 +329,57 @@ object Timeseries {
           round(col("num") / sqrt(col("varx") * col("vary")), 6))
           .as("market_corr"))
   }
+
+  /** Sample autocorrelation of daily revenue at lags 1..`maxLag` per
+    * restaurant — the periodicity screen (a weekly business shows a
+    * spike at lag 7) that picks seasonality parameters for the
+    * [[weekdaySeasonality]]/[[seasonalResidualOutliers]] tier.
+    *
+    * acf(ℓ) is the Pearson correlation of (xₜ, xₜ₋ℓ) over the
+    * zero-filled spine: all `maxLag` lag columns ride ONE window sort,
+    * stack to (lag, x, xl) rows, and each (restaurant, lag) reduces to
+    * the five exact long sums with the [[rollingMarketCorr]] formula
+    * (identical parenthesization, dollar units, NULL-guarded variance).
+    * Pairs with no lagged partner (the first ℓ spine days) drop before
+    * the sums, so n is per-lag exact. */
+  def revenueAcf(orderRevenue: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val spine = daily
+      .groupBy(col("restaurant_id"))
+      .agg(min(col("creation_date")).as("d0"), max(col("creation_date")).as("d1"))
+      .select(col("restaurant_id"),
+        explode(sequence(col("d0"), col("d1"))).as("creation_date"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("restaurant_id")).orderBy(col("creation_date"))
+    val grid = spine.join(daily, Seq("restaurant_id", "creation_date"), "left")
+      .select(col("restaurant_id"), col("creation_date"),
+        expr("coalesce(cents, 0L) div 10000").as("x"))
+    val lagged = (1 to maxLag).foldLeft(grid) { (df, l) =>
+      df.withColumn(s"xl$l", lag(col("x"), l).over(ord))
+    }
+    val stacked = lagged.select(col("restaurant_id"), col("x"),
+      explode(map(
+        (1 to maxLag).flatMap(l => Seq(lit(l), col(s"xl$l"))): _*))
+        .as(Seq("lag", "xl")))
+      .filter(col("xl").isNotNull)
+    stacked
+      .groupBy(col("restaurant_id"), col("lag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("xl")).cast("double").as("sy"),
+        sum(col("x") * col("xl")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("xl") * col("xl")).cast("double").as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("restaurant_id"), col("lag"),
+        col("n").cast("long").as("n_pairs"),
+        when(col("varx") > 0 && col("vary") > 0,
+          round(col("num") / sqrt(col("varx") * col("vary")), 6))
+          .as("acf"))
+  }
 }

@@ -152,6 +152,32 @@ class Round7OpsSpec extends SparkSpec {
     assert(d == math.sqrt(9.0 + 4.0 + 0.0))
   }
 
+  test("revenueAcf: a perfect 2-day alternation has acf(2)=1, acf(1)=-1") {
+    val d = (i: Int) => java.sql.Date.valueOf(f"2024-01-$i%02d")
+    val rev = (1 to 20).map(i =>
+      (1L, d(i), if (i % 2 == 0) 100.0 else 300.0))
+      .toDF("restaurant_id", "creation_date", "total_revenue")
+    val got = Timeseries.revenueAcf(rev, maxLag = 2)
+      .orderBy("lag")
+      .select("lag", "n_pairs", "acf")
+      .as[(Int, Long, Double)].collect()
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1, 19L), (2, 18L)))
+    assert(got(0)._3 == -1.0 && got(1)._3 == 1.0, s"got ${got.toSeq}")
+  }
+
+  test("naiveBayesConfusion: separable vocabularies classify perfectly") {
+    val docs = Seq(
+      (1L, "foo foo bar", "en"), (2L, "foo bar bar", "en"),
+      (3L, "uno dos uno", "es"), (4L, "dos dos uno", "es"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.naiveBayesConfusion(docs, "doc_id", "text", "lang")
+      .orderBy("true_label", "predicted")
+      .select("true_label", "predicted", "n_docs")
+      .as[(String, String, Long)].collect()
+    assert(got.toSeq == Seq(("en", "en", 2L), ("es", "es", 2L)),
+      s"disjoint vocabularies must classify perfectly, got ${got.toSeq}")
+  }
+
   test("rollingMarketCorr: zero-variance windows yield NULL, not NaN") {
     val d = (i: Int) => java.sql.Date.valueOf(f"2024-01-$i%02d")
     val rev = (1 to 30).map(i => (1L, d(i), 5.0))
