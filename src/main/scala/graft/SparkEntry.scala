@@ -1231,6 +1231,12 @@ object SparkEntry {
       graft.ext.TextAnalysis.naiveBayesConfusion(
           Tables.documents(s, dir), "doc_id", "text", "lang")
         .orderBy(col("true_label"), col("predicted"))),
+
+    // ---- ext: recall@k of the ADC code search vs exact Euclidean
+    // top-k (the PQ acceptance gate; q144's pattern for the ADC tier) ----
+    "q175_pq_recall" -> ((s, dir) =>
+      Similarity.pqAdcRecall(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("query_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1950,100 +1956,14 @@ object SparkEntry {
       // assignment on round(list_distance, 6) with code-asc tie-break,
       // integer-quantized centroid means between iterations.
       "q170_pq_encode" ->
-        """WITH pqv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                        FROM embeddings),
-             pqsub AS (SELECT vec_id, b.blk,
-                              emb[(b.blk * (len(emb) // 4) + 1)
-                                  :((b.blk + 1) * (len(emb) // 4))] AS semb
-                       FROM pqv CROSS JOIN
-                         (SELECT unnest(range(4)) AS blk) b),
-             pqc0 AS (SELECT blk, vec_id AS code, semb AS cemb
-                      FROM pqsub WHERE vec_id % 100 = 0),
-             pqa1 AS (SELECT vec_id, blk, semb, code, dist FROM (
-                        SELECT s.vec_id, s.blk, s.semb, c.code,
-                               round(list_distance(s.semb, c.cemb), 6) AS dist,
-                               row_number() OVER (PARTITION BY s.vec_id, s.blk
-                                 ORDER BY round(list_distance(s.semb, c.cemb), 6),
-                                          c.code) AS rn
-                        FROM pqsub s JOIN pqc0 c ON s.blk = c.blk)
-                      WHERE rn = 1),
-             pqc1 AS (SELECT blk, code, list(c ORDER BY pos) AS cemb FROM (
-                        SELECT blk, code, pos,
-                               round((sum(round(x * 1000000)) / count(*))
-                                     / 1000000.0, 6) AS c
-                        FROM (SELECT blk, code,
-                                     unnest(generate_series(1, len(semb))) AS pos,
-                                     unnest(semb) AS x
-                              FROM pqa1)
-                        GROUP BY 1, 2, 3) GROUP BY 1, 2),
-             pqa2 AS (SELECT vec_id, blk, code, dist FROM (
-                        SELECT s.vec_id, s.blk, c.code,
-                               round(list_distance(s.semb, c.cemb), 6) AS dist,
-                               row_number() OVER (PARTITION BY s.vec_id, s.blk
-                                 ORDER BY round(list_distance(s.semb, c.cemb), 6),
-                                          c.code) AS rn
-                        FROM pqsub s JOIN pqc1 c ON s.blk = c.blk)
-                      WHERE rn = 1)
-           SELECT vec_id, blk, code, dist FROM pqa2
-           ORDER BY vec_id, blk""",
+        ExtOracleSql.pqEncode(blocks = 4, seedEvery = 100),
       // ADC extends the same chain: per-(query, block, codeword) squared
       // distances quantize to 1e-9-unit longs BEFORE the per-pair sum
       // (order-free), ranking on (sn asc, vec asc).
       "q171_pq_adc_topk" ->
-        """WITH pqv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                        FROM embeddings),
-             pqsub AS (SELECT vec_id, b.blk,
-                              emb[(b.blk * (len(emb) // 4) + 1)
-                                  :((b.blk + 1) * (len(emb) // 4))] AS semb
-                       FROM pqv CROSS JOIN
-                         (SELECT unnest(range(4)) AS blk) b),
-             pqc0 AS (SELECT blk, vec_id AS code, semb AS cemb
-                      FROM pqsub WHERE vec_id % 100 = 0),
-             pqa1 AS (SELECT vec_id, blk, semb, code FROM (
-                        SELECT s.vec_id, s.blk, s.semb, c.code,
-                               row_number() OVER (PARTITION BY s.vec_id, s.blk
-                                 ORDER BY round(list_distance(s.semb, c.cemb), 6),
-                                          c.code) AS rn
-                        FROM pqsub s JOIN pqc0 c ON s.blk = c.blk)
-                      WHERE rn = 1),
-             pqc1 AS (SELECT blk, code, list(c ORDER BY pos) AS cemb FROM (
-                        SELECT blk, code, pos,
-                               round((sum(round(x * 1000000)) / count(*))
-                                     / 1000000.0, 6) AS c
-                        FROM (SELECT blk, code,
-                                     unnest(generate_series(1, len(semb))) AS pos,
-                                     unnest(semb) AS x
-                              FROM pqa1)
-                        GROUP BY 1, 2, 3) GROUP BY 1, 2),
-             pqa2 AS (SELECT vec_id, blk, code FROM (
-                        SELECT s.vec_id, s.blk, c.code,
-                               row_number() OVER (PARTITION BY s.vec_id, s.blk
-                                 ORDER BY round(list_distance(s.semb, c.cemb), 6),
-                                          c.code) AS rn
-                        FROM pqsub s JOIN pqc1 c ON s.blk = c.blk)
-                      WHERE rn = 1),
-             pqq AS (SELECT vec_id AS query_id, blk, semb FROM pqsub
-                     WHERE vec_id % 50 = 0),
-             pqt AS (SELECT q.query_id, c.blk, c.code,
-                            CAST(round(
-                              round(list_distance(q.semb, c.cemb), 6)
-                              * round(list_distance(q.semb, c.cemb), 6)
-                              * 1e9) AS BIGINT) AS pn
-                     FROM pqq q JOIN pqc1 c ON q.blk = c.blk),
-             pqs AS (SELECT t.query_id, a.vec_id,
-                            CAST(sum(t.pn) AS BIGINT) AS sn
-                     FROM pqa2 a JOIN pqt t
-                       ON a.blk = t.blk AND a.code = t.code
-                     WHERE a.vec_id <> t.query_id
-                     GROUP BY 1, 2),
-             pqr AS (SELECT query_id, vec_id, sn,
-                            row_number() OVER (PARTITION BY query_id
-                              ORDER BY sn, vec_id) AS rank
-                     FROM pqs)
-           SELECT query_id, vec_id,
-                  (sn + 500) // 1000 / 1e6 AS adc_dist, rank
-           FROM pqr WHERE rank <= 5
-           ORDER BY query_id, rank""",
+        ExtOracleSql.pqAdcTopK(queryModEvery = 50, k = 5, blocks = 4, seedEvery = 100),
+      "q175_pq_recall" ->
+        ExtOracleSql.pqAdcRecall(queryModEvery = 50, k = 5, blocks = 4, seedEvery = 100),
       "q172_temperature_mix" ->
         s"""WITH tmk AS (
              SELECT source,

@@ -841,6 +841,11 @@ object Similarity {
       .withColumn("d6", round(l2dist(col("semb"), col("cemb")), 6))
       .select(col("query_id"), col("blk"), col("code"),
         round(col("d6") * col("d6") * lit(1e9)).cast("long").as("pn"))
+    pqAdcRanked(codes, table, k)
+  }
+
+  private def pqAdcRanked(
+      codes: DataFrame, table: DataFrame, k: Int): DataFrame =
     // rank on -sn (distance asc, id-asc tie-break via the heap); sn is
     // exact in double far below 2^53, so the emitted distance re-derives
     // from the heap's score — no second pass over the pair sums
@@ -856,5 +861,39 @@ object Similarity {
         (expr("(cast(-t.score as bigint) + 500) div 1000").cast("double") / lit(1e6))
           .as("adc_dist"),
         col("t.rank").as("rank"))
+
+  /** Recall@k of the compressed ([[pqAdcTopK]]) search against the
+    * exact Euclidean top-k on the same query set — the acceptance gate
+    * a PQ deployment publishes next to its compression ratio (the
+    * [[annRecall]] pattern for the ADC tier). The exact side scores
+    * query × corpus with the full vectors — queries are 1/`queryModEvery`
+    * of the corpus, so the reference pass is q·n·d by definition, the
+    * cost the audit exists to spend; the broadcast side is the bounded
+    * query subset. */
+  def pqAdcRecall(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      queryModEvery: Int = 50, k: Int = 5,
+      blocks: Int = 4, iters: Int = 2, seedEvery: Int = 100): DataFrame = {
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("emb"))
+    val q = v.filter(col("id") % queryModEvery === 0)
+      .select(col("id").as("query_id"), col("emb").as("qemb"))
+    val exact = v.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("nd", -round(l2dist(col("emb"), col("qemb")), 6))
+      .groupBy(col("query_id"))
+      .agg(top_k(col("nd"), col("id"), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"))
+    val approx = pqAdcTopK(vecs, idCol, vecCol, queryModEvery, k,
+        blocks, iters, seedEvery)
+      .select(col("query_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 }

@@ -298,6 +298,116 @@ object ExtOracleSql {
   private val vecsCte =
     "v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
 
+  /** The shared product-quantization CTE chain (mirrors
+    * [[graft.ext.Similarity.pqCodebook]]/`pqEncode` at the engine
+    * defaults): subvector split, seed codebook, one assign/update round,
+    * final assignment. Ends with `pqc1(blk, code, cemb)` (the final
+    * codebook) and `pqa2(vec_id, blk, semb, code, dist)`. */
+  def pqChainCtes(blocks: Int, seedEvery: Int): String =
+    s"""pqv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |        FROM embeddings),
+       |pqsub AS (SELECT vec_id, b.blk,
+       |                 emb[(b.blk * (len(emb) // $blocks) + 1)
+       |                     :((b.blk + 1) * (len(emb) // $blocks))] AS semb
+       |          FROM pqv CROSS JOIN
+       |            (SELECT unnest(range($blocks)) AS blk) b),
+       |pqc0 AS (SELECT blk, vec_id AS code, semb AS cemb
+       |         FROM pqsub WHERE vec_id % $seedEvery = 0),
+       |pqa1 AS (SELECT vec_id, blk, semb, code FROM (
+       |           SELECT s.vec_id, s.blk, s.semb, c.code,
+       |                  row_number() OVER (PARTITION BY s.vec_id, s.blk
+       |                    ORDER BY round(list_distance(s.semb, c.cemb), 6),
+       |                             c.code) AS rn
+       |           FROM pqsub s JOIN pqc0 c ON s.blk = c.blk)
+       |         WHERE rn = 1),
+       |pqc1 AS (SELECT blk, code, list(c ORDER BY pos) AS cemb FROM (
+       |           SELECT blk, code, pos,
+       |                  round((sum(round(x * 1000000)) / count(*))
+       |                        / 1000000.0, 6) AS c
+       |           FROM (SELECT blk, code,
+       |                        unnest(generate_series(1, len(semb))) AS pos,
+       |                        unnest(semb) AS x
+       |                 FROM pqa1)
+       |           GROUP BY 1, 2, 3) GROUP BY 1, 2),
+       |pqa2 AS (SELECT vec_id, blk, semb, code, dist FROM (
+       |           SELECT s.vec_id, s.blk, s.semb, c.code,
+       |                  round(list_distance(s.semb, c.cemb), 6) AS dist,
+       |                  row_number() OVER (PARTITION BY s.vec_id, s.blk
+       |                    ORDER BY round(list_distance(s.semb, c.cemb), 6),
+       |                             c.code) AS rn
+       |           FROM pqsub s JOIN pqc1 c ON s.blk = c.blk)
+       |         WHERE rn = 1)""".stripMargin
+
+  /** Mirrors [[graft.ext.Similarity.pqEncode]]. */
+  def pqEncode(blocks: Int, seedEvery: Int): String =
+    s"""WITH ${pqChainCtes(blocks, seedEvery)}
+       |SELECT vec_id, blk, code, dist FROM pqa2
+       |ORDER BY vec_id, blk""".stripMargin
+
+  /** The ADC scoring CTEs on top of [[pqChainCtes]]: per-(query, block,
+    * codeword) squared distances quantized to 1e-9-unit longs before
+    * the per-pair order-free sum. Ends with `pqs(query_id, vec_id, sn)`. */
+  def pqAdcCtes(queryModEvery: Int): String =
+    s"""pqq AS (SELECT vec_id AS query_id, blk, semb FROM pqsub
+       |        WHERE vec_id % $queryModEvery = 0),
+       |pqt AS (SELECT q.query_id, c.blk, c.code,
+       |               CAST(round(
+       |                 round(list_distance(q.semb, c.cemb), 6)
+       |                 * round(list_distance(q.semb, c.cemb), 6)
+       |                 * 1e9) AS BIGINT) AS pn
+       |        FROM pqq q JOIN pqc1 c ON q.blk = c.blk),
+       |pqs AS (SELECT t.query_id, a.vec_id,
+       |               CAST(sum(t.pn) AS BIGINT) AS sn
+       |        FROM pqa2 a JOIN pqt t
+       |          ON a.blk = t.blk AND a.code = t.code
+       |        WHERE a.vec_id <> t.query_id
+       |        GROUP BY 1, 2)""".stripMargin
+
+  /** Mirrors [[graft.ext.Similarity.pqAdcTopK]]. */
+  def pqAdcTopK(queryModEvery: Int, k: Int, blocks: Int, seedEvery: Int): String =
+    s"""WITH ${pqChainCtes(blocks, seedEvery)},
+       |${pqAdcCtes(queryModEvery)},
+       |pqr AS (SELECT query_id, vec_id, sn,
+       |               row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY sn, vec_id) AS rank
+       |        FROM pqs)
+       |SELECT query_id, vec_id,
+       |       (sn + 500) // 1000 / 1e6 AS adc_dist, rank
+       |FROM pqr WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Mirrors [[graft.ext.Similarity.pqAdcRecall]] — exact Euclidean
+    * top-k on the query subset intersected with the ADC top-k. */
+  def pqAdcRecall(queryModEvery: Int, k: Int, blocks: Int, seedEvery: Int): String =
+    s"""WITH ${pqChainCtes(blocks, seedEvery)},
+       |${pqAdcCtes(queryModEvery)},
+       |adk AS (SELECT query_id, vec_id FROM (
+       |          SELECT query_id, vec_id,
+       |                 row_number() OVER (PARTITION BY query_id
+       |                   ORDER BY sn, vec_id) AS rank
+       |          FROM pqs) WHERE rank <= $k),
+       |exq AS (SELECT vec_id AS query_id, emb AS qemb FROM pqv
+       |        WHERE vec_id % $queryModEvery = 0),
+       |exd AS (SELECT q.query_id, p.vec_id,
+       |               round(list_distance(p.emb, q.qemb), 6) AS dist
+       |        FROM pqv p CROSS JOIN exq q
+       |        WHERE p.vec_id <> q.query_id),
+       |exk AS (SELECT query_id, vec_id FROM (
+       |          SELECT query_id, vec_id,
+       |                 row_number() OVER (PARTITION BY query_id
+       |                   ORDER BY dist, vec_id) AS rank
+       |          FROM exd) WHERE rank <= $k),
+       |ph AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+       |       FROM exk e JOIN adk a
+       |         ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+       |       GROUP BY 1)
+       |SELECT x.query_id,
+       |       COALESCE(ph.hits, 0) AS hits,
+       |       CAST(COALESCE(ph.hits, 0) AS DOUBLE) / $k AS recall_at_k
+       |FROM (SELECT DISTINCT query_id FROM exk) x
+       |LEFT JOIN ph ON x.query_id = ph.query_id
+       |ORDER BY x.query_id""".stripMargin
+
   def embeddingNearDups(threshold: Double): String =
     s"""WITH $vecsCte
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
