@@ -1237,6 +1237,12 @@ object SparkEntry {
     "q175_pq_recall" -> ((s, dir) =>
       Similarity.pqAdcRecall(Tables.embeddings(s, dir), "vec_id", "embedding")
         .orderBy(col("query_id"))),
+
+    // ---- ext: Herfindahl revenue concentration + effective category
+    // count (order-free integer-dollar sums; the diversity audit) ----
+    "q176_concentration" -> ((s, dir) =>
+      graft.ext.Olap.revenueConcentration(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1964,6 +1970,22 @@ object SparkEntry {
         ExtOracleSql.pqAdcTopK(queryModEvery = 50, k = 5, blocks = 4, seedEvery = 100),
       "q175_pq_recall" ->
         ExtOracleSql.pqAdcRecall(queryModEvery = 50, k = 5, blocks = 4, seedEvery = 100),
+      "q176_concentration" -> OracleSql.withBase(
+        """hhd AS (SELECT restaurant_id, item_category,
+                         CAST(sum(CAST(round(total_revenue * 10000) AS BIGINT))
+                              // 10000 AS BIGINT) AS d
+                  FROM order_revenue GROUP BY 1, 2),
+           hha AS (SELECT restaurant_id,
+                         count(*) AS n_categories,
+                         CAST(sum(d) AS BIGINT) AS sd,
+                         CAST(sum(d * d) AS BIGINT) AS sd2
+                  FROM hhd GROUP BY 1)""",
+        """SELECT restaurant_id, n_categories,
+                  round(CAST(sd2 AS DOUBLE) / CAST(sd * sd AS DOUBLE), 6)
+                    AS hhi,
+                  round(CAST(sd * sd AS DOUBLE) / sd2, 6)
+                    AS effective_categories
+           FROM hha WHERE sd > 0 ORDER BY restaurant_id"""),
       "q172_temperature_mix" ->
         s"""WITH tmk AS (
              SELECT source,

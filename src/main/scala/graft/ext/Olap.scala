@@ -69,4 +69,37 @@ object Olap {
         ((col("cum_cents") - col("cents")).cast("double") / col("total_cents")
           < threshold).as("in_head"))
   }
+
+  /** Herfindahl-Hirschman revenue concentration per restaurant across
+    * categories, with the effective-category count 1/HHI — the
+    * diversity audit (a restaurant at HHI 1.0 sells one thing; the same
+    * metric over training SOURCES is the mix-balance check a data plan
+    * publishes next to its [[graft.ext.Curation.temperatureMixPlan]]).
+    *
+    * Exactness without float-order risk: HHI = Σ sᵢ² = Σ dᵢ² / (Σ dᵢ)²
+    * where dᵢ are exact integer dollars per (restaurant, category) —
+    * BOTH sums are order-free longs, and the division is one double op.
+    * Dollar units keep Σ d² inside int64 (cents² would overflow by 1e8).
+    *
+    * Shape: two stacked hash aggregates, fact → (restaurant, category)
+    * → restaurant grain; nothing else. */
+  def revenueConcentration(orderRevenue: DataFrame): DataFrame =
+    orderRevenue
+      .groupBy(col("restaurant_id"), col("item_category"))
+      // floor division via the pmod identity: Spark's `div` truncates
+      // toward zero but DuckDB's `//` floors, and a discount-heavy cell
+      // can legitimately sum negative
+      .agg(expr("""(sum(cast(round(total_revenue * 10000) as long))
+                   - pmod(sum(cast(round(total_revenue * 10000) as long)), 10000))
+                  div 10000""").as("d"))
+      .groupBy(col("restaurant_id"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sd2"))
+      .filter(col("sd") > 0)
+      .select(col("restaurant_id"), col("n_categories"),
+        round(col("sd2").cast("double") / (col("sd") * col("sd")).cast("double"), 6)
+          .as("hhi"),
+        round((col("sd") * col("sd")).cast("double") / col("sd2"), 6)
+          .as("effective_categories"))
 }

@@ -178,6 +178,18 @@ class Round7OpsSpec extends SparkSpec {
       s"disjoint vocabularies must classify perfectly, got ${got.toSeq}")
   }
 
+  test("revenueConcentration: monopoly HHI=1, even split HHI=1/n") {
+    val rev = Seq(
+      (1L, "a", 100.0),                     // restaurant 1: one category
+      (2L, "a", 50.0), (2L, "b", 50.0))     // restaurant 2: even 2-way split
+      .toDF("restaurant_id", "item_category", "total_revenue")
+    val got = Olap.revenueConcentration(rev)
+      .orderBy("restaurant_id")
+      .select("restaurant_id", "n_categories", "hhi", "effective_categories")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq((1L, 1L, 1.0, 1.0), (2L, 2L, 0.5, 2.0)))
+  }
+
   test("rollingMarketCorr: zero-variance windows yield NULL, not NaN") {
     val d = (i: Int) => java.sql.Date.valueOf(f"2024-01-$i%02d")
     val rev = (1 to 30).map(i => (1L, d(i), 5.0))
