@@ -1243,10 +1243,119 @@ object SparkEntry {
     "q176_concentration" -> ((s, dir) =>
       graft.ext.Olap.revenueConcentration(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("restaurant_id"))),
+
+    // ---- ext: Gini coefficient of per-customer revenue within each
+    // restaurant (inequality audit; exact integer rank/cent sums) ----
+    "q177_gini" -> ((s, dir) =>
+      graft.ext.Olap.revenueGini(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"))),
+
+    // ---- ext: item-item collaborative filtering — top-k co-occurrence
+    // cosine neighbors per part over order baskets ----
+    "q178_item_cf" -> ((s, dir) =>
+      graft.ext.Association.itemSimilarityTopK(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+          minCooc = 2, k = 5)
+        .orderBy(col("item_a"), col("rank"))),
+
+    // ---- ext: cohort LTV curves — (first-purchase-month × age) revenue
+    // triangle with per-original-member cumulative LTV and retention ----
+    "q179_cohort_ltv" -> ((s, dir) =>
+      graft.ext.Timeseries.cohortLtvCurve(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("cohort_month"), col("age_months"))),
+
+    // ---- ext: referential-integrity audit — every FK check of a child
+    // table rides one key-column scan; orphan counts + shares ----
+    "q180_fk_audit" -> ((s, dir) => {
+      val q = graft.ext.Quality
+      q.fkOrphans(Tables.lineitem(s, dir), "lineitem", Seq(
+          ("l_orderkey", Tables.orders(s, dir), "o_orderkey", "orders"),
+          ("l_partkey", Tables.part(s, dir), "p_partkey", "part"),
+          ("l_suppkey", Tables.supplier(s, dir), "s_suppkey", "supplier")))
+        .unionByName(q.fkOrphans(Tables.orders(s, dir), "orders", Seq(
+          ("o_custkey", Tables.customer(s, dir), "c_custkey", "customer"))))
+        .unionByName(q.fkOrphans(Tables.customer(s, dir), "customer", Seq(
+          ("c_nationkey", Tables.nation(s, dir), "n_nationkey", "nation"))))
+        .unionByName(q.fkOrphans(Tables.supplier(s, dir), "supplier", Seq(
+          ("s_nationkey", Tables.nation(s, dir), "n_nationkey", "nation"))))
+        .unionByName(q.fkOrphans(Tables.nation(s, dir), "nation", Seq(
+          ("n_regionkey", Tables.region(s, dir), "r_regionkey", "region"))))
+        .orderBy(col("fk"))
+    }),
+
+    // ---- ext: inter-arrival burstiness per user — cv + Goh-Barabási B
+    // over integer-second gaps (bot/regularity screen) ----
+    "q181_burstiness" -> ((s, dir) =>
+      graft.ext.Behavior.interArrivalStats(Tables.events(s, dir))
+        .orderBy(col("user_id"))),
+
+    // ---- ext: chi-square token keyness per language — top-k distinctive
+    // tokens with exact-integer enrichment direction ----
+    "q182_keyness" -> ((s, dir) =>
+      graft.ext.TextAnalysis.tokenKeyness(
+          Tables.documents(s, dir), "text", "lang", k = 10)
+        .orderBy(col("label"), col("rank"))),
+
+    // ---- ext: seasonal-naive forecast backtest — holdout MAE scaled by
+    // training MAE (MASE), exact integer-cent error sums ----
+    "q183_mase_backtest" -> ((s, dir) =>
+      graft.ext.Timeseries.seasonalNaiveBacktest(
+          Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"))),
+
+    // ---- ext: linear multi-touch attribution — equal credit across
+    // in-window touches per purchase, integer 1e-7-dollar units ----
+    "q184_linear_attribution" -> ((s, dir) =>
+      graft.ext.Behavior.linearAttribution(
+          Tables.events(s, dir), Seq("click", "signup", "view"))
+        .orderBy(col("touch_type"))),
+
+    // ---- ext: Markov next-event predictor — majority transition model
+    // trained on a deterministic user split, held-out accuracy ----
+    "q185_markov_accuracy" -> ((s, dir) =>
+      graft.ext.Behavior.markovPredictorAccuracy(Tables.events(s, dir))
+        .orderBy(col("prev_type"))),
+
+    // ---- ext: bigram-LM document scoring — q76's unigram model with
+    // one token of context (word-salad vs fluent separation) ----
+    "q186_bigram_lm" -> ((s, dir) =>
+      graft.ext.TextAnalysis.bigramLmScore(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ---- ext: directed association rules (confidence/lift/leverage)
+    // over the A-Priori-pruned pair table ----
+    "q187_assoc_rules" -> ((s, dir) =>
+      graft.ext.Association.associationRules(
+          Tables.lineitem(s, dir).select(
+            col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+          "basket", "item", minItemSupport = 20, minPairSupport = 2)
+        .orderBy(col("antecedent"), col("consequent"))),
   )
 
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
+    // q180: one UNION ALL arm per FK check; NULL child keys count as
+    // orphans (they can't join), mirroring the left-join-null counter.
+    def fkArm(child: String, ck: String, parent: String, pk: String) =
+      s"""SELECT '$child.$ck -> $parent.$pk' AS fk,
+            '$child' AS child_table, '$parent' AS parent_table,
+            (SELECT count(*) FROM $child) AS n_child,
+            (SELECT count(*) FROM $child c WHERE c.$ck IS NULL
+               OR NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))
+              AS n_orphans"""
+    val fkAuditSql = Seq(
+      fkArm("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      fkArm("lineitem", "l_partkey", "part", "p_partkey"),
+      fkArm("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      fkArm("orders", "o_custkey", "customer", "c_custkey"),
+      fkArm("customer", "c_nationkey", "nation", "n_nationkey"),
+      fkArm("supplier", "s_nationkey", "nation", "n_nationkey"),
+      fkArm("nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString(
+        "SELECT fk, child_table, parent_table, n_child, n_orphans,\n" +
+          "  round(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_share\n" +
+          "FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk")
     // The incremental-maintenance replays (q79-q82) must reproduce the
     // full recompute EXACTLY, so their oracles ARE the corresponding
     // full-mart oracles, shared by reference — the gate then proves
@@ -1986,6 +2095,292 @@ object SparkEntry {
                   round(CAST(sd * sd AS DOUBLE) / sd2, 6)
                     AS effective_categories
            FROM hha WHERE sd > 0 ORDER BY restaurant_id"""),
+      "q177_gini" -> OracleSql.withBase(
+        """gcu AS (SELECT restaurant_id, user_id,
+                          CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                            AS cents
+                   FROM order_revenue GROUP BY 1, 2),
+           gcr AS (SELECT restaurant_id, user_id, cents,
+                          row_number() OVER (PARTITION BY restaurant_id
+                            ORDER BY cents, user_id) AS i
+                   FROM gcu),
+           gca AS (SELECT restaurant_id, count(*) AS n_users,
+                          CAST(sum(cents) AS BIGINT) AS sx,
+                          CAST(sum(i * cents) AS BIGINT) AS sw
+                   FROM gcr GROUP BY 1)""",
+        """SELECT restaurant_id, n_users,
+                  round(sx / 10000.0, 6) AS revenue,
+                  round((2.0 * sw) / (CAST(n_users AS DOUBLE) * sx)
+                        - (n_users + 1.0) / n_users, 6) AS gini
+           FROM gca WHERE sx > 0 ORDER BY restaurant_id""",
+      ),
+      "q180_fk_audit" -> fkAuditSql,
+      "q186_bigram_lm" -> ExtOracleSql.bigramLmScore,
+      "q187_assoc_rules" ->
+        """WITH arb AS (SELECT DISTINCT l_orderkey AS basket_id,
+                               l_partkey AS item
+                        FROM lineitem),
+             arn AS (SELECT count(DISTINCT basket_id) AS n_baskets FROM arb),
+             arf AS (SELECT item, count(*) AS n_item FROM arb
+                     GROUP BY 1 HAVING count(*) >= 20),
+             arp AS (SELECT b.basket_id, b.item FROM arb b
+                     SEMI JOIN arf f ON b.item = f.item),
+             arc AS (SELECT a.item AS item_a, c.item AS item_b,
+                            count(*) AS n_both
+                     FROM arp a JOIN arp c
+                       ON a.basket_id = c.basket_id AND a.item < c.item
+                     GROUP BY 1, 2 HAVING count(*) >= 2),
+             ars AS (SELECT item_a AS antecedent, item_b AS consequent,
+                            n_both FROM arc
+                     UNION ALL
+                     SELECT item_b, item_a, n_both FROM arc)
+           SELECT s.antecedent, s.consequent, s.n_both,
+                  fa.n_item AS n_ant, fc.n_item AS n_cons,
+                  round(CAST(s.n_both AS DOUBLE) / fa.n_item, 6)
+                    AS confidence,
+                  round((CAST(s.n_both AS DOUBLE) * arn.n_baskets)
+                        / (fa.n_item * fc.n_item), 6) AS lift,
+                  round(CAST(s.n_both AS DOUBLE) / arn.n_baskets
+                        - (CAST(fa.n_item AS DOUBLE) / arn.n_baskets)
+                          * (CAST(fc.n_item AS DOUBLE) / arn.n_baskets), 6)
+                    AS leverage
+           FROM ars s
+           JOIN arf fa ON s.antecedent = fa.item
+           JOIN arf fc ON s.consequent = fc.item
+           CROSS JOIN arn
+           ORDER BY antecedent, consequent""",
+      "q185_markov_accuracy" ->
+        s"""WITH mks AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS next
+              FROM events),
+            mkt AS (
+              SELECT event_type, next,
+                     ${graft.ext.Sampling.hashBucketSql("user_id", "split")}
+                       < 80 AS is_train
+              FROM mks WHERE next IS NOT NULL),
+            mkc AS (
+              SELECT event_type, next, count(*) AS c
+              FROM mkt WHERE is_train GROUP BY 1, 2),
+            mkp AS (
+              SELECT event_type, next AS predicted FROM (
+                SELECT event_type, next,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY c DESC, next) AS rn
+                FROM mkc)
+              WHERE rn = 1)
+            SELECT t.event_type AS prev_type, p.predicted,
+                   count(*) AS n_test,
+                   CAST(sum(CASE WHEN t.next = p.predicted THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_correct,
+                   round(CAST(sum(CASE WHEN t.next = p.predicted
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS accuracy
+            FROM mkt t JOIN mkp p USING (event_type)
+            WHERE NOT t.is_train
+            GROUP BY 1, 2 ORDER BY prev_type""",
+      "q184_linear_attribution" ->
+        """WITH lae AS (
+             SELECT user_id, event_type, value, epoch_us(ts) AS tsu
+             FROM events),
+           lac AS (
+             SELECT user_id, event_type, value, tsu,
+                    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      OVER w AS BIGINT) AS k_0,
+                    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                      OVER w AS BIGINT) AS k_1,
+                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      OVER w AS BIGINT) AS k_2
+             FROM lae
+             WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)),
+           lap AS (
+             SELECT CAST(round(value * 10000) AS BIGINT) AS cents,
+                    k_0, k_1, k_2, k_0 + k_1 + k_2 AS n
+             FROM lac WHERE event_type = 'purchase'),
+           laa AS (
+             SELECT 'click' AS touch_type, cents, k_0 AS k, n
+             FROM lap WHERE k_0 > 0
+             UNION ALL
+             SELECT 'signup', cents, k_1, n FROM lap WHERE k_1 > 0
+             UNION ALL
+             SELECT 'view', cents, k_2, n FROM lap WHERE k_2 > 0
+             UNION ALL
+             SELECT 'direct', cents, 1, 1 FROM lap WHERE n = 0),
+           lau AS (
+             SELECT touch_type, (cents * 1000 * k) // n AS units FROM laa)
+           SELECT touch_type, count(*) AS n_purchases,
+                  round(CAST(sum(units) AS BIGINT) / 1e7, 6)
+                    AS attributed_revenue
+           FROM lau GROUP BY 1 ORDER BY touch_type""",
+      "q183_mase_backtest" -> OracleSql.withBase(
+        """snd AS (SELECT restaurant_id, creation_date,
+                          CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                            AS cents
+                   FROM order_revenue GROUP BY 1, 2),
+           snb AS (SELECT restaurant_id, min(creation_date) AS d0,
+                          max(creation_date) AS d1
+                   FROM snd GROUP BY 1),
+           snsp AS (SELECT restaurant_id, d1,
+                           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                             AS DATE) AS creation_date
+                    FROM snb),
+           snl AS (SELECT s.restaurant_id, s.creation_date, s.d1,
+                          COALESCE(d.cents, 0) AS y,
+                          lag(COALESCE(d.cents, 0), 7) OVER (
+                            PARTITION BY s.restaurant_id
+                            ORDER BY s.creation_date) AS yhat
+                   FROM snsp s LEFT JOIN snd d
+                     USING (restaurant_id, creation_date)),
+           sna AS (SELECT restaurant_id,
+                          datediff('day', creation_date, d1) < 28 AS is_test,
+                          abs(y - yhat) AS ae
+                   FROM snl WHERE yhat IS NOT NULL),
+           sng AS (SELECT restaurant_id,
+                          CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_test,
+                          CAST(sum(CASE WHEN is_test THEN ae ELSE 0 END)
+                            AS BIGINT) AS sae_test,
+                          CAST(sum(CASE WHEN is_test THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_train,
+                          CAST(sum(CASE WHEN is_test THEN 0 ELSE ae END)
+                            AS BIGINT) AS sae_train
+                   FROM sna GROUP BY 1)""",
+        """SELECT restaurant_id, n_test, n_train,
+                  round(sae_test / 10000.0 / n_test, 6) AS mae_test,
+                  round(sae_train / 10000.0 / n_train, 6) AS mae_train,
+                  CASE WHEN sae_train > 0 THEN
+                    round((CAST(sae_test AS DOUBLE) / n_test)
+                          / (CAST(sae_train AS DOUBLE) / n_train), 6)
+                  END AS mase
+           FROM sng WHERE n_test > 0 AND n_train > 0
+           ORDER BY restaurant_id""",
+      ),
+      "q182_keyness" ->
+        s"""WITH kyt AS (
+              SELECT lang AS label,
+                     unnest(${graft.functions.Portable.tokensSql("text")}) AS w
+              FROM documents),
+            kylw AS (SELECT label, w, count(*) AS a FROM kyt GROUP BY 1, 2),
+            kyw AS (SELECT w, count(*) AS n_w FROM kyt GROUP BY 1),
+            kyl AS (SELECT label, count(*) AS n_l FROM kyt GROUP BY 1),
+            kyn AS (SELECT count(*) AS n FROM kyt),
+            kyj AS (
+              SELECT lw.label, lw.w, lw.a,
+                     ww.n_w, ll.n_l, kyn.n,
+                     ww.n_w - lw.a AS b,
+                     ll.n_l - lw.a AS c,
+                     kyn.n - ll.n_l - (ww.n_w - lw.a) AS d
+              FROM kylw lw
+              JOIN kyw ww USING (w)
+              JOIN kyl ll USING (label)
+              CROSS JOIN kyn),
+            kyx AS (
+              SELECT label, w, a, n_w, n_l, n, b, c, d,
+                     CAST(a * d - b * c AS DOUBLE) AS det
+              FROM kyj),
+            kyc AS (
+              SELECT label, w, a, n_w, n_l,
+                     CAST(n AS DOUBLE) * det * det
+                       / (CAST(n_w AS DOUBLE) * (c + d) * n_l * (b + d))
+                       AS chi2_raw,
+                     a * n > n_w * n_l AS enriched
+              FROM kyx),
+            kyr AS (
+              SELECT *, row_number() OVER (PARTITION BY label
+                ORDER BY chi2_raw DESC, w) AS rank
+              FROM kyc)
+            SELECT label, rank, w AS token, a AS n_token_label, n_w, n_l,
+                   round(chi2_raw, 6) AS chi2, enriched
+            FROM kyr WHERE rank <= 10 ORDER BY label, rank""",
+      "q181_burstiness" ->
+        """WITH bge AS (
+             SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec
+             FROM events),
+           bga AS (
+             SELECT user_id,
+                    sec - lag(sec) OVER (PARTITION BY user_id
+                      ORDER BY sec, event_id) AS g
+             FROM bge),
+           bgg AS (
+             SELECT user_id, count(*) AS n_gaps,
+                    CAST(sum(g) AS BIGINT) AS sg,
+                    CAST(sum(g * g) AS BIGINT) AS sg2
+             FROM bga WHERE g IS NOT NULL GROUP BY 1
+             HAVING count(*) >= 2 AND sum(g) > 0),
+           bgc AS (
+             SELECT user_id, n_gaps, sg,
+                    sqrt(greatest(n_gaps * CAST(sg2 AS DOUBLE)
+                           - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE),
+                         0.0)) / sg AS cv
+             FROM bgg)
+           SELECT user_id, n_gaps,
+                  round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_sec,
+                  round(cv, 6) AS cv,
+                  round((cv - 1.0) / (cv + 1.0), 6) AS burstiness
+           FROM bgc ORDER BY user_id""",
+      "q179_cohort_ltv" -> OracleSql.withBase(
+        """chm AS (SELECT user_id,
+                          CAST(date_trunc('month', creation_date) AS DATE)
+                            AS om,
+                          CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                            AS cents
+                   FROM order_revenue GROUP BY 1, 2),
+           chu AS (SELECT user_id, min(om) AS cohort_month
+                   FROM chm GROUP BY 1),
+           chs AS (SELECT cohort_month, count(*) AS cohort_size
+                   FROM chu GROUP BY 1),
+           cha AS (SELECT c.cohort_month,
+                          (year(m.om) * 12 + month(m.om))
+                            - (year(c.cohort_month) * 12
+                               + month(c.cohort_month)) AS age_months,
+                          count(DISTINCT m.user_id) AS active_users,
+                          CAST(sum(m.cents) AS BIGINT) AS cents
+                   FROM chm m JOIN chu c USING (user_id)
+                   GROUP BY 1, 2),
+           chc AS (SELECT *,
+                          CAST(sum(cents) OVER (PARTITION BY cohort_month
+                            ORDER BY age_months
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum_cents
+                   FROM cha)""",
+        """SELECT c.cohort_month, c.age_months, s.cohort_size,
+                  c.active_users,
+                  round(c.cents / 10000.0, 6) AS revenue,
+                  round(c.cum_cents / 10000.0 / s.cohort_size, 6)
+                    AS ltv_per_user,
+                  round(CAST(c.active_users AS DOUBLE) / s.cohort_size, 6)
+                    AS retention
+           FROM chc c JOIN chs s USING (cohort_month)
+           ORDER BY cohort_month, age_months""",
+      ),
+      "q178_item_cf" ->
+        """WITH cfb AS (SELECT DISTINCT l_orderkey AS basket_id,
+                               l_partkey AS item
+                        FROM lineitem),
+             cfc AS (SELECT item, count(*) AS n_item FROM cfb GROUP BY 1),
+             cfh AS (SELECT a.item AS item_a, b.item AS item_b,
+                            count(*) AS cooc
+                     FROM cfb a JOIN cfb b
+                       ON a.basket_id = b.basket_id AND a.item < b.item
+                     GROUP BY 1, 2 HAVING count(*) >= 2),
+             cfs AS (SELECT item_a, item_b, cooc FROM cfh
+                     UNION ALL
+                     SELECT item_b, item_a, cooc FROM cfh),
+             cfj AS (SELECT s.item_a, s.item_b, s.cooc,
+                            ca.n_item AS n_a, cb.n_item AS n_b,
+                            s.cooc / sqrt(CAST(ca.n_item * cb.n_item AS DOUBLE))
+                              AS cosine_raw
+                     FROM cfs s
+                     JOIN cfc ca ON s.item_a = ca.item
+                     JOIN cfc cb ON s.item_b = cb.item),
+             cfr AS (SELECT *, row_number() OVER (PARTITION BY item_a
+                       ORDER BY cosine_raw DESC, item_b) AS rank
+                     FROM cfj)
+           SELECT item_a, rank, item_b, cooc, n_a, n_b,
+                  round(cosine_raw, 6) AS cosine
+           FROM cfr WHERE rank <= 5 ORDER BY item_a, rank""",
       "q172_temperature_mix" ->
         s"""WITH tmk AS (
              SELECT source,

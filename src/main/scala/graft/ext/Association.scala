@@ -57,6 +57,115 @@ object Association {
         round(col("n_both").cast("double") / col("n_a"), 6).as("confidence"))
   }
 
+  /** Association rules over the frequent pairs: both directed rules
+    * (a→b AND b→a) per surviving pair, with the three standard rule
+    * metrics — confidence P(cons|ant), lift
+    * P(ant,cons)/(P(ant)·P(cons)), and leverage
+    * P(ant,cons) − P(ant)·P(cons) — the step after
+    * [[frequentItemPairs]] that an analyst actually reads (confidence
+    * is directional; a pair is one rule in each direction with very
+    * different confidences when supports are asymmetric).
+    *
+    * Exactness: all supports are exact longs; each metric is one shared
+    * IEEE chain over double-cast counts, 6dp-rounded; n_ant·n_cons
+    * stays in int64 for basket counts to ~3e9.
+    *
+    * Scale shape: identical to [[frequentItemPairs]] (distinct-reduce,
+    * A-Priori prune via broadcast semi-join, bounded within-basket
+    * fan-out) — the mirror union and metric joins run on the PRUNED
+    * mart-sized pair table; the grand basket count rides in as a
+    * broadcast scalar. */
+  def associationRules(
+      baskets: DataFrame, basketCol: String, itemCol: String,
+      minItemSupport: Long = 20, minPairSupport: Long = 3): DataFrame = {
+    val b = baskets
+      .select(col(basketCol).as("basket_id"), col(itemCol).as("item"))
+      .distinct()
+    val grand = b.agg(countDistinct(col("basket_id")).as("n_baskets"))
+    val freq = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minItemSupport)
+    val pruned = b.join(broadcast(freq.select(col("item"))), Seq("item"), "left_semi")
+      .select(col("basket_id"), col("item"))
+    val half = pruned.withColumnRenamed("item", "item_a")
+      .join(pruned.withColumnRenamed("item", "item_b"), Seq("basket_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minPairSupport)
+    val sym = half
+      .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("n_both"))
+      .unionByName(half.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_both")))
+    sym
+      .join(broadcast(freq.toDF("antecedent", "n_ant")), Seq("antecedent"))
+      .join(broadcast(freq.toDF("consequent", "n_cons")), Seq("consequent"))
+      .crossJoin(broadcast(grand))
+      .select(
+        col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ant"), col("n_cons"),
+        round(col("n_both").cast("double") / col("n_ant"), 6)
+          .as("confidence"),
+        round((col("n_both").cast("double") * col("n_baskets"))
+          / (col("n_ant") * col("n_cons")), 6).as("lift"),
+        round(col("n_both").cast("double") / col("n_baskets")
+          - (col("n_ant").cast("double") / col("n_baskets"))
+            * (col("n_cons").cast("double") / col("n_baskets")), 6)
+          .as("leverage"))
+  }
+
+  /** Item-item collaborative filtering: top-k most-similar items per
+    * item by co-occurrence cosine — sim(a,b) = n_ab / √(n_a·n_b), the
+    * classic Amazon-style item-to-item recommender primitive
+    * (Linden/Smith/York, IEEE Internet Computing '03) computed purely
+    * from basket co-occurrence (no ratings, no model state).
+    *
+    * Exactness: n_ab, n_a, n_b are exact longs; the cosine is ONE
+    * shared IEEE chain — CAST(n_a·n_b) to double (exact below 2^53),
+    * correctly-rounded sqrt, one division — so both engines produce the
+    * identical double, and the per-item ranking orders on that raw
+    * double (tie-break item_b asc) before the 6dp display rounding.
+    *
+    * Scale shape: distinct (basket, item) reduction first; support
+    * pruning via a broadcast semi-join (A-Priori monotonicity — a pair
+    * below `minCooc` can't outrank one above it at equal counts only if
+    * it survives, so pruning the pair table by count is safe for the
+    * ranking); the within-basket self-join fans out by pruned basket
+    * width squared, never corpus²; item counts ride back in by
+    * broadcast; the top-k window partitions by item_a over the pruned
+    * pair table (mart-sized). */
+  def itemSimilarityTopK(
+      baskets: DataFrame, basketCol: String, itemCol: String,
+      minCooc: Long = 3, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = baskets
+      .select(col(basketCol).as("basket_id"), col(itemCol).as("item"))
+      .distinct()
+    val counts = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val half = b.toDF("basket_id", "item_a")
+      .join(b.toDF("basket_id", "item_b"), Seq("basket_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= minCooc)
+    // mirror so "top-k neighbors of item X" ranks over BOTH directions
+    val sym = half.unionByName(
+      half.select(col("item_b").as("item_a"), col("item_a").as("item_b"),
+        col("cooc")))
+    val byCos = Window.partitionBy(col("item_a"))
+      .orderBy(col("cosine_raw").desc, col("item_b"))
+    sym
+      .join(broadcast(counts.toDF("item_a", "n_a")), Seq("item_a"))
+      .join(broadcast(counts.toDF("item_b", "n_b")), Seq("item_b"))
+      .withColumn("cosine_raw",
+        col("cooc") / sqrt((col("n_a") * col("n_b")).cast("double")))
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= k)
+      .select(col("item_a"), col("rank"), col("item_b"),
+        col("cooc"), col("n_a"), col("n_b"),
+        round(col("cosine_raw"), 6).as("cosine"))
+  }
+
   def categoryLift(orderRevenue: DataFrame, minSupport: Long = 10): DataFrame = {
     val oc = orderRevenue
       .select(col("order_id"), col("item_category").as("cat"))

@@ -344,4 +344,156 @@ object Behavior {
       .select(col("user_id"), col("event_type"),
         timestamp_micros(col("tsu")).as("ts"), col("event_id"))
   }
+
+  /** First-order Markov next-event predictor with a held-out accuracy
+    * readout: train the transition matrix on a deterministic 80% user
+    * split ([[Sampling.hashBucket]] — reproducible on any engine and
+    * layout), predict each test transition as the train-majority next
+    * type, and report per-(prev, predicted) test counts and accuracy —
+    * the honest baseline a sequence model must beat, evaluated without
+    * leakage (split is by USER, so no test user's own history trains
+    * the model).
+    *
+    * Determinism: the argmax is an order-free `min` over
+    * (−count, next_type) structs — count DESC with type-ASC tie-break,
+    * no window, no physical-row dependence (the q174 naive-Bayes
+    * pattern). Accuracy is one division of exact longs.
+    *
+    * Shape: ONE user-partitioned window sort produces the step frame
+    * (persisted — it feeds both the model and the scoring pass, and
+    * Catalyst does not share subplans); the model is |types|² — always
+    * broadcast; scoring is a hash aggregate at (prev, predicted) grain.
+    * Test transitions whose prev type never occurs in training drop out
+    * (inner join) — with a bounded type vocabulary that set is empty. */
+  def markovPredictorAccuracy(
+      events: DataFrame, trainPct: Int = 80,
+      salt: String = "split"): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next", lead(col("event_type"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .withColumn("is_train",
+        Sampling.hashBucket(col("user_id"), salt) < trainPct)
+      .select(col("event_type"), col("next"), col("is_train"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = steps.filter(col("is_train"))
+      .groupBy(col("event_type"), col("next"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(min(struct((-col("c")).as("nc"), col("next")))
+        .getField("next").as("predicted"))
+    steps.filter(!col("is_train"))
+      .join(broadcast(model), Seq("event_type"))
+      .groupBy(col("event_type"), col("predicted"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("next") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("event_type").as("prev_type"), col("predicted"),
+        col("n_test"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_test"), 6)
+          .as("accuracy"))
+  }
+
+  /** Linear (equal-credit) multi-touch attribution: each purchase's
+    * value splits evenly across the user's touch events inside the
+    * trailing lookback window, aggregated per touch TYPE — the model
+    * between [[attribution]]'s first/last-touch extremes. Purchases
+    * with no in-window touch credit a synthetic `direct` channel, so
+    * total credited revenue reconciles against total purchase value.
+    *
+    * Exactness: the per-(purchase, type) credit is pure integer
+    * arithmetic — `(cents·1000·k) div n` in 1e-7-dollar units (floor
+    * division; purchase values are non-negative) — so the per-type sums
+    * are order-free longs on both engines; each purchase's sub-unit
+    * floor remainder (< n·0.1 milli-cents) is deliberately dropped, not
+    * redistributed. Window-frame counting, not a purchase×touch range
+    * join: ONE user-partitioned range frame (epoch micros) carries a
+    * conditional count per touch type — all types ride the same sort,
+    * cost is one shuffle on user_id regardless of touch density
+    * (the [[attribution]] scale argument, extended to counts). */
+  def linearAttribution(
+      events: DataFrame, touchTypes: Seq[String],
+      lookbackDays: Int = 7): DataFrame = {
+    val lookbackMicros = lookbackDays * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(-lookbackMicros, 0)
+    val base = events.select(
+      col("user_id"), col("event_type"), col("value"),
+      unix_micros(col("ts")).as("tsu"))
+    val counted = touchTypes.zipWithIndex.foldLeft(base) {
+      case (df, (t, i)) =>
+        df.withColumn(s"k_$i",
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w))
+    }
+    val purchases = counted
+      .filter(col("event_type") === "purchase")
+      .withColumn("cents", round(col("value") * 10000).cast("long"))
+      .withColumn("n", touchTypes.indices.map(i => col(s"k_$i"))
+        .reduce((a, b) => a + b))
+    val arms = touchTypes.zipWithIndex.map { case (t, i) =>
+      purchases.filter(col(s"k_$i") > 0)
+        .select(lit(t).as("touch_type"),
+          col("cents"), col(s"k_$i").as("k"), col("n"))
+    }.reduce(_ unionByName _)
+    val direct = purchases.filter(col("n") === 0)
+      .select(lit("direct").as("touch_type"),
+        col("cents"), lit(1L).as("k"), lit(1L).as("n"))
+    arms.unionByName(direct)
+      .withColumn("units", expr("(cents * 1000 * k) div n"))
+      .groupBy(col("touch_type"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("units")).as("su"))
+      .select(col("touch_type"), col("n_purchases"),
+        round(col("su") / 1e7, 6).as("attributed_revenue"))
+  }
+
+  /** Inter-arrival burstiness per user (Goh & Barabási, EPL '08): the
+    * coefficient of variation of the gaps between a user's consecutive
+    * events, and B = (cv−1)/(cv+1) ∈ (−1, 1) — B ≈ −1 is a metronome
+    * (bot-like regularity), B = 0 is Poisson, B → 1 is heavy-tailed
+    * bursts. The behavioral-integrity screen next to
+    * [[sequenceLikelihood]]: fake traffic is usually too REGULAR.
+    *
+    * Exactness: gaps are integer SECONDS (`unix_micros div 1e6` — both
+    * engines floor the positive epoch), Σg and Σg² are order-free long
+    * sums; mean/cv/B are one shared IEEE chain over the double-cast
+    * sums (long→double is correctly rounded, identical both sides),
+    * with the variance clamped at 0 so equal-gap users pin cv = 0, not
+    * NaN. Users need ≥ 2 gaps and a positive gap sum (all-simultaneous
+    * events have no rate to normalize by).
+    *
+    * Shape: one user-partitioned lag window at event grain (the
+    * event-log sort a sessionizer already pays), then a user-grain
+    * moment aggregate; seconds grain keeps Σg² inside int64 for
+    * multi-year spans. */
+  def interArrivalStats(events: DataFrame): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("sec"))
+      .withColumn("g", col("sec") - lag(col("sec"), 1).over(byTs))
+      .filter(col("g").isNotNull)
+    gaps
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sg2"))
+      .filter(col("n_gaps") >= 2 && col("sg") > 0)
+      .withColumn("cv",
+        sqrt(greatest(
+          col("n_gaps") * col("sg2").cast("double")
+            - col("sg").cast("double") * col("sg").cast("double"),
+          lit(0.0))) / col("sg"))
+      .select(
+        col("user_id"), col("n_gaps"),
+        round(col("sg").cast("double") / col("n_gaps"), 6).as("mean_gap_sec"),
+        round(col("cv"), 6).as("cv"),
+        round((col("cv") - lit(1.0)) / (col("cv") + lit(1.0)), 6)
+          .as("burstiness"))
+  }
 }

@@ -70,6 +70,46 @@ object Olap {
           < threshold).as("in_head"))
   }
 
+  /** Gini coefficient of per-customer revenue within each restaurant —
+    * the inequality audit next to [[revenueConcentration]]'s HHI: HHI
+    * asks "how concentrated are my CATEGORIES", Gini asks "how unequal
+    * are my CUSTOMERS" (0 = everyone spends the same, →1 = one whale).
+    *
+    * Formula (sorted-rank form): G = (2·Σᵢ i·xᵢ)/(n·Σxᵢ) − (n+1)/n over
+    * xᵢ sorted ascending, i = 1..n. Both Σ terms are exact integer-cent
+    * longs (ties don't matter: equal xᵢ contribute the same Σ i·xᵢ under
+    * any permutation of their ranks), so the only floats are the two
+    * final divisions — one shared IEEE chain, 6dp-rounded.
+    *
+    * Scale shape: fact → (restaurant, user) hash aggregate first, then
+    * ONE restaurant-partitioned ranking window at customer grain, then a
+    * restaurant-grain rollup. No unpartitioned window, no self-join;
+    * Σ i·x stays far inside int64 (rank ≤ customers-per-restaurant,
+    * cents ≤ 1e12). Restaurants with non-positive total (discount-heavy
+    * edge) are excluded — Gini is undefined there. */
+  def revenueGini(orderRevenue: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = orderRevenue
+      .groupBy(col("restaurant_id"), col("user_id"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val asc = Window.partitionBy(col("restaurant_id"))
+      .orderBy(col("cents"), col("user_id"))
+    perUser
+      .withColumn("i", row_number().over(asc))
+      .groupBy(col("restaurant_id"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("cents")).as("sx"),
+        sum(col("i") * col("cents")).as("sw"))
+      .filter(col("sx") > 0)
+      .select(
+        col("restaurant_id"), col("n_users"),
+        round(col("sx") / 10000.0, 6).as("revenue"),
+        round(
+          (lit(2.0) * col("sw")) / (col("n_users").cast("double") * col("sx"))
+            - (col("n_users") + lit(1.0)) / col("n_users"), 6).as("gini"))
+  }
+
   /** Herfindahl-Hirschman revenue concentration per restaurant across
     * categories, with the effective-category count 1/HHI — the
     * diversity audit (a restaurant at HHI 1.0 sells one thing; the same

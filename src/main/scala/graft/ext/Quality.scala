@@ -27,4 +27,48 @@ object Quality {
       sum(when(col(amountCol) < 0, 1L).otherwise(0L)).as("n_negative_amounts"))
     (observed, obs)
   }
+
+  /** Referential-integrity audit: for one child table, count the rows
+    * whose foreign key finds no parent (NULL keys count as orphans —
+    * they can't join either). The contract check a warehouse load gates
+    * on before marts consume the feed.
+    *
+    * Scale shape: ALL of a child's FK checks ride ONE scan — the child
+    * is projected to just its key columns (parquet column pruning makes
+    * this a key-column read, not a table read), each parent collapses to
+    * a DISTINCT key set (dimension-sized → AQE broadcasts it; the one
+    * fact-fact check shuffles on the key like any PK/FK join), and a
+    * single aggregate emits every orphan counter at once. The per-check
+    * rows are then sliced from that one aggregate row — re-scanning the
+    * child per check would multiply the dominant cost by the number of
+    * checks.
+    *
+    * `fks`: (childKeyCol, parentFrame, parentKeyCol, parentTableName). */
+  def fkOrphans(
+      child: DataFrame, childName: String,
+      fks: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    val base = child.select(fks.map(f => col(f._1)): _*)
+    val joined = fks.zipWithIndex.foldLeft(base) {
+      case (acc, ((ck, parent, pk, _), i)) =>
+        acc.join(
+          parent.select(col(pk).as(ck)).distinct()
+            .withColumn(s"m_$i", lit(1)),
+          Seq(ck), "left_outer")
+    }
+    val aggs = count(lit(1)).as("n_child") +:
+      fks.zipWithIndex.map { case (_, i) =>
+        sum(when(col(s"m_$i").isNull, 1L).otherwise(0L)).as(s"o_$i")
+      }
+    val row = joined.agg(aggs.head, aggs.tail: _*)
+    fks.zipWithIndex.map { case ((ck, _, pk, pname), i) =>
+      row.select(
+        lit(s"$childName.$ck -> $pname.$pk").as("fk"),
+        lit(childName).as("child_table"),
+        lit(pname).as("parent_table"),
+        col("n_child"),
+        col(s"o_$i").as("n_orphans"),
+        round(col(s"o_$i").cast("double") / col("n_child"), 6)
+          .as("orphan_share"))
+    }.reduce(_ unionByName _)
+  }
 }

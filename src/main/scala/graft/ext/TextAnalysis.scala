@@ -592,4 +592,106 @@ object TextAnalysis {
       .groupBy(col("true_label"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Bigram-LM document scoring: average log-probability of each doc's
+    * token bigrams under an add-one-smoothed first-order language model
+    * trained on the corpus itself — [[lmScore]]'s unigram model with
+    * one token of context, so word-salad documents (plausible tokens,
+    * implausible sequences) finally separate from fluent ones.
+    * P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V), with c(w₁·) the CONTEXT count
+    * (bigrams starting with w₁) so probabilities normalize exactly.
+    *
+    * Exactness (the q76 discipline): each distinct (w₁,w₂)'s smoothed
+    * log-prob quantizes ONCE to integer 1e-9-nat units; per-doc totals
+    * are order-free `tf·units` long sums; the mean is one fixed IEEE
+    * chain. Docs with fewer than two tokens have no bigrams and drop
+    * out.
+    *
+    * Shape: one bigram explode (persisted — it feeds the per-doc tf,
+    * the bigram model, and the context counts, and Catalyst does not
+    * share subplans) feeding three hash aggregates; the model and
+    * context tables are bigram-/vocab-sized past the aggregate, so AQE
+    * broadcasts moderate vocabularies and falls back to keyed shuffles
+    * at web scale; |V| rides in as a broadcast scalar. */
+  def bigramLmScore(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = Portable.tokens(col(textCol))
+    val pairs = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bg = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(pairs).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docTf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val model = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vsize = docs.filter(col(textCol).isNotNull)
+      .select(explode(t).as("w")).agg(countDistinct(col("w")).as("v"))
+    docTf
+      .join(model, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vsize))
+      .withColumn("units",
+        col("tf") * round(log(
+          (col("c12") + lit(1L)).cast("double") / (col("c1") + col("v")))
+          * 1e9).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("units")).as("su"))
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        round((col("su") / 1e9) / col("n_bigrams"), 6).as("avg_logprob"))
+  }
+
+  /** Chi-square token keyness: the top-k tokens most associated with
+    * each label (corpus-linguistics keyness / the χ² feature-selection
+    * score behind classic text classifiers). For token w and label l,
+    * the 2×2 occurrence table is a = c(w,l), b = c(w)−a, c = N_l−a,
+    * d = N−N_l−b and χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)); `enriched`
+    * (w over-represented in l vs the rest) is the exact integer
+    * comparison a·N > c(w)·N_l — no float boundary decides membership.
+    *
+    * Exactness: all counts are exact longs; ad−bc stays inside int64
+    * (token counts ≤ ~1e9 would need the double path, corpus counts
+    * here are ≤ 1e6 so ad ≤ 1e12); the χ² value itself is ONE shared
+    * IEEE chain over double-cast longs, ranked raw (identical on both
+    * engines) and 6dp-rounded only for display.
+    *
+    * Shape: one token explode feeding three hash aggregates ((label,
+    * token), token totals, label totals — the first two vocab-sized
+    * past the exchange, AQE broadcasts what fits), the grand total as a
+    * broadcast scalar, and a per-label top-k window over the
+    * vocab-sized association table. */
+  def tokenKeyness(
+      docs: DataFrame, textCol: String, labelCol: String,
+      k: Int = 10): DataFrame = {
+    val tok = docs.select(col(labelCol).as("label"),
+      explode(Portable.tokens(col(textCol))).as("w"))
+    val lw = tok.groupBy(col("label"), col("w")).agg(count(lit(1)).as("a"))
+    val wTot = tok.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val lTot = tok.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
+    val grand = tok.agg(count(lit(1)).as("n"))
+    val byChi = Window.partitionBy(col("label"))
+      .orderBy(col("chi2_raw").desc, col("w"))
+    lw
+      .join(wTot, Seq("w"))
+      .join(broadcast(lTot), Seq("label"))
+      .crossJoin(broadcast(grand))
+      .withColumn("b", col("n_w") - col("a"))
+      .withColumn("c", col("n_l") - col("a"))
+      .withColumn("d", col("n") - col("n_l") - col("b"))
+      .withColumn("det",
+        (col("a") * col("d") - col("b") * col("c")).cast("double"))
+      .withColumn("chi2_raw",
+        col("n").cast("double") * col("det") * col("det")
+          / (col("n_w").cast("double") * (col("c") + col("d"))
+             * col("n_l") * (col("b") + col("d"))))
+      .withColumn("rank", row_number().over(byChi))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("w").as("token"),
+        col("a").as("n_token_label"), col("n_w"), col("n_l"),
+        round(col("chi2_raw"), 6).as("chi2"),
+        (col("a") * col("n") > col("n_w") * col("n_l")).as("enriched"))
+  }
 }

@@ -382,4 +382,112 @@ object Timeseries {
           round(col("num") / sqrt(col("varx") * col("vary")), 6))
           .as("acf"))
   }
+
+  /** Seasonal-naive forecast backtest with MASE (Hyndman & Koehler '06):
+    * forecast each day as the same weekday last week (ŷ(t) = y(t−7) on
+    * the zero-filled spine), hold out each restaurant's last `testDays`
+    * days, and score MAE on the holdout scaled by the TRAINING period's
+    * seasonal-naive MAE — the standard scale-free accuracy gate a
+    * forecast (e.g. [[ewmaForecast]]) must beat (MASE < 1) to justify
+    * replacing the naive rule.
+    *
+    * Exactness: absolute errors are exact integer cents summed as longs
+    * (order-free); the two MAEs and their ratio are single shared IEEE
+    * division chains, 6dp. A zero training MAE (perfectly periodic
+    * history) yields NULL MASE, not Inf.
+    *
+    * Shape: fact → daily hash aggregate → per-key spine explode (mart
+    * grain) → ONE restaurant-partitioned lag window (the d1 span bound
+    * rides the spine build, no second window) → restaurant-grain
+    * rollup. */
+  def seasonalNaiveBacktest(
+      orderRevenue: DataFrame, season: Int = 7, testDays: Int = 28): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val spine = daily
+      .groupBy(col("restaurant_id"))
+      .agg(min(col("creation_date")).as("d0"), max(col("creation_date")).as("d1"))
+      .select(col("restaurant_id"), col("d1"),
+        explode(sequence(col("d0"), col("d1"))).as("creation_date"))
+    val byDay = Window.partitionBy(col("restaurant_id"))
+      .orderBy(col("creation_date"))
+    spine
+      .join(daily, Seq("restaurant_id", "creation_date"), "left")
+      .withColumn("y", coalesce(col("cents"), lit(0L)))
+      .withColumn("yhat", lag(col("y"), season).over(byDay))
+      .filter(col("yhat").isNotNull)
+      .withColumn("is_test",
+        datediff(col("d1"), col("creation_date")) < testDays)
+      .withColumn("ae", abs(col("y") - col("yhat")))
+      .groupBy(col("restaurant_id"))
+      .agg(
+        sum(when(col("is_test"), 1L).otherwise(0L)).as("n_test"),
+        sum(when(col("is_test"), col("ae")).otherwise(0L)).as("sae_test"),
+        sum(when(!col("is_test"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("is_test"), col("ae")).otherwise(0L)).as("sae_train"))
+      .filter(col("n_test") > 0 && col("n_train") > 0)
+      .select(
+        col("restaurant_id"), col("n_test"), col("n_train"),
+        round(col("sae_test") / 10000.0 / col("n_test"), 6).as("mae_test"),
+        round(col("sae_train") / 10000.0 / col("n_train"), 6).as("mae_train"),
+        when(col("sae_train") > 0,
+          round((col("sae_test").cast("double") / col("n_test"))
+            / (col("sae_train").cast("double") / col("n_train")), 6))
+          .as("mase"))
+  }
+
+  /** Cohort LTV curves: users grouped by first-purchase month, each
+    * cohort's revenue tracked by age-in-months — the (cohort × age)
+    * triangle a growth team reads to compare acquisition vintages
+    * ([[graft.ext.Behavior.retentionWeekly]] is the event-side sibling;
+    * this one is revenue-weighted and cumulative).
+    *
+    * Per cell: active users, period revenue, cumulative LTV per
+    * ORIGINAL cohort member (denominator is cohort size, not active
+    * count — the curve must flatten, not jump, as users churn), and the
+    * retention share. Exactness: integer-cent sums end-to-end; ages are
+    * integer month arithmetic (`year·12+month` deltas — no
+    * months_between float); the three ratios are single shared IEEE
+    * division chains, 6dp.
+    *
+    * Shape: fact → (user, month) hash aggregate FIRST, so the cohort
+    * min, the (cohort, age) rollup, and the cumulative window all run
+    * at user-month grain or coarser; the cumsum window partitions by
+    * cohort over ≤ months ages — mart-sized. Cohort sizes ride back by
+    * broadcast. */
+  def cohortLtvCurve(orderRevenue: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = orderRevenue
+      .groupBy(col("user_id"),
+        to_date(date_trunc("month", col("creation_date"))).as("om"))
+      .agg(sum(graft.gold.Money.cents(col("total_revenue")).cast("long"))
+        .as("cents"))
+    val cohorts = monthly.groupBy(col("user_id"))
+      .agg(min(col("om")).as("cohort_month"))
+    val sizes = cohorts.groupBy(col("cohort_month"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = monthly.join(cohorts, Seq("user_id"))
+      .withColumn("age_months",
+        (year(col("om")) * 12 + month(col("om")))
+          - (year(col("cohort_month")) * 12 + month(col("cohort_month"))))
+      .groupBy(col("cohort_month"), col("age_months"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        sum(col("cents")).as("cents"))
+    val cum = Window.partitionBy(col("cohort_month"))
+      .orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_cents", sum(col("cents")).over(cum))
+      .join(broadcast(sizes), Seq("cohort_month"))
+      .select(
+        col("cohort_month"), col("age_months"), col("cohort_size"),
+        col("active_users"),
+        round(col("cents") / 10000.0, 6).as("revenue"),
+        round(col("cum_cents") / 10000.0 / col("cohort_size"), 6)
+          .as("ltv_per_user"),
+        round(col("active_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
 }

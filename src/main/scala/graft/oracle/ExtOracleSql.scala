@@ -1614,4 +1614,37 @@ object ExtOracleSql {
        |             '$num', '<NUM>', 'g')) AS redacted_md5
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** Mirrors [[graft.ext.TextAnalysis.bigramLmScore]]: add-one-smoothed
+    * bigram LM with CONTEXT-count denominators, per-(w1,w2) log-probs
+    * quantized once to 1e-9-nat units, order-free per-doc sums. */
+  def bigramLmScore: String =
+    s"""WITH $toksCte,
+       |blg AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+       |bltf AS (
+       |  SELECT doc_id, w1, w2, count(*) AS tf FROM blg GROUP BY 1, 2, 3),
+       |blm AS (SELECT w1, w2, count(*) AS c12 FROM blg GROUP BY 1, 2),
+       |blc AS (SELECT w1, count(*) AS c1 FROM blg GROUP BY 1),
+       |blv AS (
+       |  SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(t) AS w FROM toks)),
+       |blu AS (
+       |  SELECT tf.doc_id,
+       |         tf.tf,
+       |         tf.tf * CAST(round(ln(CAST(m.c12 + 1 AS DOUBLE)
+       |                               / (c.c1 + blv.v)) * 1e9) AS BIGINT)
+       |           AS units
+       |  FROM bltf tf
+       |  JOIN blm m USING (w1, w2)
+       |  JOIN blc c USING (w1)
+       |  CROSS JOIN blv),
+       |bls AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(units) AS BIGINT) AS su
+       |  FROM blu GROUP BY 1)
+       |SELECT doc_id, n_bigrams,
+       |       round((su / 1e9) / n_bigrams, 6) AS avg_logprob
+       |FROM bls ORDER BY doc_id""".stripMargin
 }
