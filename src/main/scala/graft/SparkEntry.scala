@@ -1331,6 +1331,20 @@ object SparkEntry {
             col("l_orderkey").as("basket"), col("l_partkey").as("item")),
           "basket", "item", minItemSupport = 20, minPairSupport = 2)
         .orderBy(col("antecedent"), col("consequent"))),
+
+    // ---- ext: PCA top component — power iteration over the q161
+    // covariance (quantized order-free matvec; model readout) ----
+    "q188_pca_loadings" -> ((s, dir) =>
+      graft.ext.Profiling.pcaLoadings(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("dim_idx"))),
+
+    // ---- ext: per-vector PC1 projection — the distributed half of the
+    // PCA pass (component broadcast as a literal into the scan) ----
+    "q189_pca_projection" -> ((s, dir) =>
+      graft.ext.Profiling.pcaProjection(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2116,6 +2130,8 @@ object SparkEntry {
       ),
       "q180_fk_audit" -> fkAuditSql,
       "q186_bigram_lm" -> ExtOracleSql.bigramLmScore,
+      "q188_pca_loadings" -> ExtOracleSql.pcaLoadings(dim = 64, iterations = 12),
+      "q189_pca_projection" -> ExtOracleSql.pcaProjection(dim = 64, iterations = 12),
       "q187_assoc_rules" ->
         """WITH arb AS (SELECT DISTINCT l_orderkey AS basket_id,
                                l_partkey AS item

@@ -665,4 +665,117 @@ object Profiling {
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
+
+  /** Rounds a double to the nearest integer, ties away from zero —
+    * Spark `round()` / DuckDB `round()` semantics, for driver-side
+    * mirrors of plan-side quantization (the [[graft.ext.Similarity]]
+    * HALF_UP precedent). */
+  private def roundHalfUp(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  /** Power iteration for the top principal component over the
+    * [[covariancePairs]] matrix. Fixed `iterations` steps from the
+    * deterministic uniform start v₀ = 1/√d — NOT run to a convergence
+    * test, so both engines execute the identical arithmetic whether or
+    * not the eigengap has converged it.
+    *
+    * Cross-engine exactness through an ITERATIVE float computation (the
+    * q77 PageRank discipline, lifted to doubles): every sum that could
+    * be order-dependent is quantized first — matvec terms to integer
+    * 1e-6 units (order-free long sums), the norm from exact Σwu² longs,
+    * Rayleigh λ and the trace from rounded term units — and every
+    * remaining double op is a fixed two-operand chain (one divide per
+    * component, one sqrt per iteration) that IEEE 754 rounds
+    * identically everywhere.
+    *
+    * Scale shape: the distributed work is [[covariancePairs]] (O(n·d²)
+    * map-side-combinable partial sums — the only pass over the data);
+    * the d×d iteration is model-sized driver math (the kmeans-centroid
+    * precedent), and [[pcaProjection]] is a scan with the component as
+    * a broadcast literal. Returns (component, λ units at 1e-6, trace
+    * units at 1e-9). */
+  private def powerIterate(
+      df: DataFrame, idCol: String, embCol: String,
+      dim: Int, unitsPerValue: Int,
+      iterations: Int): (Array[Double], Long, Long) = {
+    val m = Array.ofDim[Double](dim, dim)
+    covariancePairs(df, idCol, embCol, dim, unitsPerValue)
+      .select(col("i"), col("j"), col("cov")).collect().foreach { r =>
+        val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+        val c = r.getDouble(2)
+        m(i)(j) = c; m(j)(i) = c
+      }
+    def matvecUnits(v: Array[Double]): Array[Long] =
+      Array.tabulate(dim) { i =>
+        var s = 0L; var j = 0
+        while (j < dim) { s += roundHalfUp(m(i)(j) * v(j) * 1000000.0); j += 1 }
+        s
+      }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iterations) {
+      val wu = matvecUnits(v)
+      var n2 = 0L; var i = 0
+      while (i < dim) { n2 += wu(i) * wu(i); i += 1 }
+      val nrm = math.sqrt(n2.toDouble)
+      v = wu.map(u => u / nrm)
+    }
+    val wf = matvecUnits(v)
+    var lambdaUnits = 0L
+    var traceUnits = 0L
+    var i = 0
+    while (i < dim) {
+      lambdaUnits += roundHalfUp(v(i) * wf(i))
+      traceUnits += roundHalfUp(m(i)(i) * 1e9)
+      i += 1
+    }
+    (v, lambdaUnits, traceUnits)
+  }
+
+  /** Top-PC loadings + eigenvalue + explained-variance share — the PCA
+    * model readout (whitening/compression planning over the embedding
+    * corpus; [[covariancePairs]] is its sufficient-stats input). One
+    * row per dimension; the two scalars repeat per row (the gate
+    * output is a single mart-sized frame). */
+  def pcaLoadings(
+      df: DataFrame, idCol: String, embCol: String,
+      dim: Int = 64, unitsPerValue: Int = 1000,
+      iterations: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    val (v, lu, tu) = powerIterate(df, idCol, embCol, dim, unitsPerValue, iterations)
+    import spark.implicits._
+    v.zipWithIndex.toSeq
+      .map { case (x, i) => (i.toLong, x, lu, tu) }
+      .toDF("dim_idx", "loading_raw", "lu", "tu")
+      .select(
+        col("dim_idx"),
+        round(col("loading_raw"), 6).as("loading"),
+        round(col("lu") / 1e6, 6).as("eigenvalue"),
+        round((col("lu") / 1e6) / (col("tu") / 1e9), 6).as("explained_share"))
+  }
+
+  /** Every vector's projection onto the top principal component — the
+    * distributed half of the PCA pass (dimensionality-reduction /
+    * outlier-scoring feature). The component rides into the scan as a
+    * broadcast literal array; per-vector scores are order-free sums of
+    * integer-rounded per-dimension terms, so the scan never leaves
+    * whole-stage codegen and engines agree bit-for-bit. */
+  def pcaProjection(
+      df: DataFrame, idCol: String, embCol: String,
+      dim: Int = 64, unitsPerValue: Int = 1000,
+      iterations: Int = 12): DataFrame = {
+    val (v, _, _) = powerIterate(df, idCol, embCol, dim, unitsPerValue, iterations)
+    val vArr = array(v.map(lit(_)): _*)
+    df.select(
+      col(idCol),
+      aggregate(
+        zip_with(
+          transform(col(embCol), x =>
+            round(x.cast("double") * unitsPerValue).cast("long")),
+          vArr,
+          (q, vl) => round(q * vl).cast("long")),
+        lit(0L), (acc, t) => acc + t).as("units"))
+      .select(col(idCol),
+        round(col("units") / lit(unitsPerValue.toDouble), 6).as("pc1"))
+  }
 }

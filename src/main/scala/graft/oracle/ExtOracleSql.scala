@@ -1647,4 +1647,88 @@ object ExtOracleSql {
        |SELECT doc_id, n_bigrams,
        |       round((su / 1e9) / n_bigrams, 6) AS avg_logprob
        |FROM bls ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE chain for the PCA power iteration (mirrors
+    * [[graft.ext.Profiling.powerIterate]]): the q161 covariance CTEs,
+    * the mirrored full matrix, and `iterations` UNROLLED matvec +
+    * normalize steps (the q77 PageRank unrolling, lifted to doubles) —
+    * matvec terms quantized to 1e-6 units so every sum is an order-free
+    * integer, norms from exact Σwu² longs, divides/sqrts fixed IEEE
+    * two-operand chains. Ends with `v{iterations}(i, vd)`. */
+  private def pcaCtes(dim: Int, iterations: Int): String = {
+    val its = (1 to iterations).map { k =>
+      val prev = if (k == 1) "pv0" else s"pv${k - 1}"
+      s"""pw$k AS MATERIALIZED (
+         |  SELECT c.i,
+         |         CAST(sum(CAST(round(c.cov * v.vd * 1000000.0) AS BIGINT))
+         |           AS BIGINT) AS wu
+         |  FROM pcm c JOIN $prev v ON c.j = v.i GROUP BY 1),
+         |pn$k AS (SELECT sqrt(CAST(sum(wu * wu) AS DOUBLE)) AS nrm FROM pw$k),
+         |pv$k AS MATERIALIZED (
+         |  SELECT i, wu / nrm AS vd FROM pw$k CROSS JOIN pn$k)""".stripMargin
+    }.mkString(",\n")
+    s"""pcq AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |pcd AS (SELECT range AS i FROM range($dim)),
+       |pcp AS (
+       |  SELECT di.i, dj.i AS j,
+       |         CAST(sum(qv[di.i + 1] * qv[dj.i + 1]) AS BIGINT) AS spp
+       |  FROM pcq, pcd di, pcd dj WHERE dj.i >= di.i GROUP BY 1, 2),
+       |pcs AS (
+       |  SELECT pcd.i, CAST(sum(qv[pcd.i + 1]) AS BIGINT) AS sd
+       |  FROM pcq, pcd GROUP BY 1),
+       |pcn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM pcq),
+       |pcu AS (
+       |  SELECT pcp.i, pcp.j,
+       |         (CAST(pcp.spp AS DOUBLE) / CAST(pcn.n_rows AS DOUBLE)
+       |          - (CAST(si.sd AS DOUBLE) / CAST(pcn.n_rows AS DOUBLE))
+       |            * (CAST(sj.sd AS DOUBLE) / CAST(pcn.n_rows AS DOUBLE)))
+       |         / 1000000.0 AS cov
+       |  FROM pcp JOIN pcs si ON si.i = pcp.i JOIN pcs sj ON sj.i = pcp.j
+       |  CROSS JOIN pcn),
+       |pcm AS MATERIALIZED (
+       |        SELECT i, j, cov FROM pcu
+       |        UNION ALL
+       |        SELECT j, i, cov FROM pcu WHERE i <> j),
+       |pv0 AS (SELECT i, 1.0 / sqrt(CAST($dim AS DOUBLE)) AS vd FROM pcd),
+       |$its""".stripMargin
+  }
+
+  /** Mirrors [[graft.ext.Profiling.pcaLoadings]]. */
+  def pcaLoadings(dim: Int = 64, iterations: Int = 12): String = {
+    val vf = s"pv$iterations"
+    s"""WITH ${pcaCtes(dim, iterations)},
+       |pwf AS (
+       |  SELECT c.i,
+       |         CAST(sum(CAST(round(c.cov * v.vd * 1000000.0) AS BIGINT))
+       |           AS BIGINT) AS wu
+       |  FROM pcm c JOIN $vf v ON c.j = v.i GROUP BY 1),
+       |plam AS (
+       |  SELECT CAST(sum(CAST(round(v.vd * w.wu) AS BIGINT)) AS BIGINT) AS lu
+       |  FROM $vf v JOIN pwf w ON w.i = v.i),
+       |ptr AS (
+       |  SELECT CAST(sum(CAST(round(cov * 1e9) AS BIGINT)) AS BIGINT) AS tu
+       |  FROM pcm WHERE i = j)
+       |SELECT CAST(v.i AS BIGINT) AS dim_idx,
+       |       round(v.vd, 6) AS loading,
+       |       round(lu / 1e6, 6) AS eigenvalue,
+       |       round((lu / 1e6) / (tu / 1e9), 6) AS explained_share
+       |FROM $vf v CROSS JOIN plam CROSS JOIN ptr
+       |ORDER BY dim_idx""".stripMargin
+  }
+
+  /** Mirrors [[graft.ext.Profiling.pcaProjection]]. */
+  def pcaProjection(dim: Int = 64, iterations: Int = 12): String = {
+    val vf = s"pv$iterations"
+    s"""WITH ${pcaCtes(dim, iterations)},
+       |ppj AS (
+       |  SELECT q.vec_id,
+       |         CAST(sum(CAST(round(q.qv[v.i + 1] * v.vd) AS BIGINT))
+       |           AS BIGINT) AS units
+       |  FROM pcq q, $vf v GROUP BY 1)
+       |SELECT vec_id, round(units / 1000.0, 6) AS pc1
+       |FROM ppj ORDER BY vec_id""".stripMargin
+  }
 }
