@@ -1345,6 +1345,25 @@ object SparkEntry {
       graft.ext.Profiling.pcaProjection(
           Tables.embeddings(s, dir), "vec_id", "embedding")
         .orderBy(col("vec_id"))),
+
+    // ---- ext: log-log price elasticity of demand per category (OLS on
+    // 1e-6-unit quantized logs; q154's moment machinery) ----
+    "q190_price_elasticity" -> ((s, dir) =>
+      graft.ext.Timeseries.priceElasticity(
+          Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy(col("item_category"))),
+
+    // ---- ext: session-depth engagement histogram (gap sessionization →
+    // per-depth session count / share / mean duration) ----
+    "q191_session_stats" -> ((s, dir) =>
+      graft.ext.Behavior.sessionStats(Tables.events(s, dir))
+        .orderBy(col("depth"))),
+
+    // ---- ext: IVF-PQ top-k — cells bound WHO you score, codes bound
+    // WHAT scoring touches (the FAISS IVFx,PQy layout) ----
+    "q192_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("query_id"), col("rank"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2131,6 +2150,72 @@ object SparkEntry {
       "q180_fk_audit" -> fkAuditSql,
       "q186_bigram_lm" -> ExtOracleSql.bigramLmScore,
       "q188_pca_loadings" -> ExtOracleSql.pcaLoadings(dim = 64, iterations = 12),
+      "q192_ivfpq_topk" ->
+        ExtOracleSql.ivfPqTopK(queryModEvery = 50, k = 5, blocks = 4,
+          seedEvery = 100, centroidEvery = 100, nProbe = 2),
+      "q191_session_stats" ->
+        """WITH sse AS (
+             SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+           ssl AS (
+             SELECT user_id, event_id, tsu,
+                    CASE WHEN lag(tsu) OVER w IS NULL
+                           OR tsu - lag(tsu) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS is_new
+             FROM sse
+             WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+           ssi AS (
+             SELECT user_id, tsu,
+                    CAST(sum(is_new) OVER (PARTITION BY user_id
+                      ORDER BY tsu, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS sid
+             FROM ssl),
+           ssg AS (
+             SELECT user_id, sid, count(*) AS n_events,
+                    CAST(max(tsu) - min(tsu) AS BIGINT) AS dur_us
+             FROM ssi GROUP BY 1, 2),
+           sst AS (SELECT count(*) AS n_total FROM ssg),
+           ssd AS (
+             SELECT least(n_events, 10) AS depth, count(*) AS n_sessions,
+                    CAST(sum(dur_us) AS BIGINT) AS sdur
+             FROM ssg GROUP BY 1)
+           SELECT depth, n_sessions,
+                  round(CAST(n_sessions AS DOUBLE) / sst.n_total, 6) AS share,
+                  round(sdur / 1e6 / n_sessions, 6) AS mean_duration_sec
+           FROM ssd CROSS JOIN sst ORDER BY depth""",
+      "q190_price_elasticity" ->
+        """WITH pel AS (
+             SELECT p.p_type AS item_category,
+                    CAST(round(ln(CAST(l.l_extendedprice AS DOUBLE)
+                                  / CAST(l.l_quantity AS DOUBLE)) * 1e6)
+                      AS BIGINT) AS x,
+                    CAST(round(ln(CAST(l.l_quantity AS DOUBLE)) * 1e6)
+                      AS BIGINT) AS y
+             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+           pem AS (
+             SELECT item_category, count(*) AS n,
+                    CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x * y) AS BIGINT) AS sxy,
+                    CAST(sum(x * x) AS BIGINT) AS sxx,
+                    CAST(sum(y * y) AS BIGINT) AS syy
+             FROM pel GROUP BY 1),
+           pex AS (
+             SELECT item_category, n,
+                    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+                    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+             FROM pem)
+           SELECT item_category, n AS n_lines,
+                  CASE WHEN denx = 0 THEN NULL
+                       ELSE num / denx END AS elasticity,
+                  CASE WHEN denx = 0 OR deny = 0 THEN NULL
+                       ELSE (num * num) / (denx * deny) END AS r2
+           FROM pex ORDER BY item_category""",
       "q189_pca_projection" -> ExtOracleSql.pcaProjection(dim = 64, iterations = 12),
       "q187_assoc_rules" ->
         """WITH arb AS (SELECT DISTINCT l_orderkey AS basket_id,

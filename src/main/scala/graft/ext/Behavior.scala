@@ -345,6 +345,52 @@ object Behavior {
         timestamp_micros(col("tsu")).as("ts"), col("event_id"))
   }
 
+  /** Session-depth engagement histogram: gap-based sessionization
+    * (a session breaks after `gapMinutes` of silence — the
+    * [[graft.streaming.StatefulSessionizer]] batch rule), rolled up by
+    * session DEPTH (events per session, capped at `depthCap`): session
+    * count, share, and mean duration per depth. Depth 1 is the bounce
+    * row — the engagement readout product analytics starts from.
+    *
+    * Exactness: session boundaries are integer micros comparisons;
+    * durations are exact `max−min` micro longs summed order-free; share
+    * and mean duration are single IEEE division chains, 6dp.
+    *
+    * Shape: ONE user-partitioned window sort (lag + running
+    * boundary-count on the same sort — the unavoidable sessionization
+    * shuffle), then hash aggregates at session and depth grain; the
+    * grand total rides back as a broadcast scalar. */
+  def sessionStats(
+      events: DataFrame, gapMinutes: Int = 30,
+      depthCap: Int = 10): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val run = byTs.rowsBetween(Window.unboundedPreceding, 0)
+    val sessions = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev", lag(col("tsu"), 1).over(byTs))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tsu") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("tsu")) - min(col("tsu"))).as("dur_us"))
+    val total = sessions.agg(count(lit(1)).as("n_total"))
+    sessions
+      .withColumn("depth", least(col("n_events"), lit(depthCap.toLong)))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("dur_us")).as("sdur"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("depth"), col("n_sessions"),
+        round(col("n_sessions").cast("double") / col("n_total"), 6)
+          .as("share"),
+        round(col("sdur") / 1e6 / col("n_sessions"), 6)
+          .as("mean_duration_sec"))
+  }
+
   /** First-order Markov next-event predictor with a held-out accuracy
     * readout: train the transition matrix on a deterministic 80% user
     * split ([[Sampling.hashBucket]] — reproducible on any engine and

@@ -846,11 +846,18 @@ object Similarity {
 
   private def pqAdcRanked(
       codes: DataFrame, table: DataFrame, k: Int): DataFrame =
-    // rank on -sn (distance asc, id-asc tie-break via the heap); sn is
-    // exact in double far below 2^53, so the emitted distance re-derives
-    // from the heap's score — no second pass over the pair sums
-    codes.join(broadcast(table), Seq("blk", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
+    adcRank(
+      codes.join(broadcast(table), Seq("blk", "code"))
+        .filter(col("vec_id") =!= col("query_id")),
+      k)
+
+  /** The shared ADC ranking tail: (query_id, vec_id, pn) block partials
+    * → per-pair order-free long sums → bounded per-query heap.
+    * Rank on -sn (distance asc, id-asc tie-break via the heap); sn is
+    * exact in double far below 2^53, so the emitted distance re-derives
+    * from the heap's score — no second pass over the pair sums. */
+  private def adcRank(pairs: DataFrame, k: Int): DataFrame =
+    pairs
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pn")).as("sn"))
       .select(col("query_id"), col("vec_id"), (-col("sn").cast("double")).as("negsn"))
@@ -861,6 +868,63 @@ object Similarity {
         (expr("(cast(-t.score as bigint) + 500) div 1000").cast("double") / lit(1e6))
           .as("adc_dist"),
         col("t.rank").as("rank"))
+
+  /** IVF-PQ top-k — the full at-scale ANN layout (Jégou et al., the
+    * FAISS `IVFx,PQy` index): vectors live in their nearest-centroid
+    * CELL and are stored as PQ CODES; a query probes its `nProbe`
+    * nearest cells and ADC-scores only the codes inside them. Search
+    * cost = probed-cell codes · blocks, never n·d — [[ivfTopKMultiProbe]]
+    * bounds WHO you score, [[pqAdcTopK]] bounds WHAT scoring touches;
+    * this operator composes both bounds.
+    *
+    * Metric consistency: cells are assigned by the same 6dp-rounded L2
+    * distance ADC approximates (not cosine — one metric end to end).
+    * Exactness: cell argmins are rounded-double comparisons with
+    * centroid-id tie-breaks; scoring inherits [[pqAdcTopK]]'s quantized
+    * 1e-9-unit partial sums and the bounded heap's deterministic
+    * ranking.
+    *
+    * Shape: centroids broadcast onto one corpus pass (the assignment is
+    * persisted — probe and index sides both read it); the probe list and
+    * distance tables are query-sized broadcasts; the only shuffled
+    * frame is the cell-restricted (code × probing-query) pair stream,
+    * bounded by Σ_cell |cell|·|queries probing it|. */
+  def ivfPqTopK(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      queryModEvery: Int = 50, k: Int = 5,
+      blocks: Int = 4, iters: Int = 2, seedEvery: Int = 100,
+      centroidEvery: Int = 100, nProbe: Int = 2): DataFrame = {
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("emb"))
+    val cents = v.filter(col("id") % centroidEvery === 0)
+      .select(col("id").as("centroid_id"), col("emb").as("cemb"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("nd", -round(l2dist(col("emb"), col("cemb")), 6))
+      .groupBy(col("id"))
+      .agg(top_k(col("nd"), col("centroid_id"), nProbe).as("topc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cellOf = assigned.select(col("id").as("vec_id"),
+      element_at(col("topc"), 1).getField("id").as("cell"))
+    val codes = pqEncode(vecs, idCol, vecCol, blocks, iters, seedEvery)
+      .select(col("vec_id"), col("blk"), col("code"))
+      .join(cellOf, Seq("vec_id"))
+    val book = pqCodebook(vecs, idCol, vecCol, blocks, iters, seedEvery)
+    val table = pqSub(vecs, idCol, vecCol, blocks)
+      .filter(col("id") % queryModEvery === 0)
+      .select(col("id").as("query_id"), col("blk"), col("semb"))
+      .join(broadcast(book), Seq("blk"))
+      .withColumn("d6", round(l2dist(col("semb"), col("cemb")), 6))
+      .select(col("query_id"), col("blk"), col("code"),
+        round(col("d6") * col("d6") * lit(1e9)).cast("long").as("pn"))
+    val probes = assigned.filter(col("id") % queryModEvery === 0)
+      .select(col("id").as("query_id"),
+        explode(transform(col("topc"), t => t.getField("id"))).as("cell"))
+    adcRank(
+      codes.join(broadcast(probes), Seq("cell"))
+        .join(broadcast(table), Seq("query_id", "blk", "code"))
+        .filter(col("vec_id") =!= col("query_id")),
+      k)
+  }
 
   /** Recall@k of the compressed ([[pqAdcTopK]]) search against the
     * exact Euclidean top-k on the same query set — the acceptance gate

@@ -161,6 +161,52 @@ object Timeseries {
         .otherwise((num * num) / (denX * denY)).as("r2"))
   }
 
+  /** Log-log price elasticity of demand per category: the OLS slope of
+    * ln(quantity) on ln(unit price) across a category's order lines —
+    * the classic constant-elasticity estimate (slope ≈ −1.3 means a 1%
+    * price increase loses 1.3% of volume), the pricing-analytics
+    * reading of [[revenueTrendFit]]'s machinery.
+    *
+    * Exactness: each line's two logs are computed once on identical
+    * doubles (ln is correctly rounded on both engines) and quantized to
+    * integer 1e-6 units, so the five OLS moment sums are order-free
+    * longs; slope and R² are the q154 fixed IEEE chain over
+    * double-cast sums (the unit scale cancels in the slope).
+    * Zero-variance categories emit NULLs.
+    *
+    * Shape: one broadcast dim join + per-line projection + a single
+    * category-grain hash aggregate — no window, no self-join. */
+  def priceElasticity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val p = part.select(col("p_partkey"), col("p_type").as("item_category"))
+    val base = lineitem
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("item_category"),
+        round(log(col("l_extendedprice").cast("double")
+          / col("l_quantity").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("l_quantity").cast("double")) * 1e6).cast("long")
+          .as("y"))
+    val m = base.groupBy(col("item_category"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val denX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val denY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(
+      col("item_category"), col("n").as("n_lines"),
+      when(denX === 0.0, lit(null).cast("double"))
+        .otherwise(num / denX).as("elasticity"),
+      when(denX === 0.0 || denY === 0.0, lit(null).cast("double"))
+        .otherwise((num * num) / (denX * denY)).as("r2"))
+  }
+
   /** EWMA smoothing + one-step-ahead forecast of daily revenue per
     * restaurant: `ewma_t = ewma_{t-1} + α·(y_t − ewma_{t-1})` with
     * α = 1/8, seeded at the key's first observed day; the forecast for

@@ -408,6 +408,43 @@ object ExtOracleSql {
        |LEFT JOIN ph ON x.query_id = ph.query_id
        |ORDER BY x.query_id""".stripMargin
 
+  /** Mirrors [[graft.ext.Similarity.ivfPqTopK]] — L2 cell assignment
+    * (rounded-distance argmin, centroid-asc ties), nProbe query cells,
+    * ADC scoring restricted to probed cells. */
+  def ivfPqTopK(
+      queryModEvery: Int, k: Int, blocks: Int, seedEvery: Int,
+      centroidEvery: Int, nProbe: Int): String =
+    s"""WITH ${pqChainCtes(blocks, seedEvery)},
+       |${pqAdcCtes(queryModEvery)},
+       |ipc AS (SELECT vec_id AS centroid_id, emb AS cemb FROM pqv
+       |        WHERE vec_id % $centroidEvery = 0),
+       |ipa AS (SELECT vec_id, centroid_id, rn FROM (
+       |          SELECT p.vec_id, c.centroid_id,
+       |                 row_number() OVER (PARTITION BY p.vec_id
+       |                   ORDER BY round(list_distance(p.emb, c.cemb), 6),
+       |                            c.centroid_id) AS rn
+       |          FROM pqv p CROSS JOIN ipc c)
+       |        WHERE rn <= $nProbe),
+       |ipcell AS (SELECT vec_id, centroid_id AS cell FROM ipa WHERE rn = 1),
+       |ipq AS (SELECT vec_id AS query_id, centroid_id AS cell FROM ipa
+       |        WHERE vec_id % $queryModEvery = 0),
+       |ips AS (SELECT t.query_id, a.vec_id, CAST(sum(t.pn) AS BIGINT) AS sn
+       |        FROM pqa2 a
+       |        JOIN ipcell ic ON ic.vec_id = a.vec_id
+       |        JOIN ipq pq ON pq.cell = ic.cell
+       |        JOIN pqt t ON t.query_id = pq.query_id
+       |                  AND t.blk = a.blk AND t.code = a.code
+       |        WHERE a.vec_id <> pq.query_id
+       |        GROUP BY 1, 2),
+       |ipr AS (SELECT query_id, vec_id, sn,
+       |               row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY sn, vec_id) AS rank
+       |        FROM ips)
+       |SELECT query_id, vec_id,
+       |       (sn + 500) // 1000 / 1e6 AS adc_dist, rank
+       |FROM ipr WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def embeddingNearDups(threshold: Double): String =
     s"""WITH $vecsCte
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
