@@ -468,31 +468,33 @@ object Behavior {
     val base = events.select(
       col("user_id"), col("event_type"), col("value"),
       unix_micros(col("ts")).as("tsu"))
-    val counted = touchTypes.zipWithIndex.foldLeft(base) {
-      case (df, (t, i)) =>
-        df.withColumn(s"k_$i",
-          sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w))
-    }
+    // all per-type counts in ONE select → a single Window node (chained
+    // withColumn stacks one Window operator per type over the same sort)
+    val counted = base.select(
+      base.columns.map(col) ++ touchTypes.zipWithIndex.map { case (t, i) =>
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w)
+          .as(s"k_$i")
+      }: _*)
     val purchases = counted
       .filter(col("event_type") === "purchase")
       .withColumn("cents", round(col("value") * 10000).cast("long"))
       .withColumn("n", touchTypes.indices.map(i => col(s"k_$i"))
         .reduce((a, b) => a + b))
-    val arms = touchTypes.zipWithIndex.map { case (t, i) =>
-      purchases.filter(col(s"k_$i") > 0)
-        .select(lit(t).as("touch_type"),
-          col("cents"), col(s"k_$i").as("k"), col("n"))
-    }.reduce(_ unionByName _)
-    val direct = purchases.filter(col("n") === 0)
-      .select(lit("direct").as("touch_type"),
-        col("cents"), lit(1L).as("k"), lit(1L).as("n"))
-    arms.unionByName(direct)
-      .withColumn("units", expr("(cents * 1000 * k) div n"))
-      .groupBy(col("touch_type"))
+    // one explode over per-arm structs, NOT a union of filtered copies —
+    // a union would duplicate the windowed subtree once per touch type
+    val armStructs = touchTypes.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("ty"), col(s"k_$i").as("k"), col("n").as("nn"))
+    } :+ struct(lit("direct").as("ty"), lit(1L).as("k"), lit(1L).as("nn"))
+    purchases
+      .select(col("cents"), col("n"), explode(array(armStructs: _*)).as("a"))
+      .filter(when(col("a.ty") === "direct", col("n") === 0)
+        .otherwise(col("a.k") > 0))
+      .withColumn("units", expr("(cents * 1000 * a.k) div a.nn"))
+      .groupBy(col("a.ty"))
       .agg(
         count(lit(1)).as("n_purchases"),
         sum(col("units")).as("su"))
-      .select(col("touch_type"), col("n_purchases"),
+      .select(col("ty").as("touch_type"), col("n_purchases"),
         round(col("su") / 1e7, 6).as("attributed_revenue"))
   }
 

@@ -60,15 +60,24 @@ object Quality {
         sum(when(col(s"m_$i").isNull, 1L).otherwise(0L)).as(s"o_$i")
       }
     val row = joined.agg(aggs.head, aggs.tail: _*)
-    fks.zipWithIndex.map { case ((ck, _, pk, pname), i) =>
-      row.select(
+    // one explode unpivots the single aggregate row into per-check rows —
+    // a union of per-check selects would re-plan the whole scan+join
+    // subtree once per check, defeating the single-scan design
+    val arms = fks.zipWithIndex.map { case ((ck, _, pk, pname), i) =>
+      struct(
         lit(s"$childName.$ck -> $pname.$pk").as("fk"),
         lit(childName).as("child_table"),
         lit(pname).as("parent_table"),
+        col(s"o_$i").as("n_orphans"))
+    }
+    row.select(col("n_child"), explode(array(arms: _*)).as("a"))
+      .select(
+        col("a.fk").as("fk"),
+        col("a.child_table").as("child_table"),
+        col("a.parent_table").as("parent_table"),
         col("n_child"),
-        col(s"o_$i").as("n_orphans"),
-        round(col(s"o_$i").cast("double") / col("n_child"), 6)
+        col("a.n_orphans").as("n_orphans"),
+        round(col("a.n_orphans").cast("double") / col("n_child"), 6)
           .as("orphan_share"))
-    }.reduce(_ unionByName _)
   }
 }

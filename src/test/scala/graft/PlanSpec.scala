@@ -378,6 +378,71 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"expected the sequence explode:\n$plan")
   }
 
+  test("q177-q192 additions keep their claimed shapes") {
+    def windowsPartitioned(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val wins = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$what must never run an unpartitioned window")
+    }
+    val rev = bindings.Conformed.orderRevenue(spark, sf)
+    val ev = core.Tables.events(spark, sf)
+    // Gini / cohort LTV / sessionization / burstiness / attribution /
+    // backtest: every window is key-partitioned
+    windowsPartitioned(ext.Olap.revenueGini(rev), "revenueGini")
+    windowsPartitioned(ext.Timeseries.cohortLtvCurve(rev), "cohortLtvCurve")
+    windowsPartitioned(ext.Behavior.sessionStats(ev), "sessionStats")
+    windowsPartitioned(ext.Behavior.interArrivalStats(ev), "interArrivalStats")
+    windowsPartitioned(
+      ext.Behavior.linearAttribution(ev, Seq("click", "signup", "view")),
+      "linearAttribution")
+    windowsPartitioned(ext.Timeseries.seasonalNaiveBacktest(rev),
+      "seasonalNaiveBacktest")
+    // attribution counts every touch type on ONE window sort — a single
+    // WindowExec node carries all the conditional sums
+    val attr = ext.Behavior.linearAttribution(ev, Seq("click", "signup", "view"))
+    val attrWins = attr.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(attrWins.size == 1,
+      s"per-type touch counts must share one window, got ${attrWins.size}")
+    // FK audit: ALL of a child's checks ride one child scan
+    val fk = ext.Quality.fkOrphans(core.Tables.lineitem(spark, sf), "lineitem",
+      Seq(("l_orderkey", core.Tables.orders(spark, sf), "o_orderkey", "orders"),
+        ("l_partkey", core.Tables.part(spark, sf), "p_partkey", "part"),
+        ("l_suppkey", core.Tables.supplier(spark, sf), "s_suppkey", "supplier")))
+    val fkPlan = planText(fk)
+    val childScans = fkPlan.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(childScans == 1,
+      s"three FK checks must share one lineitem scan, got $childScans:\n$fkPlan")
+    // item CF / association rules: pruned self-join is equi, counts broadcast
+    val li = core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+    for ((df, what) <- Seq(
+        (ext.Association.itemSimilarityTopK(li, "basket", "item"), "itemSimilarityTopK"),
+        (ext.Association.associationRules(li, "basket", "item"), "associationRules"))) {
+      val p = planText(df)
+      assert(!p.contains("CartesianProduct"), s"$what must not cross-join:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$what counts must broadcast:\n$p")
+    }
+    // keyness: per-label ranking window partitioned; grand total broadcast
+    val docs = core.Tables.documents(spark, sf)
+    val key = ext.TextAnalysis.tokenKeyness(docs, "text", "lang")
+    windowsPartitioned(key, "tokenKeyness")
+    // bigram LM: no CartesianProduct (the |V| scalar rides a broadcast NL)
+    val blm = planText(ext.TextAnalysis.bigramLmScore(docs, "doc_id", "text"))
+    assert(!blm.contains("CartesianProduct"),
+      s"bigram LM must not plan a cartesian:\n$blm")
+    // elasticity: dim join broadcasts, single hash aggregate, no window
+    val pe = planText(ext.Timeseries.priceElasticity(
+      core.Tables.lineitem(spark, sf), core.Tables.part(spark, sf)))
+    assert(pe.contains("BroadcastHashJoin") && !pe.contains("Window"),
+      s"elasticity is one broadcast join + aggregates:\n$pe")
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
