@@ -1364,6 +1364,18 @@ object SparkEntry {
     "q192_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding")
         .orderBy(col("query_id"), col("rank"))),
+
+    // ---- ext: Holt's linear trend — level+trend double exponential
+    // smoothing, one-step forecast (q155's recurrence with slope) ----
+    "q193_holt_forecast" -> ((s, dir) =>
+      graft.ext.Timeseries.holtForecast(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
+
+    // ---- ext: Zipf's-law fit per source (ln freq vs ln rank OLS over
+    // top terms; boilerplate/repetition screen) ----
+    "q194_zipf_fit" -> ((s, dir) =>
+      graft.ext.TextAnalysis.zipfFit(Tables.documents(s, dir), "source", "text")
+        .orderBy(col("source"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2153,6 +2165,74 @@ object SparkEntry {
       "q192_ivfpq_topk" ->
         ExtOracleSql.ivfPqTopK(queryModEvery = 50, k = 5, blocks = 4,
           seedEvery = 100, centroidEvery = 100, nProbe = 2),
+      "q194_zipf_fit" ->
+        s"""WITH zft AS (
+              SELECT source,
+                     unnest(${graft.functions.Portable.tokensSql("text")}) AS w
+              FROM documents),
+            zff AS (SELECT source, w, count(*) AS freq FROM zft GROUP BY 1, 2),
+            zfr AS (
+              SELECT source,
+                     CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                     CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+              FROM (SELECT source, freq,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY freq DESC, w) AS rank
+                    FROM zff)
+              WHERE rank <= 200),
+            zfm AS (
+              SELECT source, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM zfr GROUP BY 1),
+            zfx AS (
+              SELECT source, n,
+                     CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                     CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+                     CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+              FROM zfm)
+            SELECT source, n AS n_terms,
+                   CASE WHEN denx = 0 THEN NULL
+                        ELSE num / denx END AS zipf_slope,
+                   CASE WHEN denx = 0 OR deny = 0 THEN NULL
+                        ELSE (num * num) / (denx * deny) END AS r2
+            FROM zfx ORDER BY source""",
+      "q193_holt_forecast" -> OracleSql.withBaseRecursive(
+        """hld AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS cents
+             FROM order_revenue GROUP BY 1, 2),
+           hls AS (
+             SELECT restaurant_id, creation_date, cents,
+                    row_number() OVER (PARTITION BY restaurant_id
+                      ORDER BY creation_date) AS rn
+             FROM hld),
+           hlr AS (
+             SELECT restaurant_id, rn, CAST(cents AS DOUBLE) AS l,
+                    CAST(0 AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS f
+             FROM hls WHERE rn = 1
+             UNION ALL
+             SELECT d.restaurant_id, d.rn,
+                    0.25 * CAST(d.cents AS DOUBLE) + 0.75 * (r.l + r.b),
+                    0.125 * ((0.25 * CAST(d.cents AS DOUBLE)
+                              + 0.75 * (r.l + r.b)) - r.l)
+                      + 0.875 * r.b,
+                    r.l + r.b
+             FROM hlr r JOIN hls d
+               ON d.restaurant_id = r.restaurant_id AND d.rn = r.rn + 1)""",
+        """SELECT d.restaurant_id, d.creation_date,
+                  d.cents / 10000.0 AS daily_revenue,
+                  r.l / 10000.0 AS level,
+                  r.b / 10000.0 AS trend,
+                  r.f / 10000.0 AS forecast_revenue
+           FROM hlr r JOIN hls d USING (restaurant_id, rn)
+           ORDER BY d.restaurant_id, d.creation_date"""),
       "q191_session_stats" ->
         """WITH sse AS (
              SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),

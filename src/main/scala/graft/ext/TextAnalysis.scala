@@ -644,6 +644,57 @@ object TextAnalysis {
         round((col("su") / 1e9) / col("n_bigrams"), 6).as("avg_logprob"))
   }
 
+  /** Zipf's-law fit per source: the OLS slope of ln(freq) on ln(rank)
+    * over each source's top-`topN` terms — natural text sits near −1;
+    * a flat slope flags templated/boilerplate sources, a steep one
+    * flags degenerate repetition. The distributional sibling of
+    * [[vocabGrowth]]'s Heaps'-law vitals.
+    *
+    * Exactness: ranks are deterministic (freq DESC, term ASC); both
+    * logs are computed once on identical values and quantized to
+    * integer 1e-6 units, so the five OLS moment sums are order-free
+    * longs and slope/R² are the q154 fixed IEEE chain (unit scale
+    * cancels in the slope).
+    *
+    * Shape: one token explode → (source, term) hash aggregate
+    * (vocab-sized past the exchange) → a source-partitioned top-N rank
+    * window at vocab grain → a source-grain moment aggregate. */
+  def zipfFit(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      topN: Int = 200): DataFrame = {
+    val tf = docs
+      .select(col(sourceCol).as("source"),
+        explode(Portable.tokens(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+    val byFreq = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("w"))
+    val pts = tf
+      .withColumn("rank", row_number().over(byFreq))
+      .filter(col("rank") <= topN)
+      .select(col("source"),
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("y"))
+    val m = pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val denX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val denY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(
+      col("source"), col("n").as("n_terms"),
+      when(denX === 0.0, lit(null).cast("double"))
+        .otherwise(num / denX).as("zipf_slope"),
+      when(denX === 0.0 || denY === 0.0, lit(null).cast("double"))
+        .otherwise((num * num) / (denX * denY)).as("r2"))
+  }
+
   /** Chi-square token keyness: the top-k tokens most associated with
     * each label (corpus-linguistics keyness / the χ² feature-selection
     * score behind classic text classifiers). For token w and label l,

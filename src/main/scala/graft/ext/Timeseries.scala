@@ -484,6 +484,64 @@ object Timeseries {
           .as("mase"))
   }
 
+  /** Holt's linear trend (double exponential smoothing): [[ewmaForecast]]
+    * plus a TREND state, so the one-step forecast extrapolates slope
+    * instead of flat-lining — the standard next rung on the forecasting
+    * ladder (level α = 1/4, trend β = 1/8, both exactly representable).
+    * Per observed day: `f = l + b` (the forecast made BEFORE seeing y,
+    * NULL on each key's first day), then
+    * `l' = 0.25·y + 0.75·(l + b)` and `b' = 0.125·(l' − l) + 0.875·b`.
+    *
+    * Exactness: y is exact integer cents lifted into doubles; both
+    * update lines are fixed IEEE chains evaluated in date order, so
+    * identical input sequences give bit-identical states on both
+    * engines (the q155 discipline, two state doubles instead of one);
+    * emitted unrounded. DuckDB mirrors the same chains via a recursive
+    * CTE over the per-key row_number.
+    *
+    * Scale shape: identical to [[ewmaForecast]] — (key, day) reduce,
+    * repartition by key + partition-local sort, `mapPartitions`
+    * sequential state; all keys run in parallel. */
+  def holtForecast(orderRevenue: DataFrame): DataFrame = {
+    val spark = orderRevenue.sparkSession
+    import spark.implicits._
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(graft.gold.Money.cents(col("total_revenue")).cast("long"))
+        .as("cents"))
+      .select(
+        col("restaurant_id").cast("long").as("rid"),
+        col("creation_date").cast("date").as("d"),
+        col("cents"))
+      .repartition(col("rid"))
+      .sortWithinPartitions(col("rid"), col("d"))
+      .as[(Long, java.sql.Date, Long)]
+    daily.mapPartitions { it =>
+      var curR = Long.MinValue
+      var l = 0.0
+      var b = 0.0
+      it.map { case (rid, d, cents) =>
+        val y = cents.toDouble
+        val f: Option[Double] =
+          if (rid != curR) None else Some(l + b)
+        if (rid != curR) {
+          curR = rid; l = y; b = 0.0
+        } else {
+          val lNew = 0.25 * y + 0.75 * (l + b)
+          b = 0.125 * (lNew - l) + 0.875 * b
+          l = lNew
+        }
+        (rid, d, cents, l, b, f)
+      }
+    }.toDF("restaurant_id", "creation_date", "cents", "l", "b", "f")
+      .select(
+        col("restaurant_id"), col("creation_date"),
+        (col("cents") / 10000.0).as("daily_revenue"),
+        (col("l") / 10000.0).as("level"),
+        (col("b") / 10000.0).as("trend"),
+        (col("f") / 10000.0).as("forecast_revenue"))
+  }
+
   /** Cohort LTV curves: users grouped by first-purchase month, each
     * cohort's revenue tracked by age-in-months — the (cohort × age)
     * triangle a growth team reads to compare acquisition vintages
