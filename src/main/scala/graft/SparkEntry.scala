@@ -1376,6 +1376,13 @@ object SparkEntry {
     "q194_zipf_fit" -> ((s, dir) =>
       graft.ext.TextAnalysis.zipfFit(Tables.documents(s, dir), "source", "text")
         .orderBy(col("source"))),
+
+    // ---- ext: per-source near-dup rate + cross-source duplication
+    // (the source-weighting input; rolls q18's pairs to decision grain) ----
+    "q195_dup_rate" -> ((s, dir) =>
+      graft.ext.Dedup.dupRateBySource(
+          Tables.documents(s, dir), "doc_id", "text", "source")
+        .orderBy(col("source"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2165,6 +2172,7 @@ object SparkEntry {
       "q192_ivfpq_topk" ->
         ExtOracleSql.ivfPqTopK(queryModEvery = 50, k = 5, blocks = 4,
           seedEvery = 100, centroidEvery = 100, nProbe = 2),
+      "q195_dup_rate" -> ExtOracleSql.dupRateBySource(minJaccard = 0.7),
       "q194_zipf_fit" ->
         s"""WITH zft AS (
               SELECT source,

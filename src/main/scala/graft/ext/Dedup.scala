@@ -175,6 +175,54 @@ object Dedup {
     exactJaccard(docs, pairs, idCol, textCol)
   }
 
+  /** Per-source near-duplicate RATE audit: how much of each source is
+    * duplicated, and how much of that duplication crosses source
+    * boundaries — the summary a data plan reads before weighting
+    * sources ([[lshVerifiedPairs]] lists the pairs; this rolls them up
+    * to the decision grain). Cross-source duplication matters
+    * separately: it deflates a source's EFFECTIVE unique contribution
+    * even when the source itself is internally clean.
+    *
+    * Per source: doc count, docs with ≥ 1 verified near-dup at
+    * `minJaccard`, their share, and how many of those have a partner in
+    * a DIFFERENT source. Exact counts; shares are single divisions.
+    *
+    * Shape: the [[lshVerifiedPairs]] machinery (bucketed banding, never
+    * all-pairs) plus a symmetric unpivot of the pair list, two
+    * dimension joins at pair grain (pair lists are collision-sized, not
+    * corpus-sized), and two mart-grain aggregates. */
+  def dupRateBySource(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      minJaccard: Double = 0.7,
+      numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    val pairs = lshVerifiedPairs(docs, idCol, textCol, numPerms, bands)
+      .filter(col("jaccard") >= minJaccard)
+    val src = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("src"))
+    val touched = pairs
+      .select(col("id_a").as("doc_id"), col("id_b").as("partner"))
+      .unionByName(
+        pairs.select(col("id_b").as("doc_id"), col("id_a").as("partner")))
+    val perDoc = touched
+      .join(src, Seq("doc_id"))
+      .join(src.toDF("partner", "psrc"), Seq("partner"))
+      .groupBy(col("doc_id"), col("src"))
+      .agg(sum(when(col("psrc") =!= col("src"), 1L).otherwise(0L))
+        .as("n_cross"))
+    val agg = perDoc.groupBy(col("src").as("source"))
+      .agg(count(lit(1)).as("n_dup_docs"),
+        sum(when(col("n_cross") > 0, 1L).otherwise(0L))
+          .as("n_cross_source_docs"))
+    docs.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_docs"))
+      .join(agg, Seq("source"), "left")
+      .select(
+        col("source"), col("n_docs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        round(coalesce(col("n_dup_docs"), lit(0L)).cast("double")
+          / col("n_docs"), 6).as("dup_share"),
+        coalesce(col("n_cross_source_docs"), lit(0L))
+          .as("n_cross_source_docs"))
+  }
+
   /** Incremental ingestion dedup gate: for each BATCH document, its
     * near-duplicate matches in the already-ingested CORPUS — the
     * new-data-versus-history check an incremental pipeline runs per

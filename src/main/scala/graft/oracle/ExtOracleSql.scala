@@ -154,6 +154,50 @@ object ExtOracleSql {
        |JOIN sharr b ON pairs.id_b = b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Mirrors [[graft.ext.Dedup.dupRateBySource]]: the [[jaccardVerify]]
+    * pairs at `minJaccard`, unpivoted symmetrically and rolled up to
+    * source grain with the cross-source partner flag. */
+  def dupRateBySource(minJaccard: Double): String =
+    s"""WITH $toksCte,
+       |$sigCte,
+       |$bandsCte,
+       |sharr AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM toks),
+       |drv AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs
+       |  JOIN sharr a ON pairs.id_a = a.doc_id
+       |  JOIN sharr b ON pairs.id_b = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |        >= $minJaccard),
+       |drt AS (
+       |  SELECT id_a AS doc_id, id_b AS partner FROM drv
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM drv),
+       |drs AS (SELECT doc_id, source AS src FROM documents),
+       |drd AS (
+       |  SELECT t.doc_id, s.src,
+       |         CAST(sum(CASE WHEN p.src <> s.src THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_cross
+       |  FROM drt t
+       |  JOIN drs s ON t.doc_id = s.doc_id
+       |  JOIN drs p ON t.partner = p.doc_id
+       |  GROUP BY 1, 2),
+       |dra AS (
+       |  SELECT src AS source, count(*) AS n_dup_docs,
+       |         CAST(sum(CASE WHEN n_cross > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_cross_source_docs
+       |  FROM drd GROUP BY 1),
+       |drn AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT t.source, t.n_docs,
+       |       COALESCE(a.n_dup_docs, 0) AS n_dup_docs,
+       |       round(CAST(COALESCE(a.n_dup_docs, 0) AS DOUBLE) / t.n_docs, 6)
+       |         AS dup_share,
+       |       COALESCE(a.n_cross_source_docs, 0) AS n_cross_source_docs
+       |FROM drn t LEFT JOIN dra a USING (source)
+       |ORDER BY source""".stripMargin
+
   /** Mirrors [[graft.ext.Dedup.containmentPairs]]: the same candidate
     * pairs as [[jaccardVerify]] scored with directional containment. */
   def containmentVerify: String =
