@@ -1383,6 +1383,18 @@ object SparkEntry {
       graft.ext.Dedup.dupRateBySource(
           Tables.documents(s, dir), "doc_id", "text", "source")
         .orderBy(col("source"))),
+
+    // ---- ext: sequential-pattern support per ordered type pair
+    // ("a ever followed by b"; PrefixSpan length-2 seeds) ----
+    "q196_seq_support" -> ((s, dir) =>
+      graft.ext.Behavior.sequenceSupport(Tables.events(s, dir))
+        .orderBy(col("type_a"), col("type_b"))),
+
+    // ---- gold: RFM segment migration matrix (segment 90 days ago vs
+    // today; anchored rebuild over the date-pruned fact) ----
+    "q197_rfm_migration" -> ((s, dir) =>
+      graft.gold.Rfm.migrationMatrix(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("segment_from"), col("segment_to"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2173,6 +2185,87 @@ object SparkEntry {
         ExtOracleSql.ivfPqTopK(queryModEvery = 50, k = 5, blocks = 4,
           seedEvery = 100, centroidEvery = 100, nProbe = 2),
       "q195_dup_rate" -> ExtOracleSql.dupRateBySource(minJaccard = 0.7),
+      "q196_seq_support" ->
+        """WITH squ AS (
+             SELECT user_id, event_type,
+                    CAST(min(epoch_us(ts)) AS BIGINT) AS first_ts,
+                    CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts
+             FROM events GROUP BY 1, 2),
+           sqn AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+           sqp AS (
+             SELECT a.event_type AS type_a, b.event_type AS type_b,
+                    count(*) AS n_users_both,
+                    CAST(sum(CASE WHEN a.first_ts < b.last_ts
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_users_seq
+             FROM squ a JOIN squ b
+               ON a.user_id = b.user_id AND a.event_type <> b.event_type
+             GROUP BY 1, 2)
+           SELECT type_a, type_b, n_users_both, n_users_seq,
+                  round(CAST(n_users_seq AS DOUBLE) / n_users_both, 6)
+                    AS seq_given_both,
+                  round(CAST(n_users_seq AS DOUBLE) / sqn.n_users, 6)
+                    AS support
+           FROM sqp CROSS JOIN sqn
+           ORDER BY type_a, type_b""",
+      "q197_rfm_migration" -> OracleSql.withBase(
+        """mgp AS (
+             SELECT user_id,
+                    max(creation_date) AS last_purchase_date,
+                    count(DISTINCT order_id) AS frequency,
+                    sum(round(total_revenue * 10000)) / 10000.0 AS monetary
+             FROM order_revenue
+             WHERE creation_date <= (SELECT today - 90 FROM anchor)
+             GROUP BY 1),
+           mgps AS (
+             SELECT user_id,
+                    CASE WHEN date_diff('day', last_purchase_date,
+                                (SELECT today - 90 FROM anchor)) <= 15
+                              AND frequency >= 5 AND monetary >= 100
+                         THEN 'VIP'
+                         WHEN frequency <= 1
+                              AND date_diff('day', last_purchase_date,
+                                (SELECT today - 90 FROM anchor)) <= 15
+                         THEN 'New'
+                         WHEN date_diff('day', last_purchase_date,
+                                (SELECT today - 90 FROM anchor)) > 45
+                              AND frequency <= 2
+                         THEN 'Churn Risk'
+                         ELSE 'Standard' END AS segment_from
+             FROM mgp),
+           mgn AS (
+             SELECT user_id,
+                    max(creation_date) AS last_purchase_date,
+                    count(DISTINCT order_id) AS frequency,
+                    sum(round(total_revenue * 10000)) / 10000.0 AS monetary
+             FROM order_revenue GROUP BY 1),
+           mgns AS (
+             SELECT user_id,
+                    CASE WHEN date_diff('day', last_purchase_date,
+                                (SELECT today FROM anchor)) <= 15
+                              AND frequency >= 5 AND monetary >= 100
+                         THEN 'VIP'
+                         WHEN frequency <= 1
+                              AND date_diff('day', last_purchase_date,
+                                (SELECT today FROM anchor)) <= 15
+                         THEN 'New'
+                         WHEN date_diff('day', last_purchase_date,
+                                (SELECT today FROM anchor)) > 45
+                              AND frequency <= 2
+                         THEN 'Churn Risk'
+                         ELSE 'Standard' END AS segment_to
+             FROM mgn),
+           mgm AS (
+             SELECT COALESCE(p.segment_from, 'None') AS segment_from,
+                    n.segment_to, count(*) AS n_users
+             FROM mgns n LEFT JOIN mgps p USING (user_id)
+             GROUP BY 1, 2)""",
+        """SELECT segment_from, segment_to, n_users,
+                  round(CAST(n_users AS DOUBLE)
+                        / sum(n_users) OVER (PARTITION BY segment_from), 6)
+                    AS row_share
+           FROM mgm ORDER BY segment_from, segment_to""",
+      ),
       "q194_zipf_fit" ->
         s"""WITH zft AS (
               SELECT source,

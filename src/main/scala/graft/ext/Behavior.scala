@@ -345,6 +345,47 @@ object Behavior {
         timestamp_micros(col("tsu")).as("ts"), col("event_id"))
   }
 
+  /** Sequential-pattern support at the type-pair grain: for every
+    * ordered pair (a, b) of event types, how many users did a THEN
+    * later b — first-occurrence-of-a before last-occurrence-of-b, the
+    * "ever followed by" reading — with the conditional share among
+    * users who did both, and overall support. [[transitions]] counts
+    * ADJACENT steps; this is the unordered-distance sibling a
+    * journey-mining pass starts from (PrefixSpan's length-2 seed
+    * patterns).
+    *
+    * Exactness: pure integer min/max-of-micros comparisons and counts;
+    * the two shares are single divisions.
+    *
+    * Shape: the event log reduces to (user, type) first/last rows
+    * FIRST (hash aggregate), then a user-grain self-join fans out by
+    * |types|² — a small constant per user, never events². The user
+    * total rides in as a broadcast scalar. */
+  def sequenceSupport(events: DataFrame): DataFrame = {
+    val ut = events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("tsu")).as("first_ts"), max(col("tsu")).as("last_ts"))
+    val totals = events.agg(countDistinct(col("user_id")).as("n_users"))
+    ut.select(col("user_id"), col("event_type").as("type_a"), col("first_ts"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b"),
+        col("last_ts")), Seq("user_id"))
+      .filter(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        count(lit(1)).as("n_users_both"),
+        sum(when(col("first_ts") < col("last_ts"), 1L).otherwise(0L))
+          .as("n_users_seq"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("type_a"), col("type_b"), col("n_users_both"),
+        col("n_users_seq"),
+        round(col("n_users_seq").cast("double") / col("n_users_both"), 6)
+          .as("seq_given_both"),
+        round(col("n_users_seq").cast("double") / col("n_users"), 6)
+          .as("support"))
+  }
+
   /** Session-depth engagement histogram: gap-based sessionization
     * (a session breaks after `gapMinutes` of silence — the
     * [[graft.streaming.StatefulSessionizer]] batch rule), rolled up by

@@ -67,4 +67,41 @@ object Rfm {
         col("user_id"), col("frequency"), col("monetary"),
         col("last_purchase_date"), col("recency"), col("segment"))
   }
+
+  /** RFM segment MIGRATION matrix: each user's segment `backDays` ago
+    * (scored over only the orders visible then, anchored at that date)
+    * versus today — the (from, to) transition counts and row shares a
+    * retention team reads to see where VIPs leak. Users who first
+    * purchased inside the window migrate from the synthetic `None`
+    * segment.
+    *
+    * Anchors are data-derived, not wall-clock: t₂ = max(creation_date)
+    * (one bounded driver-side scalar read — the watermark-read
+    * precedent), t₁ = t₂ − backDays; the past score uses
+    * [[anchoredAt]] so the pruned subset cannot shift recencies.
+    *
+    * Shape: two RFM hash aggregates (one over the date-pruned fact —
+    * the filter pushes into the scan) + a user-grain join; the matrix
+    * is |segments|² rows, so its row-share window is mart-sized. */
+  def migrationMatrix(
+      orderRevenue: DataFrame, backDays: Int = 90): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t2 = orderRevenue.agg(max(col("creation_date")).as("t"))
+      .head().getDate(0)
+    val t1 = java.sql.Date.valueOf(t2.toLocalDate.minusDays(backDays.toLong))
+    val past = anchoredAt(
+        orderRevenue.filter(col("creation_date") <= lit(t1)), t1)
+      .select(col("user_id"), col("segment").as("segment_from"))
+    val now = anchoredAt(orderRevenue, t2)
+      .select(col("user_id"), col("segment").as("segment_to"))
+    val byFrom = Window.partitionBy(col("segment_from"))
+    now.join(past, Seq("user_id"), "left")
+      .select(coalesce(col("segment_from"), lit("None")).as("segment_from"),
+        col("segment_to"))
+      .groupBy(col("segment_from"), col("segment_to"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("row_share",
+        round(col("n_users").cast("double")
+          / sum(col("n_users")).over(byFrom), 6))
+  }
 }
