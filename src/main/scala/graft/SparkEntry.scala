@@ -1395,10 +1395,48 @@ object SparkEntry {
     "q197_rfm_migration" -> ((s, dir) =>
       graft.gold.Rfm.migrationMatrix(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("segment_from"), col("segment_to"))),
+
+    // ---- ext: incremental covariance maintenance — merged partial
+    // stats == full rebuild (q79's contract for the embedding tier) ----
+    "q198_incremental_cov" -> ((s, dir) =>
+      graft.ext.Profiling.covariancePairsIncremental(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          isDelta = col("vec_id") % 10 === 0)
+        .orderBy(col("i"), col("j"))),
+
+    // ---- ext: stratified loyalty-uplift readout (per-category + pooled
+    // ALL row from one ROLLUP pass) ----
+    "q199_uplift_strata" -> ((s, dir) =>
+      graft.ext.Experiment.loyaltyUpliftStrata(
+          Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("stratum"))),
   )
 
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
+    val covarianceSql =
+      """WITH cq AS (
+             SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                      x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+             FROM embeddings),
+           cd AS (SELECT range AS i FROM range(64)),
+           cp AS (
+             SELECT di.i, dj.i AS j,
+                    CAST(sum(qv[di.i + 1] * qv[dj.i + 1]) AS BIGINT) AS spp
+             FROM cq, cd di, cd dj WHERE dj.i >= di.i GROUP BY 1, 2),
+           cs AS (
+             SELECT cd.i, CAST(sum(qv[cd.i + 1]) AS BIGINT) AS sd
+             FROM cq, cd GROUP BY 1),
+           cn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM cq)
+           SELECT CAST(cp.i AS BIGINT) AS i, CAST(cp.j AS BIGINT) AS j,
+                  cn.n_rows,
+                  (CAST(cp.spp AS DOUBLE) / CAST(cn.n_rows AS DOUBLE)
+                   - (CAST(si.sd AS DOUBLE) / CAST(cn.n_rows AS DOUBLE))
+                     * (CAST(sj.sd AS DOUBLE) / CAST(cn.n_rows AS DOUBLE)))
+                  / 1000000.0 AS cov
+           FROM cp JOIN cs si ON si.i = cp.i JOIN cs sj ON sj.i = cp.j
+           CROSS JOIN cn
+           ORDER BY i, j"""
     // q180: one UNION ALL arm per FK check; NULL child keys count as
     // orphans (they can't join), mirroring the left-join-null counter.
     def fkArm(child: String, ck: String, parent: String, pk: String) =
@@ -1830,29 +1868,34 @@ object SparkEntry {
            FROM est e CROSS JOIN tot t
            ORDER BY key"""
       },
-      "q161_covariance" ->
-        """WITH cq AS (
-             SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-                      x -> CAST(round(x * 1000) AS BIGINT)) AS qv
-             FROM embeddings),
-           cd AS (SELECT range AS i FROM range(64)),
-           cp AS (
-             SELECT di.i, dj.i AS j,
-                    CAST(sum(qv[di.i + 1] * qv[dj.i + 1]) AS BIGINT) AS spp
-             FROM cq, cd di, cd dj WHERE dj.i >= di.i GROUP BY 1, 2),
-           cs AS (
-             SELECT cd.i, CAST(sum(qv[cd.i + 1]) AS BIGINT) AS sd
-             FROM cq, cd GROUP BY 1),
-           cn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM cq)
-           SELECT CAST(cp.i AS BIGINT) AS i, CAST(cp.j AS BIGINT) AS j,
-                  cn.n_rows,
-                  (CAST(cp.spp AS DOUBLE) / CAST(cn.n_rows AS DOUBLE)
-                   - (CAST(si.sd AS DOUBLE) / CAST(cn.n_rows AS DOUBLE))
-                     * (CAST(sj.sd AS DOUBLE) / CAST(cn.n_rows AS DOUBLE)))
-                  / 1000000.0 AS cov
-           FROM cp JOIN cs si ON si.i = cp.i JOIN cs sj ON sj.i = cp.j
-           CROSS JOIN cn
-           ORDER BY i, j""",
+      // q198 (incremental maintenance) must reproduce q161's full
+      // recompute EXACTLY — shared oracle, the q79 contract for the
+      // embedding stats tier
+      "q198_incremental_cov" -> covarianceSql,
+      "q161_covariance" -> covarianceSql,
+      "q199_uplift_strata" -> OracleSql.withBase(
+        """upl AS (
+             SELECT item_category,
+                    CAST(sum(CASE WHEN is_loyalty THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_treat,
+                    CAST(sum(CASE WHEN is_loyalty THEN 0 ELSE 1 END)
+                      AS BIGINT) AS n_ctrl,
+                    CAST(sum(CASE WHEN is_loyalty
+                             THEN CAST(round(total_revenue * 10000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS s_treat,
+                    CAST(sum(CASE WHEN is_loyalty THEN 0
+                             ELSE CAST(round(total_revenue * 10000) AS BIGINT)
+                             END) AS BIGINT) AS s_ctrl
+             FROM order_revenue GROUP BY ROLLUP (item_category))""",
+        """SELECT COALESCE(item_category, 'ALL') AS stratum,
+                  n_treat, n_ctrl,
+                  round(s_treat / 10000.0 / n_treat, 6) AS mean_treat,
+                  round(s_ctrl / 10000.0 / n_ctrl, 6) AS mean_ctrl,
+                  round(s_treat / 10000.0 / n_treat
+                        - s_ctrl / 10000.0 / n_ctrl, 6) AS uplift
+           FROM upl WHERE n_treat > 0 AND n_ctrl > 0
+           ORDER BY stratum""",
+      ),
       "q162_stump_split" -> OracleSql.withBase(
         """sth AS (
              SELECT item_category AS grp,

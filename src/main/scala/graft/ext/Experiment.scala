@@ -80,4 +80,35 @@ object Experiment {
             / 100.0)).as("mean_y_adj"),
         col("theta"))
   }
+
+  /** Stratified loyalty-uplift readout: per item category (and the
+    * pooled `ALL` row, from the same ROLLUP pass), the revenue gap
+    * between loyalty and non-loyalty order lines — the observational
+    * companion to [[cupedReadout]] (stratifying by category exposes
+    * Simpson-style reversals the pooled row hides). Strata missing
+    * either group are dropped — there is no uplift to read there.
+    *
+    * Exactness: integer-cent sums per (stratum × arm) via conditional
+    * aggregates; means and the uplift are shared IEEE division chains,
+    * 6dp. Shape: ONE hash aggregate with ROLLUP (the Expand doubles
+    * rows map-side but the exchange carries stratum-grain partials —
+    * the q31/q93 grouping-sets judgment), no joins, no windows. */
+  def loyaltyUpliftStrata(orderRevenue: DataFrame): DataFrame = {
+    val cents = graft.gold.Money.cents(col("total_revenue")).cast("long")
+    orderRevenue
+      .rollup(col("item_category"))
+      .agg(
+        sum(when(col("is_loyalty"), 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!col("is_loyalty"), 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("is_loyalty"), cents).otherwise(0L)).as("s_treat"),
+        sum(when(!col("is_loyalty"), cents).otherwise(0L)).as("s_ctrl"))
+      .filter(col("n_treat") > 0 && col("n_ctrl") > 0)
+      .select(
+        coalesce(col("item_category"), lit("ALL")).as("stratum"),
+        col("n_treat"), col("n_ctrl"),
+        round(col("s_treat") / 10000.0 / col("n_treat"), 6).as("mean_treat"),
+        round(col("s_ctrl") / 10000.0 / col("n_ctrl"), 6).as("mean_ctrl"),
+        round(col("s_treat") / 10000.0 / col("n_treat")
+          - col("s_ctrl") / 10000.0 / col("n_ctrl"), 6).as("uplift"))
+  }
 }

@@ -666,6 +666,66 @@ object Profiling {
       .drop("__lo", "__hi")
   }
 
+  /** Incremental covariance maintenance: [[covariancePairs]] rebuilt by
+    * MERGING two independently-computed partial-state frames (the
+    * standing corpus vs a newly-landed delta) instead of rescanning
+    * everything — the embedding-side sibling of the q79–q82 gold
+    * maintainers. The sufficient statistics (Σxᵢxⱼ, Σxᵢ, n) are
+    * integer-exact and ADDITIVE, so partial merge is plain long
+    * addition and the gate can prove delta-maintenance == full rebuild
+    * by hash equality with [[covariancePairs]]'s own oracle.
+    *
+    * Shape: each side runs the same map-side-combinable partial
+    * aggregates over ITS rows only (at 100 TB the corpus side is a
+    * materialized stats table that never rescans; only the delta
+    * computes fresh), then a (i, j)-keyed merge at d² grain — the merge
+    * cost is model-sized, independent of either side's row count. */
+  def covariancePairsIncremental(
+      df: DataFrame, idCol: String, embCol: String, isDelta: Column,
+      dim: Int = 64, unitsPerValue: Int = 1000): DataFrame = {
+    def partials(part: DataFrame) = {
+      val q = part.select(
+        transform(col(embCol), x =>
+          round(x.cast("double") * unitsPerValue).cast("long")).as("qv"))
+      val pairs = q.select(explode(flatten(
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          transform(sequence(i, lit(dim - 1)), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(col("qv"), i + 1) * element_at(col("qv"), j + 1))
+                .as("p")))))).as("u"))
+        .select(col("u.i").cast("long").as("i"),
+          col("u.j").cast("long").as("j"), col("u.p").as("p"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("p")).as("spp"))
+      val dims = q.select(posexplode(col("qv")).as(Seq("pos", "qd")))
+        .groupBy(col("pos").cast("long").as("pos"))
+        .agg(sum(col("qd")).as("sd"))
+      val n = q.agg(count(lit(1)).as("n_rows"))
+      (pairs, dims, n)
+    }
+    val (pa, da, na) = partials(df.filter(!isDelta))
+    val (pb, db, nb) = partials(df.filter(isDelta))
+    // partial-state MERGE: plain integer addition at (i, j) / pos grain
+    val pairs = pa.unionByName(pb).groupBy(col("i"), col("j"))
+      .agg(sum(col("spp")).as("spp"))
+    val dims = da.unionByName(db).groupBy(col("pos"))
+      .agg(sum(col("sd")).as("sd"))
+    val n = na.unionByName(nb).agg(sum(col("n_rows")).as("n_rows"))
+    val u2 = unitsPerValue.toDouble * unitsPerValue.toDouble
+    pairs
+      .join(broadcast(dims.select(col("pos").as("i"), col("sd").as("si"))),
+        Seq("i"))
+      .join(broadcast(dims.select(col("pos").as("j"), col("sd").as("sj"))),
+        Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("i"), col("j"), col("n_rows"),
+        ((col("spp").cast("double") / col("n_rows").cast("double")
+          - (col("si").cast("double") / col("n_rows").cast("double"))
+            * (col("sj").cast("double") / col("n_rows").cast("double")))
+          / lit(u2)).as("cov"))
+  }
+
   /** Rounds a double to the nearest integer, ties away from zero —
     * Spark `round()` / DuckDB `round()` semantics, for driver-side
     * mirrors of plan-side quantization (the [[graft.ext.Similarity]]
