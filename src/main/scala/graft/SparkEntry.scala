@@ -1410,6 +1410,34 @@ object SparkEntry {
       graft.ext.Experiment.loyaltyUpliftStrata(
           Conformed.orderRevenueCached(s, dir))
         .orderBy(col("stratum"))),
+
+    // ---- ext: exact weighted discrete quantiles — what does the median
+    // SOLD UNIT cost (unit price weighted by quantity) ----
+    "q200_weighted_quantiles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select(
+          col("p_partkey"), col("p_type").as("item_category"))),
+          col("l_partkey") === col("p_partkey"))
+      graft.ext.Profiling.weightedQuantilesDisc(
+          li, "item_category",
+          round((col("l_extendedprice").cast("double")
+            / col("l_quantity").cast("double")) * 10000).cast("long"),
+          col("l_quantity").cast("long"))
+        .orderBy(col("item_category"))
+    }),
+
+    // ---- ext: daily new-vs-returning customer decomposition ----
+    "q201_new_returning" -> ((s, dir) =>
+      graft.ext.Timeseries.newVsReturning(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("creation_date"))),
+
+    // ---- gold: regional league table over the supplier→nation→region
+    // dim chain (within-region rank + share) ----
+    "q202_regional_league" -> ((s, dir) =>
+      graft.gold.Geography.regionalLeague(
+          Conformed.orderRevenueCached(s, dir), Tables.supplier(s, dir),
+          Tables.nation(s, dir), Tables.region(s, dir))
+        .orderBy(col("region"), col("rank_in_region"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2228,6 +2256,76 @@ object SparkEntry {
         ExtOracleSql.ivfPqTopK(queryModEvery = 50, k = 5, blocks = 4,
           seedEvery = 100, centroidEvery = 100, nProbe = 2),
       "q195_dup_rate" -> ExtOracleSql.dupRateBySource(minJaccard = 0.7),
+      "q200_weighted_quantiles" ->
+        """WITH wqh AS (
+             SELECT p.p_type AS item_category,
+                    CAST(round((CAST(l.l_extendedprice AS DOUBLE)
+                                / CAST(l.l_quantity AS DOUBLE)) * 10000)
+                      AS BIGINT) AS v,
+                    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS w
+             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             GROUP BY 1, 2),
+           wqc AS (
+             SELECT item_category, v, w,
+                    CAST(sum(w) OVER (PARTITION BY item_category ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cumw
+             FROM wqh),
+           wqt AS (
+             SELECT item_category, CAST(sum(w) AS BIGINT) AS tw
+             FROM wqh GROUP BY 1)
+           SELECT c.item_category,
+                  min(CASE WHEN c.cumw >= (50 * t.tw + 99) // 100
+                           THEN c.v END) AS wp50,
+                  min(CASE WHEN c.cumw >= (90 * t.tw + 99) // 100
+                           THEN c.v END) AS wp90,
+                  max(t.tw) AS total_weight
+           FROM wqc c JOIN wqt t USING (item_category)
+           GROUP BY 1 ORDER BY item_category""",
+      "q201_new_returning" -> OracleSql.withBase(
+        """nru AS (SELECT DISTINCT user_id, creation_date FROM order_revenue),
+           nrf AS (SELECT user_id, min(creation_date) AS first_date
+                   FROM nru GROUP BY 1),
+           nrd AS (
+             SELECT u.creation_date,
+                    count(*) AS active_users,
+                    CAST(sum(CASE WHEN u.creation_date = f.first_date
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+             FROM nru u JOIN nrf f USING (user_id)
+             GROUP BY 1)""",
+        """SELECT creation_date, active_users, new_users,
+                  active_users - new_users AS returning_users,
+                  round(CAST(new_users AS DOUBLE) / active_users, 6)
+                    AS new_share
+           FROM nrd ORDER BY creation_date""",
+      ),
+      "q202_regional_league" -> OracleSql.withBase(
+        """rgd AS (
+             SELECT s.s_suppkey AS restaurant_id, n.n_name AS nation,
+                    r.r_name AS region
+             FROM supplier s
+             JOIN nation n ON s.s_nationkey = n.n_nationkey
+             JOIN region r ON n.n_regionkey = r.r_regionkey),
+           rga AS (
+             SELECT d.region, d.nation,
+                    CAST(sum(round(o.total_revenue * 10000)) AS BIGINT)
+                      AS cents,
+                    count(DISTINCT o.order_id) AS n_orders
+             FROM order_revenue o JOIN rgd d USING (restaurant_id)
+             GROUP BY 1, 2),
+           rgr AS (
+             SELECT region, nation, n_orders, cents,
+                    row_number() OVER (PARTITION BY region
+                      ORDER BY cents DESC, nation) AS rank_in_region,
+                    CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT)
+                      AS region_cents
+             FROM rga)""",
+        """SELECT region, rank_in_region, nation, n_orders,
+                  cents / 10000.0 AS revenue,
+                  round(CAST(cents AS DOUBLE) / region_cents, 6)
+                    AS region_share
+           FROM rgr ORDER BY region, rank_in_region""",
+      ),
       "q196_seq_support" ->
         """WITH squ AS (
              SELECT user_id, event_type,

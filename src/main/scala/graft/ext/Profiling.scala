@@ -126,6 +126,44 @@ object Profiling {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact WEIGHTED discrete quantiles per group — nearest-rank over
+    * cumulative WEIGHT instead of row count ([[groupQuantilesDisc]]'s
+    * weighted sibling): the quantile of unit price weighted by units
+    * sold answers "what does the median SOLD ITEM cost", which the
+    * row-grain quantile gets wrong whenever cheap items sell in bulk.
+    *
+    * Exactness: values and weights are integers; the cutoff is the q156
+    * integer ceiling `(p·W + 99) div 100` and the answer is the minimum
+    * value whose cumulative weight reaches it — no interpolation, no
+    * float boundary.
+    *
+    * Shape: the fact reduces to a (group, value) weight histogram FIRST
+    * (hash aggregate — distinct-value-sized downstream), one
+    * group-partitioned cumsum window over the histogram, group totals
+    * joined back at mart grain, conditional-min aggregates per
+    * quantile. */
+  def weightedQuantilesDisc(
+      df: DataFrame, groupCol: String, valueUnits: Column, weight: Column,
+      ps: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100),
+      "ps must be integer percents in (0, 100]")
+    val hist = df.groupBy(col(groupCol).as("grp"), valueUnits.as("v"))
+      .agg(sum(weight).as("w"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = hist.groupBy(col("grp")).agg(sum(col("w")).as("tw"))
+    val c = hist
+      .withColumn("cumw", sum(col("w")).over(cum))
+      .join(tot, Seq("grp"))
+    val aggs = ps.map { p =>
+      min(when(col("cumw") >= expr(s"($p * tw + 99) div 100"), col("v")))
+        .as(s"wp$p")
+    } :+ max(col("tw")).as("total_weight")
+    c.groupBy(col("grp").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** "p50" / "p99" / "p99_9" — the SQL mirror uses the same labels. */
   def quantileLabel(p: Double): String =
     "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString

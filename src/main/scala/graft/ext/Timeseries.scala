@@ -429,6 +429,33 @@ object Timeseries {
           .as("acf"))
   }
 
+  /** Daily new-vs-returning customer decomposition: per day, active
+    * purchasers split by whether it is their FIRST purchase day — the
+    * acquisition/retention growth-accounting mart
+    * ([[cohortLtvCurve]]'s daily margin, [[graft.ext.Behavior.retentionWeekly]]'s
+    * order-side sibling).
+    *
+    * Exactness: pure distinct/first-date integer counting; the share is
+    * one division. Shape: (user, day) distinct reduce → user-grain min
+    * → user-keyed equi join → day-grain hash aggregate. No windows. */
+  def newVsReturning(orderRevenue: DataFrame): DataFrame = {
+    val ud = orderRevenue
+      .select(col("user_id"), col("creation_date")).distinct()
+    val firsts = ud.groupBy(col("user_id"))
+      .agg(min(col("creation_date")).as("first_date"))
+    ud.join(firsts, Seq("user_id"))
+      .groupBy(col("creation_date"))
+      .agg(
+        count(lit(1)).as("active_users"),
+        sum(when(col("creation_date") === col("first_date"), 1L)
+          .otherwise(0L)).as("new_users"))
+      .select(
+        col("creation_date"), col("active_users"), col("new_users"),
+        (col("active_users") - col("new_users")).as("returning_users"),
+        round(col("new_users").cast("double") / col("active_users"), 6)
+          .as("new_share"))
+  }
+
   /** Seasonal-naive forecast backtest with MASE (Hyndman & Koehler '06):
     * forecast each day as the same weekday last week (ŷ(t) = y(t−7) on
     * the zero-filled spine), hold out each restaurant's last `testDays`
