@@ -1438,6 +1438,25 @@ object SparkEntry {
           Conformed.orderRevenueCached(s, dir), Tables.supplier(s, dir),
           Tables.nation(s, dir), Tables.region(s, dir))
         .orderBy(col("region"), col("rank_in_region"))),
+
+    // ---- ext: cumulative gain chart — decile capture/lift of loyalty
+    // users under the frequency ranking (targeting-model readout) ----
+    "q203_gain_chart" -> ((s, dir) =>
+      graft.ext.Experiment.gainChart(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("decile"))),
+
+    // ---- ext: near-dup cluster size distribution (dedup impact
+    // summary; size-1 row reconciles to the corpus) ----
+    "q204_cluster_sizes" -> ((s, dir) =>
+      graft.ext.Clusters.clusterSizeHistogram(
+          Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.5)
+        .orderBy(col("cluster_size"))),
+
+    // ---- ext: per-restaurant lifecycle profile (span, active-day
+    // density, revenue per active day) ----
+    "q205_lifecycle" -> ((s, dir) =>
+      graft.ext.Timeseries.lifecycleProfile(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2256,6 +2275,62 @@ object SparkEntry {
         ExtOracleSql.ivfPqTopK(queryModEvery = 50, k = 5, blocks = 4,
           seedEvery = 100, centroidEvery = 100, nProbe = 2),
       "q195_dup_rate" -> ExtOracleSql.dupRateBySource(minJaccard = 0.7),
+      "q204_cluster_sizes" ->
+        ExtOracleSql.clusterSizeHistogram(minJaccard = 0.5),
+      "q205_lifecycle" -> OracleSql.withBase(
+        """lcd AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS cents
+             FROM order_revenue GROUP BY 1, 2),
+           lca AS (
+             SELECT restaurant_id,
+                    min(creation_date) AS first_day,
+                    max(creation_date) AS last_day,
+                    count(*) AS active_days,
+                    CAST(sum(cents) AS BIGINT) AS cents
+             FROM lcd GROUP BY 1)""",
+        """SELECT restaurant_id, first_day, last_day,
+                  CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT)
+                    AS span_days,
+                  active_days,
+                  round(CAST(active_days AS DOUBLE)
+                        / (date_diff('day', first_day, last_day) + 1), 6)
+                    AS activity_density,
+                  round(cents / 10000.0 / active_days, 6)
+                    AS revenue_per_active_day
+           FROM lca ORDER BY restaurant_id""",
+      ),
+      "q203_gain_chart" -> OracleSql.withBase(
+        """gnu AS (
+             SELECT user_id, count(DISTINCT order_id) AS freq,
+                    max(CASE WHEN is_loyalty THEN 1 ELSE 0 END) AS pos
+             FROM order_revenue GROUP BY 1),
+           gnd AS (
+             SELECT ntile(10) OVER (ORDER BY freq DESC, user_id) AS decile,
+                    pos
+             FROM gnu),
+           gng AS (
+             SELECT decile, count(*) AS n_users,
+                    CAST(sum(pos) AS BIGINT) AS n_pos
+             FROM gnd GROUP BY 1),
+           gnc AS (
+             SELECT decile, n_users, n_pos,
+                    CAST(sum(n_users) OVER (ORDER BY decile
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+                    CAST(sum(n_pos) OVER (ORDER BY decile
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+             FROM gng),
+           gnt AS (SELECT CAST(sum(n_users) AS BIGINT) AS tot_users,
+                          CAST(sum(n_pos) AS BIGINT) AS tot_pos
+                   FROM gng)""",
+        """SELECT decile, n_users, n_pos,
+                  round(CAST(n_pos AS DOUBLE) / n_users, 6) AS response_rate,
+                  round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_gain,
+                  round((CAST(cum_pos AS DOUBLE) / tot_pos)
+                        / (CAST(cum_users AS DOUBLE) / tot_users), 6)
+                    AS cum_lift
+           FROM gnc CROSS JOIN gnt ORDER BY decile""",
+      ),
       "q200_weighted_quantiles" ->
         """WITH wqh AS (
              SELECT p.p_type AS item_category,

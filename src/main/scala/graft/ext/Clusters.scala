@@ -212,4 +212,39 @@ object Clusters {
       .select(col("id").as(idCol), col("cluster_id"), col("cluster_size"),
         (col("id") === col("cluster_id")).as("is_canonical"))
   }
+
+  /** Near-dup cluster SIZE distribution — the dedup impact summary
+    * ([[nearDupClusters]] lists members; this answers "how much would
+    * keep-one-per-cluster shrink the corpus, and is duplication a few
+    * huge template families or many small pairs"). Unclustered docs
+    * appear as the size-1 row, so Σ n_docs reconciles to the corpus.
+    *
+    * Shape: the CC output reduces to cluster grain then to a size
+    * histogram (both mart-sized; the histogram is persisted because the
+    * singleton row re-reads it — Catalyst would otherwise re-run the
+    * whole LSH+CC subtree for two scalar aggregates). Exact integer
+    * counts; the share is one division. */
+  def clusterSizeHistogram(
+      docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val hist = nearDupClusters(docs, idCol, textCol, minJaccard)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val inClusters = hist
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_in"))
+    val singletons = total.crossJoin(inClusters)
+      .filter(col("n_total") > col("n_in"))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_in")).as("n_clusters"),
+        (col("n_total") - col("n_in")).as("n_docs"))
+    hist.unionByName(singletons)
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6)
+          .as("doc_share"))
+  }
 }

@@ -429,6 +429,37 @@ object Timeseries {
           .as("acf"))
   }
 
+  /** Per-restaurant lifecycle profile: first/last active day, span,
+    * distinct active days, activity density (active/span), and revenue
+    * per active day — the coverage audit that separates "steady daily
+    * seller" from "two bursts a year" before any per-day model
+    * ([[gapFillDaily]]'s spine assumes the span; this measures how full
+    * it is).
+    *
+    * One hash aggregate at (restaurant, day) grain then one at
+    * restaurant grain — no windows, no joins; integer cents and day
+    * arithmetic, two final divisions. */
+  def lifecycleProfile(orderRevenue: DataFrame): DataFrame =
+    orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+      .groupBy(col("restaurant_id"))
+      .agg(
+        min(col("creation_date")).as("first_day"),
+        max(col("creation_date")).as("last_day"),
+        count(lit(1)).as("active_days"),
+        sum(col("cents")).as("cents"))
+      .select(
+        col("restaurant_id"), col("first_day"), col("last_day"),
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long")
+          .as("span_days"),
+        col("active_days"),
+        round(col("active_days").cast("double")
+          / (datediff(col("last_day"), col("first_day")) + 1), 6)
+          .as("activity_density"),
+        round(col("cents") / 10000.0 / col("active_days"), 6)
+          .as("revenue_per_active_day"))
+
   /** Daily new-vs-returning customer decomposition: per day, active
     * purchasers split by whether it is their FIRST purchase day — the
     * acquisition/retention growth-accounting mart

@@ -1213,6 +1213,50 @@ object ExtOracleSql {
        |FROM cc JOIN sizes USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.ext.Clusters.clusterSizeHistogram]]: the
+    * [[dupClusters]] CC chain reduced to a size histogram, with the
+    * singleton (unclustered) row reconciling to the corpus. */
+  def clusterSizeHistogram(minJaccard: Double): String =
+    s"""WITH RECURSIVE $toksCte,
+       |$sigCte,
+       |$bandsCte,
+       |sharr AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM toks),
+       |verified AS (
+       |  SELECT id_a, id_b
+       |  FROM pairs
+       |  JOIN sharr a ON pairs.id_a = a.doc_id
+       |  JOIN sharr b ON pairs.id_b = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |        >= $minJaccard),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM verified
+       |  UNION
+       |  SELECT id_b, id_a FROM verified),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id),
+       |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1),
+       |hst AS (
+       |  SELECT cluster_size, count(*) AS n_clusters,
+       |         CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |  FROM sizes GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM documents),
+       |inn AS (SELECT CAST(COALESCE(sum(n_docs), 0) AS BIGINT) AS n_in
+       |        FROM hst),
+       |uni AS (
+       |  SELECT cluster_size, n_clusters, n_docs FROM hst
+       |  UNION ALL
+       |  SELECT 1, tot.n_total - inn.n_in, tot.n_total - inn.n_in
+       |  FROM tot, inn WHERE tot.n_total > inn.n_in)
+       |SELECT u.cluster_size, u.n_clusters, u.n_docs,
+       |       round(CAST(u.n_docs AS DOUBLE) / tot.n_total, 6) AS doc_share
+       |FROM uni u CROSS JOIN tot
+       |ORDER BY cluster_size""".stripMargin
+
   /** Fixed-iteration integer-unit PageRank over the LSH-verified
     * near-dup graph (mirrors [[graft.ext.Clusters.pageRank]] fed by
     * `lshVerifiedPairs`): the recurrence unrolls to `iterations` chained
