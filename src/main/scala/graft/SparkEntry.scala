@@ -1457,6 +1457,22 @@ object SparkEntry {
     "q205_lifecycle" -> ((s, dir) =>
       graft.ext.Timeseries.lifecycleProfile(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("restaurant_id"))),
+
+    // ---- ext: session conversion by depth (purchase share per
+    // engagement depth; shares q191's session frame) ----
+    "q206_session_conversion" -> ((s, dir) =>
+      graft.ext.Behavior.sessionConversion(Tables.events(s, dir))
+        .orderBy(col("depth"))),
+
+    // ---- ext: monthly market-mix HHI trend (+MoM delta) ----
+    "q207_concentration_trend" -> ((s, dir) =>
+      graft.ext.Olap.monthlyConcentration(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("month"))),
+
+    // ---- ext: basket-size economics (order share + AOV per size) ----
+    "q208_basket_economics" -> ((s, dir) =>
+      graft.ext.Olap.basketSizeEconomics(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("basket_size"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2277,6 +2293,76 @@ object SparkEntry {
       "q195_dup_rate" -> ExtOracleSql.dupRateBySource(minJaccard = 0.7),
       "q204_cluster_sizes" ->
         ExtOracleSql.clusterSizeHistogram(minJaccard = 0.5),
+      "q206_session_conversion" ->
+        """WITH sce AS (
+             SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+             FROM events),
+           scl AS (
+             SELECT user_id, event_id, event_type, tsu,
+                    CASE WHEN lag(tsu) OVER w IS NULL
+                           OR tsu - lag(tsu) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS is_new
+             FROM sce
+             WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+           sci AS (
+             SELECT user_id, event_type,
+                    CAST(sum(is_new) OVER (PARTITION BY user_id
+                      ORDER BY tsu, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS sid
+             FROM scl),
+           scg AS (
+             SELECT user_id, sid, count(*) AS n_events,
+                    CAST(sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_purch
+             FROM sci GROUP BY 1, 2),
+           scd AS (
+             SELECT least(n_events, 10) AS depth, count(*) AS n_sessions,
+                    CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_converting
+             FROM scg GROUP BY 1)
+           SELECT depth, n_sessions, n_converting,
+                  round(CAST(n_converting AS DOUBLE) / n_sessions, 6)
+                    AS conversion_rate
+           FROM scd ORDER BY depth""",
+      "q207_concentration_trend" -> OracleSql.withBase(
+        """mch AS (
+             SELECT CAST(date_trunc('month', creation_date) AS DATE) AS month,
+                    item_category,
+                    CAST(sum(CAST(round(total_revenue * 10000) AS BIGINT))
+                         // 10000 AS BIGINT) AS d
+             FROM order_revenue GROUP BY 1, 2),
+           mca AS (
+             SELECT month, count(*) AS n_categories,
+                    CAST(sum(d) AS BIGINT) AS sd,
+                    CAST(sum(d * d) AS BIGINT) AS sd2
+             FROM mch GROUP BY 1),
+           mcb AS (
+             SELECT month, n_categories,
+                    round(CAST(sd2 AS DOUBLE) / CAST(sd * sd AS DOUBLE), 6)
+                      AS hhi
+             FROM mca WHERE sd > 0)""",
+        """SELECT month, n_categories, hhi,
+                  round(hhi - lag(hhi) OVER (ORDER BY month), 6) AS hhi_delta
+           FROM mcb ORDER BY month""",
+      ),
+      "q208_basket_economics" -> OracleSql.withBase(
+        """bso AS (
+             SELECT order_id, count(*) AS n_lines,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS cents
+             FROM order_revenue GROUP BY 1),
+           bst AS (SELECT count(*) AS n_total FROM bso),
+           bsd AS (
+             SELECT least(n_lines, 10) AS basket_size,
+                    count(*) AS n_orders,
+                    CAST(sum(cents) AS BIGINT) AS scents
+             FROM bso GROUP BY 1)""",
+        """SELECT basket_size, n_orders,
+                  round(CAST(n_orders AS DOUBLE) / bst.n_total, 6)
+                    AS order_share,
+                  round(scents / 10000.0 / n_orders, 6) AS avg_order_value
+           FROM bsd CROSS JOIN bst ORDER BY basket_size""",
+      ),
       "q205_lifecycle" -> OracleSql.withBase(
         """lcd AS (
              SELECT restaurant_id, creation_date,

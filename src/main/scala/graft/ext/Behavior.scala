@@ -401,15 +401,17 @@ object Behavior {
     * boundary-count on the same sort — the unavoidable sessionization
     * shuffle), then hash aggregates at session and depth grain; the
     * grand total rides back as a broadcast scalar. */
-  def sessionStats(
-      events: DataFrame, gapMinutes: Int = 30,
-      depthCap: Int = 10): DataFrame = {
+  /** Shared gap-sessionized frame: one row per (user, session) with
+    * event count, duration, and purchase count — the single window sort
+    * both session marts ([[sessionStats]], [[sessionConversion]]) read. */
+  private def sessionFrame(events: DataFrame, gapMinutes: Int): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
     val byTs = Window.partitionBy(col("user_id"))
       .orderBy(col("tsu"), col("event_id"))
     val run = byTs.rowsBetween(Window.unboundedPreceding, 0)
-    val sessions = events
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
       .withColumn("prev", lag(col("tsu"), 1).over(byTs))
       .withColumn("is_new",
         when(col("prev").isNull || col("tsu") - col("prev") > gapUs, 1L)
@@ -417,7 +419,15 @@ object Behavior {
       .withColumn("sid", sum(col("is_new")).over(run))
       .groupBy(col("user_id"), col("sid"))
       .agg(count(lit(1)).as("n_events"),
-        (max(col("tsu")) - min(col("tsu"))).as("dur_us"))
+        (max(col("tsu")) - min(col("tsu"))).as("dur_us"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+  }
+
+  def sessionStats(
+      events: DataFrame, gapMinutes: Int = 30,
+      depthCap: Int = 10): DataFrame = {
+    val sessions = sessionFrame(events, gapMinutes)
     val total = sessions.agg(count(lit(1)).as("n_total"))
     sessions
       .withColumn("depth", least(col("n_events"), lit(depthCap.toLong)))
@@ -431,6 +441,24 @@ object Behavior {
         round(col("sdur") / 1e6 / col("n_sessions"), 6)
           .as("mean_duration_sec"))
   }
+
+  /** Session conversion by depth: the share of sessions at each
+    * engagement depth that contain a purchase — the funnel-economics
+    * companion to [[sessionStats]] (does conversion actually rise with
+    * depth, and where does it saturate). Same shared session frame, a
+    * different depth-grain rollup; exact counts, one division. */
+  def sessionConversion(
+      events: DataFrame, gapMinutes: Int = 30,
+      depthCap: Int = 10): DataFrame =
+    sessionFrame(events, gapMinutes)
+      .withColumn("depth", least(col("n_events"), lit(depthCap.toLong)))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_purchases") > 0, 1L).otherwise(0L))
+          .as("n_converting"))
+      .select(col("depth"), col("n_sessions"), col("n_converting"),
+        round(col("n_converting").cast("double") / col("n_sessions"), 6)
+          .as("conversion_rate"))
 
   /** First-order Markov next-event predictor with a held-out accuracy
     * readout: train the transition matrix on a deterministic 80% user

@@ -70,6 +70,58 @@ object Olap {
           < threshold).as("in_head"))
   }
 
+  /** Market-mix concentration TREND: [[revenueConcentration]]'s HHI
+    * computed per month over the whole market's category mix, with the
+    * month-over-month delta — is the business diversifying or
+    * collapsing onto fewer categories. Same exact integer-dollar
+    * machinery (floor-division parity via the pmod identity); the lag
+    * window runs at MONTH grain (mart-sized, the q165 judgment). */
+  def monthlyConcentration(orderRevenue: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byMonth = orderRevenue
+      .groupBy(to_date(date_trunc("month", col("creation_date"))).as("month"),
+        col("item_category"))
+      .agg(expr("""(sum(cast(round(total_revenue * 10000) as long))
+                   - pmod(sum(cast(round(total_revenue * 10000) as long)), 10000))
+                  div 10000""").as("d"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sd2"))
+      .filter(col("sd") > 0)
+      .select(col("month"), col("n_categories"),
+        round(col("sd2").cast("double") / (col("sd") * col("sd")).cast("double"), 6)
+          .as("hhi"))
+    byMonth
+      .withColumn("hhi_delta",
+        round(col("hhi") - lag(col("hhi"), 1).over(Window.orderBy(col("month"))), 6))
+  }
+
+  /** Basket-size economics: orders bucketed by line count (capped),
+    * with order share and average order value per bucket — the
+    * "do bigger baskets pay" readout next to [[graft.ext.Association]]'s
+    * cross-sell signals. Fact → order-grain hash aggregate → bucket
+    * rollup; exact cents, single divisions. */
+  def basketSizeEconomics(
+      orderRevenue: DataFrame, cap: Int = 10): DataFrame = {
+    val orders = orderRevenue
+      .groupBy(col("order_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val total = orders.agg(count(lit(1)).as("n_total"))
+    orders
+      .withColumn("basket_size", least(col("n_lines"), lit(cap.toLong)))
+      .groupBy(col("basket_size"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("scents"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("basket_size"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("n_total"), 6)
+          .as("order_share"),
+        round(col("scents") / 10000.0 / col("n_orders"), 6)
+          .as("avg_order_value"))
+  }
+
   /** Gini coefficient of per-customer revenue within each restaurant —
     * the inequality audit next to [[revenueConcentration]]'s HHI: HHI
     * asks "how concentrated are my CATEGORIES", Gini asks "how unequal
