@@ -1473,6 +1473,39 @@ object SparkEntry {
     "q208_basket_economics" -> ((s, dir) =>
       graft.ext.Olap.basketSizeEconomics(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("basket_size"))),
+
+    // ---- ext: discount-band effectiveness over the raw pricing fact ----
+    "q209_discount_bands" -> ((s, dir) =>
+      graft.ext.Olap.discountBands(Tables.lineitem(s, dir))
+        .orderBy(col("discount_pct"))),
+
+    // ---- ext: return-flag exposure per category ----
+    "q210_return_rates" -> ((s, dir) =>
+      graft.ext.Olap.returnRates(Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy(col("item_category"))),
+
+    // ---- ext: dead-stock audit per brand (anti-join accounting) ----
+    "q211_dead_stock" -> ((s, dir) =>
+      graft.ext.Olap.deadStock(Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy(col("p_brand"))),
+
+    // ---- ext: RFM-segment × market-segment contingency with per-cell
+    // chi² contributions over the FULL grid ----
+    "q212_segment_crosstab" -> ((s, dir) => {
+      val seg = graft.gold.Rfm(Conformed.orderRevenueCached(s, dir))
+        .select(col("user_id"), col("segment"))
+      val mkt = Tables.customer(s, dir).select(
+        col("c_custkey").as("user_id"), col("c_mktsegment").as("mktsegment"))
+      graft.ext.Profiling.contingencyChi2(
+          seg.join(mkt, Seq("user_id")), "segment", "mktsegment")
+        .orderBy(col("segment"), col("mktsegment"))
+    }),
+
+    // ---- ext: Fisher per-dimension label separability (LDA screen) ----
+    "q213_fisher_ratio" -> ((s, dir) =>
+      graft.ext.Profiling.fisherSeparability(
+          Tables.embeddings(s, dir), "embedding", "label")
+        .orderBy(col("dim_idx"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2293,6 +2326,136 @@ object SparkEntry {
       "q195_dup_rate" -> ExtOracleSql.dupRateBySource(minJaccard = 0.7),
       "q204_cluster_sizes" ->
         ExtOracleSql.clusterSizeHistogram(minJaccard = 0.5),
+      "q212_segment_crosstab" -> OracleSql.withBase(
+        """xrf AS (
+             SELECT user_id,
+                    count(DISTINCT order_id) AS frequency,
+                    sum(round(total_revenue * 10000)) / 10000.0 AS monetary,
+                    max(creation_date) AS last_purchase_date
+             FROM order_revenue GROUP BY 1),
+           xsg AS (
+             SELECT user_id,
+                    CASE WHEN date_diff('day', last_purchase_date,
+                                (SELECT today FROM anchor)) <= 15
+                              AND frequency >= 5 AND monetary >= 100
+                         THEN 'VIP'
+                         WHEN frequency <= 1
+                              AND date_diff('day', last_purchase_date,
+                                (SELECT today FROM anchor)) <= 15
+                         THEN 'New'
+                         WHEN date_diff('day', last_purchase_date,
+                                (SELECT today FROM anchor)) > 45
+                              AND frequency <= 2
+                         THEN 'Churn Risk'
+                         ELSE 'Standard' END AS segment
+             FROM xrf),
+           xjn AS (
+             SELECT s.segment AS r, c.c_mktsegment AS c
+             FROM xsg s JOIN customer c ON s.user_id = c.c_custkey),
+           xcl AS (SELECT r, c, count(*) AS n FROM xjn GROUP BY 1, 2),
+           xrt AS (SELECT r, CAST(sum(n) AS BIGINT) AS rt FROM xcl GROUP BY 1),
+           xct AS (SELECT c, CAST(sum(n) AS BIGINT) AS ct FROM xcl GROUP BY 1),
+           xtt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM xcl),
+           xgr AS (
+             SELECT xrt.r, xct.c, xrt.rt, xct.ct,
+                    COALESCE(xcl.n, 0) AS n
+             FROM xrt CROSS JOIN xct
+             LEFT JOIN xcl ON xcl.r = xrt.r AND xcl.c = xct.c),
+           xex AS (
+             SELECT r, c, n,
+                    CAST(rt AS DOUBLE) * ct / xtt.tot AS e
+             FROM xgr CROSS JOIN xtt)""",
+        """SELECT r AS segment, c AS mktsegment, n,
+                  round(e, 6) AS expected,
+                  round((n - e) * (n - e) / e, 6) AS chi2_cell
+           FROM xex ORDER BY segment, mktsegment""",
+      ),
+      "q213_fisher_ratio" ->
+        """WITH fsq AS (
+             SELECT label,
+                    list_transform(CAST(embedding AS DOUBLE[]),
+                      x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+             FROM embeddings),
+           fse AS (
+             SELECT label,
+                    unnest(generate_series(1, len(qv))) - 1 AS pos,
+                    unnest(qv) AS x
+             FROM fsq),
+           fsl AS (
+             SELECT label, pos, count(*) AS n,
+                    CAST(sum(x) AS BIGINT) AS s,
+                    CAST(sum(x * x) AS BIGINT) AS q2
+             FROM fse GROUP BY 1, 2),
+           fsm AS (
+             SELECT pos, CAST(sum(n) AS BIGINT) AS nn,
+                    CAST(sum(s) AS BIGINT) AS ss
+             FROM fsl GROUP BY 1),
+           fst AS (
+             SELECT l.pos,
+                    CAST(round(l.n * ((CAST(l.s AS DOUBLE) / l.n
+                                       - CAST(m.ss AS DOUBLE) / m.nn)
+                                      * (CAST(l.s AS DOUBLE) / l.n
+                                         - CAST(m.ss AS DOUBLE) / m.nn))
+                               * 1000.0) AS BIGINT) AS bt,
+                    CAST(round((l.q2 - CAST(l.s AS DOUBLE) * l.s / l.n)
+                               * 1000.0) AS BIGINT) AS wt
+             FROM fsl l JOIN fsm m USING (pos)),
+           fsa AS (
+             SELECT pos, count(*) AS n_classes,
+                    CAST(sum(bt) AS BIGINT) AS bu,
+                    CAST(sum(wt) AS BIGINT) AS wu
+             FROM fst GROUP BY 1)
+           SELECT CAST(pos AS BIGINT) AS dim_idx, n_classes,
+                  CASE WHEN wu > 0
+                       THEN round(CAST(bu AS DOUBLE) / wu, 6) END
+                    AS fisher_ratio
+           FROM fsa ORDER BY dim_idx""",
+      "q209_discount_bands" ->
+        """WITH dbl AS (
+             SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+                    count(*) AS n_lines,
+                    CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+                      AS BIGINT) AS gross,
+                    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                        * 10000) AS BIGINT)) AS BIGINT) AS net,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             FROM lineitem GROUP BY 1)
+           SELECT discount_pct, n_lines,
+                  round(gross / 10000.0, 6) AS gross_revenue,
+                  round(net / 10000.0, 6) AS net_revenue,
+                  round((gross - net) / 10000.0, 6) AS margin_give_up,
+                  round(CAST(qty AS DOUBLE) / n_lines, 6) AS avg_quantity
+           FROM dbl ORDER BY discount_pct""",
+      "q210_return_rates" ->
+        """WITH rrl AS (
+             SELECT p.p_type AS item_category,
+                    count(*) AS n_lines,
+                    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_returned,
+                    CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                             THEN CAST(round(l.l_extendedprice
+                                             * (1 - l.l_discount) * 10000)
+                                  AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS ret_cents
+             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             GROUP BY 1)
+           SELECT item_category, n_lines, n_returned,
+                  round(CAST(n_returned AS DOUBLE) / n_lines, 6)
+                    AS return_share,
+                  round(ret_cents / 10000.0, 6) AS returned_revenue
+           FROM rrl ORDER BY item_category""",
+      "q211_dead_stock" ->
+        """WITH dso AS (SELECT DISTINCT l_partkey FROM lineitem),
+           dsb AS (
+             SELECT p.p_brand,
+                    count(*) AS n_parts,
+                    CAST(sum(CASE WHEN o.l_partkey IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dead
+             FROM part p LEFT JOIN dso o ON p.p_partkey = o.l_partkey
+             GROUP BY 1)
+           SELECT p_brand, n_parts, n_dead,
+                  round(CAST(n_dead AS DOUBLE) / n_parts, 6) AS dead_share
+           FROM dsb ORDER BY p_brand""",
       "q206_session_conversion" ->
         """WITH sce AS (
              SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu

@@ -70,6 +70,70 @@ object Olap {
           < threshold).as("in_head"))
   }
 
+  /** Discount-band effectiveness over the RAW fact: lines bucketed by
+    * integer discount percent, with volume, gross/net revenue, the
+    * realized margin give-up, and average quantity per band — does
+    * deeper discounting actually move units
+    * ([[graft.gold.Discount]] reads the conformed option stream; this
+    * reads the pricing columns directly). One hash aggregate at band
+    * grain; exact 1e-4-unit money; single-division ratios. */
+  def discountBands(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(round(col("l_discount") * 100).cast("long").as("discount_pct"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * 10000).cast("long")).as("gross"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("net"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .select(
+        col("discount_pct"), col("n_lines"),
+        round(col("gross") / 10000.0, 6).as("gross_revenue"),
+        round(col("net") / 10000.0, 6).as("net_revenue"),
+        round((col("gross") - col("net")) / 10000.0, 6).as("margin_give_up"),
+        round(col("qty").cast("double") / col("n_lines"), 6)
+          .as("avg_quantity"))
+
+  /** Return-flag exposure per category: how much volume and revenue
+    * each category has in RETURNED lines (`l_returnflag = 'R'`) — the
+    * merchandising-risk audit next to [[discountBands]]. Broadcast dim
+    * join + one conditional hash aggregate. */
+  def returnRates(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"),
+        col("p_type").as("item_category"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("item_category"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        sum(when(col("l_returnflag") === "R",
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long")).otherwise(0L)).as("ret_cents"))
+      .select(
+        col("item_category"), col("n_lines"), col("n_returned"),
+        round(col("n_returned").cast("double") / col("n_lines"), 6)
+          .as("return_share"),
+        round(col("ret_cents") / 10000.0, 6).as("returned_revenue"))
+
+  /** Dead-stock audit per brand: catalog parts that NO order line ever
+    * touched — pure anti-join accounting (the assortment hygiene
+    * readout; at 100 TB the fact side collapses to a distinct-key set
+    * before the anti join). */
+  def deadStock(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val ordered = lineitem.select(col("l_partkey").as("p_partkey")).distinct()
+    part.select(col("p_partkey"), col("p_brand"))
+      .join(ordered.withColumn("m", lit(1)), Seq("p_partkey"), "left_outer")
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_dead"))
+      .select(col("p_brand"), col("n_parts"), col("n_dead"),
+        round(col("n_dead").cast("double") / col("n_parts"), 6)
+          .as("dead_share"))
+  }
+
   /** Market-mix concentration TREND: [[revenueConcentration]]'s HHI
     * computed per month over the whole market's category mix, with the
     * month-over-month delta — is the business diversifying or

@@ -704,6 +704,84 @@ object Profiling {
       .drop("__lo", "__hi")
   }
 
+  /** Contingency crosstab with per-cell chi-square contributions:
+    * behavioral segment (rows) × an exogenous dimension (columns),
+    * over the FULL grid (zero cells included — the test statistic is
+    * wrong without them). Reads as "is my RFM segmentation independent
+    * of market segment, and WHICH cells drive the dependence"
+    * ([[groupMutualInformation]]'s test-statistic sibling).
+    *
+    * Exactness: counts exact; expected = row·col/N and the cell term
+    * (n−e)²/e are one shared IEEE chain each, 6dp. Shape: one hash
+    * aggregate at cell grain, the full grid via a mart-sized cross join
+    * of the two margins, margin totals joined back at grid grain —
+    * everything past the first aggregate is |rows|·|cols| rows. */
+  def contingencyChi2(
+      df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy(col("r")).agg(sum(col("n")).as("rt"))
+    val cols = cells.groupBy(col("c")).agg(sum(col("n")).as("ct"))
+    val tot = cells.agg(sum(col("n")).as("tot"))
+    rows.crossJoin(cols)
+      .join(cells, Seq("r", "c"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct") / col("tot"))
+      .select(
+        col("r").as(rowCol), col("c").as(colCol), col("n"),
+        round(col("e"), 6).as("expected"),
+        round((col("n") - col("e")) * (col("n") - col("e")) / col("e"), 6)
+          .as("chi2_cell"))
+  }
+
+  /** Fisher separability per embedding dimension: the between-class /
+    * within-class scatter ratio of each coordinate under the stored
+    * labels — the LDA-style screen for which dimensions actually carry
+    * label signal (a dimension at ratio ≈ 0 is noise for this task;
+    * [[covariancePairs]] feeds whitening, this feeds selection).
+    *
+    * Exactness: per-(label, dim) moments are exact longs over
+    * 1e-3-quantized values; the per-label between/within TERMS quantize
+    * to integer units before the cross-label sums (float order across
+    * labels would differ between engines), and the final ratio is one
+    * division of those order-free sums — the unit scale cancels.
+    *
+    * Shape: one posexplode into a (label, dim)-keyed aggregate
+    * (labels·dim past the exchange, corpus-independent), a dim-grain
+    * margin, and a labels·dim-sized join — nothing downstream grows
+    * with the corpus. */
+  def fisherSeparability(
+      df: DataFrame, embCol: String, labelCol: String,
+      unitsPerValue: Int = 1000): DataFrame = {
+    val q = df.select(col(labelCol).as("label"),
+      transform(col(embCol), x =>
+        round(x.cast("double") * unitsPerValue).cast("long")).as("qv"))
+    val lp = q.select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q2"))
+    val margins = lp.groupBy(col("pos"))
+      .agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"))
+    lp.join(margins, Seq("pos"))
+      .withColumn("mu_c", col("s").cast("double") / col("n"))
+      .withColumn("mu", col("ss").cast("double") / col("nn"))
+      .withColumn("bt",
+        round(col("n") * ((col("mu_c") - col("mu"))
+          * (col("mu_c") - col("mu"))) * lit(1e3)).cast("long"))
+      .withColumn("wt",
+        round((col("q2") - col("s").cast("double") * col("s") / col("n"))
+          * lit(1e3)).cast("long"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("bt")).as("bu"), sum(col("wt")).as("wu"))
+      .select(col("pos").cast("long").as("dim_idx"), col("n_classes"),
+        when(col("wu") > 0,
+          round(col("bu").cast("double") / col("wu"), 6))
+          .as("fisher_ratio"))
+  }
+
   /** Incremental covariance maintenance: [[covariancePairs]] rebuilt by
     * MERGING two independently-computed partial-state frames (the
     * standing corpus vs a newly-landed delta) instead of rescanning
