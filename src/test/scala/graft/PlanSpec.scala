@@ -443,6 +443,62 @@ class PlanSpec extends SparkSpec {
       s"elasticity is one broadcast join + aggregates:\n$pe")
   }
 
+  test("q193-q213 additions keep their claimed shapes") {
+    def windowsPartitioned(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val wins = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$what must never run an unpartitioned window")
+    }
+    val rev = bindings.Conformed.orderRevenue(spark, sf)
+    val ev = core.Tables.events(spark, sf)
+    // Holt: the recurrence stays hash-partitioned by key (the EWMA rule)
+    val holt = planText(ext.Timeseries.holtForecast(rev))
+    assert(holt.contains("hashpartitioning(rid") &&
+      !holt.contains("rangepartitioning"),
+      s"Holt recurrence must sort within hash partitions:\n$holt")
+    // sequence support: user-grain equi self-join, no theta join
+    val seq = planText(ext.Behavior.sequenceSupport(ev))
+    assert(!seq.contains("CartesianProduct") && !seq.contains("NestedLoop")
+      || seq.contains("BroadcastNestedLoop"), // the scalar totals ride a broadcast NL
+      s"sequence support must join user-grain equi:\n$seq")
+    // session marts: one window sort each, partitioned
+    windowsPartitioned(ext.Behavior.sessionConversion(ev), "sessionConversion")
+    // Zipf / elasticity / fisher: no cartesian anywhere
+    val docs = core.Tables.documents(spark, sf)
+    for ((p, what) <- Seq(
+        (planText(ext.TextAnalysis.zipfFit(docs, "source", "text")), "zipfFit"),
+        (planText(ext.Profiling.fisherSeparability(
+          core.Tables.embeddings(spark, sf), "embedding", "label")),
+          "fisherSeparability")))
+      assert(!p.contains("CartesianProduct"), s"$what plans a cartesian:\n$p")
+    // IVF-PQ: probe list and distance tables broadcast; no cartesian
+    val ivfpq = planText(ext.Similarity.ivfPqTopK(
+      core.Tables.embeddings(spark, sf), "vec_id", "embedding"))
+    assert(!ivfpq.contains("CartesianProduct"),
+      s"IVF-PQ must not plan a cartesian:\n$ivfpq")
+    assert(ivfpq.contains("BroadcastHashJoin"),
+      "IVF-PQ probe/table joins must broadcast")
+    // incremental covariance: the merge is a union of partial aggregates
+    val inc = planText(ext.Profiling.covariancePairsIncremental(
+      core.Tables.embeddings(spark, sf), "vec_id", "embedding",
+      isDelta = col("vec_id") % 10 === 0))
+    assert(inc.contains("Union") && !inc.contains("CartesianProduct"),
+      s"incremental covariance must merge partial unions:\n$inc")
+    // regional league: every dim join broadcasts
+    val league = planText(gold.Geography.regionalLeague(
+      rev, core.Tables.supplier(spark, sf),
+      core.Tables.nation(spark, sf), core.Tables.region(spark, sf)))
+    assert(league.contains("BroadcastHashJoin"),
+      s"dim chain must broadcast:\n$league")
+    windowsPartitioned(gold.Geography.regionalLeague(
+      rev, core.Tables.supplier(spark, sf),
+      core.Tables.nation(spark, sf), core.Tables.region(spark, sf)),
+      "regionalLeague")
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
