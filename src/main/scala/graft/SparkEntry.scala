@@ -1506,6 +1506,26 @@ object SparkEntry {
       graft.ext.Profiling.fisherSeparability(
           Tables.embeddings(s, dir), "embedding", "label")
         .orderBy(col("dim_idx"))),
+
+    // ---- SQL front door for the NATIVE expressions: word_shingles /
+    // char_shingles / vec_dot registered via GraftExtensions, exercised
+    // through spark.sql end-to-end (the q107 pattern for the codegen
+    // expression surface) ----
+    "q214_sql_native_fns" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
+      Tables.embeddings(s, dir).createOrReplaceTempView("graft_embs")
+      s.sql("""
+        SELECT d.doc_id,
+               CAST(size(word_shingles(lower(d.text))) AS BIGINT)
+                 AS n_shingles,
+               CAST(size(char_shingles(lower(d.text))) AS BIGINT)
+                 AS n_chargrams,
+               round(vec_dot(CAST(e.embedding AS ARRAY<DOUBLE>),
+                             CAST(e.embedding AS ARRAY<DOUBLE>)), 6)
+                 AS norm_sq
+        FROM graft_docs d JOIN graft_embs e ON d.doc_id = e.vec_id
+        ORDER BY d.doc_id""")
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2326,6 +2346,23 @@ object SparkEntry {
       "q195_dup_rate" -> ExtOracleSql.dupRateBySource(minJaccard = 0.7),
       "q204_cluster_sizes" ->
         ExtOracleSql.clusterSizeHistogram(minJaccard = 0.5),
+      "q214_sql_native_fns" ->
+        s"""WITH nft AS (
+              SELECT doc_id, ${graft.functions.Portable.tokensSql("text")} AS t
+              FROM documents)
+            SELECT d.doc_id,
+                   CAST(len(${graft.functions.Portable.shinglesSql("t")})
+                     AS BIGINT) AS n_shingles,
+                   CAST(len(${graft.functions.Portable
+                     .charShinglesSql("lower(d.text)", 5)})
+                     AS BIGINT) AS n_chargrams,
+                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6)
+                     AS norm_sq
+            FROM documents d
+            JOIN nft USING (doc_id)
+            JOIN embeddings e ON d.doc_id = e.vec_id
+            ORDER BY d.doc_id""",
       "q212_segment_crosstab" -> OracleSql.withBase(
         """xrf AS (
              SELECT user_id,
