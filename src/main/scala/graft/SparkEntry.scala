@@ -1526,6 +1526,30 @@ object SparkEntry {
         FROM graft_docs d JOIN graft_embs e ON d.doc_id = e.vec_id
         ORDER BY d.doc_id""")
     }),
+
+    // ---- ext: PQ-code blocking dedup — the codebook IS the hash;
+    // collision pairs verified with the exact distance ----
+    "q215_pq_code_dedup" -> ((s, dir) =>
+      Similarity.pqCodeDedupPairs(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- ext: PMI collocations (top-k adjacent pairs by pointwise
+    // mutual information, minCount-pruned) ----
+    "q216_collocations" -> ((s, dir) =>
+      graft.ext.TextAnalysis.collocations(
+          Tables.documents(s, dir), "doc_id", "text", topK = 50, minCount = 5)
+        .orderBy(col("rank"))),
+
+    // ---- ext: per-source semantic diversity (within-source covariance
+    // trace over doc embeddings) ----
+    "q217_source_dispersion" -> ((s, dir) => {
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      Similarity.sourceDispersion(
+          Tables.embeddings(s, dir).join(src, Seq("vec_id")),
+          "vec_id", "embedding", col("source"))
+        .orderBy(col("source"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2346,6 +2370,67 @@ object SparkEntry {
       "q195_dup_rate" -> ExtOracleSql.dupRateBySource(minJaccard = 0.7),
       "q204_cluster_sizes" ->
         ExtOracleSql.clusterSizeHistogram(minJaccard = 0.5),
+      "q215_pq_code_dedup" ->
+        ExtOracleSql.pqCodeDedup(maxDist = 2.0, blocks = 4, seedEvery = 100),
+      "q216_collocations" ->
+        s"""WITH clt AS (
+              SELECT doc_id, ${graft.functions.Portable.tokensSql("text")} AS t
+              FROM documents),
+            clb AS (
+              SELECT t[i] AS w1, t[i + 1] AS w2
+              FROM (SELECT t, unnest(range(1, len(t))) AS i FROM clt)),
+            clm AS (SELECT w1, w2, count(*) AS c12 FROM clb GROUP BY 1, 2),
+            clbt AS (SELECT CAST(sum(c12) AS BIGINT) AS b FROM clm),
+            clug AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(t) AS w FROM clt) GROUP BY 1),
+            clnt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM clug),
+            clp AS (
+              SELECT m.w1, m.w2, m.c12,
+                     ln(CAST(m.c12 AS DOUBLE) / clbt.b)
+                       - ln(CAST(u1.c AS DOUBLE) / clnt.n)
+                       - ln(CAST(u2.c AS DOUBLE) / clnt.n) AS pmi_raw
+              FROM clm m
+              JOIN clug u1 ON m.w1 = u1.w
+              JOIN clug u2 ON m.w2 = u2.w
+              CROSS JOIN clbt CROSS JOIN clnt
+              WHERE m.c12 >= 5),
+            clr AS (
+              SELECT *, row_number() OVER (ORDER BY pmi_raw DESC, w1, w2)
+                AS rank
+              FROM clp)
+            SELECT rank, w1, w2, c12, round(pmi_raw, 6) AS pmi
+            FROM clr WHERE rank <= 50 ORDER BY rank""",
+      "q217_source_dispersion" ->
+        """WITH sdq AS (
+             SELECT d.source,
+                    list_transform(CAST(e.embedding AS DOUBLE[]),
+                      x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+             FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+           sde AS (
+             SELECT source,
+                    unnest(generate_series(1, len(qv))) - 1 AS pos,
+                    unnest(qv) AS x
+             FROM sdq),
+           sdm AS (
+             SELECT source, pos, count(*) AS n,
+                    CAST(sum(x) AS BIGINT) AS s,
+                    CAST(sum(x * x) AS BIGINT) AS q2
+             FROM sde GROUP BY 1, 2),
+           sdv AS (
+             SELECT source, n,
+                    CAST(round((CAST(q2 AS DOUBLE) / n
+                                - (CAST(s AS DOUBLE) / n)
+                                  * (CAST(s AS DOUBLE) / n)) * 1000.0)
+                      AS BIGINT) AS vu
+             FROM sdm),
+           sda AS (
+             SELECT source, max(n) AS n_vecs, CAST(sum(vu) AS BIGINT) AS vu
+             FROM sdv GROUP BY 1)
+           SELECT source, n_vecs,
+                  round(vu / 1000.0 / 1000000.0, 6) AS dispersion,
+                  round(vu / 1000.0 / 1000000.0 * 2.0, 6) AS mean_pairwise_sq
+           FROM sda ORDER BY source""",
       "q214_sql_native_fns" ->
         s"""WITH nft AS (
               SELECT doc_id, ${graft.functions.Portable.tokensSql("text")} AS t

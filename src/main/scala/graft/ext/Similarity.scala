@@ -926,6 +926,75 @@ object Similarity {
       k)
   }
 
+  /** PQ-code blocking dedup: vectors whose ENTIRE code word (one code
+    * per subspace) collides are near-duplicate candidates, verified
+    * with the exact distance — embedding-side dedup without an LSH
+    * family: the codebook IS the hash, and at 100 TB the code table
+    * already exists for search ([[pqEncode]]), so candidate generation
+    * is a groupBy on it. Collision groups are quantization cells —
+    * tight by construction — so the within-group verify is bounded by
+    * cell occupancy, never corpus².
+    *
+    * Emits every collision pair with its exact 6dp distance and the
+    * `is_near` verdict at `maxDist` (pairs above it are kept — they
+    * measure the blocker's false-positive rate, which a dedup run
+    * tunes the codebook against). */
+  def pqCodeDedupPairs(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      maxDist: Double = 2.0,
+      blocks: Int = 4, iters: Int = 2, seedEvery: Int = 100): DataFrame = {
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("emb"))
+    val keys = pqEncode(vecs, idCol, vecCol, blocks, iters, seedEvery)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("blk"), col("code"))))
+        .as("ck"))
+    val a = keys.toDF("id_a", "ck")
+    val b = keys.toDF("id_b", "ck")
+    a.join(b, Seq("ck"))
+      .filter(col("id_a") < col("id_b"))
+      .join(v.toDF("id_a", "emb_a"), Seq("id_a"))
+      .join(v.toDF("id_b", "emb_b"), Seq("id_b"))
+      .withColumn("dist", round(l2dist(col("emb_a"), col("emb_b")), 6))
+      .select(col("id_a"), col("id_b"), col("dist"),
+        (col("dist") <= maxDist).as("is_near"))
+  }
+
+  /** Per-source semantic diversity: the trace of each source's
+    * within-source covariance (Σ_d var_d — equivalently half the
+    * expected squared pairwise distance), from the same integer-unit
+    * moment machinery as [[graft.ext.Profiling.covariancePairs]] but
+    * diagonal-only, so the aggregate is sources·dim, not sources·dim².
+    * A source at low dispersion is semantically repetitive however
+    * clean its text metrics look — the embedding-space reading of
+    * [[graft.ext.TextAnalysis.vocabGrowth]].
+    *
+    * Exactness: per-(source, dim) moments are exact longs; each dim's
+    * variance term quantizes to an integer unit BEFORE the cross-dim
+    * sum (order-free), and the two outputs are single divisions. */
+  def sourceDispersion(
+      vecs: DataFrame, idCol: String, vecCol: String, sourceCol: Column,
+      unitsPerValue: Int = 1000): DataFrame = {
+    val q = vecs.select(sourceCol.as("source"),
+      transform(col(vecCol), x =>
+        round(x.cast("double") * unitsPerValue).cast("long")).as("qv"))
+    val u2 = unitsPerValue.toDouble * unitsPerValue.toDouble
+    q.select(col("source"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("source"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q2"))
+      .withColumn("var_units",
+        round((col("q2").cast("double") / col("n")
+          - (col("s").cast("double") / col("n"))
+            * (col("s").cast("double") / col("n"))) * lit(1e3)).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_vecs"), sum(col("var_units")).as("vu"))
+      .select(col("source"), col("n_vecs"),
+        round(col("vu") / 1e3 / lit(u2), 6).as("dispersion"),
+        round(col("vu") / 1e3 / lit(u2) * 2.0, 6)
+          .as("mean_pairwise_sq"))
+  }
+
   /** Recall@k of the compressed ([[pqAdcTopK]]) search against the
     * exact Euclidean top-k on the same query set — the acceptance gate
     * a PQ deployment publishes next to its compression ratio (the

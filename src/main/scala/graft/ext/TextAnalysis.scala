@@ -644,6 +644,55 @@ object TextAnalysis {
         round((col("su") / 1e9) / col("n_bigrams"), 6).as("avg_logprob"))
   }
 
+  /** PMI collocations: the top-k adjacent token pairs by pointwise
+    * mutual information, PMI = ln(P(w₁w₂)/(P(w₁)P(w₂))) — the classic
+    * collocation detector ("New York" scores high, "of the" does not),
+    * complementing [[bigramMergeStats]]'s raw-frequency merge ranking.
+    * `minCount` prunes the unstable low-count tail PMI is notorious
+    * for.
+    *
+    * Exactness: all counts are exact longs; PMI is one shared
+    * three-term ln chain on identical doubles, ranked RAW (identical
+    * cross-engine) with (w₁, w₂) tie-breaks and 6dp-rounded for
+    * display.
+    *
+    * Shape: one bigram explode → corpus pair counts (bigram-vocab
+    * sized past the exchange), unigram counts joined in (AQE
+    * broadcasts moderate vocabularies), scalar totals broadcast; the
+    * ranking window runs over the minCount-pruned pair table —
+    * collocation-candidate sized, and the prune is what bounds it. */
+  def collocations(
+      docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 50, minCount: Long = 5): DataFrame = {
+    val t = Portable.tokens(col(textCol))
+    val pairsCol = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bg = docs.filter(col(textCol).isNotNull)
+      .select(explode(pairsCol).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bTot = model.agg(sum(col("c12")).as("b"))
+    val uni = docs.filter(col(textCol).isNotNull)
+      .select(explode(t).as("w")).groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTot = uni.agg(sum(col("c")).as("n"))
+    val byPmi = Window.orderBy(col("pmi_raw").desc, col("w1"), col("w2"))
+    model.filter(col("c12") >= minCount)
+      .join(uni.toDF("w1", "c1"), Seq("w1"))
+      .join(uni.toDF("w2", "c2"), Seq("w2"))
+      .crossJoin(broadcast(bTot))
+      .crossJoin(broadcast(nTot))
+      .withColumn("pmi_raw",
+        log(col("c12").cast("double") / col("b"))
+          - log(col("c1").cast("double") / col("n"))
+          - log(col("c2").cast("double") / col("n")))
+      .withColumn("rank", row_number().over(byPmi))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("w1"), col("w2"), col("c12"),
+        round(col("pmi_raw"), 6).as("pmi"))
+  }
+
   /** Zipf's-law fit per source: the OLS slope of ln(freq) on ln(rank)
     * over each source's top-`topN` terms — natural text sits near −1;
     * a flat slope flags templated/boilerplate sources, a steep one

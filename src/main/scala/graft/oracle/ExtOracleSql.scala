@@ -489,6 +489,23 @@ object ExtOracleSql {
        |FROM ipr WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors [[graft.ext.Similarity.pqCodeDedupPairs]]: full-code-word
+    * collision pairs verified with the exact 6dp distance. */
+  def pqCodeDedup(maxDist: Double, blocks: Int, seedEvery: Int): String =
+    s"""WITH ${pqChainCtes(blocks, seedEvery)},
+       |cdk AS (SELECT vec_id, list(code ORDER BY blk) AS ck
+       |        FROM pqa2 GROUP BY 1),
+       |cdp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |        FROM cdk a JOIN cdk b
+       |          ON a.ck = b.ck AND a.vec_id < b.vec_id)
+       |SELECT p.id_a, p.id_b,
+       |       round(list_distance(va.emb, vb.emb), 6) AS dist,
+       |       round(list_distance(va.emb, vb.emb), 6) <= $maxDist AS is_near
+       |FROM cdp p
+       |JOIN pqv va ON p.id_a = va.vec_id
+       |JOIN pqv vb ON p.id_b = vb.vec_id
+       |ORDER BY id_a, id_b""".stripMargin
+
   def embeddingNearDups(threshold: Double): String =
     s"""WITH $vecsCte
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
