@@ -1550,6 +1550,18 @@ object SparkEntry {
           "vec_id", "embedding", col("source"))
         .orderBy(col("source"))
     }),
+
+    // ---- ext: per-restaurant peak-hour profile (argmax hour + share +
+    // hour-concentration HHI; staffing readout over the hourly axis) ----
+    "q218_peak_hours" -> ((s, dir) =>
+      graft.ext.Olap.peakHourProfile(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"))),
+
+    // ---- ext: customer multi-homing histogram (distinct restaurants
+    // per user; loyalist vs browser decomposition) ----
+    "q219_multi_homing" -> ((s, dir) =>
+      graft.ext.Olap.multiHoming(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("n_restaurants"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2370,6 +2382,51 @@ object SparkEntry {
       "q195_dup_rate" -> ExtOracleSql.dupRateBySource(minJaccard = 0.7),
       "q204_cluster_sizes" ->
         ExtOracleSql.clusterSizeHistogram(minJaccard = 0.5),
+      "q218_peak_hours" -> OracleSql.withBase(
+        """phd AS (
+             SELECT restaurant_id, CAST(hour(creation_ts) AS BIGINT) AS hr,
+                    CAST(sum(CAST(round(total_revenue * 10000) AS BIGINT))
+                         // 10000 AS BIGINT) AS d
+             FROM order_revenue GROUP BY 1, 2),
+           phm AS (
+             SELECT restaurant_id, hr AS peak_hour FROM (
+               SELECT restaurant_id, hr,
+                      row_number() OVER (PARTITION BY restaurant_id
+                        ORDER BY d DESC, hr) AS rn
+               FROM phd)
+             WHERE rn = 1),
+           pha AS (
+             SELECT restaurant_id, count(*) AS n_active_hours,
+                    max(d) AS peak_dollars,
+                    CAST(sum(d) AS BIGINT) AS sd,
+                    CAST(sum(d * d) AS BIGINT) AS sd2
+             FROM phd GROUP BY 1)""",
+        """SELECT a.restaurant_id, a.n_active_hours, m.peak_hour,
+                  round(CAST(a.peak_dollars AS DOUBLE) / a.sd, 6)
+                    AS peak_share,
+                  round(CAST(a.sd2 AS DOUBLE) / CAST(a.sd * a.sd AS DOUBLE), 6)
+                    AS hour_hhi
+           FROM pha a JOIN phm m USING (restaurant_id)
+           WHERE a.sd > 0 ORDER BY restaurant_id""",
+      ),
+      "q219_multi_homing" -> OracleSql.withBase(
+        """mhu AS (
+             SELECT user_id,
+                    count(DISTINCT restaurant_id) AS n_rest,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS cents
+             FROM order_revenue GROUP BY 1),
+           mht AS (SELECT count(*) AS n_total FROM mhu),
+           mhd AS (
+             SELECT least(n_rest, 8) AS n_restaurants,
+                    count(*) AS n_users,
+                    CAST(sum(cents) AS BIGINT) AS scents
+             FROM mhu GROUP BY 1)""",
+        """SELECT n_restaurants, n_users,
+                  round(CAST(n_users AS DOUBLE) / mht.n_total, 6)
+                    AS user_share,
+                  round(scents / 10000.0 / n_users, 6) AS avg_user_revenue
+           FROM mhd CROSS JOIN mht ORDER BY n_restaurants""",
+      ),
       "q215_pq_code_dedup" ->
         ExtOracleSql.pqCodeDedup(maxDist = 2.0, blocks = 4, seedEvery = 100),
       "q216_collocations" ->

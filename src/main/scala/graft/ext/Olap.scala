@@ -70,6 +70,62 @@ object Olap {
           < threshold).as("in_head"))
   }
 
+  /** Per-restaurant peak-hour profile: the hour of day carrying the
+    * most revenue, its share, and the hour-concentration HHI — the
+    * staffing/capacity readout on top of the hourly trend mart (q10
+    * reports the full hourly grid; operators read this summary). The
+    * argmax is an order-free `min` over (−cents, hour) structs — no
+    * window, the q174 pattern.
+    *
+    * Two stacked hash aggregates (fact → (restaurant, hour) →
+    * restaurant); exact cents; shares are single divisions. Dollar
+    * units in the HHI keep Σd² inside int64 (the q176 rule). */
+  def peakHourProfile(orderRevenue: DataFrame): DataFrame =
+    orderRevenue
+      .groupBy(col("restaurant_id"),
+        hour(col("creation_ts")).cast("long").as("hr"))
+      .agg(expr("""(sum(cast(round(total_revenue * 10000) as long))
+                   - pmod(sum(cast(round(total_revenue * 10000) as long)), 10000))
+                  div 10000""").as("d"))
+      .groupBy(col("restaurant_id"))
+      .agg(
+        count(lit(1)).as("n_active_hours"),
+        min(struct((-col("d")).as("nd"), col("hr"))).getField("hr")
+          .as("peak_hour"),
+        max(col("d")).as("peak_dollars"),
+        sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sd2"))
+      .filter(col("sd") > 0)
+      .select(
+        col("restaurant_id"), col("n_active_hours"), col("peak_hour"),
+        round(col("peak_dollars").cast("double") / col("sd"), 6)
+          .as("peak_share"),
+        round(col("sd2").cast("double") / (col("sd") * col("sd")).cast("double"), 6)
+          .as("hour_hhi"))
+
+  /** Customer multi-homing: how many distinct restaurants each user
+    * orders from, rolled into a histogram (capped) with user share and
+    * mean per-user revenue per bucket — single-restaurant loyalists vs
+    * marketplace browsers. Fact → user grain → bucket rollup. */
+  def multiHoming(orderRevenue: DataFrame, cap: Int = 8): DataFrame = {
+    val users = orderRevenue
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("restaurant_id")).as("n_rest"),
+        sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val total = users.agg(count(lit(1)).as("n_total"))
+    users
+      .withColumn("n_restaurants", least(col("n_rest"), lit(cap.toLong)))
+      .groupBy(col("n_restaurants"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("scents"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("n_restaurants"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_total"), 6)
+          .as("user_share"),
+        round(col("scents") / 10000.0 / col("n_users"), 6)
+          .as("avg_user_revenue"))
+  }
+
   /** Discount-band effectiveness over the RAW fact: lines bucketed by
     * integer discount percent, with volume, gross/net revenue, the
     * realized margin give-up, and average quantity per band — does
