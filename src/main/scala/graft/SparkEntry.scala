@@ -1562,6 +1562,13 @@ object SparkEntry {
     "q219_multi_homing" -> ((s, dir) =>
       graft.ext.Olap.multiHoming(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("n_restaurants"))),
+
+    // ---- ext: curation drop-reason manifest — first-failing-rule
+    // accounting per source; Σ reconciles to source size ----
+    "q220_drop_reasons" -> ((s, dir) =>
+      graft.ext.Curation.dropReasonManifest(
+          Tables.documents(s, dir), "doc_id", "text", "source")
+        .orderBy(col("source"), col("disposition"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2382,6 +2389,8 @@ object SparkEntry {
       "q195_dup_rate" -> ExtOracleSql.dupRateBySource(minJaccard = 0.7),
       "q204_cluster_sizes" ->
         ExtOracleSql.clusterSizeHistogram(minJaccard = 0.5),
+      "q220_drop_reasons" -> ExtOracleSql.dropReasonManifest(
+        minQuality = 0.3, lang = "en", minJaccard = 0.5),
       "q218_peak_hours" -> OracleSql.withBase(
         """phd AS (
              SELECT restaurant_id, CAST(hour(creation_ts) AS BIGINT) AS hr,

@@ -43,6 +43,47 @@ object Curation {
         col("bucket"), col("split"))
   }
 
+  /** Drop-reason manifest: per (source, disposition) accounting of
+    * WHERE the corpus shrinks under [[curate]]'s rules — each doc gets
+    * its FIRST failing rule in the fixed order low_quality → wrong_lang
+    * → near_dup (or `kept`), so Σ n_docs per source reconciles exactly
+    * to the source size and the reasons never double-count. The "why
+    * did my data shrink" report a curation run publishes next to its
+    * keep list.
+    *
+    * Shape: the same three signal frames as [[curate]] (quality and
+    * lang are per-doc projections; the dup-loser set is the bucketed
+    * LSH+CC pass), one left join each, a CASE, and a mart-grain rollup
+    * with a source-partitioned share window. */
+  def dropReasonManifest(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      minQuality: Double = 0.3, lang: String = "en",
+      minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col(idCol), col("quality_score"))
+    val langs = TextAnalysis.langId(docs, idCol, textCol)
+      .select(col(idCol), col("detected_lang"))
+    val losers = Clusters.nearDupClusters(docs, idCol, textCol, minJaccard)
+      .filter(!col("is_canonical"))
+      .select(col(idCol)).withColumn("is_loser", lit(true))
+    val bySource = Window.partitionBy(col("source"))
+    docs.select(col(idCol), col(sourceCol).as("source"))
+      .join(quality, Seq(idCol))
+      .join(langs, Seq(idCol))
+      .join(losers, Seq(idCol), "left_outer")
+      .withColumn("disposition",
+        when(col("quality_score") < minQuality, "low_quality")
+          .when(col("detected_lang") =!= lang, "wrong_lang")
+          .when(col("is_loser"), "near_dup")
+          .otherwise("kept"))
+      .groupBy(col("source"), col("disposition"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("source_share",
+        round(col("n_docs").cast("double")
+          / sum(col("n_docs")).over(bySource), 6))
+  }
+
   /** The full corpus→training-batches composition: [[curate]] →
     * sliding-window chunking ([[TextAnalysis.chunk]]) → per-(split,
     * shard) sequence packing — curated text turned into fixed

@@ -1590,11 +1590,15 @@ object ExtOracleSql {
   /** Composed curation pipeline (mirrors [[graft.ext.Curation.curate]]):
     * quality gate + language gate + near-dup-loser anti-join + hash
     * split, each stage the same SQL as its standalone oracle. */
-  def curatedCorpus(minQuality: Double, lang: String, minJaccard: Double): String = {
+  /** Shared curation lineage: LSH→CC dup losers, lexicon language
+    * votes, and the rounded quality score — everything both
+    * [[curatedCorpus]] and [[dropReasonManifest]] filter on. Ends with
+    * `losers(doc_id)`, `langv(doc_id, detected_lang)`,
+    * `q(doc_id, quality_score)`. */
+  private def curationCtes(minJaccard: Double): String = {
     val stopList = graft.ext.TextAnalysis.qualityStopwords.map(w => s"'$w'").mkString(", ")
     val t = Portable.tokensSql("text")
-    val bucket = graft.ext.Sampling.hashBucketSql("doc_id", "split")
-    s"""WITH RECURSIVE $toksCte,
+    s"""$toksCte,
        |$sigCte,
        |$bandsCte,
        |sharr AS (
@@ -1644,7 +1648,12 @@ object ExtOracleSql {
        |               + 0.25 * (CAST(n_alpha AS DOUBLE) / n_chars)
        |               + 0.25 * least(1.0, (CAST(n_stop AS DOUBLE) / n_tokens) * 4.0),
        |               6) AS quality_score
-       |  FROM q0),
+       |  FROM q0)""".stripMargin
+  }
+
+  def curatedCorpus(minQuality: Double, lang: String, minJaccard: Double): String = {
+    val bucket = graft.ext.Sampling.hashBucketSql("doc_id", "split")
+    s"""WITH RECURSIVE ${curationCtes(minJaccard)},
        |cur AS (
        |  SELECT d.doc_id, l.detected_lang, q.quality_score
        |  FROM documents d
@@ -1660,6 +1669,30 @@ object ExtOracleSql {
        |            ELSE 'test' END AS split
        |FROM bk ORDER BY doc_id""".stripMargin
   }
+
+  /** Mirrors [[graft.ext.Curation.dropReasonManifest]]: first-failing
+    * disposition per doc under the same rule order, rolled up per
+    * source with within-source shares. */
+  def dropReasonManifest(minQuality: Double, lang: String, minJaccard: Double): String =
+    s"""WITH RECURSIVE ${curationCtes(minJaccard)},
+       |disp AS (
+       |  SELECT d.source,
+       |         CASE WHEN q.quality_score < $minQuality THEN 'low_quality'
+       |              WHEN l.detected_lang <> '$lang' THEN 'wrong_lang'
+       |              WHEN d.doc_id IN (SELECT doc_id FROM losers)
+       |                THEN 'near_dup'
+       |              ELSE 'kept' END AS disposition
+       |  FROM documents d
+       |  JOIN q USING (doc_id)
+       |  JOIN langv l USING (doc_id)),
+       |dra AS (
+       |  SELECT source, disposition, count(*) AS n_docs
+       |  FROM disp GROUP BY 1, 2)
+       |SELECT source, disposition, n_docs,
+       |       round(CAST(n_docs AS DOUBLE)
+       |             / sum(n_docs) OVER (PARTITION BY source), 6)
+       |         AS source_share
+       |FROM dra ORDER BY source, disposition""".stripMargin
 
   /** Per-column profile of lineitem (mirrors
     * [[graft.ext.Profiling.summarize]]): one UNION ALL branch per
