@@ -110,10 +110,10 @@ class Round7bOpsSpec extends SparkSpec {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
     val ev = Seq(
-      (1L, 1L, ts(0)), (1L, 2L, ts(10)),   // session of depth 2
-      (1L, 3L, ts(100)),                   // bounce after the gap
-      (2L, 4L, ts(0)))                     // bounce
-      .toDF("user_id", "event_id", "ts")
+      (1L, 1L, "view", ts(0)), (1L, 2L, "view", ts(10)), // depth 2
+      (1L, 3L, "view", ts(100)),           // bounce after the gap
+      (2L, 4L, "view", ts(0)))             // bounce
+      .toDF("user_id", "event_id", "event_type", "ts")
     val got = Behavior.sessionStats(ev).orderBy("depth")
       .select("depth", "n_sessions", "share", "mean_duration_sec")
       .as[(Long, Long, Double, Double)].collect()
