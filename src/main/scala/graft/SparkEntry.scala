@@ -1569,6 +1569,13 @@ object SparkEntry {
       graft.ext.Curation.dropReasonManifest(
           Tables.documents(s, dir), "doc_id", "text", "source")
         .orderBy(col("source"), col("disposition"))),
+
+    // ---- ext: budget realization — q157's plan turned into a greedy
+    // selection with utilization accounting ----
+    "q221_budget_realization" -> ((s, dir) =>
+      graft.ext.Curation.budgetRealization(
+          Tables.documents(s, dir), "doc_id", "text", "source")
+        .orderBy(col("source"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2389,6 +2396,47 @@ object SparkEntry {
       "q195_dup_rate" -> ExtOracleSql.dupRateBySource(minJaccard = 0.7),
       "q204_cluster_sizes" ->
         ExtOracleSql.clusterSizeHistogram(minJaccard = 0.5),
+      "q221_budget_realization" ->
+        s"""WITH brtk AS (
+              SELECT doc_id, source,
+                     CAST(len(${graft.functions.Portable.tokensSql("text")})
+                       AS BIGINT) AS tk
+              FROM documents),
+            brs AS (SELECT source, CAST(sum(tk) AS BIGINT) AS n_tokens
+                    FROM brtk GROUP BY 1),
+            brt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS w_total FROM brs),
+            brsh AS (
+              SELECT source, n_tokens,
+                     (1000000 * n_tokens) // w_total AS share,
+                     (1000000 * n_tokens) % w_total AS rem
+              FROM brs CROSS JOIN brt),
+            brrk AS (
+              SELECT source, CAST(share AS BIGINT) AS share,
+                     1000000 - CAST(sum(share) OVER () AS BIGINT) AS r_extra,
+                     row_number() OVER (ORDER BY rem DESC, source) AS rnk
+              FROM brsh),
+            brpl AS (
+              SELECT source,
+                     CAST(share + CASE WHEN rnk <= r_extra THEN 1 ELSE 0 END
+                          AS BIGINT) AS alloc_tokens
+              FROM brrk),
+            brcum AS (
+              SELECT doc_id, source, tk,
+                     CAST(sum(tk) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM brtk),
+            brsel AS (
+              SELECT c.source, count(*) AS n_docs_selected,
+                     CAST(max(c.cum) AS BIGINT) AS tokens_used
+              FROM brcum c JOIN brpl p USING (source)
+              WHERE c.cum <= p.alloc_tokens GROUP BY 1)
+            SELECT p.source, p.alloc_tokens,
+                   COALESCE(s.n_docs_selected, 0) AS n_docs_selected,
+                   COALESCE(s.tokens_used, 0) AS tokens_used,
+                   round(CAST(COALESCE(s.tokens_used, 0) AS DOUBLE)
+                         / p.alloc_tokens, 6) AS utilization
+            FROM brpl p LEFT JOIN brsel s USING (source)
+            ORDER BY source""",
       "q220_drop_reasons" -> ExtOracleSql.dropReasonManifest(
         minQuality = 0.3, lang = "en", minJaccard = 0.5),
       "q218_peak_hours" -> OracleSql.withBase(

@@ -169,6 +169,49 @@ object Curation {
         (alloc.cast("double") / col("n_tokens").cast("double")).as("epochs"))
   }
 
+  /** Budget REALIZATION: turn [[tokenBudgetPlan]]'s per-source token
+    * allocations into an actual greedy document selection (docs taken
+    * in id order until the source's allocation is exhausted) and report
+    * how well the plan lands — docs selected, tokens actually used,
+    * and utilization. The gap between plan and realization is document
+    * granularity: a source of huge docs strands budget the planner
+    * promised (the packing problem q63 then solves at sequence grain).
+    *
+    * Exactness: integer token cumsums against integer allocations — the
+    * keep predicate has no float boundary; utilization is one division.
+    *
+    * Shape: the plan is mix-grain (broadcast); selection is ONE
+    * source-partitioned cumsum window at doc grain + a mart-grain
+    * rollup; sources whose first doc overflows their allocation emit
+    * the zero row (LEFT join from the plan, so Σ sources reconciles). */
+  def budgetRealization(
+      docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val plan = tokenBudgetPlan(docs, idCol, textCol, sourceCol, budget)
+      .select(col("source"), col("alloc_tokens"))
+    val docToks = TextAnalysis.tokenCounts(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(sourceCol).as("source")), Seq(idCol))
+      .select(col(idCol).as("doc_id"), col("source"),
+        col("n_ws_tokens").cast("long").as("tk"))
+    val cum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sel = docToks
+      .withColumn("cum", sum(col("tk")).over(cum))
+      .join(broadcast(plan), Seq("source"))
+      .filter(col("cum") <= col("alloc_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_selected"),
+        max(col("cum")).as("tokens_used"))
+    plan.join(sel, Seq("source"), "left")
+      .select(
+        col("source"), col("alloc_tokens"),
+        coalesce(col("n_docs_selected"), lit(0L)).as("n_docs_selected"),
+        coalesce(col("tokens_used"), lit(0L)).as("tokens_used"),
+        round(coalesce(col("tokens_used"), lit(0L)).cast("double")
+          / col("alloc_tokens"), 6).as("utilization"))
+  }
+
   /** Temperature-scaled training mix (the multilingual/DoReMi-style
     * flattening of [[tokenBudgetPlan]]'s proportional plan): source
     * weights are n_tokens^(1/T) with T = 2 — i.e. integer
