@@ -1576,6 +1576,18 @@ object SparkEntry {
       graft.ext.Curation.budgetRealization(
           Tables.documents(s, dir), "doc_id", "text", "source")
         .orderBy(col("source"))),
+
+    // ---- ext: PQ quantization-error fairness by label (compression
+    // bias audit next to q175's recall gate) ----
+    "q222_pq_error_by_label" -> ((s, dir) =>
+      Similarity.pqErrorByLabel(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+        .orderBy(col("label"))),
+
+    // ---- ext: hour-of-week revenue heatmap (7×24 load curve) ----
+    "q223_hour_of_week" -> ((s, dir) =>
+      graft.ext.Olap.hourOfWeekGrid(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("iso_weekday"), col("hr"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2396,6 +2408,33 @@ object SparkEntry {
       "q195_dup_rate" -> ExtOracleSql.dupRateBySource(minJaccard = 0.7),
       "q204_cluster_sizes" ->
         ExtOracleSql.clusterSizeHistogram(minJaccard = 0.5),
+      "q222_pq_error_by_label" ->
+        s"""WITH ${graft.oracle.ExtOracleSql.pqChainCtes(blocks = 4, seedEvery = 100)},
+            pel AS (
+              SELECT e.label, a.vec_id, a.dist
+              FROM pqa2 a JOIN embeddings e USING (vec_id)),
+            pea AS (
+              SELECT label, count(DISTINCT vec_id) AS n_vecs,
+                     count(*) AS n_assignments,
+                     CAST(sum(CAST(round(dist * 1e6) AS BIGINT)) AS BIGINT)
+                       AS su
+              FROM pel GROUP BY 1)
+            SELECT label, n_vecs,
+                   round(su / 1e6 / n_assignments, 6) AS mean_block_dist
+            FROM pea ORDER BY label""",
+      "q223_hour_of_week" -> OracleSql.withBase(
+        """hwg AS (
+             SELECT CAST(isodow(creation_date) - 1 AS BIGINT) AS iso_weekday,
+                    CAST(hour(creation_ts) AS BIGINT) AS hr,
+                    count(*) AS n_lines,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS cents
+             FROM order_revenue GROUP BY 1, 2),
+           hwt AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM hwg)""",
+        """SELECT iso_weekday, hr, n_lines,
+                  round(cents / 10000.0, 6) AS revenue,
+                  round(CAST(cents AS DOUBLE) / hwt.tot, 6) AS week_share
+           FROM hwg CROSS JOIN hwt ORDER BY iso_weekday, hr""",
+      ),
       "q221_budget_realization" ->
         s"""WITH brtk AS (
               SELECT doc_id, source,

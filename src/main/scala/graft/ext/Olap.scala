@@ -103,6 +103,24 @@ object Olap {
         round(col("sd2").cast("double") / (col("sd") * col("sd")).cast("double"), 6)
           .as("hour_hhi"))
 
+  /** Hour-of-week revenue heatmap: the (ISO weekday × hour) grid with
+    * revenue, order-line volume, and each cell's share of the week —
+    * the load-curve interaction [[peakHourProfile]] (hour only) and the
+    * weekday seasonality mart (day only) each project away. One hash
+    * aggregate at 7×24 grain + a broadcast grand total; exact cents. */
+  def hourOfWeekGrid(orderRevenue: DataFrame): DataFrame = {
+    val cells = orderRevenue
+      .groupBy(weekday(col("creation_date")).cast("long").as("iso_weekday"),
+        hour(col("creation_ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val tot = cells.agg(sum(col("cents")).as("tot"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("iso_weekday"), col("hr"), col("n_lines"),
+        round(col("cents") / 10000.0, 6).as("revenue"),
+        round(col("cents").cast("double") / col("tot"), 6).as("week_share"))
+  }
+
   /** Customer multi-homing: how many distinct restaurants each user
     * orders from, rolled into a histogram (capped) with user share and
     * mean per-user revenue per bucket — single-restaurant loyalists vs

@@ -960,6 +960,34 @@ object Similarity {
         (col("dist") <= maxDist).as("is_near"))
   }
 
+  /** PQ quantization-error fairness audit: mean per-block assignment
+    * distance by LABEL — a label whose vectors sit systematically
+    * farther from their codewords is under-served by the codebook
+    * (trained on the majority), and its ADC search quality silently
+    * degrades: the compression-bias companion to [[pqAdcRecall]]'s
+    * aggregate recall.
+    *
+    * Exactness: [[pqEncode]]'s `dist` is already 6dp-rounded, so
+    * `dist·1e6` is an exact integer — per-label sums are order-free
+    * longs and the means are single divisions. One join to the label
+    * column + one hash aggregate over the codes table. */
+  def pqErrorByLabel(
+      vecs: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      blocks: Int = 4, iters: Int = 2, seedEvery: Int = 100): DataFrame = {
+    val labels = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(labelCol).as("label"))
+    pqEncode(vecs, idCol, vecCol, blocks, iters, seedEvery)
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("label"))
+      .agg(
+        countDistinct(col("vec_id")).as("n_vecs"),
+        count(lit(1)).as("n_assignments"),
+        sum(round(col("dist") * 1e6).cast("long")).as("su"))
+      .select(col("label"), col("n_vecs"),
+        round(col("su") / 1e6 / col("n_assignments"), 6)
+          .as("mean_block_dist"))
+  }
+
   /** Per-source semantic diversity: the trace of each source's
     * within-source covariance (Σ_d var_d — equivalently half the
     * expected squared pairwise distance), from the same integer-unit
