@@ -1588,6 +1588,48 @@ object SparkEntry {
     "q223_hour_of_week" -> ((s, dir) =>
       graft.ext.Olap.hourOfWeekGrid(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("iso_weekday"), col("hr"))),
+
+    // ---- ext/supply: min-cost supplier per part (TPC-H Q2 shape over
+    // observed line prices; window-min + broadcast dim chain) ----
+    "q224_min_cost_supplier" -> ((s, dir) =>
+      graft.ext.Supply.minCostSupplier(Tables.lineitem(s, dir),
+          Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))
+        .orderBy(col("p_partkey"))),
+
+    // ---- ext/supply: late-shipment audit per order priority (Q4
+    // EXISTS shape decorrelated to per-order max-flag) ----
+    "q225_late_priority" -> ((s, dir) =>
+      graft.ext.Supply.latePriorityAudit(
+          Tables.orders(s, dir), Tables.lineitem(s, dir), graceDays = 21)
+        .orderBy(col("o_orderpriority"))),
+
+    // ---- ext/supply: important-stock screen (Q11 HAVING-share shape;
+    // within-brand revenue share ≥ 1.5× the brand's average part share) ----
+    "q226_important_stock" -> ((s, dir) =>
+      graft.ext.Supply.importantStock(
+          Tables.lineitem(s, dir), Tables.part(s, dir), multipleTenths = 15)
+        .orderBy(col("p_brand"), col("p_partkey"))),
+
+    // ---- ext/supply: small-quantity revenue per brand (Q17 correlated
+    // scalar decorrelated to a part window) ----
+    "q227_small_qty_revenue" -> ((s, dir) =>
+      graft.ext.Supply.smallQuantityRevenue(
+          Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy(col("p_brand"))),
+
+    // ---- ext/supply: dormant high-balance sweep per market segment
+    // (Q22 shape: scalar-threshold + anti-join, exact integer compare) ----
+    "q228_dormant_accounts" -> ((s, dir) =>
+      graft.ext.Supply.dormantHighValue(
+          Tables.customer(s, dir), Tables.orders(s, dir), dormantDays = 90)
+        .orderBy(col("c_mktsegment"))),
+
+    // ---- ext/supply: supplier reliability league with Wilson lower
+    // bound (Q21 intent with defensible small-n statistics) ----
+    "q229_supplier_reliability" -> ((s, dir) =>
+      graft.ext.Supply.supplierReliability(Tables.lineitem(s, dir),
+          Tables.orders(s, dir), Tables.supplier(s, dir), graceDays = 21)
+        .orderBy(col("s_suppkey"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -4590,6 +4632,130 @@ object SparkEntry {
                 sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 10000.0
                   AS sum_extendedprice
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q224_min_cost_supplier" ->
+      """WITH pp AS (
+           SELECT l_partkey AS p_partkey, l_suppkey AS best_suppkey,
+                  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS net_cents,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                  count(*) AS n_lines
+           FROM lineitem GROUP BY 1, 2),
+         pr AS (
+           SELECT *, ((net_cents * 10000 * 2 + qty) // (qty * 2)) / 1000000.0
+                    AS unit_price FROM pp),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY p_partkey
+                    ORDER BY unit_price ASC, best_suppkey ASC) AS rn
+           FROM pr)
+         SELECT k.p_partkey, k.best_suppkey, s.s_name AS supplier_name,
+                n.n_name AS nation, r.r_name AS region, k.unit_price, k.n_lines
+         FROM rk k
+         JOIN supplier s ON k.best_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE k.rn = 1
+         ORDER BY k.p_partkey""",
+
+    "q225_late_priority" ->
+      """WITH fl AS (
+           SELECT o.o_orderkey AS k,
+                  max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 21 DAY
+                      THEN 1 ELSE 0 END) AS late
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1)
+         SELECT o.o_orderpriority, count(*) AS n_orders,
+                CAST(sum(COALESCE(fl.late, 0)) AS BIGINT) AS n_late_ship,
+                ((CAST(sum(COALESCE(fl.late, 0)) AS BIGINT) * 1000000 * 2
+                  + count(*)) // (count(*) * 2)) / 1000000.0 AS late_share
+         FROM orders o LEFT JOIN fl ON o.o_orderkey = fl.k
+         GROUP BY 1 ORDER BY 1""",
+
+    "q226_important_stock" ->
+      """WITH pp AS (
+           SELECT l_partkey,
+                  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS part_cents
+           FROM lineitem GROUP BY 1),
+         pb AS (
+           SELECT p.p_brand, pp.l_partkey AS p_partkey, pp.part_cents,
+                  CAST(sum(pp.part_cents) OVER (PARTITION BY p.p_brand)
+                    AS BIGINT) AS brand_cents,
+                  count(*) OVER (PARTITION BY p.p_brand) AS n_parts
+           FROM pp JOIN part p ON pp.l_partkey = p.p_partkey)
+         SELECT p_brand, p_partkey,
+                round(part_cents / 100.0, 6) AS revenue,
+                round(CAST(part_cents AS DOUBLE) / brand_cents, 6) AS share
+         FROM pb
+         WHERE part_cents * n_parts * 10 >= brand_cents * 15
+         ORDER BY p_brand, p_partkey""",
+
+    "q227_small_qty_revenue" ->
+      """WITH f AS (
+           SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                  CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS net_cents,
+                  CAST(sum(CAST(l_quantity AS BIGINT))
+                    OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_qty,
+                  count(*) OVER (PARTITION BY l_partkey) AS n_qty
+           FROM lineitem),
+         g AS (
+           SELECT p.p_brand, f.net_cents,
+                  CASE WHEN CAST(f.qty AS DOUBLE)
+                         < CAST(f.sum_qty AS DOUBLE) / f.n_qty * 0.5
+                       THEN 1 ELSE 0 END AS is_small
+           FROM f JOIN part p ON f.l_partkey = p.p_partkey)
+         SELECT p_brand, count(*) AS n_lines,
+                CAST(sum(is_small) AS BIGINT) AS n_small,
+                round(CAST(sum(CASE WHEN is_small = 1 THEN net_cents ELSE 0 END)
+                  AS BIGINT) / 100.0, 6) AS small_revenue,
+                round(CAST(sum(CASE WHEN is_small = 1 THEN net_cents ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(net_cents) AS BIGINT), 6) AS small_share
+         FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q228_dormant_accounts" ->
+      """WITH b AS (
+           SELECT CAST(sum(bb) AS BIGINT) AS sum_b, count(*) AS n_b
+           FROM (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bb
+                 FROM customer WHERE round(c_acctbal * 100) > 0) t),
+         h AS (SELECT max(o_orderdate) AS max_date FROM orders),
+         r AS (SELECT DISTINCT o_custkey FROM orders, h
+               WHERE o_orderdate > max_date - INTERVAL 90 DAY),
+         d AS (
+           SELECT c.c_mktsegment, c.c_acctbal FROM customer c, b
+           WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * b.n_b > b.sum_b
+             AND NOT EXISTS (SELECT 1 FROM r
+                             WHERE r.o_custkey = c.c_custkey))
+         SELECT c_mktsegment, count(*) AS n_dormant,
+                round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS BIGINT) / 100.0, 6) AS total_balance,
+                ((CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                  * 10000 * 2 + count(*)) // (count(*) * 2)) / 1000000.0
+                  AS avg_balance
+         FROM d GROUP BY 1 ORDER BY 1""",
+
+    "q229_supplier_reliability" ->
+      """WITH ps AS (
+           SELECT l.l_suppkey, count(*) AS n_lines,
+                  CAST(sum(CASE WHEN l.l_shipdate
+                        > o.o_orderdate + INTERVAL 21 DAY
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1),
+         w AS (
+           SELECT l_suppkey, n_lines, n_late,
+                  CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p,
+                  CAST(n_lines AS DOUBLE) AS nd
+           FROM ps)
+         SELECT s.s_suppkey, s.s_name, w.n_lines, w.n_late,
+                ((w.n_late * 1000000 * 2 + w.n_lines) // (w.n_lines * 2))
+                  / 1000000.0 AS late_rate,
+                round((w.p + 1.96 * 1.96 / (w.nd * 2)
+                       - 1.96 * sqrt(w.p * (1 - w.p) / w.nd
+                                     + 1.96 * 1.96 / (w.nd * w.nd * 4)))
+                      / (1 + 1.96 * 1.96 / w.nd), 6) AS wilson_lb
+         FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+         ORDER BY s.s_suppkey""",
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark
