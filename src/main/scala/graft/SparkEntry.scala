@@ -1630,6 +1630,31 @@ object SparkEntry {
       graft.ext.Supply.supplierReliability(Tables.lineitem(s, dir),
           Tables.orders(s, dir), Tables.supplier(s, dir), graceDays = 21)
         .orderBy(col("s_suppkey"))),
+
+    // ---- ext: Theil–Sen robust market trend (median of pairwise
+    // day-slopes; outlier-immune sibling of q154's OLS fit) ----
+    "q230_theil_sen" -> ((s, dir) =>
+      graft.ext.Timeseries.theilSen(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("n_days"))),
+
+    // ---- ext: hourly view→purchase lead–lag cross-correlation ----
+    "q231_event_xcorr" -> ((s, dir) =>
+      graft.ext.Behavior.eventXcorr(Tables.events(s, dir),
+          leadType = "view", lagType = "purchase", maxLag = 6)
+        .orderBy(col("lag"))),
+
+    // ---- ext: Mann–Whitney U loyalty-vs-rest revenue distribution
+    // test per category (tie-corrected rank statistics) ----
+    "q232_mann_whitney" -> ((s, dir) =>
+      graft.ext.Experiment.loyaltyMannWhitney(
+          Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("item_category"))),
+
+    // ---- ext: Hampel filter — ±3-day rolling-median/MAD revenue
+    // outliers per restaurant (median sibling of q132's rolling-z) ----
+    "q233_hampel" -> ((s, dir) =>
+      graft.ext.Timeseries.hampelOutliers(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -4756,6 +4781,136 @@ object SparkEntry {
                       / (1 + 1.96 * 1.96 / w.nd), 6) AS wilson_lb
          FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
          ORDER BY s.s_suppkey""",
+
+    "q230_theil_sen" -> OracleSql.withBase(
+      """tsd AS (SELECT creation_date,
+                       CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS cents
+                FROM order_revenue GROUP BY 1),
+         tss AS (SELECT min(creation_date) AS d0, max(creation_date) AS d1
+                 FROM tsd),
+         tsn AS (SELECT d0,
+                        CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                          AS DATE) AS creation_date
+                 FROM tss),
+         tsg AS (SELECT datediff('day', n.d0, n.creation_date) AS d,
+                        coalesce(t.cents, 0) AS x
+                 FROM tsn n LEFT JOIN tsd t USING (creation_date)),
+         tsp AS (SELECT CAST(round(CAST(b.x - a.x AS DOUBLE) / (b.d - a.d)
+                          * 1000000) AS BIGINT) AS sq
+                 FROM tsg a JOIN tsg b ON b.d > a.d),
+         tsm AS (SELECT median(sq) AS m, count(*) AS n_pairs FROM tsp),
+         tsr AS (SELECT m, n_pairs,
+                        CAST(round((CAST(g.x AS DOUBLE) - m / 1000000.0 * g.d)
+                          * 100) AS BIGINT) AS rq
+                 FROM tsg g CROSS JOIN tsm),
+         tsf AS (SELECT m, n_pairs, median(rq) AS ic, count(*) AS n_days
+                 FROM tsr GROUP BY 1, 2)""",
+      """SELECT n_days, n_pairs,
+                round(m / 10000000000.0, 6) AS slope_per_day,
+                round(ic / 1000000.0, 6) AS intercept
+         FROM tsf ORDER BY n_days"""),
+
+    "q231_event_xcorr" ->
+      """WITH xh AS (
+           SELECT date_trunc('hour', ts) AS h,
+                  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS xc,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS yc
+           FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+         xs AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                       date_trunc('hour', max(ts)) AS h1 FROM events),
+         xn AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                FROM xs),
+         xg AS (SELECT n.h, coalesce(x.xc, 0) AS x, coalesce(x.yc, 0) AS y
+                FROM xn n LEFT JOIN xh x USING (h)),
+         xl AS (SELECT l.lag, g.y,
+                       lag(g.x, l.lag) OVER (PARTITION BY l.lag ORDER BY g.h)
+                         AS xl
+                FROM xg g CROSS JOIN (SELECT unnest(range(0, 7)) AS lag) l),
+         xa AS (SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(xl) AS DOUBLE) AS sx,
+                       CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(xl * y) AS DOUBLE) AS sxy,
+                       CAST(sum(xl * xl) AS DOUBLE) AS sxx,
+                       CAST(sum(y * y) AS DOUBLE) AS syy
+                FROM xl WHERE xl IS NOT NULL GROUP BY 1)
+         SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+                CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                     THEN round((n * sxy - sx * sy)
+                          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                     ELSE NULL END AS xcorr
+         FROM xa ORDER BY lag""",
+
+    "q232_mann_whitney" -> OracleSql.withBase(
+      """mwv AS (SELECT item_category, is_loyalty,
+                       CAST(round(total_revenue * 10000) AS BIGINT) AS c
+                FROM order_revenue),
+         mwr AS (SELECT item_category, is_loyalty,
+                        CAST(rank() OVER (PARTITION BY item_category
+                          ORDER BY c) AS BIGINT) * 2
+                        + count(*) OVER (PARTITION BY item_category, c) - 1
+                          AS r2
+                 FROM mwv),
+         mwa AS (SELECT item_category,
+                        CAST(sum(CASE WHEN is_loyalty THEN r2 ELSE 0 END)
+                          AS BIGINT) AS s2,
+                        CAST(sum(CASE WHEN is_loyalty THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n1,
+                        CAST(sum(CASE WHEN NOT is_loyalty THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n2
+                 FROM mwr GROUP BY 1),
+         mwt AS (SELECT item_category, CAST(sum(t * t * t - t) AS BIGINT) AS tt
+                 FROM (SELECT item_category, c, count(*) AS t
+                       FROM mwv GROUP BY 1, 2) q
+                 GROUP BY 1)""",
+      """SELECT a.item_category, a.n1 AS n_loyal, a.n2 AS n_other,
+                (a.s2 - a.n1 * (a.n1 + 1)) / 2.0 AS u_stat,
+                CASE WHEN a.n1 * a.n2 / 12.0 * ((a.n1 + a.n2 + 1)
+                       - t.tt / ((a.n1 + a.n2) * (a.n1 + a.n2 - 1.0))) > 0
+                     THEN round(((a.s2 - a.n1 * (a.n1 + 1)) / 2.0
+                                 - a.n1 * a.n2 / 2.0)
+                          / sqrt(a.n1 * a.n2 / 12.0 * ((a.n1 + a.n2 + 1)
+                                 - t.tt / ((a.n1 + a.n2)
+                                           * (a.n1 + a.n2 - 1.0)))), 6)
+                     ELSE NULL END AS z
+         FROM mwa a JOIN mwt t USING (item_category)
+         WHERE a.n1 > 0 AND a.n2 > 0
+         ORDER BY a.item_category"""),
+
+    "q233_hampel" -> OracleSql.withBase(
+      """hpd AS (SELECT restaurant_id, creation_date,
+                       CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS x
+                FROM order_revenue GROUP BY 1, 2),
+         hpg AS (SELECT restaurant_id, creation_date, x,
+                        row_number() OVER (PARTITION BY restaurant_id
+                          ORDER BY creation_date) AS d
+                 FROM hpd),
+         hpm AS (SELECT a.restaurant_id, a.d, median(b.x) AS med
+                 FROM hpg a JOIN hpg b
+                   ON a.restaurant_id = b.restaurant_id
+                  AND b.d BETWEEN a.d - 3 AND a.d + 3
+                 GROUP BY 1, 2),
+         hpq AS (SELECT g.restaurant_id, g.creation_date, g.d, g.x, m.med
+                 FROM hpg g JOIN hpm m
+                   ON g.restaurant_id = m.restaurant_id AND g.d = m.d),
+         hpa AS (SELECT a.restaurant_id, a.d, median(abs(b.x - a.med)) AS mad
+                 FROM hpq a JOIN hpg b
+                   ON a.restaurant_id = b.restaurant_id
+                  AND b.d BETWEEN a.d - 3 AND a.d + 3
+                 GROUP BY 1, 2)""",
+      """SELECT q.restaurant_id, q.creation_date,
+                q.x / 10000.0 AS revenue,
+                q.med / 10000.0 AS rolling_median,
+                a.mad / 10000.0 AS rolling_mad,
+                CASE WHEN a.mad > 0
+                     THEN round(abs(q.x - q.med) / (4.4478 * a.mad), 6)
+                     END AS severity
+         FROM hpq q JOIN hpa a
+           ON q.restaurant_id = a.restaurant_id AND q.d = a.d
+         WHERE (a.mad > 0 AND abs(q.x - q.med) > 4.4478 * a.mad)
+            OR (a.mad = 0 AND abs(q.x - q.med) > 0)
+         ORDER BY q.restaurant_id, q.creation_date"""),
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

@@ -613,4 +613,62 @@ object Behavior {
         round((col("cv") - lit(1.0)) / (col("cv") + lit(1.0)), 6)
           .as("burstiness"))
   }
+
+  /** Lead–lag cross-correlation between two event types on an hourly
+    * grid: corr(count(`leadType`) at hour t−lag, count(`lagType`) at
+    * hour t) for lag 0..`maxLag` — "do views at hour t predict
+    * purchases at t+lag". The demand-sensing readout next to
+    * [[graft.ext.Timeseries.revenueAcf]]'s autocorrelation.
+    *
+    * Scale shape: events collapse to ONE market-level hourly pair
+    * series first (hash aggregate with map-side combine), the spine
+    * explode + lag windows run at time-axis grain (hours, not events).
+    * Exactness: counts are exact longs; the correlation is assembled
+    * from integer co-moment sums (n·Σxy − Σx·Σy form), one fixed
+    * double formula at the end. */
+  def eventXcorr(
+      events: DataFrame, leadType: String, lagType: String,
+      maxLag: Int = 6): DataFrame = {
+    val hourly = events
+      .filter(col("event_type").isin(leadType, lagType))
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        sum((col("event_type") === leadType).cast("long")).as("xc"),
+        sum((col("event_type") === lagType).cast("long")).as("yc"))
+    val span = events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = span
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("xc"), lit(0L)).as("x"),
+        coalesce(col("yc"), lit(0L)).as("y"))
+    // the lagged pairing is a time-shifted equi-join on the complete
+    // spine (x at t meets y at t+lag), NOT an unpartitioned window —
+    // same pair set (the spine has every hour), no single-partition sort
+    val shifted = grid.select(
+      explode(sequence(lit(0), lit(maxLag))).as("lag"),
+      col("h"), col("x"))
+      .select(col("lag"),
+        expr("timestampadd(HOUR, CAST(lag AS INT), h)").as("h"), col("x").as("xl"))
+    val stacked = grid.select(col("h"), col("y")).join(shifted, Seq("h"))
+    stacked
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("xl")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("xl") * col("y")).cast("double").as("sxy"),
+        sum(col("xl") * col("xl")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("lag"),
+        col("n").cast("long").as("n_pairs"),
+        when(col("varx") > 0 && col("vary") > 0,
+          round(col("num") / sqrt(col("varx") * col("vary")), 6))
+          .as("xcorr"))
+  }
 }

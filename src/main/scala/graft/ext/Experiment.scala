@@ -156,4 +156,45 @@ object Experiment {
         round(col("s_treat") / 10000.0 / col("n_treat")
           - col("s_ctrl") / 10000.0 / col("n_ctrl"), 6).as("uplift"))
   }
+
+  /** Mann–Whitney U per category: does the loyalty cohort's line-revenue
+    * DISTRIBUTION differ from the rest (rank-based, so immune to the
+    * heavy right tail that breaks a t-test on money), with the
+    * tie-corrected normal approximation z. Average ranks are carried as
+    * exact integers (2·avgrank = 2·rank + ties − 1), the tie term as
+    * Σ(t³−t), so U and z are assembled from exact longs with one fixed
+    * double formula — bit-reproducible across engines and partitions.
+    *
+    * Scale shape: one rank window + one tie aggregate per category
+    * partition (the same shuffle key), then category-grain joins. */
+  def loyaltyMannWhitney(orderRevenue: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = orderRevenue.select(col("item_category"), col("is_loyalty"),
+      round(col("total_revenue") * 10000).cast("long").as("c"))
+    val ranked = v.withColumn("r2",
+      rank().over(Window.partitionBy(col("item_category")).orderBy(col("c")))
+        .cast("long") * 2 +
+        count(lit(1)).over(Window.partitionBy(col("item_category"), col("c")))
+        - 1)
+    val agg = ranked.groupBy(col("item_category"))
+      .agg(
+        sum(when(col("is_loyalty"), col("r2")).otherwise(0L)).as("s2"),
+        sum(when(col("is_loyalty"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("is_loyalty"), 1L).otherwise(0L)).as("n2"))
+    val ties = v.groupBy(col("item_category"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("item_category"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+    val nn = col("n1") + col("n2")
+    val u = (col("s2") - col("n1") * (col("n1") + 1)) / lit(2.0)
+    val mu = col("n1") * col("n2") / lit(2.0)
+    val sig2 = col("n1") * col("n2") / lit(12.0) *
+      ((nn + 1) - col("tt") / (nn * (nn - lit(1.0))))
+    agg.join(ties, Seq("item_category"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("item_category"),
+        col("n1").as("n_loyal"), col("n2").as("n_other"),
+        u.as("u_stat"),
+        when(sig2 > 0, round((u - mu) / sqrt(sig2), 6)).as("z"))
+  }
 }

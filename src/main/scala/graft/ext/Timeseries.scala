@@ -652,4 +652,98 @@ object Timeseries {
         round(col("active_users").cast("double") / col("cohort_size"), 6)
           .as("retention"))
   }
+
+  /** Theil–Sen robust trend of the market's daily revenue: the median
+    * of all pairwise day-slopes, plus the matching median intercept —
+    * the outlier-immune alternative to [[revenueTrendFit]]'s OLS (one
+    * promo-day spike moves an OLS slope; it moves one slope out of
+    * N²/2 here).
+    *
+    * Scale shape: the fact first collapses to ONE market-level daily
+    * series (hash aggregate), so the O(N²) pair join is quadratic in
+    * CALENDAR DAYS — bounded by the time axis, not data volume; at ten
+    * years it is ~6.7M pairs regardless of fact size. Exactness: cents
+    * are exact longs; each slope is one fixed double division then
+    * quantized to integer micro-cents/day BEFORE the median, so the
+    * interpolated median sees the identical integer multiset on both
+    * engines (a raw-double median can diverge in the interpolation
+    * step). */
+  def theilSen(orderRevenue: DataFrame): DataFrame = {
+    val daily = orderRevenue
+      .groupBy(col("creation_date"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val span = daily.agg(
+      min(col("creation_date")).as("d0"), max(col("creation_date")).as("d1"))
+    val grid = span
+      .select(col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("creation_date"))
+      .join(daily, Seq("creation_date"), "left")
+      .select(datediff(col("creation_date"), col("d0")).cast("long").as("d"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+    val a = grid.select(col("d").as("da"), col("x").as("xa"))
+    val b = grid.select(col("d").as("db"), col("x").as("xb"))
+    val slopes = a.crossJoin(b).filter(col("db") > col("da"))
+      .select(round((col("xb") - col("xa")).cast("double") /
+          (col("db") - col("da")) * 1000000).cast("long").as("sq"))
+    val m = slopes.agg(
+      expr("percentile(sq, 0.5)").as("m"), count(lit(1)).as("n_pairs"))
+    grid.crossJoin(broadcast(m))
+      .select(col("m"), col("n_pairs"),
+        round((col("x").cast("double") - col("m") / lit(1000000.0) * col("d"))
+          * 100).cast("long").as("rq"))
+      .groupBy(col("m"), col("n_pairs"))
+      .agg(expr("percentile(rq, 0.5)").as("ic"), count(lit(1)).as("n_days"))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("m") / lit(1.0e10), 6).as("slope_per_day"),
+        round(col("ic") / lit(1000000.0), 6).as("intercept"))
+  }
+
+  /** Hampel filter over each restaurant's ACTIVE-day revenue series:
+    * a trading day is an outlier when it sits more than 3 scaled-MADs
+    * (3·1.4826 = 4.4478) from the ±3-neighbor rolling MEDIAN — the
+    * median-based sibling of [[graft.ext.Anomaly]]'s rolling-z (a
+    * single spike inflates a rolling mean+stddev enough to hide
+    * itself; it cannot move a 7-day median).
+    *
+    * Scale shape: fact → (restaurant, day) mart first; the rolling
+    * median and MAD are 7×-bounded neighbor self-joins at mart grain
+    * (exact small-window medians without any whole-partition sort
+    * state). Exactness: integer cents in, interpolated medians over
+    * integers (exact halves), one fixed double score formula, strict
+    * compares. */
+  def hampelOutliers(orderRevenue: DataFrame, window: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ACTIVE-day series (no gap fill): on sparse restaurants a
+    // zero-filled spine drives the rolling median to 0 and flags every
+    // trading day; the spike-vs-its-neighbors question is asked over
+    // the days that actually traded
+    val grid = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("x"))
+      .withColumn("d", row_number().over(Window
+        .partitionBy(col("restaurant_id")).orderBy(col("creation_date")))
+        .cast("long"))
+    val nb = grid.select(col("restaurant_id"), col("d").as("dc"), col("x"))
+    def neighbors(center: DataFrame): DataFrame =
+      center.join(nb,
+        Seq("restaurant_id")).where(
+        col("dc").between(col("d") - window, col("d") + window))
+    val med = neighbors(grid.select(col("restaurant_id"), col("d")).distinct())
+      .groupBy(col("restaurant_id"), col("d"))
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val gm = grid.join(med, Seq("restaurant_id", "d"))
+    val mad = neighbors(gm.select(col("restaurant_id"), col("d"), col("med")))
+      .groupBy(col("restaurant_id"), col("d"))
+      .agg(expr("percentile(abs(x - med), 0.5)").as("mad"))
+    gm.join(mad, Seq("restaurant_id", "d"))
+      .withColumn("dev", abs(col("x") - col("med")))
+      .filter((col("mad") > 0 && col("dev") > lit(4.4478) * col("mad")) ||
+        (col("mad") === 0 && col("dev") > 0))
+      .select(col("restaurant_id"), col("creation_date"),
+        (col("x") / lit(10000.0)).as("revenue"),
+        (col("med") / lit(10000.0)).as("rolling_median"),
+        (col("mad") / lit(10000.0)).as("rolling_mad"),
+        when(col("mad") > 0, round(col("dev") / (lit(4.4478) * col("mad")), 6))
+          .as("severity"))
+  }
 }

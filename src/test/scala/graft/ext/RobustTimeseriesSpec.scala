@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit pins for the robust-statistics batch (q230–q233). */
+class RobustTimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rev(rows: (Long, String, Double)*) =
+    rows.toDF("restaurant_id", "day", "total_revenue")
+      .withColumn("creation_date", col("day").cast("date"))
+
+  test("theilSen: one spike day cannot move the median slope") {
+    // perfect 5 + 2d line over 7 days, day 3 replaced by a 100 spike:
+    // 15 of 21 pairwise slopes are exactly 2 → median slope 2,
+    // median residual (intercept) 5
+    val rows = (0 to 6).map { d =>
+      val v = if (d == 3) 100.0 else 5.0 + 2.0 * d
+      (1L, f"2024-01-${d + 1}%02d", v)
+    }
+    val got = Timeseries.theilSen(rev(rows: _*))
+      .select("n_days", "n_pairs", "slope_per_day", "intercept")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq((7L, 21L, 2.0, 5.0)))
+  }
+
+  test("eventXcorr: an exact 2-hour lead shows up as xcorr 1 at lag 2") {
+    // views at hour h with count pattern p(h); purchases at h+2 with the
+    // SAME counts → perfect correlation exactly at lag 2
+    val pattern = Seq(1, 3, 2, 5, 4, 7, 1, 6)
+    val events = pattern.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)(("view", f"2024-01-01 $h%02d:15:00")) ++
+        Seq.fill(c)(("purchase", f"2024-01-01 ${h + 2}%02d:45:00"))
+    }.zipWithIndex.map { case ((t, ts), i) => (i.toLong, t, ts) }
+      .toDF("event_id", "event_type", "tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val got = Behavior.eventXcorr(events, "view", "purchase", maxLag = 3)
+      .orderBy("lag").select("lag", "xcorr")
+      .as[(Int, Option[Double])].collect().toMap
+    assert(got(2).contains(1.0), s"perfect lead-lag at 2h: ${got(2)}")
+    assert(got(0).forall(_ < 1.0))
+  }
+
+  test("loyaltyMannWhitney: separated groups pin U = n1*n2 and z > 0") {
+    val df = Seq(
+      ("cat", true, 40.0), ("cat", true, 50.0), ("cat", true, 60.0),
+      ("cat", false, 10.0), ("cat", false, 20.0), ("cat", false, 30.0))
+      .toDF("item_category", "is_loyalty", "total_revenue")
+    val got = Experiment.loyaltyMannWhitney(df)
+      .select("item_category", "n_loyal", "n_other", "u_stat", "z")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r._2, r._3, r._4) == ((3L, 3L, 9.0)),
+      s"complete separation → U = n1·n2 = 9: $r")
+    // z = (9 - 4.5) / sqrt(3·3·7/12) = 4.5/2.2913 ≈ 1.9640
+    assert(math.abs(r._5 - 1.963961) < 1e-6, s"z: ${r._5}")
+  }
+
+  test("hampelOutliers: the spike is flagged, its neighbors are not") {
+    val rows = (0 to 8).map { d =>
+      val v = if (d == 4) 1000.0 else 10.0
+      (1L, f"2024-01-${d + 1}%02d", v)
+    }
+    val got = Timeseries.hampelOutliers(rev(rows: _*))
+      .select("creation_date", "revenue", "rolling_median", "severity")
+      .as[(java.sql.Date, Double, Double, Option[Double])].collect()
+    assert(got.length == 1, s"only the spike day flags: ${got.toSeq}")
+    assert(got.head._1.toString == "2024-01-05")
+    assert(got.head._2 == 1000.0 && got.head._3 == 10.0)
+    assert(got.head._4.isEmpty, "mad = 0 → severity undefined (null)")
+  }
+}
