@@ -1655,6 +1655,25 @@ object SparkEntry {
     "q233_hampel" -> ((s, dir) =>
       graft.ext.Timeseries.hampelOutliers(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("restaurant_id"), col("creation_date"))),
+
+    // ---- ext: Matryoshka truncation recall — 8-dim prefix top-k
+    // audited against full-dim exact top-k (q144's pattern for
+    // dimension-truncated storage tiers) ----
+    "q234_matryoshka_recall" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(Tables.embeddings(s, dir),
+          "vec_id", "embedding", dims = 8, k = 5)
+        .orderBy(col("vec_id"))),
+
+    // ---- ext: exponentially time-decayed customer value (half-life
+    // 30 days as exact power-of-two bucket decay) ----
+    "q235_decayed_value" -> ((s, dir) =>
+      graft.ext.Olap.decayedCustomerValue(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("user_id"))),
+
+    // ---- ext: share-of-wallet concentration deciles ----
+    "q236_wallet_share" -> ((s, dir) =>
+      graft.ext.Olap.walletShareDeciles(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("bucket"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -4911,6 +4930,44 @@ object SparkEntry {
          WHERE (a.mad > 0 AND abs(q.x - q.med) > 4.4478 * a.mad)
             OR (a.mad = 0 AND abs(q.x - q.med) > 0)
          ORDER BY q.restaurant_id, q.creation_date"""),
+
+    "q234_matryoshka_recall" ->
+      ExtOracleSql.matryoshkaRecall(k = 5, dims = 8),
+
+    "q235_decayed_value" -> OracleSql.withBase(
+      """dva AS (SELECT max(creation_date) AS today FROM order_revenue),
+         dvl AS (SELECT user_id,
+                        CAST(round(total_revenue * 10000) AS BIGINT) AS cents,
+                        least(datediff('day', creation_date, today) // 30, 40)
+                          AS k
+                 FROM order_revenue CROSS JOIN dva),
+         dvq AS (SELECT user_id, cents,
+                        (cents * 1000000) // CAST(power(2, k) AS BIGINT) AS dq
+                 FROM dvl)""",
+      """SELECT user_id, count(*) AS n_lines,
+                round(CAST(sum(cents) AS BIGINT) / 10000.0, 6) AS revenue,
+                round(CAST(sum(dq) AS BIGINT) / 10000000000.0, 6)
+                  AS decayed_value
+         FROM dvq GROUP BY 1 ORDER BY user_id"""),
+
+    "q236_wallet_share" -> OracleSql.withBase(
+      """wsv AS (SELECT user_id, restaurant_id,
+                       CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                         AS cents
+                FROM order_revenue GROUP BY 1, 2),
+         wsu AS (SELECT user_id, CAST(sum(cents) AS BIGINT) AS total,
+                        max(cents) AS top, count(*) AS n_venues
+                 FROM wsv GROUP BY 1),
+         wsb AS (SELECT user_id, total, top, n_venues,
+                        least((top * 10) // total, 9) AS bucket
+                 FROM wsu WHERE total > 0)""",
+      """SELECT bucket, count(*) AS n_users,
+                round(CAST(sum(top) AS BIGINT)
+                  / CAST(CAST(sum(total) AS BIGINT) AS DOUBLE), 6)
+                  AS pooled_share,
+                round(CAST(sum(n_venues) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+                  AS avg_venues
+         FROM wsb GROUP BY 1 ORDER BY bucket"""),
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

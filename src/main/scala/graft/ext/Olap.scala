@@ -277,6 +277,72 @@ object Olap {
     * Σ i·x stays far inside int64 (rank ≤ customers-per-restaurant,
     * cents ≤ 1e12). Restaurants with non-positive total (discount-heavy
     * edge) are excluded — Gini is undefined there. */
+  /** Exponentially time-decayed customer value (the CRM "recency-
+    * weighted spend"): each line's cents contribute shifted right by
+    * one bit per elapsed `halfLifeDays` — i.e. a half-life decay whose
+    * factors are EXACT negative powers of two (`pow(0.5, d/h)` through
+    * libm differs across engines in the last ulp; `2^-floor(d/h)` is
+    * exact integer math everywhere). Contributions older than
+    * `maxBuckets` half-lives are exactly zero. The anchor "today" is
+    * the dataset's last order date (one tiny broadcast scalar).
+    *
+    * Shape: fact rows map to integer micro-cent contributions
+    * row-locally, then ONE user hash aggregate (order-free long sums,
+    * map-side combine). */
+  def decayedCustomerValue(
+      orderRevenue: DataFrame, halfLifeDays: Int = 30,
+      maxBuckets: Int = 40): DataFrame = {
+    val anchor = orderRevenue.agg(max(col("creation_date")).as("today"))
+    orderRevenue
+      .join(broadcast(anchor))
+      .select(col("user_id"),
+        round(col("total_revenue") * 10000).cast("long").as("cents"),
+        expr(s"least(datediff(today, creation_date) div $halfLifeDays, " +
+          s"$maxBuckets)").as("k"))
+      // floor-division parity via the pmod identity (Spark `div`
+      // truncates toward zero, DuckDB `//` floors; discount-heavy lines
+      // can net negative)
+      .select(col("user_id"), col("cents"),
+        expr("""(cents * 1000000 - pmod(cents * 1000000, cast(power(2, k) as long)))
+                div cast(power(2, k) as long)""").as("dq"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("cents")).as("c"), sum(col("dq")).as("s"))
+      .select(col("user_id"), col("n_lines"),
+        round(col("c") / 10000.0, 6).as("revenue"),
+        round(col("s") / lit(1.0e10), 6).as("decayed_value"))
+  }
+
+  /** Share-of-wallet concentration deciles: per user, the fraction of
+    * their spend at their single top restaurant; users histogram into
+    * buckets floor(10·share) (capped at 9), with a pooled bucket-level
+    * share ratio. The loyalty-concentration readout [[multiHoming]]'s
+    * venue COUNT can't give (10 restaurants at 91% one venue is
+    * loyalty; 10 at 10% each is promiscuity).
+    *
+    * Exactness: the bucket is the integer floor division
+    * (top·10) div total; the pooled share divides two order-free long
+    * sums. Two stacked hash aggregates, fact → (user, restaurant) →
+    * user → bucket. */
+  def walletShareDeciles(orderRevenue: DataFrame): DataFrame =
+    orderRevenue
+      .groupBy(col("user_id"), col("restaurant_id"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("total"), max(col("cents")).as("top"),
+        count(lit(1)).as("n_venues"))
+      .filter(col("total") > 0)
+      .select(col("user_id"), col("total"), col("top"), col("n_venues"),
+        expr("least((top * 10) div total, 9L)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("top")).as("st"), sum(col("total")).as("stt"),
+        sum(col("n_venues")).as("sv"))
+      .select(col("bucket"), col("n_users"),
+        round(col("st").cast("double") / col("stt"), 6).as("pooled_share"),
+        round(col("sv").cast("double") / col("n_users"), 6)
+          .as("avg_venues"))
+
   def revenueGini(orderRevenue: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perUser = orderRevenue

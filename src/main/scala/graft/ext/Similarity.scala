@@ -664,6 +664,36 @@ object Similarity {
         (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 
+  /** Matryoshka truncation audit: recall@k of exact cosine top-k run
+    * on only the FIRST `dims` dimensions against the full-dimension
+    * exact top-k — "how much neighbor structure survives if we store
+    * an 8-float prefix per vector". The decision input for
+    * prefix-truncated storage tiers (the same question [[annRecall]]
+    * answers for IVF and [[pqAdcRecall]] for PQ, here for MRL-style
+    * dimension truncation).
+    *
+    * Both neighbor lists come from [[topKNeighbors]] (6dp-rounded
+    * cosine, id tie-break, block-bounded driver residency), so the
+    * audit inherits its scale shape; the truncated pass scans
+    * `dims/d`-sized vectors — the point of the tier. */
+  def matryoshkaRecall(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int): DataFrame = {
+    val exact = topKNeighbors(vecs, idCol, vecCol, k)
+      .select(col("vec_id"), col("neighbor_id"))
+    val truncated = vecs.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol))
+    val trunc = topKNeighbors(truncated, idCol, vecCol, k)
+      .select(col("vec_id"), col("neighbor_id"))
+    val hits = exact.join(trunc, Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("vec_id")).distinct()
+      .join(hits, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
   /** Label-noise audit via k-NN disagreement (the deep-kNN /
     * confident-learning signal): for every vector, how many of its `k`
     * exact nearest neighbors carry a DIFFERENT label, and a `suspect`

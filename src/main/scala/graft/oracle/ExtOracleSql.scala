@@ -581,6 +581,35 @@ object ExtOracleSql {
        |LEFT JOIN h ON x.vec_id = h.vec_id
        |ORDER BY x.vec_id""".stripMargin
 
+  /** Mirrors [[graft.ext.Similarity.matryoshkaRecall]]: truncated-prefix
+    * exact top-k (same 6dp rounding + id tie-break) audited against the
+    * full-dimension exact top-k. */
+  def matryoshkaRecall(k: Int, dims: Int): String =
+    s"""WITH $vecsCte,
+       |${exactTopKCtes(k)},
+       |tv AS (SELECT vec_id, emb[1:$dims] AS emb FROM v),
+       |tcj AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+       |  FROM tv a JOIN tv b ON a.vec_id != b.vec_id),
+       |trk AS (
+       |  SELECT vec_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM tcj),
+       |tk AS (SELECT vec_id, neighbor_id FROM trk WHERE rank <= $k),
+       |h AS (
+       |  SELECT e.vec_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM exk e JOIN tk t
+       |    ON e.vec_id = t.vec_id AND e.neighbor_id = t.neighbor_id
+       |  GROUP BY e.vec_id)
+       |SELECT x.vec_id,
+       |       COALESCE(h.hits, 0) AS hits,
+       |       CAST(COALESCE(h.hits, 0) AS DOUBLE) / $k AS recall_at_k
+       |FROM (SELECT DISTINCT vec_id FROM exk) x
+       |LEFT JOIN h ON x.vec_id = h.vec_id
+       |ORDER BY x.vec_id""".stripMargin
+
   /** Mirrors [[graft.ext.Similarity.labelNoise]]. */
   def labelNoise(k: Int): String =
     s"""WITH $vecsCte,
