@@ -499,6 +499,57 @@ class PlanSpec extends SparkSpec {
       "regionalLeague")
   }
 
+  test("q224-q236 additions keep their claimed shapes") {
+    def windowsPartitioned(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val wins = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$what must never run an unpartitioned window")
+    }
+    val li = core.Tables.lineitem(spark, sf)
+    val ord = core.Tables.orders(spark, sf)
+    val sup = core.Tables.supplier(spark, sf)
+    val nat = core.Tables.nation(spark, sf)
+    val reg = core.Tables.region(spark, sf)
+    val rev = bindings.Conformed.orderRevenue(spark, sf)
+    // supply tier: dim chains broadcast, fact joins are equi (no theta)
+    val mcs = ext.Supply.minCostSupplier(li, sup, nat, reg)
+    val mcsPlan = planText(mcs)
+    assert(mcsPlan.contains("BroadcastHashJoin"),
+      s"supplier/nation/region chain must broadcast:\n$mcsPlan")
+    assert(!mcsPlan.contains("CartesianProduct"))
+    windowsPartitioned(mcs, "minCostSupplier")
+    for ((p, what) <- Seq(
+        (planText(ext.Supply.latePriorityAudit(ord, li, 21)), "latePriorityAudit"),
+        (planText(ext.Supply.supplierReliability(li, ord, sup, 21)),
+          "supplierReliability"),
+        (planText(ext.Supply.smallQuantityRevenue(li, core.Tables.part(spark, sf))),
+          "smallQuantityRevenue")))
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$what must stay equi-join only:\n$p")
+    // dormant sweep: the recent-orders exclusion is a real anti join
+    val dorm = planText(ext.Supply.dormantHighValue(
+      core.Tables.customer(spark, sf), ord, 90))
+    assert(dorm.contains("LeftAnti"), s"expected an anti join:\n$dorm")
+    // stats tier: windows stay partitioned; xcorr has no window at all
+    windowsPartitioned(ext.Experiment.loyaltyMannWhitney(rev), "mannWhitney")
+    windowsPartitioned(ext.Timeseries.hampelOutliers(rev), "hampelOutliers")
+    val ev = core.Tables.events(spark, sf)
+    val xc = ext.Behavior.eventXcorr(ev, "view", "purchase")
+    assert(xc.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }.isEmpty,
+      "eventXcorr pairs via time-shifted equi-join, not a window")
+    // value tier: one user aggregate, no cartesian beyond the 1-row
+    // scalar broadcast; wallet deciles plan no window
+    val dv = planText(ext.Olap.decayedCustomerValue(rev))
+    assert(!dv.contains("CartesianProduct"), s"decayed value:\n$dv")
+    windowsPartitioned(ext.Olap.walletShareDeciles(rev), "walletShareDeciles")
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
