@@ -1674,6 +1674,41 @@ object SparkEntry {
     "q236_wallet_share" -> ((s, dir) =>
       graft.ext.Olap.walletShareDeciles(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("bucket"))),
+
+    // ---- ext: closed-form two-feature OLS per brand (normal
+    // equations from integer moment sums; no iterative fit) ----
+    "q237_ols_price_model" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      val d = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          round(col("l_extendedprice")).cast("long").as("y"),
+          col("l_quantity").cast("long").as("x1"),
+          round(col("l_discount") * 100).cast("long").as("x2"))
+      graft.ext.Profiling.olsNormalEq(d, col("p_brand"),
+          col("y"), col("x1"), col("x2"))
+        .withColumnRenamed("grp", "p_brand")
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- ext: Neyman-optimal labeling-budget allocation across
+    // corpus sources (variance-weighted, integer-exact shares) ----
+    "q238_neyman_allocation" -> ((s, dir) =>
+      graft.ext.Sampling.neymanAllocation(
+          Tables.documents(s, dir), "source", "n_chars", budget = 1000)
+        .orderBy(col("stratum"))),
+
+    // ---- ext: declarative data-quality rule audit (one pass; the
+    // same SQL strings drive the plan and the oracle) ----
+    "q239_dq_rules" -> ((s, dir) =>
+      graft.ext.Quality.dqRuleAudit(
+          Tables.lineitem(s, dir), graft.ext.Quality.LineitemRules)
+        .orderBy(col("rule"))),
+
+    // ---- ext: category monthly rank trajectories with MoM delta ----
+    "q240_rank_trajectory" -> ((s, dir) =>
+      graft.ext.Olap.categoryRankTrajectory(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("month"), col("rank"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -4968,6 +5003,84 @@ object SparkEntry {
                 round(CAST(sum(n_venues) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
                   AS avg_venues
          FROM wsb GROUP BY 1 ORDER BY bucket"""),
+
+    "q237_ols_price_model" ->
+      """WITH ov AS (
+           SELECT p.p_brand,
+                  CAST(round(l.l_extendedprice) AS BIGINT) AS y,
+                  CAST(l.l_quantity AS BIGINT) AS x1,
+                  CAST(round(l.l_discount * 100) AS BIGINT) AS x2
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         oa AS (
+           SELECT p_brand, count(*) AS n,
+                  CAST(sum(x1) AS BIGINT) AS sx1,
+                  CAST(sum(x2) AS BIGINT) AS sx2,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x1 * x1) AS BIGINT) AS sx11,
+                  CAST(sum(x2 * x2) AS BIGINT) AS sx22,
+                  CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+                  CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+                  CAST(sum(x2 * y) AS BIGINT) AS sx2y,
+                  CAST(sum(y * y) AS BIGINT) AS syy
+           FROM ov GROUP BY 1),
+         oc AS (
+           SELECT p_brand, n, sx1, sx2, sy,
+                  CAST(n AS DOUBLE) * sx11 - CAST(sx1 AS DOUBLE) * sx1 AS s11,
+                  CAST(n AS DOUBLE) * sx22 - CAST(sx2 AS DOUBLE) * sx2 AS s22,
+                  CAST(n AS DOUBLE) * sx12 - CAST(sx1 AS DOUBLE) * sx2 AS s12,
+                  CAST(n AS DOUBLE) * sx1y - CAST(sx1 AS DOUBLE) * sy AS sy1,
+                  CAST(n AS DOUBLE) * sx2y - CAST(sx2 AS DOUBLE) * sy AS sy2,
+                  CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS syc
+           FROM oa),
+         od AS (SELECT *, s11 * s22 - s12 * s12 AS det FROM oc),
+         ob AS (SELECT *,
+                       (sy1 * s22 - sy2 * s12) / det AS b1,
+                       (sy2 * s11 - sy1 * s12) / det AS b2
+                FROM od WHERE det > 0 AND syc > 0)
+         SELECT p_brand, n,
+                round((CAST(sy AS DOUBLE) - b1 * sx1 - b2 * sx2) / n, 6) AS b0,
+                round(b1, 6) AS b1, round(b2, 6) AS b2,
+                round((b1 * sy1 + b2 * sy2) / syc, 6) AS r2
+         FROM ob ORDER BY p_brand""",
+
+    "q238_neyman_allocation" ->
+      """WITH nm AS (
+           SELECT source AS stratum, count(*) AS n_h,
+                  CAST(sum(n_chars) AS BIGINT) AS sy,
+                  CAST(sum(n_chars * n_chars) AS BIGINT) AS syy
+           FROM documents GROUP BY 1 HAVING count(*) > 1),
+         ns AS (
+           SELECT stratum, n_h,
+                  sqrt((CAST(n_h AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                       / (CAST(n_h AS DOUBLE) * (n_h - 1.0))) AS s_h
+           FROM nm),
+         nw AS (SELECT *, CAST(round(CAST(n_h AS DOUBLE) * s_h * 1000)
+                  AS BIGINT) AS w FROM ns),
+         nt AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM nw)
+         SELECT stratum, n_h, round(s_h, 6) AS stddev,
+                round(CAST(w AS DOUBLE) / tw, 6) AS neyman_share,
+                (1000 * w) // tw AS allocated
+         FROM nw CROSS JOIN nt WHERE tw > 0 ORDER BY stratum""",
+
+    "q239_dq_rules" ->
+      graft.ext.Quality.dqRuleAuditSql("lineitem", graft.ext.Quality.LineitemRules),
+
+    "q240_rank_trajectory" -> OracleSql.withBase(
+      """rtm AS (SELECT CAST(date_trunc('month', creation_date) AS DATE)
+                          AS month,
+                        item_category,
+                        CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                          AS cents
+                 FROM order_revenue GROUP BY 1, 2),
+         rtr AS (SELECT month, item_category, cents,
+                        dense_rank() OVER (PARTITION BY month
+                          ORDER BY cents DESC, item_category ASC) AS rank
+                 FROM rtm)""",
+      """SELECT month, item_category,
+                round(cents / 10000.0, 6) AS revenue, rank,
+                lag(rank) OVER (PARTITION BY item_category ORDER BY month)
+                  - rank AS rank_delta
+         FROM rtr ORDER BY month, rank"""),
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

@@ -343,6 +343,31 @@ object Olap {
         round(col("sv").cast("double") / col("n_users"), 6)
           .as("avg_venues"))
 
+  /** Category rank trajectories: each category's monthly revenue rank
+    * (dense, revenue-desc with category-asc tie-break) and its
+    * month-over-month rank delta (positive = climbed) — the
+    * "rising star / fading line" leaderboard movement readout on top of
+    * [[monthlyConcentration]]'s mix view. Integer cents throughout;
+    * two partitioned windows (month for the rank, category for the
+    * lag), both at month×category mart grain. */
+  def categoryRankTrajectory(orderRevenue: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = orderRevenue
+      .groupBy(to_date(date_trunc("month", col("creation_date"))).as("month"),
+        col("item_category"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val rnk = Window.partitionBy(col("month"))
+      .orderBy(col("cents").desc, col("item_category").asc)
+    val traj = Window.partitionBy(col("item_category")).orderBy(col("month"))
+    monthly
+      .withColumn("rank", dense_rank().over(rnk))
+      .withColumn("rank_delta",
+        lag(col("rank"), 1).over(traj) - col("rank"))
+      .select(col("month"), col("item_category"),
+        round(col("cents") / 10000.0, 6).as("revenue"),
+        col("rank"), col("rank_delta"))
+  }
+
   def revenueGini(orderRevenue: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perUser = orderRevenue

@@ -973,4 +973,53 @@ object Profiling {
       .select(col(idCol),
         round(col("units") / lit(unitsPerValue.toDouble), 6).as("pc1"))
   }
+
+  /** Closed-form two-feature OLS per group via the normal equations —
+    * an in-engine multivariate regression with NO iterative fitting:
+    * one hash aggregate collects the integer moment sums (n, Σx, Σxx,
+    * Σxy, …), then β = (XᵀX)⁻¹Xᵀy is one fixed 2×2-Cramer double
+    * formula per group row. Inputs must already be integer-valued
+    * columns (quantize money/percent first) so every sum is an exact
+    * long and the doubles appear only in the final determinant
+    * arithmetic — bit-reproducible across engines and partitionings.
+    *
+    * Output per group: n, intercept b0, slopes b1/b2, and R² from the
+    * centered co-moments. Groups with a singular design (det ≤ 0) or
+    * zero response variance are dropped. */
+  def olsNormalEq(
+      df: DataFrame, group: Column,
+      y: Column, x1: Column, x2: Column): DataFrame = {
+    val a = df.groupBy(group.as("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(x1).as("sx1"), sum(x2).as("sx2"), sum(y).as("sy"),
+      sum(x1 * x1).as("sx11"), sum(x2 * x2).as("sx22"),
+      sum(x1 * x2).as("sx12"),
+      sum(x1 * y).as("sx1y"), sum(x2 * y).as("sx2y"),
+      sum(y * y).as("syy"))
+    // n-scaled centered moments, cast to double BEFORE the products so
+    // the (potentially > int64) cross terms never overflow — the same
+    // cast shape is mirrored in the SQL oracle
+    val nd = col("n").cast("double")
+    val s11 = nd * col("sx11") - col("sx1").cast("double") * col("sx1")
+    val s22 = nd * col("sx22") - col("sx2").cast("double") * col("sx2")
+    val s12 = nd * col("sx12") - col("sx1").cast("double") * col("sx2")
+    val sy1 = nd * col("sx1y") - col("sx1").cast("double") * col("sy")
+    val sy2 = nd * col("sx2y") - col("sx2").cast("double") * col("sy")
+    val syc = nd * col("syy") - col("sy").cast("double") * col("sy")
+    a.withColumn("s11", s11).withColumn("s22", s22).withColumn("s12", s12)
+      .withColumn("sy1", sy1).withColumn("sy2", sy2).withColumn("syc", syc)
+      .withColumn("det", col("s11") * col("s22") - col("s12") * col("s12"))
+      .filter(col("det") > 0 && col("syc") > 0)
+      .withColumn("b1",
+        (col("sy1") * col("s22") - col("sy2") * col("s12")) / col("det"))
+      .withColumn("b2",
+        (col("sy2") * col("s11") - col("sy1") * col("s12")) / col("det"))
+      .select(col("grp"), col("n"),
+        round((col("sy").cast("double") - col("b1") * col("sx1")
+          - col("b2") * col("sx2")) / col("n"), 6).as("b0"),
+        round(col("b1"), 6).as("b1"),
+        round(col("b2"), 6).as("b2"),
+        round((col("b1") * col("sy1") + col("b2") * col("sy2")) / col("syc"), 6)
+          .as("r2"))
+  }
 }

@@ -80,4 +80,49 @@ object Quality {
         round(col("a.n_orphans").cast("double") / col("n_child"), 6)
           .as("orphan_share"))
   }
+
+  /** Declarative data-quality rules over the order-line fact — each
+    * rule is ONE portable SQL boolean; the same strings drive the Spark
+    * plan (via `expr`) and the DuckDB oracle, so engine and gate cannot
+    * drift (the dbt-test shape as an in-engine operator). */
+  val LineitemRules: Seq[(String, String)] = Seq(
+    "discount_range" -> "l_discount BETWEEN 0 AND 0.5",
+    "flag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+    "high_discount" -> "l_discount <= 0.08",
+    "nonneg_price" -> "l_extendedprice >= 0",
+    "qty_positive" -> "l_quantity >= 1",
+    "ship_in_range" -> "l_shipdate >= DATE '1992-01-01'",
+    "status_domain" -> "l_linestatus IN ('O', 'F')")
+
+  /** Run a declarative rule list in ONE pass over the fact: a single
+    * hash-free aggregate computes the row count and each rule's
+    * violation count, then the scalar row explodes to rule grain.
+    * Violation share is an exact half-up micro-unit ratio. */
+  def dqRuleAudit(df: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    val aggCols = count(lit(1)).as("n_rows") +:
+      rules.map { case (name, cond) =>
+        sum(when(!expr(cond), 1L).otherwise(0L)).as(s"v_$name")
+      }
+    df.agg(aggCols.head, aggCols.tail: _*)
+      .select(col("n_rows"), explode(array(rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col(s"v_$name").as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("n_rows"),
+        col("r.n_violations").as("n_violations"),
+        expr("""((r.n_violations * 1000000 * 2 + n_rows) div (n_rows * 2))
+                / cast(1000000 as double)""").as("violation_share"))
+  }
+
+  /** The DuckDB mirror generated from the SAME rule list (one SELECT
+    * per rule, UNION ALL) — [[LineitemRules]] is the single source. */
+  def dqRuleAuditSql(table: String, rules: Seq[(String, String)]): String =
+    rules.map { case (name, cond) =>
+      s"""SELECT '$name' AS rule, count(*) AS n_rows,
+                 CAST(sum(CASE WHEN NOT ($cond) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations,
+                 ((CAST(sum(CASE WHEN NOT ($cond) THEN 1 ELSE 0 END) AS BIGINT)
+                   * 1000000 * 2 + count(*)) // (count(*) * 2)) / 1000000.0
+                   AS violation_share
+          FROM $table"""
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
 }

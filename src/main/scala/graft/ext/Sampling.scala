@@ -209,4 +209,39 @@ object Sampling {
       .select(col("split_lo"), col("split_hi"), col("n_pairs"),
         (col("split_lo") =!= col("split_hi")).as("is_leak"))
   }
+
+  /** Neyman-optimal labeling-budget allocation: given strata (e.g.
+    * corpus sources) and a cost-relevant size column, allocate a fixed
+    * annotation `budget` proportionally to n_h·s_h (stratum size ×
+    * stddev) — the variance-minimizing split a labeling campaign uses
+    * instead of proportional sampling. The weights are quantized to
+    * integer milli-units BEFORE the total, so the share and the
+    * integer floor allocation are exact on both engines (a raw double
+    * Σ n_h·s_h is summation-order-dependent). Allocations floor, so
+    * Σ allocated ≤ budget by at most one unit per stratum — the
+    * campaign's rounding slack, reported as-is.
+    *
+    * One stratum hash aggregate + a one-row broadcast total. */
+  def neymanAllocation(
+      df: DataFrame, stratumCol: String, sizeCol: String,
+      budget: Int = 1000): DataFrame = {
+    val m = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col(sizeCol)).as("sy"),
+        sum(col(sizeCol) * col(sizeCol)).as("syy"))
+      .filter(col("n_h") > 1)
+      .withColumn("s_h",
+        sqrt((col("n_h").cast("double") * col("syy")
+          - col("sy").cast("double") * col("sy"))
+          / (col("n_h").cast("double") * (col("n_h") - lit(1.0)))))
+      .withColumn("w",
+        round(col("n_h").cast("double") * col("s_h") * 1000).cast("long"))
+    val tot = m.agg(sum(col("w")).as("tw"))
+    m.join(broadcast(tot))
+      .filter(col("tw") > 0)
+      .select(col("stratum"), col("n_h"),
+        round(col("s_h"), 6).as("stddev"),
+        round(col("w").cast("double") / col("tw"), 6).as("neyman_share"),
+        expr(s"($budget * w) div tw").as("allocated"))
+  }
 }
