@@ -1709,6 +1709,39 @@ object SparkEntry {
     "q240_rank_trajectory" -> ((s, dir) =>
       graft.ext.Olap.categoryRankTrajectory(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("month"), col("rank"))),
+
+    // ---- gold: bilateral trade matrix (TPC-H Q7 shape) ----
+    "q241_trade_matrix" -> ((s, dir) =>
+      graft.gold.Geography.tradeMatrix(Tables.lineitem(s, dir),
+          Tables.orders(s, dir), Tables.customer(s, dir),
+          Tables.supplier(s, dir), Tables.nation(s, dir))
+        .orderBy(col("cust_nation"), col("supp_nation"), col("yr"))),
+
+    // ---- gold: supplier-nation market share per customer region ×
+    // year (TPC-H Q8 shape) ----
+    "q242_market_share" -> ((s, dir) =>
+      graft.gold.Geography.supplierMarketShare(Tables.lineitem(s, dir),
+          Tables.orders(s, dir), Tables.customer(s, dir),
+          Tables.supplier(s, dir), Tables.nation(s, dir),
+          Tables.region(s, dir), targetNation = "NATION_0")
+        .orderBy(col("cust_region"), col("yr"))),
+
+    // ---- ext: promo revenue share per ship month (TPC-H Q14 shape) ----
+    "q243_promo_share" -> ((s, dir) =>
+      graft.ext.Olap.promoShare(Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy(col("ship_month"))),
+
+    // ---- ext: label centroid confusability matrix (pairwise L2 over
+    // exact integer-unit centroids) ----
+    "q244_centroid_confusion" -> ((s, dir) =>
+      Similarity.centroidConfusion(Tables.embeddings(s, dir),
+          "label", "embedding")
+        .orderBy(col("label_a"), col("label_b"))),
+
+    // ---- ext/supply: order-to-ship latency percentiles per month ----
+    "q245_ship_latency" -> ((s, dir) =>
+      graft.ext.Supply.shipLatency(Tables.lineitem(s, dir), Tables.orders(s, dir))
+        .orderBy(col("order_month"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5081,6 +5114,101 @@ object SparkEntry {
                 lag(rank) OVER (PARTITION BY item_category ORDER BY month)
                   - rank AS rank_delta
          FROM rtr ORDER BY month, rank"""),
+
+    "q241_trade_matrix" ->
+      """WITH tj AS (
+           SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                  year(o.o_orderdate) AS yr,
+                  CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS net_cents
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+         SELECT cust_nation, supp_nation, yr, count(*) AS n_lines,
+                round(CAST(sum(net_cents) AS BIGINT) / 100.0, 6) AS revenue
+         FROM tj GROUP BY 1, 2, 3
+         ORDER BY cust_nation, supp_nation, yr""",
+
+    "q242_market_share" ->
+      """WITH mm AS (
+           SELECT r.r_name AS cust_region, year(o.o_orderdate) AS yr,
+                  sn.n_name AS supp_nation,
+                  CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS net_cents
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+           JOIN region r ON cn.n_regionkey = r.r_regionkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+         SELECT cust_region, yr,
+                round(CAST(sum(net_cents) AS BIGINT) / 100.0, 6)
+                  AS total_revenue,
+                round(CAST(sum(CASE WHEN supp_nation = 'NATION_0'
+                      THEN net_cents ELSE 0 END) AS BIGINT) / 100.0, 6)
+                  AS target_revenue,
+                round(CAST(sum(CASE WHEN supp_nation = 'NATION_0'
+                      THEN net_cents ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(net_cents) AS BIGINT), 6) AS market_share
+         FROM mm GROUP BY 1, 2 HAVING sum(net_cents) > 0
+         ORDER BY cust_region, yr""",
+
+    "q243_promo_share" ->
+      """WITH pm AS (
+           SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE)
+                    AS ship_month,
+                  p.p_type,
+                  CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS net_cents
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+         SELECT ship_month,
+                round(CAST(sum(net_cents) AS BIGINT) / 100.0, 6)
+                  AS total_revenue,
+                round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                      THEN net_cents ELSE 0 END) AS BIGINT) / 100.0, 6)
+                  AS promo_revenue,
+                round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                      THEN net_cents ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(net_cents) AS BIGINT), 6) AS promo_share
+         FROM pm GROUP BY 1 HAVING sum(net_cents) > 0
+         ORDER BY ship_month""",
+
+    "q244_centroid_confusion" ->
+      """WITH v AS (
+           SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         e AS (
+           SELECT label,
+                  unnest(generate_series(1, len(emb))) - 1 AS pos,
+                  unnest(emb) AS x
+           FROM v),
+         c AS (
+           SELECT label, pos,
+                  (sum(round(x * 1000000)) / count(*)) / 1000000.0 AS cc
+           FROM e GROUP BY 1, 2)
+         SELECT a.label AS label_a, b.label AS label_b,
+                round(sqrt(CAST(sum(CAST(round((a.cc - b.cc) * (a.cc - b.cc)
+                      * 1000000000000.0) AS BIGINT)) AS BIGINT)
+                  / 1000000000000.0), 6) AS l2_dist
+         FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+         GROUP BY 1, 2 ORDER BY label_a, label_b""",
+
+    "q245_ship_latency" ->
+      """WITH sl AS (
+           SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE)
+                    AS order_month,
+                  datediff('day', o.o_orderdate, l.l_shipdate) AS lat
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+         SELECT order_month, count(*) AS n_lines,
+                ((CAST(sum(lat) AS BIGINT) * 1000000 * 2 + count(*))
+                  // (count(*) * 2)) / 1000000.0 AS mean_days,
+                round(quantile_cont(lat, 0.5), 6) AS p50,
+                round(quantile_cont(lat, 0.9), 6) AS p90,
+                round(quantile_cont(lat, 0.99), 6) AS p99
+         FROM sl GROUP BY 1 ORDER BY order_month""",
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

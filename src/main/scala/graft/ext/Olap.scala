@@ -343,6 +343,30 @@ object Olap {
         round(col("sv").cast("double") / col("n_users"), 6)
           .as("avg_venues"))
 
+  /** Promotional revenue share per ship month (the TPC-H Q14 shape):
+    * what fraction of each month's net revenue came from parts of the
+    * `promoType` type. Broadcast part dim + one month hash aggregate;
+    * the share is a conditional-sum ratio of exact longs. */
+  def promoShare(
+      lineitem: DataFrame, part: DataFrame,
+      promoType: String = "PROMO"): DataFrame =
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("ship_month"))
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("total_cents"),
+        sum(when(col("p_type") === promoType,
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).otherwise(0L)).as("promo_cents"))
+      .filter(col("total_cents") > 0)
+      .select(col("ship_month"),
+        round(col("total_cents") / 100.0, 6).as("total_revenue"),
+        round(col("promo_cents") / 100.0, 6).as("promo_revenue"),
+        round(col("promo_cents").cast("double") / col("total_cents"), 6)
+          .as("promo_share"))
+
   /** Category rank trajectories: each category's monthly revenue rank
     * (dense, revenue-desc with category-asc tie-break) and its
     * month-over-month rank delta (positive = climbed) — the

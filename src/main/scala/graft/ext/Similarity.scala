@@ -371,6 +371,30 @@ object Similarity {
       .select(col("label"), col("pos"),
         ((col("s") / col("n")) / 1000000.0).as("centroid_component"))
 
+  /** Label confusability matrix: pairwise L2 distance between the
+    * exact per-label centroids — which classes sit close enough in
+    * embedding space to confuse a classifier (the geometry companion
+    * to [[graft.ext.Profiling.fisherSeparability]]'s per-dimension
+    * screen). Centroid components come from [[labelCentroids]]'s
+    * integer-unit sums; per-dimension squared gaps quantize to 1e-12
+    * units BEFORE the sum, so the distance is assembled from exact
+    * longs. Pair join runs at (labels × dims) grain — trivially small
+    * at any corpus size. */
+  def centroidConfusion(
+      vecs: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val c = labelCentroids(vecs, labelCol, vecCol)
+    val a = c.select(col("label").as("label_a"), col("pos"),
+      col("centroid_component").as("ca"))
+    val b = c.select(col("label").as("label_b"), col("pos"),
+      col("centroid_component").as("cb"))
+    a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(round((col("ca") - col("cb")) * (col("ca") - col("cb"))
+        * lit(1.0e12)).cast("long")).as("q"))
+      .select(col("label_a"), col("label_b"),
+        round(sqrt(col("q") / lit(1.0e12)), 6).as("l2_dist"))
+  }
+
   /** K-means (Lloyd) over the embedding column: `iters` full
     * assign→update rounds from deterministic seeds (the vectors whose id
     * ≡ 0 mod `seedEvery` — data-derived, no RNG), returning each

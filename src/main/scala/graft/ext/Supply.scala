@@ -179,6 +179,33 @@ object Supply {
           .as("avg_balance"))
   }
 
+  /** Order-to-ship latency distribution per order month: exact
+    * interpolated p50/p90/p99 of the ship delay in days, plus the mean
+    * as an exact micro-unit ratio — the fulfillment SLA readout. One
+    * fact-fact join on the order key, one month hash aggregate; the
+    * percentiles interpolate over integer day counts (exact halves /
+    * tenths, engine-stable). */
+  def shipLatency(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        to_date(date_trunc("month", col("o_orderdate"))).as("order_month"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lat"))
+      .groupBy(col("order_month"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("lat")).as("sl"),
+        expr("percentile(lat, 0.5)").as("p50"),
+        expr("percentile(lat, 0.9)").as("p90"),
+        expr("percentile(lat, 0.99)").as("p99"))
+      .select(col("order_month"), col("n_lines"),
+        expr("((sl * 1000000 * 2 + n_lines) div (n_lines * 2)) " +
+          "/ cast(1000000 as double)").as("mean_days"),
+        round(col("p50"), 6).as("p50"),
+        round(col("p90"), 6).as("p90"),
+        round(col("p99"), 6).as("p99"))
+
   /** Supplier reliability league: per-supplier late-line rate with a
     * Wilson score lower bound (z = 1.96) so low-volume suppliers don't
     * top the offender list on one bad line (the TPC-H Q21 intent with

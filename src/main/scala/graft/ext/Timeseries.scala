@@ -680,21 +680,38 @@ object Timeseries {
       .join(daily, Seq("creation_date"), "left")
       .select(datediff(col("creation_date"), col("d0")).cast("long").as("d"),
         coalesce(col("cents"), lit(0L)).as("x"))
-    val a = grid.select(col("d").as("da"), col("x").as("xa"))
+    // spread the left side before the broadcast-NL pair join — the grid
+    // arrives in one scan partition and would otherwise generate all
+    // N²/2 slopes on a single core
+    val par = grid.sparkSession.sparkContext.defaultParallelism
+    val a = grid.repartition(par).select(col("d").as("da"), col("x").as("xa"))
     val b = grid.select(col("d").as("db"), col("x").as("xb"))
-    val slopes = a.crossJoin(b).filter(col("db") > col("da"))
+    val slopes = a.crossJoin(broadcast(b)).filter(col("db") > col("da"))
       .select(round((col("xb") - col("xa")).cast("double") /
           (col("db") - col("da")) * 1000000).cast("long").as("sq"))
-    val m = slopes.agg(
-      expr("percentile(sq, 0.5)").as("m"), count(lit(1)).as("n_pairs"))
-    grid.crossJoin(broadcast(m))
-      .select(col("m"), col("n_pairs"),
-        round((col("x").cast("double") - col("m") / lit(1000000.0) * col("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact interpolated median by distributed sort + index selection —
+    // a `percentile` aggregate over millions of near-distinct longs
+    // builds (and merges) a value-count hashmap of the same size; the
+    // sort ships the same rows once and reads back two of them. The
+    // two driver-side scalars are the bounded-collect shape the
+    // watermark loaders already use.
+    val nPairs = slopes.count()
+    val (k1, k2) = ((nPairs - 1) / 2, nPairs / 2)
+    val sel = slopes.orderBy(col("sq")).rdd.map(_.getLong(0)).zipWithIndex()
+      .filter { case (_, i) => i == k1 || i == k2 }
+      .map(_._1).collect().sorted
+    slopes.unpersist()
+    // (a+b)/2 == lower + (upper-lower)·0.5 exactly for in-range longs —
+    // the same value percentile(sq, 0.5) interpolates to
+    val m = (sel.head + sel.last) / 2.0
+    grid
+      .select(
+        round((col("x").cast("double") - lit(m) / lit(1000000.0) * col("d"))
           * 100).cast("long").as("rq"))
-      .groupBy(col("m"), col("n_pairs"))
       .agg(expr("percentile(rq, 0.5)").as("ic"), count(lit(1)).as("n_days"))
-      .select(col("n_days"), col("n_pairs"),
-        round(col("m") / lit(1.0e10), 6).as("slope_per_day"),
+      .select(col("n_days"), lit(nPairs).as("n_pairs"),
+        round(lit(m) / lit(1.0e10), 6).as("slope_per_day"),
         round(col("ic") / lit(1000000.0), 6).as("intercept"))
   }
 

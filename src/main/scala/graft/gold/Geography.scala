@@ -49,4 +49,79 @@ object Geography {
         round(col("cents").cast("double") / col("region_cents"), 6)
           .as("region_share"))
   }
+
+  /** Bilateral trade matrix (the TPC-H Q7 shape): net revenue by
+    * (customer nation, supplier nation, order year) — who buys from
+    * whom, over time. One fact-fact shuffle (lineitem⨝orders on the
+    * order key); the customer lookup is an equi join on the customer
+    * key (broadcast at gate scale, hash at 100 TB); supplier and both
+    * nation name lookups broadcast. Integer cents. */
+  def tradeMatrix(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long").as("net_cents"))
+    val o = orders.select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).as("yr"))
+    val cn = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val sn = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("cust_nation"), col("supp_nation"), col("yr"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("net_cents")).as("cents"))
+      .select(col("cust_nation"), col("supp_nation"), col("yr"),
+        col("n_lines"), round(col("cents") / 100.0, 6).as("revenue"))
+  }
+
+  /** Supplier-nation market share (the TPC-H Q8 shape): within each
+    * customer REGION and order year, the share of net revenue delivered
+    * by suppliers of `targetNation`. Same join chain as [[tradeMatrix]]
+    * with the customer side rolled up to region; the share is one
+    * conditional-sum ratio of exact longs. */
+  def supplierMarketShare(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      targetNation: String): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long").as("net_cents"))
+    val o = orders.select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).as("yr"))
+    val cr = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"),
+        col("r_name").as("cust_region"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("cust_region"))
+    val sn = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cr, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("cust_region"), col("yr"))
+      .agg(
+        sum(col("net_cents")).as("total_cents"),
+        sum(when(col("supp_nation") === targetNation, col("net_cents"))
+          .otherwise(0L)).as("target_cents"))
+      .filter(col("total_cents") > 0)
+      .select(col("cust_region"), col("yr"),
+        round(col("total_cents") / 100.0, 6).as("total_revenue"),
+        round(col("target_cents") / 100.0, 6).as("target_revenue"),
+        round(col("target_cents").cast("double") / col("total_cents"), 6)
+          .as("market_share"))
+  }
 }
