@@ -1742,6 +1742,33 @@ object SparkEntry {
     "q245_ship_latency" -> ((s, dir) =>
       graft.ext.Supply.shipLatency(Tables.lineitem(s, dir), Tables.orders(s, dir))
         .orderBy(col("order_month"))),
+
+    // ---- ext: seasonal-naive forecast with empirical p10/p90 bands
+    // over the last week (coverage-flagged holdout) ----
+    "q246_forecast_bands" -> ((s, dir) =>
+      graft.ext.Timeseries.seasonalNaiveBands(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
+
+    // ---- ext: weekday seasonal strength η² per restaurant ----
+    "q247_seasonal_strength" -> ((s, dir) =>
+      graft.ext.Timeseries.seasonalStrength(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"))),
+
+    // ---- ext: monthly growth accounting (new / retained /
+    // resurrected / churned user ledger) ----
+    "q248_growth_accounting" -> ((s, dir) =>
+      graft.ext.Olap.growthAccounting(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("month"))),
+
+    // ---- ext: price-ladder percentiles + premium index per category ----
+    "q249_price_ladder" -> ((s, dir) =>
+      graft.ext.Olap.priceLadder(Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy(col("item_category"))),
+
+    // ---- ext: market Lorenz curve (user revenue deciles) ----
+    "q250_lorenz_curve" -> ((s, dir) =>
+      graft.ext.Olap.lorenzCurve(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("decile"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5209,6 +5236,149 @@ object SparkEntry {
                 round(quantile_cont(lat, 0.9), 6) AS p90,
                 round(quantile_cont(lat, 0.99), 6) AS p99
          FROM sl GROUP BY 1 ORDER BY order_month""",
+
+    "q246_forecast_bands" -> OracleSql.withBase(
+      """fbd AS (SELECT restaurant_id, creation_date,
+                       CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                         AS cents
+                FROM order_revenue GROUP BY 1, 2),
+         fbs AS (SELECT restaurant_id, min(creation_date) AS d0,
+                        max(creation_date) AS d1
+                 FROM fbd GROUP BY 1),
+         fbn AS (SELECT restaurant_id, d1,
+                        CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                          AS DATE) AS creation_date
+                 FROM fbs),
+         fbg AS (SELECT n.restaurant_id, n.creation_date, n.d1,
+                        coalesce(t.cents, 0) AS x
+                 FROM fbn n LEFT JOIN fbd t
+                   ON n.restaurant_id = t.restaurant_id
+                  AND n.creation_date = t.creation_date),
+         fbl AS (SELECT *, lag(x, 7) OVER (PARTITION BY restaurant_id
+                   ORDER BY creation_date) AS f
+                 FROM fbg),
+         fbr AS (SELECT restaurant_id, creation_date, d1, x, f, x - f AS r
+                 FROM fbl WHERE f IS NOT NULL),
+         fbb AS (SELECT restaurant_id, count(*) AS n_train,
+                        quantile_cont(r, 0.1) AS p10,
+                        quantile_cont(r, 0.9) AS p90
+                 FROM fbr
+                 WHERE NOT (creation_date > d1 - INTERVAL 7 DAY)
+                 GROUP BY 1)""",
+      """SELECT h.restaurant_id, h.creation_date, b.n_train,
+                h.x / 10000.0 AS actual, h.f / 10000.0 AS forecast,
+                (h.f + b.p10) / 10000.0 AS lo,
+                (h.f + b.p90) / 10000.0 AS hi,
+                (CAST(h.x AS DOUBLE) >= h.f + b.p10
+                 AND CAST(h.x AS DOUBLE) <= h.f + b.p90) AS within_band
+         FROM fbr h JOIN fbb b ON h.restaurant_id = b.restaurant_id
+         WHERE h.creation_date > h.d1 - INTERVAL 7 DAY
+         ORDER BY h.restaurant_id, h.creation_date"""),
+
+    "q247_seasonal_strength" -> OracleSql.withBase(
+      """ssd AS (SELECT restaurant_id, creation_date,
+                       CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                         // 10000 AS d
+                FROM order_revenue GROUP BY 1, 2),
+         ssw AS (SELECT restaurant_id, isodow(creation_date) - 1 AS wd,
+                        count(*) AS ng, CAST(sum(d) AS BIGINT) AS sg,
+                        CAST(sum(d * d) AS BIGINT) AS sgg
+                 FROM ssd GROUP BY 1, 2),
+         sstt AS (SELECT *, CAST(floor(CAST(sg AS DOUBLE) * sg / ng * 1000
+                    + 0.5) AS BIGINT) AS tg
+                  FROM ssw),
+         ssa AS (SELECT restaurant_id, CAST(sum(ng) AS BIGINT) AS n,
+                        CAST(sum(sg) AS BIGINT) AS s,
+                        CAST(sum(sgg) AS BIGINT) AS sxx,
+                        CAST(sum(tg) AS BIGINT) AS tb,
+                        count(*) AS n_weekdays
+                 FROM sstt GROUP BY 1),
+         ssf AS (SELECT restaurant_id, n AS n_days, n_weekdays, tb,
+                        CAST(s AS DOUBLE) * s / n AS cf,
+                        CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * s / n
+                          AS sstv
+                 FROM ssa)""",
+      """SELECT restaurant_id, n_days, n_weekdays,
+                floor(((tb / 1000.0 - cf) / sstv) * 1000000.0 + 0.5)
+                  / 1000000.0 AS seasonal_strength
+         FROM ssf WHERE sstv > 0 ORDER BY restaurant_id"""),
+
+    "q248_growth_accounting" -> OracleSql.withBase(
+      """gau AS (SELECT DISTINCT user_id,
+                       year(creation_date) * 12 + month(creation_date) - 1
+                         AS mi
+                FROM order_revenue),
+         gaf AS (SELECT user_id, mi,
+                        lag(mi) OVER (PARTITION BY user_id ORDER BY mi)
+                          AS prev,
+                        lead(mi) OVER (PARTITION BY user_id ORDER BY mi)
+                          AS nxt
+                 FROM gau),
+         gas AS (SELECT mi, count(*) AS n_active,
+                        CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_new,
+                        CAST(sum(CASE WHEN prev = mi - 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_retained,
+                        CAST(sum(CASE WHEN prev IS NOT NULL
+                              AND prev < mi - 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_resurrected
+                 FROM gaf GROUP BY 1),
+         gam AS (SELECT max(mi) AS max_mi FROM gau),
+         gac AS (SELECT f.mi + 1 AS mi, count(*) AS n_churned
+                 FROM gaf f CROSS JOIN gam m
+                 WHERE (f.nxt IS NULL OR f.nxt > f.mi + 1)
+                   AND f.mi + 1 <= m.max_mi
+                 GROUP BY 1)""",
+      """SELECT make_date(coalesce(s.mi, c.mi) // 12,
+                          coalesce(s.mi, c.mi) % 12 + 1, 1) AS month,
+                coalesce(s.n_active, 0) AS n_active,
+                coalesce(s.n_new, 0) AS n_new,
+                coalesce(s.n_retained, 0) AS n_retained,
+                coalesce(s.n_resurrected, 0) AS n_resurrected,
+                coalesce(c.n_churned, 0) AS n_churned
+         FROM gas s FULL JOIN gac c ON s.mi = c.mi
+         ORDER BY month"""),
+
+    "q249_price_ladder" ->
+      """WITH plu AS (
+           SELECT p.p_type AS item_category,
+                  CAST(round(l.l_extendedprice / l.l_quantity * 100)
+                    AS BIGINT) AS uc
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         pla AS (
+           SELECT item_category, count(*) AS n_lines,
+                  quantile_cont(uc, 0.25) AS c25,
+                  quantile_cont(uc, 0.5) AS c50,
+                  quantile_cont(uc, 0.75) AS c75,
+                  quantile_cont(uc, 0.9) AS c90
+           FROM plu GROUP BY 1)
+         SELECT item_category, n_lines,
+                round(c25 / 100.0, 6) AS p25, round(c50 / 100.0, 6) AS p50,
+                round(c75 / 100.0, 6) AS p75, round(c90 / 100.0, 6) AS p90,
+                round(c90 / c50, 6) AS premium_index
+         FROM pla WHERE c50 > 0 ORDER BY item_category""",
+
+    "q250_lorenz_curve" -> OracleSql.withBase(
+      """lzu AS (SELECT user_id,
+                       CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                         AS cents
+                FROM order_revenue GROUP BY 1),
+         lzd AS (SELECT user_id, cents,
+                        ntile(10) OVER (ORDER BY cents ASC, user_id ASC)
+                          AS decile
+                 FROM lzu),
+         lzt AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM lzu),
+         lza AS (SELECT decile, count(*) AS n_users,
+                        CAST(sum(cents) AS BIGINT) AS dc
+                 FROM lzd GROUP BY 1),
+         lzc AS (SELECT *, CAST(sum(dc) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_dc
+                 FROM lza)""",
+      """SELECT decile, n_users,
+                round(CAST(dc AS DOUBLE) / total_cents, 6) AS revenue_share,
+                round(CAST(cum_dc AS DOUBLE) / total_cents, 6) AS cum_share
+         FROM lzc CROSS JOIN lzt ORDER BY decile"""),
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

@@ -84,9 +84,8 @@ object Olap {
     orderRevenue
       .groupBy(col("restaurant_id"),
         hour(col("creation_ts")).cast("long").as("hr"))
-      .agg(expr("""(sum(cast(round(total_revenue * 10000) as long))
-                   - pmod(sum(cast(round(total_revenue * 10000) as long)), 10000))
-                  div 10000""").as("d"))
+      .agg(expr("sum(cast(round(total_revenue * 10000) as long)) div 10000")
+        .as("d"))
       .groupBy(col("restaurant_id"))
       .agg(
         count(lit(1)).as("n_active_hours"),
@@ -212,16 +211,15 @@ object Olap {
     * computed per month over the whole market's category mix, with the
     * month-over-month delta — is the business diversifying or
     * collapsing onto fewer categories. Same exact integer-dollar
-    * machinery (floor-division parity via the pmod identity); the lag
+    * machinery (truncating `div`, matching DuckDB integer `//`); the lag
     * window runs at MONTH grain (mart-sized, the q165 judgment). */
   def monthlyConcentration(orderRevenue: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byMonth = orderRevenue
       .groupBy(to_date(date_trunc("month", col("creation_date"))).as("month"),
         col("item_category"))
-      .agg(expr("""(sum(cast(round(total_revenue * 10000) as long))
-                   - pmod(sum(cast(round(total_revenue * 10000) as long)), 10000))
-                  div 10000""").as("d"))
+      .agg(expr("sum(cast(round(total_revenue * 10000) as long)) div 10000")
+        .as("d"))
       .groupBy(col("month"))
       .agg(count(lit(1)).as("n_categories"),
         sum(col("d")).as("sd"),
@@ -299,12 +297,12 @@ object Olap {
         round(col("total_revenue") * 10000).cast("long").as("cents"),
         expr(s"least(datediff(today, creation_date) div $halfLifeDays, " +
           s"$maxBuckets)").as("k"))
-      // floor-division parity via the pmod identity (Spark `div`
-      // truncates toward zero, DuckDB `//` floors; discount-heavy lines
-      // can net negative)
+      // plain truncating division on BOTH sides: Spark `div` and
+      // DuckDB integer `//` both truncate toward zero (DuckDB floors
+      // only float `//`) — a pmod floor identity here would DIVERGE on
+      // discount-negative lines
       .select(col("user_id"), col("cents"),
-        expr("""(cents * 1000000 - pmod(cents * 1000000, cast(power(2, k) as long)))
-                div cast(power(2, k) as long)""").as("dq"))
+        expr("(cents * 1000000) div cast(power(2, k) as long)").as("dq"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(col("cents")).as("c"), sum(col("dq")).as("s"))
@@ -342,6 +340,114 @@ object Olap {
         round(col("st").cast("double") / col("stt"), 6).as("pooled_share"),
         round(col("sv").cast("double") / col("n_users"), 6)
           .as("avg_venues"))
+
+  /** Monthly growth accounting over the user base: each active
+    * user-month classifies as NEW (first month ever), RETAINED (also
+    * active the previous calendar month), or RESURRECTED (active
+    * before, but not last month); CHURNED counts users active last
+    * month who went quiet this month. The full user-count ledger
+    * behind [[graft.ext.Timeseries.newVsReturning]]'s revenue split —
+    * month-over-month, new + retained + resurrected − churned
+    * reconciles the active-user delta.
+    *
+    * Shape: fact → (user, month-index) grain, one user-partitioned
+    * lag/lead window, then a month hash aggregate (states) merged with
+    * the shifted churn aggregate. Month indices are exact integers. */
+  def growthAccounting(orderRevenue: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val um = orderRevenue
+      .select(col("user_id"),
+        (year(col("creation_date")) * 12 + month(col("creation_date")) - 1)
+          .as("mi"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("mi"))
+    val flagged = um
+      .withColumn("prev", lag(col("mi"), 1).over(w))
+      .withColumn("nxt", lead(col("mi"), 1).over(w))
+    val states = flagged.groupBy(col("mi"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev") === col("mi") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev").isNotNull && col("prev") < col("mi") - 1, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    // a user active in month m churns in m+1 when the next active month
+    // isn't m+1 (or never comes); clip at the dataset's last month
+    val maxMi = um.agg(max(col("mi")).as("max_mi"))
+    val churned = flagged
+      .filter(col("nxt").isNull || col("nxt") > col("mi") + 1)
+      .join(broadcast(maxMi))
+      .filter(col("mi") + 1 <= col("max_mi"))
+      .groupBy((col("mi") + 1).as("mi"))
+      .agg(count(lit(1)).as("n_churned"))
+    // FULL outer: a month can have zero actives but nonzero churn (the
+    // ledger must still show it)
+    states.join(churned, Seq("mi"), "full_outer")
+      .select(
+        expr("make_date(mi div 12, pmod(mi, 12) + 1, 1)").as("month"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  /** Price-ladder percentiles per category: exact interpolated
+    * p25/p50/p75/p90 of the observed unit price, with the premium
+    * index p90/p50 — the price-architecture readout merchandisers read
+    * next to [[discountBands]]. Unit prices quantize to integer cents
+    * row-locally; one category hash aggregate. */
+  def priceLadder(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"),
+        col("p_type").as("item_category"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("item_category"),
+        round(col("l_extendedprice") / col("l_quantity") * 100)
+          .cast("long").as("uc"))
+      .groupBy(col("item_category"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("percentile(uc, 0.25)").as("c25"),
+        expr("percentile(uc, 0.5)").as("c50"),
+        expr("percentile(uc, 0.75)").as("c75"),
+        expr("percentile(uc, 0.9)").as("c90"))
+      .filter(col("c50") > 0)
+      .select(col("item_category"), col("n_lines"),
+        round(col("c25") / lit(100.0), 6).as("p25"),
+        round(col("c50") / lit(100.0), 6).as("p50"),
+        round(col("c75") / lit(100.0), 6).as("p75"),
+        round(col("c90") / lit(100.0), 6).as("p90"),
+        round(col("c90") / col("c50"), 6).as("premium_index"))
+
+  /** Market Lorenz curve: users ranked by lifetime revenue into
+    * deciles (NTILE with user-id tie-break), each decile's user count,
+    * revenue share, and cumulative share — the curve whose area gap is
+    * [[revenueGini]]'s coefficient, at market level. The unpartitioned
+    * NTILE window runs at user-mart cardinality (the q42 judgment);
+    * cumulative sums ride exact longs. */
+  def lorenzCurve(orderRevenue: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = orderRevenue
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val deciled = users
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("cents").asc, col("user_id").asc)))
+    val tot = users.agg(sum(col("cents")).as("total_cents"))
+    deciled
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("dc"))
+      .withColumn("cum_dc",
+        sum(col("dc")).over(Window.orderBy(col("decile"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"),
+        round(col("dc").cast("double") / col("total_cents"), 6)
+          .as("revenue_share"),
+        round(col("cum_dc").cast("double") / col("total_cents"), 6)
+          .as("cum_share"))
+  }
 
   /** Promotional revenue share per ship month (the TPC-H Q14 shape):
     * what fraction of each month's net revenue came from parts of the
@@ -431,12 +537,10 @@ object Olap {
   def revenueConcentration(orderRevenue: DataFrame): DataFrame =
     orderRevenue
       .groupBy(col("restaurant_id"), col("item_category"))
-      // floor division via the pmod identity: Spark's `div` truncates
-      // toward zero but DuckDB's `//` floors, and a discount-heavy cell
-      // can legitimately sum negative
-      .agg(expr("""(sum(cast(round(total_revenue * 10000) as long))
-                   - pmod(sum(cast(round(total_revenue * 10000) as long)), 10000))
-                  div 10000""").as("d"))
+      // plain `div`: Spark `div` and DuckDB integer `//` both truncate
+      // toward zero (DuckDB floors only float `//`)
+      .agg(expr("sum(cast(round(total_revenue * 10000) as long)) div 10000")
+        .as("d"))
       .groupBy(col("restaurant_id"))
       .agg(count(lit(1)).as("n_categories"),
         sum(col("d")).as("sd"),

@@ -715,6 +715,92 @@ object Timeseries {
         round(col("ic") / lit(1000000.0), 6).as("intercept"))
   }
 
+  /** Seasonal-naive forecast with empirical uncertainty bands: for each
+    * restaurant, the LAST week of its span is "forecast" by the value
+    * seven days earlier, with an interval from the p10/p90 of the
+    * historical week-over-week residuals — the honest-baseline interval
+    * a fancier model must beat ([[seasonalNaiveBacktest]] scores the
+    * point forecast; this adds calibrated bands and a coverage flag).
+    *
+    * Gap-filled grid (zeros are real observations for demand), lag-7
+    * window per restaurant, residual percentiles over exact integer
+    * cents — interpolation lands on exact tenths, engine-stable. */
+  def seasonalNaiveBands(orderRevenue: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val spine = daily
+      .groupBy(col("restaurant_id"))
+      .agg(min(col("creation_date")).as("d0"), max(col("creation_date")).as("d1"))
+      .select(col("restaurant_id"), col("d1"),
+        explode(sequence(col("d0"), col("d1"))).as("creation_date"))
+    val w = Window.partitionBy(col("restaurant_id")).orderBy(col("creation_date"))
+    val grid = spine.join(daily, Seq("restaurant_id", "creation_date"), "left")
+      .select(col("restaurant_id"), col("creation_date"), col("d1"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+      .withColumn("f", lag(col("x"), 7).over(w))
+      .filter(col("f").isNotNull)
+      .withColumn("r", col("x") - col("f"))
+    val holdout = col("creation_date") > col("d1") - expr("INTERVAL 7 DAYS")
+    val bands = grid.filter(!holdout)
+      .groupBy(col("restaurant_id"))
+      .agg(count(lit(1)).as("n_train"),
+        expr("percentile(r, 0.1)").as("p10"),
+        expr("percentile(r, 0.9)").as("p90"))
+    grid.filter(holdout)
+      .join(bands, Seq("restaurant_id"))
+      .select(col("restaurant_id"), col("creation_date"), col("n_train"),
+        (col("x") / lit(10000.0)).as("actual"),
+        (col("f") / lit(10000.0)).as("forecast"),
+        ((col("f") + col("p10")) / lit(10000.0)).as("lo"),
+        ((col("f") + col("p90")) / lit(10000.0)).as("hi"),
+        (col("x").cast("double") >= col("f") + col("p10") &&
+          col("x").cast("double") <= col("f") + col("p90")).as("within_band"))
+  }
+
+  /** Seasonal STRENGTH per restaurant: η² — the share of daily-revenue
+    * variance explained by the ISO weekday (SS_between/SS_total), the
+    * one-number summary of [[weekdaySeasonality]]'s effect table ("is
+    * this venue weekly-periodic at all"). Between-group terms S_g²/n_g
+    * quantize to integer milli-units BEFORE their 7-way sum (a raw
+    * double Σ over groups is summation-order-dependent); dollar units
+    * keep Σx² inside int64 (the q176 rule). */
+  def seasonalStrength(orderRevenue: DataFrame): DataFrame = {
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(expr("sum(cast(round(total_revenue * 10000) as long)) div 10000")
+        .as("d"))
+    val byDay = daily
+      .groupBy(col("restaurant_id"),
+        weekday(col("creation_date")).cast("long").as("wd"))
+      .agg(count(lit(1)).as("ng"), sum(col("d")).as("sg"),
+        sum(col("d") * col("d")).as("sgg"))
+      // floor(x+0.5), not round(): Spark's round() re-derives the
+      // SHORTEST decimal string of the double (BigDecimal.valueOf)
+      // while DuckDB rounds the exact binary value — they disagree on
+      // near-tie rationals like sg²·1000/ng
+      .withColumn("tg",
+        floor(col("sg").cast("double") * col("sg") / col("ng") * 1000
+          + lit(0.5)).cast("long"))
+    byDay
+      .groupBy(col("restaurant_id"))
+      .agg(sum(col("ng")).as("n"), sum(col("sg")).as("s"),
+        sum(col("sgg")).as("sxx"), sum(col("tg")).as("tb"),
+        count(lit(1)).as("n_weekdays"))
+      .withColumn("cf", col("s").cast("double") * col("s") / col("n"))
+      .withColumn("sst", col("sxx").cast("double") - col("cf"))
+      .filter(col("sst") > 0)
+      // half-up 6dp via floor(x·1e6 + 0.5) on the IEEE value — round()
+      // re-derives the decimal expansion and the two engines disagree
+      // exactly when the rational lands on a .5e-6 boundary (seen at
+      // sf0.01 here)
+      .select(col("restaurant_id"), col("n").as("n_days"), col("n_weekdays"),
+        (floor(((col("tb") / lit(1000.0) - col("cf")) / col("sst"))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .as("seasonal_strength"))
+  }
+
   /** Hampel filter over each restaurant's ACTIVE-day revenue series:
     * a trading day is an outlier when it sits more than 3 scaled-MADs
     * (3·1.4826 = 4.4478) from the ±3-neighbor rolling MEDIAN — the
