@@ -1769,6 +1769,34 @@ object SparkEntry {
     "q250_lorenz_curve" -> ((s, dir) =>
       graft.ext.Olap.lorenzCurve(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("decile"))),
+
+    // ---- ext: language mix + entropy per source ----
+    "q251_source_lang_mix" -> ((s, dir) =>
+      TextAnalysis.sourceLangMix(Tables.documents(s, dir), "source", "lang")
+        .orderBy(col("source"))),
+
+    // ---- ext: exact-dedup yield manifest per source (bytes saved) ----
+    "q252_dedup_yield" -> ((s, dir) =>
+      graft.ext.Dedup.dedupYield(Tables.documents(s, dir),
+          "doc_id", "text", "source", "n_chars")
+        .orderBy(col("source"))),
+
+    // ---- ext: quality-decile × dup-rate cross-signal audit ----
+    "q253_quality_dup" -> ((s, dir) =>
+      graft.ext.Dedup.qualityDupDeciles(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy(col("decile"))),
+
+    // ---- ext: LM-scorer length-bias audit (log2 token buckets) ----
+    "q254_lm_length_bias" -> ((s, dir) =>
+      TextAnalysis.lmLengthBias(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("bucket"))),
+
+    // ---- ext: corpus n-gram novelty saturation curve ----
+    "q255_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir), "doc_id", "text",
+          bucketSize = 50)
+        .orderBy(col("bucket"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5379,6 +5407,46 @@ object SparkEntry {
                 round(CAST(dc AS DOUBLE) / total_cents, 6) AS revenue_share,
                 round(CAST(cum_dc AS DOUBLE) / total_cents, 6) AS cum_share
          FROM lzc CROSS JOIN lzt ORDER BY decile"""),
+
+    "q251_source_lang_mix" ->
+      """WITH slc AS (
+           SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+         sla AS (
+           SELECT source, count(*) AS n_langs,
+                  CAST(sum(c) AS BIGINT) AS n_docs, max(c) AS top_c,
+                  CAST(sum(CAST(round(c * ln(c) * 1e9) AS BIGINT)) AS BIGINT)
+                    AS sn
+           FROM slc GROUP BY 1)
+         SELECT source, n_docs, n_langs,
+                ((top_c * 1000000 * 2 + n_docs) // (n_docs * 2)) / 1000000.0
+                  AS top_lang_share,
+                round(ln(n_docs) - (sn / 1e9) / n_docs, 6) AS lang_entropy
+         FROM sla ORDER BY source""",
+
+    "q252_dedup_yield" ->
+      """WITH dd AS (
+           SELECT doc_id, source, n_chars AS nb, md5(text) AS h
+           FROM documents),
+         dk AS (SELECT h, min(doc_id) AS keep_id FROM dd GROUP BY 1),
+         da AS (
+           SELECT d.source, count(*) AS n_docs,
+                  CAST(sum(CASE WHEN d.doc_id != k.keep_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+                  CAST(sum(CASE WHEN d.doc_id != k.keep_id THEN d.nb
+                           ELSE 0 END) AS BIGINT) AS bytes_removed,
+                  CAST(sum(d.nb) AS BIGINT) AS bytes_total
+           FROM dd d JOIN dk k USING (h) GROUP BY 1)
+         SELECT source, n_docs, n_removed,
+                ((n_removed * 1000000 * 2 + n_docs) // (n_docs * 2))
+                  / 1000000.0 AS removal_share,
+                bytes_removed, bytes_total
+         FROM da ORDER BY source""",
+
+    "q253_quality_dup" -> ExtOracleSql.qualityDupDeciles,
+
+    "q254_lm_length_bias" -> ExtOracleSql.lmLengthBias,
+
+    "q255_ngram_novelty" -> ExtOracleSql.ngramNovelty(bucketSize = 50),
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

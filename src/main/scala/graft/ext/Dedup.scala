@@ -583,4 +583,58 @@ object Dedup {
       .select(col("block").as(blockCol), col("id_a"), col("id_b"),
         col("name_a"), col("name_b"), col("jw"))
   }
+
+  /** Exact-dedup yield manifest per source: with corpus-wide keep-min-id
+    * canonical selection over identical texts, what each source loses —
+    * removed docs, removal share, and bytes reclaimed. The accounting
+    * report a curation run publishes next to the dedup itself (q15
+    * performs the dedup; this prices it). One md5 group + an id-keyed
+    * join back; all counts exact longs. */
+  def dedupYield(
+      docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, sizeCol: String): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      col(sizeCol).as("nb"), md5(col(textCol)).as("h"))
+    val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    d.join(keep, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("doc_id") =!= col("keep_id")).cast("long")).as("n_removed"),
+        sum(when(col("doc_id") =!= col("keep_id"), col("nb")).otherwise(0L))
+          .as("bytes_removed"),
+        sum(col("nb")).as("bytes_total"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        expr("((n_removed * 1000000 * 2 + n_docs) div (n_docs * 2)) " +
+          "/ cast(1000000 as double)").as("removal_share"),
+        col("bytes_removed"), col("bytes_total"))
+  }
+
+  /** Cross-signal curation audit: quality-score deciles × exact-dup
+    * rate — are low-quality documents ALSO the duplicated ones (if so,
+    * quality pruning buys some dedup for free; if not, both passes
+    * earn their keep). Deciles rank the [[TextAnalysis.qualityScore]]
+    * micro-units with doc-id tie-break (total order, engine-stable);
+    * dup flags reuse [[dedupYield]]'s keep-min-id rule. */
+  def qualityDupDeciles(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col(idCol).as("doc_id"),
+        round(col("quality_score") * 1e6).cast("long").as("qu"))
+    val d = docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+    val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val dup = d.join(keep, Seq("h"))
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("keep_id")).cast("long").as("is_dup"))
+    q.join(dup, Seq("doc_id"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("qu").asc, col("doc_id").asc)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"),
+        sum(col("qu")).as("sq"))
+      .select(col("decile"), col("n_docs"), col("n_dups"),
+        expr("((n_dups * 1000000 * 2 + n_docs) div (n_docs * 2)) " +
+          "/ cast(1000000 as double)").as("dup_share"),
+        expr("((sq * 2 + n_docs) div (n_docs * 2)) " +
+          "/ cast(1000000 as double)").as("mean_quality"))
+  }
 }

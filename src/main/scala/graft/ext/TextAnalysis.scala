@@ -794,4 +794,71 @@ object TextAnalysis {
         round(col("chi2_raw"), 6).as("chi2"),
         (col("a") * col("n") > col("n_w") * col("n_l")).as("enriched"))
   }
+
+  /** Language mix per source: distinct languages, the dominant
+    * language's share, and the language entropy (nats) — the
+    * code-switching / routing audit a multilingual curation plan reads
+    * before per-language budgets. Counts are exact longs; entropy uses
+    * the [[tokenEntropy]] 1e-9-unit Σc·ln c discipline; the top share
+    * is an integer half-up micro ratio. Two stacked hash aggregates. */
+  def sourceLangMix(
+      docs: DataFrame, srcCol: String, langCol: String): DataFrame =
+    docs.groupBy(col(srcCol).as("source"), col(langCol).as("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"), sum(col("c")).as("n_docs"),
+        max(col("c")).as("top_c"),
+        sum(round(col("c") * log(col("c")) * 1e9).cast("long")).as("sn"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        expr("((top_c * 1000000 * 2 + n_docs) div (n_docs * 2)) " +
+          "/ cast(1000000 as double)").as("top_lang_share"),
+        round(log(col("n_docs")) - (col("sn") / 1e9) / col("n_docs"), 6)
+          .as("lang_entropy"))
+
+  /** Length bias of the [[lmScore]] quality scorer: documents bucketed
+    * by token-count magnitude (binary-string length — an exact integer
+    * ⌊log₂⌋+1 on both engines; a float log2 diverges at exact powers),
+    * with the mean score per bucket — "does the scorer systematically
+    * punish long documents". Means are truncating micro-unit ratios of
+    * exact longs. */
+  def lmLengthBias(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    lmScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("n_tokens"),
+        length(conv(col("n_tokens"), 10, 2)).as("bucket"),
+        round(col("avg_logprob") * 1e6).cast("long").as("lp"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("st"),
+        sum(col("lp")).as("slp"))
+      .select(col("bucket"), col("n_docs"),
+        expr("((st * 1000000 * 2 + n_docs) div (n_docs * 2)) " +
+          "/ cast(1000000 as double)").as("avg_tokens"),
+        expr("((slp * 2 + n_docs) div (n_docs * 2)) " +
+          "/ cast(1000000 as double)").as("mean_logprob"))
+
+  /** Corpus novelty saturation: documents in id-order batches of
+    * `bucketSize`; per batch, how many of its distinct word 3-grams
+    * appear for the FIRST time — the diminishing-returns curve that
+    * tells a crawl when additional data stops adding vocabulary
+    * (the streaming view of [[graft.ext.Dedup.dupNgramShare]]).
+    *
+    * Scale shape: (batch, gram) pairs dedupe FIRST (hash aggregate),
+    * the first-seen table is one min-aggregate at gram grain, and the
+    * audit is a gram-keyed equi join — no window over the corpus. */
+  def ngramNovelty(
+      docs: DataFrame, idCol: String, textCol: String,
+      bucketSize: Int = 50): DataFrame = {
+    val pairs = docs.select(
+        expr(s"$idCol div $bucketSize").as("bucket"),
+        explode(graft.functions.WordShingles.shingles(
+          lower(col(textCol)), 3)).as("g"))
+      .distinct()
+    val first = pairs.groupBy(col("g")).agg(min(col("bucket")).as("fb"))
+    pairs.join(first, Seq("g"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("bucket") === col("fb")).cast("long")).as("n_new"))
+      .select(col("bucket"), col("n_grams"), col("n_new"),
+        expr("((n_new * 1000000 * 2 + n_grams) div (n_grams * 2)) " +
+          "/ cast(1000000 as double)").as("novelty_share"))
+  }
 }

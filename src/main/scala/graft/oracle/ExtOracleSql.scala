@@ -978,6 +978,75 @@ object ExtOracleSql {
        |$lmScoreCtes
        |SELECT doc_id, n_tokens, avg_logprob FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.ext.TextAnalysis.lmLengthBias]] — same lmScore
+    * chain, binary-string-length bucket, truncating micro means. */
+  def lmLengthBias: String =
+    s"""WITH $toksCte,
+       |$lmScoreCtes,
+       |lb AS (SELECT doc_id, n_tokens, length(bin(n_tokens)) AS bucket,
+       |              CAST(round(avg_logprob * 1e6) AS BIGINT) AS lp
+       |       FROM sc),
+       |la AS (SELECT bucket, count(*) AS n_docs,
+       |              CAST(sum(n_tokens) AS BIGINT) AS st,
+       |              CAST(sum(lp) AS BIGINT) AS slp
+       |       FROM lb GROUP BY 1)
+       |SELECT bucket, n_docs,
+       |       ((st * 1000000 * 2 + n_docs) // (n_docs * 2)) / 1000000.0
+       |         AS avg_tokens,
+       |       ((slp * 2 + n_docs) // (n_docs * 2)) / 1000000.0
+       |         AS mean_logprob
+       |FROM la ORDER BY bucket""".stripMargin
+
+  /** Mirrors [[graft.ext.TextAnalysis.ngramNovelty]]. */
+  def ngramNovelty(bucketSize: Int): String =
+    s"""WITH $toksCte,
+       |nvs AS (SELECT DISTINCT bucket, g FROM (
+       |  SELECT doc_id // $bucketSize AS bucket,
+       |         unnest(${Portable.shinglesSql("t", 3)}) AS g
+       |  FROM toks) z),
+       |nvf AS (SELECT g, min(bucket) AS fb FROM nvs GROUP BY 1),
+       |nva AS (SELECT s.bucket, count(*) AS n_grams,
+       |               CAST(sum(CASE WHEN s.bucket = f.fb THEN 1 ELSE 0 END)
+       |                 AS BIGINT) AS n_new
+       |        FROM nvs s JOIN nvf f USING (g) GROUP BY 1)
+       |SELECT bucket, n_grams, n_new,
+       |       ((n_new * 1000000 * 2 + n_grams) // (n_grams * 2)) / 1000000.0
+       |         AS novelty_share
+       |FROM nva ORDER BY bucket""".stripMargin
+
+  /** Mirrors [[graft.ext.Dedup.qualityDupDeciles]] — the quality micro
+    * units repeat [[qualityScore]]'s expressions verbatim. */
+  def qualityDupDeciles: String = {
+    val stopList = TextAnalysis.qualityStopwords.map(w => s"'$w'").mkString(", ")
+    val t = Portable.tokensSql("text")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |         CAST(round(round(0.5 * least(1.0, len($t) / 64.0)
+       |           + 0.25 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+       |                     AS DOUBLE) / length(text)
+       |           + 0.25 * least(1.0,
+       |               CAST(len(list_filter($t, x -> x IN ($stopList)))
+       |                 AS DOUBLE) / len($t) * 4.0), 6) * 1e6) AS BIGINT) AS qu
+       |  FROM documents),
+       |d AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |k AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY 1),
+       |du AS (SELECT d.doc_id,
+       |              CASE WHEN d.doc_id != k.keep_id THEN 1 ELSE 0 END AS is_dup
+       |       FROM d JOIN k USING (h)),
+       |j AS (SELECT q.doc_id, q.qu, du.is_dup,
+       |             ntile(10) OVER (ORDER BY q.qu ASC, q.doc_id ASC) AS decile
+       |      FROM q JOIN du USING (doc_id)),
+       |a AS (SELECT decile, count(*) AS n_docs,
+       |             CAST(sum(is_dup) AS BIGINT) AS n_dups,
+       |             CAST(sum(qu) AS BIGINT) AS sq
+       |      FROM j GROUP BY 1)
+       |SELECT decile, n_docs, n_dups,
+       |       ((n_dups * 1000000 * 2 + n_docs) // (n_docs * 2)) / 1000000.0
+       |         AS dup_share,
+       |       ((sq * 2 + n_docs) // (n_docs * 2)) / 1000000.0 AS mean_quality
+       |FROM a ORDER BY decile""".stripMargin
+  }
+
   /** Mirrors [[graft.ext.TextAnalysis.lmPruneBySource]] — the keep
     * predicate is the same integer rewrite of rank ≤ ⌈p·n⌉. */
   def lmPruneBySource(keepNum: Int, keepDen: Int): String =
