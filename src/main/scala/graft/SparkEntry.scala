@@ -1797,6 +1797,30 @@ object SparkEntry {
       TextAnalysis.ngramNovelty(Tables.documents(s, dir), "doc_id", "text",
           bucketSize = 50)
         .orderBy(col("bucket"))),
+
+    // ---- gold: revealed comparative advantage per nation×category ----
+    "q256_rca_index" -> ((s, dir) =>
+      graft.gold.Geography.rcaIndex(Conformed.orderRevenueCached(s, dir),
+          Tables.supplier(s, dir), Tables.nation(s, dir))
+        .orderBy(col("nation"), col("item_category"))),
+
+    // ---- gold: single-pass share-of-parent hierarchy tree ----
+    "q257_share_of_parent" -> ((s, dir) =>
+      graft.gold.Geography.shareOfParent(Conformed.orderRevenueCached(s, dir),
+          Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))
+        .orderBy(col("region"), col("nation"), col("restaurant_id"))),
+
+    // ---- ext: embedding-norm distribution audit per label ----
+    "q258_norm_audit" -> ((s, dir) =>
+      Similarity.embeddingNormAudit(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label")
+        .orderBy(col("label"))),
+
+    // ---- ext: PQ codebook balance audit per block ----
+    "q259_pq_code_balance" -> ((s, dir) =>
+      Similarity.pqCodeBalance(Tables.embeddings(s, dir),
+          "vec_id", "embedding")
+        .orderBy(col("blk"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5447,6 +5471,64 @@ object SparkEntry {
     "q254_lm_length_bias" -> ExtOracleSql.lmLengthBias,
 
     "q255_ngram_novelty" -> ExtOracleSql.ngramNovelty(bucketSize = 50),
+
+    "q256_rca_index" -> OracleSql.withBase(
+      """rcd AS (SELECT s.s_suppkey AS restaurant_id, n.n_name AS nation
+                FROM supplier s
+                JOIN nation n ON s.s_nationkey = n.n_nationkey),
+         rcc AS (SELECT d.nation, o.item_category,
+                        CAST(sum(round(o.total_revenue * 10000)) AS BIGINT)
+                          AS a
+                 FROM order_revenue o JOIN rcd d USING (restaurant_id)
+                 GROUP BY 1, 2),
+         rcw AS (SELECT *,
+                        CAST(sum(a) OVER (PARTITION BY nation) AS BIGINT)
+                          AS b,
+                        CAST(sum(a) OVER (PARTITION BY item_category)
+                          AS BIGINT) AS c,
+                        CAST(sum(a) OVER () AS BIGINT) AS d
+                 FROM rcc),
+         rcr AS (SELECT nation, item_category, a,
+                        round((CAST(a AS DOUBLE) / b)
+                          / (CAST(c AS DOUBLE) / d), 6) AS rca
+                 FROM rcw WHERE a > 0 AND b > 0 AND c > 0)""",
+      """SELECT nation, item_category, round(a / 10000.0, 6) AS revenue,
+                rca, rca >= 1.25 AS specialized
+         FROM rcr ORDER BY nation, item_category"""),
+
+    "q257_share_of_parent" -> OracleSql.withBase(
+      """spd AS (SELECT s.s_suppkey AS restaurant_id, n.n_name AS nation,
+                        r.r_name AS region
+                 FROM supplier s
+                 JOIN nation n ON s.s_nationkey = n.n_nationkey
+                 JOIN region r ON n.n_regionkey = r.r_regionkey),
+         spl AS (SELECT d.region, d.nation, o.restaurant_id,
+                        CAST(sum(round(o.total_revenue * 10000)) AS BIGINT)
+                          AS cents
+                 FROM order_revenue o JOIN spd d USING (restaurant_id)
+                 GROUP BY 1, 2, 3),
+         spw AS (SELECT *,
+                        CAST(sum(cents) OVER (PARTITION BY region, nation)
+                          AS BIGINT) AS nat_cents,
+                        CAST(sum(cents) OVER (PARTITION BY region)
+                          AS BIGINT) AS reg_cents,
+                        CAST(sum(cents) OVER () AS BIGINT) AS all_cents
+                 FROM spl)""",
+      """SELECT region, nation, restaurant_id,
+                round(cents / 10000.0, 6) AS revenue,
+                round(CAST(cents AS DOUBLE) / nat_cents, 6)
+                  AS share_of_nation,
+                round(CAST(nat_cents AS DOUBLE) / reg_cents, 6)
+                  AS nation_share_of_region,
+                round(CAST(reg_cents AS DOUBLE) / all_cents, 6)
+                  AS region_share_of_market
+         FROM spw WHERE cents > 0
+         ORDER BY region, nation, restaurant_id"""),
+
+    "q258_norm_audit" -> ExtOracleSql.embeddingNormAudit,
+
+    "q259_pq_code_balance" ->
+      ExtOracleSql.pqCodeBalance(blocks = 4, seedEvery = 100),
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

@@ -395,6 +395,62 @@ object Similarity {
         round(sqrt(col("q") / lit(1.0e12)), 6).as("l2_dist"))
   }
 
+  /** Embedding-norm distribution audit per label: exact interpolated
+    * norm percentiles and the share of vectors whose norm falls outside
+    * [p50/2, 2·p50] — the pre-flight QC before any cosine/ANN tier
+    * (a few huge-norm vectors dominate dot products; near-zero norms
+    * make cosine meaningless). Norms quantize to integer micro-units
+    * from per-component 1e-9-unit squared sums (order-free), so every
+    * compare is engine-stable. */
+  def embeddingNormAudit(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val emb = col(vecCol).cast("array<double>")
+    val sq = aggregate(
+      transform(emb, x => round(x * x * lit(1.0e9)).cast("long")),
+      lit(0L), (acc, t) => acc + t)
+    val normq = round(sqrt(sq / lit(1.0e9)) * lit(1000000)).cast("long")
+    val perVec = vecs.select(col(labelCol).as("label"), normq.as("nq"))
+    val stats = perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("percentile(nq, 0.5)").as("q50"),
+        expr("percentile(nq, 0.95)").as("q95"))
+    perVec.join(broadcast(stats), Seq("label"))
+      .groupBy(col("label"), col("n_vecs"), col("q50"), col("q95"))
+      .agg(sum((col("nq") * 2 < col("q50") ||
+          col("nq").cast("double") > col("q50") * 2).cast("long"))
+        .as("n_outliers"))
+      .select(col("label"), col("n_vecs"),
+        round(col("q50") / lit(1000000.0), 6).as("p50_norm"),
+        round(col("q95") / lit(1000000.0), 6).as("p95_norm"),
+        col("n_outliers"),
+        expr("((n_outliers * 1000000 * 2 + n_vecs) div (n_vecs * 2)) " +
+          "/ cast(1000000 as double)").as("outlier_share"))
+  }
+
+  /** PQ codebook balance audit: per subvector block, how evenly the
+    * corpus spreads over the learned codewords — codes used, the top
+    * codeword's share, and the usage entropy in nats (a block whose
+    * codes collapse onto a few centroids quantizes poorly; the health
+    * check next to [[pqErrorByLabel]]'s reconstruction audit).
+    * Reads [[pqEncode]]'s assignments; counts are exact longs; entropy
+    * uses the 1e-9-unit Σc·ln c discipline. */
+  def pqCodeBalance(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      blocks: Int = 4, iters: Int = 2, seedEvery: Int = 100): DataFrame =
+    pqEncode(vecs, idCol, vecCol, blocks, iters, seedEvery)
+      .groupBy(col("blk"), col("code"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_codes_used"), sum(col("c")).as("n_vecs"),
+        max(col("c")).as("top_c"),
+        sum(round(col("c") * log(col("c")) * 1e9).cast("long")).as("sn"))
+      .select(col("blk"), col("n_codes_used"), col("n_vecs"),
+        expr("((top_c * 1000000 * 2 + n_vecs) div (n_vecs * 2)) " +
+          "/ cast(1000000 as double)").as("top_code_share"),
+        round(log(col("n_vecs")) - (col("sn") / 1e9) / col("n_vecs"), 6)
+          .as("code_entropy"))
+
   /** K-means (Lloyd) over the embedding column: `iters` full
     * assign→update rounds from deterministic seeds (the vectors whose id
     * ≡ 0 mod `seedEvery` — data-derived, no RNG), returning each

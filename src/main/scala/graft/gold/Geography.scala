@@ -50,6 +50,80 @@ object Geography {
           .as("region_share"))
   }
 
+  /** Revealed-comparative-advantage index per (supplier nation,
+    * category): the nation's within-category revenue share relative to
+    * the category's global share — RCA > 1 means the nation is
+    * SPECIALIZED in the category (the Balassa index, the classic trade
+    * readout over [[tradeMatrix]]'s cells). The index is one fixed
+    * double ratio-of-ratios over four exact long sums; the
+    * `specialized` flag reads the 6dp-rounded value so it cannot
+    * straddle engines. Mart-grain windows only. */
+  def rcaIndex(
+      orderRevenue: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val dims = supplier.select(col("s_suppkey").as("restaurant_id"),
+      col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("restaurant_id"), col("n_name").as("nation"))
+    val cells = orderRevenue
+      .join(broadcast(dims), Seq("restaurant_id"))
+      .groupBy(col("nation"), col("item_category"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("a"))
+    val natW = Window.partitionBy(col("nation"))
+    val catW = Window.partitionBy(col("item_category"))
+    val all = Window.partitionBy()
+    cells
+      .withColumn("b", sum(col("a")).over(natW))
+      .withColumn("c", sum(col("a")).over(catW))
+      .withColumn("d", sum(col("a")).over(all))
+      .filter(col("a") > 0 && col("b") > 0 && col("c") > 0)
+      .withColumn("rca",
+        round((col("a").cast("double") / col("b"))
+          / (col("c").cast("double") / col("d")), 6))
+      .select(col("nation"), col("item_category"),
+        round(col("a") / 10000.0, 6).as("revenue"),
+        col("rca"), (col("rca") >= 1.25).as("specialized"))
+  }
+
+  /** Single-pass share-of-parent hierarchy: each restaurant's revenue
+    * with its share of its nation, the nation's share of its region,
+    * and the region's share of the market — the drill-down tree a BI
+    * layer renders, materialized at leaf grain from ONE fact aggregate
+    * plus three mart-grain window sums. */
+  def shareOfParent(
+      orderRevenue: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val dims = supplier.select(col("s_suppkey").as("restaurant_id"),
+      col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("restaurant_id"), col("n_name").as("nation"),
+        col("r_name").as("region"))
+    val leaf = orderRevenue
+      .join(broadcast(dims), Seq("restaurant_id"))
+      .groupBy(col("region"), col("nation"), col("restaurant_id"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    leaf
+      .withColumn("nat_cents",
+        sum(col("cents")).over(Window.partitionBy(col("region"), col("nation"))))
+      .withColumn("reg_cents",
+        sum(col("cents")).over(Window.partitionBy(col("region"))))
+      .withColumn("all_cents", sum(col("cents")).over(Window.partitionBy()))
+      .filter(col("cents") > 0)
+      .select(col("region"), col("nation"), col("restaurant_id"),
+        round(col("cents") / 10000.0, 6).as("revenue"),
+        round(col("cents").cast("double") / col("nat_cents"), 6)
+          .as("share_of_nation"),
+        round(col("nat_cents").cast("double") / col("reg_cents"), 6)
+          .as("nation_share_of_region"),
+        round(col("reg_cents").cast("double") / col("all_cents"), 6)
+          .as("region_share_of_market"))
+  }
+
   /** Bilateral trade matrix (the TPC-H Q7 shape): net revenue by
     * (customer nation, supplier nation, order year) — who buys from
     * whom, over time. One fact-fact shuffle (lineitem⨝orders on the

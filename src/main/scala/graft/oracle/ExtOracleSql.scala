@@ -978,6 +978,47 @@ object ExtOracleSql {
        |$lmScoreCtes
        |SELECT doc_id, n_tokens, avg_logprob FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.ext.Similarity.pqCodeBalance]] — same PQ chain as
+    * the q170 encode oracle, rolled to per-block code-usage stats. */
+  def pqCodeBalance(blocks: Int, seedEvery: Int): String =
+    s"""WITH ${pqChainCtes(blocks, seedEvery)},
+       |cb AS (SELECT blk, code, count(*) AS c FROM pqa2 GROUP BY 1, 2),
+       |ca AS (SELECT blk, count(*) AS n_codes_used,
+       |              CAST(sum(c) AS BIGINT) AS n_vecs, max(c) AS top_c,
+       |              CAST(sum(CAST(round(c * ln(c) * 1e9) AS BIGINT))
+       |                AS BIGINT) AS sn
+       |       FROM cb GROUP BY 1)
+       |SELECT blk, n_codes_used, n_vecs,
+       |       ((top_c * 1000000 * 2 + n_vecs) // (n_vecs * 2)) / 1000000.0
+       |         AS top_code_share,
+       |       round(ln(n_vecs) - (sn / 1e9) / n_vecs, 6) AS code_entropy
+       |FROM ca ORDER BY blk""".stripMargin
+
+  /** Mirrors [[graft.ext.Similarity.embeddingNormAudit]]. */
+  def embeddingNormAudit: String =
+    s"""WITH nv AS (
+       |  SELECT label,
+       |         CAST(round(sqrt(list_sum(list_transform(
+       |             CAST(embedding AS DOUBLE[]),
+       |             x -> CAST(round(x * x * 1000000000.0) AS BIGINT)))
+       |           / 1000000000.0) * 1000000) AS BIGINT) AS nq
+       |  FROM embeddings),
+       |st AS (SELECT label, count(*) AS n_vecs,
+       |              quantile_cont(nq, 0.5) AS q50,
+       |              quantile_cont(nq, 0.95) AS q95
+       |       FROM nv GROUP BY 1),
+       |ou AS (SELECT v.label, st.n_vecs, st.q50, st.q95,
+       |              CAST(sum(CASE WHEN v.nq * 2 < st.q50
+       |                    OR CAST(v.nq AS DOUBLE) > st.q50 * 2
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |       FROM nv v JOIN st USING (label) GROUP BY 1, 2, 3, 4)
+       |SELECT label, n_vecs,
+       |       round(q50 / 1000000.0, 6) AS p50_norm,
+       |       round(q95 / 1000000.0, 6) AS p95_norm, n_outliers,
+       |       ((n_outliers * 1000000 * 2 + n_vecs) // (n_vecs * 2))
+       |         / 1000000.0 AS outlier_share
+       |FROM ou ORDER BY label""".stripMargin
+
   /** Mirrors [[graft.ext.TextAnalysis.lmLengthBias]] — same lmScore
     * chain, binary-string-length bucket, truncating micro means. */
   def lmLengthBias: String =
