@@ -1821,6 +1821,29 @@ object SparkEntry {
       Similarity.pqCodeBalance(Tables.embeddings(s, dir),
           "vec_id", "embedding")
         .orderBy(col("blk"))),
+
+    // ---- ext: precision-recall operating points (quality → lang=en) ----
+    "q260_pr_curve" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(Tables.documents(s, dir),
+          "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      graft.ext.Profiling.prCurve(q.join(d, Seq("doc_id")),
+          col("quality_score"), col("lang") === "en")
+        .orderBy(col("threshold"))
+    }),
+
+    // ---- ext: t-closeness privacy audit (nation QI × mktsegment) ----
+    "q261_t_closeness" -> ((s, dir) =>
+      graft.ext.Profiling.tCloseness(Tables.customer(s, dir),
+          col("c_nationkey"), col("c_mktsegment"))
+        .orderBy(col("qi"))),
+
+    // ---- ext: temporal recommender backtest (hit-rate@3 by profile
+    // breadth; last-order holdout) ----
+    "q262_cf_backtest" -> ((s, dir) =>
+      graft.ext.Association.cfBacktest(Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("n_train_cats"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5529,6 +5552,90 @@ object SparkEntry {
 
     "q259_pq_code_balance" ->
       ExtOracleSql.pqCodeBalance(blocks = 4, seedEvery = 100),
+
+    "q260_pr_curve" -> ExtOracleSql.prCurveQualityEn,
+
+    "q261_t_closeness" ->
+      """WITH tcb AS (SELECT c_nationkey AS qi, c_mktsegment AS sv
+                      FROM customer),
+         tcc AS (SELECT qi, sv, count(*) AS c FROM tcb GROUP BY 1, 2),
+         tcn AS (SELECT qi, CAST(sum(c) AS BIGINT) AS n FROM tcc GROUP BY 1),
+         tcg AS (SELECT sv, count(*) AS g FROM tcb GROUP BY 1),
+         tct AS (SELECT CAST(sum(g) AS BIGINT) AS ng FROM tcg),
+         tcx AS (SELECT nn.qi, nn.n, t.ng, gg.sv, gg.g, cc.c
+                 FROM tcn nn CROSS JOIN tcg gg CROSS JOIN tct t
+                 LEFT JOIN tcc cc ON cc.qi = nn.qi AND cc.sv = gg.sv),
+         tca AS (SELECT qi, n, ng,
+                        CAST(sum(abs(coalesce(c, 0) * ng - g * n)) AS BIGINT)
+                          AS num
+                 FROM tcx GROUP BY 1, 2, 3)
+         SELECT qi, n AS class_size,
+                ((num * 1000000 * 2 + (n * ng * 2)) // (n * ng * 2 * 2))
+                  / 1000000.0 AS t_closeness
+         FROM tca ORDER BY qi""",
+
+    "q262_cf_backtest" -> OracleSql.withBase(
+      """cfo AS (SELECT user_id, order_id, creation_date,
+                        item_category AS cat
+                 FROM order_revenue),
+         cfl AS (SELECT user_id, order_id,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY creation_date DESC, order_id DESC) AS rn
+                 FROM (SELECT DISTINCT user_id, order_id, creation_date
+                       FROM cfo) z),
+         cfho AS (SELECT user_id, order_id AS ho FROM cfl WHERE rn = 1),
+         cft AS (SELECT o.*, h.ho FROM cfo o JOIN cfho h USING (user_id)),
+         cftr AS (SELECT * FROM cft WHERE order_id != ho),
+         cfhold AS (SELECT DISTINCT user_id, cat FROM cft
+                    WHERE order_id = ho),
+         cfb AS (SELECT DISTINCT order_id AS basket_id, cat AS item
+                 FROM cftr),
+         cfcnt AS (SELECT item, count(*) AS n_item FROM cfb GROUP BY 1),
+         cfhalf AS (SELECT a.item AS item_a, b.item AS item_b,
+                           count(*) AS cooc
+                    FROM cfb a JOIN cfb b
+                      ON a.basket_id = b.basket_id AND a.item < b.item
+                    GROUP BY 1, 2 HAVING count(*) >= 2),
+         cfsym AS (SELECT item_a, item_b, cooc FROM cfhalf
+                   UNION ALL
+                   SELECT item_b, item_a, cooc FROM cfhalf),
+         cfsim AS (SELECT s.item_a, s.item_b,
+                          CAST(round(s.cooc /
+                            sqrt(CAST(ca.n_item * cb.n_item AS DOUBLE))
+                            * 1e6) AS BIGINT) AS simq
+                   FROM cfsym s
+                   JOIN cfcnt ca ON s.item_a = ca.item
+                   JOIN cfcnt cb ON s.item_b = cb.item),
+         cfprof AS (SELECT DISTINCT user_id, cat FROM cftr),
+         cfsc AS (SELECT p.user_id, s.item_b AS cand,
+                         CAST(sum(s.simq) AS BIGINT) AS score
+                  FROM cfprof p JOIN cfsim s ON p.cat = s.item_a
+                  GROUP BY 1, 2),
+         cfscx AS (SELECT sc.* FROM cfsc sc
+                   WHERE NOT EXISTS (SELECT 1 FROM cfprof p
+                                     WHERE p.user_id = sc.user_id
+                                       AND p.cat = sc.cand)),
+         cfrec AS (SELECT user_id, cand FROM (
+                     SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY score DESC, cand ASC) AS rk
+                     FROM cfscx) z
+                   WHERE rk <= 3),
+         cfhit AS (SELECT DISTINCT r.user_id FROM cfrec r
+                   JOIN cfhold h
+                     ON r.user_id = h.user_id AND r.cand = h.cat),
+         cfbr AS (SELECT user_id, least(count(*), 12) AS n_train_cats
+                  FROM cfprof GROUP BY 1),
+         cfa AS (SELECT b.n_train_cats, count(*) AS n_users,
+                        CAST(sum(CASE WHEN t.user_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+                 FROM (SELECT DISTINCT user_id FROM cfhold) e
+                 JOIN cfbr b USING (user_id)
+                 LEFT JOIN cfhit t ON e.user_id = t.user_id
+                 GROUP BY 1)""",
+      """SELECT n_train_cats, n_users, n_hits,
+                ((n_hits * 1000000 * 2 + n_users) // (n_users * 2))
+                  / 1000000.0 AS hit_rate
+         FROM cfa ORDER BY n_train_cats"""),
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

@@ -188,4 +188,78 @@ object Association {
         round(col("n_both") * col("n_orders") / (col("n_a") * col("n_b")), 6)
           .as("lift"))
   }
+
+  /** Temporal recommender backtest: hold out each user's LAST order,
+    * train [[itemSimilarityTopK]]-style category co-occurrence on the
+    * rest, recommend each user's top-`k` unseen categories by summed
+    * neighbor similarity, and score hit-rate@k against the held-out
+    * order's categories — bucketed by profile breadth (does CF only
+    * work for broad users?). The honest eval loop q178's similarity
+    * table feeds.
+    *
+    * Determinism: similarities quantize to 1e-6 integer units BEFORE
+    * the per-candidate sum (double Σ is order-dependent), ranking
+    * tie-breaks on category; the split is by (date, order id) max —
+    * total order, no randomness. Shapes: baskets dedupe first; the
+    * candidate scoring is profile ⨝ similarity at (user, category)
+    * grain. */
+  def cfBacktest(orderRevenue: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = orderRevenue
+      .select(col("user_id"), col("order_id"), col("creation_date"),
+        col("item_category").as("cat"))
+    val lastOrder = orders.groupBy(col("user_id"))
+      .agg(max(struct(col("creation_date"), col("order_id")))
+        .getField("order_id").as("ho"))
+    val tagged = orders.join(lastOrder, Seq("user_id"))
+    val train = tagged.filter(col("order_id") =!= col("ho"))
+    val holdout = tagged.filter(col("order_id") === col("ho"))
+      .select(col("user_id"), col("cat")).distinct()
+    // co-occurrence similarity on TRAIN baskets only
+    val b = train.select(col("order_id").as("basket_id"), col("cat").as("item"))
+      .distinct()
+    val counts = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val half = b.toDF("basket_id", "item_a")
+      .join(b.toDF("basket_id", "item_b"), Seq("basket_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= 2)
+    val sym = half.unionByName(half.select(col("item_b").as("item_a"),
+      col("item_a").as("item_b"), col("cooc")))
+      .join(broadcast(counts.toDF("item_a", "n_a")), Seq("item_a"))
+      .join(broadcast(counts.toDF("item_b", "n_b")), Seq("item_b"))
+      .select(col("item_a"), col("item_b"),
+        round(col("cooc") / sqrt((col("n_a") * col("n_b")).cast("double"))
+          * 1e6).cast("long").as("simq"))
+    val profile = train.select(col("user_id"), col("cat")).distinct()
+    val scored = profile
+      .join(sym, profile("cat") === sym("item_a"))
+      .groupBy(col("user_id"), col("item_b").as("cand"))
+      .agg(sum(col("simq")).as("score"))
+      .join(profile.select(col("user_id"), col("cat").as("cand")),
+        Seq("user_id", "cand"), "left_anti")
+    val recs = scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("score").desc, col("cand").asc)))
+      .filter(col("rk") <= k)
+      .select(col("user_id"), col("cand"))
+    val hitUsers = recs
+      .join(holdout, recs("user_id") === holdout("user_id") &&
+        recs("cand") === holdout("cat"), "left_semi")
+      .select(col("user_id")).distinct()
+      .withColumn("hit", lit(1L))
+    val breadth = profile.groupBy(col("user_id"))
+      .agg(least(count(lit(1)), lit(12L)).as("n_train_cats"))
+    // eligible users: a holdout order AND a non-empty training profile
+    holdout.select(col("user_id")).distinct()
+      .join(breadth, Seq("user_id"))
+      .join(hitUsers, Seq("user_id"), "left_outer")
+      .groupBy(col("n_train_cats"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("n_train_cats"), col("n_users"), col("n_hits"),
+        expr("((n_hits * 1000000 * 2 + n_users) div (n_users * 2)) " +
+          "/ cast(1000000 as double)").as("hit_rate"))
+  }
 }

@@ -1022,4 +1022,64 @@ object Profiling {
         round((col("b1") * col("sy1") + col("b2") * col("sy2")) / col("syc"), 6)
           .as("r2"))
   }
+
+  /** Precision–recall curve at fixed micro-unit thresholds: for each
+    * threshold t ∈ {0.1 … 0.9}, precision and recall of `score ≥ t`
+    * predicting `label` — the operating-point table behind
+    * [[rankAuc]]'s single number (a deployment picks a threshold; AUC
+    * can't). Scores quantize to exact micro-units, every count is a
+    * long, ratios are integer half-up micro formulas. One pass over
+    * (score, label) rows × 9 exploded thresholds. */
+  def prCurve(
+      df: DataFrame, scoreCol: Column, label: Column): DataFrame = {
+    val base = df.select(
+      round(scoreCol * 1e6).cast("long").as("sq"),
+      when(label, 1L).otherwise(0L).as("pos"))
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    base
+      .select(col("sq"), col("pos"),
+        explode(sequence(lit(1), lit(9))).as("tq"))
+      .groupBy(col("tq"))
+      .agg(
+        sum((col("sq") >= col("tq") * 100000L).cast("long")).as("n_pred"),
+        sum(when(col("sq") >= col("tq") * 100000L, col("pos")).otherwise(0L))
+          .as("tp"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_pred") > 0 && col("n_pos") > 0)
+      .select(
+        (col("tq").cast("double") / 10).as("threshold"),
+        col("n_pred"), col("tp"),
+        expr("((tp * 1000000 * 2 + n_pred) div (n_pred * 2)) " +
+          "/ cast(1000000 as double)").as("precision"),
+        expr("((tp * 1000000 * 2 + n_pos) div (n_pos * 2)) " +
+          "/ cast(1000000 as double)").as("recall"))
+  }
+
+  /** t-closeness privacy audit: per quasi-identifier class, the
+    * variational distance between the class's sensitive-attribute
+    * distribution and the global one (½·Σ|p_class − p_global|) plus
+    * the class size — the disclosure-risk step beyond
+    * [[anonymityReport]]'s k/l counts (a class can be k-anonymous and
+    * l-diverse yet skewed enough to leak). The distance is exact
+    * integer cross-multiplication Σ|c·N − g·n| / (2·n·N). */
+  def tCloseness(
+      df: DataFrame, qiCol: Column, sensitiveCol: Column): DataFrame = {
+    val base = df.select(qiCol.as("qi"), sensitiveCol.as("sv"))
+    val cls = base.groupBy(col("qi"), col("sv")).agg(count(lit(1)).as("c"))
+    val clsN = cls.groupBy(col("qi")).agg(sum(col("c")).as("n"))
+    val glob = base.groupBy(col("sv")).agg(count(lit(1)).as("g"))
+    val globN = glob.agg(sum(col("g")).as("ng"))
+    // the |c·N − g·n| terms need the FULL sensitive-value grid per
+    // class (a value absent from the class still contributes g·n)
+    clsN.crossJoin(broadcast(glob)).crossJoin(broadcast(globN))
+      .join(cls, Seq("qi", "sv"), "left_outer")
+      .select(col("qi"), col("n"), col("ng"),
+        abs(coalesce(col("c"), lit(0L)) * col("ng") - col("g") * col("n"))
+          .as("term"))
+      .groupBy(col("qi"), col("n"), col("ng"))
+      .agg(sum(col("term")).as("num"))
+      .select(col("qi"), col("n").as("class_size"),
+        expr("""((num * 1000000 * 2 + (n * ng * 2)) div (n * ng * 2 * 2))
+                / cast(1000000 as double)""").as("t_closeness"))
+  }
 }

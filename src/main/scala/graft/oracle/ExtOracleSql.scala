@@ -1055,12 +1055,12 @@ object ExtOracleSql {
        |         AS novelty_share
        |FROM nva ORDER BY bucket""".stripMargin
 
-  /** Mirrors [[graft.ext.Dedup.qualityDupDeciles]] — the quality micro
-    * units repeat [[qualityScore]]'s expressions verbatim. */
-  def qualityDupDeciles: String = {
+  /** Shared CTE: [[qualityScore]]'s rounded score as exact integer
+    * micro-units, `q(doc_id, qu)`. */
+  private def qualityMicroCte: String = {
     val stopList = TextAnalysis.qualityStopwords.map(w => s"'$w'").mkString(", ")
     val t = Portable.tokensSql("text")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT doc_id,
        |         CAST(round(round(0.5 * least(1.0, len($t) / 64.0)
        |           + 0.25 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
@@ -1068,7 +1068,37 @@ object ExtOracleSql {
        |           + 0.25 * least(1.0,
        |               CAST(len(list_filter($t, x -> x IN ($stopList)))
        |                 AS DOUBLE) / len($t) * 4.0), 6) * 1e6) AS BIGINT) AS qu
-       |  FROM documents),
+       |  FROM documents)""".stripMargin
+  }
+
+  /** Mirrors [[graft.ext.Profiling.prCurve]] over the quality score
+    * predicting lang = 'en'. */
+  def prCurveQualityEn: String =
+    s"""WITH $qualityMicroCte,
+       |pb AS (SELECT q.qu, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+       |       FROM q JOIN documents d USING (doc_id)),
+       |pt AS (SELECT count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+       |       FROM pb),
+       |px AS (SELECT t.tq, b.qu, b.pos FROM pb b CROSS JOIN
+       |         (SELECT unnest(range(1, 10)) AS tq) t),
+       |pa AS (SELECT tq,
+       |              CAST(sum(CASE WHEN qu >= tq * 100000 THEN 1 ELSE 0 END)
+       |                AS BIGINT) AS n_pred,
+       |              CAST(sum(CASE WHEN qu >= tq * 100000 THEN pos
+       |                   ELSE 0 END) AS BIGINT) AS tp
+       |       FROM px GROUP BY 1)
+       |SELECT CAST(tq AS DOUBLE) / 10 AS threshold, n_pred, tp,
+       |       ((tp * 1000000 * 2 + n_pred) // (n_pred * 2)) / 1000000.0
+       |         AS "precision",
+       |       ((tp * 1000000 * 2 + n_pos) // (n_pos * 2)) / 1000000.0
+       |         AS recall
+       |FROM pa CROSS JOIN pt WHERE n_pred > 0 AND n_pos > 0
+       |ORDER BY threshold""".stripMargin
+
+  /** Mirrors [[graft.ext.Dedup.qualityDupDeciles]] — the quality micro
+    * units come from the same [[qualityMicroCte]] expressions. */
+  def qualityDupDeciles: String = {
+    s"""WITH $qualityMicroCte,
        |d AS (SELECT doc_id, md5(text) AS h FROM documents),
        |k AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY 1),
        |du AS (SELECT d.doc_id,
