@@ -1844,6 +1844,52 @@ object SparkEntry {
     "q262_cf_backtest" -> ((s, dir) =>
       graft.ext.Association.cfBacktest(Conformed.orderRevenueCached(s, dir))
         .orderBy(col("n_train_cats"))),
+
+    // ---- ext: Spearman rank correlation quantity↔net price per
+    // brand (monotone association, robust to the money tail) ----
+    "q263_spearman" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      val d = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          round(col("l_quantity")).cast("long").as("x"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("y"))
+      graft.ext.Profiling.spearmanByGroup(d, "p_brand", col("x"), col("y"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- ext: Kruskal–Wallis H — revenue distribution across item
+    // categories (K-sample sibling of q232's Mann–Whitney) ----
+    "q264_kruskal_wallis" -> ((s, dir) =>
+      graft.ext.Experiment.kruskalWallis(
+          Conformed.orderRevenueCached(s, dir), "item_category",
+          round(col("total_revenue") * 10000).cast("long"))),
+
+    // ---- ext: loyalty difference-in-differences (2×2 cell means,
+    // calendar-midpoint period split) ----
+    "q265_diff_in_diff" -> ((s, dir) =>
+      graft.ext.Experiment.loyaltyDiffInDiff(
+        Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: ABC/XYZ inventory classification (revenue-share ×
+    // demand-variability classes at class grain) ----
+    "q266_abc_xyz" -> ((s, dir) =>
+      graft.ext.Supply.abcXyz(Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy(col("abc_class"), col("xyz_class"))),
+
+    // ---- ext: order aging buckets per priority (data-derived
+    // anchor, receivables-style report) ----
+    "q267_order_aging" -> ((s, dir) =>
+      graft.ext.Supply.orderAging(Tables.orders(s, dir))
+        .orderBy(col("o_orderpriority"), col("bucket_id"))),
+
+    // ---- ext: per-brand safety stock / reorder point (normal demand
+    // model over observed shipping days) ----
+    "q268_safety_stock" -> ((s, dir) =>
+      graft.ext.Supply.safetyStock(Tables.lineitem(s, dir),
+          Tables.part(s, dir))
+        .orderBy(col("p_brand"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5636,6 +5682,222 @@ object SparkEntry {
                 ((n_hits * 1000000 * 2 + n_users) // (n_users * 2))
                   / 1000000.0 AS hit_rate
          FROM cfa ORDER BY n_train_cats"""),
+
+    "q263_spearman" ->
+      """WITH spv AS (
+             SELECT p_brand,
+                    CAST(round(l_quantity) AS BIGINT) AS x,
+                    CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT) AS y
+             FROM lineitem JOIN part ON l_partkey = p_partkey),
+         spr AS (
+             SELECT p_brand,
+                    CAST(rank() OVER (PARTITION BY p_brand ORDER BY x)
+                      AS BIGINT) * 2
+                      + count(*) OVER (PARTITION BY p_brand, x) - 1 AS rx2,
+                    CAST(rank() OVER (PARTITION BY p_brand ORDER BY y)
+                      AS BIGINT) * 2
+                      + count(*) OVER (PARTITION BY p_brand, y) - 1 AS ry2
+             FROM spv),
+         spm AS (
+             SELECT p_brand, count(*) AS n,
+                    sum(rx2) AS sx, sum(ry2) AS sy, sum(rx2 * ry2) AS sxy,
+                    sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy
+             FROM spr GROUP BY 1)
+         SELECT p_brand, CAST(n AS BIGINT) AS n,
+                CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                     THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                     END AS rho
+         FROM spm ORDER BY p_brand""",
+
+    "q264_kruskal_wallis" -> OracleSql.withBase(
+      """kwv AS (SELECT item_category AS g,
+                       CAST(round(total_revenue * 10000) AS BIGINT) AS c
+                FROM order_revenue),
+         kwh AS (SELECT c, count(*) AS t FROM kwv GROUP BY 1),
+         kwr AS (SELECT c,
+                        2 * COALESCE(sum(t) OVER (ORDER BY c
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) + t + 1 AS r2
+                 FROM kwh),
+         kwg AS (SELECT g, count(*) AS n_i, CAST(sum(r2) AS BIGINT) AS s2
+                 FROM kwv JOIN kwr USING (c) GROUP BY 1),
+         kwu AS (SELECT n_i,
+                        CAST(round(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                          / (4.0 * CAST(n_i AS DOUBLE)) * 1000000.0)
+                          AS HUGEINT) AS term_units
+                 FROM kwg),
+         kwties AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tt
+                    FROM kwh),
+         kwtot AS (SELECT count(*) AS n_groups,
+                          CAST(sum(n_i) AS BIGINT) AS n_total,
+                          sum(term_units) AS hu
+                   FROM kwu)""",
+      """SELECT CAST(n_groups AS BIGINT) AS n_groups, n_total,
+                round(12.0 / (CAST(n_total AS DOUBLE)
+                        * (CAST(n_total AS DOUBLE) + 1.0))
+                      * (CAST(hu AS DOUBLE) / 1000000.0)
+                      - 3.0 * (CAST(n_total AS DOUBLE) + 1.0), 6) AS h,
+                CASE WHEN 1.0 - CAST(tt AS DOUBLE)
+                        / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                           * CAST(n_total AS DOUBLE)
+                           - CAST(n_total AS DOUBLE)) > 0
+                     THEN round((12.0 / (CAST(n_total AS DOUBLE)
+                              * (CAST(n_total AS DOUBLE) + 1.0))
+                            * (CAST(hu AS DOUBLE) / 1000000.0)
+                            - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+                          / (1.0 - CAST(tt AS DOUBLE)
+                             / (CAST(n_total AS DOUBLE)
+                                * CAST(n_total AS DOUBLE)
+                                * CAST(n_total AS DOUBLE)
+                                - CAST(n_total AS DOUBLE))), 6)
+                     END AS h_tie_adj
+         FROM kwtot CROSS JOIN kwties"""),
+
+    "q265_diff_in_diff" -> OracleSql.withBase(
+      """ddb AS (SELECT min(creation_date) AS d0, max(creation_date) AS d1
+                 FROM order_revenue),
+         dds AS (SELECT d0 + CAST((d1 - d0) // 2 AS INTEGER) AS split
+                 FROM ddb),
+         ddv AS (SELECT r.is_loyalty AS t, r.creation_date > s.split AS p,
+                        CAST(round(r.total_revenue * 10000) AS BIGINT) AS c,
+                        s.split
+                 FROM order_revenue r CROSS JOIN dds s),
+         dda AS (SELECT max(split) AS split_date,
+                        CAST(sum(CASE WHEN t AND NOT p THEN c ELSE 0 END)
+                          AS BIGINT) AS cents_tp,
+                        CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_tp,
+                        CAST(sum(CASE WHEN t AND p THEN c ELSE 0 END)
+                          AS BIGINT) AS cents_tq,
+                        CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_tq,
+                        CAST(sum(CASE WHEN NOT t AND NOT p THEN c ELSE 0 END)
+                          AS BIGINT) AS cents_cp,
+                        CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_cp,
+                        CAST(sum(CASE WHEN NOT t AND p THEN c ELSE 0 END)
+                          AS BIGINT) AS cents_cq,
+                        CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_cq
+                 FROM ddv)""",
+      """SELECT split_date,
+                n_tp AS n_treat_pre, n_tq AS n_treat_post,
+                n_cp AS n_ctrl_pre, n_cq AS n_ctrl_post,
+                round(CAST(cents_tp AS DOUBLE) / (10000.0 * n_tp), 6)
+                  AS mean_treat_pre,
+                round(CAST(cents_tq AS DOUBLE) / (10000.0 * n_tq), 6)
+                  AS mean_treat_post,
+                round(CAST(cents_cp AS DOUBLE) / (10000.0 * n_cp), 6)
+                  AS mean_ctrl_pre,
+                round(CAST(cents_cq AS DOUBLE) / (10000.0 * n_cq), 6)
+                  AS mean_ctrl_post,
+                round((CAST(cents_tq AS DOUBLE) / (10000.0 * n_tq)
+                       - CAST(cents_tp AS DOUBLE) / (10000.0 * n_tp))
+                      - (CAST(cents_cq AS DOUBLE) / (10000.0 * n_cq)
+                         - CAST(cents_cp AS DOUBLE) / (10000.0 * n_cp)), 6)
+                  AS did_estimate
+         FROM dda"""),
+
+    "q266_abc_xyz" ->
+      """WITH axm AS (
+             SELECT l_partkey, date_trunc('month', l_shipdate) AS mth,
+                    CAST(sum(round(l_extendedprice * (1 - l_discount) * 100))
+                      AS BIGINT) AS cents,
+                    CAST(sum(round(l_quantity)) AS BIGINT) AS qty
+             FROM lineitem GROUP BY 1, 2),
+         axp AS (
+             SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS cents,
+                    count(*) AS m, CAST(sum(qty) AS BIGINT) AS sq,
+                    CAST(sum(qty * qty) AS BIGINT) AS sqq
+             FROM axm GROUP BY 1),
+         axc AS (
+             SELECT *, CAST(sum(cents) OVER (ORDER BY cents DESC,
+                      l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS cum
+             FROM axp),
+         axt AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM axp),
+         axx AS (
+             SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                         WHEN cum * 20 <= tot * 19 THEN 'B'
+                         ELSE 'C' END AS abc_class,
+                    CASE WHEN m <= 1 OR sq = 0 THEN 'Z'
+                         WHEN sqrt((CAST(m AS DOUBLE) * CAST(sqq AS DOUBLE)
+                                - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                               / (CAST(m AS DOUBLE)
+                                  * (CAST(m AS DOUBLE) - 1.0)))
+                              / (CAST(sq AS DOUBLE) / CAST(m AS DOUBLE))
+                              < 0.5 THEN 'X'
+                         WHEN sqrt((CAST(m AS DOUBLE) * CAST(sqq AS DOUBLE)
+                                - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                               / (CAST(m AS DOUBLE)
+                                  * (CAST(m AS DOUBLE) - 1.0)))
+                              / (CAST(sq AS DOUBLE) / CAST(m AS DOUBLE))
+                              < 1.0 THEN 'Y'
+                         ELSE 'Z' END AS xyz_class,
+                    cents, tot
+             FROM axc CROSS JOIN axt)
+         SELECT abc_class, xyz_class, count(*) AS n_parts,
+                round(CAST(sum(cents) AS DOUBLE) / max(tot), 6)
+                  AS revenue_share
+         FROM axx GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q267_order_aging" ->
+      """WITH aga AS (SELECT CAST(max(o_orderdate) AS DATE) AS today
+                      FROM orders),
+         agb AS (
+             SELECT o_orderpriority,
+                    CASE WHEN a.today - CAST(o_orderdate AS DATE) <= 30
+                           THEN 0
+                         WHEN a.today - CAST(o_orderdate AS DATE) <= 90
+                           THEN 1
+                         WHEN a.today - CAST(o_orderdate AS DATE) <= 365
+                           THEN 2
+                         ELSE 3 END AS bucket_id,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             FROM orders CROSS JOIN aga a)
+         SELECT o_orderpriority, bucket_id,
+                CASE bucket_id WHEN 0 THEN '0-30' WHEN 1 THEN '31-90'
+                  WHEN 2 THEN '91-365' ELSE '365+' END AS age_bucket,
+                count(*) AS n_orders,
+                CAST(sum(c) AS BIGINT) / 100.0 AS total_value
+         FROM agb GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q268_safety_stock" ->
+      """WITH ssd AS (
+             SELECT p_brand, CAST(l_shipdate AS DATE) AS ship_day,
+                    CAST(sum(round(l_quantity)) AS BIGINT) AS q
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY 1, 2),
+         ssm AS (
+             SELECT p_brand, count(*) AS n_days,
+                    CAST(sum(q) AS BIGINT) AS sq,
+                    CAST(sum(q * q) AS BIGINT) AS sqq
+             FROM ssd GROUP BY 1)
+         SELECT p_brand, CAST(n_days AS BIGINT) AS n_days,
+                round(CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+                  AS mean_daily_qty,
+                round(sqrt((CAST(n_days AS DOUBLE) * CAST(sqq AS DOUBLE)
+                        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                      / (CAST(n_days AS DOUBLE)
+                         * (CAST(n_days AS DOUBLE) - 1.0))), 6)
+                  AS sigma_daily,
+                round(1.6448536269514722
+                      * sqrt((CAST(n_days AS DOUBLE) * CAST(sqq AS DOUBLE)
+                           - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                         / (CAST(n_days AS DOUBLE)
+                            * (CAST(n_days AS DOUBLE) - 1.0)))
+                      * sqrt(7.0), 6) AS safety_stock,
+                round(CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE) * 7.0
+                      + 1.6448536269514722
+                        * sqrt((CAST(n_days AS DOUBLE) * CAST(sqq AS DOUBLE)
+                             - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                           / (CAST(n_days AS DOUBLE)
+                              * (CAST(n_days AS DOUBLE) - 1.0)))
+                        * sqrt(7.0), 6) AS reorder_point
+         FROM ssm WHERE n_days > 1 ORDER BY p_brand""",
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Experiment-analysis tier: variance-reduced A/B readouts over the
@@ -196,5 +196,108 @@ object Experiment {
         col("n1").as("n_loyal"), col("n2").as("n_other"),
         u.as("u_stat"),
         when(sig2 > 0, round((u - mu) / sqrt(sig2), 6)).as("z"))
+  }
+
+  /** Kruskal–Wallis H across the groups of `groupCol` — the K-sample
+    * generalization of [[loyaltyMannWhitney]]: "do any of these
+    * segments draw from a different distribution", rank-based so the
+    * money tail cannot dominate. Emits one row: group/row counts, H,
+    * and the tie-corrected H.
+    *
+    * Exactness: global tied average ranks come from the VALUE
+    * HISTOGRAM — doubled rank of value v is 2·(#rows below v) + t + 1,
+    * all integers — so per-group rank sums s2 are order-free longs.
+    * The per-group term s2²∕(4nᵢ) is one fixed IEEE chain from exact
+    * integers, quantized to integer 1e-6 units BEFORE the cross-group
+    * sum (a float sum's order differs between engines — the
+    * [[Profiling.fisherSeparability]] discipline); unit sums and the
+    * tie cubes ride DECIMAL(38,0)/HUGEINT. H and its correction are
+    * then single mirrored chains, 6dp.
+    *
+    * Shape: one hash aggregate to value grain, ONE window over that
+    * histogram — distinct-value grain, NOT row grain (money units
+    * concentrate: ~52k distinct cents under 600k rows here; for a
+    * domain where distinct ≈ rows, swap in the
+    * [[Profiling.quantileNormalize]] bucketed-prefix-sum histogram) —
+    * a value-keyed shuffle join back to rows, and constant-size
+    * aggregates above. Callers pass an integer-unit column. */
+  def kruskalWallis(
+      df: DataFrame, groupCol: String, unitsCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(groupCol).as("g"), unitsCol.as("c"))
+    val hist = v.groupBy(col("c")).agg(count(lit(1)).as("t"))
+    val wv = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = hist
+      .withColumn("below", coalesce(sum(col("t")).over(wv), lit(0L)))
+      .select(col("c"), (lit(2L) * col("below") + col("t") + 1L).as("r2"))
+    val byG = v.join(r2, Seq("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_i"), sum(col("r2")).as("s2"))
+    val terms = byG.select(col("n_i"),
+      round(col("s2").cast("double") * col("s2").cast("double")
+        / (lit(4.0) * col("n_i").cast("double")) * 1e6)
+        .cast("decimal(38,0)").as("term_units"))
+    val ties = hist.agg(
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .as("tt"))
+    val tot = terms.agg(count(lit(1)).as("n_groups"),
+      sum(col("n_i")).as("n_total"), sum(col("term_units")).as("hu"))
+    val nd = col("n_total").cast("double")
+    val hRaw = lit(12.0) / (nd * (nd + lit(1.0))) *
+      (col("hu").cast("double") / lit(1e6)) - lit(3.0) * (nd + lit(1.0))
+    val tieC = lit(1.0) - col("tt").cast("double") / (nd * nd * nd - nd)
+    tot.crossJoin(ties).select(
+      col("n_groups"), col("n_total"),
+      round(hRaw, 6).as("h"),
+      when(tieC > 0, round(hRaw / tieC, 6)).as("h_tie_adj"))
+  }
+
+  /** Loyalty difference-in-differences: the 2×2 natural-experiment
+    * readout. Treatment = the loyalty flag, periods split at the
+    * calendar midpoint of the observed fact window, cells = mean
+    * per-line revenue; DiD = (T̄post − T̄pre) − (C̄post − C̄pre) —
+    * the parallel-trends-adjusted loyalty effect that a raw
+    * post-period comparison (q11's shape) confounds with seasonality.
+    *
+    * Exactness: the split date is data-derived (min/max dates, integer
+    * floor-halved — never the wall clock, SURVEY §7.4 risk 2); cell
+    * sums are exact integer cents and counts, each mean ONE division,
+    * and the DiD combination a fixed four-operand chain over those
+    * identical doubles, 6dp at the edge.
+    *
+    * Shape: a constant-size min/max aggregate broadcast back onto the
+    * fact, then ONE conditional-sum aggregate to a single row — two
+    * scans total, no window, nothing driver-side. */
+  def loyaltyDiffInDiff(orderRevenue: DataFrame): DataFrame = {
+    val bounds = orderRevenue.agg(
+      min(col("creation_date")).as("d0"), max(col("creation_date")).as("d1"))
+    val withSplit = orderRevenue
+      .select(col("is_loyalty"), col("creation_date"), col("total_revenue"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("split",
+        expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))"))
+    val c = round(col("total_revenue") * 10000).cast("long")
+    val t = col("is_loyalty")
+    val p = col("creation_date") > col("split")
+    def cell(cond: org.apache.spark.sql.Column, tag: String) = Seq(
+      sum(when(cond, c).otherwise(0L)).as(s"cents_$tag"),
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"))
+    val agg = withSplit.agg(
+      max(col("split")).as("split_date"),
+      (cell(t && !p, "tp") ++ cell(t && p, "tq")
+        ++ cell(!t && !p, "cp") ++ cell(!t && p, "cq")): _*)
+    def mean(tag: String) =
+      col(s"cents_$tag").cast("double") / (lit(10000.0) * col(s"n_$tag"))
+    agg.select(
+      col("split_date"),
+      col("n_tp").as("n_treat_pre"), col("n_tq").as("n_treat_post"),
+      col("n_cp").as("n_ctrl_pre"), col("n_cq").as("n_ctrl_post"),
+      round(mean("tp"), 6).as("mean_treat_pre"),
+      round(mean("tq"), 6).as("mean_treat_post"),
+      round(mean("cp"), 6).as("mean_ctrl_pre"),
+      round(mean("cq"), 6).as("mean_ctrl_post"),
+      round((mean("tq") - mean("tp")) - (mean("cq") - mean("cp")), 6)
+        .as("did_estimate"))
   }
 }

@@ -196,6 +196,41 @@ object Profiling {
         round(num / (sqrt(varX) * sqrt(varY)), 6)).as("corr")): _*)
   }
 
+  /** Spearman rank correlation per group: [[groupCorr]] on the tied
+    * average ranks of the two variables — the monotone-association
+    * reading that is robust to the heavy-tailed money/quantity
+    * distributions Pearson over-weights.
+    *
+    * Exactness: a tied value at minimum rank r with tie-group size c
+    * has average rank r + (c−1)/2; doubling keeps it integer
+    * (2r + c − 1, the [[rankAuc]] device), a global factor that
+    * cancels in the correlation, so the whole statistic reduces to
+    * [[groupCorr]]'s exact-integer moment formula on the doubled
+    * ranks. Envelope: doubled ranks ≤ 2n ride the DECIMAL(38,0)
+    * moments, safe far past any per-group cardinality parquet holds.
+    *
+    * Shape: two rank windows + two tie-count windows partitioned by
+    * group (the unavoidable per-group sorts of exact ranking), then
+    * one hash aggregate. Callers pass integer-unit columns, per the
+    * [[groupCorr]] contract. */
+  def spearmanByGroup(
+      df: DataFrame, groupCol: String, xCol: Column, yCol: Column)
+      : DataFrame = {
+    val base = df.select(col(groupCol), xCol.as("__x"), yCol.as("__y"))
+    val wg = Window.partitionBy(col(groupCol))
+    val ranked = base
+      .withColumn("__rx2",
+        rank().over(wg.orderBy(col("__x"))).cast("long") * 2
+          + count(lit(1)).over(
+            Window.partitionBy(col(groupCol), col("__x"))) - 1)
+      .withColumn("__ry2",
+        rank().over(wg.orderBy(col("__y"))).cast("long") * 2
+          + count(lit(1)).over(
+            Window.partitionBy(col(groupCol), col("__y"))) - 1)
+    groupCorr(ranked, Seq(groupCol), col("__rx2"), col("__ry2"))
+      .withColumnRenamed("corr", "rho")
+  }
+
   /** Quantile normalization of a numeric column ACROSS groups: each
     * value is replaced by the pooled distribution's value at the same
     * within-group rank fraction — after which every group has an

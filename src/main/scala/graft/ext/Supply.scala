@@ -241,4 +241,129 @@ object Supply {
           .as("late_rate"),
         round(wilson, 6).as("wilson_lb"))
   }
+
+  /** ABC/XYZ inventory classification — the planner's 3×3 screen:
+    * ABC = cumulative-revenue-share class (A ≤ 80%, B ≤ 95%, C rest,
+    * sorted by part revenue descending), XYZ = demand-variability
+    * class from the coefficient of variation of monthly shipped
+    * quantity (X < 0.5, Y < 1.0, Z otherwise). Emitted at class grain
+    * (≤ 9 rows): part count and the class's revenue share.
+    *
+    * Exactness: the ABC boundaries are INTEGER inequalities on exact
+    * cent sums — cum ≤ 0.80·tot is 5·cum ≤ 4·tot, cum ≤ 0.95·tot is
+    * 20·cum ≤ 19·tot — no float threshold anywhere near the boundary;
+    * the cumulative order is total (revenue desc, part key asc) so tie
+    * runs are deterministic. CV is one double chain from exact
+    * (months, Σq, Σq²) integers against 0.5/1.0 literals; a
+    * single-month part has no sample variance and classes Z.
+    *
+    * Shape: one fact-side hash aggregate to (part, month), rolled up
+    * to part grain; the cumulative window is UNPARTITIONED but runs at
+    * part grain — dimension-sized by construction (parts ≪ lines;
+    * at 100 TB the part dimension is still single-digit millions).
+    * Parts never shipped have no demand signal and are out of scope
+    * (left-join them as class (C, Z) downstream if needed). */
+  def abcXyz(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = lineitem
+      .groupBy(col("l_partkey"),
+        trunc(col("l_shipdate"), "month").as("mth"))
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("cents"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"))
+    val perPart = monthly.groupBy(col("l_partkey"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("m"),
+        sum(col("qty")).as("sq"), sum(col("qty") * col("qty")).as("sqq"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perPart.agg(sum(col("cents")).as("tot"))
+    val md = col("m").cast("double")
+    val mean = col("sq").cast("double") / md
+    val varS = (md * col("sqq").cast("double")
+      - col("sq").cast("double") * col("sq").cast("double")) /
+      (md * (md - lit(1.0)))
+    val cv = sqrt(varS) / mean
+    val classed = perPart
+      .withColumn("cum", sum(col("cents")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum") * 5 <= col("tot") * 4, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B")
+          .otherwise("C"))
+      .withColumn("xyz_class",
+        when(col("m") <= 1 || col("sq") === 0, "Z")
+          .when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z"))
+    classed.groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("class_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("abc_class"), col("xyz_class"), col("n_parts"),
+        round(col("class_cents").cast("double") / col("tot"), 6)
+          .as("revenue_share"))
+  }
+
+  /** Order aging buckets per priority — the receivables-style aging
+    * report: each order's age is days from its order date to the
+    * data-derived anchor (max order date — never the wall clock),
+    * bucketed 0–30 / 31–90 / 91–365 / 365+. Emits (priority, bucket)
+    * rows with order count and exact total value.
+    *
+    * Shape: a 1-row anchor aggregate broadcast back, then one hash
+    * aggregate of the orders table; bucket labels carry a numeric
+    * sort key so consumers keep chronological order without parsing
+    * labels. All integer arithmetic — nothing to drift. */
+  def orderAging(orders: DataFrame): DataFrame = {
+    val anchor = orders.agg(max(col("o_orderdate")).as("today"))
+    orders.crossJoin(broadcast(anchor))
+      .withColumn("age", datediff(col("today"), col("o_orderdate")))
+      .withColumn("bucket_id",
+        when(col("age") <= 30, 0).when(col("age") <= 90, 1)
+          .when(col("age") <= 365, 2).otherwise(3))
+      .groupBy(col("o_orderpriority"), col("bucket_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .select(col("o_orderpriority"), col("bucket_id"),
+        when(col("bucket_id") === 0, "0-30").when(col("bucket_id") === 1, "31-90")
+          .when(col("bucket_id") === 2, "91-365").otherwise("365+")
+          .as("age_bucket"),
+        col("n_orders"), (col("cents") / lit(100.0)).as("total_value"))
+  }
+
+  /** Safety stock and reorder point per brand under the classic
+    * normal-demand model: SS = z·σ_daily·√L, ROP = μ_daily·L + SS,
+    * with σ/μ estimated from OBSERVED shipping days (zero-demand days
+    * carry no row in the fact — document the convention; the
+    * alternative needs a calendar spine). z defaults to the 95%
+    * service level; the 17-significant-digit literal is shared with
+    * the SQL mirror so both engines parse the identical double.
+    *
+    * Exactness: daily quantities are exact longs; mean and sample
+    * variance come from (days, Σq, Σq²) integer moments; the √ and
+    * the two-term ROP are fixed IEEE chains, 6dp. Shape: two hash
+    * aggregates (fact → (brand, day) → brand) and a broadcast dim
+    * join — no window, no fact-fact shuffle. */
+  def safetyStock(
+      lineitem: DataFrame, part: DataFrame,
+      z: Double = 1.6448536269514722, leadDays: Int = 7): DataFrame = {
+    val p = part.select(col("p_partkey"), col("p_brand"))
+    val daily = lineitem
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_shipdate").cast("date").as("ship_day"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+    val m = daily.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_days"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+    val nd = col("n_days").cast("double")
+    val mean = col("sq").cast("double") / nd
+    val varS = (nd * col("sqq").cast("double")
+      - col("sq").cast("double") * col("sq").cast("double")) /
+      (nd * (nd - lit(1.0)))
+    val ss = lit(z) * sqrt(varS) * sqrt(lit(leadDays.toDouble))
+    m.filter(col("n_days") > 1)
+      .select(col("p_brand"), col("n_days"),
+        round(mean, 6).as("mean_daily_qty"),
+        round(sqrt(varS), 6).as("sigma_daily"),
+        round(ss, 6).as("safety_stock"),
+        round(mean * lit(leadDays.toDouble) + ss, 6).as("reorder_point"))
+  }
 }

@@ -124,4 +124,53 @@ class SupplySpec extends SparkSpec {
       s"Wilson LB shrinks a 1/2 rate toward 0: ${wilson(1L)}")
     assert(wilson(2L) == 0.0)
   }
+
+  test("abcXyz: integer-boundary ABC classes and CV-thresholded XYZ") {
+    // part 7: 80 of 100 total cents across two steady months → A/X;
+    // part 8: 20 cents in one month → C (cum hits 100%)/Z (no variance
+    // sample). Boundary: cum=80, tot=100 → 5·80 ≤ 4·100 keeps A exact.
+    val lines = li(
+      (1L, 7L, 1L, 10.0, 0.40, 0.0, "2024-01-05 00:00:00"),
+      (1L, 7L, 1L, 10.0, 0.40, 0.0, "2024-02-05 00:00:00"),
+      (2L, 8L, 1L, 5.0, 0.20, 0.0, "2024-01-06 00:00:00"))
+    val parts = Seq((7L, "B1"), (8L, "B1")).toDF("p_partkey", "p_brand")
+    val got = Supply.abcXyz(lines, parts)
+      .orderBy("abc_class", "xyz_class")
+      .select("abc_class", "xyz_class", "n_parts", "revenue_share")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", "X", 1L, 0.8), ("C", "Z", 1L, 0.2)), s"$got")
+  }
+
+  test("orderAging: data-anchored buckets with exact value sums") {
+    val orders = Seq(
+      (1L, "1-URGENT", 100.0, "2024-12-31 00:00:00"), // age 0 → 0-30
+      (2L, "1-URGENT", 50.0, "2024-11-15 00:00:00"),  // age 46 → 31-90
+      (3L, "2-HIGH", 25.0, "2023-06-01 00:00:00"))    // age 579 → 365+
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice", "od")
+      .withColumn("o_orderdate", col("od").cast("timestamp"))
+    val got = Supply.orderAging(orders)
+      .orderBy("o_orderpriority", "bucket_id")
+      .select("o_orderpriority", "age_bucket", "n_orders", "total_value")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("1-URGENT", "0-30", 1L, 100.0),
+      ("1-URGENT", "31-90", 1L, 50.0), ("2-HIGH", "365+", 1L, 25.0)), s"$got")
+  }
+
+  test("safetyStock: hand-computed normal-model SS and ROP") {
+    // brand B1 daily qty {10, 14}: mean 12, sample var 8, σ = 2√2
+    val lines = li(
+      (1L, 7L, 1L, 10.0, 1.0, 0.0, "2024-01-01 00:00:00"),
+      (2L, 7L, 1L, 14.0, 1.0, 0.0, "2024-01-02 00:00:00"))
+    val parts = Seq((7L, "B1")).toDF("p_partkey", "p_brand")
+    val got = Supply.safetyStock(lines, parts)
+      .select("p_brand", "n_days", "mean_daily_qty", "sigma_daily",
+        "safety_stock", "reorder_point")
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    val sigma = math.sqrt(8.0)
+    val ss = 1.6448536269514722 * sigma * math.sqrt(7.0)
+    assert(got._1 == "B1" && got._2 == 2L && got._3 == 12.0, s"$got")
+    assert(got._4 == math.rint(sigma * 1e6) / 1e6, s"$got")
+    assert(math.abs(got._5 - ss) < 1e-6 &&
+      math.abs(got._6 - (84.0 + ss)) < 1e-6, s"$got")
+  }
 }
