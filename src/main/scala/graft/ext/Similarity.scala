@@ -774,6 +774,82 @@ object Similarity {
         (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 
+  /** DCG position discounts 1∕log₂(p+1), p = 1..10 — 17-significant-
+    * digit literals shared with the SQL mirror (the
+    * [[Profiling.benfordP]] device: each engine's own log2 need not
+    * agree in the last bit; a decimal→double parse is correctly
+    * rounded in both). */
+  val dcgDiscounts: Seq[(Int, Double)] = Seq(
+    1 -> 1.0, 2 -> 0.6309297535714575, 3 -> 0.5,
+    4 -> 0.43067655807339306, 5 -> 0.38685280723454163,
+    6 -> 0.3562071871080222, 7 -> 0.3333333333333333,
+    8 -> 0.31546487678572877, 9 -> 0.3010299956639812,
+    10 -> 0.2890648263178879)
+
+  /** SQL VALUES list mirroring [[dcgDiscounts]] — generated from the
+    * same literals so the two engines cannot drift. */
+  def dcgDiscountsSqlValues(k: Int): String =
+    dcgDiscounts.take(k).map { case (p, d) => s"($p, $d)" }.mkString(", ")
+
+  /** Ideal-DCG in integer 1e-9 units for graded relevance k, k−1, …, 1
+    * at positions 1..k — ONE Scala computation feeds both the plan and
+    * the generated oracle, so the normalizer cannot drift. */
+  def idcgUnits(k: Int): Long =
+    dcgDiscounts.take(k).map { case (p, d) =>
+      math.round((k - p + 1) * d * 1e9) }.sum
+
+  /** Ranked-retrieval quality of the IVF index beyond [[annRecall]]'s
+    * set overlap: per probe, NDCG@k and the reciprocal rank of the
+    * first relevant hit — recall says WHETHER the true neighbors
+    * surfaced; NDCG/MRR say WHERE, which is what a retrieval-augmented
+    * consumer that reads results top-down actually experiences.
+    *
+    * Relevance is graded by the EXACT ranking (rel of the exact rank-r
+    * neighbor is k−r+1, non-members 0) — ground truth is the exact
+    * scorer, the same contract as [[annRecall]]. Per-position gains
+    * quantize to integer 1e-9 units BEFORE the per-probe sum (k
+    * doubles summed in engine order would differ), so DCG is an exact
+    * long and NDCG one division by the shared [[idcgUnits]] constant.
+    * Probes the IVF never answers (singleton cells) surface as 0s.
+    *
+    * Scale shape: inherits [[topKNeighbors]]' block-bounded exact side
+    * (sample the probe set at 100 TB — corpus side stays complete) and
+    * [[ivfTopK]]'s cell-bounded approx side; everything downstream is
+    * probes·k rows. */
+  def rankedRetrievalEval(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroidEvery: Int = 100): DataFrame = {
+    require(k <= dcgDiscounts.size, s"k=$k beyond the discount table")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val exact = topKNeighbors(vecs, idCol, vecCol, k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank").as("ex_rank"))
+    val approx = ivfTopK(vecs, idCol, vecCol, k, centroidEvery)
+      .select(col("vec_id"), col("neighbor_id"), col("rank").as("p"))
+    val disc = dcgDiscounts.take(k).toDF("p", "disc")
+    val scored = approx
+      .join(exact, Seq("vec_id", "neighbor_id"), "left")
+      .join(broadcast(disc), Seq("p"))
+      .withColumn("rel",
+        when(col("ex_rank").isNotNull, lit(k) + 1 - col("ex_rank"))
+          .otherwise(lit(0)))
+      .withColumn("gain_units",
+        round(col("rel").cast("double") * col("disc") * 1e9).cast("long"))
+    val perProbe = scored.groupBy(col("vec_id"))
+      .agg(sum(col("gain_units")).as("dcg_units"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("hits"),
+        min(when(col("rel") > 0, col("p"))).as("first_hit"))
+    exact.select(col("vec_id")).distinct()
+      .join(perProbe, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("dcg_units"), lit(0L)).cast("double")
+          / idcgUnits(k), 6).as("ndcg"),
+        when(col("first_hit").isNotNull,
+          round(lit(1.0) / col("first_hit"), 6)).otherwise(lit(0.0))
+          .as("rr"))
+  }
+
   /** Label-noise audit via k-NN disagreement (the deep-kNN /
     * confident-learning signal): for every vector, how many of its `k`
     * exact nearest neighbors carry a DIFFERENT label, and a `suspect`
