@@ -1712,17 +1712,15 @@ object SparkEntry {
 
     // ---- gold: bilateral trade matrix (TPC-H Q7 shape) ----
     "q241_trade_matrix" -> ((s, dir) =>
-      graft.gold.Geography.tradeMatrix(Tables.lineitem(s, dir),
-          Tables.orders(s, dir), Tables.customer(s, dir),
-          Tables.supplier(s, dir), Tables.nation(s, dir))
+      graft.gold.Geography.tradeMatrixOnSpine(
+          graft.bindings.Conformed.tradeSpineCached(s, dir))
         .orderBy(col("cust_nation"), col("supp_nation"), col("yr"))),
 
     // ---- gold: supplier-nation market share per customer region ×
-    // year (TPC-H Q8 shape) ----
+    // year (TPC-H Q8 shape) — shares q241's persisted trade spine ----
     "q242_market_share" -> ((s, dir) =>
-      graft.gold.Geography.supplierMarketShare(Tables.lineitem(s, dir),
-          Tables.orders(s, dir), Tables.customer(s, dir),
-          Tables.supplier(s, dir), Tables.nation(s, dir),
+      graft.gold.Geography.supplierMarketShareOnSpine(
+          graft.bindings.Conformed.tradeSpineCached(s, dir),
           Tables.region(s, dir), targetNation = "NATION_0")
         .orderBy(col("cust_region"), col("yr"))),
 
@@ -1890,6 +1888,14 @@ object SparkEntry {
       graft.ext.Supply.safetyStock(Tables.lineitem(s, dir),
           Tables.part(s, dir))
         .orderBy(col("p_brand"))),
+
+    // ---- ext: ranked-retrieval quality of the IVF index beyond q144's
+    // set recall — NDCG@k + MRR per probe, graded by the exact ranking ----
+    "q269_retrieval_ndcg" -> ((s, dir) =>
+      graft.ext.Similarity.rankedRetrievalEval(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, centroidEvery = 100)
+        .orderBy(col("vec_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -2003,6 +2009,8 @@ object SparkEntry {
       "q137_hard_negatives_cells" ->
         ExtOracleSql.hardNegativesInCells(k = 5, iters = 2, seedEvery = 100),
       "q144_ann_recall" -> ExtOracleSql.annRecall(k = 5, centroidEvery = 100),
+      "q269_retrieval_ndcg" ->
+        ExtOracleSql.rankedRetrievalEval(k = 5, centroidEvery = 100),
       "q145_label_noise" -> ExtOracleSql.labelNoise(k = 5),
       // Oracle counts each triangle once via the id-ordered triple join
       // (u<v<w) — orientation-independent, so it checks the Spark side's
@@ -5701,8 +5709,11 @@ object SparkEntry {
              FROM spv),
          spm AS (
              SELECT p_brand, count(*) AS n,
-                    sum(rx2) AS sx, sum(ry2) AS sy, sum(rx2 * ry2) AS sxy,
-                    sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy
+                    sum(CAST(rx2 AS HUGEINT)) AS sx,
+                    sum(CAST(ry2 AS HUGEINT)) AS sy,
+                    sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy,
+                    sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+                    sum(CAST(ry2 AS HUGEINT) * ry2) AS syy
              FROM spr GROUP BY 1)
          SELECT p_brand, CAST(n AS BIGINT) AS n,
                 CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
@@ -5722,7 +5733,7 @@ object SparkEntry {
                           ROWS BETWEEN UNBOUNDED PRECEDING
                           AND 1 PRECEDING), 0) + t + 1 AS r2
                  FROM kwh),
-         kwg AS (SELECT g, count(*) AS n_i, CAST(sum(r2) AS BIGINT) AS s2
+         kwg AS (SELECT g, count(*) AS n_i, sum(CAST(r2 AS HUGEINT)) AS s2
                  FROM kwv JOIN kwr USING (c) GROUP BY 1),
          kwu AS (SELECT n_i,
                         CAST(round(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
@@ -5786,19 +5797,20 @@ object SparkEntry {
       """SELECT split_date,
                 n_tp AS n_treat_pre, n_tq AS n_treat_post,
                 n_cp AS n_ctrl_pre, n_cq AS n_ctrl_post,
-                round(CAST(cents_tp AS DOUBLE) / (10000.0 * n_tp), 6)
-                  AS mean_treat_pre,
-                round(CAST(cents_tq AS DOUBLE) / (10000.0 * n_tq), 6)
-                  AS mean_treat_post,
-                round(CAST(cents_cp AS DOUBLE) / (10000.0 * n_cp), 6)
-                  AS mean_ctrl_pre,
-                round(CAST(cents_cq AS DOUBLE) / (10000.0 * n_cq), 6)
-                  AS mean_ctrl_post,
-                round((CAST(cents_tq AS DOUBLE) / (10000.0 * n_tq)
+                CASE WHEN n_tp > 0 THEN round(CAST(cents_tp AS DOUBLE)
+                  / (10000.0 * n_tp), 6) END AS mean_treat_pre,
+                CASE WHEN n_tq > 0 THEN round(CAST(cents_tq AS DOUBLE)
+                  / (10000.0 * n_tq), 6) END AS mean_treat_post,
+                CASE WHEN n_cp > 0 THEN round(CAST(cents_cp AS DOUBLE)
+                  / (10000.0 * n_cp), 6) END AS mean_ctrl_pre,
+                CASE WHEN n_cq > 0 THEN round(CAST(cents_cq AS DOUBLE)
+                  / (10000.0 * n_cq), 6) END AS mean_ctrl_post,
+                CASE WHEN n_tp > 0 AND n_tq > 0 AND n_cp > 0 AND n_cq > 0
+                  THEN round((CAST(cents_tq AS DOUBLE) / (10000.0 * n_tq)
                        - CAST(cents_tp AS DOUBLE) / (10000.0 * n_tp))
                       - (CAST(cents_cq AS DOUBLE) / (10000.0 * n_cq)
                          - CAST(cents_cp AS DOUBLE) / (10000.0 * n_cp)), 6)
-                  AS did_estimate
+                  END AS did_estimate
          FROM dda"""),
 
     "q266_abc_xyz" ->
@@ -5820,8 +5832,10 @@ object SparkEntry {
              FROM axp),
          axt AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM axp),
          axx AS (
-             SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
-                         WHEN cum * 20 <= tot * 19 THEN 'B'
+             SELECT CASE WHEN CAST(cum AS HUGEINT) * 5
+                              <= CAST(tot AS HUGEINT) * 4 THEN 'A'
+                         WHEN CAST(cum AS HUGEINT) * 20
+                              <= CAST(tot AS HUGEINT) * 19 THEN 'B'
                          ELSE 'C' END AS abc_class,
                     CASE WHEN m <= 1 OR sq = 0 THEN 'Z'
                          WHEN sqrt((CAST(m AS DOUBLE) * CAST(sqq AS DOUBLE)

@@ -233,7 +233,8 @@ object Experiment {
       .select(col("c"), (lit(2L) * col("below") + col("t") + 1L).as("r2"))
     val byG = v.join(r2, Seq("c"))
       .groupBy(col("g"))
-      .agg(count(lit(1)).as("n_i"), sum(col("r2")).as("s2"))
+      .agg(count(lit(1)).as("n_i"),
+        sum(col("r2").cast("decimal(38,0)")).as("s2"))
     val terms = byG.select(col("n_i"),
       round(col("s2").cast("double") * col("s2").cast("double")
         / (lit(4.0) * col("n_i").cast("double")) * 1e6)
@@ -287,8 +288,13 @@ object Experiment {
       max(col("split")).as("split_date"),
       (cell(t && !p, "tp") ++ cell(t && p, "tq")
         ++ cell(!t && !p, "cp") ++ cell(!t && p, "cq")): _*)
+    // Empty-cell guard: a degenerate 2×2 (e.g. no loyalty orders in the
+    // pre period) must surface as NULL in BOTH engines — an unguarded
+    // 0/0 is NULL in Spark but NaN/Inf under DuckDB's IEEE division,
+    // so the mirror would diverge exactly when the data is degenerate.
     def mean(tag: String) =
-      col(s"cents_$tag").cast("double") / (lit(10000.0) * col(s"n_$tag"))
+      when(col(s"n_$tag") > 0,
+        col(s"cents_$tag").cast("double") / (lit(10000.0) * col(s"n_$tag")))
     agg.select(
       col("split_date"),
       col("n_tp").as("n_treat_pre"), col("n_tq").as("n_treat_post"),

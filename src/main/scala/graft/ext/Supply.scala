@@ -288,8 +288,10 @@ object Supply {
       .withColumn("cum", sum(col("cents")).over(w))
       .crossJoin(broadcast(tot))
       .withColumn("abc_class",
-        when(col("cum") * 5 <= col("tot") * 4, "A")
-          .when(col("cum") * 20 <= col("tot") * 19, "B")
+        when(col("cum").cast("decimal(38,0)") * 5
+          <= col("tot").cast("decimal(38,0)") * 4, "A")
+          .when(col("cum").cast("decimal(38,0)") * 20
+            <= col("tot").cast("decimal(38,0)") * 19, "B")
           .otherwise("C"))
       .withColumn("xyz_class",
         when(col("m") <= 1 || col("sq") === 0, "Z")

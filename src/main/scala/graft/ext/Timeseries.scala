@@ -808,11 +808,17 @@ object Timeseries {
     * single spike inflates a rolling mean+stddev enough to hide
     * itself; it cannot move a 7-day median).
     *
-    * Scale shape: fact → (restaurant, day) mart first; the rolling
-    * median and MAD are 7×-bounded neighbor self-joins at mart grain
-    * (exact small-window medians without any whole-partition sort
-    * state). Exactness: integer cents in, interpolated medians over
-    * integers (exact halves), one fixed double score formula, strict
+    * Scale shape: fact → (restaurant, day) mart first; the ±window
+    * neighborhood is a `rowsBetween(-w, +w)` FRAME, not a join — ONE
+    * key-partitioned window collects each day's ≤ 2w+1 neighbor values,
+    * and median and MAD both derive from that same collected array
+    * (r7 ran two band self-joins + two exact percentile aggregates for
+    * the identical multiset — 2 shuffles and a double neighbor fan-out
+    * for nothing). Exactness: integer cents in; array medians in
+    * DOUBLED integer units (odd count → 2·mid, even → lo+hi — exact
+    * longs, the rank-doubling device), deviations doubled again, so
+    * med = med2/2 and mad = mad4/4 reconstruct the interpolated-median
+    * doubles bit-for-bit; one fixed double score formula, strict
     * compares. */
   def hampelOutliers(orderRevenue: DataFrame, window: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -823,22 +829,27 @@ object Timeseries {
     val grid = orderRevenue
       .groupBy(col("restaurant_id"), col("creation_date"))
       .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("x"))
-      .withColumn("d", row_number().over(Window
-        .partitionBy(col("restaurant_id")).orderBy(col("creation_date")))
-        .cast("long"))
-    val nb = grid.select(col("restaurant_id"), col("d").as("dc"), col("x"))
-    def neighbors(center: DataFrame): DataFrame =
-      center.join(nb,
-        Seq("restaurant_id")).where(
-        col("dc").between(col("d") - window, col("d") + window))
-    val med = neighbors(grid.select(col("restaurant_id"), col("d")).distinct())
-      .groupBy(col("restaurant_id"), col("d"))
-      .agg(expr("percentile(x, 0.5)").as("med"))
-    val gm = grid.join(med, Seq("restaurant_id", "d"))
-    val mad = neighbors(gm.select(col("restaurant_id"), col("d"), col("med")))
-      .groupBy(col("restaurant_id"), col("d"))
-      .agg(expr("percentile(abs(x - med), 0.5)").as("mad"))
-    gm.join(mad, Seq("restaurant_id", "d"))
+    val w = Window.partitionBy(col("restaurant_id"))
+      .orderBy(col("creation_date")).rowsBetween(-window, window)
+    // doubled-unit median of a sorted long array: odd n -> 2*middle,
+    // even n -> lo+hi — integer-exact where a /2 would truncate
+    def med2Of(sorted: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(n % 2 === 1,
+        element_at(sorted, ((n + 1) / 2).cast("int")) * 2)
+        .otherwise(element_at(sorted, (n / 2).cast("int"))
+          + element_at(sorted, (n / 2).cast("int") + 1))
+    grid
+      .withColumn("srt", array_sort(collect_list(col("x")).over(w)))
+      .withColumn("n", size(col("srt")))
+      .withColumn("med2", med2Of(col("srt"), col("n")))
+      // |2x_j − med2| stays an exact long; its doubled median is 4× MAD
+      .withColumn("dsrt",
+        array_sort(transform(col("srt"),
+          e => abs(e * 2 - col("med2")))))
+      .withColumn("mad4", med2Of(col("dsrt"), col("n")))
+      .withColumn("med", col("med2") / lit(2.0))
+      .withColumn("mad", col("mad4") / lit(4.0))
       .withColumn("dev", abs(col("x") - col("med")))
       .filter((col("mad") > 0 && col("dev") > lit(4.4478) * col("mad")) ||
         (col("mad") === 0 && col("dev") > 0))

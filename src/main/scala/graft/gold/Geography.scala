@@ -124,13 +124,23 @@ object Geography {
           .as("region_share_of_market"))
   }
 
-  /** Bilateral trade matrix (the TPC-H Q7 shape): net revenue by
-    * (customer nation, supplier nation, order year) — who buys from
-    * whom, over time. One fact-fact shuffle (lineitem⨝orders on the
-    * order key); the customer lookup is an equi join on the customer
-    * key (broadcast at gate scale, hash at 100 TB); supplier and both
-    * nation name lookups broadcast. Integer cents. */
-  def tradeMatrix(
+  /** The shared trade fact spine: lineitem ⨝ orders ⨝ customer-dims ⨝
+    * supplier-dims, reduced to exactly the columns the trade reports
+    * consume — (yr, net_cents, cust_nation, cust_regionkey,
+    * supp_nation). [[tradeMatrix]] (Q7) and [[supplierMarketShare]]
+    * (Q8) both aggregate THIS subtree; r7 built it twice, once per
+    * query. Callers that run more than one trade report should persist
+    * the spine once (the [[graft.bindings.Conformed.orderRevenueCached]]
+    * pattern) and feed the `OnSpine` variants.
+    *
+    * Shape: ONE fact-fact shuffle (lineitem⨝orders on the order key);
+    * the customer-nation lookup is hinted `broadcast` — at gate scale
+    * AQE would usually pick it anyway, but the hint pins the plan (the
+    * r7 bench showed it sometimes shuffled on the driver box). At
+    * 100 TB the customer dim may outgrow broadcast range: drop to the
+    * un-hinted equi join there (it stays a hash join on the customer
+    * key); the spine columns and semantics don't change. */
+  def tradeSpine(
       lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
       supplier: DataFrame, nation: DataFrame): DataFrame = {
     val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
@@ -140,52 +150,50 @@ object Geography {
       year(col("o_orderdate")).as("yr"))
     val cn = customer.select(col("c_custkey"), col("c_nationkey"))
       .join(broadcast(nation.select(col("n_nationkey"),
-        col("n_name").as("cust_nation"))),
+        col("n_name").as("cust_nation"), col("n_regionkey"))),
         col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("cust_nation"))
+      .select(col("c_custkey"), col("cust_nation"),
+        col("n_regionkey").as("cust_regionkey"))
     val sn = supplier.select(col("s_suppkey"), col("s_nationkey"))
       .join(broadcast(nation.select(col("n_nationkey").as("snk"),
         col("n_name").as("supp_nation"))),
         col("s_nationkey") === col("snk"))
       .select(col("s_suppkey"), col("supp_nation"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(cn, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
       .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .select(col("yr"), col("net_cents"), col("cust_nation"),
+        col("cust_regionkey"), col("supp_nation"))
+  }
+
+  /** Bilateral trade matrix (the TPC-H Q7 shape): net revenue by
+    * (customer nation, supplier nation, order year) — who buys from
+    * whom, over time. One hash aggregate over [[tradeSpine]]. */
+  def tradeMatrixOnSpine(spine: DataFrame): DataFrame =
+    spine
       .groupBy(col("cust_nation"), col("supp_nation"), col("yr"))
       .agg(count(lit(1)).as("n_lines"), sum(col("net_cents")).as("cents"))
       .select(col("cust_nation"), col("supp_nation"), col("yr"),
         col("n_lines"), round(col("cents") / 100.0, 6).as("revenue"))
-  }
+
+  def tradeMatrix(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame =
+    tradeMatrixOnSpine(
+      tradeSpine(lineitem, orders, customer, supplier, nation))
 
   /** Supplier-nation market share (the TPC-H Q8 shape): within each
     * customer REGION and order year, the share of net revenue delivered
-    * by suppliers of `targetNation`. Same join chain as [[tradeMatrix]]
-    * with the customer side rolled up to region; the share is one
+    * by suppliers of `targetNation`. The 5-row region-name lookup
+    * broadcasts onto [[tradeSpine]]'s region key; the share is one
     * conditional-sum ratio of exact longs. */
-  def supplierMarketShare(
-      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
-      supplier: DataFrame, nation: DataFrame, region: DataFrame,
-      targetNation: String): DataFrame = {
-    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
-      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
-        .cast("long").as("net_cents"))
-    val o = orders.select(col("o_orderkey"), col("o_custkey"),
-      year(col("o_orderdate")).as("yr"))
-    val cr = customer.select(col("c_custkey"), col("c_nationkey"))
-      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
-        col("c_nationkey") === col("n_nationkey"))
+  def supplierMarketShareOnSpine(
+      spine: DataFrame, region: DataFrame,
+      targetNation: String): DataFrame =
+    spine
       .join(broadcast(region.select(col("r_regionkey"),
         col("r_name").as("cust_region"))),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("c_custkey"), col("cust_region"))
-    val sn = supplier.select(col("s_suppkey"), col("s_nationkey"))
-      .join(broadcast(nation.select(col("n_nationkey").as("snk"),
-        col("n_name").as("supp_nation"))),
-        col("s_nationkey") === col("snk"))
-      .select(col("s_suppkey"), col("supp_nation"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(cr, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        col("cust_regionkey") === col("r_regionkey"))
       .groupBy(col("cust_region"), col("yr"))
       .agg(
         sum(col("net_cents")).as("total_cents"),
@@ -197,5 +205,12 @@ object Geography {
         round(col("target_cents") / 100.0, 6).as("target_revenue"),
         round(col("target_cents").cast("double") / col("total_cents"), 6)
           .as("market_share"))
-  }
+
+  def supplierMarketShare(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      targetNation: String): DataFrame =
+    supplierMarketShareOnSpine(
+      tradeSpine(lineitem, orders, customer, supplier, nation),
+      region, targetNation)
 }

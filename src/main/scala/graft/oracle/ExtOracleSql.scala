@@ -581,6 +581,73 @@ object ExtOracleSql {
        |LEFT JOIN h ON x.vec_id = h.vec_id
        |ORDER BY x.vec_id""".stripMargin
 
+  /** Mirrors [[graft.ext.Similarity.rankedRetrievalEval]] — q144's
+    * exact+IVF chains with BOTH ranks kept, graded relevance k−r+1 off
+    * the exact rank, per-position gains quantized to integer 1e-9
+    * units BEFORE the per-probe sum (the order-free-sum discipline),
+    * and NDCG normalized by the Scala-computed
+    * [[graft.ext.Similarity.idcgUnits]] literal. The discount table is
+    * generated from [[graft.ext.Similarity.dcgDiscountsSqlValues]] —
+    * one set of 17-significant-digit literals feeds both engines. */
+  def rankedRetrievalEval(k: Int, centroidEvery: Int): String = {
+    import graft.ext.Similarity
+    s"""WITH $vecsCte,
+       |${exactTopKCtes(k)},
+       |exr AS (SELECT vec_id, neighbor_id, rank AS ex_rank FROM exrk
+       |        WHERE rank <= $k),
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, emb AS cemb FROM v
+       |  WHERE vec_id % $centroidEvery = 0),
+       |asg AS (
+       |  SELECT vec_id, emb, centroid_id AS cell
+       |  FROM (SELECT v.vec_id, v.emb, c.centroid_id,
+       |               row_number() OVER (PARTITION BY v.vec_id
+       |                 ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 6) DESC,
+       |                          c.centroid_id) AS crn
+       |        FROM v CROSS JOIN cents c)
+       |  WHERE crn = 1),
+       |ivcj AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+       |ivrk AS (
+       |  SELECT vec_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM ivcj),
+       |ivk AS (SELECT vec_id, neighbor_id, rank AS p FROM ivrk
+       |        WHERE rank <= $k),
+       |disc AS (SELECT p, CAST(disc AS DOUBLE) AS disc
+       |         FROM (VALUES ${Similarity.dcgDiscountsSqlValues(k)})
+       |           AS d(p, disc)),
+       |sc AS (
+       |  SELECT i.vec_id,
+       |         CASE WHEN e.ex_rank IS NOT NULL
+       |              THEN $k + 1 - e.ex_rank ELSE 0 END AS rel,
+       |         d.disc, i.p
+       |  FROM ivk i
+       |  LEFT JOIN exr e ON i.vec_id = e.vec_id
+       |                 AND i.neighbor_id = e.neighbor_id
+       |  JOIN disc d ON d.p = i.p),
+       |pp AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CAST(round(rel * disc * 1000000000.0) AS BIGINT))
+       |           AS BIGINT) AS dcg_units,
+       |         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS hits,
+       |         min(CASE WHEN rel > 0 THEN p END) AS first_hit
+       |  FROM sc GROUP BY 1)
+       |SELECT x.vec_id,
+       |       COALESCE(pp.hits, 0) AS hits,
+       |       round(CAST(COALESCE(pp.dcg_units, 0) AS DOUBLE)
+       |         / ${Similarity.idcgUnits(k)}, 6) AS ndcg,
+       |       CASE WHEN pp.first_hit IS NOT NULL
+       |            THEN round(1.0 / pp.first_hit, 6) ELSE 0.0 END AS rr
+       |FROM (SELECT DISTINCT vec_id FROM exk) x
+       |LEFT JOIN pp ON x.vec_id = pp.vec_id
+       |ORDER BY x.vec_id""".stripMargin
+  }
+
   /** Mirrors [[graft.ext.Similarity.matryoshkaRecall]]: truncated-prefix
     * exact top-k (same 6dp rounding + id tie-break) audited against the
     * full-dimension exact top-k. */

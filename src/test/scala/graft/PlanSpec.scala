@@ -550,6 +550,24 @@ class PlanSpec extends SparkSpec {
     windowsPartitioned(ext.Olap.walletShareDeciles(rev), "walletShareDeciles")
   }
 
+  test("rankedRetrievalEval broadcasts the discount table; every window stays probe-partitioned") {
+    val df = ext.Similarity.rankedRetrievalEval(
+      core.Tables.embeddings(spark, sf), "vec_id", "embedding",
+      k = 5, centroidEvery = 100)
+    // the k-row position-discount join must broadcast, never shuffle
+    assert(planText(df).contains("BroadcastHashJoin"),
+      "expected the discount join to broadcast")
+    // everything after the (by-spec exact + cell-bounded IVF) scorers is
+    // probes*k-row hash aggregation; the scorers' own rank windows are
+    // per-probe — nothing in the plan may funnel into one partition
+    val wins = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "rankedRetrievalEval must never run an unpartitioned window")
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

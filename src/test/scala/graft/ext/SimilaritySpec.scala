@@ -218,6 +218,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((0L, 1L, 0.5), (1L, 1L, 0.5), (100L, 1L, 0.5), (101L, 1L, 0.5)))
   }
 
+  test("rankedRetrievalEval: IVF==exact scores NDCG/MRR 1; cross-cell misses discount; empty probes surface as 0s") {
+    // one centroid -> IVF returns the exact list -> DCG == IDCG exactly
+    // (gains quantize through the same integer units as the normalizer)
+    val one = (0L to 5L).map { i =>
+      (i, Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val perfect = Similarity.rankedRetrievalEval(one, "vec_id", "embedding",
+        k = 2, centroidEvery = 1000)
+      .select($"vec_id", $"hits", $"ndcg", $"rr")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(perfect.length == 6 &&
+      perfect.forall { case (_, h, n, r) => h == 2L && n == 1.0 && r == 1.0 })
+    // two tight cells + one singleton: cross-cell true neighbors are
+    // unreachable (ndcg < 1), and the singleton-cell probe has NO IVF
+    // answer at all — it must still surface, as all-zeros, not vanish
+    val split = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.95f, 0.05f)),
+      (100L, Array(0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.rankedRetrievalEval(split, "vec_id", "embedding",
+        k = 2, centroidEvery = 100)
+      .select($"vec_id", $"hits", $"ndcg", $"rr")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(0L, 1L, 100L))
+    assert(got(100L) == ((100L, 0L, 0.0, 0.0)))
+    // probes 0 and 1 each find their same-cell rank-1 neighbor at p=1:
+    // rel=k, gain k*disc(1)=2e9 units; ndcg = 2e9/idcgUnits(2), rr=1
+    val expected = math.rint(
+      2e9 / Similarity.idcgUnits(2) * 1e6) / 1e6
+    Seq(0L, 1L).foreach { id =>
+      val (_, h, n, r) = got(id)
+      assert(h == 1L && r == 1.0 && math.abs(n - expected) < 1e-9)
+    }
+  }
+
   test("ivfTopKMultiProbe: nProbe=1 equals single-probe IVF; probing 2 cells recovers cross-cell neighbors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.95f, 0.05f)),
