@@ -1896,6 +1896,77 @@ object SparkEntry {
           Tables.embeddings(s, dir), "vec_id", "embedding",
           k = 5, centroidEvery = 100)
         .orderBy(col("vec_id"))),
+
+    // ---- gold: shipping backlog top-10 (TPC-H Q3 shape; distributed
+    // partial top-k, segment semi-join before the fact join) ----
+    "q270_shipping_backlog" -> ((s, dir) =>
+      graft.gold.Fulfillment.shippingBacklog(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        segment = "BUILDING", asOf = "1998-06-01")),
+
+    // ---- gold: domestic-commerce volume per nation (TPC-H Q5 shape;
+    // customer nation == supplier nation) ----
+    "q271_local_supplier_volume" -> ((s, dir) =>
+      graft.gold.Fulfillment.localSupplierVolume(Tables.lineitem(s, dir),
+          Tables.orders(s, dir), Tables.customer(s, dir),
+          Tables.supplier(s, dir), Tables.nation(s, dir),
+          Tables.region(s, dir), regionName = "ASIA", orderYear = 1997)
+        .orderBy(col("nation"))),
+
+    // ---- gold: discount-elimination what-if (TPC-H Q6 shape; all
+    // predicates scan-tight, one-row aggregate) ----
+    "q272_repricing_whatif" -> ((s, dir) =>
+      graft.gold.Fulfillment.repricingWhatIf(Tables.lineitem(s, dir),
+        yearStart = "1997-01-01", discLo = 0.05, discHi = 0.07,
+        maxQty = 24)),
+
+    // ---- gold: catalog margin by supplier nation × year (TPC-H Q9
+    // shape, retail-price cost basis) ----
+    "q273_catalog_margin" -> ((s, dir) =>
+      graft.gold.Fulfillment.catalogMarginByNation(Tables.lineitem(s, dir),
+          Tables.orders(s, dir), Tables.part(s, dir),
+          Tables.supplier(s, dir), Tables.nation(s, dir),
+          partType = "PROMO")
+        .orderBy(col("nation"), col("yr"))),
+
+    // ---- gold: returned-revenue customer triage (TPC-H Q10 shape) ----
+    "q274_returns_triage" -> ((s, dir) =>
+      graft.gold.Fulfillment.returnsTriage(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), quarterStart = "1997-10-01")),
+
+    // ---- gold: customer order-count distribution including the
+    // zero-order tail (TPC-H Q13 shape) ----
+    "q275_order_count_histogram" -> ((s, dir) =>
+      graft.gold.Fulfillment.orderCountHistogram(Tables.orders(s, dir),
+        Tables.customer(s, dir), excludePriority = "1-URGENT")),
+
+    // ---- gold: top quarterly supplier with ties kept (TPC-H Q15
+    // shape; scalar-broadcast max, no unpartitioned window) ----
+    "q276_top_quarter_supplier" -> ((s, dir) =>
+      graft.gold.Fulfillment.topQuarterSupplier(Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), quarterStart = "1997-01-01")),
+
+    // ---- gold: distinct-supplier assortment breadth per brand/type/
+    // size band (TPC-H Q16 shape; dedup-then-count, no expand) ----
+    "q277_supplier_variety" -> ((s, dir) =>
+      graft.gold.Fulfillment.supplierVariety(Tables.lineitem(s, dir),
+        Tables.part(s, dir), excludeBrand = "Brand#13")),
+
+    // ---- gold: oversized-order review queue (TPC-H Q18 shape;
+    // HAVING on the grouped fact before any dim join) ----
+    "q278_bulk_orders" -> ((s, dir) =>
+      graft.gold.Fulfillment.bulkOrders(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir), minQty = 200)),
+
+    // ---- gold: disjunctive promo pricing (TPC-H Q19 shape; OR-of-
+    // conjunctions with part-side arms tagged on the broadcast dim) ----
+    "q279_disjunctive_pricing" -> ((s, dir) =>
+      graft.gold.Fulfillment.disjunctivePricing(Tables.lineitem(s, dir),
+        Tables.part(s, dir), Seq(
+          graft.gold.Fulfillment.PricingArm("Brand#3", 1, 11, 1, 15),
+          graft.gold.Fulfillment.PricingArm("Brand#14", 10, 20, 1, 25),
+          graft.gold.Fulfillment.PricingArm("Brand#25", 20, 30, 5, 50)))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -5912,6 +5983,143 @@ object SparkEntry {
                               * (CAST(n_days AS DOUBLE) - 1.0)))
                         * sqrt(7.0), 6) AS reorder_point
          FROM ssm WHERE n_days > 1 ORDER BY p_brand""",
+
+    "q270_shipping_backlog" ->
+      """WITH bc AS (SELECT c_custkey FROM customer
+                     WHERE c_mktsegment = 'BUILDING'),
+         bo AS (SELECT o_orderkey, o_orderdate, o_orderpriority
+                FROM orders JOIN bc ON o_custkey = c_custkey
+                WHERE o_orderdate < '1998-06-01'),
+         bl AS (SELECT l_orderkey,
+                       CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT) AS cents
+                FROM lineitem WHERE l_shipdate > '1998-06-01')
+         SELECT o_orderkey, CAST(sum(cents) AS BIGINT) / 100.0 AS revenue,
+                o_orderdate, o_orderpriority
+         FROM bl JOIN bo ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY CAST(sum(cents) AS BIGINT) DESC, o_orderkey
+         LIMIT 10""",
+
+    "q271_local_supplier_volume" ->
+      """WITH lnat AS (
+             SELECT n_nationkey, n_name FROM nation
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA')
+         SELECT n_name AS nation, count(*) AS n_lines,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN lnat ON c_nationkey = n_nationkey
+         WHERE c_nationkey = s_nationkey
+           AND s_nationkey IN (SELECT n_nationkey FROM lnat)
+           AND year(o_orderdate) = 1997
+         GROUP BY 1 ORDER BY nation""",
+
+    "q272_repricing_whatif" ->
+      """SELECT count(*) AS n_lines,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                  / 10000.0 AS forgone_revenue
+         FROM lineitem
+         WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q273_catalog_margin" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS yr,
+                count(*) AS n_lines,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)
+                    - CAST(round(p_retailprice * 100) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                  / 100.0 AS catalog_margin
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1, 2 ORDER BY nation, yr""",
+
+    "q274_returns_triage" ->
+      """WITH ro AS (SELECT o_orderkey, o_custkey FROM orders
+                     WHERE o_orderdate >= '1997-10-01'
+                       AND o_orderdate < '1998-01-01'),
+         rl AS (SELECT l_orderkey,
+                       CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT) AS cents
+                FROM lineitem WHERE l_returnflag = 'R'),
+         rc AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS cents
+                FROM rl JOIN ro ON l_orderkey = o_orderkey GROUP BY 1)
+         SELECT c_custkey, c_name, cents / 100.0 AS returned_revenue,
+                c_acctbal, n_name AS nation
+         FROM rc
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY cents DESC, c_custkey LIMIT 20""",
+
+    "q275_order_count_histogram" ->
+      """WITH pc AS (
+             SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer
+             LEFT JOIN orders ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+             GROUP BY 1)
+         SELECT c_count, count(*) AS custdist
+         FROM pc GROUP BY 1
+         ORDER BY custdist DESC, c_count DESC""",
+
+    "q276_top_quarter_supplier" ->
+      """WITH sr AS (
+             SELECT l_suppkey,
+                    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                      * 100) AS BIGINT)) AS BIGINT) AS cents
+             FROM lineitem
+             WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+             GROUP BY 1)
+         SELECT s_suppkey, s_name, cents / 100.0 AS total_revenue
+         FROM sr JOIN supplier ON l_suppkey = s_suppkey
+         WHERE cents = (SELECT max(cents) FROM sr)
+         ORDER BY s_suppkey""",
+
+    "q277_supplier_variety" ->
+      """WITH sv AS (
+             SELECT DISTINCT p_brand, p_type,
+                    CAST(FLOOR(p_size / 10.0) * 10 AS INT) AS size_band,
+                    l_suppkey
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE p_brand <> 'Brand#13')
+         SELECT p_brand, p_type, size_band, count(*) AS supplier_cnt
+         FROM sv GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, size_band""",
+
+    "q278_bulk_orders" ->
+      """WITH bq AS (
+             SELECT l_orderkey,
+                    CAST(sum(round(l_quantity)) AS BIGINT) AS sum_qty
+             FROM lineitem GROUP BY 1
+             HAVING sum(round(l_quantity)) > 200)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                sum_qty
+         FROM bq
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey""",
+
+    "q279_disjunctive_pricing" ->
+      """SELECT count(*) AS n_lines,
+                COALESCE(CAST(sum(CAST(round(l_extendedprice
+                    * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                  / 100.0, 0.0) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                AND l_quantity >= 1 AND l_quantity <= 11)
+            OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25
+                AND l_quantity >= 10 AND l_quantity <= 20)
+            OR (p_brand = 'Brand#25' AND p_size BETWEEN 5 AND 50
+                AND l_quantity >= 20 AND l_quantity <= 30)""",
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark
