@@ -1967,6 +1967,84 @@ object SparkEntry {
           graft.gold.Fulfillment.PricingArm("Brand#3", 1, 11, 1, 15),
           graft.gold.Fulfillment.PricingArm("Brand#14", 10, 20, 1, 25),
           graft.gold.Fulfillment.PricingArm("Brand#25", 20, 30, 5, 50)))),
+
+    // ---- gold: service-level matrix per delay band (TPC-H Q12 shape;
+    // delay band substitutes the absent l_shipmode) ----
+    "q280_service_level" -> ((s, dir) =>
+      graft.gold.Logistics.serviceLevelMatrix(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), shipYear = 1997)),
+
+    // ---- gold: majority-share suppliers per part (TPC-H Q20 shape;
+    // shipped qty substitutes the absent partsupp availability) ----
+    "q281_dominant_suppliers" -> ((s, dir) =>
+      graft.gold.Logistics.dominantSuppliers(Tables.lineitem(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
+        partType = "PROMO", shipYear = 1997)),
+
+    // ---- gold: sole-blame late suppliers (TPC-H Q21 shape; the
+    // EXISTS/NOT EXISTS pair as counts over one grouped pass) ----
+    "q282_sole_blame_late" -> ((s, dir) =>
+      graft.gold.Logistics.soleBlameLateSuppliers(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.supplier(s, dir))),
+
+    // ---- gold: dormant high-balance customers per nation (TPC-H Q22
+    // shape; recency window keeps the anti-join non-vacuous) ----
+    "q283_idle_customers" -> ((s, dir) =>
+      graft.gold.Logistics.idleHighValueCustomers(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.nation(s, dir),
+        sinceDate = "1999-01-01")),
+
+    // ---- ext: calibration / reliability bins of the quality scorer
+    // against lang=en (the ECE view q260's PR points can't see) ----
+    "q284_calibration_bins" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(Tables.documents(s, dir),
+          "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      graft.ext.Profiling.calibrationBins(q.join(d, Seq("doc_id")),
+        col("quality_score"), col("lang") === "en")
+    }),
+
+    // ---- ext: source↔language mutual information (does source
+    // determine language — the stratification dependence audit) ----
+    "q285_source_lang_mi" -> ((s, dir) =>
+      graft.ext.Profiling.categoricalMutualInfo(Tables.documents(s, dir),
+        col("source"), col("lang"))),
+
+    // ---- ext: IVF cell × label purity audit (do unsupervised cells
+    // recover the label structure) ----
+    "q286_cell_purity" -> ((s, dir) =>
+      graft.ext.Similarity.cellLabelPurity(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label")),
+
+    // ---- ext: α=½ temperature mixture weights per source (the
+    // multilingual resampling rule; √ is exactly rounded IEEE) ----
+    "q287_temperature_mix" -> ((s, dir) =>
+      graft.ext.Sampling.temperatureWeights(Tables.documents(s, dir),
+        col("source"))),
+
+    // ---- ext: histogram-grain Kendall τ-b per brand (quantity vs
+    // discount percent — bounded 50×11 grid per group) ----
+    "q288_kendall_tau" -> ((s, dir) =>
+      graft.ext.Profiling.kendallTauBinned(
+        Tables.lineitem(s, dir).join(
+          Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey")),
+        "p_brand",
+        round(col("l_quantity")).cast("long"),
+        round(col("l_discount") * 100).cast("long"))),
+
+    // ---- ext: Cramér's V priority × status (the effect-size
+    // companion to q285's MI) ----
+    "q289_cramers_v" -> ((s, dir) =>
+      graft.ext.Profiling.cramersV(Tables.orders(s, dir),
+        col("o_orderpriority"), col("o_orderstatus"))),
+
+    // ---- ext: delete-a-group jackknife SE + 95% CI for the mean
+    // order value (deterministic folds — no RNG bootstrap) ----
+    "q290_jackknife_ci" -> ((s, dir) =>
+      graft.ext.Experiment.jackknifeMeanCI(Tables.orders(s, dir),
+        col("o_orderkey"), col("o_totalprice"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6120,6 +6198,261 @@ object SparkEntry {
                 AND l_quantity >= 10 AND l_quantity <= 20)
             OR (p_brand = 'Brand#25' AND p_size BETWEEN 5 AND 50
                 AND l_quantity >= 20 AND l_quantity <= 30)""",
+
+    "q280_service_level" ->
+      """WITH sl AS (
+             SELECT CASE
+                      WHEN datediff('day', o_orderdate, l_shipdate) < 0
+                        THEN 'pre-order'
+                      WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                        THEN '00-30d'
+                      WHEN datediff('day', o_orderdate, l_shipdate) <= 60
+                        THEN '31-60d'
+                      WHEN datediff('day', o_orderdate, l_shipdate) <= 90
+                        THEN '61-90d'
+                      ELSE '90d+' END AS delay_band,
+                    o_orderpriority
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE year(l_shipdate) = 1997)
+         SELECT delay_band,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS routine_lines
+         FROM sl GROUP BY 1 ORDER BY delay_band""",
+
+    "q281_dominant_suppliers" ->
+      """WITH dg AS (
+             SELECT l_partkey, l_suppkey,
+                    CAST(sum(round(l_quantity)) AS BIGINT) AS qty
+             FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             WHERE p_type = 'PROMO' AND year(l_shipdate) = 1997
+             GROUP BY 1, 2),
+         dw AS (
+             SELECT *,
+                    CAST(sum(qty) OVER (PARTITION BY l_partkey) AS BIGINT)
+                      AS tot
+             FROM dg),
+         ds AS (
+             SELECT l_suppkey, count(*) AS n_parts_dominated,
+                    CAST(sum(qty) AS BIGINT) AS dominated_qty
+             FROM dw WHERE qty * 2 > tot * 1 GROUP BY 1)
+         SELECT s_suppkey, s_name, n_name AS nation, n_parts_dominated,
+                dominated_qty
+         FROM ds
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY n_parts_dominated DESC, s_suppkey""",
+
+    "q282_sole_blame_late" ->
+      """WITH bg AS (
+             SELECT l_orderkey, l_suppkey,
+                    max(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+                               > 60 THEN 1 ELSE 0 END) AS late
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY 1, 2),
+         bw AS (
+             SELECT *,
+                    count(*) OVER (PARTITION BY l_orderkey) AS n_suppliers,
+                    sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+             FROM bg),
+         bb AS (
+             SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+             FROM bw
+             WHERE late = 1 AND n_suppliers >= 2 AND n_late = 1
+             GROUP BY 1)
+         SELECT s_suppkey, s_name, numwait
+         FROM bb JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY numwait DESC, s_suppkey LIMIT 20""",
+
+    "q283_idle_customers" ->
+      """WITH ct AS (
+             SELECT c_custkey, c_nationkey,
+                    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+             FROM customer),
+         th AS (
+             SELECT CAST(sum(bal_cents) AS BIGINT) AS pos_cents,
+                    CAST(count(*) AS BIGINT) AS n_pos
+             FROM ct WHERE bal_cents > 0),
+         dm AS (
+             SELECT c.c_nationkey, c.bal_cents
+             FROM ct c, th
+             WHERE c.bal_cents * th.n_pos > th.pos_cents
+               AND NOT EXISTS (
+                 SELECT 1 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderdate >= DATE '1999-01-01'))
+         SELECT n_name AS nation, count(*) AS numcust,
+                CAST(sum(bal_cents) AS BIGINT) / 100.0 AS total_acctbal
+         FROM dm JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY nation""",
+
+    "q284_calibration_bins" -> ExtOracleSql.calibrationBinsQualityEn,
+
+    "q285_source_lang_mi" ->
+      """WITH mj AS (
+             SELECT source AS a, lang AS b, count(*) AS c
+             FROM documents GROUP BY 1, 2),
+         mt AS (
+             SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS n_cells,
+                    CAST(sum(CAST(round(c * ln(c) * 1e9) AS BIGINT))
+                      AS BIGINT) AS s_ab
+             FROM mj),
+         ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM mj GROUP BY 1),
+         maa AS (
+             SELECT count(*) AS n_a,
+                    CAST(sum(CAST(round(ca * ln(ca) * 1e9) AS BIGINT))
+                      AS BIGINT) AS s_a
+             FROM ma),
+         mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM mj GROUP BY 1),
+         mbb AS (
+             SELECT count(*) AS n_b,
+                    CAST(sum(CAST(round(cb * ln(cb) * 1e9) AS BIGINT))
+                      AS BIGINT) AS s_b
+             FROM mb)
+         SELECT n, n_a, n_b, n_cells,
+                round(ln(n) - (s_a / 1e9) / n, 6) AS h_a,
+                round(ln(n) - (s_b / 1e9) / n, 6) AS h_b,
+                round(ln(n) + ((s_ab - s_a - s_b) / 1e9) / n, 6) AS mi_nats,
+                CASE WHEN round(ln(n) - (s_a / 1e9) / n, 6) > 0
+                      AND round(ln(n) - (s_b / 1e9) / n, 6) > 0
+                  THEN round((ln(n) + ((s_ab - s_a - s_b) / 1e9) / n)
+                    / sqrt((ln(n) - (s_a / 1e9) / n)
+                           * (ln(n) - (s_b / 1e9) / n)), 6)
+                END AS nmi
+         FROM mt CROSS JOIN maa CROSS JOIN mbb""",
+
+    "q286_cell_purity" -> ExtOracleSql.cellLabelPurity(centroidEvery = 100),
+
+    "q287_temperature_mix" ->
+      """WITH tg AS (
+             SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(round(sqrt(count(*)) * 1e6) AS BIGINT) AS w
+             FROM documents GROUP BY 1),
+         tt AS (
+             SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+                    CAST(sum(w) AS BIGINT) AS wt
+             FROM tg)
+         SELECT grp, n_docs,
+                ((n_docs * 1000000 * 2 + nt) // (nt * 2)) / 1000000.0
+                  AS doc_share,
+                ((w * 1000000 * 2 + wt) // (wt * 2)) / 1000000.0
+                  AS temp_share,
+                CASE WHEN (n_docs * 1000000 * 2 + nt) // (nt * 2) > 0
+                  THEN round(
+                    (((w * 1000000 * 2 + wt) // (wt * 2)) / 1000000.0)
+                    / (((n_docs * 1000000 * 2 + nt) // (nt * 2))
+                       / 1000000.0), 6)
+                END AS boost
+         FROM tg CROSS JOIN tt ORDER BY grp""",
+
+    "q288_kendall_tau" ->
+      """WITH kj AS (
+             SELECT p_brand AS g, CAST(round(l_quantity) AS BIGINT) AS x,
+                    CAST(round(l_discount * 100) AS BIGINT) AS y
+             FROM lineitem JOIN part ON l_partkey = p_partkey),
+         kc AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
+                FROM kj GROUP BY 1, 2, 3),
+         cd AS (
+             SELECT a.g,
+                    CAST(sum(CASE WHEN b.y > a.y
+                         THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+                      AS HUGEINT) AS conc,
+                    CAST(sum(CASE WHEN b.y < a.y
+                         THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+                      AS HUGEINT) AS disc
+             FROM kc a JOIN kc b ON a.g = b.g AND b.x > a.x
+             GROUP BY 1),
+         kx AS (SELECT g, CAST(sum(CAST(r AS HUGEINT) * (r - 1))
+                       AS HUGEINT) AS tx2
+                FROM (SELECT g, x, CAST(sum(c) AS BIGINT) AS r
+                      FROM kc GROUP BY 1, 2) GROUP BY 1),
+         ky AS (SELECT g, CAST(sum(CAST(r AS HUGEINT) * (r - 1))
+                       AS HUGEINT) AS ty2
+                FROM (SELECT g, y, CAST(sum(c) AS BIGINT) AS r
+                      FROM kc GROUP BY 1, 2) GROUP BY 1),
+         kn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM kc GROUP BY 1)
+         SELECT kn.g AS p_brand, kn.n,
+                CASE WHEN CAST(kn.n AS HUGEINT) * (kn.n - 1) - kx.tx2 > 0
+                      AND CAST(kn.n AS HUGEINT) * (kn.n - 1) - ky.ty2 > 0
+                  THEN round(2.0 * CAST(COALESCE(cd.conc, 0)
+                        - COALESCE(cd.disc, 0) AS DOUBLE)
+                    / (sqrt(CAST(CAST(kn.n AS HUGEINT) * (kn.n - 1)
+                            - kx.tx2 AS DOUBLE))
+                       * sqrt(CAST(CAST(kn.n AS HUGEINT) * (kn.n - 1)
+                              - ky.ty2 AS DOUBLE))), 6)
+                END AS tau_b
+         FROM kn
+         LEFT JOIN cd ON kn.g = cd.g
+         JOIN kx ON kn.g = kx.g
+         JOIN ky ON kn.g = ky.g
+         ORDER BY p_brand""",
+
+    "q289_cramers_v" ->
+      """WITH vj AS (
+             SELECT o_orderpriority AS a, o_orderstatus AS b,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM orders GROUP BY 1, 2),
+         vr AS (SELECT a, CAST(sum(c) AS BIGINT) AS r FROM vj GROUP BY 1),
+         vk AS (SELECT b, CAST(sum(c) AS BIGINT) AS k FROM vj GROUP BY 1),
+         vt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vj),
+         vg AS (
+             SELECT vt.n, vr.r, vk.k,
+                    CAST(vt.n AS HUGEINT) * COALESCE(vj.c, 0)
+                      - CAST(vr.r AS HUGEINT) * vk.k AS d
+             FROM vr CROSS JOIN vk CROSS JOIN vt
+             LEFT JOIN vj ON vj.a = vr.a AND vj.b = vk.b),
+         vm AS (
+             SELECT n, CAST(sum(CAST(round(
+                      CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                         * CAST(k AS DOUBLE)) * 1e9) AS HUGEINT))
+                    AS HUGEINT) AS su
+             FROM vg GROUP BY 1),
+         vl AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM vr) AS n_a,
+                       (SELECT CAST(count(*) AS BIGINT) FROM vk) AS n_b)
+         SELECT n, n_a, n_b,
+                round(CAST(su AS DOUBLE) / 1e9, 6) AS chi2,
+                CASE WHEN LEAST(n_a, n_b) > 1
+                  THEN round(sqrt(CAST(su AS DOUBLE) / 1e9
+                    / (CAST(n AS DOUBLE) * (LEAST(n_a, n_b) - 1))), 6)
+                END AS cramers_v
+         FROM vm CROSS JOIN vl""",
+
+    "q290_jackknife_ci" ->
+      s"""WITH jf AS (
+             SELECT ${graft.ext.Sampling.hashBucketSql(
+               "o_orderkey", "jk", 20)} AS fold,
+                    CAST(round(o_totalprice * 10000) AS BIGINT) AS u
+             FROM orders),
+         pf AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_i,
+                       CAST(sum(u) AS HUGEINT) AS s_i
+                FROM jf GROUP BY 1),
+         jt AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+                       CAST(sum(s_i) AS HUGEINT) AS s
+                FROM pf),
+         th AS (SELECT jt.n, jt.s,
+                       CAST(((jt.s - pf.s_i) * 100 * 2 + (jt.n - pf.n_i))
+                         // ((jt.n - pf.n_i) * 2) AS BIGINT) AS tq
+                FROM pf CROSS JOIN jt WHERE jt.n > pf.n_i),
+         ja AS (SELECT n, s, CAST(count(*) AS BIGINT) AS k_used,
+                       CAST(sum(CAST(tq AS HUGEINT)) AS HUGEINT) AS t,
+                       CAST(sum(CAST(tq AS HUGEINT) * tq) AS HUGEINT) AS ssq
+                FROM th GROUP BY 1, 2),
+         js AS (SELECT n, k_used,
+                       ((s * 100 * 2 + n) // (n * 2)) / 1000000.0 AS mean,
+                       CASE WHEN k_used > 1
+                         THEN sqrt(CAST(k_used - 1 AS DOUBLE)
+                           * CAST(k_used * ssq - t * t AS DOUBLE))
+                           / CAST(k_used AS DOUBLE) / 1e6
+                       END AS se
+                FROM ja)
+         SELECT n, k_used AS folds_used, mean,
+                round(se, 6) AS jk_se,
+                round(mean - 1.96 * se, 6) AS ci_lo,
+                round(mean + 1.96 * se, 6) AS ci_hi
+         FROM js""",
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

@@ -306,4 +306,58 @@ object Experiment {
       round((mean("tq") - mean("tp")) - (mean("cq") - mean("cp")), 6)
         .as("did_estimate"))
   }
+
+  /** Delete-a-group jackknife CI for a mean: rows hash into `folds`
+    * deterministic groups ([[Sampling.hashBucket]] — layout- and
+    * engine-independent), each fold's leave-one-out mean θ_i comes
+    * from the complement's exact sums, and the jackknife variance
+    * (K−1)/K·Σ(θ_i−θ̄)² gives a distribution-free standard error and
+    * 95% CI — the uncertainty readout a mart's point estimate lacks,
+    * without the RNG a bootstrap needs (resampling is NOT
+    * reproducible across engines; deterministic fold deletion is).
+    *
+    * Exactness: values ride integral 1e-4 units accumulated as
+    * decimal(38,0) (the 100 TB revenue envelope); each θ_i lands as a
+    * half-up integer micro-unit ratio, so the K fold rows sum
+    * order-free; the deviation sum uses the exact-moment identity
+    * K·Σθ²−T² in decimal; doubles appear only at the final √ and the
+    * ±z edge. Shape: one fold-grain hash aggregate (K rows), a one-row
+    * complement broadcast — nothing scales past the first pass. */
+  def jackknifeMeanCI(
+      df: DataFrame, idCol: Column, valueCol: Column,
+      folds: Int = 20, salt: String = "jk", z: Double = 1.96): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perFold = df
+      .select(Sampling.hashBucket(idCol, salt, folds).as("fold"),
+        round(valueCol * 10000).cast("long").as("u"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_i"), sum(col("u").cast(dec)).as("s_i"))
+    val tot = perFold.agg(sum(col("n_i")).as("n"), sum(col("s_i")).as("s"))
+    // θ_i in integer micro-value units: the complement mean
+    // (s−s_i)/(n−n_i) in value units is ·100 on the 1e-4-unit sums at
+    // micro precision, half-up via the 2a+b div 2b idiom; the decimal
+    // div long IntegralDivide lands a LONG θ_i, so the K-row sums are
+    // exact and order-free
+    val theta = perFold.crossJoin(broadcast(tot))
+      .filter(col("n") > col("n_i"))
+      .select(col("n"), col("s"),
+        expr("((s - s_i) * 100 * 2 + (n - n_i)) div ((n - n_i) * 2)")
+          .as("tq"))
+    theta.groupBy(col("n"), col("s"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("tq").cast(dec)).as("t"),
+        sum(col("tq").cast(dec) * col("tq")).as("ssq"))
+      .select(col("n"), col("k_used"),
+        expr("((s * 100 * 2 + n) div (n * 2)) / cast(1000000 as double)")
+          .as("mean"),
+        when(col("k_used") > 1,
+          sqrt(((col("k_used") - 1).cast("double")
+            * (col("k_used").cast(dec) * col("ssq")
+               - col("t") * col("t")).cast("double")))
+            / col("k_used").cast("double") / 1e6).as("se"))
+      .select(col("n"), col("k_used").as("folds_used"), col("mean"),
+        round(col("se"), 6).as("jk_se"),
+        round(col("mean") - lit(z) * col("se"), 6).as("ci_lo"),
+        round(col("mean") + lit(z) * col("se"), 6).as("ci_hi"))
+  }
 }

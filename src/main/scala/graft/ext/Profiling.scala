@@ -1117,4 +1117,189 @@ object Profiling {
         expr("""((num * 1000000 * 2 + (n * ng * 2)) div (n * ng * 2 * 2))
                 / cast(1000000 as double)""").as("t_closeness"))
   }
+
+  /** Calibration (reliability) bins for a [0,1] score predicting a
+    * boolean label: the score bins into `nBins` fixed-width buckets and
+    * each bucket reports its mean predicted score against the observed
+    * positive rate — the per-bin gap IS the reliability diagram, and
+    * its n-weighted sum is the expected calibration error the
+    * [[prCurve]] operating points can't see (a scorer can rank
+    * perfectly yet be wildly miscalibrated).
+    *
+    * Exactness: scores quantize to micro-units BEFORE binning (the bin
+    * edge is an integer compare, not a float floor); per-bin sums are
+    * exact longs; both ratios are integer half-up micro divisions; the
+    * gap subtracts the two already-quantized doubles (deterministic —
+    * same 6dp operands on both engines). ONE hash aggregate over
+    * nBins groups. */
+  def calibrationBins(
+      df: DataFrame, scoreCol: Column, label: Column,
+      nBins: Int = 10): DataFrame = {
+    val base = df.select(
+      round(scoreCol * 1e6).cast("long").as("sq"),
+      when(label, 1L).otherwise(0L).as("pos"))
+    base
+      .select(
+        least(expr(s"sq * $nBins div 1000000"), lit(nBins - 1L))
+          .cast("long").as("bin"),
+        col("sq"), col("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("sq")).as("ssq"),
+        sum(col("pos")).as("n_pos"))
+      .select(col("bin"),
+        round(col("bin").cast("double") / nBins, 6).as("bin_lo"),
+        col("n"), col("n_pos"),
+        expr("((ssq * 2 + n) div (n * 2)) / cast(1000000 as double)")
+          .as("mean_score"),
+        expr("((n_pos * 1000000 * 2 + n) div (n * 2)) " +
+          "/ cast(1000000 as double)").as("pos_rate"))
+      .withColumn("gap", round(abs(col("mean_score") - col("pos_rate")), 6))
+      .orderBy(col("bin"))
+  }
+
+  /** Mutual information between two categorical columns — the
+    * dependence audit behind stratification decisions ("does source
+    * determine language?"), reported with both marginal entropies and
+    * the normalized MI so 0.82 means something without the marginals
+    * in hand. All in nats from exact counts:
+    * H(A) = ln N − Σc_a·ln c_a / N and MI = ln N + (S_ab − S_a − S_b)/N,
+    * each Σc·ln c term quantized to integer 1e-9 units before its
+    * order-free sum (the [[TextAnalysis.sourceLangMix]] discipline).
+    *
+    * Shape: one (a,b) hash aggregate; marginals re-aggregate from the
+    * joint (|A|·|B| rows, not data rows); three one-row aggregates
+    * broadcast-joined. Nothing scales with data volume past the first
+    * aggregate. */
+  def categoricalMutualInfo(
+      df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    def slnS(c: Column) = sum(round(c * log(c) * 1e9).cast("long"))
+    val joint = df.groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("c"))
+    val sAb = joint.agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"),
+      slnS(col("c")).as("s_ab"))
+    val sA = joint.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+      .agg(count(lit(1)).as("n_a"), slnS(col("ca")).as("s_a"))
+    val sB = joint.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+      .agg(count(lit(1)).as("n_b"), slnS(col("cb")).as("s_b"))
+    val nd = col("n").cast("double")
+    val hA = log(nd) - (col("s_a") / 1e9) / nd
+    val hB = log(nd) - (col("s_b") / 1e9) / nd
+    val mi = log(nd) + ((col("s_ab") - col("s_a") - col("s_b")) / 1e9) / nd
+    // the NULL guard tests the ROUNDED entropies: a single-valued
+    // column's raw H carries ~1e-10 of ln-quantization residue, so a
+    // raw > 0 test would "normalize" by noise instead of going NULL
+    sAb.crossJoin(broadcast(sA)).crossJoin(broadcast(sB))
+      .select(col("n"), col("n_a"), col("n_b"), col("n_cells"),
+        round(hA, 6).as("h_a"), round(hB, 6).as("h_b"),
+        round(mi, 6).as("mi_nats"),
+        when(round(hA, 6) > 0 && round(hB, 6) > 0,
+          round(mi / sqrt(hA * hB), 6)).as("nmi"))
+  }
+
+  /** Kendall τ-b per group at HISTOGRAM grain: concordant/discordant
+    * pair counts derive from the joint (x,y) value histogram, never
+    * from row pairs — pair work is cells² per group (bounded by the
+    * value domains: quantity×discount is ~550 cells regardless of row
+    * count), which is what makes Kendall feasible at all at 100 TB
+    * (the textbook O(n²) sweep is 10³⁵ pairs; even the O(n·log n)
+    * merge-count needs a total sort per group). The rank-free
+    * complement of [[spearmanByGroup]]: τ counts pair inversions, so
+    * it is insensitive to the rank-gap magnitudes ρ squares.
+    *
+    * Exactness: C, D, and the tie terms are exact integer pair counts
+    * accumulated as decimal(38,0) (C ≤ n²∕2 overflows int64 past ~4e9
+    * rows/group; HUGEINT mirror), and
+    * τ-b = (C−D)∕(√(n₀−t_x)·√(n₀−t_y)) — the two square roots pulled
+    * apart BEFORE multiplying so the product (n₀−t_x)(n₀−t_y) ~ n⁴
+    * never materializes in any width. Double only at the √ edge, 6dp.
+    *
+    * Requires x and y to be low-cardinality (binned upstream if
+    * continuous — the [[Drift.binnedCounts]] device). */
+  def kendallTauBinned(
+      df: DataFrame, groupCol: String, xCol: Column, yCol: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.groupBy(col(groupCol).as("g"), xCol.as("x"), yCol.as("y"))
+      .agg(count(lit(1)).as("c"))
+    val a = cells.select(col("g"), col("x").as("xa"), col("y").as("ya"),
+      col("c").as("ca"))
+    val b = cells.select(col("g"), col("x").as("xb"), col("y").as("yb"),
+      col("c").as("cb"))
+    // each unordered cell pair once: strict order on x
+    val pairs = a.join(b, Seq("g")).filter(col("xb") > col("xa"))
+      .select(col("g"),
+        (col("ca").cast(dec) * col("cb")).as("cc"),
+        col("ya"), col("yb"))
+    val cd = pairs.groupBy(col("g")).agg(
+      sum(when(col("yb") > col("ya"), col("cc"))
+        .otherwise(lit(0).cast(dec))).as("conc"),
+      sum(when(col("yb") < col("ya"), col("cc"))
+        .otherwise(lit(0).cast(dec))).as("disc"))
+    // DOUBLED pair counts throughout (Σr(r−1), never /2) — a
+    // decimal(38,0)/2 would re-scale the type; the ×2 cancels in
+    // τ = 2(C−D)/(√A·√B) with A = n(n−1)−Σr_x(r_x−1), B likewise
+    def tiePairs2(vc: Column) =
+      sum(vc.cast(dec) * (vc - 1)).cast(dec)
+    val tx = cells.groupBy(col("g"), col("x"))
+      .agg(sum(col("c")).as("r"))
+      .groupBy(col("g")).agg(tiePairs2(col("r")).as("tx2"))
+    val ty = cells.groupBy(col("g"), col("y"))
+      .agg(sum(col("c")).as("r"))
+      .groupBy(col("g")).agg(tiePairs2(col("r")).as("ty2"))
+    val nTot = cells.groupBy(col("g")).agg(sum(col("c")).as("n"))
+      .withColumn("n02", col("n").cast(dec) * (col("n") - 1))
+    val aT = col("n02") - col("tx2")
+    val bT = col("n02") - col("ty2")
+    nTot.join(cd, Seq("g"), "left").join(tx, Seq("g")).join(ty, Seq("g"))
+      .select(col("g").as(groupCol), col("n"),
+        when(aT > 0 && bT > 0,
+          round(
+            lit(2.0) * (coalesce(col("conc"), lit(0).cast(dec))
+              - coalesce(col("disc"), lit(0).cast(dec))).cast("double")
+              / (sqrt(aT.cast("double")) * sqrt(bT.cast("double"))), 6))
+          .as("tau_b"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Cramér's V between two categorical columns: the χ²-based
+    * association strength on a bounded contingency grid — the
+    * effect-size companion to [[categoricalMutualInfo]] (MI is in
+    * nats and unbounded; V lands in [0,1] with the familiar
+    * small/medium/large conventions). The grid is completed with the
+    * ABSENT cells (the [[tCloseness]] device — a zero cell still
+    * contributes its expected count to χ²).
+    *
+    * Exactness: the per-cell deviation d = N·c − r·k is an exact
+    * decimal(38,0) cross-multiply; each cell's χ² term d²∕(N·r·k)
+    * evaluates in double and quantizes to integer 1e-9 units before
+    * the order-free decimal sum (doubles summed across a grid would
+    * be accumulation-order-dependent). */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(aCol.as("a"), bCol.as("b"))
+    val joint = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val ra = joint.groupBy(col("a")).agg(sum(col("c")).as("r"))
+    val kb = joint.groupBy(col("b")).agg(sum(col("c")).as("k"))
+    val tot = joint.agg(sum(col("c")).as("n"))
+    val grid = ra.crossJoin(broadcast(kb)).crossJoin(broadcast(tot))
+      .join(joint, Seq("a", "b"), "left_outer")
+      .withColumn("d",
+        col("n").cast(dec) * coalesce(col("c"), lit(0L))
+          - col("r").cast(dec) * col("k"))
+      .withColumn("term_units",
+        round(col("d").cast("double") * col("d").cast("double")
+          / (col("n").cast("double") * col("r").cast("double")
+             * col("k").cast("double")) * 1e9).cast(dec))
+    val lv = ra.agg(count(lit(1)).as("n_a"))
+      .crossJoin(kb.agg(count(lit(1)).as("n_b")))
+    grid.groupBy(col("n")).agg(sum(col("term_units")).as("su"))
+      .crossJoin(broadcast(lv))
+      .select(col("n"), col("n_a"), col("n_b"),
+        round(col("su").cast("double") / 1e9, 6).as("chi2"),
+        when(least(col("n_a"), col("n_b")) > 1,
+          round(sqrt(col("su").cast("double") / 1e9
+            / (col("n").cast("double")
+               * (least(col("n_a"), col("n_b")) - 1))), 6))
+          .as("cramers_v"))
+  }
 }

@@ -244,4 +244,36 @@ object Sampling {
         round(col("w").cast("double") / col("tw"), 6).as("neyman_share"),
         expr(s"($budget * w) div tw").as("allocated"))
   }
+
+  /** Temperature-scaled (α = ½) mixture weights per group: the
+    * multilingual-pretraining resampling rule w_g ∝ n_g^α that upweights
+    * small sources relative to proportional sampling (α=1 is
+    * proportional, α=0 uniform; ½ is the common compromise). Output per
+    * group: raw doc share, the α=½ share, and the boost ratio a sampler
+    * feeds [[mixtureSample]] as its per-group rate multiplier.
+    *
+    * α is FIXED at ½ because √ is the one fractional power IEEE defines
+    * as correctly rounded — both engines' sqrt agree to the last bit,
+    * while a general pow(x, α) may differ by an ulp and flip a rounded
+    * edge. Each √n quantizes to integer 1e-6 units before the order-free
+    * total; shares are integer half-up micro ratios; the boost divides
+    * the two already-quantized shares (6dp at the edge).
+    *
+    * Shape: one hash aggregate to group grain, a one-row total
+    * broadcast back — nothing scales past the first aggregate. */
+  def temperatureWeights(df: DataFrame, groupCol: Column): DataFrame = {
+    val g = df.groupBy(groupCol.as("grp")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(sqrt(col("n_docs")) * 1e6).cast("long"))
+    val tot = g.agg(sum(col("n_docs")).as("nt"), sum(col("w")).as("wt"))
+    g.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_docs"),
+        expr("((n_docs * 1000000 * 2 + nt) div (nt * 2)) " +
+          "/ cast(1000000 as double)").as("doc_share"),
+        expr("((w * 1000000 * 2 + wt) div (wt * 2)) " +
+          "/ cast(1000000 as double)").as("temp_share"))
+      .withColumn("boost",
+        when(col("doc_share") > 0,
+          round(col("temp_share") / col("doc_share"), 6)))
+      .orderBy(col("grp"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TopKAggregate.top_k
@@ -772,6 +773,58 @@ object Similarity {
         col("vec_id"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         (coalesce(col("hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
+  /** Cluster–label agreement audit: per IVF cell (the [[ivfTopK]]
+    * deterministic id≡0 (mod centroidEvery) centroids and 6dp-cosine
+    * argmax assignment), how concentrated are the supervised labels —
+    * cell size, distinct labels, the majority label and its share
+    * (purity). High purity means the unsupervised cells recover the
+    * label structure, so cell-blocked ops ([[semanticDedup]],
+    * [[hardNegatives]]' cell-blocked sibling) approximate label-aware
+    * ones; low purity says cosine geometry and labels disagree and a
+    * cell-blocked pipeline will mix classes.
+    *
+    * Exactness: assignment is the exact ivfTopK chain (6dp-rounded
+    * centroid cosine, centroid-id tie-break); counts are longs; purity
+    * is an integer half-up micro ratio; the majority label ties break
+    * label-ascending via an explicit (count desc, label asc) window
+    * over the cells×labels table — mart-grain, never data-grain.
+    *
+    * Shape: broadcast centroid cross join + top-1 aggregate (the
+    * assignment), one (cell,label) hash aggregate, then windows over
+    * the mart-sized joint table. */
+  def cellLabelPurity(
+      vecs: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      centroidEvery: Int = 100): DataFrame = {
+    val v = withNorm(vecs, idCol, vecCol)
+    val labels = vecs.select(col(idCol).as("id"), col(labelCol).as("label"))
+    val centroids = v.filter(col("id") % centroidEvery === 0)
+      .select(col("id").as("centroid_id"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"))
+    val assigned = v.crossJoin(broadcast(centroids))
+      .withColumn("ccos",
+        round(dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 6))
+      .groupBy(col("id"))
+      .agg(graft.functions.TopKAggregate
+        .top_k(col("ccos"), col("centroid_id"), 1).as("topc"))
+      .select(col("id"),
+        element_at(col("topc"), 1).getField("id").as("cell"))
+    val joint = assigned.join(labels, Seq("id"))
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("c"))
+    val byShare = Window.partitionBy(col("cell"))
+      .orderBy(col("c").desc, col("label"))
+    joint
+      .withColumn("n_vecs", sum(col("c")).over(Window.partitionBy(col("cell"))))
+      .withColumn("n_labels",
+        count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .withColumn("rn", row_number().over(byShare))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("n_vecs"), col("n_labels"),
+        col("label").as("top_label"),
+        expr("((c * 1000000 * 2 + n_vecs) div (n_vecs * 2)) " +
+          "/ cast(1000000 as double)").as("purity"))
+      .orderBy(col("cell"))
   }
 
   /** DCG position discounts 1∕log₂(p+1), p = 1..10 — 17-significant-

@@ -1162,6 +1162,57 @@ object ExtOracleSql {
        |FROM pa CROSS JOIN pt WHERE n_pred > 0 AND n_pos > 0
        |ORDER BY threshold""".stripMargin
 
+  /** Mirrors [[graft.ext.Profiling.calibrationBins]] over the quality
+    * score predicting lang=en — same micro-unit score CTE as
+    * [[prCurveQualityEn]], bin edge as integer division. */
+  def calibrationBinsQualityEn: String =
+    s"""WITH $qualityMicroCte,
+       |cb AS (SELECT q.qu, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+       |       FROM q JOIN documents d USING (doc_id)),
+       |cbb AS (SELECT LEAST(qu * 10 // 1000000, 9) AS bin, qu, pos FROM cb),
+       |cba AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(qu) AS BIGINT) AS ssq,
+       |               CAST(sum(pos) AS BIGINT) AS n_pos
+       |        FROM cbb GROUP BY 1)
+       |SELECT bin, round(CAST(bin AS DOUBLE) / 10, 6) AS bin_lo, n, n_pos,
+       |       ((ssq * 2 + n) // (n * 2)) / 1000000.0 AS mean_score,
+       |       ((n_pos * 1000000 * 2 + n) // (n * 2)) / 1000000.0 AS pos_rate,
+       |       round(abs(((ssq * 2 + n) // (n * 2)) / 1000000.0
+       |                 - ((n_pos * 1000000 * 2 + n) // (n * 2)) / 1000000.0),
+       |             6) AS gap
+       |FROM cba ORDER BY bin""".stripMargin
+
+  /** Mirrors [[graft.ext.Similarity.cellLabelPurity]] — the
+    * [[ivfTopK]] assignment chain, then per-cell majority label with
+    * (count desc, label asc) tie-break. */
+  def cellLabelPurity(centroidEvery: Int): String =
+    s"""WITH $vecsCte,
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, emb AS cemb FROM v
+       |  WHERE vec_id % $centroidEvery = 0),
+       |asg AS (
+       |  SELECT vec_id, label, cell
+       |  FROM (SELECT v.vec_id, v.label, c.centroid_id AS cell,
+       |               row_number() OVER (PARTITION BY v.vec_id
+       |                 ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 6) DESC,
+       |                          c.centroid_id) AS crn
+       |        FROM v CROSS JOIN cents c)
+       |  WHERE crn = 1),
+       |jt AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS c
+       |       FROM asg GROUP BY 1, 2),
+       |jw AS (SELECT *,
+       |              CAST(sum(c) OVER (PARTITION BY cell) AS BIGINT)
+       |                AS n_vecs,
+       |              CAST(count(*) OVER (PARTITION BY cell) AS BIGINT)
+       |                AS n_labels,
+       |              row_number() OVER (PARTITION BY cell
+       |                ORDER BY c DESC, label) AS rn
+       |       FROM jt)
+       |SELECT cell, n_vecs, n_labels, label AS top_label,
+       |       ((c * 1000000 * 2 + n_vecs) // (n_vecs * 2)) / 1000000.0
+       |         AS purity
+       |FROM jw WHERE rn = 1 ORDER BY cell""".stripMargin
+
   /** Mirrors [[graft.ext.Dedup.qualityDupDeciles]] — the quality micro
     * units come from the same [[qualityMicroCte]] expressions. */
   def qualityDupDeciles: String = {
