@@ -2045,6 +2045,30 @@ object SparkEntry {
     "q290_jackknife_ci" -> ((s, dir) =>
       graft.ext.Experiment.jackknifeMeanCI(Tables.orders(s, dir),
         col("o_orderkey"), col("o_totalprice"))),
+
+    // ---- ext: source-ablation ledger (leave-one-source-out corpus
+    // health deltas — the data-valuation readout) ----
+    "q291_source_ablation" -> ((s, dir) =>
+      graft.ext.Curation.sourceAblation(Tables.documents(s, dir),
+        "doc_id", "text", "source", "lang")),
+
+    // ---- ext: OOV rate of the test split vs the train split's
+    // top-1000 vocabulary, per language ----
+    "q292_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(Tables.documents(s, dir),
+        "doc_id", "text", "lang")),
+
+    // ---- ext: minimum detectable effect of the loyalty experiment
+    // (alpha=.05 two-sided, 80% power; z literals shared with SQL) ----
+    "q293_mde" -> ((s, dir) =>
+      graft.ext.Experiment.mdeReadout(Conformed.orderRevenueCached(s, dir),
+        col("is_loyalty"), col("total_revenue"))),
+
+    // ---- gold: pricing summary report (TPC-H Q1 — the canonical
+    // scan-aggregate; completes the 22/22 TPC-H shape map) ----
+    "q294_pricing_summary" -> ((s, dir) =>
+      graft.gold.Fulfillment.pricingSummary(Tables.lineitem(s, dir),
+        cutoff = "1998-09-02")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6453,6 +6477,106 @@ object SparkEntry {
                 round(mean - 1.96 * se, 6) AS ci_lo,
                 round(mean + 1.96 * se, 6) AS ci_hi
          FROM js""",
+
+    "q291_source_ablation" -> ExtOracleSql.sourceAblation,
+
+    "q292_oov_rate" ->
+      s"""WITH ot AS (
+             SELECT ${graft.ext.Sampling.hashBucketSql(
+               "d.doc_id", "split")} AS bucket, d.lang,
+                    unnest(${graft.functions.Portable.tokensSql("d.text")})
+                      AS w
+             FROM documents d),
+         vv AS (SELECT w FROM (
+                  SELECT w, count(*) AS c FROM ot
+                  WHERE bucket < 80 GROUP BY 1)
+                ORDER BY c DESC, w LIMIT 1000),
+         oc AS (SELECT ot.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(CASE WHEN vv.w IS NULL THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_oov
+                FROM ot LEFT JOIN vv ON ot.w = vv.w
+                WHERE ot.bucket >= 90 GROUP BY 1)
+         SELECT lang, n_tokens, n_oov,
+                (((n_oov * 1000000 * 2) + n_tokens) // (n_tokens * 2))
+                  / 1000000.0 AS oov_share
+         FROM oc ORDER BY lang""",
+
+    "q293_mde" -> OracleSql.withBase(
+      s"""mb AS (SELECT CASE WHEN is_loyalty THEN 1 ELSE 0 END AS t,
+                       CAST(round(total_revenue * 10000) AS BIGINT) AS u
+                FROM order_revenue),
+         ma AS (SELECT CAST(sum(t) AS BIGINT) AS n_t,
+                       CAST(sum(1 - t) AS BIGINT) AS n_c,
+                       CAST(sum(CASE WHEN t = 1 THEN u ELSE 0 END)
+                         AS HUGEINT) AS s_t,
+                       CAST(sum(CASE WHEN t = 0 THEN u ELSE 0 END)
+                         AS HUGEINT) AS s_c,
+                       CAST(sum(CASE WHEN t = 1
+                            THEN CAST(u AS HUGEINT) * u ELSE 0 END)
+                         AS HUGEINT) AS ss_t,
+                       CAST(sum(CASE WHEN t = 0
+                            THEN CAST(u AS HUGEINT) * u ELSE 0 END)
+                         AS HUGEINT) AS ss_c
+                FROM mb),
+         ms AS (SELECT *,
+                       CAST(n_t * ss_t - s_t * s_t AS DOUBLE)
+                         / CAST(n_t AS DOUBLE) AS ssd_t,
+                       CAST(n_c * ss_c - s_c * s_c AS DOUBLE)
+                         / CAST(n_c AS DOUBLE) AS ssd_c
+                FROM ma),
+         mv AS (SELECT *,
+                       (ssd_t + ssd_c) / CAST(n_t + n_c - 2 AS DOUBLE) AS s2,
+                       (((s_c * 100 * 2) + n_c) // (n_c * 2)) / 1000000.0
+                         AS mean_c
+                FROM ms)""",
+      s"""SELECT n_t AS n_treat, n_c AS n_ctrl,
+                (((s_t * 100 * 2) + n_t) // (n_t * 2)) / 1000000.0
+                  AS mean_treat,
+                mean_c AS mean_ctrl,
+                CASE WHEN n_t > 1 AND n_c > 1
+                  THEN round(sqrt(s2) / 1e4, 6) END AS pooled_sd,
+                CASE WHEN n_t > 1 AND n_c > 1
+                  THEN round(${graft.ext.Experiment.MdeZ}
+                    * sqrt(s2 * (1.0 / n_t + 1.0 / n_c)) / 1e4, 6)
+                END AS mde_abs,
+                CASE WHEN n_t > 1 AND n_c > 1 AND mean_c > 0
+                  THEN round(${graft.ext.Experiment.MdeZ}
+                    * sqrt(s2 * (1.0 / n_t + 1.0 / n_c)) / 1e4 / mean_c, 6)
+                END AS mde_rel
+         FROM mv"""),
+
+    "q294_pricing_summary" ->
+      """WITH ps AS (
+             SELECT l_returnflag, l_linestatus,
+                    CAST(round(l_quantity) AS BIGINT) AS qty,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS base,
+                    CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT) AS disc,
+                    CAST(round(l_extendedprice * (1 - l_discount)
+                      * (1 + l_tax) * 10000) AS BIGINT) AS charge,
+                    CAST(round(l_discount * 100) AS BIGINT) AS dpts
+             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+         pa AS (
+             SELECT l_returnflag, l_linestatus,
+                    CAST(count(*) AS BIGINT) AS count_order,
+                    CAST(sum(qty) AS BIGINT) AS sum_qty,
+                    CAST(sum(base) AS BIGINT) AS sb,
+                    CAST(sum(disc) AS BIGINT) AS sd,
+                    CAST(sum(charge) AS BIGINT) AS sc,
+                    CAST(sum(dpts) AS BIGINT) AS sp
+             FROM ps GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus, sum_qty,
+                sb / 100.0 AS sum_base_price,
+                sd / 100.0 AS sum_disc_price,
+                sc / 10000.0 AS sum_charge,
+                (((sum_qty * 1000000 * 2) + count_order)
+                  // (count_order * 2)) / 1000000.0 AS avg_qty,
+                (((sb * 10000 * 2) + count_order) // (count_order * 2))
+                  / 1000000.0 AS avg_price,
+                (((sp * 10000 * 2) + count_order) // (count_order * 2))
+                  / 1000000.0 AS avg_disc,
+                count_order
+         FROM pa ORDER BY l_returnflag, l_linestatus""",
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

@@ -360,4 +360,67 @@ object Experiment {
         round(col("mean") - lit(z) * col("se"), 6).as("ci_lo"),
         round(col("mean") + lit(z) * col("se"), 6).as("ci_hi"))
   }
+
+  /** z quantiles shared with the SQL mirror as 17-significant-digit
+    * literals (the dcgDiscounts device — a decimal→double parse is
+    * correctly rounded in both engines, each engine's own inverse-Φ
+    * need not exist, let alone agree). */
+  val Z975 = 1.9599639845400545 // Φ⁻¹(0.975): two-sided α = 0.05
+  val Z80 = 0.8416212335729143 // Φ⁻¹(0.80): power 0.80
+  /** z_{α∕2}+z_β, summed ONCE here so the plan's literal and the SQL
+    * mirror's interpolation are the identical double. */
+  val MdeZ: Double = Z975 + Z80
+
+  /** Minimum detectable effect of the two-arm experiment the marts
+    * feed: given the observed arm sizes and pooled variance, the
+    * smallest true mean difference a two-sided α=0.05 test would
+    * detect with 80% power — MDE = (z_{α∕2}+z_β)·√(s²·(1∕n_t+1∕n_c)).
+    * The pre-readout sanity check CUPED ([[cuped]]) and DiD
+    * ([[loyaltyDiffInDiff]]) both need: an observed lift below the
+    * MDE is noise regardless of its point estimate.
+    *
+    * Exactness: values ride integral 1e-4 units; Σx and Σx² accumulate
+    * as decimal(38,0) (x² exceeds int64 at ~5·10⁵ in value units —
+    * cast BEFORE the square); the corrected sums n·Σx²−(Σx)² stay
+    * decimal; doubles enter only in the FIXED final chain (two √, the
+    * z-sum, four divides) mirrored parenthesis-for-parenthesis.
+    * Shape: ONE conditional-sum aggregate to a single row. */
+  def mdeReadout(
+      df: DataFrame, treatCol: Column, valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(
+      when(treatCol, 1L).otherwise(0L).as("t"),
+      round(valueCol * 10000).cast("long").as("u"))
+    val a = base.agg(
+      sum(col("t")).as("n_t"),
+      sum(lit(1L) - col("t")).as("n_c"),
+      sum(when(col("t") === 1L, col("u")).otherwise(0L).cast(dec)).as("s_t"),
+      sum(when(col("t") === 0L, col("u")).otherwise(0L).cast(dec)).as("s_c"),
+      sum(when(col("t") === 1L, col("u").cast(dec) * col("u"))
+        .otherwise(lit(0).cast(dec))).as("ss_t"),
+      sum(when(col("t") === 0L, col("u").cast(dec) * col("u"))
+        .otherwise(lit(0).cast(dec))).as("ss_c"))
+    // corrected sums of squares per arm, n-scaled in decimal:
+    // SS·n = n·Σx² − (Σx)²; pooled s² = (SS_t + SS_c)/(n_t+n_c−2)
+    val ssdT = (col("n_t").cast(dec) * col("ss_t") - col("s_t") * col("s_t"))
+      .cast("double") / col("n_t").cast("double")
+    val ssdC = (col("n_c").cast(dec) * col("ss_c") - col("s_c") * col("s_c"))
+      .cast("double") / col("n_c").cast("double")
+    val s2 = (ssdT + ssdC) / (col("n_t") + col("n_c") - 2).cast("double")
+    val mde = lit(MdeZ) *
+      sqrt(s2 * (lit(1.0) / col("n_t") + lit(1.0) / col("n_c"))) / 1e4
+    val meanC = expr("(((s_c * 100 * 2) + n_c) div (n_c * 2)) " +
+      "/ cast(1000000 as double)")
+    a.select(
+      col("n_t").as("n_treat"), col("n_c").as("n_ctrl"),
+      expr("(((s_t * 100 * 2) + n_t) div (n_t * 2)) " +
+        "/ cast(1000000 as double)").as("mean_treat"),
+      meanC.as("mean_ctrl"),
+      when(col("n_t") > 1 && col("n_c") > 1,
+        round(sqrt(s2) / 1e4, 6)).as("pooled_sd"),
+      when(col("n_t") > 1 && col("n_c") > 1,
+        round(mde, 6)).as("mde_abs"),
+      when(col("n_t") > 1 && col("n_c") > 1 && meanC > 0,
+        round(mde / meanC, 6)).as("mde_rel"))
+  }
 }

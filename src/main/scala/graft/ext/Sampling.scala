@@ -251,6 +251,10 @@ object Sampling {
     * proportional, α=0 uniform; ½ is the common compromise). Output per
     * group: raw doc share, the α=½ share, and the boost ratio a sampler
     * feeds [[mixtureSample]] as its per-group rate multiplier.
+    * Complementary to [[Curation.temperatureMixPlan]], which apportions
+    * a fixed TOKEN budget across sources (Hamilton integer allocation at
+    * token grain); this computes the DOC-grain sampling rates themselves
+    * — the knob the row-level sampler consumes directly.
     *
     * α is FIXED at ½ because √ is the one fractional power IEEE defines
     * as correctly rounded — both engines' sqrt agree to the last bit,

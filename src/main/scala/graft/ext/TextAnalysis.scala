@@ -529,6 +529,44 @@ object TextAnalysis {
         round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
         round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_ratio"))
 
+  /** Out-of-vocabulary rate of the held-out split against the train
+    * split's top-V vocabulary, per language — the tokenizer/vocab
+    * generalization audit ("how much of unseen data does a vocab built
+    * on train even cover, and which languages pay"). Splits come from
+    * the engine's deterministic [[Sampling.hashBucket]] contract (the
+    * [[Sampling.hashSplit]] 80/10/10 bands — train builds the vocab,
+    * TEST measures), so the audit is reproducible on any layout and
+    * engine.
+    *
+    * Scale shape: the vocab top-V is an `orderBy().limit(V)` →
+    * TakeOrderedAndProject (per-partition partial top-V, never a
+    * single-partition window over the full vocabulary); the V-row
+    * vocab broadcasts to one conditional-count aggregate over the test
+    * tokens. Ties at the V boundary break on the term, so both
+    * engines cut the identical vocabulary. */
+  def oovRate(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      vocabSize: Int = 1000, trainPct: Int = 80, valPct: Int = 10,
+      salt: String = "split"): DataFrame = {
+    val toks = docs.select(
+      Sampling.hashBucket(col(idCol), salt).as("bucket"),
+      col(langCol).as("lang"),
+      explode(Portable.tokens(col(textCol))).as("w"))
+    val vocab = toks.filter(col("bucket") < trainPct)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    toks.filter(col("bucket") >= trainPct + valPct)
+      .join(broadcast(vocab), Seq("w"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        expr("(((n_oov * 1000000 * 2) + n_tokens) div (n_tokens * 2)) " +
+          "/ cast(1000000 as double)").as("oov_share"))
+      .orderBy(col("lang"))
+  }
+
   /** Multinomial naive Bayes trained in-engine (add-one smoothing over
     * the shared vocabulary) and evaluated on the corpus, reported as a
     * (true label, predicted label) confusion matrix — the fit/score

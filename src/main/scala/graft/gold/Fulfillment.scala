@@ -250,6 +250,45 @@ object Fulfillment {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** Pricing summary report (TPC-H Q1, the canonical scan-aggregate):
+    * per (returnflag, linestatus), total quantity, base price,
+    * discounted price, charge (disc × (1+tax)), the three averages,
+    * and the line count, over lines shipped on or before `cutoff`.
+    * The shape every engine benchmarks first: ONE scan-tight filter
+    * into ONE hash aggregate over a 4–6 row group domain — map-side
+    * partials reduce virtually everything before the exchange.
+    *
+    * Exactness: quantity/money/discount ride exact integer units
+    * (cents for money, 1e-2 points for the discount rate; the charge
+    * rounds once per line at 1e-4 — both engines round the identical
+    * double product); the averages are half-up micro ratios. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    lineitem.filter(col("l_shipdate") <= lit(cutoff))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("base"),
+        netCents.as("disc"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")) * 10000).cast("long").as("charge"),
+        round(col("l_discount") * 100).cast("long").as("dpts"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("count_order"),
+        sum(col("qty")).as("sum_qty"),
+        sum(col("base")).as("sb"), sum(col("disc")).as("sd"),
+        sum(col("charge")).as("sc"), sum(col("dpts")).as("sp"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        (col("sb") / 100.0).as("sum_base_price"),
+        (col("sd") / 100.0).as("sum_disc_price"),
+        (col("sc") / 10000.0).as("sum_charge"),
+        expr("(((sum_qty * 1000000 * 2) + count_order) " +
+          "div (count_order * 2)) / cast(1000000 as double)").as("avg_qty"),
+        expr("(((sb * 10000 * 2) + count_order) div (count_order * 2)) " +
+          "/ cast(1000000 as double)").as("avg_price"),
+        expr("(((sp * 10000 * 2) + count_order) div (count_order * 2)) " +
+          "/ cast(1000000 as double)").as("avg_disc"),
+        col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   /** One arm of [[disjunctivePricing]]'s OR: brand + inclusive
     * quantity band + inclusive size band. */
   final case class PricingArm(

@@ -1182,6 +1182,45 @@ object ExtOracleSql {
        |             6) AS gap
        |FROM cba ORDER BY bin""".stripMargin
 
+  /** Mirrors [[graft.ext.Curation.sourceAblation]] — the same
+    * [[qualityMicroCte]] micro-unit score, per-source complement sums,
+    * half-up micro ratios, integer-difference deltas. */
+  def sourceAblation: String =
+    s"""WITH $qualityMicroCte,
+       |ab AS (SELECT d.source, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END
+       |              AS en,
+       |              CAST(d.n_chars AS BIGINT) AS nc, q.qu
+       |       FROM documents d JOIN q USING (doc_id)),
+       |ap AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+       |              CAST(sum(qu) AS HUGEINT) AS q_s,
+       |              CAST(sum(en) AS BIGINT) AS e_s,
+       |              CAST(sum(nc) AS HUGEINT) AS c_s
+       |       FROM ab GROUP BY 1),
+       |at2 AS (SELECT CAST(sum(n_s) AS BIGINT) AS n,
+       |               CAST(sum(q_s) AS HUGEINT) AS q2,
+       |               CAST(sum(e_s) AS BIGINT) AS e,
+       |               CAST(sum(c_s) AS HUGEINT) AS c
+       |        FROM ap)
+       |SELECT source, n_s AS n_docs,
+       |       ((((q2 - q_s) * 2) + (n - n_s)) // ((n - n_s) * 2))
+       |         / 1000000.0 AS mean_quality_wo,
+       |       round((((((q2 - q_s) * 2) + (n - n_s)) // ((n - n_s) * 2))
+       |         - (((q2 * 2) + n) // (n * 2))) / 1000000.0, 6)
+       |         AS delta_quality,
+       |       ((((e - e_s) * 1000000 * 2) + (n - n_s)) // ((n - n_s) * 2))
+       |         / 1000000.0 AS en_share_wo,
+       |       round((((((e - e_s) * 1000000 * 2) + (n - n_s))
+       |           // ((n - n_s) * 2))
+       |         - (((e * 1000000 * 2) + n) // (n * 2))) / 1000000.0, 6)
+       |         AS delta_en_share,
+       |       ((((c - c_s) * 1000000 * 2) + (n - n_s)) // ((n - n_s) * 2))
+       |         / 1000000.0 AS mean_chars_wo,
+       |       round((((((c - c_s) * 1000000 * 2) + (n - n_s))
+       |           // ((n - n_s) * 2))
+       |         - (((c * 1000000 * 2) + n) // (n * 2))) / 1000000.0, 6)
+       |         AS delta_chars
+       |FROM ap CROSS JOIN at2 WHERE n > n_s ORDER BY source""".stripMargin
+
   /** Mirrors [[graft.ext.Similarity.cellLabelPurity]] — the
     * [[ivfTopK]] assignment chain, then per-cell majority label with
     * (count desc, label asc) tie-break. */

@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit pins for the round-8 curation/power additions: the
+  * source-ablation ledger, the OOV-rate audit, and the MDE readout. */
+class AblationPowerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("sourceAblation: complement arithmetic — dropping a source moves the mean away from that source's own mean") {
+    val got = Curation.sourceAblation(docs, "doc_id", "text", "source", "lang")
+    val rows = got.collect()
+    assert(rows.length > 1, "needs at least two sources to ablate")
+    // ledger covers every source exactly once, ordered
+    val srcs = rows.map(_.getString(0)).toSeq
+    assert(srcs == srcs.sorted && srcs.distinct.size == srcs.size)
+    // deltas are internally consistent: mean_wo = full mean + delta
+    // (both are micro-quantized, so the identity is exact)
+    rows.foreach { r =>
+      val wo = r.getDouble(2); val d = r.getDouble(3)
+      val full = wo - d
+      assert(math.abs((wo - full) - d) < 1e-12)
+    }
+    // layout independence
+    val re = Curation.sourceAblation(
+      docs.repartition(13), "doc_id", "text", "source", "lang").collect()
+    assert(re.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
+  test("sourceAblation: two-source toy — removing the low-quality source raises mean quality without it") {
+    // quality score is engine-derived; instead pin the en-share and
+    // chars metrics, which are directly computable by hand
+    val toy = Seq(
+      ("a", "good src", "en", "s1", 10L),
+      ("b", "good src", "en", "s1", 20L),
+      ("c", "bad src", "de", "s2", 100L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.sourceAblation(toy, "doc_id", "text", "source", "lang")
+      .select("source", "n_docs", "en_share_wo", "delta_en_share",
+        "mean_chars_wo", "delta_chars")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    // full corpus: en 2/3 = 0.666667, chars mean 130/3 = 43.333333
+    // without s1: en 0/1 = 0, chars 100; without s2: en 1, chars 15
+    assert(got == Seq(
+      ("s1", 2L, 0.0, -0.666667, 100.0, 56.666667),
+      ("s2", 1L, 1.0, 0.333333, 15.0, -28.333333)))
+  }
+
+  test("oovRate: the vocab cut is deterministic and every test token is either covered or OOV") {
+    val got = TextAnalysis.oovRate(docs, "doc_id", "text", "lang")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (_, nTok, nOov, share) =>
+      assert(nOov >= 0 && nOov <= nTok)
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    val re = TextAnalysis.oovRate(
+        docs.repartition(11), "doc_id", "text", "lang")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(re == got)
+  }
+
+  test("oovRate: with the whole vocab admitted, OOV falls to tokens unseen in train") {
+    // tiny corpus where the ids land in known buckets is brittle;
+    // instead: a huge vocabSize makes OOV == tokens absent from train,
+    // and OOV can only shrink as vocabSize grows
+    val small = TextAnalysis.oovRate(docs, "doc_id", "text", "lang",
+      vocabSize = 10)
+    val large = TextAnalysis.oovRate(docs, "doc_id", "text", "lang",
+      vocabSize = 1000000)
+    val s = small.select("lang", "n_oov").as[(String, Long)].collect().toMap
+    val l = large.select("lang", "n_oov").as[(String, Long)].collect().toMap
+    assert(l.keySet == s.keySet)
+    l.foreach { case (lang, oovLarge) => assert(oovLarge <= s(lang)) }
+  }
+
+  test("mdeReadout: equal-variance arms give a symmetric readout; the MDE shrinks as n grows") {
+    def arms(n: Int) = {
+      val t = (1 to n).map(i => (true, 10.0 + (i % 5)))
+      val c = (1 to n).map(i => (false, 10.0 + (i % 5)))
+      (t ++ c).toDF("flag", "v")
+    }
+    val smallN = Experiment.mdeReadout(arms(50), col("flag"), col("v"))
+      .select("n_treat", "n_ctrl", "mde_abs")
+      .as[(Long, Long, Double)].collect().head
+    val bigN = Experiment.mdeReadout(arms(5000), col("flag"), col("v"))
+      .select("n_treat", "n_ctrl", "mde_abs")
+      .as[(Long, Long, Double)].collect().head
+    assert(smallN._1 == 50L && smallN._2 == 50L)
+    assert(bigN._3 < smallN._3,
+      s"MDE must shrink with n: ${bigN._3} vs ${smallN._3}")
+  }
+
+  test("mdeReadout: a single-row arm guards the sd/MDE columns NULL") {
+    val df = Seq((true, 10.0), (false, 5.0), (false, 7.0)).toDF("flag", "v")
+    val got = Experiment.mdeReadout(df, col("flag"), col("v"))
+      .select(col("n_treat"), col("pooled_sd").isNull,
+        col("mde_abs").isNull, col("mde_rel").isNull)
+      .as[(Long, Boolean, Boolean, Boolean)].collect().head
+    assert(got == ((1L, true, true, true)))
+  }
+}

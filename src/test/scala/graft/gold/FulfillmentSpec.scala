@@ -124,4 +124,20 @@ class FulfillmentSpec extends SparkSpec {
     assert(!variety.contains("Expand"),
       s"distinct-then-count must not plan an Expand:\n$variety")
   }
+
+  test("pricingSummary: one line per (flag, status) with exact integer money and half-up averages; cutoff is inclusive") {
+    val lines = Seq(
+      ("A", "F", 10.0, 100.0, 0.10, 0.05, ts("1998-09-02")), // on cutoff
+      ("A", "F", 20.0, 200.0, 0.00, 0.00, ts("1998-01-01")),
+      ("N", "O", 5.0, 50.0, 0.20, 0.10, ts("1998-12-31")),   // after cutoff
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+    val got = Fulfillment.pricingSummary(lines, "1998-09-02")
+      .as[(String, String, Long, Double, Double, Double,
+        Double, Double, Double, Long)].collect().toSeq
+    // sums: qty 30, base 300, disc 90+200=290, charge 94.5+200=294.5
+    // avgs: qty 15, price 150, disc 0.05
+    assert(got == Seq(
+      ("A", "F", 30L, 300.0, 290.0, 294.5, 15.0, 150.0, 0.05, 2L)))
+  }
 }
