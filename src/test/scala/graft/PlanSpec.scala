@@ -568,6 +568,33 @@ class PlanSpec extends SparkSpec {
       "rankedRetrievalEval must never run an unpartitioned window")
   }
 
+  test("oovRate's vocab cut is a distributed partial top-V, and no window funnels to one partition") {
+    val df = ext.TextAnalysis.oovRate(
+      core.Tables.documents(spark, sf), "doc_id", "text", "lang")
+    val txt = planText(df)
+    assert(txt.contains("TakeOrderedAndProject"),
+      s"top-V vocab must be a partial sort, not a global one:\n$txt")
+    val wins = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(wins.isEmpty, "oovRate must not use windows at all")
+    assert(txt.contains("BroadcastHashJoin"),
+      "the V-row vocab must broadcast onto the test tokens")
+  }
+
+  test("pricingSummary pushes the ship-date filter to the scan and aggregates in one exchange") {
+    val df = gold.Fulfillment.pricingSummary(
+      core.Tables.lineitem(spark, sf), "1998-09-02")
+    val txt = planText(df)
+    assert(txt.contains("PushedFilters: [IsNotNull(l_shipdate)")
+      || txt.contains("LessThanOrEqual(l_shipdate"),
+      s"cutoff must reach the parquet scan:\n$txt")
+    val exchanges = """\(\d+\) Exchange\b""".r.findAllIn(txt).size
+    assert(exchanges <= 2,
+      s"Q1 is one partial+final aggregate plus the sort:\n$txt")
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
