@@ -2085,6 +2085,18 @@ object SparkEntry {
       graft.ext.Encoding.giniStump(Tables.lineitem(s, dir),
         round(col("l_quantity")).cast("long"),
         col("l_returnflag") === "R")),
+
+    // ---- ext: Syntetos-Boylan demand-pattern quadrants per brand
+    // (integer cross-multiply boundaries — no doubles in the class) ----
+    "q297_demand_classes" -> ((s, dir) =>
+      graft.ext.Supply.demandClasses(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
+
+    // ---- ext: Coleman-Liau readability per source (the syllable-free
+    // grade-level formula — three exact counts per doc) ----
+    "q298_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir),
+        "text", "source")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6657,6 +6669,66 @@ object SparkEntry {
                 round((CAST(CAST(ptot AS HUGEINT) * (n - ptot) AS DOUBLE)
                   / CAST(n AS DOUBLE) - score) * 2.0 / n, 6) AS gini_gain
          FROM gr WHERE rn = 1""",
+
+    "q297_demand_classes" ->
+      """WITH dd AS (
+             SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+                    CAST(sum(round(l_quantity)) AS BIGINT) AS q
+             FROM lineitem GROUP BY 1, 2),
+         dp AS (
+             SELECT l_partkey, CAST(count(*) AS BIGINT) AS nd,
+                    CAST(datediff('day', min(d), max(d)) + 1 AS BIGINT)
+                      AS span,
+                    CAST(sum(q) AS BIGINT) AS sq,
+                    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq
+             FROM dd GROUP BY 1),
+         dc AS (
+             SELECT l_partkey, sq,
+                    CASE WHEN nd = 1 THEN 'one-shot'
+                         WHEN span * 100 < nd * 132
+                          AND 100 * CAST(nd AS HUGEINT)
+                              * (nd * sqq - CAST(sq AS HUGEINT) * sq)
+                            < 49 * (CAST(nd AS HUGEINT) - 1)
+                              * (CAST(sq AS HUGEINT) * sq) THEN 'smooth'
+                         WHEN span * 100 >= nd * 132
+                          AND 100 * CAST(nd AS HUGEINT)
+                              * (nd * sqq - CAST(sq AS HUGEINT) * sq)
+                            < 49 * (CAST(nd AS HUGEINT) - 1)
+                              * (CAST(sq AS HUGEINT) * sq)
+                           THEN 'intermittent'
+                         WHEN span * 100 < nd * 132 THEN 'erratic'
+                         ELSE 'lumpy' END AS demand_class
+             FROM dp)
+         SELECT p_brand, demand_class,
+                CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(sq) AS BIGINT) AS total_qty
+         FROM dc JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2 ORDER BY p_brand, demand_class""",
+
+    "q298_readability" ->
+      s"""WITH rb AS (
+             SELECT source,
+                    CAST(round((0.0588 * (100.0 * length(regexp_replace(
+                        text, '\\s', '', 'g'))
+                      / len(${graft.functions.Portable.tokensSql("text")}))
+                      - 0.296 * (100.0 * len(regexp_extract_all(
+                          text, '[.!?]+'))
+                        / len(${graft.functions.Portable.tokensSql("text")}))
+                      - 15.8) * 1e6) AS BIGINT) AS cq
+             FROM documents
+             WHERE len(${graft.functions.Portable.tokensSql("text")}) > 0),
+         ra AS (
+             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(cq) AS BIGINT) AS scq,
+                    CAST(sum(CASE WHEN cq >= 12000000 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_college
+             FROM rb GROUP BY 1)
+         SELECT source, n_docs,
+                (((scq * 2) + n_docs) // (n_docs * 2)) / 1000000.0
+                  AS mean_cli,
+                (((n_college * 1000000 * 2) + n_docs) // (n_docs * 2))
+                  / 1000000.0 AS college_share
+         FROM ra ORDER BY source""",
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

@@ -368,4 +368,55 @@ object Supply {
         round(ss, 6).as("safety_stock"),
         round(mean * lit(leadDays.toDouble) + ss, 6).as("reorder_point"))
   }
+
+  /** Syntetos–Boylan demand-pattern classification: each part lands in
+    * the smooth / intermittent / erratic / lumpy quadrant from its
+    * average inter-demand interval (ADI = active-span days ∕ demand
+    * days) and its demand-size CV² — the screen that decides WHICH
+    * forecasting model applies before [[safetyStock]]'s normal model
+    * is trusted (intermittent/lumpy demand wants Croston-family
+    * methods, not a mean±σ). Reported compactly per (brand, class).
+    *
+    * Exactness — the defining property here: BOTH boundary tests are
+    * integer cross-multiplies of exact counts, so classification never
+    * touches a double: ADI ≥ 1.32 ⇔ span·100 ≥ 132·n_d, and
+    * CV² ≥ 0.49 ⇔ 100·n·(n·Σq²−(Σq)²) ≥ 49·(n−1)·(Σq)² with the
+    * products in decimal(38,0) (Σq² passes int64 at ~3e9 demand
+    * days·qty²). Literature thresholds 1.32∕0.49 ride as the integer
+    * pairs (132,100)∕(49,100). Single-demand-day parts (CV²
+    * undefined) emit their own `one-shot` class rather than a NULL
+    * or an arbitrary quadrant.
+    *
+    * Shape: one fact aggregate to (part, day) grain, one to part
+    * grain, one to the (brand, class) mart — all hash aggregates,
+    * dims broadcast. */
+  def demandClasses(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val p = part.select(col("p_partkey"), col("p_brand"))
+    val daily = lineitem
+      .groupBy(col("l_partkey"), col("l_shipdate").cast("date").as("d"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+    val per = daily.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("nd"),
+        (datediff(max(col("d")), min(col("d"))) + 1).cast("long").as("span"),
+        sum(col("q")).as("sq"),
+        sum(col("q").cast(dec) * col("q")).as("sqq"))
+    val adiHigh = col("span") * 100L >= col("nd") * 132L
+    val cvHigh = (lit(100).cast(dec) * col("nd")
+      * (col("nd").cast(dec) * col("sqq")
+         - col("sq").cast(dec) * col("sq"))) >=
+      (lit(49).cast(dec) * (col("nd") - 1)
+        * (col("sq").cast(dec) * col("sq")))
+    per
+      .withColumn("demand_class",
+        when(col("nd") === 1, "one-shot")
+          .when(!adiHigh && !cvHigh, "smooth")
+          .when(adiHigh && !cvHigh, "intermittent")
+          .when(!adiHigh && cvHigh, "erratic")
+          .otherwise("lumpy"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("demand_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("sq")).as("total_qty"))
+      .orderBy(col("p_brand"), col("demand_class"))
+  }
 }

@@ -529,6 +529,45 @@ object TextAnalysis {
         round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
         round(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_ratio"))
 
+  /** Coleman–Liau readability per source: mean grade-level index
+    * CLI = 0.0588·L − 0.296·S − 15.8 (L = non-space chars per 100
+    * words, S = sentence marks per 100 words) plus the share of
+    * college-level (CLI ≥ 12) documents — the only classic
+    * readability formula that needs NO syllable counting, which is
+    * exactly what makes it computable as three exact counts per doc
+    * (chars via a whitespace-stripped length, words via the engine's
+    * shared tokenizer split, sentences via a `[.!?]+` run count).
+    * The audience-difficulty audit a curriculum/mixing plan reads
+    * next to [[qualityScore]].
+    *
+    * Exactness: the three counts are exact integers; each doc's CLI is
+    * one fixed double chain over them (identical on both engines),
+    * quantized to 1e-6 units BEFORE the per-source mean so the sums
+    * are order-free; the formula constants are shared decimal
+    * literals. Zero-word docs are excluded (L and S undefined).
+    * Shape: a projection and one hash aggregate. */
+  def readability(
+      docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val w = size(Portable.tokens(col(textCol))).cast("long")
+    val c = length(regexp_replace(col(textCol), "\\s", "")).cast("long")
+    val s = expr(s"regexp_count($textCol, '[.!?]+')").cast("long")
+    val cli = lit(0.0588) * (lit(100.0) * c / w) -
+      lit(0.296) * (lit(100.0) * s / w) - lit(15.8)
+    docs
+      .filter(w > 0)
+      .select(col(srcCol).as("source"),
+        round(cli * 1e6).cast("long").as("cq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cq")).as("scq"),
+        sum(when(col("cq") >= 12000000L, 1L).otherwise(0L)).as("n_college"))
+      .select(col("source"), col("n_docs"),
+        expr("(((scq * 2) + n_docs) div (n_docs * 2)) " +
+          "/ cast(1000000 as double)").as("mean_cli"),
+        expr("(((n_college * 1000000 * 2) + n_docs) div (n_docs * 2)) " +
+          "/ cast(1000000 as double)").as("college_share"))
+      .orderBy(col("source"))
+  }
+
   /** Out-of-vocabulary rate of the held-out split against the train
     * split's top-V vocabulary, per language — the tokenizer/vocab
     * generalization audit ("how much of unseen data does a vocab built
