@@ -2097,6 +2097,11 @@ object SparkEntry {
     "q298_readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables.documents(s, dir),
         "text", "source")),
+
+    // ---- ext: Croston intermittent-demand forecast per part (the
+    // model q297's intermittent/lumpy quadrants prescribe) ----
+    "q299_croston" -> ((s, dir) =>
+      graft.ext.Supply.crostonForecast(Tables.lineitem(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6729,6 +6734,42 @@ object SparkEntry {
                 (((n_college * 1000000 * 2) + n_docs) // (n_docs * 2))
                   / 1000000.0 AS college_share
          FROM ra ORDER BY source""",
+
+    "q299_croston" ->
+      """WITH RECURSIVE crd AS (
+             SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+                    CAST(sum(round(l_quantity)) AS BIGINT) AS q
+             FROM lineitem GROUP BY 1, 2),
+         crs AS (
+             SELECT l_partkey, d, q,
+                    row_number() OVER (PARTITION BY l_partkey ORDER BY d)
+                      AS rn,
+                    lag(d) OVER (PARTITION BY l_partkey ORDER BY d) AS pd
+             FROM crd),
+         crr AS (
+             SELECT l_partkey, rn, CAST(q AS DOUBLE) AS z,
+                    CAST(NULL AS DOUBLE) AS p
+             FROM crs WHERE rn = 1
+             UNION ALL
+             SELECT s.l_partkey, s.rn,
+                    r.z + 0.125 * (CAST(s.q AS DOUBLE) - r.z),
+                    CASE WHEN r.p IS NULL
+                      THEN CAST(datediff('day', s.pd, s.d) AS DOUBLE)
+                      ELSE r.p + 0.125
+                        * (CAST(datediff('day', s.pd, s.d) AS DOUBLE) - r.p)
+                    END
+             FROM crr r JOIN crs s
+               ON s.l_partkey = r.l_partkey AND s.rn = r.rn + 1),
+         crn AS (SELECT l_partkey, CAST(max(rn) AS BIGINT) AS mrn
+                 FROM crr GROUP BY 1)
+         SELECT r.l_partkey AS part_id, n.mrn AS n_demand_days,
+                round(r.z, 6) AS size_level,
+                round(r.p, 6) AS interval_level,
+                CASE WHEN r.p IS NOT NULL AND r.p > 0
+                  THEN round(r.z / r.p, 6) END AS demand_per_day
+         FROM crr r JOIN crn n
+           ON r.l_partkey = n.l_partkey AND r.rn = n.mrn
+         ORDER BY part_id""",
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

@@ -419,4 +419,67 @@ object Supply {
       .agg(count(lit(1)).as("n_parts"), sum(col("sq")).as("total_qty"))
       .orderBy(col("p_brand"), col("demand_class"))
   }
+
+  /** Croston's method per part — the forecaster [[demandClasses]]
+    * prescribes for its intermittent/lumpy quadrants, where a plain
+    * EWMA of the zero-filled series systematically lags: smooth the
+    * demand SIZES (z) and the inter-demand INTERVALS (p) as two
+    * separate exponential averages over demand EVENTS only, and
+    * forecast demand-per-day as z∕p. Initialization is the standard
+    * one (z₁ = first size; p seeds on the SECOND event with the first
+    * observed interval — one event gives no interval and a NULL
+    * forecast).
+    *
+    * Exactness: the recurrence is a sequential fixed IEEE chain per
+    * part (α = ⅛, binary-exact), run in-partition after a partkey
+    * repartition + in-partition sort, and mirrored event-for-event by
+    * the oracle's recursive CTE — the [[Timeseries.ewmaForecast]]
+    * device. The final per-part state is the max-by-event struct
+    * aggregate (event index is unique per part, so the max is total).
+    * Shape: one fact aggregate to (part, day) grain, ONE shuffle to
+    * co-locate each part's events, a linear in-partition pass, one
+    * final per-part aggregate. */
+  def crostonForecast(lineitem: DataFrame, alpha: Double = 0.125)
+      : DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val daily = lineitem
+      .groupBy(col("l_partkey"), col("l_shipdate").cast("date").as("d"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+      .select(col("l_partkey").cast("long").as("pid"), col("d"), col("q"))
+      .repartition(col("pid"))
+      .sortWithinPartitions(col("pid"), col("d"))
+      .as[(Long, java.sql.Date, Long)]
+    val states = daily.mapPartitions { it =>
+      var cur = Long.MinValue
+      var rn = 0L
+      var z = 0.0
+      var p: java.lang.Double = null
+      var prev: java.sql.Date = null
+      it.map { case (pid, d, q) =>
+        if (pid != cur) { cur = pid; rn = 0L; p = null; prev = null }
+        rn += 1
+        if (rn == 1L) z = q.toDouble
+        else {
+          val gap = java.time.temporal.ChronoUnit.DAYS.between(
+            prev.toLocalDate, d.toLocalDate).toDouble
+          z = z + alpha * (q.toDouble - z)
+          p = if (p == null) java.lang.Double.valueOf(gap)
+              else java.lang.Double.valueOf(p + alpha * (gap - p))
+        }
+        prev = d
+        (pid, rn, z, Option(p).map(_.doubleValue))
+      }
+    }.toDF("pid", "rn", "z", "p")
+    states
+      .groupBy(col("pid"))
+      .agg(max(struct(col("rn"), col("z"), col("p"))).as("fin"))
+      .select(col("pid").as("part_id"),
+        col("fin.rn").as("n_demand_days"),
+        round(col("fin.z"), 6).as("size_level"),
+        round(col("fin.p"), 6).as("interval_level"),
+        when(col("fin.p").isNotNull && col("fin.p") > 0,
+          round(col("fin.z") / col("fin.p"), 6)).as("demand_per_day"))
+      .orderBy(col("part_id"))
+  }
 }

@@ -66,6 +66,26 @@ class DemandReadabilitySpec extends SparkSpec {
       ("s2", 1L, -15.799999, 0.0)))
   }
 
+  test("crostonForecast: hand-computed size/interval levels; single-event parts give NULL forecast; layout-stable") {
+    val lines = Seq(
+      (1L, 10.0, ts("1997-01-01")), (1L, 20.0, ts("1997-01-03")),
+      (1L, 10.0, ts("1997-01-07")),
+      (2L, 7.0, ts("1997-01-01")), // one event -> no interval
+    ).toDF("l_partkey", "l_quantity", "l_shipdate")
+    val got = Supply.crostonForecast(lines)
+      .as[(Long, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    // part 1: z = 10 -> 11.25 -> 11.09375; p = 2 -> 2.25;
+    // forecast 11.09375/2.25 = 4.930556
+    assert(got == Seq(
+      (1L, 3L, 11.09375, Some(2.25), Some(4.930556)),
+      (2L, 1L, 7.0, None, None)))
+    val re = Supply.crostonForecast(lines.repartition(5))
+      .as[(Long, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(re == got)
+  }
+
   test("readability: long formal text crosses the college threshold") {
     val formal = Array.fill(20)("Undoubtedly, the infrastructural " +
       "considerations predominate.").mkString(" ")
