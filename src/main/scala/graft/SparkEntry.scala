@@ -2102,6 +2102,12 @@ object SparkEntry {
     // model q297's intermittent/lumpy quadrants prescribe) ----
     "q299_croston" -> ((s, dir) =>
       graft.ext.Supply.crostonForecast(Tables.lineitem(s, dir))),
+
+    // ---- gold: per-restaurant median with a distribution-free 95%
+    // CI from binomial order-statistic ranks ----
+    "q300_median_ci" -> ((s, dir) =>
+      graft.gold.Percentiles.medianWithCI(
+        Conformed.orderRevenueCached(s, dir), "restaurant_id")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6770,6 +6776,38 @@ object SparkEntry {
          FROM crr r JOIN crn n
            ON r.l_partkey = n.l_partkey AND r.rn = n.mrn
          ORDER BY part_id""",
+
+    "q300_median_ci" -> OracleSql.withBase(
+      s"""mh AS (
+             SELECT restaurant_id AS g,
+                    CAST(round(total_revenue * 10000) AS BIGINT) AS u,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM order_revenue GROUP BY 1, 2),
+         mt AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM mh GROUP BY 1),
+         mr AS (SELECT g, n, (n + 1) // 2 AS r_med,
+                       GREATEST(CAST(floor((CAST(n AS DOUBLE)
+                           - sqrt(CAST(n AS DOUBLE))
+                             * ${graft.gold.Percentiles.MedianCiZ}) / 2)
+                         AS BIGINT), 1) AS r_lo,
+                       LEAST(CAST(ceil(1.0 + (CAST(n AS DOUBLE)
+                           + sqrt(CAST(n AS DOUBLE))
+                             * ${graft.gold.Percentiles.MedianCiZ}) / 2)
+                         AS BIGINT), n) AS r_hi
+                FROM mt),
+         mc AS (SELECT g, u,
+                       CAST(sum(c) OVER (PARTITION BY g ORDER BY u
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cum
+                FROM mh)""",
+      s"""SELECT mc.g AS restaurant_id, mr.n AS n_lines,
+                min(CASE WHEN mc.cum >= mr.r_med THEN mc.u END) / 10000.0
+                  AS median_revenue,
+                min(CASE WHEN mc.cum >= mr.r_lo THEN mc.u END) / 10000.0
+                  AS ci_lo,
+                min(CASE WHEN mc.cum >= mr.r_hi THEN mc.u END) / 10000.0
+                  AS ci_hi
+         FROM mc JOIN mr ON mc.g = mr.g
+         GROUP BY 1, 2 ORDER BY restaurant_id"""),
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

@@ -27,6 +27,61 @@ object Percentiles {
         (median(round(col("total_revenue") * 10000)) / 10000.0)
           .as("median_line_revenue"))
 
+  /** z at 97.5% — shared 17-digit literal (the dcgDiscounts device). */
+  val MedianCiZ = 1.9599639845400545
+
+  /** Per-group median with a DISTRIBUTION-FREE 95% confidence
+    * interval: the CI endpoints are the order statistics at the
+    * binomial ranks ⌊(n − z√n)∕2⌋ and ⌈1 + (n + z√n)∕2⌉ (normal
+    * approximation, clamped to [1, n]) — no normality assumption, no
+    * resampling, valid for any revenue distribution. The uncertainty
+    * readout [[medianLineRevenue]]'s point estimate lacks, from pure
+    * order statistics (the [[graft.ext.Experiment.jackknifeMeanCI]]
+    * sibling for the median, where the jackknife is known to be
+    * inconsistent).
+    *
+    * Exactness: the three selections are exact order statistics via
+    * the value-grain cumulative histogram (min value whose cumulative
+    * count reaches the rank — an integer comparison); ranks come from
+    * one double chain (identical both engines) floored/ceiled to
+    * integers; the median rank ⌈n∕2⌉ is pure integer arithmetic.
+    * Shape: one (group, value) hash aggregate, a value-grain
+    * key-partitioned cumsum window, and a 3-way conditional-min
+    * aggregate — no per-group memory beyond the value histogram. */
+  def medianWithCI(
+      orderRevenue: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = orderRevenue
+      .select(col(groupCol).as("g"),
+        round(col("total_revenue") * 10000).cast("long").as("u"))
+      .groupBy(col("g"), col("u")).agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(col("g")).orderBy(col("u"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = hist.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val half = sqrt(col("n").cast("double")) * MedianCiZ
+    val ranks = tot
+      .withColumn("r_med", expr("(n + 1) div 2"))
+      .withColumn("r_lo",
+        greatest(floor((col("n").cast("double") - half) / 2).cast("long"),
+          lit(1L)))
+      .withColumn("r_hi",
+        least(ceil(lit(1.0) + (col("n").cast("double") + half) / 2)
+          .cast("long"), col("n")))
+    hist
+      .withColumn("cum", sum(col("c")).over(cum))
+      .join(ranks, Seq("g"))
+      .groupBy(col("g"), col("n"), col("r_lo"), col("r_med"), col("r_hi"))
+      .agg(
+        min(when(col("cum") >= col("r_med"), col("u"))).as("u_med"),
+        min(when(col("cum") >= col("r_lo"), col("u"))).as("u_lo"),
+        min(when(col("cum") >= col("r_hi"), col("u"))).as("u_hi"))
+      .select(col("g").as(groupCol), col("n").as("n_lines"),
+        (col("u_med") / 10000.0).as("median_revenue"),
+        (col("u_lo") / 10000.0).as("ci_lo"),
+        (col("u_hi") / 10000.0).as("ci_hi"))
+      .orderBy(col(groupCol))
+  }
+
   /** The full analytic-ranking family over per-restaurant revenue in
     * one window pass: rank / dense_rank / percent_rank / cume_dist /
     * ntile(4). percent_rank and cume_dist are emitted rounded: their

@@ -47,4 +47,22 @@ class RankReportSpec extends SparkSpec {
       (1L, 4, 75.0, Some(-50.0)),
       (2L, 3, 10.0, None)))
   }
+
+  test("medianWithCI: 1..9 gives median 5 with CI spanning the order statistics at ranks 1 and 9") {
+    val rows = (1 to 9).map(v => (1L, v.toDouble))
+      .toDF("restaurant_id", "total_revenue")
+    val got = Percentiles.medianWithCI(rows, "restaurant_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // half-width 1.96*sqrt(9)=5.88 -> r_lo = floor(1.56)=1, r_hi = ceil(8.44)=9
+    assert(got == Seq((1L, 9L, 5.0, 1.0, 9.0)))
+  }
+
+  test("medianWithCI: a single observation clamps both CI ranks onto itself; CI always brackets the median") {
+    val rows = Seq((1L, 42.0), (2L, 1.0), (2L, 2.0), (2L, 3.0), (2L, 4.0))
+      .toDF("restaurant_id", "total_revenue")
+    val got = Percentiles.medianWithCI(rows, "restaurant_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.head == ((1L, 1L, 42.0, 42.0, 42.0)))
+    got.foreach { case (_, _, m, lo, hi) => assert(lo <= m && m <= hi) }
+  }
 }
