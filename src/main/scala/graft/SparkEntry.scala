@@ -2108,6 +2108,13 @@ object SparkEntry {
     "q300_median_ci" -> ((s, dir) =>
       graft.gold.Percentiles.medianWithCI(
         Conformed.orderRevenueCached(s, dir), "restaurant_id")),
+
+    // ---- ext: Holt-Winters additive weekly-seasonal forecast (the
+    // seasonal completion of the EWMA -> Holt smoother ladder) ----
+    "q301_holt_winters" -> ((s, dir) =>
+      graft.ext.Timeseries.holtWintersForecast(
+          Conformed.orderRevenueCached(s, dir))
+        .orderBy(col("restaurant_id"), col("creation_date"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6808,6 +6815,49 @@ object SparkEntry {
                   AS ci_hi
          FROM mc JOIN mr ON mc.g = mr.g
          GROUP BY 1, 2 ORDER BY restaurant_id"""),
+
+    "q301_holt_winters" -> OracleSql.withBaseRecursive(
+      """hwd AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                      AS cents,
+                    CAST(CAST(creation_date - DATE '1970-01-01' AS BIGINT)
+                      % 7 AS INT) AS k
+             FROM order_revenue GROUP BY 1, 2),
+         hws AS (
+             SELECT *, row_number() OVER (PARTITION BY restaurant_id
+                      ORDER BY creation_date) AS rn
+             FROM hwd),
+         hwr AS (
+             SELECT restaurant_id, rn, CAST(cents AS DOUBLE) AS l,
+                    CAST(0 AS DOUBLE) AS b,
+                    [CAST(0 AS DOUBLE), 0, 0, 0, 0, 0, 0] AS s,
+                    CAST(NULL AS DOUBLE) AS f
+             FROM hws WHERE rn = 1
+             UNION ALL
+             SELECT d.restaurant_id, d.rn,
+                    0.25 * (CAST(d.cents AS DOUBLE) - r.s[d.k + 1])
+                      + 0.75 * (r.l + r.b),
+                    0.125 * ((0.25 * (CAST(d.cents AS DOUBLE)
+                        - r.s[d.k + 1]) + 0.75 * (r.l + r.b)) - r.l)
+                      + 0.875 * r.b,
+                    [CASE WHEN j = d.k + 1
+                       THEN 0.25 * (CAST(d.cents AS DOUBLE)
+                         - (0.25 * (CAST(d.cents AS DOUBLE)
+                             - r.s[d.k + 1]) + 0.75 * (r.l + r.b)))
+                         + 0.75 * r.s[j]
+                       ELSE r.s[j] END FOR j IN [1, 2, 3, 4, 5, 6, 7]],
+                    r.l + r.b + r.s[d.k + 1]
+             FROM hwr r JOIN hws d
+               ON d.restaurant_id = r.restaurant_id AND d.rn = r.rn + 1)""",
+      """SELECT d.restaurant_id, d.creation_date,
+                d.cents / 10000.0 AS daily_revenue,
+                r.l / 10000.0 AS level,
+                r.b / 10000.0 AS trend,
+                r.s[d.k + 1] / 10000.0 AS seasonal,
+                r.f / 10000.0 AS forecast_revenue
+         FROM hwr r JOIN hws d USING (restaurant_id, rn)
+         ORDER BY d.restaurant_id, d.creation_date"""),
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

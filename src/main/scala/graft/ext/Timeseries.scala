@@ -600,6 +600,74 @@ object Timeseries {
         (col("f") / 10000.0).as("forecast_revenue"))
   }
 
+  /** Holt–Winters additive forecast with weekly seasonality — the
+    * seasonal completion of the [[ewmaForecast]] → [[holtForecast]]
+    * ladder: level + trend + a 7-slot day-of-week seasonal state, so
+    * the one-step forecast stops lagging the weekly cycle the two
+    * simpler smoothers flatten ([[weekdaySeasonality]] DETECTS the
+    * cycle; this one forecasts THROUGH it). Smoothing constants are
+    * binary-exact dyadics (α = ¼, β = ⅛, γ = ¼) so every update is an
+    * exact IEEE chain both engines replay bit-for-bit.
+    *
+    * The seasonal slot is ARITHMETIC day-of-week
+    * ((date − 1970-01-01) mod 7) — an integer both engines derive
+    * identically, sidestepping the Sunday-0 ∕ Monday-1 disagreement
+    * between engine dayofweek functions. Initialization: first
+    * observation seeds the level, zero trend, zero seasonals (each
+    * slot then learns on its own first hit — deterministic, no
+    * lookahead init pass). Forecast is the PRE-update l + b + s[slot],
+    * NULL on a restaurant's first row.
+    *
+    * Shape: the [[holtForecast]] device — one fact aggregate, ONE
+    * shuffle to co-locate each restaurant's days, a linear
+    * in-partition recurrence carrying a 7-double array; mirrored
+    * state-for-state by a recursive CTE whose seasonal state is a
+    * 7-element list. */
+  def holtWintersForecast(orderRevenue: DataFrame): DataFrame = {
+    val spark = orderRevenue.sparkSession
+    import spark.implicits._
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(graft.gold.Money.cents(col("total_revenue")).cast("long"))
+        .as("cents"))
+      .select(
+        col("restaurant_id").cast("long").as("rid"),
+        col("creation_date").cast("date").as("d"),
+        col("cents"),
+        pmod(datediff(col("creation_date"), lit("1970-01-01")), lit(7))
+          .cast("int").as("k"))
+      .repartition(col("rid"))
+      .sortWithinPartitions(col("rid"), col("d"))
+      .as[(Long, java.sql.Date, Long, Int)]
+    daily.mapPartitions { it =>
+      var curR = Long.MinValue
+      var l = 0.0
+      var b = 0.0
+      var s = new Array[Double](7)
+      it.map { case (rid, d, cents, k) =>
+        val y = cents.toDouble
+        val f: Option[Double] =
+          if (rid != curR) None else Some(l + b + s(k))
+        if (rid != curR) {
+          curR = rid; l = y; b = 0.0; s = new Array[Double](7)
+        } else {
+          val lNew = 0.25 * (y - s(k)) + 0.75 * (l + b)
+          b = 0.125 * (lNew - l) + 0.875 * b
+          s(k) = 0.25 * (y - lNew) + 0.75 * s(k)
+          l = lNew
+        }
+        (rid, d, cents, l, b, s(k), f)
+      }
+    }.toDF("restaurant_id", "creation_date", "cents", "l", "b", "sk", "f")
+      .select(
+        col("restaurant_id"), col("creation_date"),
+        (col("cents") / 10000.0).as("daily_revenue"),
+        (col("l") / 10000.0).as("level"),
+        (col("b") / 10000.0).as("trend"),
+        (col("sk") / 10000.0).as("seasonal"),
+        (col("f") / 10000.0).as("forecast_revenue"))
+  }
+
   /** Cohort LTV curves: users grouped by first-purchase month, each
     * cohort's revenue tracked by age-in-months — the (cohort × age)
     * triangle a growth team reads to compare acquisition vintages

@@ -71,4 +71,41 @@ class RobustTimeseriesSpec extends SparkSpec {
     assert(got.head._2 == 1000.0 && got.head._3 == 10.0)
     assert(got.head._4.isEmpty, "mad = 0 → severity undefined (null)")
   }
+
+  test("holtWintersForecast: hand-computed level/trend/seasonal chain; forecast is the pre-update state; first row NULL") {
+    import java.sql.Date
+    val rev = Seq(
+      (1L, Date.valueOf("1970-01-05"), 100.0), // slot 4
+      (1L, Date.valueOf("1970-01-06"), 200.0), // slot 5
+      (1L, Date.valueOf("1970-01-12"), 110.0), // slot 4 again
+    ).toDF("restaurant_id", "creation_date", "total_revenue")
+    val got = Timeseries.holtWintersForecast(rev)
+      .orderBy($"creation_date")
+      .select($"level", $"trend", $"seasonal", $"forecast_revenue")
+      .as[(Double, Double, Double, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (100.0, 0.0, 0.0, None),
+      (125.0, 3.125, 18.75, Some(100.0)),
+      (123.59375, 2.55859375, -3.3984375, Some(128.125))))
+  }
+
+  test("holtWintersForecast: layout-independent and state resets between restaurants") {
+    import java.sql.Date
+    val rev = Seq(
+      (1L, Date.valueOf("1970-01-05"), 100.0),
+      (1L, Date.valueOf("1970-01-06"), 200.0),
+      (2L, Date.valueOf("1970-01-06"), 50.0),  // new key -> fresh state
+    ).toDF("restaurant_id", "creation_date", "total_revenue")
+    val a = Timeseries.holtWintersForecast(rev)
+      .orderBy($"restaurant_id", $"creation_date")
+      .as[(Long, Date, Double, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    val b = Timeseries.holtWintersForecast(rev.repartition(7))
+      .orderBy($"restaurant_id", $"creation_date")
+      .as[(Long, Date, Double, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(a == b)
+    val r2 = a.last
+    assert(r2._1 == 2L && r2._4 == 50.0 && r2._5 == 0.0 && r2._7.isEmpty)
+  }
 }
