@@ -2115,6 +2115,12 @@ object SparkEntry {
       graft.ext.Timeseries.holtWintersForecast(
           Conformed.orderRevenueCached(s, dir))
         .orderBy(col("restaurant_id"), col("creation_date"))),
+
+    // ---- ext: single-changepoint location by binary segmentation
+    // (WHERE the level shifted; q124's CUSUM alarms THAT it did) ----
+    "q302_changepoint" -> ((s, dir) =>
+      graft.ext.Timeseries.changepoint(
+        Conformed.orderRevenueCached(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6858,6 +6864,54 @@ object SparkEntry {
                 r.f / 10000.0 AS forecast_revenue
          FROM hwr r JOIN hws d USING (restaurant_id, rn)
          ORDER BY d.restaurant_id, d.creation_date"""),
+
+    "q302_changepoint" -> OracleSql.withBase(
+      """cpd AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                      AS cents
+             FROM order_revenue GROUP BY 1, 2),
+         cpt AS (
+             SELECT restaurant_id, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(cents) AS HUGEINT) AS st,
+                    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+                      AS qt
+             FROM cpd GROUP BY 1),
+         cpp AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(count(*) OVER w AS BIGINT) AS t,
+                    CAST(sum(CAST(cents AS HUGEINT)) OVER w AS HUGEINT)
+                      AS sl
+             FROM cpd
+             WINDOW w AS (PARTITION BY restaurant_id
+               ORDER BY creation_date ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)),
+         cps AS (
+             SELECT p.*, t2.n, t2.st, t2.qt,
+                    CAST(p.sl AS DOUBLE) * CAST(p.sl AS DOUBLE)
+                      / CAST(p.t AS DOUBLE)
+                    + CAST(t2.st - p.sl AS DOUBLE)
+                      * CAST(t2.st - p.sl AS DOUBLE)
+                      / CAST(t2.n - p.t AS DOUBLE) AS score
+             FROM cpp p JOIN cpt t2 USING (restaurant_id)
+             WHERE p.t < t2.n),
+         cpr AS (
+             SELECT *, row_number() OVER (PARTITION BY restaurant_id
+                      ORDER BY score DESC, creation_date) AS rn
+             FROM cps)""",
+      """SELECT restaurant_id, creation_date AS change_date,
+                t AS n_before, n - t AS n_after,
+                (((sl * 100 * 2) + t) // (t * 2)) / 1000000.0
+                  AS mean_before,
+                ((((st - sl) * 100 * 2) + (n - t)) // ((n - t) * 2))
+                  / 1000000.0 AS mean_after,
+                CASE WHEN CAST(qt AS DOUBLE) - CAST(st AS DOUBLE)
+                       * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) > 0
+                  THEN round((CAST(qt AS DOUBLE) - score)
+                    / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE)
+                       * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                END AS sse_share_remaining
+         FROM cpr WHERE rn = 1 ORDER BY restaurant_id"""),
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

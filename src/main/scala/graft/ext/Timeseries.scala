@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series repair: gap filling over a per-key calendar spine — the
@@ -666,6 +667,67 @@ object Timeseries {
         (col("b") / 10000.0).as("trend"),
         (col("sk") / 10000.0).as("seasonal"),
         (col("f") / 10000.0).as("forecast_revenue"))
+  }
+
+  /** Single-changepoint location by binary segmentation: per
+    * restaurant, the split day that MINIMIZES the two-segment sum of
+    * squared errors — WHERE the level shifted, where [[cusumShift]]
+    * only alarms THAT it shifted. One pass of prefix moments turns
+    * every candidate split into a closed form (minimizing SSE ⇔
+    * maximizing S_l²∕n_l + S_r²∕n_r), so the scan is linear per
+    * series, not quadratic — the [[graft.ext.Encoding.giniStump]]
+    * argmin device applied to series means.
+    *
+    * Exactness: prefix sums of cents and cents² ride decimal(38,0)
+    * (cents² passes int64 at ~3e9-cent days); each candidate's score
+    * is the identical fixed double chain on both engines, and the
+    * argmax orders by (score DESC, date ASC) — total, so ties cut at
+    * the same day everywhere. The SSE-reduction share is NULL for a
+    * constant series (zero total SSE — nothing to explain).
+    *
+    * Shape: one fact aggregate to (restaurant, day) grain, prefix
+    * sums in ONE key-partitioned window pass, a broadcast-joined
+    * per-series total, and the per-series argmax window — day grain
+    * throughout, nothing unpartitioned. */
+  def changepoint(orderRevenue: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(graft.gold.Money.cents(col("total_revenue")).cast("long"))
+        .as("cents"))
+    val byDay = Window.partitionBy(col("restaurant_id"))
+      .orderBy(col("creation_date"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = daily.groupBy(col("restaurant_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents").cast(dec)).as("st"),
+        sum(col("cents").cast(dec) * col("cents")).as("qt"))
+    val pre = daily
+      .withColumn("t", count(lit(1)).over(byDay))
+      .withColumn("sl", sum(col("cents").cast(dec)).over(byDay))
+      .join(tot, Seq("restaurant_id"))
+      .filter(col("t") < col("n"))
+    def sq(c: Column) = c.cast("double") * c.cast("double")
+    val score = sq(col("sl")) / col("t").cast("double") +
+      sq(col("st") - col("sl")) / (col("n") - col("t")).cast("double")
+    val byScore = Window.partitionBy(col("restaurant_id"))
+      .orderBy(col("score").desc, col("creation_date"))
+    val sseTotal = col("qt").cast("double") -
+      sq(col("st")) / col("n").cast("double")
+    pre
+      .withColumn("score", score)
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") === 1)
+      .select(col("restaurant_id"),
+        col("creation_date").as("change_date"),
+        col("t").as("n_before"), (col("n") - col("t")).as("n_after"),
+        expr("(((sl * 100 * 2) + t) div (t * 2)) " +
+          "/ cast(1000000 as double)").as("mean_before"),
+        expr("((((st - sl) * 100 * 2) + (n - t)) div ((n - t) * 2)) " +
+          "/ cast(1000000 as double)").as("mean_after"),
+        when(sseTotal > 0,
+          round((col("qt").cast("double") - col("score")) / sseTotal, 6))
+          .as("sse_share_remaining"))
+      .orderBy(col("restaurant_id"))
   }
 
   /** Cohort LTV curves: users grouped by first-purchase month, each

@@ -108,4 +108,26 @@ class RobustTimeseriesSpec extends SparkSpec {
     val r2 = a.last
     assert(r2._1 == 2L && r2._4 == 50.0 && r2._5 == 0.0 && r2._7.isEmpty)
   }
+
+  test("changepoint: a clean level shift is located exactly with zero remaining SSE share; constant series guard NULL") {
+    import java.sql.Date
+    val rev = (1 to 6).map { i =>
+      (1L, Date.valueOf(f"1997-01-0$i"), if (i <= 3) 10.0 else 100.0)
+    } ++ Seq(
+      (2L, Date.valueOf("1997-01-01"), 5.0),
+      (2L, Date.valueOf("1997-01-02"), 5.0),
+    )
+    val df = rev.toDF("restaurant_id", "creation_date", "total_revenue")
+    val got = Timeseries.changepoint(df)
+      .as[(Long, Date, Long, Long, Double, Double, Option[Double])]
+      .collect().toSeq
+    val r1 = got.head
+    assert(r1._1 == 1L && r1._2 == Date.valueOf("1997-01-03"))
+    assert(r1._3 == 3L && r1._4 == 3L && r1._5 == 10.0 && r1._6 == 100.0)
+    assert(r1._7.contains(0.0),
+      "a perfect two-level fit must explain all variance")
+    val r2 = got(1)
+    assert(r2._1 == 2L && r2._7.isEmpty,
+      "constant series has no variance to explain -> NULL share")
+  }
 }
