@@ -583,6 +583,24 @@ class PlanSpec extends SparkSpec {
       "the V-row vocab must broadcast onto the test tokens")
   }
 
+  test("changepoint and holtWintersForecast keep every window key-partitioned") {
+    val rev = core.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey").as("restaurant_id"),
+        col("l_shipdate").cast("date").as("creation_date"),
+        col("l_extendedprice").as("total_revenue"))
+    Seq(
+      ext.Timeseries.changepoint(rev),
+      ext.Timeseries.holtWintersForecast(rev)
+    ).foreach { df =>
+      val wins = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        "series operators must never run an unpartitioned window")
+    }
+  }
+
   test("pricingSummary pushes the ship-date filter to the scan and aggregates in one exchange") {
     val df = gold.Fulfillment.pricingSummary(
       core.Tables.lineitem(spark, sf), "1998-09-02")
