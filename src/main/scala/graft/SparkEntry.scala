@@ -6611,17 +6611,18 @@ object SparkEntry {
          pa AS (
              SELECT l_returnflag, l_linestatus,
                     CAST(count(*) AS BIGINT) AS count_order,
-                    CAST(sum(qty) AS BIGINT) AS sum_qty,
-                    CAST(sum(base) AS BIGINT) AS sb,
-                    CAST(sum(disc) AS BIGINT) AS sd,
-                    CAST(sum(charge) AS BIGINT) AS sc,
-                    CAST(sum(dpts) AS BIGINT) AS sp
+                    CAST(sum(qty) AS HUGEINT) AS sum_qty_d,
+                    CAST(sum(base) AS HUGEINT) AS sb,
+                    CAST(sum(disc) AS HUGEINT) AS sd,
+                    CAST(sum(charge) AS HUGEINT) AS sc,
+                    CAST(sum(dpts) AS HUGEINT) AS sp
              FROM ps GROUP BY 1, 2)
-         SELECT l_returnflag, l_linestatus, sum_qty,
-                sb / 100.0 AS sum_base_price,
-                sd / 100.0 AS sum_disc_price,
-                sc / 10000.0 AS sum_charge,
-                (((sum_qty * 1000000 * 2) + count_order)
+         SELECT l_returnflag, l_linestatus,
+                CAST(sum_qty_d AS BIGINT) AS sum_qty,
+                CAST(sb AS DOUBLE) / 100.0 AS sum_base_price,
+                CAST(sd AS DOUBLE) / 100.0 AS sum_disc_price,
+                CAST(sc AS DOUBLE) / 10000.0 AS sum_charge,
+                (((sum_qty_d * 1000000 * 2) + count_order)
                   // (count_order * 2)) / 1000000.0 AS avg_qty,
                 (((sb * 10000 * 2) + count_order) // (count_order * 2))
                   / 1000000.0 AS avg_price,

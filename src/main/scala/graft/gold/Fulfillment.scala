@@ -19,9 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object Fulfillment {
 
-  private def netCents: Column =
-    round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
-      .cast("long")
+  private def netCents: Column = Money.lineNetCents
 
   /** Shipping backlog (Q3 shape): for one customer segment, the top
     * `k` orders by revenue still unshipped as of `asOf` — placed
@@ -261,8 +259,14 @@ object Fulfillment {
     * Exactness: quantity/money/discount ride exact integer units
     * (cents for money, 1e-2 points for the discount rate; the charge
     * rounds once per line at 1e-4 — both engines round the identical
-    * double product); the averages are half-up micro ratios. */
-  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    * double product) and the money/point sums accumulate as
+    * decimal(38,0) (HUGEINT mirror) — a full-fact charge sum passes
+    * int64 well inside the 100 TB tier, and the ·10000·2 average
+    * products even earlier; sum_qty re-emits as long (Σqty ~ 50·rows
+    * stays inside int64 at any real scale). Averages are half-up
+    * micro ratios. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame = {
+    val dec = "decimal(38,0)"
     lineitem.filter(col("l_shipdate") <= lit(cutoff))
       .select(col("l_returnflag"), col("l_linestatus"),
         round(col("l_quantity")).cast("long").as("qty"),
@@ -273,14 +277,17 @@ object Fulfillment {
         round(col("l_discount") * 100).cast("long").as("dpts"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("count_order"),
-        sum(col("qty")).as("sum_qty"),
-        sum(col("base")).as("sb"), sum(col("disc")).as("sd"),
-        sum(col("charge")).as("sc"), sum(col("dpts")).as("sp"))
-      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
-        (col("sb") / 100.0).as("sum_base_price"),
-        (col("sd") / 100.0).as("sum_disc_price"),
-        (col("sc") / 10000.0).as("sum_charge"),
-        expr("(((sum_qty * 1000000 * 2) + count_order) " +
+        sum(col("qty").cast(dec)).as("sum_qty_d"),
+        sum(col("base").cast(dec)).as("sb"),
+        sum(col("disc").cast(dec)).as("sd"),
+        sum(col("charge").cast(dec)).as("sc"),
+        sum(col("dpts").cast(dec)).as("sp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_d").cast("long").as("sum_qty"),
+        (col("sb").cast("double") / 100.0).as("sum_base_price"),
+        (col("sd").cast("double") / 100.0).as("sum_disc_price"),
+        (col("sc").cast("double") / 10000.0).as("sum_charge"),
+        expr("(((sum_qty_d * 1000000 * 2) + count_order) " +
           "div (count_order * 2)) / cast(1000000 as double)").as("avg_qty"),
         expr("(((sb * 10000 * 2) + count_order) div (count_order * 2)) " +
           "/ cast(1000000 as double)").as("avg_price"),
@@ -288,6 +295,7 @@ object Fulfillment {
           "/ cast(1000000 as double)").as("avg_disc"),
         col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   /** One arm of [[disjunctivePricing]]'s OR: brand + inclusive
     * quantity band + inclusive size band. */
@@ -297,29 +305,28 @@ object Fulfillment {
   /** Disjunctive promo pricing (Q19 shape): net revenue on lines
     * matching ANY of the (brand × quantity-band × size-band) arms —
     * the OR-of-conjunctions predicate class that breaks naive
-    * pushdown. The part-side conjuncts evaluate on the broadcast dim
-    * BEFORE the join (each arm tags its rows); the line-side quantity
-    * conjunct evaluates post-join against the matched arm's band. One
-    * row out: line count + revenue. */
+    * pushdown. The part-side disjunction (brand × size) prunes the
+    * broadcast dim BEFORE the join, then the FULL per-arm conjunction
+    * (including the line-side quantity band) evaluates post-join — a
+    * part matching several arms' part conjuncts qualifies through
+    * whichever arm its line's quantity satisfies, exactly the SQL OR
+    * (a single best-arm tag would silently drop lines when two arms
+    * share a brand with overlapping size bands). One row out: line
+    * count + revenue. */
   def disjunctivePricing(
       lineitem: DataFrame, part: DataFrame,
       arms: Seq[PricingArm]): DataFrame = {
+    def partArm(a: PricingArm) =
+      col("p_brand") === a.brand && col("p_size").between(a.sizeLo, a.sizeHi)
+    val partAny = arms.map(partArm).reduce(_ || _)
+    val fullArm = arms.map(a => partArm(a) &&
+      col("l_quantity") >= a.qtyLo && col("l_quantity") <= a.qtyHi)
+      .reduce(_ || _)
     val armed = part.select(col("p_partkey"), col("p_brand"), col("p_size"))
-      .withColumn("arm",
-        arms.zipWithIndex.foldLeft(lit(-1)) { case (acc, (a, i)) =>
-          when(col("p_brand") === a.brand &&
-            col("p_size").between(a.sizeLo, a.sizeHi), lit(i))
-            .otherwise(acc)
-        })
-      .filter(col("arm") >= 0)
-      .select(col("p_partkey"), col("arm"))
-    val qtyOk = arms.zipWithIndex.foldLeft(lit(false)) { case (acc, (a, i)) =>
-      acc || (col("arm") === i &&
-        col("l_quantity") >= a.qtyLo && col("l_quantity") <= a.qtyHi)
-    }
+      .filter(partAny)
     lineitem.select(col("l_partkey"), col("l_quantity"), netCents.as("cents"))
       .join(broadcast(armed), col("l_partkey") === col("p_partkey"))
-      .filter(qtyOk)
+      .filter(fullArm)
       .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("cents"))
       .select(col("n_lines"),
         coalesce(col("cents") / 100.0, lit(0.0)).as("revenue"))

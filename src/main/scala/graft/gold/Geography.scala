@@ -144,8 +144,7 @@ object Geography {
       lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
       supplier: DataFrame, nation: DataFrame): DataFrame = {
     val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
-      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
-        .cast("long").as("net_cents"))
+      Money.lineNetCents.as("net_cents"))
     val o = orders.select(col("o_orderkey"), col("o_custkey"),
       year(col("o_orderdate")).as("yr"))
     val cn = customer.select(col("c_custkey"), col("c_nationkey"))

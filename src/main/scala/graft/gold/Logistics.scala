@@ -21,9 +21,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Logistics {
 
-  private def netCents: Column =
-    round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
-      .cast("long")
+  private def netCents: Column = Money.lineNetCents
 
   /** Service-level matrix (Q12 shape): per shipping-delay band, how
     * many lines belonged to critical-priority orders vs the rest —
@@ -39,7 +37,12 @@ object Logistics {
       lineitem: DataFrame, orders: DataFrame, shipYear: Int,
       criticalPriorities: Seq[String] = Seq("1-URGENT", "2-HIGH"))
       : DataFrame = {
-    val li = lineitem.filter(year(col("l_shipdate")) === shipYear)
+    // range form, not year(col) === shipYear: a function of the column
+    // cannot push into the parquet scan; the half-open range prunes
+    // row groups (same predicate the PlanSpec-asserted siblings use)
+    val li = lineitem.filter(
+        col("l_shipdate") >= lit(s"$shipYear-01-01") &&
+        col("l_shipdate") < lit(s"${shipYear + 1}-01-01"))
       .select(col("l_orderkey"), col("l_shipdate"))
     val o = orders.select(col("o_orderkey"), col("o_orderdate"),
       col("o_orderpriority"))
@@ -82,7 +85,9 @@ object Logistics {
       nation: DataFrame, partType: String, shipYear: Int,
       shareNum: Int = 1, shareDen: Int = 2): DataFrame = {
     val pk = part.filter(col("p_type") === partType).select(col("p_partkey"))
-    val grain = lineitem.filter(year(col("l_shipdate")) === shipYear)
+    val grain = lineitem.filter(
+        col("l_shipdate") >= lit(s"$shipYear-01-01") &&
+        col("l_shipdate") < lit(s"${shipYear + 1}-01-01"))
       .select(col("l_partkey"), col("l_suppkey"),
         round(col("l_quantity")).cast("long").as("qty"))
       .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")

@@ -15,6 +15,14 @@ object Money {
   /** Exact integral 1e-4 units of a money column. */
   def cents(c: Column): Column = round(c * 10000)
 
+  /** Net lineitem revenue in exact integer cents — the ONE definition
+    * of `price × (1 − discount)` the TPC-H-shape reports share
+    * (Fulfillment, Logistics, Geography's trade spine); a money-
+    * quantization change happens here or nowhere. */
+  def lineNetCents: Column =
+    round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+      .cast("long")
+
   /** Order-independent exact money sum, back in dollars. */
   def sumMoney(c: Column): Column = sum(cents(c)) / 10000.0
 

@@ -19,12 +19,19 @@ class AblationPowerSpec extends SparkSpec {
     // ledger covers every source exactly once, ordered
     val srcs = rows.map(_.getString(0)).toSeq
     assert(srcs == srcs.sorted && srcs.distinct.size == srcs.size)
-    // deltas are internally consistent: mean_wo = full mean + delta
-    // (both are micro-quantized, so the identity is exact)
+    // deltas anchor to the INDEPENDENTLY computed full-corpus mean:
+    // mean_wo - delta must equal the half-up micro mean of the raw
+    // quality scores for every source row (the identity a sign flip
+    // or a wrong denominator would break)
+    val qs = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(round(col("quality_score") * 1e6).cast("long").as("qu"))
+      .agg(sum(col("qu")).as("s"), count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().head
+    val fullMean = ((qs._1 * 2 + qs._2) / (qs._2 * 2)) / 1e6
     rows.foreach { r =>
       val wo = r.getDouble(2); val d = r.getDouble(3)
-      val full = wo - d
-      assert(math.abs((wo - full) - d) < 1e-12)
+      assert(math.abs((wo - d) - fullMean) < 1e-9,
+        s"${r.getString(0)}: mean_wo - delta = ${wo - d} != $fullMean")
     }
     // layout independence
     val re = Curation.sourceAblation(

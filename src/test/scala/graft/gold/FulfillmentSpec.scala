@@ -140,4 +140,20 @@ class FulfillmentSpec extends SparkSpec {
     assert(got == Seq(
       ("A", "F", 30L, 300.0, 290.0, 294.5, 15.0, 150.0, 0.05, 2L)))
   }
+
+  test("disjunctivePricing: overlapping same-brand arms behave as a true OR — a line qualifying under the earlier arm is kept") {
+    val part = Seq((1L, "Brand#3", 20)).toDF("p_partkey", "p_brand", "p_size")
+    val lines = Seq(
+      (1L, 5.0, 100.0, 0.0),   // qty 5: arm 1's band only
+      (1L, 25.0, 100.0, 0.0),  // qty 25: arm 2's band only
+      (1L, 15.0, 100.0, 0.0),  // neither band
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val arms = Seq(
+      Fulfillment.PricingArm("Brand#3", 1, 10, 1, 50),
+      Fulfillment.PricingArm("Brand#3", 20, 30, 1, 50))
+    val got = Fulfillment.disjunctivePricing(lines, part, arms)
+      .as[(Long, Double)].collect().head
+    assert(got == ((2L, 200.0)),
+      "both overlapping arms must admit their own quantity bands")
+  }
 }
