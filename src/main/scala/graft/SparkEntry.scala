@@ -2121,6 +2121,13 @@ object SparkEntry {
     "q302_changepoint" -> ((s, dir) =>
       graft.ext.Timeseries.changepoint(
         Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: time-decay attribution (2^-age_days dyadic weights as
+    // exact integers — the third standard model after first/last and
+    // linear) ----
+    "q303_time_decay_attribution" -> ((s, dir) =>
+      graft.ext.Behavior.timeDecayAttribution(Tables.events(s, dir),
+        Seq("view", "click", "signup"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6913,6 +6920,46 @@ object SparkEntry {
                        * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)), 6)
                 END AS sse_share_remaining
          FROM cpr WHERE rn = 1 ORDER BY restaurant_id"""),
+
+    "q303_time_decay_attribution" ->
+      """WITH ap AS (
+             SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS tp,
+                    CAST(round(value * 10000) AS BIGINT) AS cents
+             FROM events WHERE event_type = 'purchase'),
+         at2 AS (
+             SELECT user_id, event_type AS ty, epoch_us(ts) AS tt
+             FROM events
+             WHERE event_type IN ('view', 'click', 'signup')),
+         apr AS (
+             SELECT p.purchase_id, p.cents, t.ty,
+                    (1::BIGINT << CAST(7 - LEAST(GREATEST(
+                       tp // 86400000000 - tt // 86400000000, 0), 7)
+                     AS INT)) AS w
+             FROM ap p JOIN at2 t USING (user_id)
+             WHERE t.tt < p.tp AND p.tp - t.tt <= 604800000000),
+         apc AS (SELECT purchase_id, cents, ty,
+                        CAST(sum(w) AS BIGINT) AS wt
+                 FROM apr GROUP BY 1, 2, 3),
+         app AS (SELECT purchase_id, CAST(sum(wt) AS BIGINT) AS wsum
+                 FROM apc GROUP BY 1),
+         acr AS (
+             SELECT c.ty, c.purchase_id,
+                    ((c.wt * 1000000 * 2) + p.wsum) // (p.wsum * 2)
+                      AS share_u,
+                    (c.cents * 1000 * c.wt) // p.wsum AS rev_mu
+             FROM apc c JOIN app p USING (purchase_id)
+             UNION ALL
+             SELECT 'direct' AS ty, a.purchase_id,
+                    1000000 AS share_u, a.cents * 1000 AS rev_mu
+             FROM ap a LEFT JOIN app p USING (purchase_id)
+             WHERE p.purchase_id IS NULL)
+         SELECT ty AS touch_type,
+                CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+                round(CAST(sum(share_u) AS BIGINT) / 1e6, 6)
+                  AS total_credit,
+                round(CAST(sum(rev_mu) AS BIGINT) / 1e7, 6)
+                  AS attributed_revenue
+         FROM acr GROUP BY 1 ORDER BY touch_type""",
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

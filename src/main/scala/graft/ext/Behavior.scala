@@ -671,4 +671,66 @@ object Behavior {
           round(col("num") / sqrt(col("varx") * col("vary")), 6))
           .as("xcorr"))
   }
+
+  /** Time-decay attribution — the third standard model next to
+    * [[attribution]]'s first/last touch and [[linearAttribution]]'s
+    * equal split: each touch inside the lookback earns weight
+    * 2^(−age_days), so yesterday's ad counts double tomorrow's. The
+    * one-day half-life at integer DAY grain makes every weight the
+    * exact INTEGER 2^(lookback − age) (a left shift — no pow, no
+    * doubles anywhere in the credit math): per-purchase channel
+    * credit is a half-up micro ratio of integer weight sums, exact
+    * revenue credit an integer product, and the channel rollup an
+    * order-free integer sum.
+    *
+    * Shape: purchases join their own user's prior touches inside the
+    * lookback (fan-out bounded by touches-per-user-per-week — the
+    * q233 band-join envelope), then two hash aggregates (purchase
+    * grain → channel grain). Purchases with no touch credit the
+    * `direct` channel in full; touched purchases split by the
+    * truncating integer ratio (total credit ≤ 1 per purchase by at
+    * most a few micro-units — the price of exact order-free sums). */
+  def timeDecayAttribution(
+      events: DataFrame, touchTypes: Seq[String],
+      lookbackDays: Int = 7): DataFrame = {
+    val lookbackMicros = lookbackDays * 86400L * 1000000L
+    val dayMicros = 86400L * 1000000L
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("tp"),
+        round(col("value") * 10000).cast("long").as("cents"))
+    val t = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_type").as("ty"),
+        unix_micros(col("ts")).as("tt"))
+    val pairs = p.join(t, Seq("user_id"))
+      .filter(col("tt") < col("tp") &&
+        col("tp") - col("tt") <= lookbackMicros)
+      .withColumn("age",
+        expr(s"tp div $dayMicros - tt div $dayMicros"))
+      // calendar-day age can reach lookbackDays when the micro window
+      // straddles midnight; clamp so the shift stays non-negative
+      .withColumn("w",
+        expr(s"shiftleft(1L, $lookbackDays - " +
+          s"least(greatest(age, 0L), ${lookbackDays}L))"))
+    val perChan = pairs.groupBy(col("purchase_id"), col("cents"), col("ty"))
+      .agg(sum(col("w")).as("wt"))
+    val perPurchase = perChan.groupBy(col("purchase_id"))
+      .agg(sum(col("wt")).as("wsum"))
+    val credited = perChan.join(perPurchase, Seq("purchase_id"))
+      .select(col("ty"), col("purchase_id"),
+        expr("((wt * 1000000 * 2) + wsum) div (wsum * 2)").as("share_u"),
+        expr("(cents * 1000 * wt) div wsum").as("rev_mu"))
+    val direct = p.join(perPurchase, Seq("purchase_id"), "left_anti")
+      .select(lit("direct").as("ty"), col("purchase_id"),
+        lit(1000000L).as("share_u"),
+        (col("cents") * 1000L).as("rev_mu"))
+    credited.unionByName(direct)
+      .groupBy(col("ty"))
+      .agg(countDistinct(col("purchase_id")).as("n_purchases"),
+        sum(col("share_u")).as("su"), sum(col("rev_mu")).as("sr"))
+      .select(col("ty").as("touch_type"), col("n_purchases"),
+        round(col("su") / 1e6, 6).as("total_credit"),
+        round(col("sr") / 1e7, 6).as("attributed_revenue"))
+      .orderBy(col("touch_type"))
+  }
 }

@@ -166,4 +166,32 @@ class BehaviorSpec extends SparkSpec {
       (4L, None, None),
       (6L, None, None)))
   }
+
+  test("timeDecayAttribution: dyadic day-grain weights order recent touches first; out-of-window touches drop; untouched purchases go direct") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: purchase with three in-window touches at ages 0/1/7 days
+      (1L, 100L, "purchase", ts("1997-01-10 12:00:00"), 10.0),
+      (1L, 101L, "view",     ts("1997-01-10 08:00:00"), 0.0),
+      (1L, 102L, "click",    ts("1997-01-09 12:00:00"), 0.0),
+      (1L, 103L, "signup",   ts("1997-01-03 12:00:00"), 0.0), // age 7, w=1
+      (1L, 104L, "view",     ts("1997-01-02 12:00:00"), 0.0), // 8d: outside
+      // user 2: untouched purchase -> direct, full credit
+      (2L, 200L, "purchase", ts("1997-01-10 12:00:00"), 5.0),
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = graft.ext.Behavior.timeDecayAttribution(
+        events, Seq("view", "click", "signup"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // weights 128 (view, age 0), 64 (click), 1 (signup); total 193
+    assert(got("view")._3 > got("click")._3 &&
+      got("click")._3 > got("signup")._3)
+    assert(got("direct") == (("direct", 1L, 1.0, 5.0)))
+    // per-purchase shares sum to 1 within truncation (<= 3 micro-units)
+    val touchedCredit = got("view")._3 + got("click")._3 + got("signup")._3
+    assert(touchedCredit <= 1.0 && touchedCredit > 1.0 - 3e-6)
+    // revenue splits the 10.00 purchase in the same proportions
+    val touchedRev = got("view")._4 + got("click")._4 + got("signup")._4
+    assert(touchedRev <= 10.0 && touchedRev > 10.0 - 3e-6)
+  }
 }
