@@ -2128,6 +2128,12 @@ object SparkEntry {
     "q303_time_decay_attribution" -> ((s, dir) =>
       graft.ext.Behavior.timeDecayAttribution(Tables.events(s, dir),
         Seq("view", "click", "signup"))),
+
+    // ---- ext: quality-aware canonical selection vs keep-min-id (the
+    // dedup keep-policy audit: what the smarter canonical buys) ----
+    "q304_canonical_policy" -> ((s, dir) =>
+      graft.ext.Dedup.canonicalPolicyAudit(Tables.documents(s, dir),
+        "doc_id", "text")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6960,6 +6966,8 @@ object SparkEntry {
                 round(CAST(sum(rev_mu) AS BIGINT) / 1e7, 6)
                   AS attributed_revenue
          FROM acr GROUP BY 1 ORDER BY touch_type""",
+
+    "q304_canonical_policy" -> ExtOracleSql.canonicalPolicyAudit,
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

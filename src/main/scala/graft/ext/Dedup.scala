@@ -637,4 +637,63 @@ object Dedup {
         expr("((sq * 2 + n_docs) div (n_docs * 2)) " +
           "/ cast(1000000 as double)").as("mean_quality"))
   }
+
+  /** Quality-aware canonical selection vs keep-min-id — the keep-
+    * POLICY audit: within each near-dup group (the [[TextAnalysis
+    * .fingerprint]] min-shingle blocking key, whose cross-engine
+    * parity q25 already gates), keep the HIGHEST-quality copy
+    * (id tie-break) instead of the smallest id, and price what the
+    * smarter policy buys. [[dedupYield]] assumes min-id; real
+    * curation keeps the best duplicate — near-identical copies differ
+    * in boilerplate and therefore in quality score, which is exactly
+    * where the two policies diverge (on EXACT-dup groups they cannot:
+    * identical text ⇒ identical score ⇒ the id tie-break decides both
+    * ways identically — the audit must run at near-dup grain to say
+    * anything). Docs too short to shingle (NULL fingerprint) become
+    * singletons via a salted id hash. One row out: group counts, the
+    * policy-flip count, and the mean kept-quality under each policy
+    * plus the gain — half-up micro ratios of exact decimal sums.
+    *
+    * Shape: ONE doc pass to group grain via two argmin struct
+    * aggregates in the same hash aggregate (min(id) and min((−qu,
+    * id))), a join back for the min-id winner's score, one
+    * constant-size aggregate. */
+  def canonicalPolicyAudit(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col(idCol).as("doc_id"),
+        round(col("quality_score") * 1e6).cast("long").as("qu"))
+    val d = TextAnalysis.fingerprint(docs, idCol, textCol)
+      .select(col(idCol).as("doc_id"),
+        coalesce(col("shingle_fp"),
+          Portable.h60(concat(lit("singleton:"),
+            col(idCol).cast("string")))).as("h"))
+      .join(q, Seq("doc_id"))
+    val groups = d.groupBy(col("h")).agg(
+      count(lit(1)).as("n"),
+      min(col("doc_id")).as("minid_id"),
+      min(struct((-col("qu")).as("nq"), col("doc_id"))).as("bestw"))
+    val withScores = groups
+      .select(col("h"), col("n"),
+        col("minid_id"), col("bestw.doc_id").as("best_id"),
+        (-col("bestw.nq")).as("qu_best"))
+      .join(d.select(col("doc_id").as("minid_id"),
+        col("qu").as("qu_minid")), Seq("minid_id"))
+    withScores.agg(
+      count(lit(1)).as("n_groups"),
+      sum((col("n") > 1).cast("long")).as("n_dup_groups"),
+      sum((col("best_id") =!= col("minid_id")).cast("long"))
+        .as("n_policy_flips"),
+      // micro-quality sums ride decimal(38,0): micro-units × 1e12 docs
+      // brushes int64 at the 100 TB tier (HUGEINT mirror)
+      sum(col("qu_best").cast("decimal(38,0)")).as("sb"),
+      sum(col("qu_minid").cast("decimal(38,0)")).as("sm"))
+      .select(col("n_groups"), col("n_dup_groups"), col("n_policy_flips"),
+        expr("((sb * 2 + n_groups) div (n_groups * 2)) " +
+          "/ cast(1000000 as double)").as("mean_quality_best"),
+        expr("((sm * 2 + n_groups) div (n_groups * 2)) " +
+          "/ cast(1000000 as double)").as("mean_quality_minid"),
+        expr("(((sb - sm) * 2) + n_groups) div (n_groups * 2) " +
+          "/ cast(1000000 as double)").as("mean_quality_gain"))
+  }
 }

@@ -1221,6 +1221,57 @@ object ExtOracleSql {
        |         AS delta_chars
        |FROM ap CROSS JOIN at2 WHERE n > n_s ORDER BY source""".stripMargin
 
+  /** Mirrors [[graft.ext.Dedup.canonicalPolicyAudit]] — the same
+    * [[qualityMicroCte]] micro score; the near-dup group key is the
+    * q25 min-shingle fingerprint (singleton-salted when NULL);
+    * best-quality winner via the (qu DESC, doc_id) window, min-id
+    * winner via plain min. */
+  def canonicalPolicyAudit: String =
+    s"""WITH $qualityMicroCte,
+       |kpt AS (
+       |  SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM documents),
+       |kpf AS (
+       |  SELECT doc_id,
+       |         list_min(list_transform(${Portable.shinglesSql("t")},
+       |           s -> ${h60("s")})) AS fp
+       |  FROM kpt),
+       |kpd AS (SELECT f.doc_id,
+       |               COALESCE(f.fp, ${h60(
+                         "'singleton:' || CAST(f.doc_id AS VARCHAR)")})
+       |                 AS h,
+       |               q.qu
+       |        FROM kpf f JOIN q USING (doc_id)),
+       |kpw AS (SELECT h, doc_id AS best_id, qu AS qu_best,
+       |               row_number() OVER (PARTITION BY h
+       |                 ORDER BY qu DESC, doc_id) AS rn
+       |        FROM kpd),
+       |kpb AS (SELECT h, best_id, qu_best FROM kpw WHERE rn = 1),
+       |kpm AS (SELECT h, CAST(count(*) AS BIGINT) AS n,
+       |               min(doc_id) AS minid_id
+       |        FROM kpd GROUP BY 1),
+       |kpj AS (SELECT m.h, m.n, m.minid_id, b.best_id, b.qu_best,
+       |               d2.qu AS qu_minid
+       |        FROM kpm m
+       |        JOIN kpb b USING (h)
+       |        JOIN kpd d2 ON d2.doc_id = m.minid_id AND d2.h = m.h),
+       |kpa AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       |               CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)
+       |                 AS BIGINT) AS n_dup_groups,
+       |               CAST(sum(CASE WHEN best_id != minid_id
+       |                    THEN 1 ELSE 0 END) AS BIGINT)
+       |                 AS n_policy_flips,
+       |               CAST(sum(qu_best) AS HUGEINT) AS sb,
+       |               CAST(sum(qu_minid) AS HUGEINT) AS sm
+       |        FROM kpj)
+       |SELECT n_groups, n_dup_groups, n_policy_flips,
+       |       ((sb * 2 + n_groups) // (n_groups * 2)) / 1000000.0
+       |         AS mean_quality_best,
+       |       ((sm * 2 + n_groups) // (n_groups * 2)) / 1000000.0
+       |         AS mean_quality_minid,
+       |       (((sb - sm) * 2 + n_groups) // (n_groups * 2)) / 1000000.0
+       |         AS mean_quality_gain
+       |FROM kpa""".stripMargin
+
   /** Mirrors [[graft.ext.Similarity.cellLabelPurity]] — the
     * [[ivfTopK]] assignment chain, then per-cell majority label with
     * (count desc, label asc) tie-break. */

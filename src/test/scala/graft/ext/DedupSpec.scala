@@ -222,4 +222,39 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0),
       (4L, 1L, 1L, 1.0), (5L, 1L, 1L, 1.0)))
   }
+
+  test("canonicalPolicyAudit: groups follow the min-shingle key computed independently; best policy never loses; layout-stable") {
+    val texts = Seq(
+      ("a1", "alpha beta gamma delta! delta! delta! delta!"),
+      ("a2", "alpha beta gamma This is a long clean informative " +
+        "sentence, with varied words and punctuation."),
+      ("a3", "alpha beta gamma delta! delta! delta! delta!"),  // exact dup of a1
+      ("b1", "zz"),                  // too short to shingle -> singleton
+    )
+    // independently derive each doc's group key with the driver-side
+    // h60 mirror, so the expected group structure is computed OUTSIDE
+    // the operator under test
+    def fp(text: String): Option[Long] = {
+      val toks = text.toLowerCase.split("\\s+").toSeq
+      if (toks.size < 3) None
+      else Some(toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+        .map(graft.functions.Portable.h60Local).min)
+    }
+    val expGroups = texts.groupBy { case (id, t) =>
+      fp(t).getOrElse(graft.functions.Portable.h60Local(s"singleton:$id"))
+    }.values.toSeq
+    val expNGroups = expGroups.size.toLong
+    val expDupGroups = expGroups.count(_.size > 1).toLong
+    val docs = texts.toDF("doc_id", "text")
+    val got = Dedup.canonicalPolicyAudit(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == expNGroups && got._2 == expDupGroups,
+      s"group structure mismatch: $got vs ($expNGroups, $expDupGroups)")
+    assert(got._4 >= got._5 && got._6 >= 0.0,
+      "best-quality policy can never do worse than min-id")
+    val re = Dedup.canonicalPolicyAudit(
+        docs.repartition(5), "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(re == got)
+  }
 }
