@@ -2134,6 +2134,12 @@ object SparkEntry {
     "q304_canonical_policy" -> ((s, dir) =>
       graft.ext.Dedup.canonicalPolicyAudit(Tables.documents(s, dir),
         "doc_id", "text")),
+
+    // ---- ext: U-shaped 40/20/40 position attribution (completing
+    // the four standard models; exact integer micro credit) ----
+    "q305_position_attribution" -> ((s, dir) =>
+      graft.ext.Behavior.positionAttribution(Tables.events(s, dir),
+        Seq("view", "click", "signup"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6968,6 +6974,65 @@ object SparkEntry {
          FROM acr GROUP BY 1 ORDER BY touch_type""",
 
     "q304_canonical_policy" -> ExtOracleSql.canonicalPolicyAudit,
+
+    "q305_position_attribution" ->
+      """WITH pp AS (
+             SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS tp,
+                    CAST(round(value * 10000) AS BIGINT) AS cents
+             FROM events WHERE event_type = 'purchase'),
+         pt AS (
+             SELECT user_id, event_type AS ty, event_id AS tid,
+                    epoch_us(ts) AS tt
+             FROM events
+             WHERE event_type IN ('view', 'click', 'signup')),
+         ppr AS (
+             SELECT p.purchase_id, p.cents, t.ty, t.tid, t.tt
+             FROM pp p JOIN pt t USING (user_id)
+             WHERE t.tt < p.tp AND p.tp - t.tt <= 604800000000),
+         pper AS (SELECT purchase_id, cents,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM ppr GROUP BY 1, 2),
+         prk AS (SELECT *,
+                        row_number() OVER (PARTITION BY purchase_id
+                          ORDER BY tt, tid) AS rf,
+                        row_number() OVER (PARTITION BY purchase_id
+                          ORDER BY tt DESC, tid DESC) AS rl
+                 FROM ppr),
+         pf AS (SELECT purchase_id, ty AS fty FROM prk WHERE rf = 1),
+         pl AS (SELECT purchase_id, ty AS lty FROM prk WHERE rl = 1),
+         pc AS (SELECT purchase_id, ty, CAST(count(*) AS BIGINT) AS k
+                FROM ppr GROUP BY 1, 2),
+         pci AS (SELECT c.purchase_id, c.ty, c.k, e.n, e.cents,
+                        CASE WHEN f.fty = c.ty THEN 1 ELSE 0 END AS indf,
+                        CASE WHEN l.lty = c.ty THEN 1 ELSE 0 END AS indl
+                 FROM pc c
+                 JOIN pper e USING (purchase_id)
+                 JOIN pf f USING (purchase_id)
+                 JOIN pl l USING (purchase_id)),
+         pcr AS (SELECT ty, purchase_id, cents,
+                        CASE WHEN n = 1 THEN indf * 1000000
+                             WHEN n = 2 THEN (indf + indl) * 500000
+                             ELSE (indf + indl) * 400000
+                               + (k - indf - indl)
+                                 * (((200000 * 2) + (n - 2))
+                                    // ((n - 2) * 2))
+                        END AS share_u
+                 FROM pci),
+         pcf AS (SELECT ty, purchase_id, share_u,
+                        (cents * 1000 * share_u) // 1000000 AS rev_mu
+                 FROM pcr WHERE share_u > 0
+                 UNION ALL
+                 SELECT 'direct' AS ty, a.purchase_id,
+                        1000000 AS share_u, a.cents * 1000 AS rev_mu
+                 FROM pp a LEFT JOIN pper e USING (purchase_id)
+                 WHERE e.purchase_id IS NULL)
+         SELECT ty AS touch_type,
+                CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+                round(CAST(sum(share_u) AS BIGINT) / 1e6, 6)
+                  AS total_credit,
+                round(CAST(sum(rev_mu) AS BIGINT) / 1e7, 6)
+                  AS attributed_revenue
+         FROM pcf GROUP BY 1 ORDER BY touch_type""",
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

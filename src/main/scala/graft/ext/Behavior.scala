@@ -733,4 +733,66 @@ object Behavior {
         round(col("sr") / 1e7, 6).as("attributed_revenue"))
       .orderBy(col("touch_type"))
   }
+
+  /** Position-based (U-shaped 40/20/40) attribution — completing the
+    * four standard models ([[attribution]] first/last,
+    * [[linearAttribution]], [[timeDecayAttribution]]): the first and
+    * last touch each earn 40%, the middles split the remaining 20%
+    * equally; two-touch paths split 50/50, single-touch paths take
+    * 100%. All credit is exact integer micro-units (the 40/20/40
+    * percents are integer micro constants; the middle split is the
+    * half-up idiom), so channel rollups sum order-free.
+    *
+    * Shape: the [[timeDecayAttribution]] pair join (bounded by
+    * touches-per-user-per-lookback), one purchase-grain aggregate
+    * carrying n plus the first/last (tsu, id, ty) structs (min/max on
+    * the struct — (tsu, id) is unique, so the order is total), one
+    * (purchase, channel) aggregate, then the channel rollup. */
+  def positionAttribution(
+      events: DataFrame, touchTypes: Seq[String],
+      lookbackDays: Int = 7): DataFrame = {
+    val lookbackMicros = lookbackDays * 86400L * 1000000L
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("tp"),
+        round(col("value") * 10000).cast("long").as("cents"))
+    val t = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_type").as("ty"),
+        col("event_id").as("tid"), unix_micros(col("ts")).as("tt"))
+    val pairs = p.join(t, Seq("user_id"))
+      .filter(col("tt") < col("tp") &&
+        col("tp") - col("tt") <= lookbackMicros)
+    val perP = pairs.groupBy(col("purchase_id"), col("cents"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("tt"), col("tid"), col("ty"))).as("ft"),
+        max(struct(col("tt"), col("tid"), col("ty"))).as("lt"))
+    val perChan = pairs.groupBy(col("purchase_id"), col("ty"))
+      .agg(count(lit(1)).as("k"))
+    val indF = (col("ft.ty") === col("ty")).cast("long")
+    val indL = (col("lt.ty") === col("ty")).cast("long")
+    val credited = perChan.join(perP, Seq("purchase_id"))
+      .withColumn("share_u",
+        when(col("n") === 1, indF * 1000000L)
+          .when(col("n") === 2, (indF + indL) * 500000L)
+          .otherwise(
+            (indF + indL) * 400000L +
+            (col("k") - indF - indL) *
+              expr("((200000 * 2) + (n - 2)) div ((n - 2) * 2)")))
+      .filter(col("share_u") > 0)
+      .select(col("ty"), col("purchase_id"), col("share_u"),
+        expr("(cents * 1000 * share_u) div 1000000").as("rev_mu"))
+    val direct = p.join(perP.select(col("purchase_id")),
+        Seq("purchase_id"), "left_anti")
+      .select(lit("direct").as("ty"), col("purchase_id"),
+        lit(1000000L).as("share_u"),
+        (col("cents") * 1000L).as("rev_mu"))
+    credited.unionByName(direct)
+      .groupBy(col("ty"))
+      .agg(countDistinct(col("purchase_id")).as("n_purchases"),
+        sum(col("share_u")).as("su"), sum(col("rev_mu")).as("sr"))
+      .select(col("ty").as("touch_type"), col("n_purchases"),
+        round(col("su") / 1e6, 6).as("total_credit"),
+        round(col("sr") / 1e7, 6).as("attributed_revenue"))
+      .orderBy(col("touch_type"))
+  }
 }

@@ -194,4 +194,36 @@ class BehaviorSpec extends SparkSpec {
     val touchedRev = got("view")._4 + got("click")._4 + got("signup")._4
     assert(touchedRev <= 10.0 && touchedRev > 10.0 - 3e-6)
   }
+
+  test("positionAttribution: 40/20/40 with middles split; 2-touch is 50/50; 1-touch takes all; untouched goes direct") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: 4 touches -> first view .4, last view .4, two middles .1
+      (1L, 100L, "purchase", ts("1997-01-10 12:00:00"), 10.0),
+      (1L, 101L, "view",     ts("1997-01-07 08:00:00"), 0.0), // first
+      (1L, 102L, "click",    ts("1997-01-08 08:00:00"), 0.0), // middle
+      (1L, 103L, "signup",   ts("1997-01-09 08:00:00"), 0.0), // middle
+      (1L, 104L, "view",     ts("1997-01-10 08:00:00"), 0.0), // last
+      // user 2: two touches -> 50/50
+      (2L, 200L, "purchase", ts("1997-01-10 12:00:00"), 4.0),
+      (2L, 201L, "view",     ts("1997-01-09 12:00:00"), 0.0),
+      (2L, 202L, "click",    ts("1997-01-10 08:00:00"), 0.0),
+      // user 3: one touch -> 100%
+      (3L, 300L, "purchase", ts("1997-01-10 12:00:00"), 2.0),
+      (3L, 301L, "signup",   ts("1997-01-10 08:00:00"), 0.0),
+      // user 4: untouched -> direct
+      (4L, 400L, "purchase", ts("1997-01-10 12:00:00"), 1.0),
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    val got = graft.ext.Behavior.positionAttribution(
+        events, Seq("view", "click", "signup"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // view: .8 (u1) + .5 (u2) = 1.3 credit; rev .8*10 + .5*4 = 10.0
+    assert(got("view") == (("view", 2L, 1.3, 10.0)))
+    // click: .1 (u1) + .5 (u2) = .6; rev 1.0 + 2.0 = 3.0
+    assert(got("click") == (("click", 2L, 0.6, 3.0)))
+    // signup: .1 (u1) + 1.0 (u3) = 1.1; rev 1.0 + 2.0 = 3.0
+    assert(got("signup") == (("signup", 2L, 1.1, 3.0)))
+    assert(got("direct") == (("direct", 1L, 1.0, 1.0)))
+  }
 }
