@@ -2140,6 +2140,11 @@ object SparkEntry {
     "q305_position_attribution" -> ((s, dir) =>
       graft.ext.Behavior.positionAttribution(Tables.events(s, dir),
         Seq("view", "click", "signup"))),
+
+    // ---- ext: log-rank test between loyalty/non-loyalty survival
+    // curves (the censoring-aware companion to q158's Kaplan-Meier) ----
+    "q306_log_rank" -> ((s, dir) =>
+      graft.ext.Survival.logRankTest(Conformed.orderRevenueCached(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7033,6 +7038,59 @@ object SparkEntry {
                 round(CAST(sum(rev_mu) AS BIGINT) / 1e7, 6)
                   AS attributed_revenue
          FROM pcf GROUP BY 1 ORDER BY touch_type""",
+
+    "q306_log_rank" -> OracleSql.withBase(
+      """lru AS (
+             SELECT user_id, min(creation_date) AS first_date,
+                    max(creation_date) AS last_date,
+                    max(CASE WHEN is_loyalty THEN 1 ELSE 0 END) AS g
+             FROM order_revenue GROUP BY 1),
+         lra AS (SELECT max(creation_date) AS anchor FROM order_revenue),
+         lrh AS (
+             SELECT CAST(datediff('day', first_date, last_date) AS BIGINT)
+                      AS dur,
+                    CAST(sum(CASE WHEN datediff('day', last_date, anchor)
+                         >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                    CAST(count(*) AS BIGINT) AS m,
+                    CAST(sum(CASE WHEN datediff('day', last_date, anchor)
+                         >= 30 THEN g ELSE 0 END) AS BIGINT) AS d1,
+                    CAST(sum(g) AS BIGINT) AS m1
+             FROM lru CROSS JOIN lra GROUP BY 1),
+         lrc AS (
+             SELECT *,
+                    CAST(sum(m) OVER (ORDER BY dur DESC ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+                    CAST(sum(m1) OVER (ORDER BY dur DESC ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1
+             FROM lrh),
+         lrt AS (
+             SELECT d, d1,
+                    CAST(round(CAST(d AS DOUBLE)
+                      * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9)
+                      AS BIGINT) AS e1u,
+                    CAST(round(CAST(d AS DOUBLE)
+                      * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                      * 1e9) AS BIGINT) AS vu
+             FROM lrc WHERE d > 0 AND n > 1),
+         lrs AS (
+             SELECT CAST(sum(d1) AS BIGINT) AS o1,
+                    CAST(sum(d - d1) AS BIGINT) AS o0,
+                    CAST(sum(e1u) AS BIGINT) AS se1,
+                    CAST(sum(vu) AS BIGINT) AS sv
+             FROM lrt),
+         lrn AS (
+             SELECT CAST(sum(g) AS BIGINT) AS n_treat,
+                    CAST(sum(1 - g) AS BIGINT) AS n_ctrl
+             FROM lru)""",
+      """SELECT n_treat, n_ctrl, o1 AS events_treat, o0 AS events_ctrl,
+                round(se1 / 1e9, 6) AS expected_treat,
+                CASE WHEN sv > 0
+                  THEN round((CAST(o1 AS DOUBLE) - se1 / 1e9)
+                    * (CAST(o1 AS DOUBLE) - se1 / 1e9) / (sv / 1e9), 6)
+                END AS chi2
+         FROM lrs CROSS JOIN lrn"""),
   )
 
   /** Mixture-sampling rates for q65 — ONE map drives both the Spark

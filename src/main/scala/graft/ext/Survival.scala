@@ -69,4 +69,72 @@ object Survival {
       }
     }.toDF("restaurant_id", "duration_days", "n_risk", "n_events", "survival")
   }
+
+  /** Log-rank test between two survival curves — the standard
+    * companion to [[kaplanMeier]]: does the LOYALTY cohort churn on a
+    * different clock than the rest, accounting for censoring (a naive
+    * mean-lifetime comparison is biased by whoever is still alive)?
+    * Observed-vs-expected events accumulate over the distinct event
+    * times: E₁ⱼ = dⱼ·n₁ⱼ∕nⱼ and the hypergeometric variance
+    * Vⱼ = dⱼ·(n₁ⱼ∕nⱼ)·(1−n₁ⱼ∕nⱼ)·(nⱼ−dⱼ)∕(nⱼ−1);
+    * χ² = (O₁−ΣE₁)²∕ΣV is ~χ²₁ under no-difference.
+    *
+    * Exactness: lifetimes, events and at-risk counts are exact longs
+    * (the [[kaplanMeier]] censoring rule: data-derived anchor, never
+    * the wall clock); each Eⱼ∕Vⱼ term is one fixed double chain over
+    * those longs, quantized to integer 1e-9 units BEFORE the per-time
+    * sums so they stay order-free (the entropy-term discipline).
+    * Single-time guard nⱼ > 1; zero total variance emits NULL χ².
+    *
+    * Shape: a user-grain aggregate, a duration-grain histogram, two
+    * descending cumulative sums over the DURATION-grain window
+    * (duration domain-bounded — the q296 value-grain judgment), one
+    * constant-size aggregate. */
+  def logRankTest(
+      orderRevenue: DataFrame, censorDays: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = orderRevenue
+      .groupBy(col("user_id"))
+      .agg(min(col("creation_date")).as("first_date"),
+        max(col("creation_date")).as("last_date"),
+        max(when(col("is_loyalty"), 1L).otherwise(0L)).as("g"))
+    val anchor = orderRevenue.agg(max(col("creation_date")).as("anchor"))
+    val hist = users.crossJoin(broadcast(anchor))
+      .select(
+        datediff(col("last_date"), col("first_date")).cast("long").as("dur"),
+        when(datediff(col("anchor"), col("last_date")) >= censorDays, 1L)
+          .otherwise(0L).as("ev"),
+        col("g"))
+      .groupBy(col("dur"))
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("m"),
+        sum(col("ev") * col("g")).as("d1"), sum(col("g")).as("m1"))
+    val desc = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nd = col("n").cast("double")
+    val p1 = col("n1").cast("double") / nd
+    val e1 = col("d").cast("double") * p1
+    val v = col("d").cast("double") * p1 * (lit(1.0) - p1) *
+      ((col("n") - col("d")).cast("double") / (col("n") - 1).cast("double"))
+    val terms = hist
+      .withColumn("n", sum(col("m")).over(desc))
+      .withColumn("n1", sum(col("m1")).over(desc))
+      .filter(col("d") > 0 && col("n") > 1)
+      .select(col("d"), col("d1"),
+        round(e1 * 1e9).cast("long").as("e1u"),
+        round(v * 1e9).cast("long").as("vu"))
+    val tot = users.agg(
+      sum(col("g")).as("n_treat"),
+      sum(lit(1L) - col("g")).as("n_ctrl"))
+    terms.agg(
+      sum(col("d1")).as("o1"), sum(col("d") - col("d1")).as("o0"),
+      sum(col("e1u")).as("se1"), sum(col("vu")).as("sv"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_treat"), col("n_ctrl"),
+        col("o1").as("events_treat"), col("o0").as("events_ctrl"),
+        round(col("se1") / 1e9, 6).as("expected_treat"),
+        when(col("sv") > 0,
+          round((col("o1").cast("double") - col("se1") / 1e9)
+            * (col("o1").cast("double") - col("se1") / 1e9)
+            / (col("sv") / 1e9), 6)).as("chi2"))
+  }
 }
