@@ -2145,6 +2145,17 @@ object SparkEntry {
     // curves (the censoring-aware companion to q158's Kaplan-Meier) ----
     "q306_log_rank" -> ((s, dir) =>
       graft.ext.Survival.logRankTest(Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: Murphy decomposition of the Brier score (the number
+    // behind q284's reliability diagram: REL - RES + UNC) ----
+    "q307_brier" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(Tables.documents(s, dir),
+          "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      graft.ext.Profiling.brierDecomposition(q.join(d, Seq("doc_id")),
+        col("quality_score"), col("lang") === "en")
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -6979,6 +6990,8 @@ object SparkEntry {
          FROM acr GROUP BY 1 ORDER BY touch_type""",
 
     "q304_canonical_policy" -> ExtOracleSql.canonicalPolicyAudit,
+
+    "q307_brier" -> ExtOracleSql.brierQualityEn,
 
     "q305_position_attribution" ->
       """WITH pp AS (

@@ -1157,6 +1157,66 @@ object Profiling {
       .orderBy(col("bin"))
   }
 
+  /** Murphy decomposition of the Brier score — the single-number
+    * summary BEHIND [[calibrationBins]]' per-bin diagram:
+    * BS = REL − RES + UNC, where reliability Σn_k(p̄_k−ō_k)²∕N is what
+    * calibration fixes, resolution Σn_k(ō_k−ō)²∕N is what sharpness
+    * earns, and uncertainty ō(1−ō) is the floor no scorer beats. The
+    * RAW Brier Σ(p_i−o_i)²∕N rides alongside (the decomposition
+    * identity holds only for the bin-quantized score — the gap
+    * between raw and decomposed IS the within-bin variance, reported
+    * as `within_bin`).
+    *
+    * Exactness: raw-Brier moments (Σp², Σp·o, Σo) accumulate as exact
+    * decimal(38,0) of micro-unit scores; per-bin REL/RES terms are
+    * fixed double chains over exact bin sums quantized to 1e-9 units
+    * before the order-free bin rollup. One doc pass + one bin pass. */
+  def brierDecomposition(
+      df: DataFrame, scoreCol: Column, label: Column,
+      nBins: Int = 10): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(
+      round(scoreCol * 1e6).cast("long").as("sq"),
+      when(label, 1L).otherwise(0L).as("o"))
+    val bins = base
+      .select(least(expr(s"sq * $nBins div 1000000"), lit(nBins - 1L))
+        .as("bin"), col("sq"), col("o"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("sq").cast(dec)).as("spk"),
+        sum(col("o")).as("ok"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(col("sq").cast(dec)).as("sp"),
+      sum(col("sq").cast(dec) * col("sq")).as("spp"),
+      sum(when(col("o") === 1L, col("sq")).otherwise(0L).cast(dec))
+        .as("spo"),
+      sum(col("o")).as("so"))
+    // per-bin mean-pred and obs-rate as doubles over exact sums; terms
+    // quantized at 1e-9 before the bin rollup
+    val pbar = col("spk").cast("double") / col("nk") / 1e6
+    val obar = col("ok").cast("double") / col("nk")
+    val obAll = col("so").cast("double") / col("n")
+    val binTerms = bins.crossJoin(broadcast(tot))
+      .select(
+        round(col("nk") * (pbar - obar) * (pbar - obar) * 1e9)
+          .cast("long").as("rel_u"),
+        round(col("nk") * (obar - obAll) * (obar - obAll) * 1e9)
+          .cast("long").as("res_u"))
+      .agg(sum(col("rel_u")).as("srel"), sum(col("res_u")).as("sres"))
+    val raw = (col("spp").cast("double")
+      - lit(2e6) * col("spo").cast("double")
+      + lit(1e12) * col("so").cast("double")) / 1e12 /
+      col("n").cast("double")
+    tot.crossJoin(broadcast(binTerms))
+      .select(col("n"),
+        round(raw, 6).as("brier"),
+        round(col("srel") / 1e9 / col("n"), 6).as("reliability"),
+        round(col("sres") / 1e9 / col("n"), 6).as("resolution"),
+        round(obAll * (lit(1.0) - obAll), 6).as("uncertainty"),
+        round(raw - (col("srel") / 1e9 / col("n")
+          - col("sres") / 1e9 / col("n")
+          + obAll * (lit(1.0) - obAll)), 6).as("within_bin"))
+  }
+
   /** Mutual information between two categorical columns — the
     * dependence audit behind stratification decisions ("does source
     * determine language?"), reported with both marginal entropies and

@@ -1221,6 +1221,55 @@ object ExtOracleSql {
        |         AS delta_chars
        |FROM ap CROSS JOIN at2 WHERE n > n_s ORDER BY source""".stripMargin
 
+  /** Mirrors [[graft.ext.Profiling.brierDecomposition]] over the
+    * quality score vs lang=en — same micro CTE as
+    * [[calibrationBinsQualityEn]], identical double chains,
+    * per-bin terms quantized 1e-9 before the rollup. */
+  def brierQualityEn: String =
+    s"""WITH $qualityMicroCte,
+       |bb AS (SELECT q.qu AS sq,
+       |              CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS o
+       |       FROM q JOIN documents d USING (doc_id)),
+       |bt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(CAST(sq AS HUGEINT) * sq) AS HUGEINT)
+       |                AS spp,
+       |              CAST(sum(CASE WHEN o = 1 THEN sq ELSE 0 END)
+       |                AS HUGEINT) AS spo,
+       |              CAST(sum(o) AS BIGINT) AS so
+       |       FROM bb),
+       |bk AS (SELECT LEAST(sq * 10 // 1000000, 9) AS bin,
+       |              CAST(count(*) AS BIGINT) AS nk,
+       |              CAST(sum(sq) AS HUGEINT) AS spk,
+       |              CAST(sum(o) AS BIGINT) AS ok
+       |       FROM bb GROUP BY 1),
+       |bm AS (SELECT CAST(sum(CAST(round(nk
+       |                * (CAST(spk AS DOUBLE) / nk / 1e6
+       |                   - CAST(ok AS DOUBLE) / nk)
+       |                * (CAST(spk AS DOUBLE) / nk / 1e6
+       |                   - CAST(ok AS DOUBLE) / nk) * 1e9) AS BIGINT))
+       |              AS BIGINT) AS srel,
+       |              CAST(sum(CAST(round(nk
+       |                * (CAST(ok AS DOUBLE) / nk
+       |                   - CAST(so AS DOUBLE) / n)
+       |                * (CAST(ok AS DOUBLE) / nk
+       |                   - CAST(so AS DOUBLE) / n) * 1e9) AS BIGINT))
+       |              AS BIGINT) AS sres
+       |       FROM bk CROSS JOIN bt)
+       |SELECT n,
+       |       round((CAST(spp AS DOUBLE) - 2e6 * CAST(spo AS DOUBLE)
+       |         + 1e12 * CAST(so AS DOUBLE)) / 1e12 / CAST(n AS DOUBLE),
+       |         6) AS brier,
+       |       round(srel / 1e9 / n, 6) AS reliability,
+       |       round(sres / 1e9 / n, 6) AS resolution,
+       |       round((CAST(so AS DOUBLE) / n)
+       |         * (1.0 - CAST(so AS DOUBLE) / n), 6) AS uncertainty,
+       |       round((CAST(spp AS DOUBLE) - 2e6 * CAST(spo AS DOUBLE)
+       |           + 1e12 * CAST(so AS DOUBLE)) / 1e12 / CAST(n AS DOUBLE)
+       |         - (srel / 1e9 / n - sres / 1e9 / n
+       |            + (CAST(so AS DOUBLE) / n)
+       |              * (1.0 - CAST(so AS DOUBLE) / n)), 6) AS within_bin
+       |FROM bt CROSS JOIN bm""".stripMargin
+
   /** Mirrors [[graft.ext.Dedup.canonicalPolicyAudit]] — the same
     * [[qualityMicroCte]] micro score; the near-dup group key is the
     * q25 min-shingle fingerprint (singleton-salted when NULL);

@@ -84,4 +84,31 @@ class MixCalibrationSpec extends SparkSpec {
       ("large", 4L, 0.8, 0.666667, 0.833334),
       ("small", 1L, 0.2, 0.333333, 1.666665)))
   }
+
+  test("brierDecomposition: the Murphy identity BS = REL - RES + UNC holds exactly on bin-pure cases") {
+    // perfectly calibrated: REL 0, RES = UNC, BS 0
+    val perfect = Seq((1.0, true), (1.0, true), (0.0, false), (0.0, false))
+      .toDF("s", "y")
+    val gp = Profiling.brierDecomposition(perfect, col("s"), col("y"))
+      .select("brier", "reliability", "resolution", "uncertainty",
+        "within_bin")
+      .as[(Double, Double, Double, Double, Double)].collect().head
+    assert(gp == ((0.0, 0.0, 0.25, 0.25, 0.0)))
+    // anti-calibrated: REL 1, RES 0.25, BS 1
+    val anti = Seq((1.0, false), (1.0, false), (0.0, true), (0.0, true))
+      .toDF("s", "y")
+    val ga = Profiling.brierDecomposition(anti, col("s"), col("y"))
+      .select("brier", "reliability", "resolution", "uncertainty",
+        "within_bin")
+      .as[(Double, Double, Double, Double, Double)].collect().head
+    assert(ga == ((1.0, 1.0, 0.25, 0.25, 0.0)))
+    // uninformative constant 0.5: BS = UNC alone
+    val flat = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+      .toDF("s", "y")
+    val gf = Profiling.brierDecomposition(flat, col("s"), col("y"))
+      .select("brier", "reliability", "resolution", "uncertainty",
+        "within_bin")
+      .as[(Double, Double, Double, Double, Double)].collect().head
+    assert(gf == ((0.25, 0.0, 0.0, 0.25, 0.0)))
+  }
 }
