@@ -96,7 +96,19 @@ object Bench {
     // window on its own. The second line carries a DISTINCT metric name
     // so a consumer keying on "total" never double-counts.
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"gc_ms":$gcs,"reps":$reps,"sf":"$sfDir","queries":$qs}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"gc_ms":$gcs,"reps":$reps,"sf":"$sfDir","queries":$qs}"""
+    println(fullLine)
+    // Durable artifact: the driver captures only the stdout TAIL (4 KB),
+    // which truncated the 307-query wall map in BENCH_r08 (parsed:null).
+    // Persist the full line to a file so per-query walls always survive,
+    // regardless of any capture window. Path overridable for local runs.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      Console.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
+    }
     val slowest = results.sortBy(-_._2).take(15)
       .map { case (k, v, _, _) => s"""["$k",$v]""" }.mkString("[", ",", "]")
     println(s"""{"metric":"total_summary","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest}""")

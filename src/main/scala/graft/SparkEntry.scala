@@ -461,8 +461,12 @@ object SparkEntry {
     // ---- multiset set operations (INTERSECT ALL / EXCEPT ALL) ----
     "q102_set_ops" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
+      // half-open range, not year(col) === y: pushes into the parquet
+      // scan (year() of the column cannot; see gold/Logistics.scala)
       def yr(y: Int) =
-        o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+        o.filter(col("o_orderdate") >= lit(s"$y-01-01") &&
+            col("o_orderdate") < lit(s"${y + 1}-01-01"))
+          .select(col("o_custkey"))
       val ia = yr(1997).intersectAll(yr(1998)).groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
       val ea = yr(1997).exceptAll(yr(1998)).groupBy(col("o_custkey"))
@@ -2156,6 +2160,13 @@ object SparkEntry {
       graft.ext.Profiling.brierDecomposition(q.join(d, Seq("doc_id")),
         col("quality_score"), col("lang") === "en")
     }),
+
+    // ---- ext: exact-substring span dedup (Lee et al. ACL'22 shape
+    // at shingle grain — the span REMOVAL companion to q148's
+    // duplicated-span measurement) ----
+    "q308_exact_substring_dedup" -> ((s, dir) =>
+      graft.ext.Dedup.exactSubstringDedup(
+        Tables.documents(s, dir), "doc_id", "text")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3801,9 +3812,11 @@ object SparkEntry {
              UNION ALL
              SELECT 'direct', cents, 1, 1 FROM lap WHERE n = 0),
            lau AS (
-             SELECT touch_type, (cents * 1000 * k) // n AS units FROM laa)
+             SELECT touch_type,
+                    (CAST(cents AS HUGEINT) * 1000 * k) // n AS units
+             FROM laa)
            SELECT touch_type, count(*) AS n_purchases,
-                  round(CAST(sum(units) AS BIGINT) / 1e7, 6)
+                  round(sum(CAST(units AS HUGEINT)) / 1e7, 6)
                     AS attributed_revenue
            FROM lau GROUP BY 1 ORDER BY touch_type""",
       "q183_mase_backtest" -> OracleSql.withBase(
@@ -6974,7 +6987,8 @@ object SparkEntry {
              SELECT c.ty, c.purchase_id,
                     ((c.wt * 1000000 * 2) + p.wsum) // (p.wsum * 2)
                       AS share_u,
-                    (c.cents * 1000 * c.wt) // p.wsum AS rev_mu
+                    (CAST(c.cents AS HUGEINT) * 1000 * c.wt) // p.wsum
+                      AS rev_mu
              FROM apc c JOIN app p USING (purchase_id)
              UNION ALL
              SELECT 'direct' AS ty, a.purchase_id,
@@ -6983,15 +6997,17 @@ object SparkEntry {
              WHERE p.purchase_id IS NULL)
          SELECT ty AS touch_type,
                 CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
-                round(CAST(sum(share_u) AS BIGINT) / 1e6, 6)
+                round(sum(CAST(share_u AS HUGEINT)) / 1e6, 6)
                   AS total_credit,
-                round(CAST(sum(rev_mu) AS BIGINT) / 1e7, 6)
+                round(sum(CAST(rev_mu AS HUGEINT)) / 1e7, 6)
                   AS attributed_revenue
          FROM acr GROUP BY 1 ORDER BY touch_type""",
 
     "q304_canonical_policy" -> ExtOracleSql.canonicalPolicyAudit,
 
     "q307_brier" -> ExtOracleSql.brierQualityEn,
+
+    "q308_exact_substring_dedup" -> ExtOracleSql.exactSubstringDedup(8),
 
     "q305_position_attribution" ->
       """WITH pp AS (
@@ -7037,7 +7053,8 @@ object SparkEntry {
                         END AS share_u
                  FROM pci),
          pcf AS (SELECT ty, purchase_id, share_u,
-                        (cents * 1000 * share_u) // 1000000 AS rev_mu
+                        (CAST(cents AS HUGEINT) * 1000 * share_u) // 1000000
+                          AS rev_mu
                  FROM pcr WHERE share_u > 0
                  UNION ALL
                  SELECT 'direct' AS ty, a.purchase_id,
@@ -7046,9 +7063,9 @@ object SparkEntry {
                  WHERE e.purchase_id IS NULL)
          SELECT ty AS touch_type,
                 CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
-                round(CAST(sum(share_u) AS BIGINT) / 1e6, 6)
+                round(sum(CAST(share_u AS HUGEINT)) / 1e6, 6)
                   AS total_credit,
-                round(CAST(sum(rev_mu) AS BIGINT) / 1e7, 6)
+                round(sum(CAST(rev_mu AS HUGEINT)) / 1e7, 6)
                   AS attributed_revenue
          FROM pcf GROUP BY 1 ORDER BY touch_type""",
 
@@ -7081,12 +7098,14 @@ object SparkEntry {
                     CAST(round(CAST(d AS DOUBLE)
                       * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9)
                       AS BIGINT) AS e1u,
-                    CAST(round(CAST(d AS DOUBLE)
-                      * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
-                      * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
-                      * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
-                      * 1e9) AS BIGINT) AS vu
-             FROM lrc WHERE d > 0 AND n > 1),
+                    CASE WHEN n > 1 THEN
+                      CAST(round(CAST(d AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                        * 1e9) AS BIGINT)
+                    ELSE 0 END AS vu
+             FROM lrc WHERE d > 0),
          lrs AS (
              SELECT CAST(sum(d1) AS BIGINT) AS o1,
                     CAST(sum(d - d1) AS BIGINT) AS o0,

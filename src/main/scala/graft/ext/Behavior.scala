@@ -558,11 +558,14 @@ object Behavior {
       .select(col("cents"), col("n"), explode(array(armStructs: _*)).as("a"))
       .filter(when(col("a.ty") === "direct", col("n") === 0)
         .otherwise(col("a.k") > 0))
-      .withColumn("units", expr("(cents * 1000 * a.k) div a.nn"))
+      // decimal(38,0) envelope: cents·1000·k overflows int64 for a
+      // single purchase ≥ ~$922k — same treatment as pricingSummary
+      .withColumn("units",
+        expr("(CAST(cents AS DECIMAL(38,0)) * 1000 * a.k) div a.nn"))
       .groupBy(col("a.ty"))
       .agg(
         count(lit(1)).as("n_purchases"),
-        sum(col("units")).as("su"))
+        sum(col("units").cast("decimal(38,0)")).as("su"))
       .select(col("ty").as("touch_type"), col("n_purchases"),
         round(col("su") / 1e7, 6).as("attributed_revenue"))
   }
@@ -719,7 +722,10 @@ object Behavior {
     val credited = perChan.join(perPurchase, Seq("purchase_id"))
       .select(col("ty"), col("purchase_id"),
         expr("((wt * 1000000 * 2) + wsum) div (wsum * 2)").as("share_u"),
-        expr("(cents * 1000 * wt) div wsum").as("rev_mu"))
+        // decimal(38,0) envelope: cents·1000·wt overflows int64 for a
+        // single purchase ≥ ~$922k — same treatment as pricingSummary
+        expr("(CAST(cents AS DECIMAL(38,0)) * 1000 * wt) div wsum")
+          .as("rev_mu"))
     val direct = p.join(perPurchase, Seq("purchase_id"), "left_anti")
       .select(lit("direct").as("ty"), col("purchase_id"),
         lit(1000000L).as("share_u"),
@@ -727,7 +733,10 @@ object Behavior {
     credited.unionByName(direct)
       .groupBy(col("ty"))
       .agg(countDistinct(col("purchase_id")).as("n_purchases"),
-        sum(col("share_u")).as("su"), sum(col("rev_mu")).as("sr"))
+        // channel rollups in decimal(38,0): int64 sums of micro-unit
+        // credit overflow at the 100 TB envelope (HUGEINT in the mirror)
+        sum(col("share_u").cast("decimal(38,0)")).as("su"),
+        sum(col("rev_mu").cast("decimal(38,0)")).as("sr"))
       .select(col("ty").as("touch_type"), col("n_purchases"),
         round(col("su") / 1e6, 6).as("total_credit"),
         round(col("sr") / 1e7, 6).as("attributed_revenue"))
@@ -780,7 +789,9 @@ object Behavior {
               expr("((200000 * 2) + (n - 2)) div ((n - 2) * 2)")))
       .filter(col("share_u") > 0)
       .select(col("ty"), col("purchase_id"), col("share_u"),
-        expr("(cents * 1000 * share_u) div 1000000").as("rev_mu"))
+        // decimal(38,0) envelope (see timeDecayAttribution's rev_mu)
+        expr("(CAST(cents AS DECIMAL(38,0)) * 1000 * share_u) div 1000000")
+          .as("rev_mu"))
     val direct = p.join(perP.select(col("purchase_id")),
         Seq("purchase_id"), "left_anti")
       .select(lit("direct").as("ty"), col("purchase_id"),
@@ -789,7 +800,10 @@ object Behavior {
     credited.unionByName(direct)
       .groupBy(col("ty"))
       .agg(countDistinct(col("purchase_id")).as("n_purchases"),
-        sum(col("share_u")).as("su"), sum(col("rev_mu")).as("sr"))
+        // channel rollups in decimal(38,0): int64 sums of micro-unit
+        // credit overflow at the 100 TB envelope (HUGEINT in the mirror)
+        sum(col("share_u").cast("decimal(38,0)")).as("su"),
+        sum(col("rev_mu").cast("decimal(38,0)")).as("sr"))
       .select(col("ty").as("touch_type"), col("n_purchases"),
         round(col("su") / 1e6, 6).as("total_credit"),
         round(col("sr") / 1e7, 6).as("attributed_revenue"))

@@ -271,9 +271,12 @@ object Curation {
     val q = TextAnalysis.qualityScore(docs, idCol, textCol)
       .select(col(idCol),
         round(col("quality_score") * 1e6).cast("long").as("qu"))
+    // chars derive from textCol, NOT a physical n_chars column — the
+    // signature's contract is (id, text, src, lang); requiring a
+    // precomputed count column would silently break any other input
     val base = docs.select(col(idCol), col(srcCol).as("source"),
         when(col(langCol) === "en", 1L).otherwise(0L).as("en"),
-        col("n_chars").cast("long").as("nc"))
+        length(col(textCol)).cast("long").as("nc"))
       .join(q, Seq(idCol))
     val per = base.groupBy(col("source")).agg(
       count(lit(1)).as("n_s"),

@@ -658,6 +658,70 @@ object Dedup {
     * aggregates in the same hash aggregate (min(id) and min((−qu,
     * id))), a join back for the min-id winner's score, one
     * constant-size aggregate. */
+  /** Exact-substring span dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL '22): remove every token
+    * span of ≥ `n` tokens that occurs more than once in the corpus —
+    * the span-level REMOVAL companion to [[dupNgramShare]]'s span-level
+    * measurement. The suffix-array machinery of the paper re-expresses
+    * at shingle grain: a positional n-gram occurring > 1× marks its n
+    * covering token positions; any longer repeated span is a run of
+    * such n-grams, so merged coverage equals the paper's ≥ n-token
+    * duplicated-span set. Per doc: token count, tokens removed, merged
+    * span count, and the kept text with covered spans excised.
+    *
+    * Exactness: grams key on the portable [[Portable.h60]] md5 integer
+    * (bit-identical in DuckDB); coverage/flags are exact longs; kept
+    * text is the p-ordered space-join of uncovered tokens — identical
+    * string both engines.
+    *
+    * Scale shape: the ONE data-sized shuffle groups 8-byte gram hashes
+    * (never the n-token strings — map-side partial collapses repeats);
+    * dup starts flow back through a doc_id-partitioned join, and
+    * coverage/flag/kept-text run in doc-partitioned windows + one hash
+    * aggregate. Nothing is quadratic and nothing funnels to one
+    * partition; the dup-gram table scales with REPEATED content only. */
+  def exactSubstringDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), Portable.tokens(col(textCol)).as("t"))
+      .withColumn("n_toks", size(col("t")))
+    // positional n-grams (start, h60(gram)); docs shorter than n emit none
+    val occ = base.filter(col("n_toks") >= n)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), col("n_toks") - (n - 1)),
+          i => Portable.h60(concat_ws(" ",
+            (0 until n).map(k => element_at(col("t"), i + k)): _*)))))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("g"))
+    val dup = occ.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("g"))
+    val dupStarts = occ.join(dup, Seq("g"))
+      .select(col("doc_id"), col("start").as("p"), lit(1L).as("st"))
+    val tok = base
+      .select(col("doc_id"), col("n_toks"), posexplode(col("t")))
+      .select(col("doc_id"), col("n_toks"),
+        (col("pos") + 1).as("p"), col("col").as("tok"))
+    val wCov = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(-(n - 1), 0)
+    val wLag = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    tok.join(dupStarts, Seq("doc_id", "p"), "left")
+      .withColumn("covered", max(coalesce(col("st"), lit(0L))).over(wCov))
+      .withColumn("new_span",
+        when(col("covered") === 1L &&
+          coalesce(lag(col("covered"), 1).over(wLag), lit(0L)) === 0L, 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_toks")).cast("long").as("n_tokens"),
+        sum(col("covered")).as("n_removed"),
+        sum(col("new_span")).as("n_spans"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("covered") === 0L, struct(col("p"), col("tok"))))),
+          x => x.getField("tok")), " ").as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
   def canonicalPolicyAudit(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val q = TextAnalysis.qualityScore(docs, idCol, textCol)

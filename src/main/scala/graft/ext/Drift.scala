@@ -75,6 +75,8 @@ object Drift {
       bins: Int = 10): DataFrame = {
     require(bins >= 1, "bins must be positive")
     val j = binnedCounts(baseline, current, colName, bins)
+    // bins rows by construction (spark.range(bins) spine) — these
+    // unpartitioned windows never see more than `bins` rows
     val w = Window.partitionBy()
     val wcum = Window.partitionBy().orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1140,7 +1140,10 @@ object Profiling {
       when(label, 1L).otherwise(0L).as("pos"))
     base
       .select(
-        least(expr(s"sq * $nBins div 1000000"), lit(nBins - 1L))
+        // clamp BOTH ends: the wired scores are in [0,1], but a caller
+        // passing a score < 0 must land in bin 0, not a negative bin
+        greatest(least(expr(s"sq * $nBins div 1000000"), lit(nBins - 1L)),
+            lit(0L))
           .cast("long").as("bin"),
         col("sq"), col("pos"))
       .groupBy(col("bin"))
@@ -1179,7 +1182,8 @@ object Profiling {
       round(scoreCol * 1e6).cast("long").as("sq"),
       when(label, 1L).otherwise(0L).as("o"))
     val bins = base
-      .select(least(expr(s"sq * $nBins div 1000000"), lit(nBins - 1L))
+      .select(greatest(least(expr(s"sq * $nBins div 1000000"),
+          lit(nBins - 1L)), lit(0L))
         .as("bin"), col("sq"), col("o"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("nk"), sum(col("sq").cast(dec)).as("spk"),

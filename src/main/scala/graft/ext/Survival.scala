@@ -115,13 +115,18 @@ object Survival {
     val e1 = col("d").cast("double") * p1
     val v = col("d").cast("double") * p1 * (lit(1.0) - p1) *
       ((col("n") - col("d")).cast("double") / (col("n") - 1).cast("double"))
+    // ALL event times contribute to O and E (at n==1 the term's O−E is
+    // exactly 0, so χ² is unchanged — but dropping the time would
+    // understate the reported observed-event counts); only the
+    // variance term needs the n>1 guard for its (n−1) division.
     val terms = hist
       .withColumn("n", sum(col("m")).over(desc))
       .withColumn("n1", sum(col("m1")).over(desc))
-      .filter(col("d") > 0 && col("n") > 1)
+      .filter(col("d") > 0)
       .select(col("d"), col("d1"),
         round(e1 * 1e9).cast("long").as("e1u"),
-        round(v * 1e9).cast("long").as("vu"))
+        when(col("n") > 1, round(v * 1e9).cast("long"))
+          .otherwise(0L).as("vu"))
     val tot = users.agg(
       sum(col("g")).as("n_treat"),
       sum(lit(1L) - col("g")).as("n_ctrl"))

@@ -68,7 +68,12 @@ object Fulfillment {
       .join(broadcast(nat.select(col("n_nationkey").as("snk"))),
         col("s_nationkey") === col("snk"))
       .select(col("s_suppkey"), col("s_nationkey"))
-    val o = orders.filter(year(col("o_orderdate")) === orderYear)
+    // range form, not year(col) === orderYear: a function of the column
+    // cannot push into the parquet scan; the half-open range prunes
+    // row groups (same predicate the Logistics siblings PlanSpec-assert)
+    val o = orders.filter(
+        col("o_orderdate") >= lit(s"$orderYear-01-01") &&
+        col("o_orderdate") < lit(s"${orderYear + 1}-01-01"))
       .select(col("o_orderkey"), col("o_custkey"))
     lineitem.select(col("l_orderkey"), col("l_suppkey"), netCents.as("cents"))
       .join(o, col("l_orderkey") === col("o_orderkey"))

@@ -107,12 +107,17 @@ object Geography {
       .join(broadcast(dims), Seq("restaurant_id"))
       .groupBy(col("region"), col("nation"), col("restaurant_id"))
       .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    // market total via the scalar-broadcast crossJoin idiom, NOT an
+    // empty-partition window: Window.partitionBy() funnels the whole
+    // restaurant-grain mart into one partition, while the one-row
+    // aggregate broadcasts (leaf's exchange is reused for both readers)
+    val market = leaf.agg(sum(col("cents")).as("all_cents"))
     leaf
       .withColumn("nat_cents",
         sum(col("cents")).over(Window.partitionBy(col("region"), col("nation"))))
       .withColumn("reg_cents",
         sum(col("cents")).over(Window.partitionBy(col("region"))))
-      .withColumn("all_cents", sum(col("cents")).over(Window.partitionBy()))
+      .crossJoin(broadcast(market))
       .filter(col("cents") > 0)
       .select(col("region"), col("nation"), col("restaurant_id"),
         round(col("cents") / 10000.0, 6).as("revenue"),

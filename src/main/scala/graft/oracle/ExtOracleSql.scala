@@ -943,6 +943,47 @@ object ExtOracleSql {
        |JOIN bench USING (s)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Mirrors [[graft.ext.Dedup.exactSubstringDedup]]: positional
+    * n-grams keyed on the portable h60, corpus-duplicated grams mark
+    * n-token coverage, merged spans excised from the kept text. */
+  def exactSubstringDedup(n: Int): String = {
+    val nm1 = n - 1
+    s"""WITH $toksCte,
+       |esk AS (SELECT doc_id, t, len(t) AS n FROM toks),
+       |eso AS (
+       |  SELECT doc_id, t, unnest(generate_series(1, n - $nm1)) AS start
+       |  FROM esk WHERE n >= $n),
+       |esg AS (
+       |  SELECT doc_id, start,
+       |         ${h60(s"array_to_string(list_slice(t, start, start + $nm1), ' ')")} AS g
+       |  FROM eso),
+       |esd AS (SELECT g FROM esg GROUP BY 1 HAVING count(*) > 1),
+       |ess AS (SELECT doc_id, start AS p, 1 AS st
+       |        FROM esg JOIN esd USING (g)),
+       |est AS (
+       |  SELECT doc_id, n, unnest(generate_series(1, n)) AS p,
+       |         unnest(t) AS tok
+       |  FROM esk),
+       |esc AS (
+       |  SELECT k.doc_id, k.n, k.p, k.tok,
+       |         max(coalesce(s.st, 0)) OVER (PARTITION BY k.doc_id
+       |           ORDER BY k.p ROWS BETWEEN $nm1 PRECEDING AND CURRENT ROW)
+       |           AS covered
+       |  FROM est k LEFT JOIN ess s ON k.doc_id = s.doc_id AND k.p = s.p),
+       |esf AS (
+       |  SELECT *, CASE WHEN covered = 1 AND coalesce(lag(covered) OVER (
+       |      PARTITION BY doc_id ORDER BY p), 0) = 0 THEN 1 ELSE 0 END
+       |      AS new_span
+       |  FROM esc)
+       |SELECT doc_id,
+       |       CAST(max(n) AS BIGINT) AS n_tokens,
+       |       CAST(sum(covered) AS BIGINT) AS n_removed,
+       |       CAST(sum(new_span) AS BIGINT) AS n_spans,
+       |       coalesce(string_agg(CASE WHEN covered = 0 THEN tok END,
+       |         ' ' ORDER BY p), '') AS kept_text
+       |FROM esf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirrors [[graft.ext.TextAnalysis.chunk]]. */
   def chunk(chunkSize: Int, overlap: Int): String = {
     val stride = chunkSize - overlap
@@ -1169,7 +1210,7 @@ object ExtOracleSql {
     s"""WITH $qualityMicroCte,
        |cb AS (SELECT q.qu, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
        |       FROM q JOIN documents d USING (doc_id)),
-       |cbb AS (SELECT LEAST(qu * 10 // 1000000, 9) AS bin, qu, pos FROM cb),
+       |cbb AS (SELECT GREATEST(LEAST(qu * 10 // 1000000, 9), 0) AS bin, qu, pos FROM cb),
        |cba AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
        |               CAST(sum(qu) AS BIGINT) AS ssq,
        |               CAST(sum(pos) AS BIGINT) AS n_pos
@@ -1189,7 +1230,7 @@ object ExtOracleSql {
     s"""WITH $qualityMicroCte,
        |ab AS (SELECT d.source, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END
        |              AS en,
-       |              CAST(d.n_chars AS BIGINT) AS nc, q.qu
+       |              CAST(length(d.text) AS BIGINT) AS nc, q.qu
        |       FROM documents d JOIN q USING (doc_id)),
        |ap AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s,
        |              CAST(sum(qu) AS HUGEINT) AS q_s,
@@ -1237,7 +1278,7 @@ object ExtOracleSql {
        |                AS HUGEINT) AS spo,
        |              CAST(sum(o) AS BIGINT) AS so
        |       FROM bb),
-       |bk AS (SELECT LEAST(sq * 10 // 1000000, 9) AS bin,
+       |bk AS (SELECT GREATEST(LEAST(sq * 10 // 1000000, 9), 0) AS bin,
        |              CAST(count(*) AS BIGINT) AS nk,
        |              CAST(sum(sq) AS HUGEINT) AS spk,
        |              CAST(sum(o) AS BIGINT) AS ok

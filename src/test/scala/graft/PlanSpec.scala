@@ -613,6 +613,55 @@ class PlanSpec extends SparkSpec {
       s"Q1 is one partial+final aggregate plus the sort:\n$txt")
   }
 
+  test("every remaining unpartitioned window sits above an aggregate (mix/bin-grain mart, never raw facts)") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("q71_psi_drift", "q72_ks_drift", "q157_token_plan",
+        "q172_temperature_mix").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val wins = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+        .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+          s"$name: an empty-partition window must consume a post-aggregate " +
+            s"mart (bins/sources grain), never raw rows:\n$w")
+      }
+    }
+  }
+
+  test("shareOfParent broadcasts the market total — no unpartitioned window in the plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q257_share_of_parent")(spark, sf)
+    val wins = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "the market-total window must be the scalar-broadcast crossJoin")
+    assert(planText(df).contains("BroadcastNestedLoopJoin"),
+      "the one-row market total must broadcast onto the mart")
+  }
+
+  test("localSupplierVolume pushes the order-year range to the orders scan") {
+    val df = gold.Fulfillment.localSupplierVolume(
+      core.Tables.lineitem(spark, sf), core.Tables.orders(spark, sf),
+      core.Tables.customer(spark, sf), core.Tables.supplier(spark, sf),
+      core.Tables.nation(spark, sf), core.Tables.region(spark, sf),
+      regionName = "ASIA", orderYear = 1997)
+    val txt = planText(df)
+    // the half-open range (not year(col)) reaches the parquet scan and
+    // prunes row groups; year(col)==y would read every order
+    assert(txt.contains("GreaterThanOrEqual(o_orderdate")
+      && txt.contains("LessThan(o_orderdate"),
+      s"order-year range must reach the orders scan:\n$txt")
+  }
+
+  test("q102 set-ops push the half-open year ranges to the orders scans") {
+    val df = SparkEntry.queries("q102_set_ops")(spark, sf)
+    val txt = planText(df)
+    assert(txt.contains("GreaterThanOrEqual(o_orderdate")
+      && txt.contains("LessThan(o_orderdate"),
+      s"year ranges must reach the orders scans:\n$txt")
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -257,4 +257,29 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Double, Double)].collect().head
     assert(re == got)
   }
+
+  test("exactSubstringDedup excises the repeated >=n-token span, leaves unique text whole") {
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared four five six"),
+      (3L, "totally unique text with enough tokens to not be removed at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(corpus, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // unique doc: untouched
+    assert(out(3L) == ((3L, 12L, 0L, 0L,
+      "totally unique text with enough tokens to not be removed at all")))
+    // the 10 shared tokens excise as ONE merged span in both docs
+    // (only the three 8-grams fully inside the span repeat; straddling
+    // grams differ across docs, so coverage is exactly the span)
+    assert(out(1L) == ((1L, 14L, 10L, 1L, "alpha beta gamma delta")))
+    assert(out(2L) == ((2L, 16L, 10L, 1L, "one two three four five six")))
+    // partitioning-invariant (order-free aggregation)
+    val re = Dedup.exactSubstringDedup(
+        corpus.repartition(5), "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(re == out)
+  }
 }
