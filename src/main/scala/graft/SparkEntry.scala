@@ -2167,6 +2167,19 @@ object SparkEntry {
     "q308_exact_substring_dedup" -> ((s, dir) =>
       graft.ext.Dedup.exactSubstringDedup(
         Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- ext: Nelson-Aalen cumulative hazard per loyalty arm (the
+    // hazard-scale member of the survival family: q158 KM S(t),
+    // q306 log-rank comparison, this reads WHERE hazard accumulates) --
+    "q309_nelson_aalen" -> ((s, dir) =>
+      graft.ext.Survival.nelsonAalen(Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: LSH S-curve calibration (empirical candidate-detection
+    // rate per exact-Jaccard bucket vs the analytic 1-(1-s^r)^b curve
+    // — the (numPerms, bands) design readout before a 100 TB run) ----
+    "q310_lsh_calibration" -> ((s, dir) =>
+      graft.ext.Dedup.lshCalibrationCurve(
+        Tables.documents(s, dir), "doc_id", "text")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7008,6 +7021,48 @@ object SparkEntry {
     "q307_brier" -> ExtOracleSql.brierQualityEn,
 
     "q308_exact_substring_dedup" -> ExtOracleSql.exactSubstringDedup(8),
+
+    "q309_nelson_aalen" -> OracleSql.withBase(
+      """nau AS (
+             SELECT user_id, min(creation_date) AS first_date,
+                    max(creation_date) AS last_date,
+                    max(CASE WHEN is_loyalty THEN 1 ELSE 0 END) AS g
+             FROM order_revenue GROUP BY 1),
+         naa AS (SELECT max(creation_date) AS anchor FROM order_revenue),
+         nah AS (
+             SELECT g,
+                    CAST(datediff('day', first_date, last_date) AS BIGINT)
+                      AS dur,
+                    CAST(sum(CASE WHEN datediff('day', last_date, anchor)
+                         >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                    CAST(count(*) AS BIGINT) AS m
+             FROM nau CROSS JOIN naa GROUP BY 1, 2),
+         nac AS (
+             SELECT *,
+                    CAST(sum(m) OVER (PARTITION BY g ORDER BY dur DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS n
+             FROM nah),
+         nat AS (
+             SELECT g, dur, n, d,
+                    CAST(round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE) * 1e9)
+                      AS BIGINT) AS hu,
+                    CAST(round(CAST(d AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e9)
+                      AS BIGINT) AS vu
+             FROM nac WHERE d > 0)""",
+      """SELECT CAST(g AS BIGINT) AS arm, dur AS duration_days,
+                n AS n_risk, d AS n_events,
+                round(CAST(sum(hu) OVER w AS BIGINT) / 1e9, 6)
+                  AS cum_hazard,
+                round(CAST(sum(vu) OVER w AS BIGINT) / 1e9, 6)
+                  AS cum_hazard_var
+         FROM nat
+         WINDOW w AS (PARTITION BY g ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY arm, duration_days"""),
+
+    "q310_lsh_calibration" -> ExtOracleSql.lshCalibrationCurve(10, 1000),
 
     "q305_position_attribution" ->
       """WITH pp AS (

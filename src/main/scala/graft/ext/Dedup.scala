@@ -103,6 +103,79 @@ object Dedup {
       .distinct()
   }
 
+  /** Analytic LSH detection probability at a Jaccard-bucket midpoint:
+    * P(candidate | J = s) = 1 − (1 − s^r)^b for b bands of r rows —
+    * the banding S-curve. Computed ONCE driver-side and inlined as the
+    * identical 6dp literal in both engines (no cross-engine pow). */
+  def lshAnalyticDetect(
+      bin: Int, buckets: Int, bands: Int, rowsPerBand: Int): Double = {
+    val s = (2.0 * bin + 1.0) / (2.0 * buckets)
+    val p = 1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+    BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** LSH S-curve calibration audit: the empirical candidate-detection
+    * rate of [[lshCandidates]] per exact-Jaccard bucket, against the
+    * analytic banding curve 1 − (1 − s^r)^b — the design readout that
+    * says whether (numPerms, bands) sit where the dedup threshold
+    * needs them BEFORE a 100 TB run commits to the parameters.
+    *
+    * The exact side is all-pairs Jaccard and therefore quadratic BY
+    * SPEC (the q144/q20 exact-oracle judgment): the audit runs on a
+    * deterministic id-ordered sample of `capDocs` documents — at
+    * corpus scale a calibration is a sample readout by construction,
+    * never a per-doc artifact.
+    *
+    * Exactness: Jaccard buckets assign by INTEGER arithmetic
+    * (`(inter·buckets) div union` — never a float floor); rates are
+    * half-up micro ratios; the analytic constants are driver-computed
+    * 6dp literals shared verbatim with the oracle. */
+  def lshCalibrationCurve(
+      docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 16, bands: Int = 4, buckets: Int = 10,
+      capDocs: Int = 1000): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val spark = docs.sparkSession
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol))
+      .orderBy(col(idCol)).limit(capDocs)
+    val sh = graft.core.Scans.spread(d)
+      .select(col(idCol), WordShingles.shingles(lower(col(textCol))).as("sh"))
+    val a = sh.toDF("id_a", "sh_a")
+    val b = sh.toDF("id_b", "sh_b")
+    val ex = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        least(expr(s"(inter * $buckets) div uni"), lit(buckets - 1L))
+          .as("bin"))
+    val sig = minhashSignatures(d, idCol, textCol, numPerms)
+    val det = lshCandidates(sig, idCol, bands, rowsPerBand)
+      .withColumn("h", lit(1L))
+    val agg = ex.join(det, Seq("id_a", "id_b"), "left")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("h"), lit(0L))).as("n_detected"))
+    val analytic = (0 until buckets).foldLeft(lit(null).cast("double")) {
+      (acc, k) => when(col("bin") === k,
+        lit(lshAnalyticDetect(k, buckets, bands, rowsPerBand))).otherwise(acc)
+    }
+    spark.range(buckets).toDF("bin")
+      .join(agg, Seq("bin"), "left")
+      .select(col("bin"),
+        round(col("bin").cast("double") / buckets, 6).as("j_lo"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_detected"), lit(0L)).as("n_detected"))
+      .withColumn("detect_rate",
+        when(col("n_pairs") > 0,
+          expr("((n_detected * 1000000 * 2) + n_pairs) div (n_pairs * 2)")
+            / 1e6))
+      .withColumn("analytic_detect", analytic)
+      .orderBy(col("bin"))
+  }
+
   /** Signature-agreement Jaccard estimate for candidate pairs. */
   def estimatedJaccard(
       sig: DataFrame, pairs: DataFrame, idCol: String, numPerms: Int = 16): DataFrame = {

@@ -70,6 +70,61 @@ object Survival {
     }.toDF("restaurant_id", "duration_days", "n_risk", "n_events", "survival")
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator per loyalty arm — the
+    * hazard-scale member completing the survival family
+    * ([[kaplanMeier]] estimates S(t); [[logRankTest]] compares arms;
+    * this reads WHERE the churn hazard accumulates):
+    * H(t) = Σ_{t_j ≤ t} d_j∕n_j with variance Σ d_j∕n_j² (Klein's
+    * formula). Where KM's survival product forces a sequential
+    * recurrence (mapPartitions), H is a SUM — so it runs as an
+    * ordinary cumulative window per arm, no recurrence machinery.
+    *
+    * Exactness: lifetimes, event and at-risk counts are exact longs
+    * (the [[kaplanMeier]] censoring rule: data-derived anchor); each
+    * d∕n and d∕n² term is one fixed double chain over those longs,
+    * quantized to integer 1e-9 units BEFORE the cumulative sums (the
+    * entropy-term discipline) so both engines add identical integers
+    * in the total (arm, duration) order.
+    *
+    * Scale shape: user-grain aggregate → (arm, duration) histogram →
+    * one descending cumsum (at-risk) + one ascending cumsum (H, V),
+    * every window partitioned by arm over the day-span-bounded
+    * duration grain — never row-count-sized. */
+  def nelsonAalen(
+      orderRevenue: DataFrame, censorDays: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = orderRevenue
+      .groupBy(col("user_id"))
+      .agg(min(col("creation_date")).as("first_date"),
+        max(col("creation_date")).as("last_date"),
+        max(when(col("is_loyalty"), 1L).otherwise(0L)).as("g"))
+    val anchor = orderRevenue.agg(max(col("creation_date")).as("anchor"))
+    val hist = users.crossJoin(broadcast(anchor))
+      .select(col("g"),
+        datediff(col("last_date"), col("first_date")).cast("long").as("dur"),
+        when(datediff(col("anchor"), col("last_date")) >= censorDays, 1L)
+          .otherwise(0L).as("ev"))
+      .groupBy(col("g"), col("dur"))
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("m"))
+    val desc = Window.partitionBy(col("g")).orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val asc = Window.partitionBy(col("g")).orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nd = col("n").cast("double")
+    hist
+      .withColumn("n", sum(col("m")).over(desc))
+      .filter(col("d") > 0)
+      .withColumn("hu",
+        round(col("d").cast("double") / nd * 1e9).cast("long"))
+      .withColumn("vu",
+        round(col("d").cast("double") / (nd * nd) * 1e9).cast("long"))
+      .select(col("g").as("arm"), col("dur").as("duration_days"),
+        col("n").as("n_risk"), col("d").as("n_events"),
+        round(sum(col("hu")).over(asc) / 1e9, 6).as("cum_hazard"),
+        round(sum(col("vu")).over(asc) / 1e9, 6).as("cum_hazard_var"))
+      .orderBy(col("arm"), col("duration_days"))
+  }
+
   /** Log-rank test between two survival curves — the standard
     * companion to [[kaplanMeier]]: does the LOYALTY cohort churn on a
     * different clock than the rest, accounting for censoring (a naive

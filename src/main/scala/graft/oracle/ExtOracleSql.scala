@@ -54,6 +54,57 @@ object ExtOracleSql {
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Mirrors [[graft.ext.Dedup.lshCalibrationCurve]]: all-pairs exact
+    * Jaccard over the id-ordered `capDocs` sample, integer bucket
+    * assignment, LEFT-joined LSH candidate hits, and the same
+    * driver-computed analytic constants inlined verbatim. The capped
+    * `cap`/`toks` base feeds the shared sig/bands CTEs. */
+  def lshCalibrationCurve(buckets: Int, capDocs: Int): String = {
+    val analyticCases = (0 until buckets).map { k =>
+      s"WHEN $k THEN ${graft.ext.Dedup.lshAnalyticDetect(k, buckets, Bands, RowsPerBand)}"
+    }.mkString(" ")
+    s"""WITH cap AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |  ORDER BY doc_id LIMIT $capDocs),
+       |toks AS (
+       |  SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM cap),
+       |$sigCte,
+       |$bandsCte,
+       |sharr AS (
+       |  SELECT doc_id, $shinglesExpr AS sh FROM toks),
+       |allp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM cap a JOIN cap b ON a.doc_id < b.doc_id),
+       |lex AS (
+       |  SELECT p.id_a, p.id_b,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       |         CAST(len(a.sh) + len(b.sh)
+       |           - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+       |  FROM allp p
+       |  JOIN sharr a ON p.id_a = a.doc_id
+       |  JOIN sharr b ON p.id_b = b.doc_id),
+       |lbi AS (
+       |  SELECT LEAST((inter * $buckets) // uni, ${buckets - 1}) AS bin,
+       |         id_a, id_b
+       |  FROM lex),
+       |lhit AS (SELECT id_a, id_b, 1 AS h FROM pairs),
+       |lagg AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(sum(coalesce(h, 0)) AS BIGINT) AS n_detected
+       |  FROM lbi LEFT JOIN lhit USING (id_a, id_b) GROUP BY 1),
+       |lsp AS (SELECT unnest(range($buckets)) AS bin)
+       |SELECT lsp.bin,
+       |       round(CAST(lsp.bin AS DOUBLE) / $buckets, 6) AS j_lo,
+       |       coalesce(n_pairs, 0) AS n_pairs,
+       |       coalesce(n_detected, 0) AS n_detected,
+       |       CASE WHEN coalesce(n_pairs, 0) > 0 THEN
+       |         (((n_detected * 1000000 * 2) + n_pairs) // (n_pairs * 2))
+       |           / 1e6 END AS detect_rate,
+       |       CASE lsp.bin $analyticCases END AS analytic_detect
+       |FROM lsp LEFT JOIN lagg ON lsp.bin = lagg.bin
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Mirrors [[graft.ext.Dedup.dedupAgainst]] with the batch flagged as
     * `doc_id ≡ 0 (mod modEvery)`: cross-side band candidates derived
     * from the symmetric `pairs` CTE by orientation, exact-Jaccard

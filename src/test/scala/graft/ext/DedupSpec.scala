@@ -258,6 +258,21 @@ class DedupSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("lshCalibrationCurve: detection is a subset of pairs, exact dups always detected, analytic curve monotone") {
+    val out = Dedup.lshCalibrationCurve(docs, "doc_id", "text")
+      .as[(Long, Double, Long, Long, Option[Double], Double)].collect().toSeq
+    assert(out.map(_._1) == (0L until 10L))
+    // empirical detection can never exceed the pair count
+    assert(out.forall { case (_, _, np, nd, _, _) => nd <= np })
+    // the exact-dup pair (1,4) has jaccard 1.0 -> top bin, and identical
+    // signatures collide in every band -> detected
+    val top = out.last
+    assert(top._3 >= 1L && top._4 == top._3,
+      s"exact dups must all be detected in the top bin: $top")
+    // the analytic banding S-curve is monotone non-decreasing
+    assert(out.map(_._6).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("exactSubstringDedup excises the repeated >=n-token span, leaves unique text whole") {
     val shared = (1 to 10).map(i => s"w$i").mkString(" ")
     val corpus = Seq(

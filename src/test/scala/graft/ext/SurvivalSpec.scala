@@ -51,6 +51,32 @@ class SurvivalSpec extends SparkSpec {
     assert(got == ((2L, 2L, 2L, 1L, 1.5, 0.428571)))
   }
 
+  test("nelsonAalen: hand-computed hazard accumulation; censored users hold the risk set only") {
+    import java.sql.Date
+    def row(u: Long, d: String, loyal: Boolean) =
+      (u, Date.valueOf(d), loyal, 10.0)
+    val rev = Seq(
+      // loyal u1: dur 10 (event), u2: dur 20 (event)
+      row(1L, "2020-01-01", true), row(1L, "2020-01-11", true),
+      row(2L, "2020-01-01", true), row(2L, "2020-01-21", true),
+      // non-loyal u3: dur 10 (event); u4: last == anchor -> censored
+      row(3L, "2020-01-01", false), row(3L, "2020-01-11", false),
+      row(4L, "2020-01-01", false), row(4L, "2020-03-01", false),
+    ).toDF("user_id", "creation_date", "is_loyalty", "total_revenue")
+    val got = Survival.nelsonAalen(rev)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // loyal: t=10 (d=1,n=2) H=0.5 V=0.25; t=20 (d=1,n=1) H=1.5 V=1.25
+    // non-loyal: t=10 (d=1,n=2) H=0.5 V=0.25; u4 censored -> risk only
+    assert(got == Seq(
+      (0L, 10L, 2L, 1L, 0.5, 0.25),
+      (1L, 10L, 2L, 1L, 0.5, 0.25),
+      (1L, 20L, 1L, 1L, 1.5, 1.25)))
+    // partitioning-invariant (quantized terms sum order-free)
+    val re = Survival.nelsonAalen(rev.repartition(5))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(re == got)
+  }
+
   test("logRankTest: identical groups give chi2 ~ 0") {
     import java.sql.Date
     val rev = (1L to 8L).flatMap { u =>
