@@ -629,6 +629,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstringDedup: every coverage window is doc-partitioned and no join is a cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = ext.Dedup.exactSubstringDedup(
+      core.Tables.documents(spark, sf), "doc_id", "text")
+    val txt = planText(df)
+    assert(!txt.contains("CartesianProduct") && !txt.contains("NestedLoop"),
+      s"span dedup must never plan a cartesian:\n$txt")
+    val wins = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "coverage/flag windows must stay doc-partitioned")
+  }
+
   test("shareOfParent broadcasts the market total — no unpartitioned window in the plan") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q257_share_of_parent")(spark, sf)

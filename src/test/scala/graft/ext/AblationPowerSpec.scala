@@ -42,20 +42,23 @@ class AblationPowerSpec extends SparkSpec {
   test("sourceAblation: two-source toy — removing the low-quality source raises mean quality without it") {
     // quality score is engine-derived; instead pin the en-share and
     // chars metrics, which are directly computable by hand
+    // no physical n_chars column: the contract derives chars from
+    // textCol, so the signature works on any (id, text, src, lang)
     val toy = Seq(
-      ("a", "good src", "en", "s1", 10L),
-      ("b", "good src", "en", "s1", 20L),
-      ("c", "bad src", "de", "s2", 100L),
-    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      ("a", "good src", "en", "s1"),
+      ("b", "good src", "en", "s1"),
+      ("c", "the long bad src", "de", "s2"),
+    ).toDF("doc_id", "text", "lang", "source")
     val got = Curation.sourceAblation(toy, "doc_id", "text", "source", "lang")
       .select("source", "n_docs", "en_share_wo", "delta_en_share",
         "mean_chars_wo", "delta_chars")
       .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
-    // full corpus: en 2/3 = 0.666667, chars mean 130/3 = 43.333333
-    // without s1: en 0/1 = 0, chars 100; without s2: en 1, chars 15
+    // chars from length(text): 8, 8, 16 -> full mean 32/3 = 10.666667,
+    // en 2/3 = 0.666667; without s1: en 0, chars 16; without s2: en 1,
+    // chars 8
     assert(got == Seq(
-      ("s1", 2L, 0.0, -0.666667, 100.0, 56.666667),
-      ("s2", 1L, 1.0, 0.333333, 15.0, -28.333333)))
+      ("s1", 2L, 0.0, -0.666667, 16.0, 5.333333),
+      ("s2", 1L, 1.0, 0.333333, 8.0, -2.666667)))
   }
 
   test("oovRate: the vocab cut is deterministic and every test token is either covered or OOV") {

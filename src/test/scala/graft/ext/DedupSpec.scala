@@ -258,6 +258,28 @@ class DedupSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("exactSubstringDedup law: disjoint-vocab corpus untouched; an exact duplicate >= n tokens is fully excised from BOTH copies") {
+    val rnd = new scala.util.Random(42)
+    // per-doc disjoint vocab, all tokens within a doc distinct -> no
+    // repeated 8-gram exists anywhere except the planted duplicate
+    val lens = (0 until 40).map(i => if (i == 0) 8 + rnd.nextInt(15)
+      else rnd.nextInt(26))
+    val base = lens.zipWithIndex.map { case (len, i) =>
+      (i.toLong, (0 until len).map(j => s"d${i}w$j").mkString(" ")) }
+    val corpus = (base :+ ((1000L, base.head._2))).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(corpus, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    out.foreach { case (id, (_, nt, nr, ns, kept)) =>
+      if (id == 0L || id == 1000L) {
+        assert(nr == nt && ns == 1L && kept == "",
+          s"duplicated doc $id must be fully excised: ($nt, $nr, $ns)")
+      } else {
+        assert(nr == 0L && ns == 0L, s"unique doc $id must be untouched")
+      }
+    }
+  }
+
   test("lshCalibrationCurve: detection is a subset of pairs, exact dups always detected, analytic curve monotone") {
     val out = Dedup.lshCalibrationCurve(docs, "doc_id", "text")
       .as[(Long, Double, Long, Long, Option[Double], Double)].collect().toSeq
