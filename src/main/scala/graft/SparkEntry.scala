@@ -2180,6 +2180,12 @@ object SparkEntry {
     "q310_lsh_calibration" -> ((s, dir) =>
       graft.ext.Dedup.lshCalibrationCurve(
         Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- ext: exact column profile (one-pass Deequ-analyzer shape:
+    // nulls, exact distincts, type-aware min/max per column) ----
+    "q311_column_profile" -> ((s, dir) =>
+      graft.ext.Quality.columnProfile(
+        Tables.orders(s, dir), graft.ext.Quality.OrdersProfile)),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7063,6 +7069,9 @@ object SparkEntry {
          ORDER BY arm, duration_days"""),
 
     "q310_lsh_calibration" -> ExtOracleSql.lshCalibrationCurve(10, 1000),
+
+    "q311_column_profile" -> graft.ext.Quality.columnProfileSql(
+      "orders", graft.ext.Quality.OrdersProfile),
 
     "q305_position_attribution" ->
       """WITH pp AS (

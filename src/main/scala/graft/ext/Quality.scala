@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Zero-extra-scan data-quality counters, attached to a pass the
@@ -93,6 +93,85 @@ object Quality {
     "qty_positive" -> "l_quantity >= 1",
     "ship_in_range" -> "l_shipdate >= DATE '1992-01-01'",
     "status_domain" -> "l_linestatus IN ('O', 'F')")
+
+  /** Single-source column list for the orders profile (q311): name →
+    * kind, where kind picks the exact cross-engine min/max rendering
+    * ("long" numeric, "string" lexicographic, "date" ISO, "cents" the
+    * 2dp-money integer idiom). Both [[columnProfile]] and
+    * [[columnProfileSql]] consume THIS list. */
+  val OrdersProfile: Seq[(String, String)] = Seq(
+    "o_orderkey" -> "long",
+    "o_custkey" -> "long",
+    "o_orderstatus" -> "string",
+    "o_totalprice" -> "cents",
+    "o_orderdate" -> "date",
+    "o_orderpriority" -> "string")
+
+  /** Exact per-column table profile in ONE aggregate pass — the
+    * ingest-review readout every new feed gets before anything trusts
+    * it (the Deequ-analyzer shape without a framework): row count,
+    * null count + share, EXACT distinct count, and type-aware min/max
+    * rendered as strings both engines agree on (typed aggregate first,
+    * string render after — never lexicographic min over numbers).
+    *
+    * Scale: one pass; the per-column exact distincts ride Spark's
+    * multi-distinct Expand (input duplicated n_cols-way with map-side
+    * partial collapse — the standard profiler cost, n_cols small by
+    * construction). The gated HLL tier (q51) is the documented approx
+    * sibling when a 100 TB profile tolerates ±2% on distincts. The
+    * result is ONE scalar row exploded to column grain. */
+  def columnProfile(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    def keyed(name: String, kind: String): Column = kind match {
+      case "date"  => col(name).cast("date")
+      case "cents" => round(col(name) * 100).cast("long")
+      case _       => col(name)
+    }
+    val aggCols = count(lit(1)).as("n_rows") +:
+      cols.flatMap { case (name, kind) =>
+        Seq(
+          sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"nn_$name"),
+          countDistinct(col(name)).as(s"nd_$name"),
+          min(keyed(name, kind)).cast("string").as(s"mn_$name"),
+          max(keyed(name, kind)).cast("string").as(s"mx_$name"))
+      }
+    df.agg(aggCols.head, aggCols.tail: _*)
+      .select(col("n_rows"), explode(array(cols.map { case (name, _) =>
+        struct(lit(name).as("col_name"),
+          col(s"nn_$name").as("n_nulls"),
+          col(s"nd_$name").as("n_distinct"),
+          col(s"mn_$name").as("min_value"),
+          col(s"mx_$name").as("max_value"))
+      }: _*)).as("c"))
+      .select(col("c.col_name").as("col_name"), col("n_rows"),
+        col("c.n_nulls").as("n_nulls"),
+        col("c.n_distinct").as("n_distinct"),
+        expr("""((c.n_nulls * 1000000 * 2 + n_rows) div (n_rows * 2))
+                / cast(1000000 as double)""").as("null_share"),
+        col("c.min_value").as("min_value"),
+        col("c.max_value").as("max_value"))
+      .orderBy(col("col_name"))
+  }
+
+  /** DuckDB mirror generated from the SAME column list (one SELECT per
+    * column, UNION ALL — the [[dqRuleAuditSql]] device). */
+  def columnProfileSql(table: String, cols: Seq[(String, String)]): String =
+    cols.map { case (name, kind) =>
+      val k = kind match {
+        case "date"  => s"CAST($name AS DATE)"
+        case "cents" => s"CAST(round($name * 100) AS BIGINT)"
+        case _       => name
+      }
+      s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+             CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             CAST(count(DISTINCT $name) AS BIGINT) AS n_distinct,
+             ((CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000 * 2 + count(*)) // (count(*) * 2))
+               / 1000000.0 AS null_share,
+             CAST(min($k) AS VARCHAR) AS min_value,
+             CAST(max($k) AS VARCHAR) AS max_value
+         FROM $table"""
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
   /** Run a declarative rule list in ONE pass over the fact: a single
     * hash-free aggregate computes the row count and each rule's
