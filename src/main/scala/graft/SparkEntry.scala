@@ -2186,6 +2186,14 @@ object SparkEntry {
     "q311_column_profile" -> ((s, dir) =>
       graft.ext.Quality.columnProfile(
         Tables.orders(s, dir), graft.ext.Quality.OrdersProfile)),
+
+    // ---- ext: IVF probe-sweep (mean recall@k at nProbe in {1,2,4}
+    // against ONE shared exact side — the ANN-tier design readout,
+    // q310's sibling for the similarity index) ----
+    "q312_ivf_probe_sweep" -> ((s, dir) =>
+      Similarity.ivfProbeSweep(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 5, centroidEvery = 100, probesList = Seq(1, 2, 4))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7072,6 +7080,9 @@ object SparkEntry {
 
     "q311_column_profile" -> graft.ext.Quality.columnProfileSql(
       "orders", graft.ext.Quality.OrdersProfile),
+
+    "q312_ivf_probe_sweep" ->
+      ExtOracleSql.ivfProbeSweep(5, 100, Seq(1, 2, 4)),
 
     "q305_position_attribution" ->
       """WITH pp AS (

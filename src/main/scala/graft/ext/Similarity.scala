@@ -639,6 +639,46 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF probe-sweep design readout: corpus-level mean recall@k of
+    * [[ivfTopKMultiProbe]] at each probe count in `probesList`, against
+    * ONE shared exact side — the "how many probes buy how much recall"
+    * curve an index design reads before a 100 TB retrieval pipeline
+    * commits to nProbe (the [[graft.ext.Dedup.lshCalibrationCurve]]
+    * sibling for the ANN tier; [[annRecall]] gives the per-probe
+    * detail at a single setting).
+    *
+    * Exactness: hits are exact longs (both sides share the 6dp-cosine
+    * + id-tie-break contract, so the intersection is engine-stable);
+    * mean recall is the half-up micro ratio hits∕(n_queries·k).
+    *
+    * Scale shape: the exact side is computed ONCE and persisted
+    * (probes·k rows); each sweep arm reuses the production-shaped IVF
+    * chain (cell-bounded scoring). At 100 TB the sweep runs on a
+    * hash-sampled probe set — corpus side complete, the [[annRecall]]
+    * sampling rule. */
+  def ivfProbeSweep(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroidEvery: Int = 100,
+      probesList: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val exact = topKNeighbors(vecs, idCol, vecCol, k)
+      .select(col("vec_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arms = probesList.map { p =>
+      val approx = ivfTopKMultiProbe(vecs, idCol, vecCol, k, centroidEvery, p)
+        .select(col("vec_id"), col("neighbor_id"))
+      exact.join(approx, Seq("vec_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(p.toLong).as("n_probes"), col("hits"))
+    }
+    val tot = exact.agg(countDistinct(col("vec_id")).as("n_queries"))
+    arms.reduce(_ unionByName _)
+      .crossJoin(broadcast(tot))
+      .select(col("n_probes"), col("n_queries"), col("hits"),
+        (expr(s"((hits * 1000000 * 2) + (n_queries * $k)) " +
+          s"div (n_queries * $k * 2)") / 1e6).as("mean_recall"))
+      .orderBy(col("n_probes"))
+  }
+
   /** Per-label embedding-centroid drift vs the pooled centroid: the
     * training-mix audit in EMBEDDING space ([[graft.ext.Drift.jsdPerGroup]]
     * is its lexical sibling) — a label/source whose centroid swings away

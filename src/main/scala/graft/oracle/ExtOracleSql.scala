@@ -813,6 +813,56 @@ object ExtOracleSql {
        |SELECT vec_id, neighbor_id, cosine, rank FROM rk
        |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
 
+  /** Mirrors [[graft.ext.Similarity.ivfProbeSweep]] — the shared exact
+    * chain plus one multi-probe arm per probe count (the
+    * [[ivfTopKMultiProbe]] CTEs suffixed per arm), summarized to
+    * corpus-level mean recall with the half-up micro ratio. */
+  def ivfProbeSweep(k: Int, centroidEvery: Int, probes: Seq[Int]): String = {
+    val armCtes = probes.map { p =>
+      s"""prb_$p AS (SELECT vec_id, emb, centroid_id AS cell FROM scoredc
+         |        WHERE crn <= $p),
+         |cj_$p AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+         |  FROM prb_$p a JOIN asg b
+         |    ON a.cell = b.cell AND a.vec_id != b.vec_id),
+         |rk_$p AS (
+         |  SELECT vec_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM cj_$p),
+         |ivk_$p AS (SELECT vec_id, neighbor_id FROM rk_$p WHERE rank <= $k),
+         |h_$p AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS hits
+         |  FROM exk e JOIN ivk_$p i
+         |    ON e.vec_id = i.vec_id AND e.neighbor_id = i.neighbor_id)""".stripMargin
+    }.mkString(",\n")
+    val armSelects = probes.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS n_probes, nq.n_queries, h_$p.hits,
+         |       (((h_$p.hits * 1000000 * 2) + (nq.n_queries * $k))
+         |         // (nq.n_queries * $k * 2)) / 1000000.0 AS mean_recall
+         |FROM h_$p CROSS JOIN nq""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $vecsCte,
+       |${exactTopKCtes(k)},
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, emb AS cemb FROM v
+       |  WHERE vec_id % $centroidEvery = 0),
+       |scoredc AS (
+       |  SELECT v.vec_id, v.emb, c.centroid_id,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY round(list_cosine_similarity(v.emb, c.cemb), 6) DESC,
+       |                    c.centroid_id) AS crn
+       |  FROM v CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, emb, centroid_id AS cell FROM scoredc
+       |        WHERE crn = 1),
+       |nq AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries
+       |       FROM exk),
+       |$armCtes
+       |$armSelects
+       |ORDER BY n_probes""".stripMargin
+  }
+
   /** Mirrors [[graft.ext.Similarity.centroidDrift]] — per-label vs
     * pooled centroids through the q38 integer-unit chain, cosine via
     * the shared pos-ordered list fold. */

@@ -218,6 +218,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((0L, 1L, 0.5), (1L, 1L, 0.5), (100L, 1L, 0.5), (101L, 1L, 0.5)))
   }
 
+  test("ivfProbeSweep: mean recall climbs with probes and reaches 1.0 when every cell is probed") {
+    // two tight cells (centroids 0 and 100): single-probe misses the
+    // cross-cell neighbor every exact top-2 contains; two probes cover
+    // both cells and recover the exact list
+    val split = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.95f, 0.05f)),
+      (100L, Array(0.0f, 1.0f)), (101L, Array(0.05f, 0.95f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfProbeSweep(split, "vec_id", "embedding", k = 2,
+        centroidEvery = 100, probesList = Seq(1, 2))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 4L, 0.5), (2L, 4L, 8L, 1.0)))
+  }
+
   test("rankedRetrievalEval: IVF==exact scores NDCG/MRR 1; cross-cell misses discount; empty probes surface as 0s") {
     // one centroid -> IVF returns the exact list -> DCG == IDCG exactly
     // (gains quantize through the same integer units as the normalizer)
