@@ -195,6 +195,34 @@ class BehaviorSpec extends SparkSpec {
     assert(touchedRev <= 10.0 && touchedRev > 10.0 - 3e-6)
   }
 
+  test("attribution revenue survives the 100 TB envelope: multi-billion purchases attribute exactly (decimal product, not wrapped int64)") {
+    // pre-fix, positionAttribution's rev_mu product cents*1000*share_u
+    // wrapped int64 at a single purchase >= ~$922k; these values would
+    // have produced garbage (negative) attributed revenue
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 100L, "purchase", ts("1997-01-10 12:00:00"), 2.0e9),
+      (1L, 101L, "view",     ts("1997-01-10 08:00:00"), 0.0),
+      (2L, 200L, "purchase", ts("1997-01-10 12:00:00"), 2.0e10),
+      (2L, 201L, "click",    ts("1997-01-04 08:00:00"), 0.0), // age 6, w=2
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    val pos = graft.ext.Behavior.positionAttribution(
+        events, Seq("view", "click", "signup"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(pos("view") == 2.0e9 && pos("click") == 2.0e10, s"pos: $pos")
+    val td = graft.ext.Behavior.timeDecayAttribution(
+        events, Seq("view", "click", "signup"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(td("view") == 2.0e9 && td("click") == 2.0e10, s"td: $td")
+    val lin = graft.ext.Behavior.linearAttribution(
+        events, Seq("view", "click", "signup"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(lin("view") == 2.0e9 && lin("click") == 2.0e10, s"lin: $lin")
+  }
+
   test("positionAttribution: 40/20/40 with middles split; 2-touch is 50/50; 1-touch takes all; untouched goes direct") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val events = Seq(
