@@ -2194,6 +2194,28 @@ object SparkEntry {
       Similarity.ivfProbeSweep(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 5, centroidEvery = 100, probesList = Seq(1, 2, 4))),
+
+    // ---- ext: Poisson-bootstrap CI for mean user spend per loyalty
+    // arm (hash-derived Poisson(1) resample weights — the streaming
+    // bootstrap; nearest-rank 5th/95th over 100 replicate means) ----
+    "q313_bootstrap_ci" -> ((s, dir) =>
+      graft.ext.Experiment.poissonBootstrapCI(
+        Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: Shapley-value attribution over the channel powerset
+    // (the game-theoretic model closing the family: first/last q130,
+    // linear q184, time-decay q303, U-shaped q305; exact integer
+    // n!-scaled weights, conservation by Shapley efficiency) ----
+    "q314_shapley_attribution" -> ((s, dir) =>
+      graft.ext.Behavior.shapleyAttribution(Tables.events(s, dir),
+        Seq("view", "click", "signup"))),
+
+    // ---- ext: simplified (centroid-based) silhouette per kmeans
+    // cell — the geometry-quality readout next to q222 purity and
+    // q204 sizes; linear in points, never all-pairs ----
+    "q315_silhouette" -> ((s, dir) =>
+      Similarity.simplifiedSilhouette(
+        Tables.embeddings(s, dir), "vec_id", "embedding")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7083,6 +7105,128 @@ object SparkEntry {
 
     "q312_ivf_probe_sweep" ->
       ExtOracleSql.ivfProbeSweep(5, 100, Seq(1, 2, 4)),
+
+    "q313_bootstrap_ci" -> {
+      val wSql = graft.ext.Experiment.PoissonThresholds
+        .map(t => s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      val hSql = graft.functions.Portable.h60Sql(
+        "'boot' || '#' || CAST(b AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)")
+      OracleSql.withBase(
+        s"""bu AS (
+               SELECT user_id,
+                      CAST(max(CASE WHEN is_loyalty THEN 1 ELSE 0 END)
+                        AS BIGINT) AS arm,
+                      CAST(sum(CAST(round(total_revenue * 10000) AS BIGINT))
+                        AS BIGINT) AS x
+               FROM order_revenue GROUP BY 1),
+           bp AS (
+               SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                      sum(CAST(x AS HUGEINT)) AS sx
+               FROM bu GROUP BY 1),
+           br AS (
+               SELECT u.arm, u.user_id, u.x, g.b, $hSql AS h
+               FROM bu u CROSS JOIN
+                 (SELECT unnest(generate_series(0, 99)) AS b) g),
+           bw AS (SELECT arm, b, x, $wSql AS w FROM br),
+           bm AS (
+               SELECT arm, b, CAST(sum(w) AS BIGINT) AS sw,
+                      sum(CAST(w AS HUGEINT) * x) AS swx
+               FROM bw GROUP BY 1, 2
+               HAVING CAST(sum(w) AS BIGINT) > 0),
+           bq AS (
+               SELECT arm, b,
+                      CAST(((swx * 100 * 2) + sw) // (sw * 2) AS BIGINT)
+                        AS mu
+               FROM bm),
+           bc AS (
+               SELECT arm, b, mu,
+                      row_number() OVER (PARTITION BY arm ORDER BY mu, b)
+                        AS rn
+               FROM bq),
+           bi AS (
+               SELECT arm, CAST(count(*) AS BIGINT) AS n_reps,
+                      min(CASE WHEN rn = 5 THEN mu END) AS lo_u,
+                      min(CASE WHEN rn = 95 THEN mu END) AS hi_u
+               FROM bc GROUP BY 1)""",
+        """SELECT p.arm, p.n_users,
+                  CAST(((p.sx * 100 * 2) + p.n_users) // (p.n_users * 2)
+                    AS BIGINT) / 1e6 AS mean_spend,
+                  i.lo_u / 1e6 AS ci_lo, i.hi_u / 1e6 AS ci_hi, i.n_reps
+           FROM bp p JOIN bi i USING (arm) ORDER BY arm""")
+    },
+
+    "q314_shapley_attribution" -> {
+      val types = Seq("view", "click", "signup")
+      val nCh = types.size
+      val nFact = (1 to nCh).foldLeft(1L)(_ * _)
+      val kCols = types.zipWithIndex.map { case (t, i) =>
+        s"""CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+                  OVER w AS BIGINT) AS k_$i"""
+      }.mkString(",\n                    ")
+      val maskExpr = types.indices
+        .map(i => s"(CASE WHEN k_$i > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      val spineVals = (for {
+        i <- types.indices
+        s <- 0 until (1 << nCh) if (s & (1 << i)) == 0
+      } yield s"('${types(i)}', $s, ${s | (1 << i)}, " +
+          s"${graft.ext.Behavior.shapleyCoef(Integer.bitCount(s), nCh)})")
+        .mkString(", ")
+      val bitVals = types.zipWithIndex
+        .map { case (t, i) => s"('$t', ${1L << i})" }.mkString(", ")
+      s"""WITH she AS (
+             SELECT user_id, event_type, value, epoch_us(ts) AS tsu
+             FROM events),
+           shc AS (
+             SELECT user_id, event_type, value, tsu,
+                    $kCols
+             FROM she
+             WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+               RANGE BETWEEN ${7 * 86400L * 1000000L} PRECEDING
+                 AND CURRENT ROW)),
+           shp AS (
+             SELECT CAST(round(value * 10000) AS BIGINT) AS cents,
+                    $maskExpr AS mask
+             FROM shc WHERE event_type = 'purchase'),
+           shm AS (
+             SELECT g.mask, CAST(coalesce(p.np, 0) AS BIGINT) AS np,
+                    CAST(coalesce(p.rev, 0) AS HUGEINT) AS rev
+             FROM (SELECT unnest(generate_series(0, ${(1 << nCh) - 1}))
+                     AS mask) g
+             LEFT JOIN (SELECT mask, count(*) AS np,
+                               sum(CAST(cents AS HUGEINT)) AS rev
+                        FROM shp GROUP BY 1) p USING (mask)),
+           shv AS (
+             SELECT s.mask AS s_mask, sum(t.rev) AS v
+             FROM shm s JOIN shm t ON (t.mask & s.mask) = t.mask
+             GROUP BY 1),
+           shs AS (
+             SELECT * FROM (VALUES $spineVals)
+               AS sp(touch_type, s_mask, sc_mask, coef)),
+           shf AS (
+             SELECT sp.touch_type,
+                    sum(CAST(sp.coef AS HUGEINT) * (va.v - vb.v)) AS su
+             FROM shs sp
+             JOIN shv va ON va.s_mask = sp.sc_mask
+             JOIN shv vb ON vb.s_mask = sp.s_mask
+             GROUP BY 1),
+           shn AS (
+             SELECT c.touch_type, CAST(sum(m.np) AS BIGINT) AS n_purchases
+             FROM (VALUES $bitVals) AS c(touch_type, bit)
+             JOIN shm m ON (m.mask & c.bit) = c.bit
+             GROUP BY 1)
+         SELECT f.touch_type, n.n_purchases,
+                CAST(((f.su * 100 * 2) + $nFact) // ${2L * nFact}
+                  AS BIGINT) / 1e6 AS attributed_revenue
+         FROM shf f JOIN shn n USING (touch_type)
+         UNION ALL
+         SELECT 'direct', np,
+                CAST(((rev * 100 * 2) + 1) // 2 AS BIGINT) / 1e6
+         FROM shm WHERE mask = 0
+         ORDER BY touch_type"""
+    },
+
+    "q315_silhouette" -> ExtOracleSql.simplifiedSilhouette(2, 100),
 
     "q305_position_attribution" ->
       """WITH pp AS (

@@ -809,4 +809,109 @@ object Behavior {
         round(col("sr") / 1e7, 6).as("attributed_revenue"))
       .orderBy(col("touch_type"))
   }
+
+  /** Exact-factorial Shapley coefficient s!·(n−1−s)! — the numerator of
+    * the Shapley weight with n! factored out, so the whole credit
+    * computation stays in integers until one final division. */
+  private[graft] def shapleyCoef(s: Int, n: Int): Long = {
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    fact(s) * fact(n - 1 - s)
+  }
+
+  /** Shapley-value attribution — the game-theoretic member closing the
+    * attribution family (first/last q130, linear q184, time-decay
+    * q303, U-shaped q305): each channel's credit is its average
+    * marginal revenue contribution over every ordering of the channel
+    * coalition (Shapley '53; the "data-driven attribution" model).
+    * Characteristic function: v(T) = revenue of purchases whose
+    * in-window touch set is exactly T, and the coalition value
+    * V(S) = Σ_{T ⊆ S} v(T) — the revenue reachable using only
+    * channels in S. φ_c = Σ_{S ⊆ N∖{c}} |S|!(n−1−|S|)!∕n! ·
+    * (V(S∪{c}) − V(S)). Purchases with no in-window touch are the
+    * v(∅) baseline, reported as the `direct` row at full value, so
+    * Σ channel credit + direct = total purchase revenue EXACTLY (the
+    * family's conservation law, here by Shapley efficiency).
+    *
+    * Exactness: cents are integral 1e-4 units; V sums in
+    * decimal(38,0) (the 100 TB envelope); Shapley weights ride as the
+    * integer pair (s!·(n−1−s)!, n!) so credit is one half-up micro
+    * ratio at the very end — no float until render.
+    *
+    * Scale shape: the ONE data-sized cost is the same single
+    * user-partitioned range window the whole family pays, followed by
+    * a ≤ 2ⁿ-row mask aggregate; the subset lattice (2ⁿ×2ⁿ cross join)
+    * and the n·2ⁿ⁻¹ Shapley spine are driver-literal-sized (n ≤ 4 by
+    * contract), so everything above the purchase aggregate is
+    * constant. */
+  def shapleyAttribution(
+      events: DataFrame, touchTypes: Seq[String],
+      lookbackDays: Int = 7): DataFrame = {
+    val n = touchTypes.size
+    require(n >= 1 && n <= 4, "Shapley lattice is exact only for <= 4 channels")
+    val nFact = (1 to n).foldLeft(1L)(_ * _)
+    val lookbackMicros = lookbackDays * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(-lookbackMicros, 0)
+    val base = events.select(
+      col("user_id"), col("event_type"), col("value"),
+      unix_micros(col("ts")).as("tsu"))
+    // all per-type counts in ONE select → a single Window node (the
+    // linearAttribution device)
+    val counted = base.select(
+      base.columns.map(col) ++ touchTypes.zipWithIndex.map { case (t, i) =>
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w)
+          .as(s"k_$i")
+      }: _*)
+    val dec = "decimal(38,0)"
+    val perMask = counted
+      .filter(col("event_type") === "purchase")
+      .withColumn("cents", round(col("value") * 10000).cast("long"))
+      .withColumn("mask", touchTypes.indices
+        .map(i => when(col(s"k_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("np"), sum(col("cents").cast(dec)).as("rev"))
+      // ≤ 2^n rows, but its input is the data-sized window pass — the
+      // lattice, channel-count, and direct branches all reread it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ss = events.sparkSession
+    val masks = ss.range(1L << n).toDF("mask")
+      .join(perMask, Seq("mask"), "left")
+      .select(col("mask"), coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("rev"), lit(0L).cast(dec)).as("rev"))
+    // V(S) = Σ_{T ⊆ S} v(T): 2^n × 2^n lattice, constant-sized
+    val vtab = masks.select(col("mask").as("s_mask"))
+      .crossJoin(masks.select(col("mask").as("t_mask"), col("rev")))
+      .filter(col("t_mask").bitwiseAND(col("s_mask")) === col("t_mask"))
+      .groupBy(col("s_mask"))
+      .agg(sum(col("rev")).as("v"))
+    import ss.implicits._
+    val spine = (for {
+      i <- touchTypes.indices
+      s <- 0 until (1 << n) if (s & (1 << i)) == 0
+    } yield (touchTypes(i), s.toLong, (s | (1 << i)).toLong,
+        shapleyCoef(Integer.bitCount(s), n)))
+      .toDF("touch_type", "s_mask", "sc_mask", "coef")
+    val phi = spine
+      .join(vtab.select(col("s_mask").as("sc_mask"), col("v").as("v_with")),
+        Seq("sc_mask"))
+      .join(vtab.select(col("s_mask"), col("v").as("v_without")),
+        Seq("s_mask"))
+      .groupBy(col("touch_type"))
+      .agg(sum(col("coef") * (col("v_with") - col("v_without"))).as("su"))
+    val chCounts = touchTypes.zipWithIndex
+      .map { case (t, i) => (t, 1L << i) }
+      .toDF("touch_type", "bit")
+      .join(masks, col("mask").bitwiseAND(col("bit")) === col("bit"))
+      .groupBy(col("touch_type")).agg(sum(col("np")).as("n_purchases"))
+    val channels = phi.join(chCounts, Seq("touch_type"))
+      .select(col("touch_type"), col("n_purchases"),
+        (expr(s"((su * 100 * 2) + $nFact) div (${2L * nFact})")
+          .cast("long") / 1e6).as("attributed_revenue"))
+    val direct = masks.filter(col("mask") === 0L)
+      .select(lit("direct").as("touch_type"), col("np").as("n_purchases"),
+        (expr("((rev * 100 * 2) + 1) div 2").cast("long") / 1e6)
+          .as("attributed_revenue"))
+    channels.unionByName(direct).orderBy(col("touch_type"))
+  }
 }

@@ -423,4 +423,97 @@ object Experiment {
       when(col("n_t") > 1 && col("n_c") > 1 && meanC > 0,
         round(mde / meanC, 6)).as("mde_rel"))
   }
+
+  /** Poisson(1) inverse-CDF thresholds in [[graft.functions.Portable.h60]]
+    * units: a uniform h ∈ [0, 2⁶⁰) maps to weight w = #{k : h ≥ t_k},
+    * so P(w = k) = e⁻¹∕k! for k ≤ 8 (the tail above k = 9 — total mass
+    * ~3·10⁻⁶ — truncates to 9; both engines truncate identically, so
+    * the bootstrap distribution is exactly shared even where it is
+    * approximately Poisson). Computed ONCE driver-side over exact
+    * factorials; the integer literals are the cross-engine contract. */
+  val PoissonThresholds: Seq[Long] = {
+    val p0 = math.exp(-1.0)
+    val scale = math.pow(2.0, 60)
+    (0 to 8).scanLeft((0.0, 1.0)) { case ((cdf, fact), k) =>
+      (cdf + p0 / fact, fact * (k + 1))
+    }.tail.map { case (cdf, _) => math.rint(cdf * scale).toLong }
+  }
+
+  /** Poisson-bootstrap CI for mean user spend per loyalty arm — the
+    * distribution-free companion to [[jackknifeMeanCI]] (whose delta
+    * method assumes near-normality the heavy revenue tail can break)
+    * and to [[mdeReadout]]'s parametric band. Each user contributes an
+    * independent Poisson(1) resample weight per replicate, derived
+    * from the portable salted hash of (salt, replicate, user) — the
+    * streaming-friendly bootstrap (Chamandy et al., Google 2012) that
+    * never materializes a resampled dataset and is bit-reproducible on
+    * any engine, partitioning, or row order. The CI is the nearest-rank
+    * 5th∕95th percentile of the replicate means.
+    *
+    * Exactness: spends ride as integral 1e-4 units; weights are exact
+    * integers from [[PoissonThresholds]] h60 comparisons; replicate
+    * sums accumulate in decimal(38,0) (HUGEINT mirror — the 100 TB
+    * envelope: Σ 9·x over 10¹⁰ users brushes int64); each replicate
+    * mean is the half-up micro ratio; rank selection breaks mu ties by
+    * replicate id.
+    *
+    * Scale shape: ONE user-grain hash aggregate feeds both the point
+    * estimate and the replicate frame; the explode is ×reps on the
+    * USER-grain frame (never the raw fact), the replicate shuffle key
+    * is (arm, replicate) = 2·reps groups with map-side partials, and
+    * the rank window runs on ≤ reps rows per arm. The only data-sized
+    * costs are the per-user aggregate and reps hash evaluations per
+    * user — the documented price of any bootstrap. */
+  def poissonBootstrapCI(
+      orderRevenue: DataFrame, reps: Int = 100,
+      salt: String = "boot"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(reps >= 20, "reps must be at least 20 for a 5th/95th CI")
+    val loRank = math.ceil(0.05 * reps).toLong
+    val hiRank = math.ceil(0.95 * reps).toLong
+    val cents = graft.gold.Money.cents(col("total_revenue")).cast("long")
+    val perUser = orderRevenue
+      .groupBy(col("user_id"))
+      .agg(max(when(col("is_loyalty"), 1L).otherwise(0L)).as("arm"),
+        sum(cents).as("x"))
+      // both the point estimate and the ×reps replicate frame read
+      // this user-grain aggregate; without the persist each would
+      // re-scan the fact
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val point = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"))
+      .select(col("arm"), col("n_users"),
+        (expr("((sx * 100 * 2) + n_users) div (n_users * 2)") / 1e6)
+          .as("mean_spend"))
+    val wExpr = PoissonThresholds.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(col("h") >= t, 1L).otherwise(0L)
+    }
+    val repMeans = perUser
+      .select(col("arm"), col("user_id"), col("x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .withColumn("h", graft.functions.Portable.h60(concat_ws("#",
+        lit(salt), col("b").cast("string"), col("user_id").cast("string"))))
+      .withColumn("w", wExpr)
+      .groupBy(col("arm"), col("b"))
+      .agg(sum(col("w")).as("sw"),
+        sum((col("w") * col("x")).cast("decimal(38,0)")).as("swx"))
+      // an all-zero-weight replicate (probability e^{-n} per arm) has
+      // no mean; both engines drop it before ranking
+      .filter(col("sw") > 0)
+      .withColumn("mu", expr("((swx * 100 * 2) + sw) div (sw * 2)"))
+    val rw = Window.partitionBy(col("arm")).orderBy(col("mu"), col("b"))
+    val ci = repMeans
+      .withColumn("rn", row_number().over(rw))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_reps"),
+        min(when(col("rn") === loRank, col("mu"))).as("lo_u"),
+        min(when(col("rn") === hiRank, col("mu"))).as("hi_u"))
+    point.join(ci, Seq("arm"))
+      .select(col("arm"), col("n_users"), col("mean_spend"),
+        (col("lo_u") / 1e6).as("ci_lo"),
+        (col("hi_u") / 1e6).as("ci_hi"),
+        col("n_reps"))
+      .orderBy(col("arm"))
+  }
 }

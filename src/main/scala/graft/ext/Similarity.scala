@@ -548,6 +548,63 @@ object Similarity {
         (coalesce(col("dup_group"), col("id")) === col("id")).as("is_kept"))
   }
 
+  /** Simplified silhouette per [[kmeans]] cell (Hruschka et al.'s
+    * centroid-based variant: distances to CENTROIDS, not all points —
+    * the form that stays linear and is how silhouette is actually run
+    * at corpus scale; the classic all-pairs silhouette is O(n²) by
+    * definition). For each point, a = cosine distance to its own
+    * cell's mean, b = min distance to any other cell's mean,
+    * s = (b − a)∕max(a, b) ∈ [−1, 1]; the readout is each cell's mean
+    * s — the clustering-quality companion to [[cellLabelPurity]]
+    * (label agreement) and [[graft.ext.Clusters]]' size histogram
+    * (balance): purity says cells match labels, silhouette says the
+    * geometry itself is tight vs smeared.
+    *
+    * Exactness: centroids are [[labelCentroids]]' integer-unit means
+    * rounded to 6dp; every cosine rounds to 6dp before the distance;
+    * s quantizes to 1e-6 units BEFORE the per-cell sum (order-free
+    * longs), and the final mean is one shared double chain.
+    *
+    * Scale shape: one Lloyd chain (the [[semanticDedup]] cost), one
+    * centroid aggregate, one broadcast-centroid scoring pass (points ×
+    * cells, the [[assignNearest]] shape), one cell-grain aggregate —
+    * nothing quadratic in points. */
+  def simplifiedSilhouette(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 2, seedEvery: Int = 100): DataFrame = {
+    val assigned = kmeans(vecs, idCol, vecCol, iters, seedEvery)
+      .select(col("vec_id").as("id"), col("cluster"))
+    val v = vecs
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("emb"))
+      .join(assigned, Seq("id"))
+      // feeds both the centroid aggregate and the scoring pass
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = labelCentroids(v.select(col("cluster"), col("emb")),
+        "cluster", "emb")
+      .groupBy(col("label").as("mcluster"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        round(col("centroid_component"), 6).as("c")))).as("ps"))
+      .select(col("mcluster"),
+        transform(col("ps"), p => p.getField("c")).as("cemb"))
+    val sab = v.crossJoin(broadcast(cents))
+      .withColumn("d", lit(1.0) - round(cosine(col("emb"), col("cemb")), 6))
+      .groupBy(col("id"), col("cluster"))
+      .agg(
+        min(when(col("mcluster") === col("cluster"), col("d"))).as("a_d"),
+        min(when(col("mcluster") =!= col("cluster"), col("d"))).as("b_d"))
+    // single-cell corpora have no b: s is undefined (NULL both engines)
+    val s = when(col("b_d").isNull, lit(null).cast("double"))
+      .when(greatest(col("a_d"), col("b_d")) === 0.0, lit(0.0))
+      .otherwise((col("b_d") - col("a_d")) / greatest(col("a_d"), col("b_d")))
+    sab.withColumn("su", round(s * 1e6).cast("long"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"), sum(col("su")).as("ssu"))
+      .select(col("cluster").as("cell"), col("n_points"),
+        round(col("ssu").cast("double") / col("n_points").cast("double")
+          / 1e6, 6).as("mean_silhouette"))
+      .orderBy(col("cell"))
+  }
+
   /** Nearest-centroid assignment (the Lloyd E-step): rounded-cosine
     * argmax with cluster-id tie-break, via the bounded top-1 aggregate. */
   private def assignNearest(v: DataFrame, cents: DataFrame): DataFrame =

@@ -1009,6 +1009,42 @@ object ExtOracleSql {
        |FROM a$iters a LEFT JOIN cc ON cc.id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** Mirrors [[graft.ext.Similarity.simplifiedSilhouette]]: the Lloyd
+    * chain's final assignment, its integer-unit centroid means (the
+    * update-step device over `a$iters`), then per-point a/b centroid
+    * distances and the 1e-6-quantized mean s per cell. */
+  def simplifiedSilhouette(iters: Int, seedEvery: Int): String =
+    s"""WITH ${kmeansCtes(iters, seedEvery).mkString(",\n")},
+       |cm AS (
+       |  SELECT cluster, list(c ORDER BY pos) AS cemb FROM (
+       |    SELECT cluster, pos,
+       |           round((sum(round(x * 1000000)) / count(*)) / 1000000.0, 6) AS c
+       |    FROM (SELECT cluster,
+       |                 unnest(generate_series(1, len(emb))) AS pos,
+       |                 unnest(emb) AS x
+       |          FROM a$iters) GROUP BY 1, 2) GROUP BY 1),
+       |sd AS (
+       |  SELECT a.vec_id, a.cluster, m.cluster AS mcluster,
+       |         1.0 - round(list_cosine_similarity(a.emb, m.cemb), 6) AS d
+       |  FROM a$iters a CROSS JOIN cm m),
+       |sab AS (
+       |  SELECT vec_id, cluster,
+       |         min(CASE WHEN mcluster = cluster THEN d END) AS a_d,
+       |         min(CASE WHEN mcluster <> cluster THEN d END) AS b_d
+       |  FROM sd GROUP BY 1, 2),
+       |ssc AS (
+       |  SELECT vec_id, cluster,
+       |         CAST(round(CASE
+       |             WHEN b_d IS NULL THEN NULL
+       |             WHEN greatest(a_d, b_d) = 0 THEN 0.0
+       |             ELSE (b_d - a_d) / greatest(a_d, b_d) END * 1000000)
+       |           AS BIGINT) AS su
+       |  FROM sab)
+       |SELECT cluster AS cell, CAST(count(*) AS BIGINT) AS n_points,
+       |       round(CAST(sum(su) AS BIGINT)
+       |             / CAST(count(*) AS BIGINT) / 1e6, 6) AS mean_silhouette
+       |FROM ssc GROUP BY 1 ORDER BY cell""".stripMargin
+
   /** Mirrors [[graft.ext.Similarity.hardNegativesInCells]]: the Lloyd
     * CTE chain supplies the cell of every vector, then the different-
     * label top-k runs within cells only. */

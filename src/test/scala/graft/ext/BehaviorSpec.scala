@@ -254,4 +254,47 @@ class BehaviorSpec extends SparkSpec {
     assert(got("signup") == (("signup", 2L, 1.1, 3.0)))
     assert(got("direct") == (("direct", 1L, 1.0, 1.0)))
   }
+
+  test("shapleyAttribution: hand-computed lattice, efficiency, direct baseline") {
+    val events = Seq(
+      // u1: view-only journey -> v({view}) = 10
+      (1L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (1L, ts("2024-01-01 12:00:00"), "purchase", 10.0),
+      // u2: view+click journey -> v({view,click}) = 12
+      (2L, ts("2024-01-02 10:00:00"), "view", 0.0),
+      (2L, ts("2024-01-02 11:00:00"), "click", 0.0),
+      (2L, ts("2024-01-02 12:00:00"), "purchase", 12.0),
+      // u3: untouched purchase -> direct baseline v(empty) = 5
+      (3L, ts("2024-01-03 12:00:00"), "purchase", 5.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = Behavior.shapleyAttribution(
+        events, Seq("view", "click", "signup"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // V({v})=10, V({c})=0, V({v,c})=22, V(N)=22; 6·phi_view =
+    // 2·10 + 1·22 + 1·10 + 2·22 = 96 -> 16; 6·phi_click =
+    // 0 + 1·12 + 0 + 2·12 = 36 -> 6; signup never touches -> 0
+    assert(got("view") == (("view", 2L, 16.0)))
+    assert(got("click") == (("click", 1L, 6.0)))
+    assert(got("signup") == (("signup", 0L, 0.0)))
+    assert(got("direct") == (("direct", 1L, 5.0)))
+    // Shapley efficiency: channel credits + direct = total revenue
+    assert(math.abs(got.values.map(_._3).sum - 27.0) < 1e-9)
+  }
+
+  test("shapleyAttribution: symmetric channels split their joint revenue equally") {
+    val events = Seq(
+      // click and signup appear ONLY together -> symmetry axiom:
+      // identical marginal contributions, equal credit (9/2 each)
+      (1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (1L, ts("2024-01-01 11:00:00"), "signup", 0.0),
+      (1L, ts("2024-01-01 12:00:00"), "purchase", 9.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = Behavior.shapleyAttribution(
+        events, Seq("view", "click", "signup"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got("click") == 4.5 && got("signup") == 4.5)
+    assert(got("view") == 0.0 && got("direct") == 0.0)
+  }
 }

@@ -63,4 +63,52 @@ class ExperimentSpec extends SparkSpec {
     assert(got.forall(_._5 == 0.0))
     assert(got.forall(r => r._3 == r._4)) // adjusted == raw when theta = 0
   }
+
+  test("PoissonThresholds: 9 strictly increasing cut points matching the Poisson(1) CDF") {
+    val th = Experiment.PoissonThresholds
+    assert(th.size == 9)
+    assert(th == th.sorted && th.distinct.size == 9)
+    val scale = math.pow(2.0, 60)
+    // P(w = 0) = e^-1, P(w <= 1) = 2e^-1
+    assert(math.abs(th.head / scale - math.exp(-1.0)) < 1e-12)
+    assert(math.abs(th(1) / scale - 2.0 * math.exp(-1.0)) < 1e-12)
+    assert(th.last < (1L << 60)) // tail mass truncates to w = 9
+  }
+
+  test("poissonBootstrapCI: point mean exact, CI matches the hand-replicated resample") {
+    val rows = (1L to 12L).map { u =>
+      (u, u % 2 == 0, 10.0 + u.toDouble) // arm 1 = evens, spends 11..22
+    }
+    val df = rows.toDF("user_id", "is_loyalty", "total_revenue")
+    val reps = 40 // loRank = ceil(0.05*40) = 2, hiRank = ceil(0.95*40) = 38
+    val got = Experiment.poissonBootstrapCI(df, reps = reps)
+      .as[(Long, Long, Double, Double, Double, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(got.map(_._1) == Seq(0L, 1L))
+    assert(got.forall(_._2 == 6L))
+
+    // hand replica: identical hash -> weight -> half-up-ratio chain
+    def weight(b: Int, u: Long): Long = {
+      val h = Portable.h60Local(s"boot#$b#$u")
+      Experiment.PoissonThresholds.count(t => h >= t).toLong
+    }
+    val byArm = rows.groupBy(r => if (r._2) 1L else 0L)
+    byArm.foreach { case (arm, users) =>
+      val xs = users.map(r => (r._1, math.rint(r._3 * 10000).toLong))
+      val sx = xs.map(_._2).sum
+      val n = xs.size.toLong
+      val meanExpect = ((sx * 100 * 2 + n) / (2 * n)) / 1e6
+      val mus = (0 until reps).flatMap { b =>
+        val sw = xs.map { case (u, _) => weight(b, u) }.sum
+        val swx = xs.map { case (u, x) => weight(b, u) * x }.sum
+        if (sw > 0) Some(((swx * 100 * 2 + sw) / (2 * sw), b)) else None
+      }.sorted
+      val r = got.find(_._1 == arm).get
+      assert(r._3 == meanExpect)
+      assert(r._4 == mus(1)._1 / 1e6)  // rank 2 (1-indexed)
+      assert(r._5 == mus(37)._1 / 1e6) // rank 38
+      assert(r._6 == mus.size.toLong)
+      assert(r._4 <= r._5)
+    }
+  }
 }

@@ -110,6 +110,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("simplifiedSilhouette: identical-vector cells score exactly 1; mixed cell scores lower") {
+    val tight = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (100L, Array(0.0f, 1.0f)), (101L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // every point sits ON its centroid: a = 0, b = 1 -> s = 1 exactly
+    val got = Similarity
+      .simplifiedSilhouette(tight, "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0L, 3L, 1.0), (100L, 2L, 1.0)))
+
+    // pull one member of cell 0 toward cell 100: its a grows, b shrinks,
+    // so cell 0's mean drops strictly below 1 while staying positive
+    val smeared = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f)),
+      (100L, Array(0.0f, 1.0f)), (101L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val m = Similarity.simplifiedSilhouette(smeared, "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(m(0L) < 1.0 && m(0L) > 0.0)
+    assert(m(100L) > 0.9)
+  }
+
   test("IVF assigns to nearest centroid and searches only the cell") {
     // centroids: ids 0 and 100 (centroidEvery=100)
     val vecs = Seq(
