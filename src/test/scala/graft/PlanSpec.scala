@@ -675,6 +675,46 @@ class PlanSpec extends SparkSpec {
       s"year ranges must reach the orders scans:\n$txt")
   }
 
+  test("q313-q315 additions keep their claimed shapes") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // a .persist() hides its subtree behind InMemoryTableScan — recurse
+    // into cached plans so windows under the cache cut are still seen
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def planWindows(p: SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case s: InMemoryTableScanExec => planWindows(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => planWindows(a.inputPlan)
+      }.flatten
+    def windows(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] =
+      planWindows(df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+        .queryExecution.sparkPlan)
+    // bootstrap: replicate ranking stays arm-partitioned; nothing cartesian
+    val boot = SparkEntry.queries("q313_bootstrap_ci")(spark, sf)
+    val bw = windows(boot)
+    assert(bw.nonEmpty && bw.forall(_.partitionSpec.nonEmpty),
+      "replicate ranking must stay arm-partitioned")
+    assert(!planText(boot).contains("CartesianProduct"),
+      "the bootstrap must never plan a cartesian")
+    // shapley: ONE user-partitioned window carries all channel counts
+    // (the linearAttribution device); the lattice above it is 2^n-sized
+    val shap = SparkEntry.queries("q314_shapley_attribution")(spark, sf)
+    // the cached mask aggregate is consumed by several branches, so the
+    // one window subtree surfaces once per cache reference — distinct it
+    val sw = windows(shap).distinct
+    assert(sw.size == 1 && sw.head.partitionSpec.nonEmpty,
+      "all per-type counts must ride ONE user-partitioned window")
+    // silhouette: centroids broadcast onto points; no window anywhere
+    val sil = SparkEntry.queries("q315_silhouette")(spark, sf)
+    val txt = planText(sil)
+    assert(txt.contains("BroadcastNestedLoopJoin"),
+      "the bounded centroid table must broadcast onto the points")
+    assert(!txt.contains("CartesianProduct"),
+      s"silhouette must never plan a shuffle cartesian:\n$txt")
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
