@@ -2216,6 +2216,13 @@ object SparkEntry {
     "q315_silhouette" -> ((s, dir) =>
       Similarity.simplifiedSilhouette(
         Tables.embeddings(s, dir), "vec_id", "embedding")),
+
+    // ---- ext: empirical-Bayes beta-binomial shrinkage of the
+    // per-restaurant loyalty share (method-of-moments prior; the
+    // small-sample league-table fix next to q229's Wilson bound) ----
+    "q316_eb_shrinkage" -> ((s, dir) =>
+      graft.ext.Experiment.ebShrunkLoyaltyShare(
+        Conformed.orderRevenueCached(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7227,6 +7234,37 @@ object SparkEntry {
     },
 
     "q315_silhouette" -> ExtOracleSql.simplifiedSilhouette(2, 100),
+
+    "q316_eb_shrinkage" -> OracleSql.withBase(
+      """ebp AS (
+             SELECT restaurant_id, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN is_loyalty THEN 1 ELSE 0 END)
+                      AS BIGINT) AS x,
+                    ((CAST(sum(CASE WHEN is_loyalty THEN 1 ELSE 0 END)
+                        AS BIGINT) * 1000000 * 2) + count(*))
+                      // (count(*) * 2) AS pu
+             FROM order_revenue GROUP BY 1),
+         ebm AS (
+             SELECT CAST(count(*) AS BIGINT) AS m_rest,
+                    CAST(sum(pu) AS BIGINT) AS sp,
+                    CAST(sum(pu * pu) AS BIGINT) AS spp
+             FROM ebp),
+         ebk AS (
+             SELECT m_rest, sp, spp,
+                    CAST(sp AS DOUBLE) / CAST(m_rest AS DOUBLE) / 1e6 AS m,
+                    CAST(spp AS DOUBLE) / CAST(m_rest AS DOUBLE) / 1e12
+                      - (CAST(sp AS DOUBLE) / CAST(m_rest AS DOUBLE) / 1e6)
+                        * (CAST(sp AS DOUBLE) / CAST(m_rest AS DOUBLE) / 1e6)
+                      AS v
+             FROM ebm),
+         ebg AS (
+             SELECT m, v, m * (1.0 - m) / v - 1.0 AS k FROM ebk)""",
+      """SELECT p.restaurant_id, p.n AS n_lines, p.pu / 1e6 AS raw_share,
+                round(CASE WHEN g.v > 0.0 AND g.k > 0.0
+                      THEN (CAST(p.x AS DOUBLE) + g.m * g.k)
+                           / (CAST(p.n AS DOUBLE) + g.k)
+                      ELSE p.pu / 1e6 END, 6) AS shrunk_share
+         FROM ebp p CROSS JOIN ebg g ORDER BY p.restaurant_id"""),
 
     "q305_position_attribution" ->
       """WITH pp AS (

@@ -424,6 +424,50 @@ object Experiment {
         round(mde / meanC, 6)).as("mde_rel"))
   }
 
+  /** Empirical-Bayes beta-binomial shrinkage of each restaurant's
+    * loyalty-line share — the small-sample league-table fix (the
+    * [[graft.ext.Supply]] Wilson bound ranks by a pessimistic bound;
+    * this RE-ESTIMATES: a 3-line restaurant at 100% should not outrank
+    * a 500-line one at 60%). Method-of-moments beta prior across
+    * restaurants: m and v are the mean and population variance of the
+    * per-restaurant rates, K = m(1−m)∕v − 1, and the posterior mean is
+    * (x + mK)∕(n + K) — shrinking low-n rates toward the global m.
+    * Degenerate priors (v = 0, or over-dispersion making K ≤ 0) fall
+    * back to the raw rate on BOTH engines via the same guard.
+    *
+    * Exactness: x and n are exact longs; each raw rate is the half-up
+    * micro ratio, so the prior moments accumulate as order-free
+    * integer sums (Σp, Σp² in micro units); m, v, K, and the posterior
+    * are then one fixed IEEE chain over those integers, mirrored
+    * parenthesis-for-parenthesis, rounded to 6dp only at render.
+    *
+    * Scale shape: one fact-grain hash aggregate to restaurant grain,
+    * a constant-size moment aggregate returning via broadcast, and a
+    * projection — no window, no second scan. */
+  def ebShrunkLoyaltyShare(orderRevenue: DataFrame): DataFrame = {
+    val per = orderRevenue
+      .groupBy(col("restaurant_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_loyalty"), 1L).otherwise(0L)).as("x"))
+      .withColumn("pu", expr("((x * 1000000 * 2) + n) div (n * 2)"))
+      // the moment aggregate and the posterior projection both read it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mom = per.agg(count(lit(1)).as("m_rest"),
+      sum(col("pu")).as("sp"), sum(col("pu") * col("pu")).as("spp"))
+    val m = col("sp").cast("double") / col("m_rest").cast("double") / 1e6
+    val ex2 = col("spp").cast("double") / col("m_rest").cast("double") / 1e12
+    val v = ex2 - (col("sp").cast("double") / col("m_rest").cast("double")
+      / 1e6) * (col("sp").cast("double") / col("m_rest").cast("double") / 1e6)
+    val k = m * (lit(1.0) - m) / v - lit(1.0)
+    per.crossJoin(broadcast(mom))
+      .select(col("restaurant_id"), col("n").as("n_lines"),
+        (col("pu") / 1e6).as("raw_share"),
+        round(when(v > 0.0 && k > 0.0,
+            (col("x").cast("double") + m * k) / (col("n").cast("double") + k))
+          .otherwise(col("pu") / 1e6), 6).as("shrunk_share"))
+      .orderBy(col("restaurant_id"))
+  }
+
   /** Poisson(1) inverse-CDF thresholds in [[graft.functions.Portable.h60]]
     * units: a uniform h ∈ [0, 2⁶⁰) maps to weight w = #{k : h ≥ t_k},
     * so P(w = k) = e⁻¹∕k! for k ≤ 8 (the tail above k = 9 — total mass

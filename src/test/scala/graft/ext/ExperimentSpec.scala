@@ -64,6 +64,42 @@ class ExperimentSpec extends SparkSpec {
     assert(got.forall(r => r._3 == r._4)) // adjusted == raw when theta = 0
   }
 
+  test("ebShrunkLoyaltyShare: MoM prior shrinks small-n extremes toward the global mean") {
+    val rows =
+      Seq.fill(4)((10L, true)) ++ // A: 4/4 -> raw 1.0
+      Seq.fill(4)((20L, false)) ++ // B: 0/4 -> raw 0.0
+      Seq((30L, true), (30L, false)) // C: 1/2 -> raw 0.5
+    val df = rows.toDF("restaurant_id", "is_loyalty")
+      .withColumn("total_revenue", lit(1.0))
+    val got = Experiment.ebShrunkLoyaltyShare(df)
+      .as[(Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    // replicate the exact integer->double chain: pu in micro units
+    val pu = Map(10L -> 1000000L, 20L -> 0L, 30L -> 500000L)
+    val sp = pu.values.sum; val spp = pu.values.map(p => p * p).sum
+    val m = sp.toDouble / 3.0 / 1e6
+    val v = spp.toDouble / 3.0 / 1e12 -
+      (sp.toDouble / 3.0 / 1e6) * (sp.toDouble / 3.0 / 1e6)
+    val k = m * (1.0 - m) / v - 1.0
+    def shrunk(x: Long, n: Long) =
+      BigDecimal((x.toDouble + m * k) / (n.toDouble + k))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (10L, 4L, 1.0, shrunk(4, 4)),
+      (20L, 4L, 0.0, shrunk(0, 4)),
+      (30L, 2L, 0.5, shrunk(1, 2))))
+    // extremes move inward, the at-mean restaurant stays put
+    assert(got(0)._4 < 1.0 && got(1)._4 > 0.0 && got(2)._4 == 0.5)
+  }
+
+  test("ebShrunkLoyaltyShare: a degenerate prior (v = 0) falls back to the raw rate") {
+    val df = (Seq((1L, true), (1L, false), (2L, true), (2L, false)))
+      .toDF("restaurant_id", "is_loyalty")
+      .withColumn("total_revenue", lit(1.0))
+    val got = Experiment.ebShrunkLoyaltyShare(df)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.forall(r => r._3 == 0.5 && r._4 == 0.5))
+  }
+
   test("PoissonThresholds: 9 strictly increasing cut points matching the Poisson(1) CDF") {
     val th = Experiment.PoissonThresholds
     assert(th.size == 9)
