@@ -715,6 +715,20 @@ class PlanSpec extends SparkSpec {
       s"silhouette must never plan a shuffle cartesian:\n$txt")
   }
 
+  test("q316 EB shrinkage: broadcast scalar prior, no window, no cartesian") {
+    val df = SparkEntry.queries("q316_eb_shrinkage")(spark, sf)
+    val txt = planText(df)
+    // the 1-row moment aggregate returns to the restaurant mart via a
+    // broadcast nested-loop (the scalar-broadcast crossJoin idiom) —
+    // never a shuffle cartesian, and no window anywhere in the plan
+    assert(txt.contains("BroadcastNestedLoopJoin"),
+      s"the moment aggregate must broadcast onto the restaurant mart:\n$txt")
+    assert(!txt.contains("CartesianProduct"),
+      s"EB shrinkage must never plan a shuffle cartesian:\n$txt")
+    assert(!txt.contains("Window"),
+      s"EB shrinkage needs no window (two hash aggregates only):\n$txt")
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
