@@ -2223,6 +2223,18 @@ object SparkEntry {
     "q316_eb_shrinkage" -> ((s, dir) =>
       graft.ext.Experiment.ebShrunkLoyaltyShare(
         Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: isotonic (PAV) calibration of the quality score vs
+    // lang=en — the monotone re-fit next to q150's diagnostic bins
+    // and q307's Brier summary, via the exact minimax identity ----
+    "q317_isotonic" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(Tables.documents(s, dir),
+          "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      graft.ext.Profiling.isotonicCalibration(q.join(d, Seq("doc_id")),
+        col("quality_score"), col("lang") === "en")
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7265,6 +7277,8 @@ object SparkEntry {
                            / (CAST(p.n AS DOUBLE) + g.k)
                       ELSE p.pu / 1e6 END, 6) AS shrunk_share
          FROM ebp p CROSS JOIN ebg g ORDER BY p.restaurant_id"""),
+
+    "q317_isotonic" -> ExtOracleSql.isotonicQualityEn,
 
     "q305_position_attribution" ->
       """WITH pp AS (

@@ -1160,6 +1160,69 @@ object Profiling {
       .orderBy(col("bin"))
   }
 
+  /** Isotonic (PAV) calibration of a [0,1] score against a boolean
+    * label, at bin grain — the monotone RE-FIT next to
+    * [[calibrationBins]]' diagnostic diagram: where the reliability
+    * diagram only SHOWS a non-monotone positive rate, this returns the
+    * least-squares monotone rate per bin (Barlow et al.'s
+    * pool-adjacent-violators fit) a caller would map scores through.
+    * Computed via the exact minimax identity
+    * ŷ_i = max_{j≤i} min_{k≥i} mean(pos_j..pos_k) — equal to PAV's
+    * output, but expressible as bounded joins instead of a sequential
+    * pooling loop, so BOTH engines evaluate the same closed form.
+    *
+    * Exactness: per-bin n/n_pos are exact longs; interval means are
+    * half-up micro ratios of prefix-sum differences (exact integers),
+    * so min/max compare exact integers; ∕1e6 only at render.
+    *
+    * Scale shape: ONE data-sized hash aggregate to ≤ nBins rows;
+    * everything after (prefix window, interval self-join, the
+    * j≤i≤k triple) runs on the bin mart — ≤ B³ rows for B = nBins,
+    * constant-bounded regardless of input row count. The
+    * unpartitioned prefix window consumes the post-aggregate mart
+    * (HashAggregate below it), per the boundedness audit. */
+  def isotonicCalibration(
+      df: DataFrame, scoreCol: Column, label: Column,
+      nBins: Int = 10): DataFrame = {
+    val base = df.select(
+      round(scoreCol * 1e6).cast("long").as("sq"),
+      when(label, 1L).otherwise(0L).as("pos"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = base
+      .select(
+        greatest(least(expr(s"sq * $nBins div 1000000"), lit(nBins - 1L)),
+            lit(0L))
+          .cast("long").as("bin"), col("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        sum(col("n")).over(w).as("cn"), sum(col("n_pos")).over(w).as("cs"))
+      // the bin mart feeds four readers (j, k, i, and the output join)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val jSide = pre.select(col("bin").as("jb"),
+      (col("cn") - col("n")).as("cnm1"), (col("cs") - col("n_pos")).as("csm1"))
+    val kSide = pre.select(col("bin").as("kb"),
+      col("cn").as("cnk"), col("cs").as("csk"))
+    val iv = jSide.join(kSide, col("jb") <= col("kb"))
+      .select(col("jb"), col("kb"),
+        expr("""(((csk - csm1) * 1000000 * 2) + (cnk - cnm1))
+                div ((cnk - cnm1) * 2)""").as("avg_u"))
+    val fitted = iv
+      .join(pre.select(col("bin").as("ib")),
+        col("jb") <= col("ib") && col("ib") <= col("kb"))
+      .groupBy(col("ib"), col("jb")).agg(min(col("avg_u")).as("mn"))
+      .groupBy(col("ib")).agg(max(col("mn")).as("iso_u"))
+    pre.join(fitted, col("bin") === col("ib"))
+      .select(col("bin"),
+        round(col("bin").cast("double") / nBins, 6).as("bin_lo"),
+        col("n"), col("n_pos"),
+        expr("((n_pos * 1000000 * 2 + n) div (n * 2)) " +
+          "/ cast(1000000 as double)").as("raw_rate"),
+        (col("iso_u") / 1e6).as("iso_rate"))
+      .orderBy(col("bin"))
+  }
+
   /** Murphy decomposition of the Brier score — the single-number
     * summary BEHIND [[calibrationBins]]' per-bin diagram:
     * BS = REL − RES + UNC, where reliability Σn_k(p̄_k−ō_k)²∕N is what

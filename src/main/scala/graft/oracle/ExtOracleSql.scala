@@ -1448,6 +1448,39 @@ object ExtOracleSql {
        |              * (1.0 - CAST(so AS DOUBLE) / n)), 6) AS within_bin
        |FROM bt CROSS JOIN bm""".stripMargin
 
+  /** Mirrors [[graft.ext.Profiling.isotonicCalibration]] over the
+    * quality score vs lang=en — same micro CTE and bin edge as
+    * [[calibrationBinsQualityEn]]; the PAV fit via the minimax
+    * identity over half-up micro interval means (exact integers on
+    * both engines). */
+  def isotonicQualityEn: String =
+    s"""WITH $qualityMicroCte,
+       |ibb AS (SELECT GREATEST(LEAST(q.qu * 10 // 1000000, 9), 0) AS bin,
+       |               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+       |        FROM q JOIN documents d USING (doc_id)),
+       |iba AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(pos) AS BIGINT) AS n_pos
+       |        FROM ibb GROUP BY 1),
+       |ibp AS (SELECT bin, n, n_pos,
+       |               CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+       |               CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cs
+       |        FROM iba),
+       |ivv AS (SELECT j.bin AS jb, k.bin AS kb,
+       |               (((k.cs - (j.cs - j.n_pos)) * 1000000 * 2)
+       |                + (k.cn - (j.cn - j.n)))
+       |               // ((k.cn - (j.cn - j.n)) * 2) AS avg_u
+       |        FROM ibp j JOIN ibp k ON j.bin <= k.bin),
+       |ifm AS (SELECT i.bin AS ib, v.jb, min(v.avg_u) AS mn
+       |        FROM ivv v JOIN ibp i ON v.jb <= i.bin AND i.bin <= v.kb
+       |        GROUP BY 1, 2),
+       |iff AS (SELECT ib, max(mn) AS iso_u FROM ifm GROUP BY 1)
+       |SELECT p.bin, round(CAST(p.bin AS DOUBLE) / 10, 6) AS bin_lo,
+       |       p.n, p.n_pos,
+       |       ((p.n_pos * 1000000 * 2 + p.n) // (p.n * 2)) / 1000000.0
+       |         AS raw_rate,
+       |       f.iso_u / 1000000.0 AS iso_rate
+       |FROM ibp p JOIN iff f ON p.bin = f.ib ORDER BY p.bin""".stripMargin
+
   /** Mirrors [[graft.ext.Dedup.canonicalPolicyAudit]] — the same
     * [[qualityMicroCte]] micro score; the near-dup group key is the
     * q25 min-shingle fingerprint (singleton-salted when NULL);

@@ -318,4 +318,53 @@ class ProfilingSpec extends SparkSpec {
       && d1._5 == 3.0 / 5.0 - 0.3010299956639812)
     assert(got.map(_._2).sum == 5L)
   }
+
+  test("isotonicCalibration: PAV pools the adjacent violation, empty bins skipped") {
+    val rows = Seq(
+      (0.10, false), (0.12, false), // bin 0 -> 0/2
+      (0.30, true), (0.32, true), // bin 1 -> 2/2 (violates vs bin 2)
+      (0.50, true), (0.52, false), // bin 2 -> 1/2
+      (0.90, true), (0.92, true)) // bin 4 -> 2/2; bin 3 empty
+    val got = Profiling.isotonicCalibration(
+        rows.toDF("score", "en"), $"score", $"en", nBins = 5)
+      .select($"bin", $"n", $"n_pos", $"raw_rate", $"iso_rate")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // PAV pools bins 1 and 2: (2 + 1) / (2 + 2) = 0.75
+    assert(got == Seq(
+      (0L, 2L, 0L, 0.0, 0.0),
+      (1L, 2L, 2L, 1.0, 0.75),
+      (2L, 2L, 1L, 0.5, 0.75),
+      (4L, 2L, 2L, 1.0, 1.0)))
+  }
+
+  test("isotonicCalibration: minimax fit equals sequential PAV and is monotone") {
+    // deterministic noisy-monotone labels over hash-spread scores
+    val rows = (1 to 400).map { i =>
+      val h = (i * 2654435761L) & 0xffffffffL
+      val score = (h % 1000) / 1000.0
+      val label = ((h / 7) % 100) < 20 + (score * 60).toLong
+      (score, label)
+    }
+    val got = Profiling.isotonicCalibration(
+        rows.toDF("score", "en"), $"score", $"en", nBins = 10)
+      .select($"bin", $"n", $"n_pos", $"iso_rate")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // reference: sequential pool-adjacent-violators over the same bins,
+    // pool means compared as exact cross-multiplied rationals
+    val bins = got.map(r => (r._1, r._2, r._3))
+    val stack = scala.collection.mutable.Stack[(Long, Long, Int)]() // n, pos, width
+    bins.foreach { case (_, n, pos) =>
+      var (cn, cp, cw) = (n, pos, 1)
+      while (stack.nonEmpty && stack.top._2 * cn >= cp * stack.top._1) {
+        val (pn, pp, pw) = stack.pop(); cn += pn; cp += pp; cw += pw
+      }
+      stack.push((cn, cp, cw))
+    }
+    val fitted = stack.toSeq.reverse.flatMap { case (n, pos, w) =>
+      Seq.fill(w)((pos * 1000000L * 2 + n) / (n * 2)) // half-up micro
+    }
+    assert(got.map(r => math.round(r._4 * 1e6)) == fitted)
+    assert(fitted.sliding(2).forall(p => p.size < 2 || p(0) <= p(1)),
+      "isotonic fit must be monotone non-decreasing")
+  }
 }
