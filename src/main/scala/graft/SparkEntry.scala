@@ -2235,6 +2235,13 @@ object SparkEntry {
       graft.ext.Profiling.isotonicCalibration(q.join(d, Seq("doc_id")),
         col("quality_score"), col("lang") === "en")
     }),
+
+    // ---- ext: Benjamini-Hochberg FDR over the per-restaurant
+    // loyalty-lift chi-square family (the multiplicity control the
+    // single-test tier leaves open) ----
+    "q318_bh_fdr" -> ((s, dir) =>
+      graft.ext.Experiment.bhFdrLoyaltyLift(
+        Conformed.orderRevenueCached(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7279,6 +7286,52 @@ object SparkEntry {
          FROM ebp p CROSS JOIN ebg g ORDER BY p.restaurant_id"""),
 
     "q317_isotonic" -> ExtOracleSql.isotonicQualityEn,
+
+    "q318_bh_fdr" -> OracleSql.withBase(
+      """bhp AS (
+             SELECT restaurant_id, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN is_loyalty THEN 1 ELSE 0 END)
+                      AS BIGINT) AS x
+             FROM order_revenue GROUP BY 1),
+         bht AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                        CAST(sum(x) AS BIGINT) AS xx FROM bhp),
+         bhc AS (SELECT p.restaurant_id, p.n, p.x,
+                        CAST(p.x AS HUGEINT)
+                            * CAST((t.nn - p.n) - (t.xx - p.x) AS HUGEINT)
+                          - CAST(p.n - p.x AS HUGEINT)
+                            * CAST(t.xx - p.x AS HUGEINT) AS diff,
+                        CAST(p.n AS DOUBLE) * CAST(t.nn - p.n AS DOUBLE)
+                          * CAST(t.xx AS DOUBLE)
+                          * CAST(t.nn - t.xx AS DOUBLE) AS den,
+                        t.nn
+                 FROM bhp p CROSS JOIN bht t),
+         bhq AS (SELECT restaurant_id, n, x,
+                        CAST(round(CAST(nn AS DOUBLE) * CAST(diff AS DOUBLE)
+                          * CAST(diff AS DOUBLE) / den * 1e6) AS BIGINT)
+                          AS chi2q
+                 FROM bhc WHERE den > 0),
+         bhz AS (SELECT *, sqrt(chi2q / 2e6) AS z FROM bhq),
+         bhw AS (SELECT *, 1.0 / (1.0 + 0.3275911 * z) AS tt FROM bhz),
+         bhpv AS (SELECT restaurant_id, n, x, chi2q,
+                         CAST(round(((((1.061405429 * tt - 1.453152027) * tt
+                           + 1.421413741) * tt - 0.284496736) * tt
+                           + 0.254829592) * tt * exp(-(z * z)) * 1e9)
+                           AS BIGINT) AS pu
+                  FROM bhw),
+         bhr AS (SELECT *, row_number()
+                        OVER (ORDER BY pu, restaurant_id) AS p_rank
+                 FROM bhpv),
+         bhm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM bhr),
+         bhf AS (SELECT r.*, m.m,
+                        CASE WHEN CAST(r.pu AS HUGEINT) * m.m * 1000
+                             <= CAST(r.p_rank AS HUGEINT) * 50 * 1000000000
+                             THEN r.p_rank ELSE 0 END AS fr
+                 FROM bhr r CROSS JOIN bhm m),
+         bhx AS (SELECT max(fr) AS cutoff FROM bhf)""",
+      """SELECT f.restaurant_id, f.n AS n_lines, f.x AS n_loyal,
+                f.chi2q / 1e6 AS chi2, f.pu / 1e9 AS p_value,
+                f.p_rank, f.m AS m_tests, f.p_rank <= x.cutoff AS rejected
+         FROM bhf f CROSS JOIN bhx x ORDER BY f.p_rank"""),
 
     "q305_position_attribution" ->
       """WITH pp AS (

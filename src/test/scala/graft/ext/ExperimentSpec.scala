@@ -100,6 +100,36 @@ class ExperimentSpec extends SparkSpec {
     assert(got.forall(r => r._3 == 0.5 && r._4 == 0.5))
   }
 
+  test("bhFdrLoyaltyLift: strong lifts rejected, null effect survives, step-up cutoff") {
+    val rows =
+      Seq.fill(38)((1L, true)) ++ Seq.fill(2)((1L, false)) ++ // A: 38/40
+      Seq.fill(2)((2L, true)) ++ Seq.fill(38)((2L, false)) ++ // B: 2/40
+      Seq.fill(20)((3L, true)) ++ Seq.fill(20)((3L, false)) // C: 20/40 = global
+    val df = rows.toDF("restaurant_id", "is_loyalty")
+      .withColumn("total_revenue", lit(1.0))
+    val got = Experiment.bhFdrLoyaltyLift(df)
+      .select($"restaurant_id", $"chi2", $"p_value", $"p_rank", $"m_tests",
+        $"rejected")
+      .as[(Long, Double, Double, Int, Long, Boolean)].collect().toSeq
+    // hand 2x2 for A: diff = 38*58 - 2*22 = 2160,
+    // chi2 = 120 * 2160^2 / (40*80*60*60) = 48.6; B symmetric; C null
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got(0)._2 == 48.6 && got(1)._2 == 48.6 && got(2)._2 == 0.0)
+    assert(got(0)._6 && got(1)._6 && !got(2)._6)
+    assert(got.forall(_._5 == 3L))
+    // erfc(0) under the A&S chain lands at 0.999999999, not 1.0 exactly
+    assert(got(2)._3 == 0.999999999)
+    // reference p for chi2 = 48.6 via the identical double chain
+    val z = math.sqrt(48600000L / 2e6)
+    val tt = 1.0 / (1.0 + 0.3275911 * z)
+    val p = ((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+      - 0.284496736) * tt + 0.254829592) * tt * math.exp(-(z * z))
+    assert(got(0)._3 == math.round(p * 1e9) / 1e9)
+    // rejections form a rank prefix (the step-up guarantee)
+    val rej = got.sortBy(_._4).map(_._6)
+    assert(!rej.dropWhile(identity).contains(true))
+  }
+
   test("PoissonThresholds: 9 strictly increasing cut points matching the Poisson(1) CDF") {
     val th = Experiment.PoissonThresholds
     assert(th.size == 9)
