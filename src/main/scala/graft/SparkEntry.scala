@@ -2242,6 +2242,12 @@ object SparkEntry {
     "q318_bh_fdr" -> ((s, dir) =>
       graft.ext.Experiment.bhFdrLoyaltyLift(
         Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: Good-Turing frequency smoothing at count-of-counts
+    // grain (the estimator behind held-out LM probabilities; unseen
+    // mass = N1/N) ----
+    "q319_good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuring(Tables.documents(s, dir), "text")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7332,6 +7338,29 @@ object SparkEntry {
                 f.chi2q / 1e6 AS chi2, f.pu / 1e9 AS p_value,
                 f.p_rank, f.m AS m_tests, f.p_rank <= x.cutoff AS rejected
          FROM bhf f CROSS JOIN bhx x ORDER BY f.p_rank"""),
+
+    "q319_good_turing" ->
+      s"""WITH gtt AS (
+             SELECT unnest(${graft.functions.Portable.tokensSql("text")})
+               AS term FROM documents),
+           gtc AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                   FROM gtt GROUP BY 1),
+           gtn AS (SELECT c, CAST(count(*) AS BIGINT) AS n_types
+                   FROM gtc GROUP BY 1),
+           gts AS (SELECT CAST(sum(CAST(c AS HUGEINT) * n_types) AS HUGEINT)
+                       AS n_tok,
+                     CAST(sum(CASE WHEN c = 1 THEN n_types ELSE 0 END)
+                       AS BIGINT) AS n1
+                   FROM gtn)
+         SELECT a.c AS r, a.n_types,
+                CASE WHEN b.n_types IS NOT NULL THEN
+                  CAST(((CAST(a.c + 1 AS HUGEINT) * b.n_types * 1000000 * 2
+                         + a.n_types) // (a.n_types * 2)) AS DOUBLE) / 1e6
+                END AS r_star,
+                CAST(((CAST(t.n1 AS HUGEINT) * 1000000 * 2 + t.n_tok)
+                      // (t.n_tok * 2)) AS DOUBLE) / 1e6 AS p_unseen
+         FROM gtn a LEFT JOIN gtn b ON b.c = a.c + 1 CROSS JOIN gts t
+         ORDER BY r""",
 
     "q305_position_attribution" ->
       """WITH pp AS (

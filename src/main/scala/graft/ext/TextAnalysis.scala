@@ -376,6 +376,50 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("term"))
       .limit(topK)
 
+  /** Good–Turing frequency smoothing over the corpus token counts —
+    * the estimator BEHIND every held-out LM probability the text tier
+    * reports: raw counts overestimate seen types and give unseen types
+    * zero, while Turing's estimate r* = (r+1)·N_{r+1}∕N_r (N_r = how
+    * many types occur exactly r times) discounts each frequency class
+    * by how the class above thins out, and the leftover mass
+    * P₀ = N₁∕N is exactly what a singleton suggests remains unseen.
+    * Reported at frequency-class grain: r, N_r, r* (NULL where
+    * N_{r+1} = 0 — the classic smoothed-fit zone), and the constant
+    * unseen mass alongside.
+    *
+    * Exactness: counts and count-of-counts are exact longs; r* and P₀
+    * are half-up micro ratios with decimal(38,0)/HUGEINT numerators
+    * ((r+1)·N_{r+1}·10⁶·2 can pass 2⁶³ only past ~10¹² tokens — inside
+    * the widened envelope either way).
+    *
+    * Scale shape: one token explode → vocabulary-grain hash aggregate;
+    * the count-of-counts table is ≤ O(√N) rows (Σ r·N_r = N bounds the
+    * number of distinct r), so the r↦r+1 self-join and the scalar
+    * totals all run on a mart smaller than the vocabulary. */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val coc = docs
+      .select(explode(Portable.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_types"))
+      // read by both sides of the r->r+1 join, the totals, the output
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = coc.agg(
+      sum(col("c").cast(dec) * col("n_types").cast(dec)).as("n_tok"),
+      sum(when(col("c") === 1L, col("n_types")).otherwise(0L)).as("n1"))
+    val nxt = coc.select((col("c") - 1).as("rm"), col("n_types").as("nt1"))
+    coc.join(nxt, col("c") === col("rm"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("c").as("r"), col("n_types"),
+        when(col("nt1").isNotNull,
+          expr(s"""((cast(c + 1 as $dec) * nt1 * 1000000 * 2 + n_types)
+                   div (n_types * 2))""").cast("double") / 1e6)
+          .as("r_star"),
+        (expr(s"""((cast(n1 as $dec) * 1000000 * 2 + n_tok)
+                  div (n_tok * 2))""").cast("double") / 1e6).as("p_unseen"))
+      .orderBy(col("r"))
+  }
+
   /** Per-document top terms by TF-IDF (tf × ln(N/df)), the relevance
     * weighting layer over [[termStats]]. Ties (identical scores — same
     * (tf, df) pair) break on the term, so the per-doc ranking is total.

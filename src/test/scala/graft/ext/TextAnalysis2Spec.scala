@@ -211,4 +211,22 @@ class TextAnalysis2Spec extends SparkSpec {
     assert(got("w") == ((1L, "3")))
     assert(got("only1") == ((1L, "1")))
   }
+
+  test("goodTuring: hand-computed count-of-counts, r*, and unseen mass") {
+    // counts: a=3 b=2 c=2 d=1 e=1 f=1 -> N=10, N1=3, N2=2, N3=1
+    val docs = Seq("a a a b", "b c c d", "e f").toDF("text")
+    val got = TextAnalysis.goodTuring(docs, "text")
+      .as[(Long, Long, Option[Double], Double)].collect().toSeq
+    assert(got == Seq(
+      // r=1: r* = 2*N2/N1 = 4/3 -> 1.333333 half-up micro
+      (1L, 3L, Some(1.333333), 0.3),
+      // r=2: r* = 3*N3/N2 = 1.5
+      (2L, 2L, Some(1.5), 0.3),
+      // r=3: N4 = 0 -> the smoothed-fit zone, NULL
+      (3L, 1L, None, 0.3)))
+    // mass check: GT reassigns, never creates: sum over seen classes of
+    // N_r * r* <= N, the gap is (approximately) the unseen mass
+    val reassigned = got.flatMap(r => r._3.map(_ * r._2)).sum
+    assert(reassigned <= 10.0 && got.head._4 == 0.3)
+  }
 }
