@@ -2248,6 +2248,13 @@ object SparkEntry {
     // mass = N1/N) ----
     "q319_good_turing" -> ((s, dir) =>
       TextAnalysis.goodTuring(Tables.documents(s, dir), "text")),
+
+    // ---- ext: EXACT Jaccard-threshold join via prefix filtering
+    // (AllPairs/PPJoin family — the exact-recall sibling of q16's
+    // LSH; the oracle is brute-force all-pairs, proving completeness)
+    "q320_prefix_jaccard" -> ((s, dir) =>
+      graft.ext.Dedup.prefixJaccardJoin(
+        Tables.documents(s, dir), "doc_id", "text")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7361,6 +7368,8 @@ object SparkEntry {
                       // (t.n_tok * 2)) AS DOUBLE) / 1e6 AS p_unseen
          FROM gtn a LEFT JOIN gtn b ON b.c = a.c + 1 CROSS JOIN gts t
          ORDER BY r""",
+
+    "q320_prefix_jaccard" -> ExtOracleSql.prefixJaccardJoin(3, 5, 1200),
 
     "q305_position_attribution" ->
       """WITH pp AS (

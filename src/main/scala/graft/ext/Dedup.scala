@@ -833,4 +833,69 @@ object Dedup {
         expr("(((sb - sm) * 2) + n_groups) div (n_groups * 2) " +
           "/ cast(1000000 as double)").as("mean_quality_gain"))
   }
+
+  /** EXACT Jaccard-threshold similarity self-join via prefix filtering
+    * (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    * TODS'11): the exact-recall sibling of the LSH tier. MinHash+LSH
+    * (q16) trades recall for speed probabilistically; this join returns
+    * EVERY pair with J ≥ τ and nothing below, using the prefix-filter
+    * principle: order each doc's shingles by ascending global document
+    * frequency (rarest first) — if J(a,b) ≥ τ then |a∩b| ≥ τ·|a| and
+    * ≥ τ·|b|, so a and b MUST share a shingle within each one's first
+    * |s| − ⌈τ|s|⌉ + 1 shingles. Only those prefix shingles enter the
+    * inverted index, so candidate postings hold the RARE end of the
+    * vocabulary; an exact set-intersection verify with a cross-
+    * multiplied integer compare (5·|∩| ≥ 3·|∪| for τ = 3∕5 — no float
+    * in the decision) closes the loop. The DuckDB oracle is the
+    * brute-force all-pairs join, so the gate proves the filter's
+    * COMPLETENESS, not just its precision.
+    *
+    * Like [[lshCalibrationCurve]], runs on the deterministic id-ordered
+    * `capDocs` sample — the oracle side is quadratic by spec. At scale
+    * the operator itself is the scale path: prefix postings are
+    * df-ascending (bounded lists), the length filter τ|a| ≤ |b| ≤ |a|∕τ
+    * prunes before verify, and verify touches only candidates. */
+  def prefixJaccardJoin(
+      docs: DataFrame, idCol: String, textCol: String,
+      tauNum: Int = 3, tauDen: Int = 5, capDocs: Int = 1200): DataFrame = {
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol))
+      .orderBy(col(idCol)).limit(capDocs)
+    val sh = graft.core.Scans.spread(d)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(WordShingles.shingles(lower(col(textCol)))).as("sh"))
+      // read by the prefix index and both verify sides
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokDoc = sh.select(col("doc_id"), explode(col("sh")).as("g"),
+      size(col("sh")).cast("long").as("len"))
+    val dfreq = tokDoc.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val pre = tokDoc.join(dfreq, Seq("g"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .filter(col("pos") <=
+        col("len") - expr(s"(len * $tauNum + ${tauDen - 1}) div $tauDen")
+          + lit(1L))
+      .select(col("g"), col("doc_id"), col("len"))
+    val cand = pre.toDF("g", "id_a", "len_a")
+      .join(pre.toDF("g2", "id_b", "len_b"),
+        col("g") === col("g2") && col("id_a") < col("id_b"))
+      .filter(col("len_b") * tauDen >= col("len_a") * tauNum
+        && col("len_a") * tauDen >= col("len_b") * tauNum)
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("na", size(col("sh_a")).cast("long"))
+      .withColumn("nb", size(col("sh_b")).cast("long"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        col("inter").as("n_common"),
+        (expr("((inter * 1000000 * 2) + uni) div (uni * 2)") / 1e6)
+          .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

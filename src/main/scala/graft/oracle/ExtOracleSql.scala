@@ -105,6 +105,36 @@ object ExtOracleSql {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Oracle for [[graft.ext.Dedup.prefixJaccardJoin]] — deliberately
+    * the BRUTE-FORCE all-pairs exact join over the same id-ordered
+    * capped sample (no prefix filter), so a hash match proves the
+    * filter's completeness: every J ≥ τ pair survives it. The
+    * both-empty-set degenerate pair (|∪| = 0) is excluded on both
+    * engines. */
+  def prefixJaccardJoin(tauNum: Int, tauDen: Int, capDocs: Int): String =
+    s"""WITH ppc AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+       |  ORDER BY doc_id LIMIT $capDocs),
+       |ppt AS (SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM ppc),
+       |pps AS (SELECT doc_id, list_distinct($shinglesExpr) AS sh FROM ppt),
+       |ppa AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |        FROM ppc a JOIN ppc b ON a.doc_id < b.doc_id),
+       |ppv AS (SELECT p.id_a, p.id_b,
+       |               CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT)
+       |                 AS inter,
+       |               CAST(len(x.sh) AS BIGINT) AS na,
+       |               CAST(len(y.sh) AS BIGINT) AS nb
+       |        FROM ppa p JOIN pps x ON p.id_a = x.doc_id
+       |                   JOIN pps y ON p.id_b = y.doc_id)
+       |SELECT id_a AS doc_a, id_b AS doc_b, na AS n_a, nb AS n_b,
+       |       inter AS n_common,
+       |       (((inter * 1000000 * 2) + (na + nb - inter))
+       |        // ((na + nb - inter) * 2)) / 1e6 AS jaccard
+       |FROM ppv
+       |WHERE na + nb > inter
+       |  AND inter * $tauDen >= (na + nb - inter) * $tauNum
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Mirrors [[graft.ext.Dedup.dedupAgainst]] with the batch flagged as
     * `doc_id ≡ 0 (mod modEvery)`: cross-side band candidates derived
     * from the symmetric `pairs` CTE by orientation, exact-Jaccard

@@ -319,4 +319,42 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
     assert(re == out)
   }
+
+  test("prefixJaccardJoin: boundary pair kept, below-threshold dropped") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"), // identical -> J = 1
+      (3L, "w1 w2 w3 w4 x y"), // 2 of 6 shingles shared -> J = 1/3, dropped
+      (4L, "a b c d e"),
+      (5L, "p q r s t u"),
+      (6L, "p q r s t v") // 3 of 5 shingles shared -> J = 0.6, boundary kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardJoin(d, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4L, 4L, 4L, 1.0), (5L, 6L, 4L, 4L, 3L, 0.6)))
+  }
+
+  test("prefixJaccardJoin: completeness vs the brute-force join on a hash corpus") {
+    val words = (0 until 30).map(i => s"t$i")
+    val corpus = (1L to 60L).map { i =>
+      val n = 5 + (i % 7).toInt
+      val txt = (0 until n)
+        .map(k => words(((i * 31 + k * 17) % 30).toInt)).mkString(" ")
+      (i, txt)
+    }.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardJoin(corpus, "doc_id", "text")
+      .select($"doc_a", $"doc_b", $"n_common")
+      .as[(Long, Long, Long)].collect().toSet
+    val sh = corpus.select($"doc_id",
+        array_distinct(
+          graft.functions.WordShingles.shingles(lower($"text"))).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val brute = (for {
+      a <- sh.keys.toSeq; b <- sh.keys.toSeq if a < b
+      inter = (sh(a).toSet intersect sh(b).toSet).size
+      uni = (sh(a).toSet union sh(b).toSet).size
+      if uni > 0 && inter * 5 >= uni * 3
+    } yield (a, b, inter.toLong)).toSet
+    assert(got == brute, "prefix filtering must lose NO qualifying pair")
+  }
 }
