@@ -2255,6 +2255,11 @@ object SparkEntry {
     "q320_prefix_jaccard" -> ((s, dir) =>
       graft.ext.Dedup.prefixJaccardJoin(
         Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- ext: Mann-Kendall monotone-trend test per restaurant (the
+    // distribution-free significance companion to q230 Theil-Sen) ----
+    "q321_mann_kendall" -> ((s, dir) =>
+      graft.ext.Timeseries.mannKendall(Conformed.orderRevenueCached(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7370,6 +7375,47 @@ object SparkEntry {
          ORDER BY r""",
 
     "q320_prefix_jaccard" -> ExtOracleSql.prefixJaccardJoin(3, 5, 1200),
+
+    "q321_mann_kendall" -> OracleSql.withBase(
+      """mkm AS (
+             SELECT restaurant_id, date_trunc('month', creation_date) AS m,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS c
+             FROM order_revenue GROUP BY 1, 2),
+         mks AS (SELECT a.restaurant_id,
+                        CAST(sum(CASE WHEN b.c > a.c THEN 1
+                                      WHEN b.c < a.c THEN -1
+                                      ELSE 0 END) AS BIGINT) AS s
+                 FROM mkm a JOIN mkm b
+                   ON a.restaurant_id = b.restaurant_id AND b.m > a.m
+                 GROUP BY 1),
+         mkt AS (SELECT restaurant_id, c, CAST(count(*) AS BIGINT) AS t
+                 FROM mkm GROUP BY 1, 2),
+         mkn AS (SELECT restaurant_id, CAST(sum(t) AS BIGINT) AS n,
+                        CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                          AS tie_sum
+                 FROM mkt GROUP BY 1),
+         mkv AS (SELECT n.restaurant_id, n.n, coalesce(s.s, 0) AS s,
+                        n.n * (n.n - 1) * (2 * n.n + 5) - n.tie_sum AS vn
+                 FROM mkn n LEFT JOIN mks s USING (restaurant_id)),
+         mkz AS (SELECT *,
+                        CAST(round(CASE
+                          WHEN s > 0 THEN (s - 1) / sqrt(vn / 18.0)
+                          WHEN s < 0 THEN (s + 1) / sqrt(vn / 18.0)
+                          ELSE 0.0 END * 1e6) AS BIGINT) AS zq
+                 FROM mkv),
+         mkx AS (SELECT *, abs(zq) / 1e6 / sqrt(2.0) AS x FROM mkz),
+         mkw AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM mkx),
+         mkp AS (SELECT restaurant_id, n, s, zq,
+                        CAST(round(((((1.061405429 * tt - 1.453152027) * tt
+                          + 1.421413741) * tt - 0.284496736) * tt
+                          + 0.254829592) * tt * exp(-(x * x)) * 1e9)
+                          AS BIGINT) AS pu
+                 FROM mkw)""",
+      """SELECT restaurant_id, n AS n_months, s AS s_stat, zq / 1e6 AS z,
+                pu / 1e9 AS p_value,
+                CASE WHEN s > 0 THEN 'up' WHEN s < 0 THEN 'down'
+                     ELSE 'flat' END AS trend
+         FROM mkp ORDER BY restaurant_id"""),
 
     "q305_position_attribution" ->
       """WITH pp AS (

@@ -130,4 +130,34 @@ class RobustTimeseriesSpec extends SparkSpec {
     assert(r2._1 == 2L && r2._7.isEmpty,
       "constant series has no variance to explain -> NULL share")
   }
+
+  test("mannKendall: monotone up/down significant, constant flat at p~1") {
+    val rows =
+      // r1: strictly rising over 6 months -> S = 15, no ties
+      (1 to 6).map(mo => (1L, f"2024-$mo%02d-10", 100.0 * mo)) ++
+      // r2: constant over 4 months -> S = 0, all tied, vn = 0
+      (1 to 4).map(mo => (2L, f"2024-$mo%02d-10", 50.0)) ++
+      // r3: strictly falling over 5 months -> S = -10
+      (1 to 5).map(mo => (3L, f"2024-$mo%02d-10", 100.0 * (6 - mo)))
+    val got = Timeseries.mannKendall(rev(rows: _*))
+      .as[(Long, Long, Long, Double, Double, String)].collect().toSeq
+    def zp(s: Long, n: Long): (Double, Double) = {
+      val vn = n * (n - 1) * (2 * n + 5)
+      val z = if (s > 0) (s - 1) / math.sqrt(vn / 18.0)
+        else if (s < 0) (s + 1) / math.sqrt(vn / 18.0) else 0.0
+      val zq = math.round(z * 1e6)
+      val x = math.abs(zq) / 1e6 / math.sqrt(2.0)
+      val tt = 1.0 / (1.0 + 0.3275911 * x)
+      val p = ((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+        - 0.284496736) * tt + 0.254829592) * tt * math.exp(-(x * x))
+      (zq / 1e6, math.round(p * 1e9) / 1e9)
+    }
+    val (z1, p1) = zp(15, 6)
+    val (z3, p3) = zp(-10, 5)
+    assert(got == Seq(
+      (1L, 6L, 15L, z1, p1, "up"),
+      (2L, 4L, 0L, 0.0, 0.999999999, "flat"),
+      (3L, 5L, -10L, z3, p3, "down")))
+    assert(p1 < 0.01 && p3 < 0.05 && z1 > 0 && z3 < 0)
+  }
 }
