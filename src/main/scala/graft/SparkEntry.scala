@@ -2260,6 +2260,13 @@ object SparkEntry {
     // distribution-free significance companion to q230 Theil-Sen) ----
     "q321_mann_kendall" -> ((s, dir) =>
       graft.ext.Timeseries.mannKendall(Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: Cochran-Mantel-Haenszel pooled loyalty->option-attach
+    // odds ratio across restaurant strata (Simpson-proof; the crude
+    // OR rides alongside to show the confounding gap) ----
+    "q322_cmh" -> ((s, dir) =>
+      graft.ext.Experiment.cmhLoyaltyOption(
+        Conformed.orderRevenueCached(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7416,6 +7423,70 @@ object SparkEntry {
                 CASE WHEN s > 0 THEN 'up' WHEN s < 0 THEN 'down'
                      ELSE 'flat' END AS trend
          FROM mkp ORDER BY restaurant_id"""),
+
+    "q322_cmh" -> OracleSql.withBase(
+      """cmc AS (
+             SELECT restaurant_id,
+                    CAST(sum(CASE WHEN is_loyalty AND option_price > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                    CAST(sum(CASE WHEN is_loyalty AND NOT option_price > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                    CAST(sum(CASE WHEN NOT is_loyalty AND option_price > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                    CAST(sum(CASE WHEN NOT is_loyalty
+                          AND NOT option_price > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d
+             FROM order_revenue GROUP BY 1),
+         cmn AS (SELECT *, a + b + c + d AS n FROM cmc),
+         cmq AS (SELECT *,
+                   CAST(round(CAST(a AS DOUBLE) * d / n * 1e9) AS BIGINT)
+                     AS rq,
+                   CAST(round(CAST(b AS DOUBLE) * c / n * 1e9) AS BIGINT)
+                     AS sq,
+                   CAST(round((CAST(a AS DOUBLE)
+                     - CAST((a + b) * (a + c) AS DOUBLE) / n) * 1e9)
+                     AS BIGINT) AS eq,
+                   CASE WHEN n > 1 THEN
+                     CAST(round(CAST((a + b) * (c + d) AS DOUBLE)
+                       * CAST((a + c) * (b + d) AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * n * (n - 1)) * 1e9) AS BIGINT)
+                   ELSE 0 END AS vq
+                 FROM cmn),
+         cmr AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                        CAST(sum(a) AS BIGINT) AS ta,
+                        CAST(sum(b) AS BIGINT) AS tb,
+                        CAST(sum(c) AS BIGINT) AS tc,
+                        CAST(sum(d) AS BIGINT) AS td,
+                        CAST(sum(CAST(rq AS HUGEINT)) AS HUGEINT) AS sr,
+                        CAST(sum(CAST(sq AS HUGEINT)) AS HUGEINT) AS ss,
+                        CAST(sum(CAST(eq AS HUGEINT)) AS HUGEINT) AS se,
+                        CAST(sum(CAST(vq AS HUGEINT)) AS HUGEINT) AS sv
+                 FROM cmq),
+         cmz AS (SELECT *, CAST(se AS DOUBLE) / 1e9 AS sed,
+                        CAST(sv AS DOUBLE) / 1e9 AS svd FROM cmr),
+         cmk AS (SELECT *, CASE WHEN svd > 0 AND abs(sed) > 0.5
+                   THEN CAST(round((abs(sed) - 0.5) * (abs(sed) - 0.5) / svd
+                     * 1e6) AS BIGINT)
+                   ELSE 0 END AS chi2q FROM cmz),
+         cmx AS (SELECT *, sqrt(chi2q / 2e6) AS x FROM cmk),
+         cmw AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM cmx),
+         cmp AS (SELECT *,
+                   CAST(round(((((1.061405429 * tt - 1.453152027) * tt
+                     + 1.421413741) * tt - 0.284496736) * tt
+                     + 0.254829592) * tt * exp(-(x * x)) * 1e9) AS BIGINT)
+                     AS pu
+                 FROM cmw)""",
+      """SELECT n_strata,
+                CASE WHEN ss > 0 THEN
+                  CAST((sr * 1000000 * 2 + ss) // (ss * 2) AS DOUBLE) / 1e6
+                END AS or_cmh,
+                CASE WHEN CAST(tb AS HUGEINT) * tc > 0 THEN
+                  CAST((CAST(ta AS HUGEINT) * td * 1000000 * 2
+                        + CAST(tb AS HUGEINT) * tc)
+                       // (CAST(tb AS HUGEINT) * tc * 2) AS DOUBLE) / 1e6
+                END AS or_crude,
+                chi2q / 1e6 AS chi2_cmh, pu / 1e9 AS p_value
+         FROM cmp"""),
 
     "q305_position_attribution" ->
       """WITH pp AS (

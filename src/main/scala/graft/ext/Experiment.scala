@@ -548,6 +548,85 @@ object Experiment {
       .orderBy(col("p_rank"))
   }
 
+  /** Cochran–Mantel–Haenszel pooled association between loyalty
+    * membership and option attach, stratified by restaurant — the
+    * Simpson's-paradox-proof effect estimate the crude 2×2 cannot
+    * give: restaurants differ in BOTH loyalty mix and attach rate, so
+    * the unstratified odds ratio confounds venue with behavior. Per
+    * stratum i: OR_CMH = Σ(aᵢdᵢ∕nᵢ) ∕ Σ(bᵢcᵢ∕nᵢ), the CMH χ² with
+    * continuity correction (|Σ(aᵢ−Eᵢ)|−½)² ∕ ΣVᵢ, and
+    * p = erfc(√(χ²∕2)) via the shared A&S chain; the crude OR rides
+    * alongside so the readout SHOWS the confounding gap.
+    *
+    * Exactness: cell counts are exact longs; each stratum's aᵢdᵢ∕nᵢ,
+    * bᵢcᵢ∕nᵢ, aᵢ−Eᵢ, and Vᵢ terms are fixed double chains over exact
+    * integer products (pairwise products ≤ n² stay inside int64; the
+    * n³ variance denominator is built double-first), quantized 1e-9
+    * BEFORE the order-free decimal(38,0) rollup; ratios are half-up
+    * micro divisions in decimal. Singleton strata (nᵢ < 2) contribute
+    * their true zero variance; χ² collapses to 0 when the continuity
+    * correction exceeds |Σ(aᵢ−Eᵢ)| (the classic convention).
+    *
+    * Scale shape: ONE fact-grain hash aggregate to restaurant strata,
+    * one constant-size rollup — no window, no join. */
+  def cmhLoyaltyOption(orderRevenue: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = orderRevenue
+      .groupBy(col("restaurant_id"))
+      .agg(
+        sum(when(col("is_loyalty") && col("option_price") > 0, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("is_loyalty") && !(col("option_price") > 0), 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(!col("is_loyalty") && col("option_price") > 0, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(!col("is_loyalty") && !(col("option_price") > 0), 1L)
+          .otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("rq", round(col("a").cast("double") * col("d") / col("n")
+        * 1e9).cast("long"))
+      .withColumn("sq", round(col("b").cast("double") * col("c") / col("n")
+        * 1e9).cast("long"))
+      .withColumn("eq", round((col("a").cast("double")
+          - ((col("a") + col("b")) * (col("a") + col("c"))).cast("double")
+            / col("n")) * 1e9).cast("long"))
+      .withColumn("vq", when(col("n") > 1,
+        round(((col("a") + col("b")) * (col("c") + col("d"))).cast("double")
+          * ((col("a") + col("c")) * (col("b") + col("d"))).cast("double")
+          / (col("n").cast("double") * col("n") * (col("n") - 1))
+          * 1e9).cast("long")).otherwise(0L))
+    val roll = cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+      sum(col("c")).as("tc"), sum(col("d")).as("td"),
+      sum(col("rq").cast(dec)).as("sr"), sum(col("sq").cast(dec)).as("ss"),
+      sum(col("eq").cast(dec)).as("se"), sum(col("vq").cast(dec)).as("sv"))
+    roll
+      .withColumn("sed", col("se").cast("double") / 1e9)
+      .withColumn("svd", col("sv").cast("double") / 1e9)
+      .withColumn("chi2q", when(col("svd") > 0.0 && abs(col("sed")) > 0.5,
+        round((abs(col("sed")) - 0.5) * (abs(col("sed")) - 0.5) / col("svd")
+          * 1e6).cast("long")).otherwise(0L))
+      .withColumn("x", sqrt(col("chi2q") / lit(2e6)))
+      .withColumn("tt", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("x")))
+      .withColumn("pu",
+        round(((((lit(1.061405429) * col("tt") - lit(1.453152027)) * col("tt")
+            + lit(1.421413741)) * col("tt") - lit(0.284496736)) * col("tt")
+            + lit(0.254829592)) * col("tt")
+          * exp(-(col("x") * col("x"))) * 1e9).cast("long"))
+      .select(col("n_strata"),
+        when(col("ss") > 0,
+          expr("((sr * 1000000 * 2 + ss) div (ss * 2))").cast("double")
+            / 1e6).as("or_cmh"),
+        when(col("tb").cast(dec) * col("tc") > 0,
+          expr(s"""((cast(ta as $dec) * td * 1000000 * 2
+                    + cast(tb as $dec) * tc)
+                   div (cast(tb as $dec) * tc * 2))""").cast("double")
+            / 1e6).as("or_crude"),
+        (col("chi2q") / 1e6).as("chi2_cmh"),
+        (col("pu") / 1e9).as("p_value"))
+  }
+
   /** Poisson(1) inverse-CDF thresholds in [[graft.functions.Portable.h60]]
     * units: a uniform h ∈ [0, 2⁶⁰) maps to weight w = #{k : h ≥ t_k},
     * so P(w = k) = e⁻¹∕k! for k ≤ 8 (the tail above k = 9 — total mass

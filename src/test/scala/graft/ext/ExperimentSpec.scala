@@ -130,6 +130,31 @@ class ExperimentSpec extends SparkSpec {
     assert(!rej.dropWhile(identity).contains(true))
   }
 
+  test("cmhLoyaltyOption: per-stratum OR 3 pooled exactly, crude OR confounded upward") {
+    // X: a=30 b=10 c=5 d=5 and Y: a=5 b=5 c=10 d=30 -> OR 3 in BOTH
+    // strata; crude 2x2 pools to 35*35/(15*15) = 5.44 (Simpson gap)
+    def lines(r: Long, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((r, true, 1.0)) ++ Seq.fill(b)((r, true, 0.0)) ++
+      Seq.fill(c)((r, false, 1.0)) ++ Seq.fill(d)((r, false, 0.0))
+    val df = (lines(1L, 30, 10, 5, 5) ++ lines(2L, 5, 5, 10, 30))
+      .toDF("restaurant_id", "is_loyalty", "option_price")
+      .withColumn("total_revenue", lit(1.0))
+    val got = Experiment.cmhLoyaltyOption(df)
+      .as[(Long, Option[Double], Option[Double], Double, Double)]
+      .collect().head
+    assert(got._1 == 2L)
+    assert(got._2 == Some(3.0)) // Sum ad/n = 6, Sum bc/n = 2
+    assert(got._3 == Some(5.444444)) // 1225/225 half-up micro
+    // E = 28 and 3, Sum(a-E) = 4; V = 1.714285714 each (quantized 1e-9)
+    // chi2 = (4 - 0.5)^2 / 3.428571428 -> 3.572917 at 1e-6
+    assert(got._4 == 3.572917)
+    val x = math.sqrt(3572917L / 2e6)
+    val tt = 1.0 / (1.0 + 0.3275911 * x)
+    val p = ((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+      - 0.284496736) * tt + 0.254829592) * tt * math.exp(-(x * x))
+    assert(got._5 == math.round(p * 1e9) / 1e9)
+  }
+
   test("PoissonThresholds: 9 strictly increasing cut points matching the Poisson(1) CDF") {
     val th = Experiment.PoissonThresholds
     assert(th.size == 9)
