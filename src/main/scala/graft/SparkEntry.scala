@@ -2267,6 +2267,13 @@ object SparkEntry {
     "q322_cmh" -> ((s, dir) =>
       graft.ext.Experiment.cmhLoyaltyOption(
         Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: Fellegi-Sunter record-linkage weight table over the
+    // blocked part pairs (the log-likelihood decision layer above
+    // q97/q168's raw similarities) ----
+    "q323_fellegi_sunter" -> ((s, dir) =>
+      graft.ext.Dedup.fellegiSunter(Tables.part(s, dir), "p_partkey",
+        "p_brand", "p_name", Seq("p_type", "p_size"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7487,6 +7494,8 @@ object SparkEntry {
                 END AS or_crude,
                 chi2q / 1e6 AS chi2_cmh, pu / 1e9 AS p_value
          FROM cmp"""),
+
+    "q323_fellegi_sunter" -> ExtOracleSql.fellegiSunterParts(0.9, 0.02, 0.9),
 
     "q305_position_attribution" ->
       """WITH pp AS (

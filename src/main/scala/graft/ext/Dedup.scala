@@ -898,4 +898,74 @@ object Dedup {
           .as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Fellegi–Sunter probabilistic record-linkage weights over the
+    * blocked pair space — the DECISION layer above [[fuzzyNamePairs]]
+    * and [[jaroWinklerPairs]]' raw similarities: each comparison field
+    * f contributes log(m_f∕u_f) when it agrees and
+    * log((1−m_f)∕(1−u_f)) when it disagrees, so a pair's summed weight
+    * is its log-likelihood ratio match∕non-match (Fellegi & Sunter,
+    * JASA 1969). Reported at AGREEMENT-PATTERN grain (≤ 2^#fields
+    * rows): each pattern's pair count and total weight — the classic
+    * FS weight table a reviewer sets thresholds on.
+    *
+    * u-probabilities for exact-match fields are estimated from the
+    * data exactly: u_f = Σ_v n_v² ∕ N² (the chance two random records
+    * agree), an integer-exact sum in decimal(38,0)∕HUGEINT; m_f and
+    * the fuzzy name field's u are SPEC constants (identifiable only
+    * via labels/EM — documented, inlined as the same driver-computed
+    * integer weight in both engines). The name agreement predicate is
+    * the q168-proven `round(jaroWinkler, 6) ≥ jwMin`.
+    *
+    * Scale shape: within-block pairing is quadratic in block size BY
+    * DEFINITION of pairwise comparison (the q168 discipline — block
+    * finer at 100 TB); everything after is a ≤ 16-row pattern mart
+    * with three broadcast scalar joins. In-plan `ln` terms are
+    * quantized 1e-9 (the entropy-tier idiom). */
+  def fellegiSunter(
+      df: DataFrame, idCol: String, blockCol: String, nameCol: String,
+      exactCols: Seq[String], m: Double = 0.9, uName: Double = 0.02,
+      jwMin: Double = 0.9): DataFrame = {
+    val dec = "decimal(38,0)"
+    val waName = math.round(math.log(m / uName) * 1e9)
+    val wdName = math.round(math.log((1 - m) / (1 - uName)) * 1e9)
+    val base = Seq(col(blockCol).as("block"), col(idCol).as("id"),
+      col(nameCol).as("name")) ++ exactCols.map(c => col(c))
+    val slim = df.select(base: _*)
+    val aCols = "block" +: "id_a" +: "name_a" +: exactCols.map(_ + "_a")
+    val bCols = "block" +: "id_b" +: "name_b" +: exactCols.map(_ + "_b")
+    val flagCols =
+      (round(graft.functions.StringSimilarity.jaroWinkler(
+          col("name_a"), col("name_b")), 6) >= jwMin).as("agree_name") +:
+      exactCols.map(c => (col(c + "_a") === col(c + "_b")).as("agree_" + c))
+    val pat = slim.toDF(aCols: _*).join(slim.toDF(bCols: _*), Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(flagCols: _*)
+      .groupBy(("agree_name" +: exactCols.map("agree_" + _)).map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+    val withU = exactCols.foldLeft(pat) { (acc, c) =>
+      acc.crossJoin(broadcast(
+        df.groupBy(col(c)).agg(count(lit(1)).as("nv"))
+          .agg(sum(col("nv").cast(dec) * col("nv")).as(s"st_$c"),
+            sum(col("nv")).as(s"nn_$c"))))
+    }
+    def u(c: String) =
+      col(s"st_$c").cast("double") / col(s"nn_$c") / col(s"nn_$c")
+    // 1−m is computed ONCE in Scala and inlined on both engines: a
+    // literal `1.0 - 0.9` folds in DECIMAL on DuckDB (exact 0.1) but
+    // DOUBLE here (0.09999999999999998) — the shared-constant idiom
+    val oneMinusM = 1.0 - m
+    val su = exactCols.map { c =>
+      when(col("agree_" + c),
+        round(log(lit(m) / u(c)) * 1e9).cast("long"))
+        .otherwise(round(log(lit(oneMinusM) / (lit(1.0) - u(c))) * 1e9)
+          .cast("long"))
+    }.foldLeft(
+      when(col("agree_name"), lit(waName)).otherwise(lit(wdName)))(_ + _)
+    withU
+      .select((col("agree_name") +: exactCols.map(c => col("agree_" + c))) ++
+        Seq(col("n_pairs"), round(su / 1e9, 6).as("score")): _*)
+      .orderBy(("agree_name" +: exactCols.map("agree_" + _))
+        .map(col(_).desc): _*)
+  }
 }

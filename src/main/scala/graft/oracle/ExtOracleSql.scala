@@ -135,6 +135,59 @@ object ExtOracleSql {
        |  AND inter * $tauDen >= (na + nb - inter) * $tauNum
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Mirrors [[graft.ext.Dedup.fellegiSunter]] wired over `part`
+    * (block = brand; fields name/type/container/size): the same
+    * driver-computed integer weights for the fuzzy name field, the
+    * same Σn²∕N² exact u for equality fields, the q168 JW agreement
+    * predicate, 1e-9-quantized ln terms, pattern-grain rollup. */
+  def fellegiSunterParts(m: Double, uName: Double, jwMin: Double): String = {
+    val waName = math.round(math.log(m / uName) * 1e9)
+    val wdName = math.round(math.log((1 - m) / (1 - uName)) * 1e9)
+    def uCte(tag: String, c: String) =
+      s"""fsu_$tag AS (
+         |  SELECT CAST(sum(CAST(nv AS HUGEINT) * nv) AS HUGEINT) AS st,
+         |         CAST(sum(nv) AS BIGINT) AS nn
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS nv FROM part
+         |        GROUP BY $c))""".stripMargin
+    // 1−m inlined as the Scala-computed double (a `1.0 - 0.9` literal
+    // would fold in DECIMAL here — exact 0.1 — but DOUBLE in Spark)
+    val oneMinusM = 1.0 - m
+    def w(tag: String, flag: String) =
+      s"""CASE WHEN $flag THEN
+         |  CAST(round(ln($m / (CAST($tag.st AS DOUBLE) / $tag.nn / $tag.nn))
+         |    * 1e9) AS BIGINT)
+         |ELSE
+         |  CAST(round(ln($oneMinusM
+         |      / (1.0 - CAST($tag.st AS DOUBLE) / $tag.nn / $tag.nn))
+         |    * 1e9) AS BIGINT) END""".stripMargin
+    s"""WITH fsb AS (
+       |  SELECT p_brand AS block, p_partkey AS id, p_name AS name,
+       |         p_type, p_size FROM part),
+       |${uCte("t", "p_type")},
+       |${uCte("s", "p_size")},
+       |fsp AS (
+       |  SELECT round(jaro_winkler_similarity(a.name, b.name), 6) >= $jwMin
+       |           AS agree_name,
+       |         a.p_type = b.p_type AS agree_p_type,
+       |         a.p_size = b.p_size AS agree_p_size
+       |  FROM fsb a JOIN fsb b ON a.block = b.block AND a.id < b.id),
+       |fsg AS (
+       |  SELECT agree_name, agree_p_type, agree_p_size,
+       |         CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM fsp GROUP BY 1, 2, 3),
+       |fsw AS (
+       |  SELECT g.*,
+       |         CASE WHEN agree_name THEN $waName ELSE $wdName END
+       |         + ${w("t", "agree_p_type")}
+       |         + ${w("s", "agree_p_size")} AS su
+       |  FROM fsg g CROSS JOIN fsu_t t CROSS JOIN fsu_s s)
+       |SELECT agree_name, agree_p_type, agree_p_size,
+       |       n_pairs, round(su / 1e9, 6) AS score
+       |FROM fsw
+       |ORDER BY agree_name DESC, agree_p_type DESC, agree_p_size DESC"""
+      .stripMargin
+  }
+
   /** Mirrors [[graft.ext.Dedup.dedupAgainst]] with the batch flagged as
     * `doc_id ≡ 0 (mod modEvery)`: cross-side band candidates derived
     * from the symmetric `pairs` CTE by orientation, exact-Jaccard

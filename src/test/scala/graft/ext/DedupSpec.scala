@@ -357,4 +357,28 @@ class DedupSpec extends SparkSpec {
     } yield (a, b, inter.toLong)).toSet
     assert(got == brute, "prefix filtering must lose NO qualifying pair")
   }
+
+  test("fellegiSunter: hand-computed pattern weights with data-estimated u") {
+    // block B: ids 1,2 identical names + same t; id 3 different on both
+    val d = Seq(
+      (1L, "B", "alpha beta", "x"),
+      (2L, "B", "alpha beta", "x"),
+      (3L, "B", "zzzz qqqq", "y")
+    ).toDF("id", "block", "name", "t")
+    val got = Dedup.fellegiSunter(d, "id", "block", "name", Seq("t"))
+      .as[(Boolean, Boolean, Long, Double)].collect().toSeq
+    // u_t = (2^2 + 1^2) / 3^2 = 5/9; name weights are spec constants
+    val waN = math.round(math.log(0.9 / 0.02) * 1e9)
+    val wdN = math.round(math.log((1 - 0.9) / (1 - 0.02)) * 1e9)
+    val uT = 5.0 / 3.0 / 3.0
+    val waT = math.round(math.log(0.9 / uT) * 1e9)
+    val wdT = math.round(math.log((1.0 - 0.9) / (1.0 - uT)) * 1e9)
+    def s6(x: Long) = BigDecimal(x / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (true, true, 1L, s6(waN + waT)), // pair (1,2)
+      (false, false, 2L, s6(wdN + wdT)))) // pairs (1,3), (2,3)
+    // agreement on everything must outweigh disagreement on everything
+    assert(got.head._4 > got.last._4)
+  }
 }
