@@ -2274,6 +2274,13 @@ object SparkEntry {
     "q323_fellegi_sunter" -> ((s, dir) =>
       graft.ext.Dedup.fellegiSunter(Tables.part(s, dir), "p_partkey",
         "p_brand", "p_name", Seq("p_type", "p_size"))),
+
+    // ---- ext: Poisson overdispersion test of daily demand (the
+    // model-choice gate before count forecasting: D ~ 1 Poisson-like,
+    // D >> 1 clumped; Wilson-Hilferty upper-tail p) ----
+    "q324_overdispersion" -> ((s, dir) =>
+      graft.ext.Timeseries.overdispersion(
+        Conformed.orderRevenueCached(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7496,6 +7503,61 @@ object SparkEntry {
          FROM cmp"""),
 
     "q323_fellegi_sunter" -> ExtOracleSql.fellegiSunterParts(0.9, 0.02, 0.9),
+
+    "q324_overdispersion" -> OracleSql.withBase(
+      """odd AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(count(*) AS BIGINT) AS x
+             FROM order_revenue GROUP BY 1, 2),
+         ods AS (SELECT restaurant_id, min(creation_date) AS d0,
+                        max(creation_date) AS d1
+                 FROM odd GROUP BY 1),
+         odn AS (SELECT restaurant_id,
+                        CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                          AS DATE) AS creation_date
+                 FROM ods),
+         odg AS (SELECT n.restaurant_id, coalesce(d.x, 0) AS x
+                 FROM odn n LEFT JOIN odd d
+                   USING (restaurant_id, creation_date)),
+         oda AS (SELECT restaurant_id, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(x) AS BIGINT) AS sx,
+                        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+                 FROM odg GROUP BY 1
+                 HAVING count(*) > 1 AND sum(x) > 0),
+         odq AS (SELECT *,
+                        CAST(n AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * sx AS num
+                 FROM oda),
+         odc AS (SELECT *,
+                        CAST(round(CAST(num AS DOUBLE) / sx * 1e6) AS BIGINT)
+                          AS chi2q,
+                        CAST(n - 1 AS DOUBLE) AS nu
+                 FROM odq),
+         odz AS (SELECT *,
+                        CAST(round((cbrt(chi2q / 1e6 / nu)
+                            - (1.0 - 2.0 / (9.0 * nu)))
+                          * sqrt(9.0 * nu / 2.0) * 1e6) AS BIGINT) AS zq
+                 FROM odc),
+         odx AS (SELECT *, abs(zq) / 1e6 / sqrt(2.0) AS ax FROM odz),
+         odw AS (SELECT *, 1.0 / (1.0 + 0.3275911 * ax) AS tt FROM odx),
+         ode AS (SELECT *,
+                        CAST(round(((((1.061405429 * tt - 1.453152027) * tt
+                          + 1.421413741) * tt - 0.284496736) * tt
+                          + 0.254829592) * tt * exp(-(ax * ax)) * 1e9)
+                          AS BIGINT) AS eu
+                 FROM odw),
+         odp AS (SELECT *, CASE WHEN zq >= 0 THEN (eu + 1) // 2
+                           ELSE 1000000000 - eu // 2 END AS pu
+                 FROM ode)""",
+      """SELECT restaurant_id, n AS n_days,
+                ((sx * 1000000 * 2 + n) // (n * 2)) / 1000000.0
+                  AS mean_lines,
+                CAST((CAST(num AS HUGEINT) * 1000000 * 2
+                      + CAST(n - 1 AS HUGEINT) * sx)
+                     // (CAST(n - 1 AS HUGEINT) * sx * 2) AS DOUBLE) / 1e6
+                  AS dispersion,
+                chi2q / 1e6 AS chi2, zq / 1e6 AS z, pu / 1e9 AS p_over
+         FROM odp ORDER BY restaurant_id"""),
 
     "q305_position_attribution" ->
       """WITH pp AS (

@@ -430,6 +430,77 @@ object Timeseries {
           .as("acf"))
   }
 
+  /** Poisson overdispersion test of daily demand per restaurant — the
+    * model-choice gate BEFORE any count forecast ([[seasonalNaiveBands]]
+    * and the Croston tier assume clumpy demand; a Poisson GLM assumes
+    * not): under Poisson, the dispersion statistic
+    * χ² = Σ(xₜ−x̄)²∕x̄ = (nΣx²−(Σx)²)∕Σx is χ²_{n−1}, so D = χ²∕(n−1)
+    * near 1 means Poisson-like days and D ≫ 1 means clumping
+    * (promo bursts, weekly cycles). The upper-tail p uses the
+    * Wilson–Hilferty cube-root normal approximation
+    * z = ((χ²∕ν)^⅓ − (1−2∕9ν))·√(9ν∕2) — cbrt and sqrt are available
+    * and deterministic on both engines — then the shared A&S erfc
+    * chain with the erfc(−x) = 2−erfc(x) reflection for
+    * underdispersed (z < 0) restaurants.
+    *
+    * Exactness: daily line counts over the zero-filled spine are exact
+    * longs; the χ² NUMERATOR nΣx²−(Σx)² is exact decimal(38,0)
+    * (HUGEINT) — χ² itself is one exact-integer division quantized
+    * 1e-6; z and p are fixed double chains quantized 1e-6∕1e-9.
+    *
+    * Scale shape: one fact-grain hash aggregate to (restaurant, day),
+    * spine fill, one restaurant-grain aggregate — no window, no join
+    * beyond the spine. */
+  def overdispersion(orderRevenue: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(count(lit(1)).as("x"))
+    val spine = daily
+      .groupBy(col("restaurant_id"))
+      .agg(min(col("creation_date")).as("d0"),
+        max(col("creation_date")).as("d1"))
+      .select(col("restaurant_id"),
+        explode(sequence(col("d0"), col("d1"))).as("creation_date"))
+    val agg = spine
+      .join(daily, Seq("restaurant_id", "creation_date"), "left")
+      .select(col("restaurant_id"), coalesce(col("x"), lit(0L)).as("x"))
+      .groupBy(col("restaurant_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
+      .filter(col("n") > 1 && col("sx") > 0)
+    agg
+      .withColumn("num",
+        col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx"))
+      .withColumn("chi2q",
+        round(col("num").cast("double") / col("sx") * 1e6).cast("long"))
+      .withColumn("nu", (col("n") - 1).cast("double"))
+      .withColumn("zq", round(
+        (cbrt(col("chi2q") / 1e6 / col("nu"))
+          - (lit(1.0) - lit(2.0) / (lit(9.0) * col("nu"))))
+          * sqrt(lit(9.0) * col("nu") / lit(2.0)) * 1e6).cast("long"))
+      .withColumn("ax", abs(col("zq")) / 1e6 / sqrt(lit(2.0)))
+      .withColumn("tt", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("ax")))
+      .withColumn("eu",
+        round(((((lit(1.061405429) * col("tt") - lit(1.453152027)) * col("tt")
+            + lit(1.421413741)) * col("tt") - lit(0.284496736)) * col("tt")
+            + lit(0.254829592)) * col("tt")
+          * exp(-(col("ax") * col("ax"))) * 1e9).cast("long"))
+      // one-sided upper tail: Q(z) = erfc(z/sqrt2)/2, reflected below 0;
+      // integer halving of the 1e-9 units keeps the compare exact
+      .withColumn("pu", when(col("zq") >= 0, expr("(eu + 1) div 2"))
+        .otherwise(lit(1000000000L) - expr("eu div 2")))
+      .select(col("restaurant_id"), col("n").as("n_days"),
+        expr("((sx * 1000000 * 2 + n) div (n * 2)) " +
+          "/ cast(1000000 as double)").as("mean_lines"),
+        expr(s"""((cast(num as $dec) * 1000000 * 2 + cast(n - 1 as $dec) * sx)
+                 div (cast(n - 1 as $dec) * sx * 2))""").cast("double")
+          ./(1e6).as("dispersion"),
+        (col("chi2q") / 1e6).as("chi2"), (col("zq") / 1e6).as("z"),
+        (col("pu") / 1e9).as("p_over"))
+      .orderBy(col("restaurant_id"))
+  }
+
   /** Per-restaurant lifecycle profile: first/last active day, span,
     * distinct active days, activity density (active/span), and revenue
     * per active day — the coverage audit that separates "steady daily

@@ -160,4 +160,39 @@ class RobustTimeseriesSpec extends SparkSpec {
       (3L, 5L, -10L, z3, p3, "down")))
     assert(p1 < 0.01 && p3 < 0.05 && z1 > 0 && z3 < 0)
   }
+
+  test("overdispersion: clumped demand flagged, uniform demand underdispersed") {
+    val rows =
+      // r1: 10 lines on day 1 and day 4, nothing between -> D = 8
+      (1 to 10).map(_ => (1L, "2024-01-01", 1.0)) ++
+      (1 to 10).map(_ => (1L, "2024-01-04", 1.0)) ++
+      // r2: exactly 2 lines every day -> zero variance, D = 0
+      (1 to 4).flatMap(d => Seq.fill(2)((2L, f"2024-02-0$d%01d", 1.0)))
+    val got = Timeseries.overdispersion(rev(rows: _*))
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    def wh(chi2q: Long, n: Long): (Double, Double) = {
+      val nu = (n - 1).toDouble
+      val z = (math.cbrt(chi2q / 1e6 / nu) - (1.0 - 2.0 / (9.0 * nu))) *
+        math.sqrt(9.0 * nu / 2.0)
+      val zq = math.round(z * 1e6)
+      val ax = math.abs(zq) / 1e6 / math.sqrt(2.0)
+      val tt = 1.0 / (1.0 + 0.3275911 * ax)
+      val eu = math.round(((((1.061405429 * tt - 1.453152027) * tt
+        + 1.421413741) * tt - 0.284496736) * tt + 0.254829592) * tt
+        * math.exp(-(ax * ax)) * 1e9)
+      val pu = if (zq >= 0) (eu + 1) / 2 else 1000000000L - eu / 2
+      (zq / 1e6, pu / 1e9)
+    }
+    // r1: spine Jan 1-4 -> n=4, x=[10,0,0,10]: sx=20, sxx=200,
+    // num = 4*200 - 400 = 400, chi2 = 20 exactly, D = 400/(3*20)
+    val (z1, p1) = wh(20000000L, 4)
+    // r2: n=4, sx=8, sxx=16 -> num = 0, chi2 = 0, D = 0
+    val (z2, p2) = wh(0L, 4)
+    assert(got == Seq(
+      (1L, 4L, 5.0, 6.666667, 20.0, z1, p1),
+      (2L, 4L, 2.0, 0.0, 0.0, z2, p2)))
+    assert(p1 < 0.001, "clumped demand must reject Poisson")
+    assert(p2 > 0.99, "uniform demand sits in the lower tail")
+  }
 }
