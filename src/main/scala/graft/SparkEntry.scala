@@ -2281,6 +2281,11 @@ object SparkEntry {
     "q324_overdispersion" -> ((s, dir) =>
       graft.ext.Timeseries.overdispersion(
         Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: Ljung-Box portmanteau white-noise test (the one-number
+    // verdict over q173's ACF diagram; chi2_h via Wilson-Hilferty) ----
+    "q325_ljung_box" -> ((s, dir) =>
+      graft.ext.Timeseries.ljungBox(Conformed.orderRevenueCached(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7558,6 +7563,84 @@ object SparkEntry {
                   AS dispersion,
                 chi2q / 1e6 AS chi2, zq / 1e6 AS z, pu / 1e9 AS p_over
          FROM odp ORDER BY restaurant_id"""),
+
+    "q325_ljung_box" -> OracleSql.withBase(
+      """lbd AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                      AS cents
+             FROM order_revenue GROUP BY 1, 2),
+         lbs AS (SELECT restaurant_id, min(creation_date) AS d0,
+                        max(creation_date) AS d1
+                 FROM lbd GROUP BY 1),
+         lbn AS (SELECT restaurant_id,
+                        CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                          AS DATE) AS creation_date
+                 FROM lbs),
+         lbg AS (SELECT n.restaurant_id, n.creation_date,
+                        coalesce(d.cents, 0) // 10000 AS x
+                 FROM lbn n LEFT JOIN lbd d
+                   ON n.restaurant_id = d.restaurant_id
+                  AND n.creation_date = d.creation_date),
+         lbt AS (SELECT restaurant_id, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(x) AS BIGINT) AS sx,
+                        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+                 FROM lbg GROUP BY 1 HAVING count(*) > 8),
+         lbl AS (SELECT g.restaurant_id, l.lag, g.x,
+                        lag(g.x, l.lag) OVER (
+                          PARTITION BY g.restaurant_id, l.lag
+                          ORDER BY g.creation_date) AS xl
+                 FROM lbg g CROSS JOIN
+                   (SELECT unnest(range(1, 8)) AS lag) l),
+         lba AS (SELECT restaurant_id, lag, CAST(count(*) AS BIGINT) AS nk,
+                        CAST(sum(CAST(x AS HUGEINT) * xl) AS HUGEINT)
+                          AS spk,
+                        CAST(sum(x) AS BIGINT) AS s1k,
+                        CAST(sum(xl) AS BIGINT) AS s2k
+                 FROM lbl WHERE xl IS NOT NULL GROUP BY 1, 2),
+         lbr AS (SELECT a.restaurant_id, a.nk, t.n,
+                        CAST(t.sx AS DOUBLE) / t.n AS sxd,
+                        CAST(a.spk AS DOUBLE)
+                          - (CAST(t.sx AS DOUBLE) / t.n)
+                            * (CAST(a.s1k AS DOUBLE)
+                               + CAST(a.s2k AS DOUBLE))
+                          + a.nk * (CAST(t.sx AS DOUBLE) / t.n)
+                            * (CAST(t.sx AS DOUBLE) / t.n) AS rnum,
+                        CAST(t.sxx AS DOUBLE)
+                          - t.sx * (CAST(t.sx AS DOUBLE) / t.n) AS rden
+                 FROM lba a JOIN lbt t USING (restaurant_id)),
+         lbu AS (SELECT restaurant_id, nk, n,
+                        CAST(round(rnum / rden * 1e9) AS BIGINT) AS ru
+                 FROM lbr WHERE rden > 0),
+         lbq AS (SELECT restaurant_id, n,
+                        CAST(sum(CAST(round((ru / 1e9) * (ru / 1e9) / nk
+                          * 1e12) AS BIGINT)) AS BIGINT) AS stq,
+                        CAST(count(*) AS BIGINT) AS h
+                 FROM lbu GROUP BY 1, 2),
+         lbq6 AS (SELECT *,
+                        CAST(round(CAST(n AS DOUBLE) * (n + 2)
+                          * (stq / 1e12) * 1e6) AS BIGINT) AS q6,
+                        CAST(h AS DOUBLE) AS nu
+                  FROM lbq),
+         lbz AS (SELECT *,
+                        CAST(round((cbrt(q6 / 1e6 / nu)
+                            - (1.0 - 2.0 / (9.0 * nu)))
+                          * sqrt(9.0 * nu / 2.0) * 1e6) AS BIGINT) AS zq
+                 FROM lbq6),
+         lbx AS (SELECT *, abs(zq) / 1e6 / sqrt(2.0) AS ax FROM lbz),
+         lbw AS (SELECT *, 1.0 / (1.0 + 0.3275911 * ax) AS tt FROM lbx),
+         lbe AS (SELECT *,
+                        CAST(round(((((1.061405429 * tt - 1.453152027) * tt
+                          + 1.421413741) * tt - 0.284496736) * tt
+                          + 0.254829592) * tt * exp(-(ax * ax)) * 1e9)
+                          AS BIGINT) AS eu
+                 FROM lbw),
+         lbp AS (SELECT *, CASE WHEN zq >= 0 THEN (eu + 1) // 2
+                           ELSE 1000000000 - eu // 2 END AS pu
+                 FROM lbe)""",
+      """SELECT restaurant_id, n AS n_days, h AS h_lags,
+                q6 / 1e6 AS q_stat, pu / 1e9 AS p_value
+         FROM lbp ORDER BY restaurant_id"""),
 
     "q305_position_attribution" ->
       """WITH pp AS (

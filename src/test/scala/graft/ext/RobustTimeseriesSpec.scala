@@ -195,4 +195,43 @@ class RobustTimeseriesSpec extends SparkSpec {
     assert(p1 < 0.001, "clumped demand must reject Poisson")
     assert(p2 > 0.99, "uniform demand sits in the lower tail")
   }
+
+  test("ljungBox: weekly cycle rejected as white noise, constant series leaves") {
+    val rows =
+      // r1: 10 dollars on days 1,8,15,22 (span = 22 days), zero between
+      (0 until 22).filter(_ % 7 == 0)
+        .map(d => (1L, f"2024-01-${d + 1}%02d", 10.0)) ++
+      // r2: constant 5 every day -> zero variance, excluded
+      (0 until 14).map(d => (2L, f"2024-02-${d + 1}%02d", 5.0))
+    val got = Timeseries.ljungBox(rev(rows: _*))
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // reference: the identical integer-exact chain over the 22-day grid
+    val xs = (0 until 22).map(d => if (d % 7 == 0) 10L else 0L)
+    val n = xs.length
+    val sx = xs.sum
+    val sxx = xs.map(x => x * x).sum
+    val sxd = sx.toDouble / n
+    val rden = sxx.toDouble - sx * sxd
+    val stq = (1 to 7).map { k =>
+      val pairs = (k until n).map(t => (xs(t), xs(t - k)))
+      val nk = pairs.size
+      val spk = pairs.map(p => p._1 * p._2).sum
+      val rnum = spk.toDouble - sxd * (pairs.map(_._1).sum.toDouble
+        + pairs.map(_._2).sum.toDouble) + nk * sxd * sxd
+      val ru = math.round(rnum / rden * 1e9)
+      math.round((ru / 1e9) * (ru / 1e9) / nk * 1e12)
+    }.sum
+    val q6 = math.round(n.toDouble * (n + 2) * (stq / 1e12) * 1e6)
+    val nu = 7.0
+    val zq = math.round((math.cbrt(q6 / 1e6 / nu) - (1.0 - 2.0 / (9.0 * nu)))
+      * math.sqrt(9.0 * nu / 2.0) * 1e6)
+    val ax = math.abs(zq) / 1e6 / math.sqrt(2.0)
+    val tt = 1.0 / (1.0 + 0.3275911 * ax)
+    val eu = math.round(((((1.061405429 * tt - 1.453152027) * tt
+      + 1.421413741) * tt - 0.284496736) * tt + 0.254829592) * tt
+      * math.exp(-(ax * ax)) * 1e9)
+    val pu = if (zq >= 0) (eu + 1) / 2 else 1000000000L - eu / 2
+    assert(got == Seq((1L, 22L, 7L, q6 / 1e6, pu / 1e9)))
+    assert(pu / 1e9 < 0.01, "a weekly cycle is not white noise")
+  }
 }
