@@ -2286,6 +2286,12 @@ object SparkEntry {
     // verdict over q173's ACF diagram; chi2_h via Wilson-Hilferty) ----
     "q325_ljung_box" -> ((s, dir) =>
       graft.ext.Timeseries.ljungBox(Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: per-source lexical-richness vitals (TTR, hapax share,
+    // Yule's K, Simpson's D, Herdan's C — the boilerplate screen) ----
+    "q326_lexical_richness" -> ((s, dir) =>
+      TextAnalysis.lexicalRichness(Tables.documents(s, dir),
+        "source", "text")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7641,6 +7647,37 @@ object SparkEntry {
       """SELECT restaurant_id, n AS n_days, h AS h_lags,
                 q6 / 1e6 AS q_stat, pu / 1e9 AS p_value
          FROM lbp ORDER BY restaurant_id"""),
+
+    "q326_lexical_richness" ->
+      s"""WITH lrt AS (
+             SELECT source, unnest(${graft.functions.Portable.tokensSql("text")})
+               AS term FROM documents),
+           lrc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                   FROM lrt GROUP BY 1, 2),
+           lra AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                          CAST(count(*) AS BIGINT) AS n_types,
+                          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_hapax,
+                          CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
+                            AS scc
+                   FROM lrc GROUP BY 1)
+         SELECT source, n_tokens, n_types,
+                ((n_types * 1000000 * 2 + n_tokens) // (n_tokens * 2))
+                  / 1000000.0 AS ttr,
+                ((n_hapax * 1000000 * 2 + n_types) // (n_types * 2))
+                  / 1000000.0 AS hapax_share,
+                CAST(((scc - n_tokens) * 10000 * 1000000 * 2
+                      + CAST(n_tokens AS HUGEINT) * n_tokens)
+                     // (CAST(n_tokens AS HUGEINT) * n_tokens * 2)
+                  AS DOUBLE) / 1e6 AS yule_k,
+                CAST(((scc - n_tokens) * 1000000000 * 2
+                      + CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                     // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 2)
+                  AS DOUBLE) / 1e9 AS simpson_d,
+                CAST(round(ln(CAST(n_types AS DOUBLE))
+                  / ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
+                  AS herdan_c
+         FROM lra ORDER BY source""",
 
     "q305_position_attribution" ->
       """WITH pp AS (

@@ -420,6 +420,52 @@ object TextAnalysis {
       .orderBy(col("r"))
   }
 
+  /** Per-source lexical-richness vitals — the corpus-quality readout
+    * next to [[goodTuring]]'s frequency estimates and the q167 Heaps
+    * profile: type–token ratio, hapax share, Yule's K
+    * (10⁴·(Σc²−N)∕N² — the repeat-rate statistic, size-stable where
+    * raw TTR is not), Simpson's D over tokens ((Σc²−N)∕(N(N−1)) — the
+    * chance two random tokens are the same type), and Herdan's C
+    * (ln V ∕ ln N). A template-heavy or boilerplate-ridden source
+    * shows high K∕D and low TTR long before a human reads it.
+    *
+    * Exactness: everything derives from ONE (source, term) count
+    * aggregate: N, V, N₁, Σc² are exact longs∕decimal(38,0); K, D,
+    * TTR, hapax are half-up micro∕nano ratios of exact integers; only
+    * Herdan's C is a double chain (two lns, quantized 1e-6).
+    *
+    * Scale shape: token explode → vocabulary-grain hash aggregate →
+    * source-grain rollup; no window, no join. */
+  def lexicalRichness(
+      docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    docs
+      .select(col(srcCol).as("source"),
+        explode(Portable.tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c").cast(dec) * col("c")).as("scc"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("((n_types * 1000000 * 2 + n_tokens) div (n_tokens * 2)) " +
+          "/ cast(1000000 as double)").as("ttr"),
+        expr("((n_hapax * 1000000 * 2 + n_types) div (n_types * 2)) " +
+          "/ cast(1000000 as double)").as("hapax_share"),
+        expr(s"""(((scc - n_tokens) * 10000 * 1000000 * 2
+                  + cast(n_tokens as $dec) * n_tokens)
+                 div (cast(n_tokens as $dec) * n_tokens * 2))""")
+          .cast("double")./(1e6).as("yule_k"),
+        expr(s"""(((scc - n_tokens) * 1000000000 * 2
+                  + cast(n_tokens as $dec) * (n_tokens - 1))
+                 div (cast(n_tokens as $dec) * (n_tokens - 1) * 2))""")
+          .cast("double")./(1e9).as("simpson_d"),
+        (round(log(col("n_types").cast("double"))
+          / log(col("n_tokens").cast("double")) * 1e6).cast("long") / 1e6)
+          .as("herdan_c"))
+      .orderBy(col("source"))
+  }
+
   /** Per-document top terms by TF-IDF (tf × ln(N/df)), the relevance
     * weighting layer over [[termStats]]. Ties (identical scores — same
     * (tf, df) pair) break on the term, so the per-doc ranking is total.

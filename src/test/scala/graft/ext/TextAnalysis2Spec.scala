@@ -229,4 +229,20 @@ class TextAnalysis2Spec extends SparkSpec {
     val reassigned = got.flatMap(r => r._3.map(_ * r._2)).sum
     assert(reassigned <= 10.0 && got.head._4 == 0.3)
   }
+
+  test("lexicalRichness: hand-computed vitals on a tiny corpus") {
+    // source s: counts a=3 b=1 c=1 -> N=5 V=3 N1=2 scc=11
+    val docs = Seq(("s", "a a b"), ("s", "a c")).toDF("source", "text")
+    val got = TextAnalysis.lexicalRichness(docs, "source", "text")
+      .as[(String, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    val c = math.round(math.log(3.0) / math.log(5.0) * 1e6) / 1e6
+    assert(got == Seq((
+      "s", 5L, 3L,
+      0.6, // TTR = 3/5
+      0.666667, // hapax 2/3 half-up micro
+      2400.0, // Yule K = 1e4 * 6 / 25
+      0.3, // Simpson D = 6 / 20
+      c))) // Herdan C = ln3/ln5
+  }
 }
