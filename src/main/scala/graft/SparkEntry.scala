@@ -2292,6 +2292,13 @@ object SparkEntry {
     "q326_lexical_richness" -> ((s, dir) =>
       TextAnalysis.lexicalRichness(Tables.documents(s, dir),
         "source", "text")),
+
+    // ---- ext: capture-recapture (Chapman) estimate of the near-dup
+    // pair population from the LSH and SimHash detectors — the
+    // coverage audit for the dedup tier itself ----
+    "q327_capture_recapture" -> ((s, dir) =>
+      graft.ext.Dedup.dedupCaptureRecapture(
+        Tables.documents(s, dir), "doc_id", "text")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7678,6 +7685,8 @@ object SparkEntry {
                   / ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
                   AS herdan_c
          FROM lra ORDER BY source""",
+
+    "q327_capture_recapture" -> ExtOracleSql.dedupCaptureRecapture(0.7),
 
     "q305_position_attribution" ->
       """WITH pp AS (

@@ -899,6 +899,76 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Capture–recapture estimate of the near-duplicate pair population
+    * — the COVERAGE audit for the dedup tier itself: LSH banding
+    * (q16/q18) and SimHash bucketing (q17) each miss different J ≥ τ
+    * pairs, and with no ground truth at corpus scale (q320's exact
+    * join is capped by construction), Chapman's estimator
+    * N̂ = (n₁+1)(n₂+1)∕(m+1) − 1 over the two detectors' verified pair
+    * sets estimates how many qualifying pairs exist INCLUDING the ones
+    * both miss — and therefore each detector's implied recall. The
+    * independence assumption is the documented caveat (both detectors
+    * key on lexical overlap, so N̂ is a lower-bound-flavored estimate;
+    * positively correlated captures bias N̂ low).
+    *
+    * Both detectors verify with the SAME exact-Jaccard ≥ τ contract
+    * (the q18 machinery), so they sample the same population. SimHash
+    * candidates come from two 16-bit band buckets (hamming-0 per
+    * half), the classic multi-index probe.
+    *
+    * Exactness: n₁, n₂, m are exact pair counts; N̂ is a half-up micro
+    * ratio of exact integers (decimal/HUGEINT product); Chapman's SE
+    * is one fixed double chain quantized 1e-6.
+    *
+    * Scale shape: both candidate generators are bucket self-joins
+    * (never all-pairs); the overlap is one full-outer join on
+    * collision-sized pair lists; the Chapman row is a scalar
+    * aggregate. */
+  def dedupCaptureRecapture(
+      docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.7, numPerms: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val aPairs = lshVerifiedPairs(docs, idCol, textCol, numPerms, bands)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_a"))
+    val sh = simhash(docs, idCol, textCol)
+    val bandsB = sh.select(col(idCol).as("id"), lit(0).as("b"),
+        shiftright(col("simhash"), 16).as("k"))
+      .unionByName(sh.select(col(idCol).as("id"), lit(1).as("b"),
+        col("simhash").bitwiseAND(lit(65535L)).as("k")))
+    val candB = bandsB.toDF("id_a", "b", "k")
+      .join(bandsB.toDF("id_b", "b", "k"), Seq("b", "k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val bPairs = exactJaccard(docs, candB, idCol, textCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_b"))
+    aPairs.join(bPairs, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(coalesce(col("in_a"), lit(0L))).as("n1"),
+        sum(coalesce(col("in_b"), lit(0L))).as("n2"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("m"))
+      .withColumn("nhat_u",
+        (expr(s"""((cast(n1 + 1 as $dec) * (n2 + 1) * 1000000 * 2 + (m + 1))
+                 div ((m + 1) * 2))""") - lit(1000000L)).cast("long"))
+      .withColumn("varq", round(
+        (col("n1") + 1).cast("double") * (col("n2") + 1)
+          * (col("n1") - col("m")) * (col("n2") - col("m"))
+          / ((col("m") + 1).cast("double") * (col("m") + 1) * (col("m") + 2))
+          * 1e6).cast("long"))
+      .select(col("n1").as("n_lsh"), col("n2").as("n_simhash"),
+        col("m").as("m_overlap"),
+        (col("nhat_u") / 1e6).as("n_hat"),
+        (round(sqrt(col("varq") / 1e6) * 1e6).cast("long") / 1e6).as("se"),
+        when(col("nhat_u") > 0,
+          round(col("n1") / (col("nhat_u") / 1e6) * 1e6).cast("long") / 1e6)
+          .as("recall_lsh"),
+        when(col("nhat_u") > 0,
+          round(col("n2") / (col("nhat_u") / 1e6) * 1e6).cast("long") / 1e6)
+          .as("recall_simhash"))
+  }
+
   /** Fellegi–Sunter probabilistic record-linkage weights over the
     * blocked pair space — the DECISION layer above [[fuzzyNamePairs]]
     * and [[jaroWinklerPairs]]' raw similarities: each comparison field

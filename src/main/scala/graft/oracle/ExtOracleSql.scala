@@ -135,6 +135,77 @@ object ExtOracleSql {
        |  AND inter * $tauDen >= (na + nb - inter) * $tauNum
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Mirrors [[graft.ext.Dedup.dedupCaptureRecapture]]: the shared
+    * LSH `pairs` CTE and the q17 simhash chain, both verified with
+    * the same exact-Jaccard ≥ τ contract; Chapman's estimator over
+    * the three exact counts. */
+  def dedupCaptureRecapture(minJaccard: Double): String = {
+    val sums = (0 until SimhashBits)
+      .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS s_$b")
+      .mkString(",\n         ")
+    val packed = (0 until SimhashBits)
+      .map(b => s"CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    val jac = (x: String, y: String) =>
+      s"""CAST(len(list_intersect($x.sh, $y.sh)) AS DOUBLE)
+         |  / (len($x.sh) + len($y.sh) - len(list_intersect($x.sh, $y.sh)))"""
+        .stripMargin
+    s"""WITH $toksCte,
+       |$sigCte,
+       |$bandsCte,
+       |sharr AS (SELECT doc_id, $shinglesExpr AS sh FROM toks),
+       |cra AS (
+       |  SELECT p.id_a, p.id_b FROM pairs p
+       |  JOIN sharr a ON p.id_a = a.doc_id
+       |  JOIN sharr b ON p.id_b = b.doc_id
+       |  WHERE ${jac("a", "b")} >= $minJaccard),
+       |crt AS (
+       |  SELECT doc_id, unnest(list_distinct(${Portable.tokensSql("text")}))
+       |    AS t
+       |  FROM documents),
+       |crh AS (SELECT doc_id, ${h60("t")} AS h FROM crt),
+       |crs AS (SELECT doc_id,
+       |         $sums
+       |  FROM crh GROUP BY 1),
+       |crsh AS (SELECT doc_id, $packed AS simhash FROM crs),
+       |crb AS (SELECT doc_id, 0 AS b, simhash >> 16 AS k FROM crsh
+       |        UNION ALL
+       |        SELECT doc_id, 1 AS b, simhash & 65535 AS k FROM crsh),
+       |crc AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |        FROM crb x JOIN crb y
+       |          ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+       |crbv AS (
+       |  SELECT c.id_a, c.id_b FROM crc c
+       |  JOIN sharr a ON c.id_a = a.doc_id
+       |  JOIN sharr b ON c.id_b = b.doc_id
+       |  WHERE ${jac("a", "b")} >= $minJaccard),
+       |crn AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM cra) AS n1,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM crbv) AS n2,
+       |         (SELECT CAST(count(*) AS BIGINT)
+       |          FROM cra x JOIN crbv y
+       |            ON x.id_a = y.id_a AND x.id_b = y.id_b) AS m),
+       |crch AS (
+       |  SELECT *,
+       |         ((CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * 1000000 * 2 + (m + 1))
+       |          // ((m + 1) * 2)) - 1000000 AS nhat_u,
+       |         CAST(round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m)
+       |           * (n2 - m)
+       |           / (CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2)) * 1e6)
+       |           AS BIGINT) AS varq
+       |  FROM crn)
+       |SELECT n1 AS n_lsh, n2 AS n_simhash, m AS m_overlap,
+       |       nhat_u / 1e6 AS n_hat,
+       |       CAST(round(sqrt(varq / 1e6) * 1e6) AS BIGINT) / 1e6 AS se,
+       |       CASE WHEN nhat_u > 0 THEN
+       |         CAST(round(n1 / (nhat_u / 1e6) * 1e6) AS BIGINT) / 1e6
+       |       END AS recall_lsh,
+       |       CASE WHEN nhat_u > 0 THEN
+       |         CAST(round(n2 / (nhat_u / 1e6) * 1e6) AS BIGINT) / 1e6
+       |       END AS recall_simhash
+       |FROM crch""".stripMargin
+  }
+
   /** Mirrors [[graft.ext.Dedup.fellegiSunter]] wired over `part`
     * (block = brand; fields name/type/container/size): the same
     * driver-computed integer weights for the fuzzy name field, the

@@ -381,4 +381,20 @@ class DedupSpec extends SparkSpec {
     // agreement on everything must outweigh disagreement on everything
     assert(got.head._4 > got.last._4)
   }
+
+  test("dedupCaptureRecapture: both detectors catch planted exact dups -> N-hat exact") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "completely different text about databases and indexes"),
+      (5L, "yet another unrelated sentence mentioning nothing shared")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupCaptureRecapture(d, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().head
+    // 3 identical docs -> 3 pairs, seen by BOTH detectors: n1 = n2 = m
+    // = 3; Chapman: 4*4/4 - 1 = 3; zero variance; recall 1.0 each
+    assert(got == ((3L, 3L, 3L, 3.0, 0.0, Some(1.0), Some(1.0))))
+  }
 }
