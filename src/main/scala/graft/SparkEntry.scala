@@ -2299,6 +2299,11 @@ object SparkEntry {
     "q327_capture_recapture" -> ((s, dir) =>
       graft.ext.Dedup.dedupCaptureRecapture(
         Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- ext: Wald-Wolfowitz runs test on above/below-mean day signs
+    // (the nonparametric randomness check next to q325) ----
+    "q328_runs_test" -> ((s, dir) =>
+      graft.ext.Timeseries.runsTest(Conformed.orderRevenueCached(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7687,6 +7692,65 @@ object SparkEntry {
          FROM lra ORDER BY source""",
 
     "q327_capture_recapture" -> ExtOracleSql.dedupCaptureRecapture(0.7),
+
+    "q328_runs_test" -> OracleSql.withBase(
+      """rtd AS (
+             SELECT restaurant_id, creation_date,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                      AS cents
+             FROM order_revenue GROUP BY 1, 2),
+         rts AS (SELECT restaurant_id, min(creation_date) AS d0,
+                        max(creation_date) AS d1
+                 FROM rtd GROUP BY 1),
+         rtn AS (SELECT restaurant_id,
+                        CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                          AS DATE) AS creation_date
+                 FROM rts),
+         rtg AS (SELECT n.restaurant_id, n.creation_date,
+                        coalesce(d.cents, 0) AS x
+                 FROM rtn n LEFT JOIN rtd d
+                   ON n.restaurant_id = d.restaurant_id
+                  AND n.creation_date = d.creation_date),
+         rtt AS (SELECT restaurant_id, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(x) AS BIGINT) AS sx
+                 FROM rtg GROUP BY 1),
+         rtsg AS (SELECT g.restaurant_id, g.creation_date, t.n,
+                         CASE WHEN CAST(g.x AS HUGEINT) * t.n
+                                   > CAST(t.sx AS HUGEINT)
+                              THEN 1 ELSE 0 END AS s
+                  FROM rtg g JOIN rtt t USING (restaurant_id)),
+         rtc AS (SELECT *,
+                        CASE WHEN lag(s) OVER (PARTITION BY restaurant_id
+                               ORDER BY creation_date) IS NULL THEN 0
+                             WHEN s <> lag(s) OVER (PARTITION BY
+                               restaurant_id ORDER BY creation_date)
+                               THEN 1 ELSE 0 END AS chg
+                 FROM rtsg),
+         rta AS (SELECT restaurant_id, n,
+                        CAST(sum(s) AS BIGINT) AS n1,
+                        1 + CAST(sum(chg) AS BIGINT) AS r
+                 FROM rtc GROUP BY 1, 2),
+         rtb AS (SELECT *, n - n1 AS n2 FROM rta
+                 WHERE n1 > 0 AND n - n1 > 0),
+         rte AS (SELECT *,
+                        2.0 * n1 * n2 / n + 1.0 AS e,
+                        2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                          / (CAST(n AS DOUBLE) * n * (n - 1)) AS v
+                 FROM rtb),
+         rtz AS (SELECT *,
+                        CAST(round((r - e) / sqrt(v) * 1e6) AS BIGINT) AS zq
+                 FROM rte WHERE v > 0),
+         rtx AS (SELECT *, abs(zq) / 1e6 / sqrt(2.0) AS ax FROM rtz),
+         rtw AS (SELECT *, 1.0 / (1.0 + 0.3275911 * ax) AS tt FROM rtx),
+         rtp AS (SELECT *,
+                        CAST(round(((((1.061405429 * tt - 1.453152027) * tt
+                          + 1.421413741) * tt - 0.284496736) * tt
+                          + 0.254829592) * tt * exp(-(ax * ax)) * 1e9)
+                          AS BIGINT) AS pu
+                 FROM rtw)""",
+      """SELECT restaurant_id, n AS n_days, n1 AS n_above, r AS n_runs,
+                zq / 1e6 AS z, pu / 1e9 AS p_value
+         FROM rtp ORDER BY restaurant_id"""),
 
     "q305_position_attribution" ->
       """WITH pp AS (

@@ -519,6 +519,74 @@ object Timeseries {
       .orderBy(col("restaurant_id"))
   }
 
+  /** Wald–Wolfowitz runs test per restaurant — the nonparametric
+    * randomness check next to [[ljungBox]]: a revenue series that
+    * hugs one side of its mean for long stretches (few runs) or
+    * zigzags every day (too many runs) is not random, even when its
+    * autocorrelations individually look small. The day sequence maps
+    * to above∕below the EXACT mean (the integer cross-compare
+    * xₜ·n > Σx — no division; ties count as below, documented), R =
+    * 1 + #sign changes, and z = (R − (2n₁n₂∕n + 1))∕√Var with the
+    * two-sided p from the shared A&S chain.
+    *
+    * Exactness: the spine, cents, R, n₁, n₂ are exact integers
+    * (decimal cross-products for the mean compare); E[R]∕Var∕z are
+    * fixed double chains over them, quantized 1e-6∕1e-9. Restaurants
+    * with every day on one side leave the family (no runs to test).
+    *
+    * Scale shape: one hash aggregate, spine fill, ONE partitioned lag
+    * window, one restaurant-grain rollup. */
+  def runsTest(orderRevenue: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = orderRevenue
+      .groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val spine = daily
+      .groupBy(col("restaurant_id"))
+      .agg(min(col("creation_date")).as("d0"),
+        max(col("creation_date")).as("d1"))
+      .select(col("restaurant_id"),
+        explode(sequence(col("d0"), col("d1"))).as("creation_date"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("restaurant_id")).orderBy(col("creation_date"))
+    val grid = spine.join(daily, Seq("restaurant_id", "creation_date"), "left")
+      .select(col("restaurant_id"), col("creation_date"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+    val tot = grid.groupBy(col("restaurant_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val signed = grid.join(tot, Seq("restaurant_id"))
+      .withColumn("s",
+        when(col("x").cast(dec) * col("n") > col("sx").cast(dec), 1L)
+          .otherwise(0L))
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(ord).isNull, 0L)
+          .when(col("s") =!= lag(col("s"), 1).over(ord), 1L).otherwise(0L))
+    signed.groupBy(col("restaurant_id"), col("n"))
+      .agg(sum(col("s")).as("n1"), (lit(1L) + sum(col("chg"))).as("r"))
+      .withColumn("n2", col("n") - col("n1"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("e",
+        lit(2.0) * col("n1") * col("n2") / col("n") + lit(1.0))
+      .withColumn("v",
+        lit(2.0) * col("n1") * col("n2")
+          * (lit(2.0) * col("n1") * col("n2") - col("n"))
+          / (col("n").cast("double") * col("n") * (col("n") - 1)))
+      .filter(col("v") > 0.0)
+      .withColumn("zq",
+        round((col("r") - col("e")) / sqrt(col("v")) * 1e6).cast("long"))
+      .withColumn("ax", abs(col("zq")) / 1e6 / sqrt(lit(2.0)))
+      .withColumn("tt", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("ax")))
+      .withColumn("pu",
+        round(((((lit(1.061405429) * col("tt") - lit(1.453152027)) * col("tt")
+            + lit(1.421413741)) * col("tt") - lit(0.284496736)) * col("tt")
+            + lit(0.254829592)) * col("tt")
+          * exp(-(col("ax") * col("ax"))) * 1e9).cast("long"))
+      .select(col("restaurant_id"), col("n").as("n_days"),
+        col("n1").as("n_above"), col("r").as("n_runs"),
+        (col("zq") / 1e6).as("z"), (col("pu") / 1e9).as("p_value"))
+      .orderBy(col("restaurant_id"))
+  }
+
   /** Poisson overdispersion test of daily demand per restaurant — the
     * model-choice gate BEFORE any count forecast ([[seasonalNaiveBands]]
     * and the Croston tier assume clumpy demand; a Poisson GLM assumes

@@ -234,4 +234,31 @@ class RobustTimeseriesSpec extends SparkSpec {
     assert(got == Seq((1L, 22L, 7L, q6 / 1e6, pu / 1e9)))
     assert(pu / 1e9 < 0.01, "a weekly cycle is not white noise")
   }
+
+  test("runsTest: zigzag has max runs, clustered has 2, constant leaves") {
+    val vals1 = Seq(10.0, 0.0, 10.0, 0.0, 10.0, 0.0) // 6 runs
+    val vals2 = Seq(10.0, 10.0, 10.0, 0.0, 0.0, 0.0) // 2 runs
+    val rows =
+      vals1.zipWithIndex.map { case (v, d) => (1L, f"2024-01-0${d + 1}%01d", v) } ++
+      vals2.zipWithIndex.map { case (v, d) => (2L, f"2024-02-0${d + 1}%01d", v) } ++
+      (1 to 4).map(d => (3L, f"2024-03-0$d%01d", 5.0)) // never above mean
+    val got = Timeseries.runsTest(rev(rows: _*))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // both: n=6, n1=3 -> E[R]=4, Var=1.2; zigzag R=6, clustered R=2
+    def zp(r: Long): (Double, Double) = {
+      val z = (r - 4.0) / math.sqrt(1.2)
+      val zq = math.round(z * 1e6)
+      val ax = math.abs(zq) / 1e6 / math.sqrt(2.0)
+      val tt = 1.0 / (1.0 + 0.3275911 * ax)
+      val p = ((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+        - 0.284496736) * tt + 0.254829592) * tt * math.exp(-(ax * ax))
+      (zq / 1e6, math.round(p * 1e9) / 1e9)
+    }
+    val (z1, p1) = zp(6)
+    val (z2, p2) = zp(2)
+    assert(got == Seq(
+      (1L, 6L, 3L, 6L, z1, p1),
+      (2L, 6L, 3L, 2L, z2, p2)))
+    assert(z1 > 0 && z2 < 0 && p1 == p2, "symmetric two-sided p")
+  }
 }
