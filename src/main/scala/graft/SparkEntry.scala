@@ -2304,6 +2304,13 @@ object SparkEntry {
     // (the nonparametric randomness check next to q325) ----
     "q328_runs_test" -> ((s, dir) =>
       graft.ext.Timeseries.runsTest(Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: Theil-T revenue inequality decomposed by supplier
+    // nation (T = T_between + T_within exactly — the decomposability
+    // Gini lacks) ----
+    "q329_theil" -> ((s, dir) =>
+      graft.ext.Olap.theilDecomposition(Conformed.orderRevenueCached(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7751,6 +7758,56 @@ object SparkEntry {
       """SELECT restaurant_id, n AS n_days, n1 AS n_above, r AS n_runs,
                 zq / 1e6 AS z, pu / 1e9 AS p_value
          FROM rtp ORDER BY restaurant_id"""),
+
+    "q329_theil" -> OracleSql.withBase(
+      """thr AS (
+             SELECT restaurant_id,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT) AS x
+             FROM order_revenue GROUP BY 1
+             HAVING sum(round(total_revenue * 10000)) > 0),
+         thn AS (SELECT n.n_name AS nation, r.x
+                 FROM thr r
+                 JOIN supplier s ON r.restaurant_id = s.s_suppkey
+                 JOIN nation n ON s.s_nationkey = n.n_nationkey),
+         thg AS (SELECT nation,
+                        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS xg,
+                        CAST(count(*) AS BIGINT) AS ng
+                 FROM thn GROUP BY 1),
+         thx AS (SELECT CAST(sum(xg) AS HUGEINT) AS xx,
+                        CAST(sum(ng) AS BIGINT) AS nn FROM thg),
+         tht AS (SELECT t.nation,
+                        CAST(sum(CAST(round(CAST(t.x AS DOUBLE)
+                          / CAST(g.xg AS DOUBLE)
+                          * ln(CAST(t.x AS DOUBLE) * g.ng
+                            / CAST(g.xg AS DOUBLE)) * 1e9) AS BIGINT))
+                          AS BIGINT) AS tgq,
+                        CAST(sum(CAST(round(CAST(t.x AS DOUBLE)
+                          / CAST(x2.xx AS DOUBLE)
+                          * ln(CAST(t.x AS DOUBLE) * x2.nn
+                            / CAST(x2.xx AS DOUBLE)) * 1e9) AS BIGINT))
+                          AS BIGINT) AS ttq
+                 FROM thn t JOIN thg g USING (nation) CROSS JOIN thx x2
+                 GROUP BY 1),
+         thp AS (SELECT g.nation, g.xg, g.ng, x2.xx, x2.nn, t.tgq, t.ttq,
+                        CAST(round(CAST(g.xg AS DOUBLE)
+                          / CAST(x2.xx AS DOUBLE)
+                          * ln(CAST(g.xg AS DOUBLE) * x2.nn
+                            / CAST(x2.xx AS DOUBLE) / g.ng) * 1e9)
+                          AS BIGINT) AS tbv,
+                        CAST(round(CAST(g.xg AS DOUBLE)
+                          / CAST(x2.xx AS DOUBLE) * (t.tgq / 1e9) * 1e9)
+                          AS BIGINT) AS twv
+                 FROM thg g JOIN tht t USING (nation) CROSS JOIN thx x2),
+         tho AS (SELECT CAST(sum(ttq) AS BIGINT) AS t_tot,
+                        CAST(sum(tbv) AS BIGINT) AS t_bet,
+                        CAST(sum(twv) AS BIGINT) AS t_wit FROM thp)""",
+      """SELECT nation, ng AS n_restaurants,
+                CAST((xg * 1000000 * 2 + xx) // (xx * 2) AS DOUBLE) / 1e6
+                  AS rev_share,
+                tgq / 1e9 AS theil_in_group, tbv / 1e9 AS between_term,
+                t_tot / 1e9 AS t_total, t_bet / 1e9 AS t_between,
+                t_wit / 1e9 AS t_within
+         FROM thp CROSS JOIN tho ORDER BY nation"""),
 
     "q305_position_attribution" ->
       """WITH pp AS (

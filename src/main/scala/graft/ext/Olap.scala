@@ -426,6 +426,73 @@ object Olap {
     * [[revenueGini]]'s coefficient, at market level. The unpartitioned
     * NTILE window runs at user-mart cardinality (the q42 judgment);
     * cumulative sums ride exact longs. */
+  /** Theil-T inequality of restaurant revenue, DECOMPOSED by supplier
+    * nation — the property [[revenueGini]] cannot offer: Theil's index
+    * splits EXACTLY into between-group + within-group components
+    * (T = T_b + Σ_g s_g·T_g), so the readout says how much revenue
+    * inequality is "nations differ" vs "restaurants within a nation
+    * differ" — the market-structure question behind the q257
+    * share-of-parent tier. Per-nation rows carry the group share,
+    * group Theil, and between-contribution; the three corpus totals
+    * ride every row as constant columns (the q319 idiom).
+    *
+    * Exactness: cents exact; each (share · ln share-ratio) term is one
+    * fixed double chain over exact integers quantized 1e-9 BEFORE its
+    * order-free rollup (the entropy idiom); the decomposition identity
+    * then holds to the quantization floor (unit-asserted ≤ 1e-6).
+    *
+    * Scale shape: fact → restaurant hash aggregate → broadcast
+    * supplier-nation dims → nation mart; the global scalar returns
+    * via broadcast. No window. */
+  def theilDecomposition(
+      orderRevenue: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rest = orderRevenue
+      .groupBy(col("restaurant_id"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("x"))
+      .filter(col("x") > 0)
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("restaurant_id") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("x"))
+    val nat = rest.groupBy(col("nation"))
+      .agg(sum(col("x").cast(dec)).as("xg"), count(lit(1)).as("ng"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val glob = nat.agg(sum(col("xg")).as("xx"), sum(col("ng")).as("nn"))
+    val terms = rest.join(nat, Seq("nation")).crossJoin(broadcast(glob))
+      .select(col("nation"),
+        round(col("x").cast("double") / col("xg").cast("double")
+          * log(col("x").cast("double") * col("ng")
+            / col("xg").cast("double")) * 1e9).cast("long").as("tgv"),
+        round(col("x").cast("double") / col("xx").cast("double")
+          * log(col("x").cast("double") * col("nn")
+            / col("xx").cast("double")) * 1e9).cast("long").as("ttv"))
+      .groupBy(col("nation"))
+      .agg(sum(col("tgv")).as("tgq"), sum(col("ttv")).as("ttq"))
+    val perNat = nat.join(terms, Seq("nation")).crossJoin(broadcast(glob))
+      .withColumn("tbv", round(col("xg").cast("double")
+        / col("xx").cast("double")
+        * log(col("xg").cast("double") * col("nn")
+          / col("xx").cast("double") / col("ng")) * 1e9).cast("long"))
+      .withColumn("twv", round(col("xg").cast("double")
+        / col("xx").cast("double") * (col("tgq") / 1e9) * 1e9).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tots = perNat.agg(sum(col("ttq")).as("t_tot"),
+      sum(col("tbv")).as("t_bet"), sum(col("twv")).as("t_wit"))
+    perNat.crossJoin(broadcast(tots))
+      .select(col("nation"), col("ng").as("n_restaurants"),
+        expr("((xg * 1000000 * 2 + xx) div (xx * 2))").cast("double")
+          ./(1e6).as("rev_share"),
+        (col("tgq") / 1e9).as("theil_in_group"),
+        (col("tbv") / 1e9).as("between_term"),
+        (col("t_tot") / 1e9).as("t_total"),
+        (col("t_bet") / 1e9).as("t_between"),
+        (col("t_wit") / 1e9).as("t_within"))
+      .orderBy(col("nation"))
+  }
+
   def lorenzCurve(orderRevenue: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val users = orderRevenue

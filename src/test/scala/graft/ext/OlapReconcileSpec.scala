@@ -71,4 +71,27 @@ class OlapReconcileSpec extends SparkSpec {
     val fb = Reconcile.fingerprint(b, Seq(col("k")), cols, buckets = 1)
     assert(fa.except(fb).count() == 1, "NULL position must change the fingerprint")
   }
+
+  test("theilDecomposition: equal-within nations -> T_within 0, identity holds") {
+    val rev = Seq((11L, 100.0), (12L, 100.0), (21L, 300.0), (22L, 300.0))
+      .toDF("restaurant_id", "total_revenue")
+    val sup = Seq((11L, 1L), (12L, 1L), (21L, 2L), (22L, 2L))
+      .toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1L, "A"), (2L, "B")).toDF("n_nationkey", "n_name")
+    val got = Olap.theilDecomposition(rev, sup, nat)
+      .as[(String, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    // per-restaurant totals terms: 0.125*ln(0.5) and 0.375*ln(1.5)
+    val ta = math.round(0.125 * math.log(0.5) * 1e9)
+    val tb = math.round(0.375 * math.log(1.5) * 1e9)
+    val ba = math.round(0.25 * math.log(0.5) * 1e9)
+    val bb = math.round(0.75 * math.log(1.5) * 1e9)
+    val tTot = (2 * ta + 2 * tb) / 1e9
+    val tBet = (ba + bb) / 1e9
+    assert(got == Seq(
+      ("A", 2L, 0.25, 0.0, ba / 1e9, tTot, tBet, 0.0),
+      ("B", 2L, 0.75, 0.0, bb / 1e9, tTot, tBet, 0.0)))
+    // the decomposition identity holds to the quantization floor
+    assert(math.abs(tTot - (tBet + 0.0)) < 1e-6)
+  }
 }
