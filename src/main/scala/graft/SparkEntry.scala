@@ -2311,6 +2311,12 @@ object SparkEntry {
     "q329_theil" -> ((s, dir) =>
       graft.ext.Olap.theilDecomposition(Conformed.orderRevenueCached(s, dir),
         Tables.supplier(s, dir), Tables.nation(s, dir))),
+
+    // ---- ext: hubness audit of the embedding space (k-occurrence
+    // skewness — the ANN pathology screen next to the recall gates) ----
+    "q330_hubness" -> ((s, dir) =>
+      Similarity.hubnessAudit(Tables.embeddings(s, dir),
+        "vec_id", "embedding")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7808,6 +7814,8 @@ object SparkEntry {
                 t_tot / 1e9 AS t_total, t_bet / 1e9 AS t_between,
                 t_wit / 1e9 AS t_within
          FROM thp CROSS JOIN tho ORDER BY nation"""),
+
+    "q330_hubness" -> ExtOracleSql.hubnessAudit(10),
 
     "q305_position_attribution" ->
       """WITH pp AS (

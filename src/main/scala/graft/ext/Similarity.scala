@@ -736,6 +736,54 @@ object Similarity {
       .orderBy(col("n_probes"))
   }
 
+  /** Hubness audit of the embedding space — the ANN pathology screen
+    * (Radovanović et al., JMLR 2010) next to the recall gates
+    * (q144/q312): in high dimensions some points become HUBS that
+    * appear in a disproportionate share of other points' k-NN lists
+    * while antihubs appear in none, which silently degrades ANN
+    * recall, kNN label quality (q145), and hard-negative mining
+    * (q122). Reported as the skewness of the k-occurrence
+    * distribution N_k(x) = #{y : x ∈ kNN(y)} — near 0 for
+    * well-behaved spaces, strongly positive under hubness — plus the
+    * max, antihub count, and hub count (N_k ≥ 2k).
+    *
+    * Exactness: N_k counts are exact (the q20 exact top-k contract:
+    * 6dp cosine, id tie-break); moment sums are exact
+    * longs∕decimal(38,0); skewness is one fixed double chain
+    * (m₃∕m₂^1.5) quantized 1e-6.
+    *
+    * Scale shape: [[topKNeighbors]] is the scorer (block-broadcast,
+    * bounded residency — quadratic compute by spec of EXACT kNN; at
+    * 100 TB feed the IVF/SRP candidate lists instead); everything
+    * after is a count aggregate and one scalar row. */
+  def hubnessAudit(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10): DataFrame = {
+    val dec = "decimal(38,0)"
+    val occ = topKNeighbors(vecs, idCol, vecCol, k)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("c"))
+    vecs.select(col(idCol).cast("long").as("neighbor_id"))
+      .join(occ, Seq("neighbor_id"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("c"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c").cast(dec) * col("c")).as("s2"),
+        sum(col("c").cast(dec) * col("c") * col("c")).as("s3"),
+        max(col("c")).as("max_k_occ"),
+        sum(when(col("c") === 0L, 1L).otherwise(0L)).as("n_antihubs"),
+        sum(when(col("c") >= 2L * k, 1L).otherwise(0L)).as("n_hubs"))
+      .withColumn("mu", col("s1").cast("double") / col("n"))
+      .withColumn("m2",
+        col("s2").cast("double") / col("n") - col("mu") * col("mu"))
+      .withColumn("m3", col("s3").cast("double") / col("n")
+        - lit(3.0) * col("mu") * (col("s2").cast("double") / col("n"))
+        + lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .select(col("n").as("n_vecs"), lit(k.toLong).as("k"),
+        when(col("m2") > 0,
+          round(col("m3") / pow(col("m2"), lit(1.5)) * 1e6).cast("long")
+            / 1e6).as("k_occurrence_skew"),
+        col("max_k_occ"), col("n_antihubs"), col("n_hubs"))
+  }
+
   /** Per-label embedding-centroid drift vs the pooled centroid: the
     * training-mix audit in EMBEDDING space ([[graft.ext.Drift.jsdPerGroup]]
     * is its lexical sibling) — a label/source whose centroid swings away

@@ -748,6 +748,41 @@ object ExtOracleSql {
        |  FROM excj),
        |exk AS (SELECT vec_id, neighbor_id FROM exrk WHERE rank <= $k)""".stripMargin
 
+  /** Mirrors [[graft.ext.Similarity.hubnessAudit]] — the q20 exact
+    * top-k chain, k-occurrence counts over a left join back to the
+    * full vector set, exact moment sums, one quantized skewness
+    * chain. */
+  def hubnessAudit(k: Int): String =
+    s"""WITH $vecsCte,
+       |${exactTopKCtes(k)},
+       |hoc AS (SELECT neighbor_id, CAST(count(*) AS BIGINT) AS c
+       |        FROM exk GROUP BY 1),
+       |hall AS (SELECT v.vec_id, coalesce(o.c, 0) AS c
+       |         FROM v LEFT JOIN hoc o ON v.vec_id = o.neighbor_id),
+       |hagg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |                CAST(sum(c) AS BIGINT) AS s1,
+       |                CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+       |                CAST(sum(CAST(c AS HUGEINT) * c * c) AS HUGEINT)
+       |                  AS s3,
+       |                CAST(max(c) AS BIGINT) AS max_k_occ,
+       |                CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS n_antihubs,
+       |                CAST(sum(CASE WHEN c >= ${2 * k} THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS n_hubs
+       |         FROM hall),
+       |hmu AS (SELECT *, CAST(s1 AS DOUBLE) / n AS mu FROM hagg),
+       |hm AS (SELECT *,
+       |         CAST(s2 AS DOUBLE) / n - mu * mu AS m2,
+       |         CAST(s3 AS DOUBLE) / n - 3.0 * mu * (CAST(s2 AS DOUBLE) / n)
+       |           + 2.0 * mu * mu * mu AS m3
+       |       FROM hmu)
+       |SELECT n AS n_vecs, CAST($k AS BIGINT) AS k,
+       |       CASE WHEN m2 > 0 THEN
+       |         CAST(round(m3 / pow(m2, 1.5) * 1e6) AS BIGINT) / 1e6
+       |       END AS k_occurrence_skew,
+       |       max_k_occ, n_antihubs, n_hubs
+       |FROM hm""".stripMargin
+
   /** Mirrors [[graft.ext.Similarity.annRecall]] — the exact and IVF
     * top-k chains (q20/q21's own CTEs) intersected per probe. */
   def annRecall(k: Int, centroidEvery: Int): String =

@@ -341,4 +341,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set(
       (1L, 0, 1L, false), (2L, 0, 1L, false), (3L, 1, 2L, true), (4L, 1, 1L, false)))
   }
+
+  test("hubnessAudit: a tie-broken star hub yields the hand-computed skew") {
+    // v0 = (1,1,1,1) with orthogonal spokes e1..e3: every spoke's 1-NN
+    // is v0 (cos 0.5 vs 0); v0's 1-NN tie-breaks to the smallest id.
+    // k-occurrences [3,1,0,0]: mu=1, m2=1.5, m3=1.5 -> skew m3/m2^1.5
+    val vecs = Seq(
+      (0L, Array(1f, 1f, 1f, 1f)), (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hubnessAudit(vecs, "vec_id", "embedding", k = 1)
+      .as[(Long, Long, Option[Double], Long, Long, Long)].collect().head
+    val skew = math.round(1.5 / math.pow(1.5, 1.5) * 1e6) / 1e6
+    assert(got == ((4L, 1L, Some(skew), 3L, 2L, 1L)))
+  }
 }
