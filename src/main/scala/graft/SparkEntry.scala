@@ -2317,6 +2317,11 @@ object SparkEntry {
     "q330_hubness" -> ((s, dir) =>
       Similarity.hubnessAudit(Tables.embeddings(s, dir),
         "vec_id", "embedding")),
+
+    // ---- ext: monthly Laspeyres/Paasche/Fisher price indices over
+    // the matched part basket (price vs basket movement) ----
+    "q331_price_index" -> ((s, dir) =>
+      graft.ext.Olap.priceIndex(Tables.lineitem(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7816,6 +7821,39 @@ object SparkEntry {
          FROM thp CROSS JOIN tho ORDER BY nation"""),
 
     "q330_hubness" -> ExtOracleSql.hubnessAudit(10),
+
+    "q331_price_index" ->
+      """WITH pim AS (
+             SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+                    CAST(sum(round(l_extendedprice * 10000)) AS BIGINT)
+                      AS cents,
+                    CAST(sum(round(l_quantity)) AS BIGINT) AS qty
+             FROM lineitem GROUP BY 1, 2
+             HAVING sum(round(l_quantity)) > 0),
+           pib AS (SELECT min(m) AS m0 FROM pim),
+           pi0 AS (SELECT p.l_partkey, p.cents AS cents0, p.qty AS qty0
+                   FROM pim p CROSS JOIN pib b WHERE p.m = b.m0),
+           pij AS (SELECT t.m, CAST(count(*) AS BIGINT) AS n_matched,
+                          CAST(sum(CAST(round(CAST(t.cents AS DOUBLE)
+                            * z.qty0 / t.qty) AS BIGINT)) AS BIGINT)
+                            AS lnum,
+                          CAST(sum(z.cents0) AS BIGINT) AS lden,
+                          CAST(sum(t.cents) AS BIGINT) AS pnum,
+                          CAST(sum(CAST(round(CAST(z.cents0 AS DOUBLE)
+                            * t.qty / z.qty0) AS BIGINT)) AS BIGINT)
+                            AS pden
+                   FROM pim t JOIN pi0 z USING (l_partkey) GROUP BY 1),
+           piq AS (SELECT *,
+                          ((CAST(lnum AS HUGEINT) * 1000000 * 2) + lden)
+                            // (lden * 2) AS lq,
+                          ((CAST(pnum AS HUGEINT) * 1000000 * 2) + pden)
+                            // (pden * 2) AS pq
+                   FROM pij)
+         SELECT m AS month, n_matched, lq / 1e6 AS laspeyres,
+                pq / 1e6 AS paasche,
+                CAST(round(sqrt((lq / 1e6) * (pq / 1e6)) * 1e6) AS BIGINT)
+                  / 1e6 AS fisher
+         FROM piq ORDER BY month""",
 
     "q305_position_attribution" ->
       """WITH pp AS (

@@ -426,6 +426,60 @@ object Olap {
     * [[revenueGini]]'s coefficient, at market level. The unpartitioned
     * NTILE window runs at user-mart cardinality (the q42 judgment);
     * cumulative sums ride exact longs. */
+  /** Monthly Laspeyres ∕ Paasche ∕ Fisher price indices over the part
+    * basket — the economics readout the revenue trend tiers cannot
+    * give: is revenue moving because PRICES moved or because the
+    * BASKET moved? Matched-sample form (parts sold in both the base
+    * month and month t — the standard practical choice, documented):
+    * L_t = Σpₜq₀∕Σp₀q₀ holds the base basket fixed, P_t = Σpₜqₜ∕Σp₀qₜ
+    * holds the current one, Fisher is their geometric mean (the
+    * superlative index between the two substitution biases).
+    *
+    * Exactness: per (part, month) the unit price is the rational
+    * cents∕qty of exact sums; each basket term pₜ·q₀ rounds at the
+    * 1e-4-unit grain (round(centsₜ·q₀∕qtyₜ)) BEFORE the order-free
+    * long sums; Σpₜqₜ and Σp₀q₀ are exactly the matched cents sums —
+    * no rounding at all; L and P are half-up micro ratios, Fisher one
+    * quantized sqrt.
+    *
+    * Scale shape: one fact-grain hash aggregate to (part, month); the
+    * base-month slice is part-dimension-sized and broadcasts onto the
+    * month series; per-month rollup. No window. */
+  def priceIndex(lineitem: DataFrame): DataFrame = {
+    val pm = lineitem
+      .groupBy(col("l_partkey"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("m"))
+      .agg(sum(round(col("l_extendedprice") * 10000).cast("long"))
+          .as("cents"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"))
+      .filter(col("qty") > 0)
+      // base slice + month series both read it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = pm.agg(min(col("m")).as("m0"))
+    val base = pm.join(broadcast(b), col("m") === col("m0"))
+      .select(col("l_partkey"), col("cents").as("cents0"),
+        col("qty").as("qty0"))
+    pm.join(broadcast(base), Seq("l_partkey"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_matched"),
+        // Laspeyres numerator: p_t * q_0 per part, 1e-4-unit rounding
+        sum(round(col("cents").cast("double") * col("qty0") / col("qty"))
+          .cast("long")).as("ln"),
+        sum(col("cents0")).as("ld"), // p_0 q_0 = cents0 exactly
+        sum(col("cents")).as("pn"), // p_t q_t = cents_t exactly
+        sum(round(col("cents0").cast("double") * col("qty") / col("qty0"))
+          .cast("long")).as("pd"))
+      .withColumn("lq", expr(
+        "((cast(ln as decimal(38,0)) * 1000000 * 2) + ld) div (ld * 2)"))
+      .withColumn("pq", expr(
+        "((cast(pn as decimal(38,0)) * 1000000 * 2) + pd) div (pd * 2)"))
+      .select(col("m").as("month"), col("n_matched"),
+        (col("lq") / 1e6).as("laspeyres"), (col("pq") / 1e6).as("paasche"),
+        (round(sqrt((col("lq") / 1e6) * (col("pq") / 1e6)) * 1e6)
+          .cast("long") / 1e6).as("fisher"))
+      .orderBy(col("month"))
+  }
+
   /** Theil-T inequality of restaurant revenue, DECOMPOSED by supplier
     * nation — the property [[revenueGini]] cannot offer: Theil's index
     * splits EXACTLY into between-group + within-group components

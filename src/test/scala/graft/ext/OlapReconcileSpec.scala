@@ -94,4 +94,21 @@ class OlapReconcileSpec extends SparkSpec {
     // the decomposition identity holds to the quantization floor
     assert(math.abs(tTot - (tBet + 0.0)) < 1e-6)
   }
+
+  test("priceIndex: matched-basket L/P/F at hand-computed values, new part excluded") {
+    val li = Seq(
+      // base month: A unit 10.0, B unit 10.0
+      (1L, "2024-01-05", 20.0, 2.0), (2L, "2024-01-06", 30.0, 3.0),
+      // month 2: A +20%, B -10%, same quantities; C is new (unmatched)
+      (1L, "2024-02-05", 24.0, 2.0), (2L, "2024-02-06", 27.0, 3.0),
+      (3L, "2024-02-07", 99.0, 1.0)
+    ).toDF("l_partkey", "day", "l_extendedprice", "l_quantity")
+      .withColumn("l_shipdate", col("day").cast("date"))
+    val got = Olap.priceIndex(li)
+      .as[(java.sql.Date, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 2L, 1.0, 1.0, 1.0),
+      // L = (120000*2 + 90000*3) / 500000 = 1.02; same quantities -> P = L
+      (java.sql.Date.valueOf("2024-02-01"), 2L, 1.02, 1.02, 1.02)))
+  }
 }
