@@ -2322,6 +2322,12 @@ object SparkEntry {
     // the matched part basket (price vs basket movement) ----
     "q331_price_index" -> ((s, dir) =>
       graft.ext.Olap.priceIndex(Tables.lineitem(s, dir))),
+
+    // ---- ext: McNemar paired activity-shift test across timeline
+    // halves (each user their own control; discordant cells only) ----
+    "q332_mcnemar" -> ((s, dir) =>
+      graft.ext.Experiment.mcnemarActivityShift(
+        Conformed.orderRevenueCached(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7854,6 +7860,46 @@ object SparkEntry {
                 CAST(round(sqrt((lq / 1e6) * (pq / 1e6)) * 1e6) AS BIGINT)
                   / 1e6 AS fisher
          FROM piq ORDER BY month""",
+
+    "q332_mcnemar" -> OracleSql.withBase(
+      """mns AS (
+             SELECT min(creation_date) AS d0, max(creation_date) AS d1
+             FROM order_revenue),
+         mnm AS (SELECT d0 + CAST(datediff('day', d0, d1) // 2 AS INTEGER)
+                        AS mid
+                 FROM mns),
+         mnu AS (SELECT o.user_id,
+                        CAST(max(CASE WHEN o.creation_date <= m.mid
+                            THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+                        CAST(max(CASE WHEN o.creation_date > m.mid
+                            THEN 1 ELSE 0 END) AS BIGINT) AS h2
+                 FROM order_revenue o CROSS JOIN mnm m
+                 GROUP BY 1),
+         mnc AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                        CAST(sum(CASE WHEN h1 = 1 AND h2 = 1 THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_both,
+                        CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1
+                            ELSE 0 END) AS BIGINT) AS b,
+                        CAST(sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1
+                            ELSE 0 END) AS BIGINT) AS c
+                 FROM mnu),
+         mnq AS (SELECT *,
+                        CASE WHEN b + c > 0 AND abs(b - c) > 1 THEN
+                          CAST(round(CAST(abs(b - c) - 1 AS DOUBLE)
+                            * (abs(b - c) - 1) / (b + c) * 1e6) AS BIGINT)
+                        ELSE 0 END AS chi2q
+                 FROM mnc),
+         mnx AS (SELECT *, sqrt(chi2q / 2e6) AS x FROM mnq),
+         mnw AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM mnx),
+         mnp AS (SELECT *,
+                        CAST(round(((((1.061405429 * tt - 1.453152027) * tt
+                          + 1.421413741) * tt - 0.284496736) * tt
+                          + 0.254829592) * tt * exp(-(x * x)) * 1e9)
+                          AS BIGINT) AS pu
+                 FROM mnw)""",
+      """SELECT n_users, n_both, b AS early_only, c AS late_only,
+                chi2q / 1e6 AS chi2, pu / 1e9 AS p_value
+         FROM mnp"""),
 
     "q305_position_attribution" ->
       """WITH pp AS (

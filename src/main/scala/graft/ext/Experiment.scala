@@ -627,6 +627,59 @@ object Experiment {
         (col("pu") / 1e9).as("p_value"))
   }
 
+  /** McNemar's test of paired activity change across the two halves of
+    * the timeline — the PAIRED companion to the two-sample tiers: each
+    * user is their own control, so "did the population's activity
+    * pattern shift?" is asked only of the DISCORDANT users (active
+    * early-only b vs late-only c); concordant users carry no signal
+    * and drop out of the statistic by construction.
+    * χ² = (|b−c|−1)²∕(b+c) with the continuity correction (collapsing
+    * to 0 when |b−c| ≤ 1, the classic convention), p via the shared
+    * A&S chain.
+    *
+    * Exactness: the midpoint is exact integer date arithmetic; b, c
+    * are exact counts; the χ² numerator is an exact integer; one
+    * quantized division then the p chain.
+    *
+    * Scale shape: one scalar span aggregate returning via broadcast,
+    * one user-grain hash aggregate, one cell rollup. */
+  def mcnemarActivityShift(orderRevenue: DataFrame): DataFrame = {
+    val span = orderRevenue.agg(
+      min(col("creation_date")).as("d0"), max(col("creation_date")).as("d1"))
+      .select(date_add(col("d0"),
+        (datediff(col("d1"), col("d0")) / 2).cast("int")).as("mid"))
+    val cells = orderRevenue.select(col("user_id"), col("creation_date"))
+      .crossJoin(broadcast(span))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("creation_date") <= col("mid"), 1L).otherwise(0L))
+          .as("h1"),
+        max(when(col("creation_date") > col("mid"), 1L).otherwise(0L))
+          .as("h2"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("h1") === 1L && col("h2") === 1L, 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("h1") === 1L && col("h2") === 0L, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("h1") === 0L && col("h2") === 1L, 1L).otherwise(0L))
+          .as("c"))
+    cells
+      .withColumn("chi2q", when(col("b") + col("c") > 0
+          && abs(col("b") - col("c")) > 1,
+        round((abs(col("b") - col("c")) - 1).cast("double")
+          * (abs(col("b") - col("c")) - 1) / (col("b") + col("c")) * 1e6)
+          .cast("long")).otherwise(0L))
+      .withColumn("x", sqrt(col("chi2q") / lit(2e6)))
+      .withColumn("tt", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("x")))
+      .withColumn("pu",
+        round(((((lit(1.061405429) * col("tt") - lit(1.453152027)) * col("tt")
+            + lit(1.421413741)) * col("tt") - lit(0.284496736)) * col("tt")
+            + lit(0.254829592)) * col("tt")
+          * exp(-(col("x") * col("x"))) * 1e9).cast("long"))
+      .select(col("n_users"), col("n_both"), col("b").as("early_only"),
+        col("c").as("late_only"), (col("chi2q") / 1e6).as("chi2"),
+        (col("pu") / 1e9).as("p_value"))
+  }
+
   /** Poisson(1) inverse-CDF thresholds in [[graft.functions.Portable.h60]]
     * units: a uniform h ∈ [0, 2⁶⁰) maps to weight w = #{k : h ≥ t_k},
     * so P(w = k) = e⁻¹∕k! for k ≤ 8 (the tail above k = 9 — total mass

@@ -155,6 +155,25 @@ class ExperimentSpec extends SparkSpec {
     assert(got._5 == math.round(p * 1e9) / 1e9)
   }
 
+  test("mcnemarActivityShift: discordant cells drive the statistic") {
+    // span Jan 2..10 -> mid Jan 6; u1 both, u2-u4 early-only, u5 late-only
+    val rows = Seq(
+      (1L, "2024-01-02"), (1L, "2024-01-10"),
+      (2L, "2024-01-03"), (3L, "2024-01-04"), (4L, "2024-01-05"),
+      (5L, "2024-01-09"))
+    val df = rows.toDF("user_id", "day")
+      .withColumn("creation_date", col("day").cast("date"))
+      .withColumn("total_revenue", lit(1.0))
+    val got = Experiment.mcnemarActivityShift(df)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().head
+    // b=3, c=1 -> chi2 = (|3-1|-1)^2 / 4 = 0.25
+    val x = math.sqrt(250000L / 2e6)
+    val tt = 1.0 / (1.0 + 0.3275911 * x)
+    val p = ((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+      - 0.284496736) * tt + 0.254829592) * tt * math.exp(-(x * x))
+    assert(got == ((5L, 1L, 3L, 1L, 0.25, math.round(p * 1e9) / 1e9)))
+  }
+
   test("PoissonThresholds: 9 strictly increasing cut points matching the Poisson(1) CDF") {
     val th = Experiment.PoissonThresholds
     assert(th.size == 9)
