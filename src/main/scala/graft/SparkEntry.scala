@@ -2328,6 +2328,12 @@ object SparkEntry {
     "q332_mcnemar" -> ((s, dir) =>
       graft.ext.Experiment.mcnemarActivityShift(
         Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: Church-Gale term burstiness for the top-df vocabulary
+    // (VMR of per-doc counts: glue ~1, topical >> 1) ----
+    "q333_burstiness" -> ((s, dir) =>
+      TextAnalysis.termBurstiness(Tables.documents(s, dir),
+        "doc_id", "text")),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7900,6 +7906,30 @@ object SparkEntry {
       """SELECT n_users, n_both, b AS early_only, c AS late_only,
                 chi2q / 1e6 AS chi2, pu / 1e9 AS p_value
          FROM mnp"""),
+
+    "q333_burstiness" ->
+      s"""WITH tbn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                       FROM documents),
+           tbt AS (SELECT doc_id,
+                          unnest(${graft.functions.Portable.tokensSql("text")})
+                            AS term
+                   FROM documents),
+           tbc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+                   FROM tbt GROUP BY 1, 2),
+           tba AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                          CAST(sum(c) AS BIGINT) AS tf,
+                          CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+                   FROM tbc GROUP BY 1)
+         SELECT term, df, tf,
+                CAST(((tf * 1000000 * 2) + df) // (df * 2) AS DOUBLE) / 1e6
+                  AS burst,
+                CAST((((CAST(n.n_docs AS HUGEINT) * s2
+                        - CAST(tf AS HUGEINT) * tf) * 1000000 * 2)
+                      + (CAST(n.n_docs AS HUGEINT) * tf))
+                     // (CAST(n.n_docs AS HUGEINT) * tf * 2) AS DOUBLE)
+                  / 1e6 AS vmr
+         FROM tba CROSS JOIN tbn n
+         ORDER BY df DESC, term LIMIT 30""",
 
     "q305_position_attribution" ->
       """WITH pp AS (

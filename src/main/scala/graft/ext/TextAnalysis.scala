@@ -466,6 +466,44 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Term burstiness (Church & Gale's dispersion readout) for the
+    * top-df vocabulary: the variance-to-mean ratio of a term's
+    * per-document count over ALL documents — ≈ 1 for Poisson-scattered
+    * function words, ≫ 1 for bursty content words that pile up inside
+    * the few documents that are ABOUT them. The companion `burst` =
+    * tf∕df is the mean occurrences per containing document. Together
+    * they separate topical vocabulary from glue even where raw df∕tf
+    * ranks cannot.
+    *
+    * Exactness: VMR expands to the exact rational
+    * (N·Σc² − tf²)∕(N·tf) — non-negative by Cauchy–Schwarz — computed
+    * as a half-up micro ratio in decimal(38,0)∕HUGEINT; burst and
+    * per-doc rate likewise. No doubles anywhere.
+    *
+    * Scale shape: (doc, term) then term-grain hash aggregates; the
+    * final orderBy+limit is a distributed TakeOrdered (the termStats
+    * discipline), never a full vocabulary sort. */
+  def termBurstiness(
+      docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 30): DataFrame = {
+    val dec = "decimal(38,0)"
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col(idCol), explode(Portable.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+        sum(col("c").cast(dec) * col("c")).as("s2"))
+      .crossJoin(broadcast(nd))
+      .select(col("term"), col("df"), col("tf"),
+        expr("((tf * 1000000 * 2) + df) div (df * 2)").cast("double")
+          ./(1e6).as("burst"),
+        expr(s"""(((cast(n_docs as $dec) * s2 - cast(tf as $dec) * tf)
+                   * 1000000 * 2) + (cast(n_docs as $dec) * tf))
+                 div (cast(n_docs as $dec) * tf * 2)""").cast("double")
+          ./(1e6).as("vmr"))
+      .orderBy(col("df").desc, col("term")).limit(topK)
+  }
+
   /** Per-document top terms by TF-IDF (tf × ln(N/df)), the relevance
     * weighting layer over [[termStats]]. Ties (identical scores — same
     * (tf, df) pair) break on the term, so the per-doc ranking is total.

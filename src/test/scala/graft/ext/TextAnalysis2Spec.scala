@@ -245,4 +245,15 @@ class TextAnalysis2Spec extends SparkSpec {
       0.3, // Simpson D = 6 / 20
       c))) // Herdan C = ln3/ln5
   }
+
+  test("termBurstiness: uniform glue at VMR 0-1, bursty content above 1") {
+    val docs = Seq((1L, "a a a b"), (2L, "a b"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.termBurstiness(docs, "doc_id", "text")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("b", 3L, 3L, 1.0, 0.0), // one per doc: zero dispersion
+      ("a", 2L, 4L, 2.0, 1.166667), // bursty: (3*10-16)/12
+      ("c", 1L, 1L, 1.0, 0.666667))) // rare singleton: (3-1)/3
+  }
 }
