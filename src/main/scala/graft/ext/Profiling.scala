@@ -1204,12 +1204,15 @@ object Profiling {
       (col("cn") - col("n")).as("cnm1"), (col("cs") - col("n_pos")).as("csm1"))
     val kSide = pre.select(col("bin").as("kb"),
       col("cn").as("cnk"), col("cs").as("csk"))
-    val iv = jSide.join(kSide, col("jb") <= col("kb"))
+    // the bin mart is <= nBins rows: broadcast the non-equi sides so
+    // the interval lattice plans as BroadcastNestedLoop, never a
+    // shuffle cartesian (plan-asserted)
+    val iv = jSide.join(broadcast(kSide), col("jb") <= col("kb"))
       .select(col("jb"), col("kb"),
         expr("""(((csk - csm1) * 1000000 * 2) + (cnk - cnm1))
                 div ((cnk - cnm1) * 2)""").as("avg_u"))
     val fitted = iv
-      .join(pre.select(col("bin").as("ib")),
+      .join(broadcast(pre.select(col("bin").as("ib"))),
         col("jb") <= col("ib") && col("ib") <= col("kb"))
       .groupBy(col("ib"), col("jb")).agg(min(col("avg_u")).as("mn"))
       .groupBy(col("ib")).agg(max(col("mn")).as("iso_u"))

@@ -715,6 +715,59 @@ class PlanSpec extends SparkSpec {
       s"silhouette must never plan a shuffle cartesian:\n$txt")
   }
 
+  test("q317-q333 statistics/linkage tier keeps its claimed shapes") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // recurse through persist() cache cuts so hidden subtrees count too
+    def ops(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case s: InMemoryTableScanExec => s +: ops(s.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => a +: ops(a.inputPlan)
+      case x => Seq(x)
+    }.flatten
+    def shapes(name: String): (Seq[WindowExec], Boolean) = {
+      val all = ops(SparkEntry.queries(name)(spark, sf)
+        .asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+        .queryExecution.sparkPlan)
+      (all.collect { case w: WindowExec => w },
+        all.exists(_.isInstanceOf[CartesianProductExec]))
+    }
+    val tier = Seq("q317_isotonic", "q318_bh_fdr", "q319_good_turing",
+      "q320_prefix_jaccard", "q321_mann_kendall", "q322_cmh",
+      "q323_fellegi_sunter", "q324_overdispersion", "q325_ljung_box",
+      "q326_lexical_richness", "q327_capture_recapture", "q328_runs_test",
+      "q329_theil", "q330_hubness", "q331_price_index", "q332_mcnemar",
+      "q333_burstiness")
+    tier.foreach { name =>
+      val (wins, cartesian) = shapes(name)
+      assert(!cartesian, s"$name must never plan a shuffle cartesian")
+      // any unpartitioned window must sit on a post-aggregate mart
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.child.collectFirst { case a: BaseAggregateExec => a }
+            .nonEmpty,
+          s"$name: empty-partition window over raw rows:\n$w")
+      }
+    }
+    // the per-restaurant lag windows stay restaurant-partitioned
+    Seq("q320_prefix_jaccard", "q325_ljung_box", "q328_runs_test")
+      .foreach { name =>
+        val (wins, _) = shapes(name)
+        assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+          s"$name: windows must stay entity-partitioned")
+      }
+    // the pure-aggregate operators plan no window at all
+    Seq("q319_good_turing", "q321_mann_kendall", "q322_cmh",
+        "q324_overdispersion", "q326_lexical_richness", "q329_theil",
+        "q330_hubness", "q331_price_index", "q332_mcnemar",
+        "q333_burstiness").foreach { name =>
+      val (wins, _) = shapes(name)
+      assert(wins.isEmpty, s"$name must plan no window at all")
+    }
+  }
+
   test("q316 EB shrinkage: broadcast scalar prior, no window, no cartesian") {
     val df = SparkEntry.queries("q316_eb_shrinkage")(spark, sf)
     val txt = planText(df)
