@@ -2334,6 +2334,12 @@ object SparkEntry {
     "q333_burstiness" -> ((s, dir) =>
       TextAnalysis.termBurstiness(Tables.documents(s, dir),
         "doc_id", "text")),
+
+    // ---- ext: Hill tail-index k-sweep of order revenue (does the
+    // tail have finite variance? the inference-trust gate behind the
+    // concentration tier) ----
+    "q334_hill_tail" -> ((s, dir) =>
+      graft.ext.Olap.hillTailIndex(Conformed.orderRevenueCached(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7930,6 +7936,33 @@ object SparkEntry {
                   / 1e6 AS vmr
          FROM tba CROSS JOIN tbn n
          ORDER BY df DESC, term LIMIT 30""",
+
+    "q334_hill_tail" -> OracleSql.withBase(
+      s"""hlo AS (
+             SELECT order_id,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                      AS cents
+             FROM order_revenue GROUP BY 1),
+         hlt AS (SELECT cents,
+                        row_number() OVER (ORDER BY cents DESC, order_id)
+                          AS rk
+                 FROM hlo),
+         hlr AS (SELECT * FROM hlt WHERE rk <= 501)""",
+      Seq(100, 250, 500).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k, a.xk / 1e4 AS x_threshold,
+                   CASE WHEN a.s > 0 THEN
+                     CAST((CAST($k AS HUGEINT) * 1000000000 * 1000000 * 2
+                           + a.s) // (a.s * 2) AS DOUBLE) / 1e6
+                   END AS hill_alpha
+            FROM (
+              SELECT th.xk,
+                     CAST(sum(CAST(round(ln(CAST(r.cents AS DOUBLE) / th.xk)
+                       * 1e9) AS BIGINT)) AS BIGINT) AS s
+              FROM hlr r CROSS JOIN
+                   (SELECT cents AS xk FROM hlr WHERE rk = ${k + 1}) th
+              WHERE r.rk <= $k
+              GROUP BY th.xk) a"""
+      }.mkString("\nUNION ALL\n") + "\nORDER BY k"),
 
     "q305_position_attribution" ->
       """WITH pp AS (

@@ -426,6 +426,50 @@ object Olap {
     * [[revenueGini]]'s coefficient, at market level. The unpartitioned
     * NTILE window runs at user-mart cardinality (the q42 judgment);
     * cumulative sums ride exact longs. */
+  /** Hill tail-index estimate of the order-revenue distribution — the
+    * heavy-tail diagnostic behind every "whales dominate" claim the
+    * concentration tier (Gini∕HHI∕Lorenz) makes descriptively: over
+    * the top k order totals, α̂ = k ∕ Σᵢ ln(xᵢ∕x₍ₖ₊₁₎); α < 2 means
+    * infinite variance (sample means never stabilize), α < 1 infinite
+    * MEAN — the difference decides whether per-user spend aggregates
+    * can be trusted at all. Reported at a k-SWEEP (the Hill plot's
+    * standard stability check): a stable α̂ across k is credible, a
+    * drifting one says the tail is not yet power-law.
+    *
+    * Exactness: order totals are exact cents; the top-(kmax+1) cut is
+    * a distributed TakeOrdered with id tie-break; each ln ratio
+    * quantizes 1e-9 before the exact sum; α̂ is a half-up micro ratio
+    * in decimal. The rank window runs on ≤ kmax+1 rows AFTER the
+    * TakeOrdered (the q96 bounded-input pattern).
+    *
+    * Scale shape: one order-grain hash aggregate, one TakeOrdered,
+    * then constant-size arms. */
+  def hillTailIndex(
+      orderRevenue: DataFrame, ks: Seq[Int] = Seq(100, 250, 500)): DataFrame = {
+    val dec = "decimal(38,0)"
+    val kmax = ks.max
+    val top = orderRevenue.groupBy(col("order_id"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+      .orderBy(col("cents").desc, col("order_id")).limit(kmax + 1)
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("cents").desc, col("order_id"))))
+      // every k arm reads the same bounded mart
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ks.map { k =>
+      val thr = top.filter(col("rk") === k + 1).select(col("cents").as("xk"))
+      top.filter(col("rk") <= k).crossJoin(broadcast(thr))
+        .select(col("xk"),
+          round(log(col("cents").cast("double") / col("xk")) * 1e9)
+            .cast("long").as("t"))
+        .groupBy(col("xk")).agg(sum(col("t")).as("s"))
+        .select(lit(k.toLong).as("k"), (col("xk") / 1e4).as("x_threshold"),
+          when(col("s") > 0,
+            expr(s"""((cast($k as $dec) * 1000000000 * 1000000 * 2 + s)
+                     div (s * 2))""").cast("double") / 1e6)
+            .as("hill_alpha"))
+    }.reduce(_ unionByName _).orderBy(col("k"))
+  }
+
   /** Monthly Laspeyres ∕ Paasche ∕ Fisher price indices over the part
     * basket — the economics readout the revenue trend tiers cannot
     * give: is revenue moving because PRICES moved or because the

@@ -111,4 +111,20 @@ class OlapReconcileSpec extends SparkSpec {
       // L = (120000*2 + 90000*3) / 500000 = 1.02; same quantities -> P = L
       (java.sql.Date.valueOf("2024-02-01"), 2L, 1.02, 1.02, 1.02)))
   }
+
+  test("hillTailIndex: geometric tail gives the closed-form alpha per k") {
+    val rev = Seq((1L, 8.0), (2L, 4.0), (3L, 2.0), (4L, 1.0), (5L, 0.5))
+      .toDF("order_id", "total_revenue")
+    val got = Olap.hillTailIndex(rev, ks = Seq(2, 3))
+      .as[(Long, Double, Option[Double])].collect().toSeq
+    def alpha(k: Long, ratios: Seq[Double]): Double = {
+      val s = ratios.map(r => math.round(math.log(r) * 1e9)).sum
+      (k * 1000000000L * 1000000L * 2 + s) / (s * 2) / 1e6
+    }
+    assert(got == Seq(
+      // k=2: threshold 2.0, terms ln4 + ln2 -> alpha = 2/(3 ln2)
+      (2L, 2.0, Some(alpha(2, Seq(4.0, 2.0)))),
+      // k=3: threshold 1.0, terms ln8 + ln4 + ln2 -> alpha = 3/(6 ln2)
+      (3L, 1.0, Some(alpha(3, Seq(8.0, 4.0, 2.0))))))
+  }
 }
