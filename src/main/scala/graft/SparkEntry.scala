@@ -2340,6 +2340,11 @@ object SparkEntry {
     // concentration tier) ----
     "q334_hill_tail" -> ((s, dir) =>
       graft.ext.Olap.hillTailIndex(Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: entropy rate of the event-type Markov chain (the
+    // predictability ceiling over q55's matrix; gap = mutual info) ----
+    "q335_entropy_rate" -> ((s, dir) =>
+      graft.ext.Behavior.markovEntropyRate(Tables.events(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -7963,6 +7968,42 @@ object SparkEntry {
               WHERE r.rk <= $k
               GROUP BY th.xk) a"""
       }.mkString("\nUNION ALL\n") + "\nORDER BY k"),
+
+    "q335_entropy_rate" ->
+      """WITH mes AS (
+             SELECT user_id, event_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS next_type
+             FROM events),
+           mec AS (SELECT event_type AS f, next_type AS t,
+                          CAST(count(*) AS BIGINT) AS nij
+                   FROM mes WHERE next_type IS NOT NULL GROUP BY 1, 2),
+           mer AS (SELECT f, CAST(sum(nij) AS BIGINT) AS ni
+                   FROM mec GROUP BY 1),
+           met AS (SELECT CAST(sum(ni) AS BIGINT) AS nn,
+                          CAST(count(*) AS BIGINT) AS n_states
+                   FROM mer),
+           mhc AS (SELECT CAST(sum(CAST(c.nij AS HUGEINT)
+                     * CAST(round(ln(CAST(c.nij AS DOUBLE) / r.ni) * 1e9)
+                       AS BIGINT)) AS HUGEINT) AS sc
+                   FROM mec c JOIN mer r USING (f)),
+           mhu AS (SELECT CAST(sum(CAST(r.ni AS HUGEINT)
+                     * CAST(round(ln(CAST(r.ni AS DOUBLE) / t.nn) * 1e9)
+                       AS BIGINT)) AS HUGEINT) AS su
+                   FROM mer r CROSS JOIN met t),
+           meh AS (SELECT t.nn, t.n_states,
+                          (((-u.su) * 1000000 * 2)
+                           + CAST(t.nn AS HUGEINT) * 1000000000)
+                            // (CAST(t.nn AS HUGEINT) * 1000000000 * 2)
+                            AS hu,
+                          (((-c.sc) * 1000000 * 2)
+                           + CAST(t.nn AS HUGEINT) * 1000000000)
+                            // (CAST(t.nn AS HUGEINT) * 1000000000 * 2)
+                            AS hc
+                   FROM met t CROSS JOIN mhc c CROSS JOIN mhu u)
+         SELECT nn AS n_transitions, n_states, hu / 1e6 AS h_unigram,
+                hc / 1e6 AS h_rate, (hu - hc) / 1e6 AS info_gain
+         FROM meh""",
 
     "q305_position_attribution" ->
       """WITH pp AS (

@@ -79,6 +79,62 @@ object Behavior {
     * One window sort per user (the unavoidable sequence shuffle), then
     * mart-sized aggregates; probability = count over a window sum, no
     * second pass. */
+  /** Entropy rate of the event-type Markov chain — the ONE-NUMBER
+    * predictability readout over [[transitions]]' matrix and the
+    * honest ceiling for [[markovPredictorAccuracy]]: conditional
+    * entropy H(next|current) = −Σᵢⱼ nᵢⱼ·ln(nᵢⱼ∕nᵢ)∕N in nats, next to
+    * the first-order baseline H(next) = −Σᵢ nᵢ·ln(nᵢ∕N)∕N; their gap
+    * (the information gain of conditioning) is exactly the mutual
+    * information I(current; next) — ≈ 0 says the next event type is
+    * unpredictable from the current one and no sequence model will
+    * beat the marginal.
+    *
+    * Exactness: transition counts exact; each ln ratio quantizes 1e-9
+    * and multiplies the exact count in decimal(38,0) (order-free
+    * integer sums — the entropy-tier idiom); H's are half-up micro
+    * ratios; the gain subtracts the two already-quantized values.
+    *
+    * Scale shape: the [[transitions]] contract (ONE user-partitioned
+    * lead window), then state-grain aggregates and scalar broadcasts —
+    * the cell table is #types² rows regardless of volume. */
+  def markovEntropyRate(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cells = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("f"), col("next_type").as("t"))
+      .agg(count(lit(1)).as("nij"))
+      // the row-sum aggregate and the conditional-term join both read it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = cells.groupBy(col("f")).agg(sum(col("nij")).as("ni"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = rows.agg(sum(col("ni")).as("nn"),
+      count(lit(1)).as("n_states"))
+    val hCond = cells.join(broadcast(rows), Seq("f"))
+      .select((col("nij").cast(dec)
+        * round(log(col("nij").cast("double") / col("ni")) * 1e9)
+          .cast("long")).as("term"))
+      .agg(sum(col("term")).as("sc"))
+    val hUni = rows.crossJoin(broadcast(tot))
+      .select((col("ni").cast(dec)
+        * round(log(col("ni").cast("double") / col("nn")) * 1e9)
+          .cast("long")).as("term"))
+      .agg(sum(col("term")).as("su"))
+    tot.crossJoin(broadcast(hCond)).crossJoin(broadcast(hUni))
+      .withColumn("hu", expr(s"""(((-su) * 1000000 * 2)
+          + cast(nn as $dec) * 1000000000)
+        div (cast(nn as $dec) * 1000000000 * 2)""").cast("long"))
+      .withColumn("hc", expr(s"""(((-sc) * 1000000 * 2)
+          + cast(nn as $dec) * 1000000000)
+        div (cast(nn as $dec) * 1000000000 * 2)""").cast("long"))
+      .select(col("nn").as("n_transitions"), col("n_states"),
+        (col("hu") / 1e6).as("h_unigram"), (col("hc") / 1e6).as("h_rate"),
+        ((col("hu") - col("hc")) / 1e6).as("info_gain"))
+  }
+
   def transitions(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -92,6 +92,24 @@ class ProfilingSpec extends SparkSpec {
     assert(sums.forall(p => math.abs(p - 1.0) < 1e-9))
   }
 
+  test("markovEntropyRate: a deterministic chain has zero entropy rate") {
+    import java.sql.Timestamp
+    // one user alternating a,b,a,b,a,b: every next-step is certain
+    val events = (0 until 6).map { i =>
+      (1L, Timestamp.valueOf(f"2024-01-01 10:0$i%01d:00"),
+        (i + 1).toLong, if (i % 2 == 0) "a" else "b", 0.0)
+    }.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Behavior.markovEntropyRate(events)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    // cells (a->b x3, b->a x2): H(next|cur) = 0; marginal over FROM
+    // states: n_a=3, n_b=2, N=5 -> hand-quantized unigram entropy
+    val su = 3L * math.round(math.log(3.0 / 5) * 1e9) +
+      2L * math.round(math.log(2.0 / 5) * 1e9)
+    val hu = ((-su) * 2000000L + 5000000000L) / 10000000000L
+    assert(got == ((5L, 2L, hu / 1e6, 0.0, hu / 1e6)))
+    assert(got._3 > 0.6 && got._3 < 0.7) // ~ln(2) ballpark sanity
+  }
+
   test("groupQuantilesDisc: percentile_disc positions, singleton group, labels") {
     val df = (1L to 10L).map(v => ("a", v)) ++ Seq(("b", 42L))
     val got = Profiling.groupQuantilesDisc(
