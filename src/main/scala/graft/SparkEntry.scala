@@ -2345,6 +2345,12 @@ object SparkEntry {
     // predictability ceiling over q55's matrix; gap = mutual info) ----
     "q335_entropy_rate" -> ((s, dir) =>
       graft.ext.Behavior.markovEntropyRate(Tables.events(s, dir))),
+
+    // ---- ext: exact two-sample KS test of user spend (loyal-leaning
+    // vs other) with the asymptotic Kolmogorov p ----
+    "q336_ks_two_sample" -> ((s, dir) =>
+      graft.ext.Experiment.ksLoyaltySpend(
+        Conformed.orderRevenueCached(s, dir))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -8004,6 +8010,54 @@ object SparkEntry {
          SELECT nn AS n_transitions, n_states, hu / 1e6 AS h_unigram,
                 hc / 1e6 AS h_rate, (hu - hc) / 1e6 AS info_gain
          FROM meh""",
+
+    "q336_ks_two_sample" -> OracleSql.withBase(
+      """ksu AS (
+             SELECT user_id,
+                    CAST(sum(round(total_revenue * 10000)) AS BIGINT)
+                      AS cents,
+                    CAST(sum(CASE WHEN is_loyalty THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nl,
+                    CAST(count(*) AS BIGINT) AS nn
+             FROM order_revenue GROUP BY 1),
+         ksl AS (SELECT cents, nl * 2 > nn AS loyal FROM ksu),
+         ksv AS (SELECT cents,
+                        CAST(sum(CASE WHEN loyal THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c1,
+                        CAST(sum(CASE WHEN NOT loyal THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c2
+                 FROM ksl GROUP BY 1),
+         kst AS (SELECT CAST(sum(c1) AS BIGINT) AS m,
+                        CAST(sum(c2) AS BIGINT) AS n FROM ksv),
+         ksc AS (SELECT CAST(sum(c1) OVER (ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k1,
+                        CAST(sum(c2) OVER (ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k2
+                 FROM ksv),
+         ksd AS (SELECT t.m, t.n,
+                        max(abs(CAST(c.k1 AS HUGEINT) * t.n
+                          - CAST(c.k2 AS HUGEINT) * t.m)) AS maxd
+                 FROM ksc c CROSS JOIN kst t GROUP BY 1, 2),
+         ksq AS (SELECT *,
+                        ((maxd * 1000000 * 2) + CAST(m AS HUGEINT) * n)
+                          // (CAST(m AS HUGEINT) * n * 2) AS dq,
+                        CAST(m AS DOUBLE) * n / (m + n) AS ne
+                 FROM ksd),
+         ksm AS (SELECT *,
+                        CAST(round((sqrt(ne) + 0.12 + 0.11 / sqrt(ne))
+                          * (dq / 1e6) * 1e6) AS BIGINT) AS lam
+                 FROM ksq),
+         ksl2 AS (SELECT *, (lam / 1e6) * (lam / 1e6) AS l2 FROM ksm),
+         ksp AS (SELECT *,
+                        CAST(round(greatest(least(2.0
+                          * (exp(-2.0 * l2) - exp(-8.0 * l2)
+                            + exp(-18.0 * l2) - exp(-32.0 * l2)
+                            + exp(-50.0 * l2)), 1.0), 0.0) * 1e9)
+                          AS BIGINT) AS pu
+                 FROM ksl2)""",
+      """SELECT m AS n_loyal_users, n AS n_other_users, dq / 1e6 AS ks_d,
+                lam / 1e6 AS lambda, pu / 1e9 AS p_value
+         FROM ksp"""),
 
     "q305_position_attribution" ->
       """WITH pp AS (

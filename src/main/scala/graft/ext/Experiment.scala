@@ -680,6 +680,68 @@ object Experiment {
         (col("pu") / 1e9).as("p_value"))
   }
 
+  /** Exact (unbinned) two-sample Kolmogorov–Smirnov test of user
+    * spend, loyal-leaning vs other users — the DISTRIBUTION-level
+    * companion to the Mann–Whitney location test and the binned
+    * [[graft.ext.Drift.ksBinned]] screen: D is the max ECDF gap over
+    * the exact value grain (no bin coarsening), and the asymptotic
+    * Kolmogorov p arrives through the truncated alternating series
+    * 2Σ(−1)^{k−1}e^{−2k²λ²} (k ≤ 5 — the next term is < 10⁻³⁹ for any
+    * λ the gate can produce) with Stephens' small-sample λ correction
+    * (√nₑ + 0.12 + 0.11∕√nₑ)·D.
+    *
+    * Exactness: D is an EXACT rational — the max over values of
+    * |K₁·n − K₂·m| over exact cumulative counts, divided once at the
+    * end (half-up micro in decimal) — no per-row CDF doubles; λ and
+    * the series are fixed double chains quantized 1e-6∕1e-9. A user
+    * is "loyal-leaning" when strictly more than half their lines are
+    * loyalty (the deterministic integer compare 2·nl > n).
+    *
+    * Scale shape: fact → user hash aggregate → value-grain aggregate;
+    * the one unpartitioned cumulative window runs on DISTINCT user
+    * spend values (entity-bounded, above a hash aggregate — the
+    * total-order audit's envelope); scalars return via broadcast. */
+  def ksLoyaltySpend(orderRevenue: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val users = orderRevenue.groupBy(col("user_id"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"),
+        sum(when(col("is_loyalty"), 1L).otherwise(0L)).as("nl"),
+        count(lit(1)).as("nn"))
+      .select(col("cents"), (col("nl") * 2 > col("nn")).as("loyal"))
+    val vals = users.groupBy(col("cents"))
+      .agg(sum(when(col("loyal"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("loyal"), 1L).otherwise(0L)).as("c2"))
+      // the cumulative window and the totals both read it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = vals.agg(sum(col("c1")).as("m"), sum(col("c2")).as("n"))
+    vals
+      .select(sum(col("c1")).over(w).as("k1"),
+        sum(col("c2")).over(w).as("k2"))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("k1").cast(dec) * col("n")
+        - col("k2").cast(dec) * col("m")).as("diff"), col("m"), col("n"))
+      .groupBy(col("m"), col("n")).agg(max(col("diff")).as("maxd"))
+      .withColumn("dq", expr(s"""((maxd * 1000000 * 2)
+          + cast(m as $dec) * n) div (cast(m as $dec) * n * 2)""")
+        .cast("long"))
+      .withColumn("ne",
+        col("m").cast("double") * col("n") / (col("m") + col("n")))
+      .withColumn("lam", round((sqrt(col("ne")) + lit(0.12)
+        + lit(0.11) / sqrt(col("ne"))) * (col("dq") / 1e6) * 1e6)
+        .cast("long"))
+      .withColumn("l2", (col("lam") / 1e6) * (col("lam") / 1e6))
+      .withColumn("pu", round(greatest(least(lit(2.0)
+        * (exp(lit(-2.0) * col("l2")) - exp(lit(-8.0) * col("l2"))
+          + exp(lit(-18.0) * col("l2")) - exp(lit(-32.0) * col("l2"))
+          + exp(lit(-50.0) * col("l2"))), lit(1.0)), lit(0.0)) * 1e9)
+        .cast("long"))
+      .select(col("m").as("n_loyal_users"), col("n").as("n_other_users"),
+        (col("dq") / 1e6).as("ks_d"), (col("lam") / 1e6).as("lambda"),
+        (col("pu") / 1e9).as("p_value"))
+  }
+
   /** Poisson(1) inverse-CDF thresholds in [[graft.functions.Portable.h60]]
     * units: a uniform h ∈ [0, 2⁶⁰) maps to weight w = #{k : h ≥ t_k},
     * so P(w = k) = e⁻¹∕k! for k ≤ 8 (the tail above k = 9 — total mass

@@ -740,14 +740,14 @@ class PlanSpec extends SparkSpec {
       "q323_fellegi_sunter", "q324_overdispersion", "q325_ljung_box",
       "q326_lexical_richness", "q327_capture_recapture", "q328_runs_test",
       "q329_theil", "q330_hubness", "q331_price_index", "q332_mcnemar",
-      "q333_burstiness")
+      "q333_burstiness", "q335_entropy_rate", "q336_ks_two_sample")
     tier.foreach { name =>
       val (wins, cartesian) = shapes(name)
       assert(!cartesian, s"$name must never plan a shuffle cartesian")
       // any unpartitioned window must sit on a post-aggregate mart
+      // (recurse through persist() cuts: the mart may be cached)
       wins.filter(_.partitionSpec.isEmpty).foreach { w =>
-        assert(w.child.collectFirst { case a: BaseAggregateExec => a }
-            .nonEmpty,
+        assert(ops(w.child).exists(_.isInstanceOf[BaseAggregateExec]),
           s"$name: empty-partition window over raw rows:\n$w")
       }
     }

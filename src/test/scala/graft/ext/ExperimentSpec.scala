@@ -174,6 +174,27 @@ class ExperimentSpec extends SparkSpec {
     assert(got == ((5L, 1L, 3L, 1L, 0.25, math.round(p * 1e9) / 1e9)))
   }
 
+  test("ksLoyaltySpend: separated samples hit D=1, identical samples p=1") {
+    def df(rows: Seq[(Long, Boolean, Double)]) =
+      rows.toDF("user_id", "is_loyalty", "total_revenue")
+    val sep = Experiment.ksLoyaltySpend(df(Seq(
+        (1L, true, 10.0), (2L, true, 20.0),
+        (3L, false, 30.0), (4L, false, 40.0))))
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    // fully separated: D = 1; ne = 1 -> lambda = 1.23
+    val l2 = 1.23 * 1.23
+    val p = 2.0 * (math.exp(-2.0 * l2) - math.exp(-8.0 * l2)
+      + math.exp(-18.0 * l2) - math.exp(-32.0 * l2)
+      + math.exp(-50.0 * l2))
+    assert(sep == ((2L, 2L, 1.0, 1.23, math.round(p * 1e9) / 1e9)))
+    // identical samples: D = 0, the series alternates to 1 -> clamp
+    val same = Experiment.ksLoyaltySpend(df(Seq(
+        (1L, true, 10.0), (2L, true, 20.0),
+        (3L, false, 10.0), (4L, false, 20.0))))
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(same == ((2L, 2L, 0.0, 0.0, 1.0)))
+  }
+
   test("PoissonThresholds: 9 strictly increasing cut points matching the Poisson(1) CDF") {
     val th = Experiment.PoissonThresholds
     assert(th.size == 9)
