@@ -102,8 +102,10 @@ object Bench {
     // which truncated the 307-query wall map in BENCH_r08 (parsed:null).
     // Persist the full line to a file so per-query walls always survive,
     // regardless of any capture window. Path overridable for local runs.
+    // Default is CWD-relative so the artifact lands next to the checkout
+    // wherever the bench runs; SPARK_GRAFT_BENCH_OUT overrides.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_full.json")
+      new java.io.File("bench_full.json").getAbsolutePath)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -7729,10 +7729,11 @@ object SparkEntry {
                       + CAST(n_tokens AS HUGEINT) * n_tokens)
                      // (CAST(n_tokens AS HUGEINT) * n_tokens * 2)
                   AS DOUBLE) / 1e6 AS yule_k,
-                CAST(((scc - n_tokens) * 1000000000 * 2
-                      + CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
-                     // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 2)
-                  AS DOUBLE) / 1e9 AS simpson_d,
+                CASE WHEN n_tokens > 1 THEN
+                  CAST(((scc - n_tokens) * 1000000000 * 2
+                        + CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                       // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 2)
+                    AS DOUBLE) / 1e9 END AS simpson_d,
                 CAST(round(ln(CAST(n_types AS DOUBLE))
                   / ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
                   AS herdan_c
@@ -7960,19 +7961,21 @@ object SparkEntry {
                  FROM hlo),
          hlr AS (SELECT * FROM hlt WHERE rk <= 501)""",
       Seq(100, 250, 500).map { k =>
-        s"""SELECT CAST($k AS BIGINT) AS k, a.xk / 1e4 AS x_threshold,
-                   CASE WHEN a.s > 0 THEN
-                     CAST((CAST($k AS HUGEINT) * 1000000000 * 1000000 * 2
-                           + a.s) // (a.s * 2) AS DOUBLE) / 1e6
-                   END AS hill_alpha
-            FROM (
-              SELECT th.xk,
-                     CAST(sum(CAST(round(ln(CAST(r.cents AS DOUBLE) / th.xk)
-                       * 1e9) AS BIGINT)) AS BIGINT) AS s
-              FROM hlr r CROSS JOIN
-                   (SELECT cents AS xk FROM hlr WHERE rk = ${k + 1}) th
-              WHERE r.rk <= $k
-              GROUP BY th.xk) a"""
+        s"""SELECT sp.k, a.x_threshold, a.hill_alpha
+            FROM (SELECT CAST($k AS BIGINT) AS k) sp LEFT JOIN (
+              SELECT CAST($k AS BIGINT) AS k, b.xk / 1e4 AS x_threshold,
+                     CASE WHEN b.s > 0 THEN
+                       CAST((CAST($k AS HUGEINT) * 1000000000 * 1000000 * 2
+                             + b.s) // (b.s * 2) AS DOUBLE) / 1e6
+                     END AS hill_alpha
+              FROM (
+                SELECT th.xk,
+                       CAST(sum(CAST(round(ln(CAST(r.cents AS DOUBLE) / th.xk)
+                         * 1e9) AS BIGINT)) AS BIGINT) AS s
+                FROM hlr r CROSS JOIN
+                     (SELECT cents AS xk FROM hlr WHERE rk = ${k + 1}) th
+                WHERE r.rk <= $k
+                GROUP BY th.xk) b) a ON sp.k = a.k"""
       }.mkString("\nUNION ALL\n") + "\nORDER BY k"),
 
     "q335_entropy_rate" ->

@@ -457,7 +457,7 @@ object Olap {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ks.map { k =>
       val thr = top.filter(col("rk") === k + 1).select(col("cents").as("xk"))
-      top.filter(col("rk") <= k).crossJoin(broadcast(thr))
+      val arm = top.filter(col("rk") <= k).crossJoin(broadcast(thr))
         .select(col("xk"),
           round(log(col("cents").cast("double") / col("xk")) * 1e9)
             .cast("long").as("t"))
@@ -467,6 +467,14 @@ object Olap {
             expr(s"""((cast($k as $dec) * 1000000000 * 1000000 * 2 + s)
                      div (s * 2))""").cast("double") / 1e6)
             .as("hill_alpha"))
+      // With fewer than k+1 distinct orders thr is empty and the arm
+      // vanishes; a sweep consumer then can't tell "not computable" from
+      // "not requested". Left-join against a literal one-row k spine so
+      // every requested k emits a row (NULL alpha = not computable).
+      val spine = orderRevenue.sparkSession.range(1)
+        .select(lit(k.toLong).as("k"))
+      spine.join(arm, Seq("k"), "left")
+        .select(col("k"), col("x_threshold"), col("hill_alpha"))
     }.reduce(_ unionByName _).orderBy(col("k"))
   }
 

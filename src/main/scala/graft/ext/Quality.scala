@@ -96,14 +96,17 @@ object Quality {
 
   /** Single-source column list for the orders profile (q311): name →
     * kind, where kind picks the exact cross-engine min/max rendering
-    * ("long" numeric, "string" lexicographic, "date" ISO, "cents" the
-    * 2dp-money integer idiom). Both [[columnProfile]] and
+    * ("long" numeric, "string" lexicographic, "date" ISO, "money2dp" an
+    * integer x100 grain — note this is a PROFILE-ONLY rendering at two
+    * decimal places, coarser than the repo-wide Money.cents x10000
+    * money contract; the grain is part of this profile's schema
+    * contract, not a money computation). Both [[columnProfile]] and
     * [[columnProfileSql]] consume THIS list. */
   val OrdersProfile: Seq[(String, String)] = Seq(
     "o_orderkey" -> "long",
     "o_custkey" -> "long",
     "o_orderstatus" -> "string",
-    "o_totalprice" -> "cents",
+    "o_totalprice" -> "money2dp",
     "o_orderdate" -> "date",
     "o_orderpriority" -> "string")
 
@@ -123,7 +126,7 @@ object Quality {
   def columnProfile(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
     def keyed(name: String, kind: String): Column = kind match {
       case "date"  => col(name).cast("date")
-      case "cents" => round(col(name) * 100).cast("long")
+      case "money2dp" => round(col(name) * 100).cast("long")
       case _       => col(name)
     }
     val aggCols = count(lit(1)).as("n_rows") +:
@@ -158,7 +161,7 @@ object Quality {
     cols.map { case (name, kind) =>
       val k = kind match {
         case "date"  => s"CAST($name AS DATE)"
-        case "cents" => s"CAST(round($name * 100) AS BIGINT)"
+        case "money2dp" => s"CAST(round($name * 100) AS BIGINT)"
         case _       => name
       }
       s"""SELECT '$name' AS col_name, count(*) AS n_rows,

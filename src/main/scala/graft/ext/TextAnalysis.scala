@@ -456,9 +456,13 @@ object TextAnalysis {
                   + cast(n_tokens as $dec) * n_tokens)
                  div (cast(n_tokens as $dec) * n_tokens * 2))""")
           .cast("double")./(1e6).as("yule_k"),
-        expr(s"""(((scc - n_tokens) * 1000000000 * 2
+        // n_tokens = 1 makes the n(n-1) denominator zero: Spark's non-ANSI
+        // div would yield NULL while DuckDB's // raises — guard the ratio
+        // identically on both engines (NULL = "not defined for one token").
+        expr(s"""case when n_tokens > 1 then
+                 (((scc - n_tokens) * 1000000000 * 2
                   + cast(n_tokens as $dec) * (n_tokens - 1))
-                 div (cast(n_tokens as $dec) * (n_tokens - 1) * 2))""")
+                 div (cast(n_tokens as $dec) * (n_tokens - 1) * 2)) end""")
           .cast("double")./(1e9).as("simpson_d"),
         (round(log(col("n_types").cast("double"))
           / log(col("n_tokens").cast("double")) * 1e6).cast("long") / 1e6)

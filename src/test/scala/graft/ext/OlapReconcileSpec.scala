@@ -127,4 +127,15 @@ class OlapReconcileSpec extends SparkSpec {
       // k=3: threshold 1.0, terms ln8 + ln4 + ln2 -> alpha = 3/(6 ln2)
       (3L, 1.0, Some(alpha(3, Seq(8.0, 4.0, 2.0))))))
   }
+
+  test("hillTailIndex: a k with too few orders still emits its row (NULL alpha)") {
+    val rev = Seq((1L, 8.0), (2L, 4.0), (3L, 2.0))
+      .toDF("order_id", "total_revenue")
+    // k=5 needs 6 distinct orders; only 3 exist -> row present, alpha NULL
+    val got = Olap.hillTailIndex(rev, ks = Seq(2, 5))
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got.map(_._1) == Seq(2L, 5L))
+    assert(got(0)._3.isDefined)
+    assert(got(1) == ((5L, None, None)))
+  }
 }

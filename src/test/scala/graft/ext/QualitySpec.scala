@@ -26,7 +26,7 @@ class QualitySpec extends SparkSpec {
       (None, Some("a"), None, None)
     ).toDF("k", "s", "p", "d")
     val cols = Seq("k" -> "long", "s" -> "string",
-      "p" -> "cents", "d" -> "date")
+      "p" -> "money2dp", "d" -> "date")
     val got = Quality.columnProfile(df, cols)
       .as[(String, Long, Long, Long, Double, String, String)]
       .collect().toSeq
