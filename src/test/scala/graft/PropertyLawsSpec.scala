@@ -110,4 +110,80 @@ class PropertyLawsSpec extends SparkSpec {
         s"case $i: roundtrip lost $missing / invented $extra rows")
     }
   }
+
+  test("JW prefilter law: round(jw,6) >= 0.9 implies the length-ratio floor AND char-mask overlap — the filter rejects nothing above threshold") {
+    import graft.functions.{CharMaskAlgo, JaroWinklerAlgo, StringSimilarity}
+    import org.apache.spark.unsafe.types.UTF8String
+    val floor = StringSimilarity.jaroFloor(0.9)
+    // near-identical pairs (perturbed copies) so the >= 0.9 region is
+    // actually exercised, plus fully random pairs for the reject side
+    val charGen = Gen.oneOf('a', 'b', 'c', 'd', ' ')
+    val strGen = Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val perturbed = for {
+      s <- strGen
+      drop <- Gen.chooseNum(0, 1)
+      add <- Gen.listOfN(1, charGen).map(_.mkString)
+      t = (if (drop == 1 && s.nonEmpty) s.tail else s) + add
+    } yield (s, t)
+    val pairGen = Gen.oneOf(perturbed, Gen.zip(strGen, strGen))
+    check(Prop.forAll(pairGen) { case (s, t) =>
+      val jw = JaroWinklerAlgo.similarity(
+        UTF8String.fromString(s), UTF8String.fromString(t))
+      val above = BigDecimal(jw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble >= 0.9
+      val lenOk = math.min(s.length, t.length).toDouble >=
+        floor * math.max(s.length, t.length) - 1e-9
+      val maskOk = (CharMaskAlgo.mask(UTF8String.fromString(s)) &
+        CharMaskAlgo.mask(UTF8String.fromString(t))) != 0L
+      !above || (lenOk && maskOk)
+    }, "jw-prefilter-lossless")
+  }
+
+  test("JaroWinklerGte law: gte(a,b,t) equals round(similarity(a,b),6) >= t for random thresholds — the early aborts change nothing") {
+    import graft.functions.{JaroWinklerAlgo, JaroWinklerGteAlgo}
+    import org.apache.spark.unsafe.types.UTF8String
+    val charGen = Gen.oneOf('a', 'b', 'c', 'd', ' ')
+    val strGen = Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val perturbed = for {
+      s <- strGen
+      drop <- Gen.chooseNum(0, 1)
+      add <- Gen.listOfN(1, charGen).map(_.mkString)
+      t = (if (drop == 1 && s.nonEmpty) s.tail else s) + add
+    } yield (s, t)
+    val caseGen = for {
+      p <- Gen.oneOf(perturbed, Gen.zip(strGen, strGen))
+      thr <- Gen.oneOf(Gen.chooseNum(0.0, 1.0),
+        Gen.oneOf(0.0, 0.7, 0.8, 0.9, 0.95, 1.0))
+    } yield (p._1, p._2, thr)
+    check(Prop.forAll(caseGen) { case (s, t, thr) =>
+      val ua = UTF8String.fromString(s)
+      val ub = UTF8String.fromString(t)
+      val ref = BigDecimal(JaroWinklerAlgo.similarity(ua, ub))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= thr
+      JaroWinklerGteAlgo.gte(ua, ub, thr) == ref
+    }, "jw-gte-equivalence")
+  }
+
+  test("jaroWinklerPairs equals the unfiltered brute-force pair scan on random blocked names — the prefilter changes nothing") {
+    val names = Gen.listOfN(40, for {
+      blk <- Gen.chooseNum(0, 2)
+      s <- Gen.chooseNum(1, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('x', 'y', 'z')).map(_.mkString))
+    } yield (blk, s)).sample.get
+      .zipWithIndex.map { case ((blk, s), i) => (i.toLong, s, blk) }
+    val df = names.toDF("id", "name", "block")
+    val got = graft.ext.Dedup.jaroWinklerPairs(df, "id", "name", "block", 0.9)
+      .select("id_a", "id_b", "jw")
+      .as[(Long, Long, Double)].collect().toSet
+    val slim = df.select(col("block"), col("id").as("id_a"), col("name").as("name_a"))
+      .join(df.select(col("block"), col("id").as("id_b"), col("name").as("name_b")), Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw", round(
+        graft.functions.StringSimilarity.jaroWinkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= 0.9)
+      .select("id_a", "id_b", "jw")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == slim)
+    assert(slim.nonEmpty, "generator must exercise the >= 0.9 region")
+  }
 }
