@@ -2351,6 +2351,20 @@ object SparkEntry {
     "q336_ks_two_sample" -> ((s, dir) =>
       graft.ext.Experiment.ksLoyaltySpend(
         Conformed.orderRevenueCached(s, dir))),
+
+    // ---- ext: REAL audio decode (JDK javax.sound WAV/PCM) — geometry
+    // gated vs the byte-exact oracle; signal stats (sum_sq/peak)
+    // unit-pinned (the q68 discipline: DuckDB can't walk raw bytes) ----
+    "q337_audio_decode" -> ((s, dir) =>
+      Multimodal.featurizeAudio(
+        Multimodal.toWavMedia(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("decoded"), col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"),
+          col("n_frames"), col("duration_ms"))
+        .orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -8061,6 +8075,20 @@ object SparkEntry {
       """SELECT m AS n_loyal_users, n AS n_other_users, dq / 1e6 AS ks_d,
                 lam / 1e6 AS lambda, pu / 1e9 AS p_value
          FROM ksp"""),
+
+    // audio geometry: u8 mono 8kHz PCM over the UTF-8 bytes, canonical
+    // 44-byte header — every field an integer function of octet_length
+    "q337_audio_decode" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) + 44 AS BIGINT) AS n_bytes,
+                true AS decoded,
+                CAST(8000 AS BIGINT) AS sample_rate,
+                CAST(1 AS BIGINT) AS channels,
+                CAST(8 AS BIGINT) AS bits,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
+                CAST(octet_length(encode(text)) * 1000 // 8000 AS BIGINT)
+                  AS duration_ms
+         FROM documents ORDER BY doc_id""",
 
     "q305_position_attribution" ->
       """WITH pp AS (

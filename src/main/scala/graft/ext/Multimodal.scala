@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, processed per-partition.
   *
-  * The decode step is a clearly-marked STUB — this container has no
-  * image/audio codecs, so [[featurize]] derives deterministic fake
-  * "features" (byte length, md5, modular width/height) from the raw
-  * bytes. The Spark-side plumbing is real and what the tests pin down:
+  * Image decode ([[featurizeImages]], JDK ImageIO) and audio decode
+  * ([[featurizeAudio]], JDK javax.sound WAV/PCM) are REAL. Only VIDEO
+  * remains a clearly-marked stub — the JDK ships no video codecs — so
+  * [[featurize]]/[[frameSample]] derive deterministic fake "features"
+  * (byte length, md5, modular width/height) from the raw bytes there.
+  * The Spark-side plumbing is real and what the tests pin down:
   * binary-typed column, case-class schema via Encoders, one
   * `mapPartitions` pass (per-partition iterator = the batch shape a real
   * decoder would amortize model/codec setup over), and an exact SQL
@@ -93,6 +95,112 @@ object Multimodal {
             b.getColorModel.getNumComponents)
           case None => ImageFeatures(r.doc_id, r.media.length, hex,
             decoded = false, -1, -1, -1)
+        }
+      }
+    }
+  }
+
+  /** Canonical 44-byte PCM WAV container around raw sample bytes —
+    * the deterministic generator that lets the REAL audio decoder
+    * ([[featurizeAudio]]) gate against a byte-level SQL oracle: the
+    * testdata has no media column, so each document's UTF-8 bytes
+    * become its unsigned-8-bit mono PCM samples (1 byte = 1 frame),
+    * making every geometry field (n_bytes, frames, duration) an exact
+    * integer function of `octet_length(text)` both engines compute. */
+  def wavBytes(data: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate) // byte rate = rate (u8 mono)
+      .putShort(1).putShort(8) // block align, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    bb.array()
+  }
+
+  /** Bind a text table into a decodable WAV media column (u8 mono PCM
+    * at 8 kHz over the UTF-8 bytes — see [[wavBytes]]). */
+  def toWavMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("data"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, data) => MediaRecord(id, wavBytes(data), "audio/wav") }
+  }
+
+  case class AudioFeatures(
+      doc_id: Long, n_bytes: Int, decoded: Boolean, sample_rate: Int,
+      channels: Int, bits: Int, n_frames: Long, duration_ms: Long,
+      sum_sq: Long, peak: Long)
+
+  /** REAL audio decode — not a stub: WAV/PCM parsing ships in the JDK
+    * (`javax.sound.sampled`), so container + format extraction and a
+    * full sample scan need no external libraries. Per payload:
+    * geometry (sample rate, channels, bits, frame count, duration in
+    * exact integer ms = frames·1000 ∕ rate) plus signal stats in exact
+    * integer units — `sum_sq` = Σ(centered sample)² and `peak` =
+    * max |centered sample| (u8 samples center at 128; s16 read at the
+    * container's declared endianness) — order-free exact longs, the
+    * audio analogue of the image tier's pixel geometry. Payloads the
+    * codec rejects, and PCM widths beyond 8∕16-bit, quarantine to
+    * `decoded = false` with −1 fields rather than kill the scan (the
+    * [[featurizeImages]] discipline). Same per-partition batch shape;
+    * streams the frames, never buffers a whole payload's samples. */
+  def featurizeAudio(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          try {
+            val fmt = in.getFormat
+            val enc = fmt.getEncoding
+            val bits = fmt.getSampleSizeInBits
+            val pcm8u = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
+            val pcm16s = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16
+            if (!pcm8u && !pcm16s) {
+              AudioFeatures(r.doc_id, r.media.length, decoded = false,
+                -1, -1, -1, -1L, -1L, -1L, -1L)
+            } else {
+              val rate = math.round(fmt.getSampleRate)
+              val frameBytes = fmt.getFrameSize
+              var sumSq = 0L
+              var peak = 0L
+              var nFrames = 0L
+              val buf = new Array[Byte](frameBytes * 1024)
+              var read = in.read(buf)
+              while (read > 0) {
+                var i = 0
+                while (i + (bits / 8) <= read) {
+                  val v =
+                    if (pcm8u) (buf(i) & 0xff) - 128L
+                    else {
+                      val lo = if (fmt.isBigEndian) buf(i + 1) else buf(i)
+                      val hi = if (fmt.isBigEndian) buf(i) else buf(i + 1)
+                      ((hi.toLong << 8) | (lo & 0xffL)).toShort.toLong
+                    }
+                  sumSq += v * v
+                  if (math.abs(v) > peak) peak = math.abs(v)
+                  i += bits / 8
+                }
+                nFrames += read / frameBytes
+                read = in.read(buf)
+              }
+              AudioFeatures(r.doc_id, r.media.length, decoded = true,
+                rate, fmt.getChannels, bits, nFrames,
+                nFrames * 1000L / rate, sumSq, peak)
+            }
+          } finally in.close()
+        } catch {
+          case _: Exception =>
+            AudioFeatures(r.doc_id, r.media.length, decoded = false,
+              -1, -1, -1, -1L, -1L, -1L, -1L)
         }
       }
     }

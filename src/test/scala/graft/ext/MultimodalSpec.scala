@@ -63,4 +63,60 @@ class MultimodalSpec extends SparkSpec {
       && got(4L).n_bytes == 23 && got(4L).content_md5.length == 32,
       "undecodable payloads quarantine with length+md5 intact")
   }
+
+  test("featurizeAudio: REAL WAV decode via JDK javax.sound — u8 via our writer, s16 via the JDK writer, corrupt quarantine") {
+    import javax.sound.sampled._
+    // u8 mono via graft's own canonical header
+    val u8data = Array[Byte](0, 100, -128, 127) // unsigned: 0,100,128,127
+    val u8wav = Multimodal.wavBytes(u8data, sampleRate = 8000)
+    // s16 stereo via the JDK's OWN writer (cross-checks our reader
+    // against an independent encoder)
+    val s16samples = Array[Short](1000, -2000, 30000, -30000)
+    val s16bytes = {
+      val bb = java.nio.ByteBuffer.allocate(s16samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      s16samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val s16fmt = new AudioFormat(16000f, 16, 2, true, false)
+    val s16wav = {
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(s16bytes), s16fmt,
+        s16samples.length / 2), AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, u8wav, "audio/wav"),
+      Multimodal.MediaRecord(2L, s16wav, "audio/wav"),
+      Multimodal.MediaRecord(3L, "not audio at all".getBytes("UTF-8"), "audio/wav"))
+    val media = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    val got = Multimodal.featurizeAudio(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    val u8 = got(1L)
+    // centered u8: -128, -28, 0, -1
+    assert(u8.decoded && u8.sample_rate == 8000 && u8.channels == 1
+      && u8.bits == 8 && u8.n_frames == 4 && u8.n_bytes == 48
+      && u8.duration_ms == 0
+      && u8.sum_sq == 128L*128 + 28L*28 + 0 + 1L && u8.peak == 128)
+    val s16 = got(2L)
+    assert(s16.decoded && s16.sample_rate == 16000 && s16.channels == 2
+      && s16.bits == 16 && s16.n_frames == 2
+      && s16.sum_sq == s16samples.map(v => v.toLong * v).sum
+      && s16.peak == 30000)
+    assert(!got(3L).decoded && got(3L).sample_rate == -1
+      && got(3L).n_bytes == 16,
+      "undecodable payloads quarantine with length intact")
+  }
+
+  test("wavBytes+featurizeAudio roundtrip: geometry is an exact integer function of the data length") {
+    val data = ("x" * 12345).getBytes("UTF-8")
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(7L, Multimodal.wavBytes(data), "audio/wav")))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    val f = Multimodal.featurizeAudio(media).collect().head
+    assert(f.decoded && f.n_bytes == 12345 + 44 && f.n_frames == 12345
+      && f.duration_ms == 12345L * 1000 / 8000)
+  }
 }
