@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress soak: the executed evidence behind the "would survive
+  * 100 TB" design arguments the per-round bench (sf0.1) cannot test.
+  *
+  * [[SoakGen]] synthesizes a ~10× dataset from sf0.1 by unioning
+  * key-remapped copies with PLANTED pathologies a production corpus
+  * would have and uniform synthetic data never does:
+  *   - one hot user (~20% of orders AND ~20% of events on a single
+  *     user_id) — stresses user-grain aggregates, sessionization state,
+  *     and the salted-agg/join machinery;
+  *   - one hot restaurant (~20% of lineitem rows on one l_suppkey) —
+  *     stresses restaurant-grain marts and AQE skew handling;
+  *   - one document source whose texts are 10× longer — stresses the
+  *     shingle/dedup tiers with a length tail (and the repeated text
+  *     multiplies duplicate-gram skew).
+  * Copies are key-remapped with referential integrity (lineitem follows
+  * orders' key stride), fully deterministic (no rand()).
+  *
+  * [[SoakBench]] runs the heaviest gated queries against the soak dir
+  * (one rep — the soak measures survival and scaling shape, not
+  * best-of-3 latency), records per-query wall + shuffle/spill totals
+  * via a task-metrics listener, and separately PROVES the AQE
+  * skew-join split fires on the planted hot key (thresholds lowered
+  * size-relatively — the machinery, not the 256 MB default, is what a
+  * 1000-executor cluster relies on).
+  */
+object SoakGen {
+  /** Key stride between copies: above any sf0.1 key, far below
+    * Long overflow at 10 copies. */
+  private val Stride = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/soak10x"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = graft.core.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-soak-gen")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copyIdx = explode(array((0 until copies).map(i => lit(i.toLong)): _*))
+
+    // dims stay 1x: facts grow against a fixed dimension universe (the
+    // realistic 100 TB shape — more orders per customer, not more
+    // customers per order)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+
+    val hotUser = 7L       // exists at every SF (custkeys start low)
+    val hotRestaurant = 7L
+
+    // orders: remapped PK; copies 1-2 reassign the customer -> ~20% of
+    // order rows land on ONE user_id
+    spark.read.parquet(s"$srcDir/orders.parquet")
+      .withColumn("c", copyIdx)
+      .withColumn("o_orderkey", col("o_orderkey") + col("c") * Stride)
+      .withColumn("o_custkey",
+        when(col("c").isin(1L, 2L), lit(hotUser)).otherwise(col("o_custkey")))
+      .drop("c")
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    // lineitem: FK follows orders' stride; copies 3-4 plant the hot
+    // restaurant (~20% of line rows on one l_suppkey)
+    spark.read.parquet(s"$srcDir/lineitem.parquet")
+      .withColumn("c", copyIdx)
+      .withColumn("l_orderkey", col("l_orderkey") + col("c") * Stride)
+      .withColumn("l_suppkey",
+        when(col("c").isin(3L, 4L), lit(hotRestaurant)).otherwise(col("l_suppkey")))
+      .drop("c")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // events: normalized-ts read (Tables.events), copies shifted by c
+    // seconds so the hot user's stream interleaves instead of stacking
+    // identical instants; copies 1-2 land on the hot user
+    graft.core.Tables.events(spark, srcDir)
+      .withColumn("c", copyIdx)
+      .withColumn("event_id", col("event_id") + col("c") * Stride)
+      .withColumn("ts", timestamp_micros(
+        unix_micros(col("ts")) + col("c") * 1000000L))
+      .withColumn("user_id",
+        when(col("c").isin(1L, 2L), lit(hotUser)).otherwise(col("user_id")))
+      .drop("c")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // documents: copy 1 becomes the 10x-length tail source (repeated
+    // text also multiplies duplicate-gram skew in the shingle tiers)
+    spark.read.parquet(s"$srcDir/documents.parquet")
+      .withColumn("c", copyIdx)
+      .withColumn("doc_id", col("doc_id") + col("c") * Stride)
+      .withColumn("text",
+        when(col("c") === 1L, repeat(col("text"), 10)).otherwise(col("text")))
+      .withColumn("n_chars",
+        when(col("c") === 1L, col("n_chars") * 10L).otherwise(col("n_chars")))
+      .withColumn("source",
+        when(col("c") === 1L, lit("tail_source")).otherwise(col("source")))
+      .drop("c")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .withColumn("c", copyIdx)
+      .withColumn("vec_id", col("vec_id") + col("c") * Stride)
+      .drop("c")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val counts = Seq("orders", "lineitem", "events", "documents", "embeddings")
+      .map(t => s"$t=${spark.read.parquet(s"$outDir/$t.parquet").count()}")
+    println(s"[soakgen] wrote $outDir (${copies}x): ${counts.mkString(", ")}")
+    spark.stop()
+  }
+}
+
+object SoakBench {
+  /** The heaviest fact-grain gated queries (bench_full.json top list,
+    * minus the part-block pairwise tiers whose input deliberately stays
+    * 1x) plus the skew machinery and one representative per stressed
+    * table. */
+  val SoakQueries: Seq[String] = Seq(
+    // streaming replay over 10x events with the hot-user state pile-up
+    "q59_sessions_stream_replay", "q98_stream_stream_join", "q88_stream_dedup",
+    // documents 10x with the length-tail source
+    "q105_csv_roundtrip", "q64_packed_corpus", "q53_curated_corpus",
+    "q15_dedup_exact", "q16_minhash_neardups", "q308_exact_substring_dedup",
+    "q24_token_counts",
+    // embeddings 10x (brute-force cosine grows quadratically: 100x)
+    "q20_topk_cosine", "q121_semantic_dedup", "q122_hard_negatives",
+    "q161_covariance", "q198_incremental_cov",
+    // order/lineitem facts 10x, user/restaurant grain with planted skew
+    "q01_order_revenue", "q05_rfm", "q183_mase_backtest",
+    "q249_price_ladder", "q331_price_index", "q233_hampel",
+    "q187_assoc_rules", "q169_rolling_corr", "q250_lorenz_curve",
+    "q305_position_attribution", "q336_ks_two_sample",
+    // the skew-mitigation machinery on the planted hot keys
+    "q61_salted_agg", "q91_salted_join")
+
+  private class MetricsListener extends org.apache.spark.scheduler.SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    val peakTaskShuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        val w = m.shuffleWriteMetrics.bytesWritten
+        shuffleWrite.addAndGet(w)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        peakTaskShuffleWrite.accumulateAndGet(w, Math.max(_, _))
+      }
+    }
+    def snapshotAndReset(): (Long, Long, Long, Long, Long) = {
+      val s = (shuffleWrite.get, shuffleRead.get, memSpill.get, diskSpill.get,
+        peakTaskShuffleWrite.get)
+      shuffleWrite.set(0); shuffleRead.set(0); memSpill.set(0); diskSpill.set(0)
+      peakTaskShuffleWrite.set(0)
+      s
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dataDir = if (args.length > 0) args(0) else "/tmp/soak10x"
+    val spark = graft.core.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-soak")
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SoakQueries
+      .filter(n => only.forall(_.exists(n.startsWith)))
+    val unknown = selected.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown soak queries: ${unknown.mkString(",")}")
+    val results = selected.map { name =>
+      val fn = SparkEntry.queries(name)
+      listener.snapshotAndReset()
+      val t0 = System.nanoTime()
+      val (rows, ok) =
+        try (fn(spark, dataDir).count(), true)
+        catch { case e: Throwable =>
+          Console.err.println(s"[soak] $name FAILED: ${e.getMessage}")
+          (-1L, false)
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener bus is async; a short settle keeps per-query metric
+      // attribution honest (private API waitUntilEmpty is inaccessible)
+      Thread.sleep(300)
+      val (sw, sr, ms, ds, pw) = listener.snapshotAndReset()
+      println(f"""[soak] {"q":"$name","sec":$sec%.2f,"rows":$rows,"ok":$ok,"shuffle_write_mb":${sw / 1048576},"shuffle_read_mb":${sr / 1048576},"mem_spill_mb":${ms / 1048576},"disk_spill_mb":${ds / 1048576},"peak_task_shuffle_write_mb":${pw / 1048576}}""")
+      (name, sec, ok)
+    }
+
+    // ---- AQE skew-split proof on the planted hot restaurant ----
+    // The restaurant-grain rollup joins lineitem (hot l_suppkey) to
+    // orders; thresholds lowered size-relatively so the 10x-local soak
+    // exercises the same OptimizeSkewedJoin a cluster run would.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    val li = graft.core.Tables.lineitem(spark, dataDir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_partkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = graft.core.Tables.orders(spark, dataDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // join keyed on the SKEWED column so one exchange partition carries
+    // ~20% of the fact. Three shape requirements, each learned from a
+    // probe variant that did NOT split:
+    //  - the final aggregate is GLOBAL (keyless): a groupBy on the join
+    //    key would pin the join's output partitioning and legitimately
+    //    block the split;
+    //  - the right side is a RAW scan (supplier dim): any aggregate
+    //    between its shuffle and the join means OptimizeSkewedJoin
+    //    cannot co-split the sides (only plain ENSURE_REQUIREMENTS
+    //    shuffle stages are splittable);
+    //  - the aggregate consumes every carried fact column: pruned to
+    //    the 8-byte key alone, the hot partition COMPRESSES below any
+    //    realistic skew threshold — real fact rows are wide, so the
+    //    probe's must be too.
+    val sup = graft.core.Tables.supplier(spark, dataDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val skewJoin = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice")), sum(col("l_discount")),
+        max(col("l_partkey")), sum(col("o_totalprice")),
+        max(col("o_custkey")), max(col("s_nationkey")))
+    // collect() executes THIS dataset's queryExecution — count() would
+    // build a separate one and leave this plan unexecuted (isFinalPlan
+    // false, no AQE decisions to observe)
+    val probeRows = skewJoin.collect().head.getLong(0)
+    val plan = skewJoin.queryExecution.executedPlan.toString
+    val skewObserved = plan.contains("skew=true")
+    println(s"""[soak] {"q":"skew_probe_rows","rows":$probeRows}""")
+    println(s"""[soak] {"q":"skew_probe","skew_split_observed":$skewObserved}""")
+    if (!skewObserved)
+      Console.err.println("[soak] WARNING: no skew=true in the adaptive plan:\n" +
+        plan.linesIterator.take(40).mkString("\n"))
+
+    val failed = results.filterNot(_._3).map(_._1)
+    val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""[soak] {"q":"TOTAL","sec":$total%.2f,"n":${results.size},"failed":$failedJson}""")
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}

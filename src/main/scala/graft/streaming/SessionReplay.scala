@@ -39,10 +39,13 @@ object SessionReplay {
       spark: SparkSession, dir: String,
       gapMs: Long = 30L * 60 * 1000, slices: Int = 4): DataFrame = {
     import spark.implicits._
+    // persisted for the slicing loop: min/max + one filter-write per
+    // slice would otherwise rescan the source `slices`+1 times
     val events = graft.core.Tables.events(spark, dir)
       .select(col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp").as("ts"),
         col("value").cast("double").as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (minTs, maxTs) = events.agg(min(col("ts")), max(col("ts")))
       .as[(Timestamp, Timestamp)].head()
     require(minTs != null && maxTs != null, "events table is empty")
@@ -74,6 +77,7 @@ object SessionReplay {
       .zipWithIndex.foreach { case (row, i) =>
         writeSlice(Seq(row).toDF("user_id", "ts", "value"), slices + i)
       }
+    events.unpersist()
 
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1)
@@ -83,12 +87,22 @@ object SessionReplay {
     val out = StatefulSessionizer.sessionsStreaming(stream, gapMs)
     val qn = "graft_session_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state-store instance count = shuffle partitions, each committed
+    // per micro-batch: at replay scale those commits dominate the wall
+    // (the q98 StreamJoin sizing rationale) — size the state
+    // partitioning to the state volume, restore after. Grouping-key
+    // results are partition-count-independent, so the gate hash is
+    // untouched.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(qn).filter(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("value_sum"))

@@ -43,10 +43,12 @@ object StreamingDedup {
   def distinctKeysViaStream(
       spark: SparkSession, dir: String, slices: Int = 4): DataFrame = {
     import spark.implicits._
+    // persisted for the slicing loop (the SessionReplay rationale)
     val events = graft.core.Tables.events(spark, dir)
       .select(col("user_id").cast("long").as("user_id"),
         col("event_type").cast("string").as("event_type"),
         col("ts").cast("timestamp").as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (minTs, maxTs) = events.agg(min(col("ts")), max(col("ts")))
       .as[(Timestamp, Timestamp)].head()
     require(minTs != null && maxTs != null, "events table is empty")
@@ -71,6 +73,7 @@ object StreamingDedup {
         events.filter(unix_millis(col("ts")) >= bounds(k) &&
           unix_millis(col("ts")) < bounds(k + 1)), k)
     }
+    events.unpersist()
 
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1)
@@ -78,12 +81,19 @@ object StreamingDedup {
     val out = distinctKeys(stream, Seq("user_id", "event_type"))
     val qn = "graft_dedup_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // size the state partitioning to the state volume (the q98
+    // StreamJoin rationale: per-partition store commits dominate the
+    // replay wall); dedup output is partition-count-independent
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(qn)
   }
 }

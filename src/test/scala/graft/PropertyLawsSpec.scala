@@ -111,6 +111,60 @@ class PropertyLawsSpec extends SparkSpec {
     }
   }
 
+  test("canonicalization law: Spark round(x*U) quantization equals the BigDecimal HALF_UP reference on adversarial doubles (-0.0, halves, 17-digit) — one job") {
+    val edge = Seq(-0.0, 0.0, 0.5e-9, -0.5e-9, 1.5e-9, 2.5e-9, -1.5e-9,
+      0.1234567890123456, -0.9999999999999999, 1.7976931348623157,
+      123456789.12345678)
+    val rnd = Seq.tabulate(300)(i =>
+      (graft.functions.Portable.h60Local(s"canon-$i") % 20000001L - 10000000L) / 1e6)
+    val xs = edge ++ rnd
+    val got = xs.toDF("x")
+      .select(round(col("x") * 1e9).cast("long").as("q"))
+      .as[Long].collect().toSeq
+    val want = xs.map(x => BigDecimal(x * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    assert(got == want)
+  }
+
+  test("canonicalization law: the A&S 7.1.26 erfc chain as a Spark Column equals the driver-side double chain (1e-9 quantized) — one job") {
+    // identical literals, identical operation order — the law pins that
+    // Catalyst codegen neither reassociates nor constant-folds the
+    // floating chain differently from plain JVM evaluation
+    val zs = Seq(0L, 1L, 500000L, 1000000L, 1234567L, 1959964L, 2575829L,
+      3890592L) ++ Seq.tabulate(200)(i =>
+      math.abs(graft.functions.Portable.h60Local(s"erfc-$i")) % 5000001L)
+    val df = zs.toDF("zq").select((col("zq") / 1e6).as("z"))
+      .withColumn("tt", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("z")))
+      .select(round(((((lit(1.061405429) * col("tt") - lit(1.453152027)) * col("tt")
+          + lit(1.421413741)) * col("tt") - lit(0.284496736)) * col("tt")
+          + lit(0.254829592)) * col("tt")
+        * exp(-(col("z") * col("z"))) * 1e9).cast("long").as("pu"))
+    val got = df.as[Long].collect().toSeq
+    val want = zs.map { zq =>
+      val z = zq / 1e6
+      val t = 1.0 / (1.0 + 0.3275911 * z)
+      val poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+        - 0.284496736) * t + 0.254829592) * t
+      BigDecimal(poly * math.exp(-(z * z)) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    assert(got == want)
+  }
+
+  test("canonicalization law: embedding quantization transform(round(x*1000)) equals the float->double reference incl. -0.0 and exact halves — one job") {
+    val edge = Seq(-0.0f, 0.0005f, -0.0005f, 0.0015f, 1.5f, -2.5f)
+    val rnd = Seq.tabulate(100)(i =>
+      (graft.functions.Portable.h60Local(s"vec-$i") % 2000001L - 1000000L) / 1e6f)
+    val vec = (edge ++ rnd).toArray
+    val got = Seq(vec).toDF("v")
+      .select(transform(col("v"),
+        x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .as[Seq[Long]].collect().head
+    val want = vec.toSeq.map(x => BigDecimal(x.toDouble * 1000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    assert(got == want)
+  }
+
   test("JW prefilter law: round(jw,6) >= 0.9 implies the length-ratio floor AND char-mask overlap — the filter rejects nothing above threshold") {
     import graft.functions.{CharMaskAlgo, JaroWinklerAlgo, StringSimilarity}
     import org.apache.spark.unsafe.types.UTF8String
