@@ -2352,6 +2352,14 @@ object SparkEntry {
       graft.ext.Experiment.ksLoyaltySpend(
         Conformed.orderRevenueCached(s, dir))),
 
+    // ---- ext: hot-key-safe capped attribution — the shipped
+    // mitigation for the 10x-soak finding (q305's per-user pairing is
+    // semantically unbounded under key concentration): day-bucketed
+    // lossless pair join + per-purchase most-recent-N cap ----
+    "q338_attribution_capped" -> ((s, dir) =>
+      graft.ext.Behavior.positionAttributionCapped(Tables.events(s, dir),
+        Seq("view", "click", "signup"), lookbackDays = 7, maxTouches = 10)),
+
     // ---- ext: REAL audio decode (JDK javax.sound WAV/PCM) — geometry
     // gated vs the byte-exact oracle; signal stats (sum_sq/peak)
     // unit-pinned (the q68 discipline: DuckDB can't walk raw bytes) ----
@@ -8075,6 +8083,81 @@ object SparkEntry {
       """SELECT m AS n_loyal_users, n AS n_other_users, dq / 1e6 AS ks_d,
                 lam / 1e6 AS lambda, pu / 1e9 AS p_value
          FROM ksp"""),
+
+    // capped attribution: the q305 credit model over each purchase's 10
+    // most-recent lookback touches; day-bucket explode mirrored
+    "q338_attribution_capped" ->
+      """WITH pp AS (
+             SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS tp,
+                    CAST(round(value * 10000) AS BIGINT) AS cents,
+                    epoch_us(ts) // 86400000000 AS pd
+             FROM events WHERE event_type = 'purchase'),
+         pt AS (
+             SELECT user_id, event_type AS ty, event_id AS tid,
+                    epoch_us(ts) AS tt
+             FROM events
+             WHERE event_type IN ('view', 'click', 'signup')),
+         ptx AS (
+             SELECT user_id, ty, tid, tt,
+                    unnest(generate_series(tt // 86400000000,
+                                           tt // 86400000000 + 7)) AS sd
+             FROM pt),
+         ppr0 AS (
+             SELECT p.purchase_id, p.cents, t.ty, t.tid, t.tt
+             FROM pp p JOIN ptx t
+               ON p.user_id = t.user_id AND p.pd = t.sd
+             WHERE t.tt < p.tp AND p.tp - t.tt <= 604800000000),
+         pprk AS (SELECT *,
+                         row_number() OVER (PARTITION BY purchase_id
+                           ORDER BY tt DESC, tid ASC) AS rr
+                  FROM ppr0),
+         ppr AS (SELECT purchase_id, cents, ty, tid, tt
+                 FROM pprk WHERE rr <= 10),
+         pper AS (SELECT purchase_id, cents,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM ppr GROUP BY 1, 2),
+         prk AS (SELECT *,
+                        row_number() OVER (PARTITION BY purchase_id
+                          ORDER BY tt, tid) AS rf,
+                        row_number() OVER (PARTITION BY purchase_id
+                          ORDER BY tt DESC, tid DESC) AS rl
+                 FROM ppr),
+         pf AS (SELECT purchase_id, ty AS fty FROM prk WHERE rf = 1),
+         pl AS (SELECT purchase_id, ty AS lty FROM prk WHERE rl = 1),
+         pc AS (SELECT purchase_id, ty, CAST(count(*) AS BIGINT) AS k
+                FROM ppr GROUP BY 1, 2),
+         pci AS (SELECT c.purchase_id, c.ty, c.k, e.n, e.cents,
+                        CASE WHEN f.fty = c.ty THEN 1 ELSE 0 END AS indf,
+                        CASE WHEN l.lty = c.ty THEN 1 ELSE 0 END AS indl
+                 FROM pc c
+                 JOIN pper e USING (purchase_id)
+                 JOIN pf f USING (purchase_id)
+                 JOIN pl l USING (purchase_id)),
+         pcr AS (SELECT ty, purchase_id, cents,
+                        CASE WHEN n = 1 THEN indf * 1000000
+                             WHEN n = 2 THEN (indf + indl) * 500000
+                             ELSE (indf + indl) * 400000
+                               + (k - indf - indl)
+                                 * (((200000 * 2) + (n - 2))
+                                    // ((n - 2) * 2))
+                        END AS share_u
+                 FROM pci),
+         pcf AS (SELECT ty, purchase_id, share_u,
+                        (CAST(cents AS HUGEINT) * 1000 * share_u) // 1000000
+                          AS rev_mu
+                 FROM pcr WHERE share_u > 0
+                 UNION ALL
+                 SELECT 'direct' AS ty, a.purchase_id,
+                        1000000 AS share_u, a.cents * 1000 AS rev_mu
+                 FROM pp a LEFT JOIN pper e USING (purchase_id)
+                 WHERE e.purchase_id IS NULL)
+         SELECT ty AS touch_type,
+                CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+                round(sum(CAST(share_u AS HUGEINT)) / 1e6, 6)
+                  AS total_credit,
+                round(sum(CAST(rev_mu AS HUGEINT)) / 1e7, 6)
+                  AS attributed_revenue
+         FROM pcf GROUP BY 1 ORDER BY touch_type""",
 
     // audio geometry: u8 mono 8kHz PCM over the UTF-8 bytes, canonical
     // 44-byte header — every field an integer function of octet_length

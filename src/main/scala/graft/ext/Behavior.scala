@@ -866,6 +866,114 @@ object Behavior {
       .orderBy(col("touch_type"))
   }
 
+  /** Hot-key-safe position attribution — the scale contract the 10×
+    * soak made explicit: [[positionAttribution]]'s per-user pairing is
+    * SEMANTICALLY unbounded under key concentration (a 20%-hot user
+    * yields ~10⁹ credited pairs through one join partition). This
+    * sibling bounds both the volume and the parallelism grain:
+    *
+    *  - the pair join is keyed on (user, purchase-DAY) with each touch
+    *    exploded to the `lookbackDays`+1 day buckets it can serve — a
+    *    LOSSLESS cover of `tt < tp ∧ tp − tt ≤ lookback` (day(tp) −
+    *    day(tt) ∈ [0, lookbackDays] whenever the filter holds), so a
+    *    hot entity's history splits across its active days instead of
+    *    funneling one hash key;
+    *  - each purchase credits only its `maxTouches` MOST-RECENT
+    *    touches in the lookback (rank by tt desc, id desc — total
+    *    order), the per-purchase cap every production attribution
+    *    system runs with; the U-shape then applies within the kept
+    *    window (its "first touch" is the oldest KEPT touch —
+    *    documented semantics of capped attribution).
+    *
+    * With `maxTouches` ≥ every purchase's touch count this equals
+    * [[positionAttribution]] exactly (law-tested): the bucket cover is
+    * lossless and the kept set is the full set. The cap itself runs as
+    * the bounded-heap [[graft.functions.TopKAggregate]] (score = event
+    * time, id = touch id with the channel index ENCODED in, so no
+    * rejoin) — map-side partial top-k collapses a hot entity's pair
+    * flood to ≤ `maxTouches` rows per purchase BEFORE the exchange; a
+    * row_number window would instead shuffle and sort every pre-cap
+    * pair (measured: the soak's hot user alone emits ~10⁸ pre-cap
+    * pairs; the heap form finished where the window form ground). */
+  def positionAttributionCapped(
+      events: DataFrame, touchTypes: Seq[String],
+      lookbackDays: Int = 7, maxTouches: Int = 25): DataFrame = {
+    val lookbackMicros = lookbackDays * 86400L * 1000000L
+    val dayMicros = 86400L * 1000000L
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("tp"),
+        round(col("value") * 10000).cast("long").as("cents"))
+      .withColumn("pd", expr(s"tp div $dayMicros"))
+    val t = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_type").as("ty"),
+        col("event_id").as("tid"), unix_micros(col("ts")).as("tt"))
+      .withColumn("sd", explode(sequence(
+        expr(s"tt div $dayMicros"),
+        expr(s"tt div $dayMicros") + lookbackDays)))
+    // channel index encoded into the heap id: tid is unique, so
+    // (tt desc, encoded asc) == (tt desc, tid asc) — the cap's total
+    // order — and the channel decodes back without a fact-scale rejoin
+    val m = touchTypes.length
+    val encIdx = touchTypes.zipWithIndex.tail.foldLeft(
+      when(col("ty") === touchTypes.head, lit(0L))) {
+      case (acc, (ty, i)) => acc.when(col("ty") === ty, lit(i.toLong))
+    }
+    val pairsAll = p.join(t,
+        p("user_id") === t("user_id") && col("pd") === col("sd"))
+      .filter(col("tt") < col("tp") &&
+        col("tp") - col("tt") <= lookbackMicros)
+      .select(col("purchase_id"), col("cents"),
+        (col("tid") * m + encIdx).as("eid"), col("tt"))
+    val pairs = pairsAll
+      .groupBy(col("purchase_id"), col("cents"))
+      .agg(graft.functions.TopKAggregate.top_k(
+        col("tt").cast("double"), col("eid"), maxTouches).as("topk"))
+      .select(col("purchase_id"), col("cents"),
+        explode(col("topk")).as("kept"))
+      .select(col("purchase_id"), col("cents"),
+        expr(s"kept.id div $m").as("tid"),
+        touchTypes.zipWithIndex.tail.foldLeft(
+          when(expr(s"kept.id % $m") === 0L, lit(touchTypes.head))) {
+          case (acc, (ty, i)) => acc.when(expr(s"kept.id % $m") === i.toLong, lit(ty))
+        }.as("ty"),
+        col("kept.score").cast("long").as("tt"))
+    val perP = pairs.groupBy(col("purchase_id"), col("cents"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("tt"), col("tid"), col("ty"))).as("ft"),
+        max(struct(col("tt"), col("tid"), col("ty"))).as("lt"))
+    val perChan = pairs.groupBy(col("purchase_id"), col("ty"))
+      .agg(count(lit(1)).as("k"))
+    val indF = (col("ft.ty") === col("ty")).cast("long")
+    val indL = (col("lt.ty") === col("ty")).cast("long")
+    val credited = perChan.join(perP, Seq("purchase_id"))
+      .withColumn("share_u",
+        when(col("n") === 1, indF * 1000000L)
+          .when(col("n") === 2, (indF + indL) * 500000L)
+          .otherwise(
+            (indF + indL) * 400000L +
+            (col("k") - indF - indL) *
+              expr("((200000 * 2) + (n - 2)) div ((n - 2) * 2)")))
+      .filter(col("share_u") > 0)
+      .select(col("ty"), col("purchase_id"), col("share_u"),
+        expr("(CAST(cents AS DECIMAL(38,0)) * 1000 * share_u) div 1000000")
+          .as("rev_mu"))
+    val direct = p.join(perP.select(col("purchase_id")),
+        Seq("purchase_id"), "left_anti")
+      .select(lit("direct").as("ty"), col("purchase_id"),
+        lit(1000000L).as("share_u"),
+        (col("cents") * 1000L).as("rev_mu"))
+    credited.unionByName(direct)
+      .groupBy(col("ty"))
+      .agg(countDistinct(col("purchase_id")).as("n_purchases"),
+        sum(col("share_u").cast("decimal(38,0)")).as("su"),
+        sum(col("rev_mu").cast("decimal(38,0)")).as("sr"))
+      .select(col("ty").as("touch_type"), col("n_purchases"),
+        round(col("su") / 1e6, 6).as("total_credit"),
+        round(col("sr") / 1e7, 6).as("attributed_revenue"))
+      .orderBy(col("touch_type"))
+  }
+
   /** Exact-factorial Shapley coefficient s!·(n−1−s)! — the numerator of
     * the Shapley weight with n! factored out, so the whole credit
     * computation stays in integers until one final division. */

@@ -297,4 +297,38 @@ class BehaviorSpec extends SparkSpec {
     assert(got("click") == 4.5 && got("signup") == 4.5)
     assert(got("view") == 0.0 && got("direct") == 0.0)
   }
+  test("positionAttributionCapped: uncapped equals positionAttribution on random events (lossless day-bucket cover); a binding cap keeps the most-recent N") {
+    // deterministic pseudo-random fixture via the portable hash
+    val base = java.sql.Timestamp.valueOf("1997-01-01 00:00:00").getTime
+    def h(i: Int, what: String): Long =
+      math.abs(graft.functions.Portable.h60Local(s"attr-$what-$i"))
+    val types = Seq("view", "click", "signup", "purchase")
+    val events = (0 until 400).map { i =>
+      (h(i, "u") % 6L,
+        1000L + i,
+        types((h(i, "t") % 4L).toInt),
+        new java.sql.Timestamp(base + h(i, "ts") % (20L * 86400000L)),
+        (h(i, "v") % 10000L) / 100.0)
+    }.toDF("user_id", "event_id", "event_type", "ts", "value")
+    val touch = Seq("view", "click", "signup")
+    val uncapped = graft.ext.Behavior
+      .positionAttributionCapped(events, touch, 7, maxTouches = 1000000)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val ref = graft.ext.Behavior.positionAttribution(events, touch, 7)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(uncapped == ref)
+    // a binding cap: total credit stays 1.0 per touched purchase
+    val capped = graft.ext.Behavior
+      .positionAttributionCapped(events, touch, 7, maxTouches = 2)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val touched = ref.filter(_._1 != "direct")
+    val cappedTouched = capped.filter(_._1 != "direct")
+    val nTouchedPurchases = events.filter(col("event_type") === "purchase")
+      .count() - ref.find(_._1 == "direct").map(_._2).getOrElse(0L)
+    assert(math.abs(cappedTouched.map(_._3).sum - nTouchedPurchases) < 1e-3,
+      "credit per touched purchase must still sum to 1 under the cap")
+    assert(capped.find(_._1 == "direct") == ref.find(_._1 == "direct"),
+      "the cap never changes which purchases are direct")
+    assert(touched.map(_._3).sum > 0)
+  }
 }
