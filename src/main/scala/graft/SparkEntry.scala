@@ -2352,6 +2352,15 @@ object SparkEntry {
       graft.ext.Experiment.ksLoyaltySpend(
         Conformed.orderRevenueCached(s, dir))),
 
+    // ---- streaming: hot-key-safe bucketed stream-stream join — the
+    // shipped mitigation for the 10x-soak finding (q98's per-user
+    // symmetric join enumerates a hot user's whole retained state per
+    // probe): (user, time-bucket) keys with a lossless two-bucket
+    // purchase explode; SAME batch range-join oracle as q98 ----
+    "q339_stream_join_bucketed" -> ((s, dir) =>
+      graft.streaming.StreamJoin.purchaseViewJoinBucketedViaStream(s, dir)
+        .orderBy(col("purchase_id"), col("view_id"))),
+
     // ---- ext: hot-key-safe capped attribution — the shipped
     // mitigation for the 10x-soak finding (q305's per-user pairing is
     // semantically unbounded under key concentration): day-bucketed
@@ -8083,6 +8092,20 @@ object SparkEntry {
       """SELECT m AS n_loyal_users, n AS n_other_users, dq / 1e6 AS ks_d,
                 lam / 1e6 AS lambda, pu / 1e9 AS p_value
          FROM ksp"""),
+
+    // bucketed stream-stream join: result-identical to q98 by
+    // construction (the two-bucket explode is a lossless cover), so the
+    // oracle IS the same batch range join
+    "q339_stream_join_bucketed" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+                    FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id, purchase_id, purchase_ts, view_id, view_ts
+         FROM p JOIN v ON p.user_id = v.user_id
+          AND v.view_ts >= p.purchase_ts - INTERVAL 3600 SECONDS
+          AND v.view_ts <= p.purchase_ts
+         ORDER BY purchase_id, view_id""",
 
     // capped attribution: the q305 credit model over each purchase's 10
     // most-recent lookback touches; day-bucket explode mirrored

@@ -26,6 +26,76 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamJoin {
 
+  /** Hot-key-safe variant of [[purchaseViewJoinViaStream]] — the
+    * shipped mitigation for the 10×-soak finding that a user carrying
+    * 20% of the stream makes the per-user symmetric join enumerate
+    * ~10⁹ stored candidates through ONE state partition: the join key
+    * becomes (user, time-bucket of width `rangeSeconds`), with each
+    * purchase exploded to the two buckets its lookback can reach
+    * (`b(tp)` and `b(tp)−1`; a qualifying view's own bucket is always
+    * exactly one of them, so the cover is LOSSLESS and duplicate-free
+    * — gated against the SAME batch range-join oracle as q98). A hot
+    * entity's stored views then split across its active buckets, and
+    * each probe enumerates one bucket's views instead of the user's
+    * whole retained history — candidate work per probe drops from
+    * O(views in state) to O(views per bucket), and the state rows
+    * hash across partitions by (user, bucket).
+    *
+    * Same watermark/eviction contract: the bucket equality only keys
+    * the state store; cleanup still derives from the watermark + the
+    * event-time range condition. */
+  def purchaseViewJoinBucketedViaStream(
+      spark: SparkSession, dir: String,
+      rangeSeconds: Long = 3600, slices: Int = 4): DataFrame = {
+    val bucketMicros = rangeSeconds * 1000000L
+    val events = graft.core.Tables.events(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+
+    val replay = new FileReplay("graft-sjoin-bkt")
+    replay.writeHistory(events, "ts", slices)
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.inDir)
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "0 seconds")
+      .withColumn("v_bucket",
+        expr(s"unix_micros(view_ts) div $bucketMicros"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "0 seconds")
+      .withColumn("p_bucket", explode(array(
+        expr(s"unix_micros(purchase_ts) div $bucketMicros") - 1L,
+        expr(s"unix_micros(purchase_ts) div $bucketMicros"))))
+
+    val joined = purchases.join(views,
+      expr(s"""user_id = v_user_id AND p_bucket = v_bucket AND
+               view_ts >= purchase_ts - INTERVAL $rangeSeconds SECONDS AND
+               view_ts <= purchase_ts"""))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"))
+
+    val qn = "graft_sjoin_bkt_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", replay.checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(qn)
+  }
+
   /** Purchases ⨝ views within `rangeSeconds` before each purchase, per
     * user, replayed through a sliced file stream. */
   def purchaseViewJoinViaStream(
