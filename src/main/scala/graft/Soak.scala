@@ -133,7 +133,12 @@ object SoakBench {
     "q01_order_revenue", "q05_rfm", "q183_mase_backtest",
     "q249_price_ladder", "q331_price_index", "q233_hampel",
     "q187_assoc_rules", "q169_rolling_corr", "q250_lorenz_curve",
-    "q305_position_attribution", "q336_ks_two_sample",
+    "q336_ks_two_sample",
+    // the hot-key mitigations shipped FROM the round-10 soak findings
+    // (q305's uncapped pairing was aborted >15 min on this data —
+    // ~1.0e9 credited pairs on the hot user, the documented spec form;
+    // q98 above stays in the list as its own 313 s finding)
+    "q338_attribution_capped", "q339_stream_join_bucketed",
     // the skew-mitigation machinery on the planted hot keys
     "q61_salted_agg", "q91_salted_join")
 

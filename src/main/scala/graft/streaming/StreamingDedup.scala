@@ -52,6 +52,7 @@ object StreamingDedup {
     val (minTs, maxTs) = events.agg(min(col("ts")), max(col("ts")))
       .as[(Timestamp, Timestamp)].head()
     require(minTs != null && maxTs != null, "events table is empty")
+    val nEvents = events.count() // on the persisted frame, pre-unpersist
 
     val inDir = Files.createTempDirectory("graft-dedup-in").toString
     val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
@@ -81,12 +82,15 @@ object StreamingDedup {
     val out = distinctKeys(stream, Seq("user_id", "event_type"))
     val qn = "graft_dedup_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    // size the state partitioning to the state volume (the q98
-    // StreamJoin rationale: per-partition store commits dominate the
-    // replay wall); dedup output is partition-count-independent
+    // size the state partitioning to the state VOLUME (the
+    // SessionReplay rationale — adaptive: 8 instances win at the gate
+    // SF, more amortize once each carries real state); dedup output is
+    // partition-count-independent
+    val stateParts =
+      math.max(8L, math.min(32L, nEvents / 25000L)).toString
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", stateParts)
       val q = out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
