@@ -766,6 +766,32 @@ class PlanSpec extends SparkSpec {
       val (wins, _) = shapes(name)
       assert(wins.isEmpty, s"$name must plan no window at all")
     }
+    // round-10 additions (q339 is a streaming replay — building its
+    // frame EXECUTES the stream, so it is gated by the oracle, not
+    // plan-asserted here; q334's rank window runs on the <= kmax+1
+    // TakeOrdered mart, which is persist()-cached, hence the
+    // post-aggregate check recursing through cache cuts)
+    Seq("q334_hill_tail", "q337_audio_decode", "q338_attribution_capped")
+      .foreach { name =>
+        val (wins, cartesian) = shapes(name)
+        assert(!cartesian, s"$name must never plan a shuffle cartesian")
+        wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+          assert(ops(w.child).exists(_.isInstanceOf[BaseAggregateExec]),
+            s"$name: empty-partition window over raw rows:\n$w")
+        }
+      }
+    // q338's day-rank pre-cap window must stay entity-partitioned
+    // (user, day) — the whole point of the hot-key mitigation
+    locally {
+      val (wins, _) = shapes("q338_attribution_capped")
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        "q338: the pre-cap window must stay (user, day)-partitioned")
+    }
+    // q337 is a straight mapPartitions decode: no window, no join
+    locally {
+      val (wins, _) = shapes("q337_audio_decode")
+      assert(wins.isEmpty, "q337 must plan no window at all")
+    }
   }
 
   test("q316 EB shrinkage: broadcast scalar prior, no window, no cartesian") {
