@@ -812,10 +812,19 @@ object Behavior {
     * touches-per-user-per-lookback), one purchase-grain aggregate
     * carrying n plus the first/last (tsu, id, ty) structs (min/max on
     * the struct — (tsu, id) is unique, so the order is total), one
-    * (purchase, channel) aggregate, then the channel rollup. */
+    * (purchase, channel) aggregate, then the channel rollup.
+    *
+    * EXECUTABLE SPEC — at scale run [[positionAttributionCapped]]
+    * (q338): the per-user pairing here is semantically unbounded under
+    * key concentration (the 10× soak's 20%-hot user ground this form
+    * for 15+ min where the capped sibling finished in 38 s; see
+    * [[graft.ScaleRouting]]). This form stays as the exact
+    * specification the sibling's oracle gate ranks against. */
   def positionAttribution(
       events: DataFrame, touchTypes: Seq[String],
       lookbackDays: Int = 7): DataFrame = {
+    graft.ScaleRouting.advise(
+      "q305_position_attribution", "q338_attribution_capped")
     val lookbackMicros = lookbackDays * 86400L * 1000000L
     val p = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
@@ -879,7 +888,7 @@ object Behavior {
     *    hot entity's history splits across its active days instead of
     *    funneling one hash key;
     *  - each purchase credits only its `maxTouches` MOST-RECENT
-    *    touches in the lookback (rank by tt desc, id desc — total
+    *    touches in the lookback (rank by tt desc, id asc — total
     *    order), the per-purchase cap every production attribution
     *    system runs with; the U-shape then applies within the kept
     *    window (its "first touch" is the oldest KEPT touch —
@@ -897,7 +906,18 @@ object Behavior {
     * pairs; the heap form finished where the window form ground). */
   def positionAttributionCapped(
       events: DataFrame, touchTypes: Seq[String],
-      lookbackDays: Int = 7, maxTouches: Int = 25): DataFrame = {
+      lookbackDays: Int = 7, maxTouches: Int = 25): DataFrame =
+    positionAttributionCappedImpl(
+      events, touchTypes, lookbackDays, maxTouches, preCap = true)
+
+  /** Internal: `preCap = false` disables the earlier-day pre-cap so
+    * every pair reaches the TopKAggregate heap — the ground truth the
+    * pre-cap's lossless-cover law is tested against (with duplicate
+    * timestamps and a binding `maxTouches`, where a tie-break mismatch
+    * between the day-rank order and the cap's total order would show). */
+  private[graft] def positionAttributionCappedImpl(
+      events: DataFrame, touchTypes: Seq[String],
+      lookbackDays: Int, maxTouches: Int, preCap: Boolean): DataFrame = {
     val lookbackMicros = lookbackDays * 86400L * 1000000L
     val dayMicros = 86400L * 1000000L
     val p = events.filter(col("event_type") === "purchase")
@@ -916,20 +936,27 @@ object Behavior {
     // forward-serving buckets take the capped set. Cuts the pre-cap
     // pair volume ~6× on the soak corpus; the DuckDB oracle ranks over
     // ALL pairs, so the gate hash itself proves the cover lossless.
+    // The day-rank order MUST be the restriction of the cap's global
+    // total order (tt desc, tid ASC — TopKAggregate breaks score ties
+    // by id asc): the subset argument above compares ranks under the
+    // same order, so a different tie-break (tid desc) would let a
+    // later purchase's top-N include a tie the pre-cap displaced.
     val wDay = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), expr(s"tt div $dayMicros"))
-      .orderBy(col("tt").desc, col("tid").desc)
+      .orderBy(col("tt").desc, col("tid").asc)
     val t0 = events.filter(col("event_type").isin(touchTypes: _*))
       .select(col("user_id"), col("event_type").as("ty"),
         col("event_id").as("tid"), unix_micros(col("ts")).as("tt"))
-      .withColumn("dayRank", row_number().over(wDay))
-    val t = t0
-      .withColumn("sd", explode(
-        when(col("dayRank") <= maxTouches,
-          sequence(expr(s"tt div $dayMicros"),
-            expr(s"tt div $dayMicros") + lookbackDays))
-          .otherwise(array(expr(s"tt div $dayMicros")))))
-      .drop("dayRank")
+    val allBuckets = sequence(expr(s"tt div $dayMicros"),
+      expr(s"tt div $dayMicros") + lookbackDays)
+    val t =
+      if (preCap) t0
+        .withColumn("dayRank", row_number().over(wDay))
+        .withColumn("sd", explode(
+          when(col("dayRank") <= maxTouches, allBuckets)
+            .otherwise(array(expr(s"tt div $dayMicros")))))
+        .drop("dayRank")
+      else t0.withColumn("sd", explode(allBuckets))
     // channel index encoded into the heap id: tid is unique, so
     // (tt desc, encoded asc) == (tt desc, tid asc) — the cap's total
     // order — and the channel decodes back without a fact-scale rejoin

@@ -307,4 +307,66 @@ object Curation {
         round((col("cw") - col("cf")) / 1e6, 6).as("delta_chars"))
       .orderBy(col("source"))
   }
+
+  /** Ingest-side per-entity event-rate cap — the data contract BOTH
+    * 10×-soak findings prescribe (`BASELINE.md` round-10 section): a
+    * 20%-hot key must be tamed at ingest, before it reaches the
+    * attribution pair join (q305-class) or stream-join state
+    * (q98-class). Keeps each entity's NEWEST `maxPerDay` events per
+    * UTC day; the rank order is total and deterministic — (ts desc,
+    * id asc), the SAME convention as the q338 recency cap — so replays
+    * keep identical rows. Bots and runaway clients are capped at a
+    * bounded per-day rate while normal entities pass untouched
+    * (law-tested: with `maxPerDay` above every per-day count this is
+    * the identity, so capped∘join == join downstream).
+    *
+    * Scale shape: ONE shuffle on (entity, day) — the q338 grain that
+    * splits a hot entity's history across its active days instead of
+    * funneling one hash key — then a per-group sort bounded by the
+    * entity-day (the soak's 20%-hot user is ~10⁴ rows per day: sorts
+    * in-partition, no spill). No fact-scale rejoin: the window
+    * carries the full row. */
+  def eventRateCap(
+      events: DataFrame, entityCol: String, idCol: String,
+      tsCol: String, maxPerDay: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col(entityCol), expr(
+        s"unix_micros(`$tsCol`) div 86400000000"))
+      .orderBy(col(tsCol).desc, col(idCol).asc)
+    events.withColumn("graft_rk", row_number().over(w))
+      .filter(col("graft_rk") <= maxPerDay)
+      .drop("graft_rk")
+  }
+
+  /** Accounting manifest for [[eventRateCap]] in the
+    * [[dropReasonManifest]] (q220) discipline: per (class, disposition)
+    * — `kept` or `rate_capped` — row counts, distinct capped entities,
+    * an exact decimal(38,0) id-sum (order-free membership pin: any
+    * single row flipping disposition changes it), and the within-class
+    * share. Σ n_events per class reconciles exactly to the class's
+    * source total by construction (every event gets exactly one
+    * disposition). */
+  def eventRateCapManifest(
+      events: DataFrame, entityCol: String, idCol: String,
+      tsCol: String, classCol: String, maxPerDay: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wEnt = Window
+      .partitionBy(col("ent"), expr("unix_micros(ts) div 86400000000"))
+      .orderBy(col("ts").desc, col("id").asc)
+    val byClass = Window.partitionBy(col("class"))
+    events.select(col(classCol).as("class"), col(entityCol).as("ent"),
+        col(idCol).as("id"), col(tsCol).as("ts"))
+      .withColumn("disposition",
+        when(row_number().over(wEnt) <= maxPerDay, "kept")
+          .otherwise("rate_capped"))
+      .groupBy(col("class"), col("disposition"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("ent")).as("n_entities"),
+        sum(col("id").cast("decimal(38,0)")).as("sum_ids"))
+      .withColumn("share",
+        round(col("n_events").cast("double")
+          / sum(col("n_events")).over(byClass), 6))
+      .orderBy(col("class"), col("disposition"))
+  }
 }

@@ -643,10 +643,14 @@ object Dedup {
     * stays quadratic; at 100 TB block finer (brand×container) or
     * pre-gate with [[simhash]]. What a threshold > 0.8 DOES admit is a
     * lossless per-pair constant cut, applied in strictly increasing
-    * cost order inside ONE explicit join condition (Catalyst preserves
-    * the conjunct order as written, while a `.filter` chain here
+    * cost order inside ONE explicit join condition (on the pinned
+    * Spark version the as-written conjunct order was OBSERVED to
+    * survive into the physical join, while a `.filter` chain here
     * empirically reassembled with the expensive predicate FIRST —
-    * measured 1.8× slower): id_a < id_b (halves the scan) → O(1)
+    * measured 1.8× slower; Spark does not GUARANTEE this across
+    * versions, so PlanSpec asserts the And-tree keeps the cheap
+    * conjuncts before JaroWinklerGte and will flag a regression on
+    * upgrade): id_a < id_b (halves the scan) → O(1)
     * length band + precomputed 61-bit char-mask intersection
     * ([[graft.functions.StringSimilarity.jaroFloor]] has the proof) →
     * [[graft.functions.StringSimilarity.jaroWinklerGte]], the

@@ -126,8 +126,11 @@ object Multimodal {
   def toWavMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // NULL text → empty payload (a 0-frame WAV), not an NPE: the
+    // binder must quarantine-or-degrade like the rest of the decode
+    // tier rather than kill the task on a single null row.
     docs.select(col(idCol).cast("long").as("doc_id"),
-        encode(col(textCol), "UTF-8").as("data"))
+        encode(coalesce(col(textCol), lit("")), "UTF-8").as("data"))
       .as[(Long, Array[Byte])]
       .map { case (id, data) => MediaRecord(id, wavBytes(data), "audio/wav") }
   }

@@ -282,15 +282,19 @@ object Similarity {
     * neighbor list post-filtered (which would need k·(max label share)
     * neighbors to survive a filter-after-rank).
     *
-    * This is the exhaustive within-block scorer: quadratic in the block,
-    * exact — the executable spec. At 100 TB run
-    * [[hardNegativesInCells]], the cell-blocked composition of this
-    * operator (oracle-gated as a sibling query). Same contract as
+    * EXECUTABLE SPEC — this is the exhaustive within-block scorer:
+    * quadratic in the block, exact (the 10× soak measured 393 s and
+    * 24 GB of spill where the cell-blocked sibling took 43 s with
+    * zero spill). At 100 TB run [[hardNegativesInCells]] (q137), the
+    * cell-blocked composition of this operator (oracle-gated as a
+    * sibling query; see [[graft.ScaleRouting]]). Same contract as
     * [[topKNeighbors]]: cosine rounds to 6dp, ties break on neighbor
     * id, so ranks are engine-stable. */
   def hardNegatives(
       vecs: DataFrame, idCol: String, vecCol: String, labelCol: String,
       k: Int): DataFrame = {
+    graft.ScaleRouting.advise(
+      "q122_hard_negatives", "q137_hard_negatives_cells")
     val v = vecs.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("emb"),

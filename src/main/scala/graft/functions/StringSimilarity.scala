@@ -34,15 +34,29 @@ object JaroWinklerAlgo {
   def similarity(a: UTF8String, b: UTF8String): Double = {
     val s = a.toString
     val t = b.toString
+    if (s.isEmpty || t.isEmpty) return 0.0
+    core(s, t, 0)
+  }
+
+  /** The ONE greedy match/transposition/prefix-boost scan both entry
+    * points ([[similarity]] and [[JaroWinklerGteAlgo.gte]]) call, so a
+    * tweak to the boost threshold or window formula cannot silently
+    * diverge between them. `mMin` is an optional abort floor on the
+    * match count (0 = never abort): when the remaining positions can
+    * no longer reach it, returns `Double.NaN` — the caller treats NaN
+    * as "provably below the threshold". Callers must pre-handle empty
+    * strings. */
+  private[functions] def core(s: String, t: String, mMin: Int): Double = {
     val n = s.length
     val m = t.length
-    if (n == 0 || m == 0) return 0.0
+    if (mMin > 0 && math.min(n, m) < mMin) return Double.NaN
     val window = math.max(0, math.max(n, m) / 2 - 1)
     val sMatched = new Array[Boolean](n)
     val tMatched = new Array[Boolean](m)
     var matches = 0
     var i = 0
     while (i < n) {
+      if (mMin > 0 && matches + (n - i) < mMin) return Double.NaN
       val lo = math.max(0, i - window)
       val hi = math.min(m - 1, i + window)
       var j = lo
@@ -129,51 +143,10 @@ object JaroWinklerGteAlgo {
     val mMin =
       if (3.0 * jaroMin - 1.0 <= 0) 0
       else math.ceil((3.0 * jaroMin - 1.0) * n.toDouble * m / (n + m) - 1e-6).toInt
-    if (math.min(n, m) < mMin) return false
-    val window = math.max(0, math.max(n, m) / 2 - 1)
-    val sMatched = new Array[Boolean](n)
-    val tMatched = new Array[Boolean](m)
-    var matches = 0
-    var i = 0
-    while (i < n) {
-      if (matches + (n - i) < mMin) return false
-      val lo = math.max(0, i - window)
-      val hi = math.min(m - 1, i + window)
-      var j = lo
-      var found = false
-      while (j <= hi && !found) {
-        if (!tMatched(j) && s.charAt(i) == t.charAt(j)) {
-          sMatched(i) = true; tMatched(j) = true; matches += 1; found = true
-        }
-        j += 1
-      }
-      i += 1
-    }
-    val jw = {
-      if (matches == 0) 0.0
-      else {
-        var transpositions = 0
-        var k = 0
-        i = 0
-        while (i < n) {
-          if (sMatched(i)) {
-            while (!tMatched(k)) k += 1
-            if (s.charAt(i) != t.charAt(k)) transpositions += 1
-            k += 1
-          }
-          i += 1
-        }
-        val mm = matches.toDouble
-        val jaro = (mm / n + mm / m + (mm - transpositions / 2) / mm) / 3.0
-        if (jaro <= 0.7) jaro
-        else {
-          var prefix = 0
-          val pMax = math.min(4, math.min(n, m))
-          while (prefix < pMax && s.charAt(prefix) == t.charAt(prefix)) prefix += 1
-          jaro + prefix * 0.1 * (1.0 - jaro)
-        }
-      }
-    }
+    // the scan itself is JaroWinklerAlgo.core — the SAME code path as
+    // similarity(), with the abort floor passed in; NaN = proven below
+    val jw = JaroWinklerAlgo.core(s, t, mMin)
+    if (jw.isNaN) return false
     // identical rounding semantics to Spark's round(col, 6) on DOUBLE
     java.math.BigDecimal.valueOf(jw)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() >= minSim

@@ -97,10 +97,21 @@ object StreamJoin {
   }
 
   /** Purchases ⨝ views within `rangeSeconds` before each purchase, per
-    * user, replayed through a sliced file stream. */
+    * user, replayed through a sliced file stream.
+    *
+    * EXECUTABLE SPEC — at scale run
+    * [[purchaseViewJoinBucketedViaStream]] (q339): Spark's symmetric
+    * stream-join state is hashed on the bare user key, so a hot key
+    * funnels every probe through one state partition (398 s
+    * single-threaded on the 10× soak's 20%-hot user, vs 14 s for the
+    * bucketed sibling with IDENTICAL rows; see [[graft.ScaleRouting]]).
+    * This form stays as the exact per-user specification the sibling
+    * gates against (same batch-range-join oracle). */
   def purchaseViewJoinViaStream(
       spark: SparkSession, dir: String,
       rangeSeconds: Long = 3600, slices: Int = 4): DataFrame = {
+    graft.ScaleRouting.advise(
+      "q98_stream_stream_join", "q339_stream_join_bucketed")
     val events = graft.core.Tables.events(spark, dir)
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),

@@ -808,6 +808,40 @@ class PlanSpec extends SparkSpec {
       s"EB shrinkage needs no window (two hash aggregates only):\n$txt")
   }
 
+  test("jaroWinklerPairs: the join condition's And tree keeps the cheap conjuncts before JaroWinklerGte") {
+    // The 1.8x constant cut relies on the cheap prefilters (id order,
+    // length band, char-mask intersection) evaluating BEFORE the
+    // O(len*window) JW predicate inside ONE join condition. That order
+    // was OBSERVED to survive optimization on the pinned Spark version
+    // but is not a cross-version guarantee — this assertion turns a
+    // silent perf regression on upgrade into a red test.
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression => CExpr}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 0, 24).as("nm"))
+    val df = ext.Dedup.jaroWinklerPairs(docs, "doc_id", "nm", "lang", 0.9)
+    val plan = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+      .queryExecution.sparkPlan
+    def conjuncts(e: CExpr): Seq[CExpr] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val joins = plan.collect {
+      case j: BaseJoinExec if j.condition.exists(
+        _.exists(_.isInstanceOf[graft.functions.JaroWinklerGte])) => j
+    }
+    assert(joins.nonEmpty, s"no join carries the JW predicate:\n$plan")
+    joins.foreach { j =>
+      val cs = conjuncts(j.condition.get)
+      val jwIdx = cs.indexWhere(
+        _.exists(_.isInstanceOf[graft.functions.JaroWinklerGte]))
+      assert(jwIdx == cs.length - 1,
+        s"JaroWinklerGte must be the LAST conjunct, found at $jwIdx of ${cs.length}:\n${cs.mkString("\n")}")
+      assert(jwIdx >= 1, "the cheap prefilter conjuncts must precede JW")
+    }
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -16,4 +16,16 @@ class SparkEntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(q == o, s"mismatch: only-in-queries=${q -- o}, only-in-oracle=${o -- q}")
   }
+
+  test("ScaleRouting: every spec operator and its scale-safe sibling are gated queries") {
+    val q = SparkEntry.queries.keySet
+    ScaleRouting.siblings.foreach { case (spec, sib) =>
+      assert(q.contains(spec), s"routing key $spec is not a gated query")
+      assert(q.contains(sib), s"routing sibling $sib is not a gated query")
+      assert(spec != sib)
+    }
+    assert(ScaleRouting.siblings.size == 3,
+      "the spec-form surface is exactly q305/q98/q122 — update the map " +
+      "AND the docs if a new spec-only form is ever retained")
+  }
 }

@@ -331,4 +331,58 @@ class BehaviorSpec extends SparkSpec {
       "the cap never changes which purchases are direct")
     assert(touched.map(_._3).sum > 0)
   }
+
+  test("positionAttributionCapped: pre-cap tie-break follows the cap's total order (tt desc, tid ASC) — duplicate timestamps straddling a binding cap") {
+    // Day D holds four touches with IDENTICAL timestamps: tids 1,2 are
+    // views, tids 3,4 are clicks. The cap's total order (tt desc, tid
+    // asc) keeps tids {1,2} for any later-day purchase — all credit to
+    // "view". A pre-cap ordered by tid DESC would instead keep {4,3}
+    // and credit "click": exactly the divergence this fixture pins.
+    val events = Seq(
+      (1L, 1L, "view", ts("2024-01-01 12:00:00"), 0.0),
+      (1L, 2L, "view", ts("2024-01-01 12:00:00"), 0.0),
+      (1L, 3L, "click", ts("2024-01-01 12:00:00"), 0.0),
+      (1L, 4L, "click", ts("2024-01-01 12:00:00"), 0.0),
+      (1L, 9L, "purchase", ts("2024-01-02 12:00:00"), 10.0)
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    val touch = Seq("view", "click")
+    val got = graft.ext.Behavior
+      .positionAttributionCapped(events, touch, 7, maxTouches = 2)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val truth = graft.ext.Behavior.positionAttributionCappedImpl(
+        events, touch, 7, maxTouches = 2, preCap = false)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == truth)
+    val byTy = got.map(r => r._1 -> r).toMap
+    assert(byTy("view") == (("view", 1L, 1.0, 10.0)),
+      "kept set must be the tid-ASC ties (1,2) — both views")
+    assert(!byTy.contains("click") || byTy("click")._3 == 0.0)
+  }
+
+  test("positionAttributionCapped: pre-cap lossless-cover law on random events with duplicate timestamps and a binding cap") {
+    // coarse timestamp grid (6 distinct instants per day) forces
+    // same-(user,tt) ties; maxTouches=2 binds on most purchase windows
+    def h(i: Int, what: String): Long =
+      math.abs(graft.functions.Portable.h60Local(s"attrtie-$what-$i"))
+    val base = java.sql.Timestamp.valueOf("1997-01-01 00:00:00").getTime
+    val types = Seq("view", "click", "signup", "purchase")
+    val events = (0 until 500).map { i =>
+      (h(i, "u") % 4L,
+        1000L + i,
+        types((h(i, "t") % 4L).toInt),
+        new java.sql.Timestamp(base +
+          (h(i, "ts") % (10L * 6L)) * 4L * 3600000L),
+        (h(i, "v") % 10000L) / 100.0)
+    }.toDF("user_id", "event_id", "event_type", "ts", "value")
+    val touch = Seq("view", "click", "signup")
+    for (cap <- Seq(1, 2, 5)) {
+      val withPreCap = graft.ext.Behavior
+        .positionAttributionCapped(events, touch, 7, maxTouches = cap)
+        .as[(String, Long, Double, Double)].collect().toSeq
+      val truth = graft.ext.Behavior.positionAttributionCappedImpl(
+          events, touch, 7, maxTouches = cap, preCap = false)
+        .as[(String, Long, Double, Double)].collect().toSeq
+      assert(withPreCap == truth, s"pre-cap must be lossless at cap=$cap")
+    }
+  }
 }

@@ -119,4 +119,16 @@ class MultimodalSpec extends SparkSpec {
     assert(f.decoded && f.n_bytes == 12345 + 44 && f.n_frames == 12345
       && f.duration_ms == 12345L * 1000 / 8000)
   }
+
+  test("toWavMedia: a NULL text row degrades to an empty 0-frame payload, not an NPE") {
+    val docs = Seq((1L, "ok"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val got = Multimodal.featurizeAudio(
+      Multimodal.toWavMedia(docs, "doc_id", "text"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(got(1L).decoded && got(1L).n_frames == 2)
+    assert(got(2L).decoded && got(2L).n_frames == 0
+      && got(2L).n_bytes == 44 && got(2L).sum_sq == 0L,
+      "null text must become the 44-byte empty WAV header")
+  }
 }
