@@ -248,7 +248,37 @@ object SoakBench {
       Console.err.println("[soak] WARNING: no skew=true in the adaptive plan:\n" +
         plan.linesIterator.take(40).mkString("\n"))
 
-    val failed = results.filterNot(_._3).map(_._1)
+    // ---- ingest-side rate cap taming the q98-class input (q340) ----
+    // The round-10 finding: the symmetric stream join ground 398 s
+    // because ONE user holds 20% of the events (~7k/day at 10x). The
+    // shipped data contract caps each entity at its newest N per day
+    // AT INGEST ([[graft.ext.Curation.eventRateCap]], gated as q340).
+    // 200/day keeps every normal user intact (normal p99.9 = 72/day on
+    // this corpus; only the planted bot is cut ~35x), then the SPEC
+    // form q98 itself — not the bucketed sibling — runs on the
+    // contract-clean input: the grind is gone at the source.
+    val capDir = s"$dataDir-ratecap"
+    val tCap = System.nanoTime()
+    val rawEvents = graft.core.Tables.events(spark, dataDir)
+    graft.ext.Curation.eventRateCap(
+        rawEvents, "user_id", "event_id", "ts", maxPerDay = 200)
+      .write.mode("overwrite").parquet(s"$capDir/events.parquet")
+    val capSec = (System.nanoTime() - tCap) / 1e9
+    val nRaw = rawEvents.count()
+    val nKept = spark.read.parquet(s"$capDir/events.parquet").count()
+    println(f"""[soak] {"q":"rate_cap_ingest","sec":$capSec%.2f,"rows_in":$nRaw,"rows_kept":$nKept,"max_per_day":200}""")
+    val tJ = System.nanoTime()
+    val jr =
+      try Some(SparkEntry.queries("q98_stream_stream_join")(spark, capDir).count())
+      catch { case e: Throwable =>
+        Console.err.println(s"[soak] q98_on_rate_capped FAILED: ${e.getMessage}")
+        None
+      }
+    val jSec = (System.nanoTime() - tJ) / 1e9
+    println(f"""[soak] {"q":"q98_on_rate_capped_ingest","sec":$jSec%.2f,"rows":${jr.getOrElse(-1L)},"ok":${jr.nonEmpty}}""")
+
+    val failed = results.filterNot(_._3).map(_._1) ++
+      (if (jr.isEmpty) Seq("q98_on_rate_capped_ingest") else Nil)
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(f"""[soak] {"q":"TOTAL","sec":$total%.2f,"n":${results.size},"failed":$failedJson}""")

@@ -2382,6 +2382,14 @@ object SparkEntry {
           col("bits").cast("long").as("bits"),
           col("n_frames"), col("duration_ms"))
         .orderBy(col("doc_id"))),
+
+    // ---- ext: ingest-side per-entity event-rate cap — the data
+    // contract both 10x-soak findings prescribe (tame a 20%-hot key
+    // BEFORE it reaches the q305/q98-class joins); q220 manifest
+    // discipline, decimal id-sum pins the exact kept membership ----
+    "q340_event_rate_cap" -> ((s, dir) =>
+      graft.ext.Curation.eventRateCapManifest(Tables.events(s, dir),
+        "user_id", "event_id", "ts", "event_type", maxPerDay = 3)),
   )
 
   def oracleSql: Map[String, String] = {
@@ -8181,6 +8189,29 @@ object SparkEntry {
                 round(sum(CAST(rev_mu AS HUGEINT)) / 1e7, 6)
                   AS attributed_revenue
          FROM pcf GROUP BY 1 ORDER BY touch_type""",
+
+    // ingest-side rate cap: newest 3 per (user, day), rank (ts DESC,
+    // id ASC); per (event_type, disposition) accounting with an exact
+    // HUGEINT id-sum — any membership flip changes the hash
+    "q340_event_rate_cap" ->
+      """WITH rk AS (
+             SELECT event_type AS class, user_id AS ent, event_id AS id,
+                    row_number() OVER (
+                      PARTITION BY user_id, epoch_us(ts) // 86400000000
+                      ORDER BY ts DESC, event_id ASC) AS rn
+             FROM events),
+         tagged AS (
+             SELECT class, ent, id,
+                    CASE WHEN rn <= 3 THEN 'kept'
+                         ELSE 'rate_capped' END AS disposition
+             FROM rk)
+         SELECT class, disposition,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT ent) AS BIGINT) AS n_entities,
+                CAST(sum(CAST(id AS HUGEINT)) AS VARCHAR) AS sum_ids,
+                round(CAST(count(*) AS DOUBLE)
+                  / sum(count(*)) OVER (PARTITION BY class), 6) AS share
+         FROM tagged GROUP BY 1, 2 ORDER BY class, disposition""",
 
     // audio geometry: u8 mono 8kHz PCM over the UTF-8 bytes, canonical
     // 44-byte header — every field an integer function of octet_length

@@ -363,7 +363,10 @@ object Curation {
       .groupBy(col("class"), col("disposition"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("ent")).as("n_entities"),
-        sum(col("id").cast("decimal(38,0)")).as("sum_ids"))
+        // decimal(38,0) internally (id sums overflow int64 at the
+        // 100 TB envelope), rendered as a string: exact at any scale,
+        // and the oracle's pandas bridge would flatten a decimal
+        sum(col("id").cast("decimal(38,0)")).cast("string").as("sum_ids"))
       .withColumn("share",
         round(col("n_events").cast("double")
           / sum(col("n_events")).over(byClass), 6))
