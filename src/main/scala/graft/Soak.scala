@@ -177,27 +177,57 @@ object SoakBench {
     spark.sparkContext.addSparkListener(listener)
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    val selected = SoakQueries
-      .filter(n => only.forall(_.exists(n.startsWith)))
+    // SPARK_GRAFT_SOAK_ALL=1 sweeps the FULL gated surface (not just
+    // the heaviest tier) with a per-query wall timeout so the three
+    // documented spec forms (graft.ScaleRouting) cannot hang the run:
+    // on timeout the query's job group is cancelled and the row is
+    // recorded timed_out — expected ONLY for those spec forms.
+    val sweepAll = sys.env.get("SPARK_GRAFT_SOAK_ALL").contains("1")
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_SOAK_TIMEOUT", "600").toInt
+    val pool = SoakQueries ++ (
+      if (sweepAll) SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(SoakQueries.contains)
+      else Nil)
+    val selected = pool.filter(n => only.forall(_.exists(n.startsWith)))
     val unknown = selected.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown soak queries: ${unknown.mkString(",")}")
-    val results = selected.map { name =>
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    def runCapped(name: String): (Long, Boolean, Boolean) = {
       val fn = SparkEntry.queries(name)
+      val task = exec.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          // job group is thread-local: set it in the worker thread so
+          // a timeout can cancel exactly this query's jobs
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, dataDir).count()
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try (task.get(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS),
+        true, false)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          task.cancel(true)
+          Console.err.println(s"[soak] $name TIMED OUT after ${timeoutSec}s")
+          (-1L, false, true)
+        case e: Throwable =>
+          Console.err.println(s"[soak] $name FAILED: ${e.getMessage}")
+          (-1L, false, false)
+      }
+    }
+    val results = selected.map { name =>
       listener.snapshotAndReset()
       val t0 = System.nanoTime()
-      val (rows, ok) =
-        try (fn(spark, dataDir).count(), true)
-        catch { case e: Throwable =>
-          Console.err.println(s"[soak] $name FAILED: ${e.getMessage}")
-          (-1L, false)
-        }
+      val (rows, ok, timedOut) = runCapped(name)
       val sec = (System.nanoTime() - t0) / 1e9
       // listener bus is async; a short settle keeps per-query metric
       // attribution honest (private API waitUntilEmpty is inaccessible)
       Thread.sleep(300)
       val (sw, sr, ms, ds, pw) = listener.snapshotAndReset()
-      println(f"""[soak] {"q":"$name","sec":$sec%.2f,"rows":$rows,"ok":$ok,"shuffle_write_mb":${sw / 1048576},"shuffle_read_mb":${sr / 1048576},"mem_spill_mb":${ms / 1048576},"disk_spill_mb":${ds / 1048576},"peak_task_shuffle_write_mb":${pw / 1048576}}""")
-      (name, sec, ok)
+      println(f"""[soak] {"q":"$name","sec":$sec%.2f,"rows":$rows,"ok":$ok,"timed_out":$timedOut,"shuffle_write_mb":${sw / 1048576},"shuffle_read_mb":${sr / 1048576},"mem_spill_mb":${ms / 1048576},"disk_spill_mb":${ds / 1048576},"peak_task_shuffle_write_mb":${pw / 1048576}}""")
+      (name, sec, ok, timedOut)
     }
 
     // ---- AQE skew-split proof on the planted hot restaurant ----
@@ -277,11 +307,22 @@ object SoakBench {
     val jSec = (System.nanoTime() - tJ) / 1e9
     println(f"""[soak] {"q":"q98_on_rate_capped_ingest","sec":$jSec%.2f,"rows":${jr.getOrElse(-1L)},"ok":${jr.nonEmpty}}""")
 
-    val failed = results.filterNot(_._3).map(_._1) ++
+    // a documented spec form (ScaleRouting) hitting the wall timeout is
+    // the EXPECTED outcome of sweeping it at 10x skew — recorded in its
+    // row, reported separately, and not a run failure; anything else
+    // not-ok (exception, or a timeout on a non-spec query) fails the run
+    val expectedTimeouts = results
+      .filter(r => r._4 && ScaleRouting.siblings.contains(r._1)).map(_._1)
+    val failed = results
+      .filterNot(_._3)
+      .filterNot(r => r._4 && ScaleRouting.siblings.contains(r._1))
+      .map(_._1) ++
       (if (jr.isEmpty) Seq("q98_on_rate_capped_ingest") else Nil)
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""[soak] {"q":"TOTAL","sec":$total%.2f,"n":${results.size},"failed":$failedJson}""")
+    val specToJson = expectedTimeouts.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""[soak] {"q":"TOTAL","sec":$total%.2f,"n":${results.size},"failed":$failedJson,"spec_form_timeouts":$specToJson}""")
+    exec.shutdownNow()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
