@@ -808,6 +808,30 @@ class PlanSpec extends SparkSpec {
       s"EB shrinkage needs no window (two hash aggregates only):\n$txt")
   }
 
+  test("q340 rate cap: the ranking window stays (entity, day)-partitioned; no join, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // both faces: the kept-frame operator and the gated manifest
+    val ev = core.Tables.events(spark, sf)
+    Seq(
+      ext.Curation.eventRateCap(ev, "user_id", "event_id", "ts", 3),
+      SparkEntry.queries("q340_event_rate_cap")(spark, sf)
+    ).foreach { df =>
+      val plan = df.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+        .queryExecution.sparkPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"expected a ranking window:\n$plan")
+      // the row_number windows must stay entity-partitioned (the
+      // hot-key dilution grain); the manifest's share window is
+      // class-partitioned — also non-empty. NO empty partitionSpec.
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"rate-cap windows must never be global:\n$plan")
+      assert(plan.collect { case j: BaseJoinExec => j }.isEmpty &&
+        !plan.toString.contains("CartesianProduct"),
+        s"the rate cap is window-only — no join:\n$plan")
+    }
+  }
+
   test("jaroWinklerPairs: the join condition's And tree keeps the cheap conjuncts before JaroWinklerGte") {
     // The 1.8x constant cut relies on the cheap prefilters (id order,
     // length band, char-mask intersection) evaluating BEFORE the
