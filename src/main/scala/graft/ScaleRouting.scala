@@ -31,11 +31,18 @@ object ScaleRouting {
 
   /** Machine-readable spec → scale-safe sibling map over
     * [[SparkEntry.queries]] names (both sides are gated queries; a
-    * contract test pins that). */
+    * contract test pins that). The round-11 full-surface sweep added
+    * the lexical pair: the UNCAPPED BM25 probe floods
+    * Σ_term qdf·df candidates (~9·10⁸ at the 10× soak — 7 GB shuffle,
+    * 80 GB spill, and the fused hybrid q141 OOM'd an 8 GiB heap);
+    * the impact-truncated index (q341/q342) bounds each term's
+    * fan-out at M postings. */
   val siblings: Map[String, String] = Map(
     "q305_position_attribution" -> "q338_attribution_capped",
     "q98_stream_stream_join" -> "q339_stream_join_bucketed",
-    "q122_hard_negatives" -> "q137_hard_negatives_cells")
+    "q122_hard_negatives" -> "q137_hard_negatives_cells",
+    "q128_bm25_search" -> "q341_bm25_truncated",
+    "q141_rrf_fusion" -> "q342_rrf_fusion_truncated")
 
   /** The documented per-key concentration bound above which the spec
     * forms grind: the soak's planted profile — one key holding ~20% of

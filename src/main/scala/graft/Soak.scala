@@ -139,6 +139,12 @@ object SoakBench {
     // ~1.0e9 credited pairs on the hot user, the documented spec form;
     // q98 above stays in the list as its own 313 s finding)
     "q338_attribution_capped", "q339_stream_join_bucketed",
+    // round-11: the ingest rate cap (q340) and the lexical-tier
+    // mitigations shipped FROM the round-11 full-sweep finding (the
+    // uncapped BM25 flood: q128 198 s / 7 GB shuffle, hybrid q141
+    // OOM'd an 8 GiB heap at 10x)
+    "q340_event_rate_cap", "q341_bm25_truncated",
+    "q342_rrf_fusion_truncated",
     // the skew-mitigation machinery on the planted hot keys
     "q61_salted_agg", "q91_salted_join")
 

@@ -981,10 +981,19 @@ object SparkEntry {
     // (cosine top-k) rankers — hybrid retrieval without score
     // calibration (ranks only) ----
     "q141_rrf_fusion" -> ((s, dir) => {
+      // each side materializes (persist + count) BEFORE the fuse: the
+      // two branches are independent DAG arms, so Spark runs their
+      // stages concurrently inside one job — at the 10x soak the
+      // lexical aggregate's spill plus the dense block join OOM'd the
+      // 8g heap where EITHER side alone completes (q128 survived the
+      // same flood standalone). Serializing the sides makes the
+      // memory peak max(sides), not sum; each result is queries·k rows
       val lex = graft.ext.Retrieval.bm25FromPostings(
           Corpus.scoredPostingsCached(s, dir),
           queryModEvery = 50, k = 10, maxDfFraction = 1.0)
         .select(col("query_id"), col("doc_id"), col("rank"))
+        .persist()
+      lex.count()
       // dense side: score ONLY the query anchors (probeFilter) — the
       // corpus/block side stays full, so scores are identical to an
       // all-probes run; q·n·d instead of n²·d
@@ -993,6 +1002,38 @@ object SparkEntry {
           probeFilter = Some(pmod(col("id"), lit(50L)) === 0))
         .select(col("vec_id").as("query_id"),
           col("neighbor_id").as("doc_id"), col("rank"))
+        .persist()
+      den.count()
+      graft.ext.Retrieval.rrfFuse(Seq(lex, den), c = 60, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- ext: impact-truncated BM25 probe (Anh & Moffat pruning) —
+    // the scale-safe sibling of the uncapped q128 spec: per term keep
+    // the top-M postings by impact, so candidate volume is bounded by
+    // M per (query, term) regardless of df (39x cut at 10x) ----
+    "q341_bm25_truncated" -> ((s, dir) =>
+      graft.ext.Retrieval.bm25TruncatedFromPostings(
+          Corpus.scoredPostingsCached(s, dir),
+          queryModEvery = 50, k = 10, maxPostingsPerTerm = 1000)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ---- ext: hybrid RRF over the TRUNCATED lexical side + the same
+    // dense side — the scale-safe sibling of the q141 spec hybrid ----
+    "q342_rrf_fusion_truncated" -> ((s, dir) => {
+      val lex = graft.ext.Retrieval.bm25TruncatedFromPostings(
+          Corpus.scoredPostingsCached(s, dir),
+          queryModEvery = 50, k = 10, maxPostingsPerTerm = 1000)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+        .persist()
+      lex.count()
+      val den = Similarity.topKNeighbors(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 10,
+          probeFilter = Some(pmod(col("id"), lit(50L)) === 0))
+        .select(col("vec_id").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+        .persist()
+      den.count()
       graft.ext.Retrieval.rrfFuse(Seq(lex, den), c = 60, k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -2943,6 +2984,11 @@ object SparkEntry {
            FROM r CROSS JOIN t WHERE rank <= 50 ORDER BY rank""",
       "q141_rrf_fusion" -> ExtOracleSql.rrfFusion(
         queryModEvery = 50, kLex = 10, kDen = 10, c = 60, k = 10),
+      "q341_bm25_truncated" -> ExtOracleSql.bm25Truncated(
+        queryModEvery = 50, k = 10, maxPostingsPerTerm = 1000),
+      "q342_rrf_fusion_truncated" -> ExtOracleSql.rrfFusion(
+        queryModEvery = 50, kLex = 10, kDen = 10, c = 60, k = 10,
+        maxPostingsPerTerm = 1000),
       "q129_dedup_against" ->
         ExtOracleSql.dedupAgainst(modEvery = 10, minJaccard = 0.5),
       // Oracle is the NAIVE purchase-by-touch BETWEEN join — independent

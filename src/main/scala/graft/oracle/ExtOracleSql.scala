@@ -2283,10 +2283,43 @@ object ExtOracleSql {
        |SELECT query_id, doc_id, bm25, rank FROM rk
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** The BM25 CTE chain shared by [[bm25Search]] and [[rrfFusion]]:
-    * yields `rk` = (query_id, doc_id, bm25, rank). */
+  /** The BM25 CTE chain shared by [[bm25Search]], [[bm25Truncated]]
+    * and [[rrfFusion]]: yields `rk` = (query_id, doc_id, bm25, rank).
+    * `maxPostingsPerTerm` > 0 mirrors the two-stage
+    * [[graft.ext.Retrieval.bm25TruncatedFromPostings]] — candidates
+    * from each term's top-M postings by (tn desc, doc_id asc), then
+    * EXACT rescoring of candidates against the full index; the query
+    * side always draws its term lists from the full tf. */
   private def bm25Ctes(queryModEvery: Int, k1: Double, b: Double,
-                       maxDfFraction: Double): String =
+                       maxDfFraction: Double,
+                       maxPostingsPerTerm: Int = 0): String = {
+    val hitCte =
+      if (maxPostingsPerTerm > 0)
+        s"""tr AS (
+           |  SELECT doc_id, term, tn FROM (
+           |    SELECT doc_id, term, tn,
+           |           row_number() OVER (PARTITION BY term
+           |             ORDER BY tn DESC, doc_id ASC) AS pr
+           |    FROM ts) WHERE pr <= $maxPostingsPerTerm),
+           |cand AS (
+           |  SELECT DISTINCT q.query_id, t.doc_id
+           |  FROM tr t JOIN qt q USING (term)
+           |  WHERE t.doc_id <> q.query_id),
+           |hit AS (
+           |  SELECT c.query_id, c.doc_id,
+           |         CAST((CAST(sum(t.tn) AS BIGINT) + 500) // 1000 AS DOUBLE)
+           |           / 1000000.0 AS bm25
+           |  FROM cand c
+           |  JOIN ts t ON t.doc_id = c.doc_id
+           |  JOIN qt q ON q.query_id = c.query_id AND q.term = t.term
+           |  GROUP BY 1, 2)""".stripMargin
+      else
+        s"""hit AS (
+           |  SELECT q.query_id, t.doc_id,
+           |         CAST((CAST(sum(t.tn) AS BIGINT) + 500) // 1000 AS DOUBLE)
+           |           / 1000000.0 AS bm25
+           |  FROM ts t JOIN qt q USING (term)
+           |  WHERE t.doc_id <> q.query_id GROUP BY 1, 2)""".stripMargin
     s"""tok AS (
        |  SELECT doc_id, unnest(${Portable.tokensSql("text")}) AS term
        |  FROM documents),
@@ -2307,24 +2340,31 @@ object ExtOracleSql {
        |  FROM tf f JOIN dfv USING (term) JOIN dl l ON l.doc_id = f.doc_id
        |  CROSS JOIN sc
        |  WHERE df <= n_docs * $maxDfFraction),
-       |hit AS (
-       |  SELECT q.query_id, t.doc_id,
-       |         CAST((CAST(sum(t.tn) AS BIGINT) + 500) // 1000 AS DOUBLE)
-       |           / 1000000.0 AS bm25
-       |  FROM ts t JOIN qt q USING (term)
-       |  WHERE t.doc_id <> q.query_id GROUP BY 1, 2),
+       |$hitCte,
        |rk AS (
        |  SELECT query_id, doc_id, bm25,
        |         row_number() OVER (PARTITION BY query_id
        |           ORDER BY bm25 DESC, doc_id) AS rank
        |  FROM hit)""".stripMargin
+  }
+
+  /** Mirrors [[graft.ext.Retrieval.bm25TruncatedFromPostings]] at the
+    * engine defaults (k1=1.2, b=0.75, no df cap): the impact-truncated
+    * probe — q341, the q128 spec's scale-safe sibling. */
+  def bm25Truncated(queryModEvery: Int, k: Int,
+                    maxPostingsPerTerm: Int): String =
+    s"""WITH ${bm25Ctes(queryModEvery, 1.2, 0.75, 1.0, maxPostingsPerTerm)}
+       |SELECT query_id, doc_id, bm25, rank FROM rk
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Mirrors [[graft.ext.Retrieval.rrfFuse]] over the gated hybrid:
     * uncapped BM25 top-kLex fused with the dense all-pairs top-kDen
-    * ([[topKNeighbors]] restricted to the query anchors). */
+    * ([[topKNeighbors]] restricted to the query anchors).
+    * `maxPostingsPerTerm` > 0 swaps in the impact-truncated lexical
+    * side — the q342 scale-safe hybrid. */
   def rrfFusion(queryModEvery: Int, kLex: Int, kDen: Int,
-                c: Int, k: Int): String =
-    s"""WITH ${bm25Ctes(queryModEvery, 1.2, 0.75, 1.0)},
+                c: Int, k: Int, maxPostingsPerTerm: Int = 0): String =
+    s"""WITH ${bm25Ctes(queryModEvery, 1.2, 0.75, 1.0, maxPostingsPerTerm)},
        |bmr AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= $kLex),
        |ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |       FROM embeddings),

@@ -24,8 +24,8 @@ class SparkEntrySpec extends SparkSpec {
       assert(q.contains(sib), s"routing sibling $sib is not a gated query")
       assert(spec != sib)
     }
-    assert(ScaleRouting.siblings.size == 3,
-      "the spec-form surface is exactly q305/q98/q122 — update the map " +
-      "AND the docs if a new spec-only form is ever retained")
+    assert(ScaleRouting.siblings.size == 5,
+      "the spec-form surface is exactly q305/q98/q122/q128/q141 — " +
+      "update the map AND the docs if a new spec-only form is retained")
   }
 }

@@ -79,4 +79,48 @@ class RetrievalSpec extends SparkSpec {
       .orderBy($"rank").select($"doc_id").as[Long].collect().toSeq
     assert(tied == Seq(4L, 5L))
   }
+
+  test("bm25TruncatedFromPostings law: a non-binding M equals the exact uncapped probe") {
+    val docs = (0L to 19L).map(i =>
+      (i, s"alpha shared${i % 3} tail$i " + ("pad " * (i % 5).toInt)))
+      .toDF("doc_id", "text")
+    val scored = Retrieval.scoredPostings(docs, "doc_id", "text")
+    val exact = Retrieval.bm25FromPostings(scored,
+        queryModEvery = 10, k = 5, maxDfFraction = 1.0)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val pruned = Retrieval.bm25TruncatedFromPostings(scored,
+        queryModEvery = 10, k = 5, maxPostingsPerTerm = 1000)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(pruned == exact,
+      "with M >= every df the candidate set is complete and rescoring is exact")
+  }
+
+  test("bm25TruncatedFromPostings: a binding M bounds candidates but retrieved scores stay EXACT") {
+    // "common" in all docs; doc 1..4 share nothing else with the query.
+    // M=2 keeps only common's two highest-impact postings -> candidates
+    // shrink, but every returned pair's score must equal the exact one.
+    val docs = Seq(
+      (0L, "common zebra"),
+      (1L, "common common alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma gamma"),
+      (4L, "common delta"),
+      (5L, "common zebra epsilon")
+    ).toDF("doc_id", "text")
+    val scored = Retrieval.scoredPostings(docs, "doc_id", "text")
+    val exact = Retrieval.bm25FromPostings(scored,
+        queryModEvery = 50, k = 6, maxDfFraction = 1.0)
+      .select($"doc_id", $"bm25").as[(Long, Double)].collect().toMap
+    val pruned = Retrieval.bm25TruncatedFromPostings(scored,
+        queryModEvery = 50, k = 6, maxPostingsPerTerm = 2)
+      .select($"doc_id", $"bm25").as[(Long, Double)].collect().toMap
+    assert(pruned.size < exact.size, "M=2 must prune some candidates")
+    pruned.foreach { case (d, s) =>
+      assert(exact(d) == s, s"doc $d: pruned score $s != exact ${exact(d)}")
+    }
+    // doc 5 shares the rare zebra -> always a candidate and top-ranked
+    assert(pruned.contains(5L))
+  }
 }
