@@ -228,6 +228,14 @@ object SoakBench {
       val t0 = System.nanoTime()
       val (rows, ok, timedOut) = runCapped(name)
       val sec = (System.nanoTime() - t0) / 1e9
+      // per-query cache isolation: 340+ queries in one JVM accumulate
+      // persisted frames (session binding caches, per-query persists)
+      // into the unified pool's protected storage half, starving the
+      // heavy aggregates' execution memory — the first full sweep saw
+      // q128/q141 die with UNABLE_TO_ACQUIRE_MEMORY at the 8 GiB heap
+      // while the SAME queries complete in isolation. Each row is now
+      // measured from a clean cache (bindings re-persist on demand).
+      spark.catalog.clearCache()
       // listener bus is async; a short settle keeps per-query metric
       // attribution honest (private API waitUntilEmpty is inaccessible)
       Thread.sleep(300)
