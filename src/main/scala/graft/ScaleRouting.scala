@@ -42,7 +42,24 @@ object ScaleRouting {
     "q98_stream_stream_join" -> "q339_stream_join_bucketed",
     "q122_hard_negatives" -> "q137_hard_negatives_cells",
     "q128_bm25_search" -> "q341_bm25_truncated",
+    "q136_bm25_capped" -> "q341_bm25_truncated",
     "q141_rrf_fusion" -> "q342_rrf_fusion_truncated")
+
+  /** Queries whose scale path is CONTRACT-CLEAN INPUT rather than a
+    * re-planned sibling: the window-form attribution family rides
+    * user-partitioned range frames — no pair materialization, no
+    * spill — but a range frame still SCANS rows×frame-size per
+    * entity, so a 20%-hot key is semantically quadratic (round-11
+    * full sweep: q184 415 s, q303 375 s, q314 478 s at 10×, all with
+    * zero spill). The production contract is the q340 per-entity
+    * event-rate cap at ingest ([[graft.ext.Curation.eventRateCap]]),
+    * measured in the SoakBench rate-cap leg; for the U-shaped model a
+    * per-purchase cap also ships as its own operator (q305 → q338 in
+    * [[siblings]]). */
+  val ingestContract: Set[String] = Set(
+    "q184_linear_attribution",
+    "q303_time_decay_attribution",
+    "q314_shapley_attribution")
 
   /** The documented per-key concentration bound above which the spec
     * forms grind: the soak's planted profile — one key holding ~20% of

@@ -311,15 +311,27 @@ object SoakBench {
     val nRaw = rawEvents.count()
     val nKept = spark.read.parquet(s"$capDir/events.parquet").count()
     println(f"""[soak] {"q":"rate_cap_ingest","sec":$capSec%.2f,"rows_in":$nRaw,"rows_kept":$nKept,"max_per_day":200}""")
-    val tJ = System.nanoTime()
-    val jr =
-      try Some(SparkEntry.queries("q98_stream_stream_join")(spark, capDir).count())
-      catch { case e: Throwable =>
-        Console.err.println(s"[soak] q98_on_rate_capped FAILED: ${e.getMessage}")
-        None
-      }
-    val jSec = (System.nanoTime() - tJ) / 1e9
-    println(f"""[soak] {"q":"q98_on_rate_capped_ingest","sec":$jSec%.2f,"rows":${jr.getOrElse(-1L)},"ok":${jr.nonEmpty}}""")
+    // the per-entity-history tier the contract tames: the symmetric
+    // stream join AND the window-form attribution family, whose
+    // user-partitioned range frames scan rows×frame-size per entity —
+    // semantically quadratic under key concentration even with zero
+    // spill and no pair materialization (leg-1 full sweep on the raw
+    // 20%-hot corpus: q184 415 s, q303 375 s, q314 478 s)
+    val onCapped = Seq("q98_stream_stream_join", "q184_linear_attribution",
+      "q303_time_decay_attribution", "q314_shapley_attribution")
+    val cappedFailed = onCapped.flatMap { name =>
+      val tJ = System.nanoTime()
+      val jr =
+        try Some(SparkEntry.queries(name)(spark, capDir).count())
+        catch { case e: Throwable =>
+          Console.err.println(s"[soak] ${name}_on_rate_capped FAILED: ${e.getMessage}")
+          None
+        }
+      val jSec = (System.nanoTime() - tJ) / 1e9
+      println(f"""[soak] {"q":"${name}_on_rate_capped_ingest","sec":$jSec%.2f,"rows":${jr.getOrElse(-1L)},"ok":${jr.nonEmpty}}""")
+      spark.catalog.clearCache()
+      if (jr.isEmpty) Seq(s"${name}_on_rate_capped_ingest") else Nil
+    }
 
     // a documented spec form (ScaleRouting) hitting the wall timeout is
     // the EXPECTED outcome of sweeping it at 10x skew — recorded in its
@@ -330,8 +342,7 @@ object SoakBench {
     val failed = results
       .filterNot(_._3)
       .filterNot(r => r._4 && ScaleRouting.siblings.contains(r._1))
-      .map(_._1) ++
-      (if (jr.isEmpty) Seq("q98_on_rate_capped_ingest") else Nil)
+      .map(_._1) ++ cappedFailed
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val specToJson = expectedTimeouts.map("\"" + _ + "\"").mkString("[", ",", "]")

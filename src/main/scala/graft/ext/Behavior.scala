@@ -583,7 +583,13 @@ object Behavior {
     * join: ONE user-partitioned range frame (epoch micros) carries a
     * conditional count per touch type — all types ride the same sort,
     * cost is one shuffle on user_id regardless of touch density
-    * (the [[attribution]] scale argument, extended to counts). */
+    * (the [[attribution]] scale argument, extended to counts).
+    *
+    * Hot-key contract ([[graft.ScaleRouting.ingestContract]]): a range
+    * frame still SCANS rows×frame-size per entity, so a 20%-hot user
+    * is semantically quadratic with zero spill (414 s at the 10× soak;
+    * 2.1 s on the same corpus rate-capped at ingest by
+    * [[graft.ext.Curation.eventRateCap]] — q340). */
   def linearAttribution(
       events: DataFrame, touchTypes: Seq[String],
       lookbackDays: Int = 7): DataFrame = {
@@ -748,7 +754,14 @@ object Behavior {
     * grain → channel grain). Purchases with no touch credit the
     * `direct` channel in full; touched purchases split by the
     * truncating integer ratio (total credit ≤ 1 per purchase by at
-    * most a few micro-units — the price of exact order-free sums). */
+    * most a few micro-units — the price of exact order-free sums).
+    *
+    * Hot-key contract ([[graft.ScaleRouting.ingestContract]]): the
+    * touches-per-user-per-week envelope is exactly what a 20%-hot key
+    * breaks (375 s at the 10× soak). The production path is q340
+    * ingest rate-capping ([[graft.ext.Curation.eventRateCap]]), or the
+    * q338-style per-purchase recency cap where every event must be
+    * kept. */
   def timeDecayAttribution(
       events: DataFrame, touchTypes: Seq[String],
       lookbackDays: Int = 7): DataFrame = {
@@ -1052,7 +1065,12 @@ object Behavior {
     * a ≤ 2ⁿ-row mask aggregate; the subset lattice (2ⁿ×2ⁿ cross join)
     * and the n·2ⁿ⁻¹ Shapley spine are driver-literal-sized (n ≤ 4 by
     * contract), so everything above the purchase aggregate is
-    * constant. */
+    * constant.
+    *
+    * Hot-key contract ([[graft.ScaleRouting.ingestContract]]): the
+    * shared range window scans rows×frame-size per entity — 478 s on
+    * the 10× soak's 20%-hot user, tamed at ingest by the q340 rate cap
+    * ([[graft.ext.Curation.eventRateCap]]). */
   def shapleyAttribution(
       events: DataFrame, touchTypes: Seq[String],
       lookbackDays: Int = 7): DataFrame = {

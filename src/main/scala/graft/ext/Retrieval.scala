@@ -93,9 +93,15 @@ object Retrieval {
   def bm25FromPostings(
       scored: DataFrame, queryModEvery: Int, k: Int,
       maxDfFraction: Double = 0.5): DataFrame = {
+    // the df-capped branch is routed too: on a stopword-dense corpus
+    // the cap barely prunes (q136 measured 157 s / 125 GB spill at the
+    // 10x soak — the same flood class as the uncapped form)
     if (maxDfFraction >= 1.0)
       graft.ScaleRouting.advise(
         "q128_bm25_search", "q341_bm25_truncated")
+    else
+      graft.ScaleRouting.advise(
+        "q136_bm25_capped", "q341_bm25_truncated")
     probe(
       scored.filter(col("df") <= col("n_docs") * lit(maxDfFraction)),
       queryTerms(scored, queryModEvery), k)

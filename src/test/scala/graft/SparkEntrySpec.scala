@@ -24,8 +24,13 @@ class SparkEntrySpec extends SparkSpec {
       assert(q.contains(sib), s"routing sibling $sib is not a gated query")
       assert(spec != sib)
     }
-    assert(ScaleRouting.siblings.size == 5,
-      "the spec-form surface is exactly q305/q98/q122/q128/q141 — " +
+    assert(ScaleRouting.siblings.size == 6,
+      "the spec-form surface is exactly q305/q98/q122/q128/q136/q141 — " +
       "update the map AND the docs if a new spec-only form is retained")
+    ScaleRouting.ingestContract.foreach { n =>
+      assert(q.contains(n), s"ingest-contract entry $n is not a gated query")
+    }
+    assert(q.contains("q340_event_rate_cap"),
+      "the ingest contract's operator itself must stay gated")
   }
 }
