@@ -198,15 +198,15 @@ object SoakBench {
     val selected = pool.filter(n => only.forall(_.exists(n.startsWith)))
     val unknown = selected.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown soak queries: ${unknown.mkString(",")}")
-    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
-    def runCapped(name: String): (Long, Boolean, Boolean) = {
+    var exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    def runCapped(name: String, dir: String): (Long, Boolean, Boolean) = {
       val fn = SparkEntry.queries(name)
       val task = exec.submit(new java.util.concurrent.Callable[Long] {
         def call(): Long = {
           // job group is thread-local: set it in the worker thread so
           // a timeout can cancel exactly this query's jobs
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          try fn(spark, dataDir).count()
+          try fn(spark, dir).count()
           finally spark.sparkContext.clearJobGroup()
         }
       })
@@ -216,6 +216,26 @@ object SoakBench {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
           task.cancel(true)
+          // cancellation is asynchronous: the worker thread is still
+          // unwinding the cancelled Spark job, and a next query submitted
+          // now would QUEUE behind it — its own timeout budget would
+          // absorb the predecessor's cancellation time and its listener
+          // snapshot the dying job's metrics. A marker task through the
+          // same single-thread executor completes only once the worker is
+          // idle again; if even that times out, abandon the executor so
+          // the next query gets a fresh idle worker.
+          val marker = exec.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = 0L
+          })
+          try marker.get(120L, java.util.concurrent.TimeUnit.SECONDS)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              Console.err.println(
+                s"[soak] $name still unwinding 120s after cancel; " +
+                  "recreating the worker executor")
+              exec.shutdownNow()
+              exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+          }
           Console.err.println(s"[soak] $name TIMED OUT after ${timeoutSec}s")
           (-1L, false, true)
         case e: Throwable =>
@@ -226,7 +246,7 @@ object SoakBench {
     val results = selected.map { name =>
       listener.snapshotAndReset()
       val t0 = System.nanoTime()
-      val (rows, ok, timedOut) = runCapped(name)
+      val (rows, ok, timedOut) = runCapped(name, dataDir)
       val sec = (System.nanoTime() - t0) / 1e9
       // per-query cache isolation: 340+ queries in one JVM accumulate
       // persisted frames (session binding caches, per-query persists)
@@ -320,28 +340,34 @@ object SoakBench {
     val onCapped = Seq("q98_stream_stream_join", "q184_linear_attribution",
       "q303_time_decay_attribution", "q314_shapley_attribution")
     val cappedFailed = onCapped.flatMap { name =>
+      // through runCapped: the capped leg inherits the per-query wall
+      // timeout + job-group cancellation — if the cap ever fails to tame
+      // the input (schema drift, cap regression) the run records a
+      // timeout row instead of hanging indefinitely. A timeout here IS a
+      // failure: the whole point of the leg is that capped input is fast.
       val tJ = System.nanoTime()
-      val jr =
-        try Some(SparkEntry.queries(name)(spark, capDir).count())
-        catch { case e: Throwable =>
-          Console.err.println(s"[soak] ${name}_on_rate_capped FAILED: ${e.getMessage}")
-          None
-        }
+      val (jRows, jOk, jTimedOut) = runCapped(name, capDir)
       val jSec = (System.nanoTime() - tJ) / 1e9
-      println(f"""[soak] {"q":"${name}_on_rate_capped_ingest","sec":$jSec%.2f,"rows":${jr.getOrElse(-1L)},"ok":${jr.nonEmpty}}""")
+      println(f"""[soak] {"q":"${name}_on_rate_capped_ingest","sec":$jSec%.2f,"rows":$jRows,"ok":$jOk,"timed_out":$jTimedOut}""")
       spark.catalog.clearCache()
-      if (jr.isEmpty) Seq(s"${name}_on_rate_capped_ingest") else Nil
+      if (!jOk) Seq(s"${name}_on_rate_capped_ingest") else Nil
     }
 
     // a documented spec form (ScaleRouting) hitting the wall timeout is
     // the EXPECTED outcome of sweeping it at 10x skew — recorded in its
-    // row, reported separately, and not a run failure; anything else
-    // not-ok (exception, or a timeout on a non-spec query) fails the run
-    val expectedTimeouts = results
-      .filter(r => r._4 && ScaleRouting.siblings.contains(r._1)).map(_._1)
+    // row, reported separately, and not a run failure. The exemption is
+    // scoped to the SWEEP-ALL path only: q98/q122 sit in the standard
+    // SoakQueries list precisely because they must COMPLETE there
+    // (388/393 s measured, near the 600 s default) — an exemption in
+    // that mode would silently convert a modest regression into an
+    // "expected" timeout. Anything else not-ok (exception, or a timeout
+    // on a non-spec query) fails the run.
+    val exemptTimeout = (r: (String, Double, Boolean, Boolean)) =>
+      r._4 && sweepAll && ScaleRouting.siblings.contains(r._1)
+    val expectedTimeouts = results.filter(exemptTimeout).map(_._1)
     val failed = results
       .filterNot(_._3)
-      .filterNot(r => r._4 && ScaleRouting.siblings.contains(r._1))
+      .filterNot(exemptTimeout)
       .map(_._1) ++ cappedFailed
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -1004,8 +1004,18 @@ object SparkEntry {
           col("neighbor_id").as("doc_id"), col("rank"))
         .persist()
       den.count()
-      graft.ext.Retrieval.rrfFuse(Seq(lex, den), c = 60, k = 10)
+      // materialize the (tiny: queries·k rows) fuse, then release the
+      // side frames: harnesses that run many queries in one JVM (Verify
+      // dumps all 342) would otherwise accumulate these persists into
+      // the unified pool's protected storage half — the documented
+      // UNABLE_TO_ACQUIRE_MEMORY pathology
+      val fused = graft.ext.Retrieval.rrfFuse(Seq(lex, den), c = 60, k = 10)
         .orderBy(col("query_id"), col("rank"))
+        .persist()
+      fused.count()
+      lex.unpersist()
+      den.unpersist()
+      fused
     }),
 
     // ---- ext: impact-truncated BM25 probe (Anh & Moffat pruning) —
@@ -1034,8 +1044,14 @@ object SparkEntry {
           col("neighbor_id").as("doc_id"), col("rank"))
         .persist()
       den.count()
-      graft.ext.Retrieval.rrfFuse(Seq(lex, den), c = 60, k = 10)
+      // the q141 discipline: materialize the tiny fuse, release the sides
+      val fused = graft.ext.Retrieval.rrfFuse(Seq(lex, den), c = 60, k = 10)
         .orderBy(col("query_id"), col("rank"))
+        .persist()
+      fused.count()
+      lex.unpersist()
+      den.unpersist()
+      fused
     }),
 
     // ---- ext: per-source LM-quality pruning audit — rank-based keep

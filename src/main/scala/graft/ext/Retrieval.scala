@@ -141,14 +141,35 @@ object Retrieval {
   /** Impact-ordered index pruning (Anh & Moffat): keep each term's
     * `maxPostingsPerTerm` HIGHEST-impact postings (by the quantized
     * per-term contribution `tn`, ties doc_id asc — total order, so the
-    * truncated index is deterministic). ONE shuffle on term; the
-    * per-term sort is bounded by max df. At 100 TB this runs once at
-    * index-build time and persists as the bucketed-by-term index. */
-  def impactTruncate(scored: DataFrame, maxPostingsPerTerm: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    * truncated index is deterministic).
+    *
+    * Two-stage salted selection, NOT one bare per-term window: a
+    * stopword-dense term's df is corpus-scale on exactly the corpora
+    * this targets, and a single `partitionBy(term)` window would funnel
+    * that term's ENTIRE posting list through one partition's sort — the
+    * hot-key shape everything else in this engine avoids. Stage 1 takes
+    * each (term, doc_id mod `salts`) slice's top-M (slices are disjoint
+    * by construction, per-partition volume ≤ df∕salts on average);
+    * stage 2 re-ranks the ≤ salts·M survivors per term. Identical
+    * result to the direct top-M: selection is under a TOTAL order, and
+    * any global top-M posting ranks ≤ M inside its own salt slice (a
+    * subset can only lower its rank), so stage 1 never drops a
+    * survivor. Stage 2's per-key volume is bounded by salts·M
+    * regardless of df. At 100 TB this runs once at index-build time and
+    * persists as the bucketed-by-term index. */
+  def impactTruncate(
+      scored: DataFrame, maxPostingsPerTerm: Int, salts: Int = 16): DataFrame = {
+    require(salts >= 1, "salts must be positive")
+    val wSalt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"), pmod(col("doc_id"), lit(salts.toLong)))
+      .orderBy(col("tn").desc, col("doc_id").asc)
+    val wTerm = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term"))
       .orderBy(col("tn").desc, col("doc_id").asc)
-    scored.withColumn("graft_pr", row_number().over(w))
+    scored.withColumn("graft_sr", row_number().over(wSalt))
+      .filter(col("graft_sr") <= maxPostingsPerTerm)
+      .drop("graft_sr")
+      .withColumn("graft_pr", row_number().over(wTerm))
       .filter(col("graft_pr") <= maxPostingsPerTerm)
       .drop("graft_pr")
   }

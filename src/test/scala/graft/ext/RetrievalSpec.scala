@@ -123,4 +123,23 @@ class RetrievalSpec extends SparkSpec {
     // doc 5 shares the rare zebra -> always a candidate and top-ranked
     assert(pruned.contains(5L))
   }
+
+  test("impactTruncate law: salted two-stage selection equals the direct per-term top-M") {
+    // tiny vocab over 40 docs -> terms with df far above M, several docs
+    // per salt slice, and abundant tn TIES (equal tf and length) so the
+    // doc_id tie-break is exercised across slice boundaries
+    val docs = (0L to 39L).map(i => (i, s"common shared${i % 2} tail${i % 7}"))
+      .toDF("doc_id", "text")
+    val scored = Retrieval.scoredPostings(docs, "doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.select($"term", $"doc_id", $"tn").orderBy($"term", $"doc_id")
+        .as[(String, Long, Long)].collect().toSeq
+    // salts=1: stage 1 IS the bare per-term window — the direct reference
+    val direct = canon(Retrieval.impactTruncate(scored, 5, salts = 1))
+    assert(direct.nonEmpty)
+    Seq(2, 3, 16, 64).foreach { s =>
+      assert(canon(Retrieval.impactTruncate(scored, 5, salts = s)) == direct,
+        s"salts=$s must select the identical top-M posting set")
+    }
+  }
 }
