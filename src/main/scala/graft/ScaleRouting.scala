@@ -69,6 +69,26 @@ object ScaleRouting {
   val hotKeyBound: String =
     "~1e5 rows on one key (a 20%-hot key at 10x sf0.1; profile with q142)"
 
+  /** [[hotKeyBound]] as a number — what the sampled guard compares
+    * against (the 10× soak's hot user held ~2·10⁶ events and ground the
+    * range-frame family 375–478 s; the documented grind threshold is an
+    * order of magnitude below that). */
+  val hotKeyBoundRows: Long = 100000L
+
+  /** Session conf controlling the sampled input guard on the
+    * [[ingestContract]] family: `off` (default — advisory log only),
+    * `warn` (run the sampled probe, log when the bound is exceeded), or
+    * `fail` (throw BEFORE the quadratic window executes). The probe is
+    * one cheap job over a [[guardSampleFraction]] sample — enable it in
+    * soaks and scheduled production runs; leave it off for interactive
+    * exploration where the caller knows the input. */
+  val guardConfKey: String = "spark.graft.hotkey.guard"
+
+  /** Sample fraction of the guard probe: 1% keeps the probe ~100× below
+    * the operator's own scan while a contract-breaking key (≥ 10⁵ rows)
+    * still lands ~10³ sampled rows — far above Poisson noise. */
+  val guardSampleFraction: Double = 0.01
+
   private val warned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -79,4 +99,50 @@ object ScaleRouting {
         s"$specOp is the executable SPEC form (exact, oracle-gated); " +
         s"above $hotKeyBound run $scaleOp instead - same results, " +
         "hot-key-safe (measured: soak_r10.jsonl).")
+
+  /** Once-per-JVM advisory the [[ingestContract]] family emits on use:
+    * these operators stay the production plan — no pair explosion, no
+    * spill — but a per-entity range frame scans rows×frame-size per
+    * entity, so the CALLER owns the per-key concentration contract. */
+  private[graft] def adviseIngestContract(op: String): Unit =
+    if (warned.add(op))
+      org.slf4j.LoggerFactory.getLogger("graft.ScaleRouting").warn(
+        s"$op rides a per-entity range frame - semantically quadratic " +
+        s"under key concentration (measured 375-478 s on a 20%-hot key " +
+        s"at the 10x soak). Above $hotKeyBound rate-cap the input at " +
+        "ingest first (graft.ext.Curation.eventRateCap, q340 - measured " +
+        s"36-195x there); set $guardConfKey=warn|fail to enforce with a " +
+        "sampled input probe.")
+
+  /** The sampled hot-key guard ([[guardConfKey]]): one
+    * sample→count→top-1 job over `events`, comparing the heaviest
+    * sampled key against [[hotKeyBoundRows]]·[[guardSampleFraction]].
+    * `warn` logs the offending entity and its estimated row count;
+    * `fail` throws before the caller's quadratic window ever executes —
+    * the fail-fast a scheduled 100 TB run wants (minutes of probe vs
+    * hours of grind). Off (default): zero work, zero behavior change. */
+  private[graft] def guardHotKeys(
+      events: org.apache.spark.sql.DataFrame, entityCol: String,
+      op: String): Unit = {
+    val mode = events.sparkSession.conf.get(guardConfKey, "off")
+    if (mode != "warn" && mode != "fail") return
+    import org.apache.spark.sql.functions.col
+    val sampledBound =
+      math.max(1L, math.round(hotKeyBoundRows * guardSampleFraction))
+    val top = events.select(col(entityCol))
+      .sample(withReplacement = false, guardSampleFraction, seed = 42L)
+      .groupBy(col(entityCol)).count()
+      .orderBy(col("count").desc, col(entityCol))
+      .limit(1).collect()
+    top.headOption.filter(_.getLong(1) > sampledBound).foreach { r =>
+      val est = math.round(r.getLong(1) / guardSampleFraction)
+      val msg =
+        s"$op hot-key guard: $entityCol=${r.get(0)} holds ~$est rows " +
+        s"(sampled ${r.getLong(1)} at $guardSampleFraction), above the " +
+        s"$hotKeyBoundRows-row contract bound - rate-cap at ingest " +
+        "(graft.ext.Curation.eventRateCap, q340) before this operator."
+      if (mode == "fail") throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger("graft.ScaleRouting").warn(msg)
+    }
+  }
 }

@@ -331,6 +331,30 @@ object SoakBench {
     val nRaw = rawEvents.count()
     val nKept = spark.read.parquet(s"$capDir/events.parquet").count()
     println(f"""[soak] {"q":"rate_cap_ingest","sec":$capSec%.2f,"rows_in":$nRaw,"rows_kept":$nKept,"max_per_day":200}""")
+
+    // ---- the sampled hot-key guard, observed on BOTH sides of the
+    // contract: in fail mode it must throw on the raw 20%-hot corpus
+    // BEFORE the quadratic window executes (construction alone proves
+    // it — the frame is never counted), and pass silently on the
+    // rate-capped corpus. Either miss is a run failure: the guard is
+    // the contract's enforcement, not advice. ----
+    val tG = System.nanoTime()
+    def guardThrows(dir: String): Boolean =
+      try {
+        spark.conf.set(ScaleRouting.guardConfKey, "fail")
+        graft.ext.Behavior.linearAttribution(
+          graft.core.Tables.events(spark, dir),
+          Seq("view", "click", "signup"))
+        false
+      } catch { case _: IllegalStateException => true }
+      finally spark.conf.unset(ScaleRouting.guardConfKey)
+    val firedOnRaw = guardThrows(dataDir)
+    val passedOnCapped = !guardThrows(capDir)
+    val guardSec = (System.nanoTime() - tG) / 1e9
+    println(f"""[soak] {"q":"hotkey_guard","sec":$guardSec%.2f,"fired_on_raw":$firedOnRaw,"passed_on_capped":$passedOnCapped}""")
+    val guardFailed =
+      (if (firedOnRaw) Nil else Seq("hotkey_guard_missed_raw")) ++
+      (if (passedOnCapped) Nil else Seq("hotkey_guard_false_positive_capped"))
     // the per-entity-history tier the contract tames: the symmetric
     // stream join AND the window-form attribution family, whose
     // user-partitioned range frames scan rows×frame-size per entity —
@@ -368,7 +392,7 @@ object SoakBench {
     val failed = results
       .filterNot(_._3)
       .filterNot(exemptTimeout)
-      .map(_._1) ++ cappedFailed
+      .map(_._1) ++ cappedFailed ++ guardFailed
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val specToJson = expectedTimeouts.map("\"" + _ + "\"").mkString("[", ",", "]")

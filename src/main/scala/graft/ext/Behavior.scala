@@ -593,6 +593,9 @@ object Behavior {
   def linearAttribution(
       events: DataFrame, touchTypes: Seq[String],
       lookbackDays: Int = 7): DataFrame = {
+    graft.ScaleRouting.adviseIngestContract("q184_linear_attribution")
+    graft.ScaleRouting.guardHotKeys(events, "user_id",
+      "q184_linear_attribution")
     val lookbackMicros = lookbackDays * 86400L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
       .rangeBetween(-lookbackMicros, 0)
@@ -765,6 +768,9 @@ object Behavior {
   def timeDecayAttribution(
       events: DataFrame, touchTypes: Seq[String],
       lookbackDays: Int = 7): DataFrame = {
+    graft.ScaleRouting.adviseIngestContract("q303_time_decay_attribution")
+    graft.ScaleRouting.guardHotKeys(events, "user_id",
+      "q303_time_decay_attribution")
     val lookbackMicros = lookbackDays * 86400L * 1000000L
     val dayMicros = 86400L * 1000000L
     val p = events.filter(col("event_type") === "purchase")
@@ -1074,6 +1080,9 @@ object Behavior {
   def shapleyAttribution(
       events: DataFrame, touchTypes: Seq[String],
       lookbackDays: Int = 7): DataFrame = {
+    graft.ScaleRouting.adviseIngestContract("q314_shapley_attribution")
+    graft.ScaleRouting.guardHotKeys(events, "user_id",
+      "q314_shapley_attribution")
     val n = touchTypes.size
     require(n >= 1 && n <= 4, "Shapley lattice is exact only for <= 4 channels")
     val nFact = (1 to n).foldLeft(1L)(_ * _)
