@@ -2447,6 +2447,16 @@ object SparkEntry {
     "q340_event_rate_cap" -> ((s, dir) =>
       graft.ext.Curation.eventRateCapManifest(Tables.events(s, dir),
         "user_id", "event_id", "ts", "event_type", maxPerDay = 3)),
+
+    // ---- ext: binding-M acceptance audit of the truncated lexical
+    // tier (the q312/q175/q234 discipline): candidate recall@k of the
+    // q341 two-stage probe vs the exact q128 probe at M in
+    // {10, 100, 1000} — the M-vs-quality curve an index design reads
+    // before committing a corpus to a truncation depth ----
+    "q343_bm25_truncation_recall" -> ((s, dir) =>
+      graft.ext.Retrieval.truncationRecallSweep(
+        Corpus.scoredPostingsCached(s, dir),
+        queryModEvery = 50, k = 10, mList = Seq(10, 100, 1000))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -3005,6 +3015,8 @@ object SparkEntry {
       "q342_rrf_fusion_truncated" -> ExtOracleSql.rrfFusion(
         queryModEvery = 50, kLex = 10, kDen = 10, c = 60, k = 10,
         maxPostingsPerTerm = 1000),
+      "q343_bm25_truncation_recall" -> ExtOracleSql.bm25TruncationSweep(
+        queryModEvery = 50, k = 10, mList = Seq(10, 100, 1000)),
       "q129_dedup_against" ->
         ExtOracleSql.dedupAgainst(modEvery = 10, minJaccard = 0.5),
       // Oracle is the NAIVE purchase-by-touch BETWEEN join — independent

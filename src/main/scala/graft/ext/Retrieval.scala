@@ -213,6 +213,55 @@ object Retrieval {
     scoreAndTopK(pairs, k)
   }
 
+  /** Binding-M acceptance audit of [[bm25TruncatedFromPostings]] — the
+    * q312/q175/q234 discipline applied to the lexical tier: candidate
+    * recall@k of the two-stage pruned probe against the EXACT uncapped
+    * probe, at each truncation depth in `mList`. Because stage 2
+    * rescores candidates exactly, every retrieved pair's score is
+    * bit-identical to the exact probe's — recall here measures ONLY the
+    * candidates the truncated index misses (docs outside every query
+    * term's top-M), which is precisely the M-vs-quality trade an index
+    * design reads before committing a 100 TB corpus to a truncation
+    * depth.
+    *
+    * Exactness: hits and totals are exact longs (both sides share the
+    * 6dp integer-domain score and doc-id tie-break, so the top-k sets
+    * are engine-stable); recall is the half-up micro ratio
+    * hits∕n_exact, with n_exact the exact probe's actual row count
+    * (not n_queries·k — a query matching fewer than k docs must not
+    * deflate the ratio).
+    *
+    * Scale shape: the exact side computes ONCE and persists
+    * (queries·k rows); each arm reuses the production two-stage chain.
+    * At 100 TB the sweep runs on a hash-sampled query set — probe side
+    * sampled, corpus side complete (the annRecall sampling rule). */
+  def truncationRecallSweep(
+      scored: DataFrame, queryModEvery: Int, k: Int,
+      mList: Seq[Int]): DataFrame = {
+    require(mList.nonEmpty, "mList must be non-empty")
+    val qt = queryTerms(scored, queryModEvery)
+    val exact = probe(scored, qt, k)
+      .select(col("query_id"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arms = mList.map { m =>
+      val approx = bm25TruncatedFromPostings(scored, queryModEvery, k, m)
+        .select(col("query_id"), col("doc_id"))
+      exact.join(approx, Seq("query_id", "doc_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(m.toLong).as("max_postings"), col("hits"))
+    }
+    val tot = exact.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_exact"))
+    arms.reduce(_ unionByName _)
+      .crossJoin(broadcast(tot))
+      .select(col("max_postings"), col("n_queries"), col("n_exact"),
+        col("hits"),
+        (expr("((hits * 1000000 * 2) + n_exact) div (n_exact * 2)") / 1e6)
+          .as("recall"))
+      .orderBy(col("max_postings"))
+  }
+
   def bm25Search(
       docs: DataFrame, idCol: String, textCol: String,
       queryModEvery: Int, k: Int,

@@ -2357,6 +2357,61 @@ object ExtOracleSql {
        |SELECT query_id, doc_id, bm25, rank FROM rk
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Mirrors [[graft.ext.Retrieval.truncationRecallSweep]]: the exact
+    * uncapped chain from [[bm25Ctes]] (its `rk` IS the exact probe),
+    * then per M a suffixed truncated chain — term-wise top-M candidates,
+    * exact rescore, top-k — intersected with the exact top-k; recall is
+    * the half-up micro ratio hits∕n_exact. CTEs in one WITH list see
+    * their predecessors, so every arm reuses the shared base (tok…ts,
+    * qt) without re-deriving it. */
+  def bm25TruncationSweep(queryModEvery: Int, k: Int,
+                          mList: Seq[Int]): String = {
+    val armCtes = mList.map { m =>
+      s"""tr_$m AS (
+         |  SELECT doc_id, term, tn FROM (
+         |    SELECT doc_id, term, tn,
+         |           row_number() OVER (PARTITION BY term
+         |             ORDER BY tn DESC, doc_id ASC) AS pr
+         |    FROM ts) WHERE pr <= $m),
+         |cand_$m AS (
+         |  SELECT DISTINCT q.query_id, t.doc_id
+         |  FROM tr_$m t JOIN qt q USING (term)
+         |  WHERE t.doc_id <> q.query_id),
+         |hit_$m AS (
+         |  SELECT c.query_id, c.doc_id,
+         |         CAST((CAST(sum(t.tn) AS BIGINT) + 500) // 1000 AS DOUBLE)
+         |           / 1000000.0 AS bm25
+         |  FROM cand_$m c
+         |  JOIN ts t ON t.doc_id = c.doc_id
+         |  JOIN qt q ON q.query_id = c.query_id AND q.term = t.term
+         |  GROUP BY 1, 2),
+         |rk_$m AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM hit_$m),
+         |app_$m AS (SELECT query_id, doc_id FROM rk_$m WHERE rank <= $k),
+         |h_$m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS hits
+         |  FROM ex e JOIN app_$m a
+         |    ON e.query_id = a.query_id AND e.doc_id = a.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val armSelects = mList.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS max_postings, tot.n_queries,
+         |       tot.n_exact, h_$m.hits,
+         |       (((h_$m.hits * 1000000 * 2) + tot.n_exact)
+         |         // (tot.n_exact * 2)) / 1000000.0 AS recall
+         |FROM h_$m CROSS JOIN tot""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bm25Ctes(queryModEvery, 1.2, 0.75, 1.0)},
+       |ex AS (SELECT query_id, doc_id FROM rk WHERE rank <= $k),
+       |tot AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       |               CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+       |$armCtes
+       |$armSelects
+       |ORDER BY max_postings""".stripMargin
+  }
+
   /** Mirrors [[graft.ext.Retrieval.rrfFuse]] over the gated hybrid:
     * uncapped BM25 top-kLex fused with the dense all-pairs top-kDen
     * ([[topKNeighbors]] restricted to the query anchors).

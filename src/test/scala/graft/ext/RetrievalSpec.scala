@@ -124,6 +124,24 @@ class RetrievalSpec extends SparkSpec {
     assert(pruned.contains(5L))
   }
 
+  test("truncationRecallSweep: non-binding M pins recall 1.0, monotone in M") {
+    val docs = (0L to 19L).map(i =>
+      (i, s"alpha shared${i % 3} tail$i " + ("pad " * (i % 5).toInt)))
+      .toDF("doc_id", "text")
+    val scored = Retrieval.scoredPostings(docs, "doc_id", "text")
+    val got = Retrieval.truncationRecallSweep(scored,
+        queryModEvery = 10, k = 5, mList = Seq(1, 3, 1000))
+      .orderBy($"max_postings")
+      .select($"max_postings", $"hits", $"n_exact", $"recall")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 3L, 1000L))
+    val last = got.last
+    assert(last._2 == last._3 && last._4 == 1.0,
+      s"M >= every df must recover the exact top-k in full: $got")
+    assert(got.map(_._4) == got.map(_._4).sorted,
+      s"candidate recall must be monotone in M: $got")
+  }
+
   test("impactTruncate law: salted two-stage selection equals the direct per-term top-M") {
     // tiny vocab over 40 docs -> terms with df far above M, several docs
     // per salt slice, and abundant tn TIES (equal tf and length) so the
