@@ -145,6 +145,10 @@ object SoakBench {
     // OOM'd an 8 GiB heap at 10x)
     "q340_event_rate_cap", "q341_bm25_truncated",
     "q342_rrf_fusion_truncated",
+    // round-12: the rate cap enforced ON the stream — state per open
+    // (entity, day) is the cap itself, so the 20%-hot user's replay
+    // must hold state bounded (the q98-class hazard, closed at ingest)
+    "q344_stream_rate_cap",
     // the skew-mitigation machinery on the planted hot keys
     "q61_salted_agg", "q91_salted_join")
 

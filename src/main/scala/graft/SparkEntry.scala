@@ -2457,6 +2457,15 @@ object SparkEntry {
       graft.ext.Retrieval.truncationRecallSweep(
         Corpus.scoredPostingsCached(s, dir),
         queryModEvery = 50, k = 10, mList = Seq(10, 100, 1000))),
+
+    // ---- streaming: the q340 ingest rate cap enforced on a LIVE
+    // stream — flatMapGroupsWithState on the (entity, UTC day) grain,
+    // state bounded by the cap itself (maxPerDay rows per open
+    // entity-day), kept set emitted at watermark day-close; must equal
+    // the batch eventRateCap (its row_number SQL is the oracle) ----
+    "q344_stream_rate_cap" -> ((s, dir) =>
+      graft.streaming.StreamingRateCap.cappedViaStream(s, dir, maxPerDay = 3)
+        .orderBy(col("user_id"), col("event_id"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -8286,6 +8295,19 @@ object SparkEntry {
                 round(CAST(count(*) AS DOUBLE)
                   / sum(count(*)) OVER (PARTITION BY class), 6) AS share
          FROM tagged GROUP BY 1, 2 ORDER BY class, disposition""",
+
+    // streaming rate cap == the batch cap: newest 3 per (user, day),
+    // rank (ts DESC, id ASC); value/type pass through untouched
+    "q344_stream_rate_cap" ->
+      """WITH rk AS (
+             SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+                    value,
+                    row_number() OVER (
+                      PARTITION BY user_id, epoch_us(ts) // 86400000000
+                      ORDER BY ts DESC, event_id ASC) AS rn
+             FROM events)
+         SELECT user_id, event_id, event_type, tsu, value FROM rk
+         WHERE rn <= 3 ORDER BY user_id, event_id""",
 
     // audio geometry: u8 mono 8kHz PCM over the UTF-8 bytes, canonical
     // 44-byte header — every field an integer function of octet_length

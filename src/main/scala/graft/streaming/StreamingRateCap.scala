@@ -1,0 +1,168 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming extension of the q340 ingest contract
+  * ([[graft.ext.Curation.eventRateCap]]): keep each entity's NEWEST
+  * `maxPerDay` events per UTC day on a LIVE stream, with state bounded
+  * by the cap itself — the enforcement point a 100 TB streaming ingest
+  * needs, since the q98-class state hazard the batch cap tames arrives
+  * as a stream in production.
+  *
+  * Semantics are IDENTICAL to the batch cap (the gate proves it): the
+  * kept set per (entity, day) is the top-`maxPerDay` under
+  * (ts desc, event_id asc) — the same deterministic total order — so
+  * replaying a day's events through the stream emits exactly the rows
+  * the batch window keeps.
+  *
+  * Shape: `flatMapGroupsWithState` keyed on (entity, UTC day) — the
+  * q338/q340 grain that splits a hot entity's history across its
+  * active days instead of funneling one hash key. State per open
+  * entity-day is ONE bounded vector of at most `maxPerDay` entries — a
+  * hot entity at 10⁶ events/day still holds `maxPerDay` rows of state,
+  * which is the whole point: admission control whose memory is the
+  * CONTRACT bound, not the input rate. A day's kept set is emitted
+  * exactly once, when the event-time watermark passes the day's end
+  * (event-time timeout); days already closed by the watermark flush
+  * inline. Late events follow the standard watermark contract.
+  *
+  * Streaming-only (the [[StatefulSessionizer.sessionsStreaming]]
+  * stance): the batch path is [[graft.ext.Curation.eventRateCap]]
+  * itself — running this shape on a batch frame would just re-derive
+  * that window, worse. */
+object StreamingRateCap {
+
+  case class Ev(
+      user_id: Long, event_id: Long, event_type: String, ts: Timestamp,
+      value: Double)
+  case class DayKey(user_id: Long, day: Long)
+  case class KeptEv(tsu: Long, event_id: Long, event_type: String, value: Double)
+  case class DayState(kept: Vector[KeptEv])
+  case class CappedEv(
+      user_id: Long, event_id: Long, event_type: String, tsu: Long,
+      value: Double)
+
+  private val DayMicros = 86400L * 1000000L
+
+  /** Full-microsecond extraction (the [[StatefulSessionizer]] rule:
+    * getTime alone drops sub-milli). */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** The bounded merge: top-`maxPerDay` under (tsu desc, event_id asc)
+    * — the restriction of the batch cap's total order, so incremental
+    * merging across any arrival split equals the one-shot selection
+    * (selection under a total order is associative; law-tested). */
+  private[streaming] def keepNewest(
+      entries: Vector[KeptEv], maxPerDay: Int): Vector[KeptEv] =
+    entries.sortBy(e => (-e.tsu, e.event_id)).take(maxPerDay)
+
+  /** The streaming cap over an event-time-watermarked stream of [[Ev]].
+    * Emits each (entity, day)'s kept rows once the watermark passes the
+    * day's end. */
+  def cappedStreaming(
+      events: Dataset[Ev], maxPerDay: Int): Dataset[CappedEv] = {
+    require(maxPerDay >= 1, "maxPerDay must be positive")
+    implicit val keyEnc = Encoders.product[DayKey]
+    implicit val stateEnc = Encoders.product[DayState]
+    implicit val outEnc = Encoders.product[CappedEv]
+    events
+      .groupByKey(e => DayKey(e.user_id, Math.floorDiv(micros(e.ts), DayMicros)))
+      .flatMapGroupsWithState[DayState, CappedEv](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, it, state: GroupState[DayState]) =>
+          def emit(kept: Vector[KeptEv]): Iterator[CappedEv] =
+            kept.iterator.map(e =>
+              CappedEv(key.user_id, e.event_id, e.event_type, e.tsu, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed the day's end — the kept set is final
+            val kept = state.get.kept
+            state.remove()
+            emit(kept)
+          } else {
+            val incoming = it.map(e =>
+              KeptEv(micros(e.ts), e.event_id, e.event_type, e.value)).toVector
+            val merged = keepNewest(
+              state.getOption.map(_.kept).getOrElse(Vector.empty) ++ incoming,
+              maxPerDay)
+            state.remove()
+            val closeAtUs = (key.day + 1L) * DayMicros
+            if (state.getCurrentWatermarkMs() * 1000L >= closeAtUs) {
+              // already final (watermark advanced past the day end
+              // before this batch) — flush inline, keep no state
+              emit(merged)
+            } else {
+              state.update(DayState(merged))
+              // ms-grained timeout API: round UP so the timeout can
+              // never fire before the day actually closes
+              state.setTimeoutTimestamp(Math.floorDiv(closeAtUs + 999L, 1000L))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** Replays the batch `events` table through a REAL file-source stream
+    * (the [[FileReplay]] construction: time-ordered slices, 0-second
+    * watermark kept exact, two far-future sentinels to close every real
+    * day) and the streaming cap — the final frame must equal the batch
+    * [[graft.ext.Curation.eventRateCap]], which is the SQL oracle the
+    * driver gate checks. */
+  def cappedViaStream(
+      spark: SparkSession, dir: String, maxPerDay: Int = 3,
+      slices: Int = 4): DataFrame = {
+    import spark.implicits._
+    val events = graft.core.Tables.events(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEvents = events.count()
+    require(nEvents > 0, "events table is empty")
+
+    val replay = new FileReplay("graft-ratecap")
+    val (_, maxMs) = replay.writeHistory(events, "ts", slices)
+    // two far-future sentinels (filtered from the result): the first
+    // advances the watermark past every real day's end, the second
+    // triggers a batch in which every real (entity, day) has timed out
+    val s1 = maxMs + 2L * 86400000L
+    Seq((-1L, -1L, "sentinel", new Timestamp(s1), 0.0),
+        (-2L, -2L, "sentinel", new Timestamp(s1 + 2L * 86400000L), 0.0))
+      .foreach { row =>
+        replay.writeSlice(
+          Seq(row).toDF("user_id", "event_id", "event_type", "ts", "value"))
+      }
+    events.unpersist()
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replay.inDir)
+      .withWatermark("ts", "0 seconds")
+      .as[Ev]
+    val out = cappedStreaming(stream, maxPerDay)
+    val qn = "graft_ratecap_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // state instances sized to state VOLUME (the SessionReplay rule)
+    val stateParts =
+      math.max(8L, math.min(32L, nEvents / 25000L)).toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", replay.checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(qn).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("tsu"), col("value"))
+  }
+}

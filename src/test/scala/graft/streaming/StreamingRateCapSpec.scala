@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingRateCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepNewest merge law: incremental capping across any split equals one-shot") {
+    val rnd = new scala.util.Random(7)
+    // duplicate timestamps abound (10 distinct tsu over 50 events) so the
+    // event_id-asc tie-break is load-bearing
+    val entries = Vector.tabulate(50)(i =>
+      StreamingRateCap.KeptEv(rnd.nextInt(10).toLong, i.toLong, "view", 1.0))
+    val oneShot = StreamingRateCap.keepNewest(entries, 5)
+    assert(oneShot.size == 5)
+    (1 to 20).foreach { _ =>
+      val shuffled = rnd.shuffle(entries)
+      val (a, b) = shuffled.splitAt(rnd.nextInt(entries.size + 1))
+      val incremental = StreamingRateCap.keepNewest(
+        StreamingRateCap.keepNewest(a, 5) ++ b, 5)
+      assert(incremental == oneShot,
+        "selection under the total order must be split-invariant")
+    }
+  }
+
+  test("file-stream replay equals the batch eventRateCap on the sf0.001 events table") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingRateCap.cappedViaStream(spark, dir, maxPerDay = 3)
+      .orderBy($"user_id", $"event_id")
+      .as[(Long, Long, String, Long, Double)].collect().toSeq
+    val events = graft.core.Tables.events(spark, dir)
+    val want = graft.ext.Curation.eventRateCap(
+        events, "user_id", "event_id", "ts", maxPerDay = 3)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("tsu"), $"value")
+      .orderBy($"user_id", $"event_id")
+      .as[(Long, Long, String, Long, Double)].collect().toSeq
+    assert(want.size < events.count(), "the cap must BIND at this SF")
+    assert(got.size == want.size, s"${got.size} != ${want.size}")
+    assert(got == want, "streaming kept set must equal the batch cap's")
+  }
+}
