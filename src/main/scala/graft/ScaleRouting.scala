@@ -61,6 +61,15 @@ object ScaleRouting {
     "q303_time_decay_attribution",
     "q314_shapley_attribution")
 
+  /** Gated ACCEPTANCE AUDITS that embed a spec-form arm by
+    * construction: q343 measures the truncated probe's recall AGAINST
+    * the exact uncapped probe, so its 10× wall is the q128 flood's —
+    * deliberately, at index-design time, on a sampled query set at
+    * scale (its scaladoc's sampling rule). The soak harness and
+    * [[graft.SoakGate]] treat these like the spec forms: expected to
+    * grind at planted skew, never part of a production pipeline. */
+  val specAudits: Set[String] = Set("q343_bm25_truncation_recall")
+
   /** The documented per-key concentration bound above which the spec
     * forms grind: the soak's planted profile — one key holding ~20% of
     * the fact rows (≈10⁵ events for a single entity at the 10× sf0.1

@@ -391,7 +391,8 @@ object SoakBench {
     // "expected" timeout. Anything else not-ok (exception, or a timeout
     // on a non-spec query) fails the run.
     val exemptTimeout = (r: (String, Double, Boolean, Boolean)) =>
-      r._4 && sweepAll && ScaleRouting.siblings.contains(r._1)
+      r._4 && sweepAll && (ScaleRouting.siblings.contains(r._1) ||
+        ScaleRouting.specAudits.contains(r._1))
     val expectedTimeouts = results.filter(exemptTimeout).map(_._1)
     val failed = results
       .filterNot(_._3)

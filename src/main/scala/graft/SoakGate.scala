@@ -55,7 +55,9 @@ object SoakGate {
   val newQueryFloorSec = 150.0
 
   def skipped(q: String): Boolean =
-    ScaleRouting.siblings.contains(q) || ScaleRouting.ingestContract.contains(q)
+    ScaleRouting.siblings.contains(q) ||
+      ScaleRouting.ingestContract.contains(q) ||
+      ScaleRouting.specAudits.contains(q)
 
   /** Pure evaluation: (violations, notes). Violations fail the build;
     * notes are maintenance signals (new queries to baseline, baseline

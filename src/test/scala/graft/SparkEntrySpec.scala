@@ -30,6 +30,9 @@ class SparkEntrySpec extends SparkSpec {
     ScaleRouting.ingestContract.foreach { n =>
       assert(q.contains(n), s"ingest-contract entry $n is not a gated query")
     }
+    ScaleRouting.specAudits.foreach { n =>
+      assert(q.contains(n), s"spec-audit entry $n is not a gated query")
+    }
     assert(q.contains("q340_event_rate_cap"),
       "the ingest contract's operator itself must stay gated")
   }
