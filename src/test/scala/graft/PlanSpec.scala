@@ -832,6 +832,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("impactTruncate: stage-1 window partitions on (term, salt), stage-2 on term alone") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the hot-term funnel fix: the first (inner) row_number must rank
+    // inside (term, doc_id mod salts) slices — bounding any partition's
+    // sort by df/salts — and only the bounded survivors (≤ salts·M per
+    // term) reach the bare per-term window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = ext.Retrieval.scoredPostings(docs, "doc_id", "text")
+    val plan = ext.Retrieval.impactTruncate(scored, 5)
+      .asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+      .queryExecution.sparkPlan
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.size == 2, s"expected the two-stage window pair:\n$plan")
+    // collect order is outer-first: wins.head is the per-term re-rank,
+    // wins.last the salted stage
+    assert(wins.last.partitionSpec.size == 2,
+      s"stage 1 must partition on (term, salt):\n$plan")
+    assert(wins.head.partitionSpec.size == 1,
+      s"stage 2 must re-rank per term alone:\n$plan")
+  }
+
   test("jaroWinklerPairs: the join condition's And tree keeps the cheap conjuncts before JaroWinklerGte") {
     // The 1.8x constant cut relies on the cheap prefilters (id order,
     // length band, char-mask intersection) evaluating BEFORE the
