@@ -253,13 +253,20 @@ object Retrieval {
     val tot = exact.agg(
       countDistinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("n_exact"))
-    arms.reduce(_ unionByName _)
+    val sweep = arms.reduce(_ unionByName _)
       .crossJoin(broadcast(tot))
       .select(col("max_postings"), col("n_queries"), col("n_exact"),
         col("hits"),
         (expr("((hits * 1000000 * 2) + n_exact) div (n_exact * 2)") / 1e6)
           .as("recall"))
       .orderBy(col("max_postings"))
+      // the q141 discipline: the sweep is |mList| rows — materialize it
+      // and release the exact-probe cache so long multi-query sessions
+      // (Verify dumps the full surface in one JVM) don't accumulate it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sweep.count()
+    exact.unpersist()
+    sweep
   }
 
   def bm25Search(
