@@ -268,6 +268,15 @@ object SoakBench {
       (name, sec, ok, timedOut)
     }
 
+    // Harness legs — the AQE skew probe, the ingest rate-cap contract,
+    // the hot-key guard, and the capped re-runs — assert properties of
+    // the PLANTED soak corpus. They run only on a full invocation:
+    // under SPARK_GRAFT_ONLY the caller is iterating on an operator
+    // subset, and failing the run because that corpus lacks the planted
+    // hot key (guard "missed" on raw) would gate local iteration on an
+    // assertion it never asked for.
+    val (guardFailed, cappedFailed) =
+      if (only.nonEmpty) (Seq.empty[String], Seq.empty[String]) else {
     // ---- AQE skew-split proof on the planted hot restaurant ----
     // The restaurant-grain rollup joins lineitem (hot l_suppkey) to
     // orders; thresholds lowered size-relatively so the 10x-local soak
@@ -379,6 +388,8 @@ object SoakBench {
       println(f"""[soak] {"q":"${name}_on_rate_capped_ingest","sec":$jSec%.2f,"rows":$jRows,"ok":$jOk,"timed_out":$jTimedOut}""")
       spark.catalog.clearCache()
       if (!jOk) Seq(s"${name}_on_rate_capped_ingest") else Nil
+    }
+    (guardFailed, cappedFailed)
     }
 
     // a documented spec form (ScaleRouting) hitting the wall timeout is

@@ -98,26 +98,36 @@ object SoakGate {
 
   /** Minimal parse of the SoakBench row format ("[soak] " prefix
     * optional): needs q, sec, ok, timed_out; rows without q/sec (the
-    * harness's own summary rows) are dropped. */
-  private[graft] def parseJsonl(lines: Iterator[String]): Seq[SoakRow] = {
+    * harness's own summary rows) are dropped. Returns (rows, malformed
+    * lines): a line that starts like a row but fails to parse means the
+    * sweep JVM died mid-write (OOM, external kill) — the gate must
+    * report that as a violation, not crash with a parser stack trace
+    * (which CI reads as infrastructure error, not a regression). */
+  private[graft] def parseJsonl(
+      lines: Iterator[String]): (Seq[SoakRow], Seq[String]) = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    lines.flatMap { raw =>
+    val bad = Seq.newBuilder[String]
+    val rows = lines.flatMap { raw =>
       val l = raw.trim.stripPrefix("[soak]").trim
       if (!l.startsWith("{")) None
-      else {
-        val n = om.readTree(l)
-        if (n.hasNonNull("q") && n.hasNonNull("sec"))
-          Some(SoakRow(
-            n.get("q").asText(),
-            n.get("sec").asDouble(),
-            // rows without ok (e.g. rate_cap_ingest) are harness rows;
-            // default true keeps them out of the violation path
-            if (n.hasNonNull("ok")) n.get("ok").asBoolean() else true,
-            if (n.hasNonNull("timed_out")) n.get("timed_out").asBoolean()
-            else false))
-        else None
+      else scala.util.Try(om.readTree(l)).toOption match {
+        case None =>
+          bad += (if (l.length <= 120) l else l.take(117) + "...")
+          None
+        case Some(n) =>
+          if (n.hasNonNull("q") && n.hasNonNull("sec"))
+            Some(SoakRow(
+              n.get("q").asText(),
+              n.get("sec").asDouble(),
+              // rows without ok (e.g. rate_cap_ingest) are harness rows;
+              // default true keeps them out of the violation path
+              if (n.hasNonNull("ok")) n.get("ok").asBoolean() else true,
+              if (n.hasNonNull("timed_out")) n.get("timed_out").asBoolean()
+              else false))
+          else None
       }
     }.toSeq
+    (rows, bad.result())
   }
 
   private[graft] def parseBaseline(lines: Iterator[String]): Map[String, Double] =
@@ -136,11 +146,16 @@ object SoakGate {
     val (tsv, jsonl) = args.partition(_.endsWith(".tsv"))
     val soakPaths = if (jsonl.nonEmpty) jsonl.toSeq else Seq("soak_r11.jsonl")
     val basePath = tsv.headOption.getOrElse("tools/soak_baseline.tsv")
-    val rows = soakPaths.flatMap(p =>
-      parseJsonl(scala.io.Source.fromFile(p).getLines()))
+    val parsed = soakPaths.map(p =>
+      p -> parseJsonl(scala.io.Source.fromFile(p).getLines()))
+    val rows = parsed.flatMap(_._2._1)
+    val malformed = parsed.flatMap { case (p, (_, bad)) =>
+      bad.map(l => s"$p: malformed sweep row (JVM died mid-write?): $l")
+    }
     val baseline = parseBaseline(
       scala.io.Source.fromFile(basePath).getLines())
-    val (vio, notes) = evaluate(rows, baseline)
+    val (vioEval, notes) = evaluate(rows, baseline)
+    val vio = malformed ++ vioEval
     notes.foreach(n => println(s"[soakgate] NOTE $n"))
     vio.foreach(v => println(s"[soakgate] VIOLATION $v"))
     println(s"[soakgate] ${rows.count(_.q.matches("^q\\d.*"))} query rows, " +

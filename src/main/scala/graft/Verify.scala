@@ -23,14 +23,22 @@ object Verify {
     queries.flatMap { case (name, fn) =>
       // plain parallel write — the checker globs *.parquet, and coalesce(1)
       // would serialize each query's final stage at bigger SFs
-      try { fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name"); None }
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-        Files.writeString(
-          Paths.get(s"$outDir/$name._FAILED"),
-          Option(e.getMessage).getOrElse(e.getClass.getName))
-        Some(name)
-      }
+      val r =
+        try { fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name"); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+          Files.writeString(
+            Paths.get(s"$outDir/$name._FAILED"),
+            Option(e.getMessage).getOrElse(e.getClass.getName))
+          Some(name)
+        }
+      // per-query cache isolation (the SoakBench discipline): operators
+      // persist intra-query frames they cannot release before the final
+      // plan materializes; 340+ queries in one JVM would accumulate them
+      // into the storage pool. Session bindings (graft.bindings.*)
+      // re-persist on demand, so clearing here is always safe.
+      spark.catalog.clearCache()
+      r
     }
   }
 

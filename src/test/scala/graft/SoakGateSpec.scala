@@ -72,7 +72,7 @@ class SoakGateSpec extends AnyFunSuite {
   }
 
   test("jsonl and baseline parsers round-trip the real formats") {
-    val rows = SoakGate.parseJsonl(Iterator(
+    val (rows, bad) = SoakGate.parseJsonl(Iterator(
       """{"q":"q59_sessions_stream_replay","sec":17.36,"rows":95393,"ok":true,"timed_out":false,"mem_spill_mb":0}""",
       """[soak] {"q":"q98_stream_stream_join","sec":388.24,"ok":true,"timed_out":false}""",
       """{"q":"rate_cap_ingest","sec":2.92,"rows_in":1000000}""",
@@ -82,6 +82,18 @@ class SoakGateSpec extends AnyFunSuite {
       Seq("q59_sessions_stream_replay", "q98_stream_stream_join",
         "rate_cap_ingest", "TOTAL"))
     assert(rows.head.sec == 17.36 && rows.head.ok && !rows.head.timedOut)
+    assert(bad.isEmpty, "prose lines are not malformed rows")
+  }
+
+  test("a truncated sweep row is surfaced as malformed, not a crash") {
+    // a JVM killed mid-println leaves a partial final line: it must be
+    // reported (the gate fails the run on it), never a parser stack
+    // trace, and never silently dropped
+    val (rows, bad) = SoakGate.parseJsonl(Iterator(
+      """{"q":"q01_order_revenue","sec":10.0,"ok":true,"timed_out":false}""",
+      """{"q":"q184_linear_attr"""))
+    assert(rows.map(_.q) == Seq("q01_order_revenue"))
+    assert(bad.size == 1 && bad.head.contains("q184_linear_attr"))
     val b = SoakGate.parseBaseline(Iterator(
       "# comment", "", "q01_order_revenue\t10.5", "q02_ltv_daily\t0.58\tnote"))
     assert(b == Map("q01_order_revenue" -> 10.5, "q02_ltv_daily" -> 0.58))
