@@ -158,6 +158,17 @@ object Retrieval {
     * regardless of df. At 100 TB this runs once at index-build time and
     * persists as the bucketed-by-term index. */
   def impactTruncate(
+      scored: DataFrame, maxPostingsPerTerm: Int, salts: Int = 16): DataFrame =
+    impactTruncateRanked(scored, maxPostingsPerTerm, salts).drop("graft_pr")
+
+  /** [[impactTruncate]] keeping the per-term impact rank (`graft_pr`).
+    * For any posting with global per-term rank r ≤ M, stage 2's rank
+    * over the stage-1 survivors EQUALS r (everything globally above it
+    * also survives stage 1), so `filter(graft_pr <= m)` for any m ≤ M
+    * reproduces `impactTruncate(_, m)` exactly — the property the
+    * recall sweep exploits to truncate once at max(M) instead of once
+    * per arm (law-tested). */
+  private[ext] def impactTruncateRanked(
       scored: DataFrame, maxPostingsPerTerm: Int, salts: Int = 16): DataFrame = {
     require(salts >= 1, "salts must be positive")
     val wSalt = org.apache.spark.sql.expressions.Window
@@ -171,7 +182,6 @@ object Retrieval {
       .drop("graft_sr")
       .withColumn("graft_pr", row_number().over(wTerm))
       .filter(col("graft_pr") <= maxPostingsPerTerm)
-      .drop("graft_pr")
   }
 
   /** Two-stage pruned BM25 probe — the scale-safe sibling of the
@@ -199,7 +209,18 @@ object Retrieval {
       scored: DataFrame, queryModEvery: Int, k: Int,
       maxPostingsPerTerm: Int): DataFrame = {
     val qt = queryTerms(scored, queryModEvery)
-    val cand = impactTruncate(scored, maxPostingsPerTerm)
+    rescoreCandidates(
+      scored, qt, impactTruncate(scored, maxPostingsPerTerm), k)
+  }
+
+  /** The shared truncated-probe tail: candidate generation from a
+    * pruned index slice, then EXACT rescoring against the full index —
+    * both the production probe and the recall sweep's arms end here, so
+    * candidate/rescore semantics cannot drift between them. */
+  private def rescoreCandidates(
+      scored: DataFrame, qt: DataFrame, prunedIndex: DataFrame,
+      k: Int): DataFrame = {
+    val cand = prunedIndex
       .join(broadcast(qt), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id")).distinct()
@@ -232,9 +253,15 @@ object Retrieval {
     * deflate the ratio).
     *
     * Scale shape: the exact side computes ONCE and persists
-    * (queries·k rows); each arm reuses the production two-stage chain.
-    * At 100 TB the sweep runs on a hash-sampled query set — probe side
-    * sampled, corpus side complete (the annRecall sampling rule). */
+    * (queries·k rows), and the index truncates ONCE at max(mList) with
+    * the per-term impact rank retained ([[impactTruncateRanked]]):
+    * because stage-2 rank equals global per-term rank for every kept
+    * posting, each arm is a rank filter over the shared pass —
+    * identical candidates to a per-arm truncation (law-tested) at one
+    * index-truncation cost instead of |mList|. Every arm then reuses
+    * the production rescore tail. At 100 TB the sweep runs on a
+    * hash-sampled query set — probe side sampled, corpus side complete
+    * (the annRecall sampling rule). */
   def truncationRecallSweep(
       scored: DataFrame, queryModEvery: Int, k: Int,
       mList: Seq[Int]): DataFrame = {
@@ -243,8 +270,11 @@ object Retrieval {
     val exact = probe(scored, qt, k)
       .select(col("query_id"), col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = impactTruncateRanked(scored, mList.max)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val arms = mList.map { m =>
-      val approx = bm25TruncatedFromPostings(scored, queryModEvery, k, m)
+      val approx = rescoreCandidates(
+          scored, qt, ranked.filter(col("graft_pr") <= m), k)
         .select(col("query_id"), col("doc_id"))
       exact.join(approx, Seq("query_id", "doc_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -261,11 +291,12 @@ object Retrieval {
           .as("recall"))
       .orderBy(col("max_postings"))
       // the q141 discipline: the sweep is |mList| rows — materialize it
-      // and release the exact-probe cache so long multi-query sessions
-      // (Verify dumps the full surface in one JVM) don't accumulate it
+      // and release the side caches so long multi-query sessions
+      // (Verify dumps the full surface in one JVM) don't accumulate them
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sweep.count()
     exact.unpersist()
+    ranked.unpersist()
     sweep
   }
 

@@ -160,4 +160,22 @@ class RetrievalSpec extends SparkSpec {
         s"salts=$s must select the identical top-M posting set")
     }
   }
+
+  test("impactTruncateRanked law: rank filter at m <= M equals a direct truncation at m") {
+    // the property the recall sweep exploits: one ranked pass at
+    // max(mList), then per-arm rank filters — must reproduce the
+    // per-arm truncation exactly, ties included
+    val docs = (0L to 39L).map(i => (i, s"common shared${i % 2} tail${i % 7}"))
+      .toDF("doc_id", "text")
+    val scored = Retrieval.scoredPostings(docs, "doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.select($"term", $"doc_id", $"tn").orderBy($"term", $"doc_id")
+        .as[(String, Long, Long)].collect().toSeq
+    val ranked = Retrieval.impactTruncateRanked(scored, 7)
+    Seq(1, 2, 5, 7).foreach { m =>
+      assert(canon(ranked.filter($"graft_pr" <= m).drop("graft_pr")) ==
+        canon(Retrieval.impactTruncate(scored, m)),
+        s"rank filter at m=$m must equal impactTruncate(m)")
+    }
+  }
 }
