@@ -1608,7 +1608,7 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("source"))
       Similarity.sourceDispersion(
           Tables.embeddings(s, dir).join(src, Seq("vec_id")),
-          "vec_id", "embedding", col("source"))
+          "embedding", col("source"))
         .orderBy(col("source"))
     }),
 
@@ -3625,7 +3625,7 @@ object SparkEntry {
            scl AS (
              SELECT user_id, event_id, event_type, tsu,
                     CASE WHEN lag(tsu) OVER w IS NULL
-                           OR tsu - lag(tsu) OVER w > 1800000000
+                           OR tsu - lag(tsu) OVER w >= 1800000000
                          THEN 1 ELSE 0 END AS is_new
              FROM sce
              WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
@@ -3967,7 +3967,7 @@ object SparkEntry {
            ssl AS (
              SELECT user_id, event_id, tsu,
                     CASE WHEN lag(tsu) OVER w IS NULL
-                           OR tsu - lag(tsu) OVER w > 1800000000
+                           OR tsu - lag(tsu) OVER w >= 1800000000
                          THEN 1 ELSE 0 END AS is_new
              FROM sse
              WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
@@ -4095,15 +4095,15 @@ object SparkEntry {
              FROM events),
            lac AS (
              SELECT user_id, event_type, value, tsu,
-                    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                      OVER w AS BIGINT) AS k_0,
-                    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-                      OVER w AS BIGINT) AS k_1,
-                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                      OVER w AS BIGINT) AS k_2
+                    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      OVER w, 0) AS BIGINT) AS k_0,
+                    CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                      OVER w, 0) AS BIGINT) AS k_1,
+                    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      OVER w, 0) AS BIGINT) AS k_2
              FROM lae
              WINDOW w AS (PARTITION BY user_id ORDER BY tsu
-               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)),
+               RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
            lap AS (
              SELECT CAST(round(value * 10000) AS BIGINT) AS cents,
                     k_0, k_1, k_2, k_0 + k_1 + k_2 AS n
@@ -4418,7 +4418,8 @@ object SparkEntry {
                      t.event_id AS tid, t.event_type AS tty, t.tsu AS ttsu
               FROM p LEFT JOIN t
                 ON p.user_id = t.user_id
-               AND t.tsu BETWEEN p.tsu - ${7 * 86400L * 1000000L} AND p.tsu),
+               AND t.tsu >= p.tsu - ${7 * 86400L * 1000000L}
+               AND t.tsu < p.tsu),
             rk AS (
               SELECT *,
                      row_number() OVER (PARTITION BY purchase_id
@@ -7088,7 +7089,7 @@ object SparkEntry {
       s"""WITH rb AS (
              SELECT source,
                     CAST(round((0.0588 * (100.0 * length(regexp_replace(
-                        text, '\\s', '', 'g'))
+                        text, '[ \\t\\n\\x0B\\f\\r]', '', 'g'))
                       / len(${graft.functions.Portable.tokensSql("text")}))
                       - 0.296 * (100.0 * len(regexp_extract_all(
                           text, '[.!?]+'))
@@ -7103,8 +7104,10 @@ object SparkEntry {
                       AS BIGINT) AS n_college
              FROM rb GROUP BY 1)
          SELECT source, n_docs,
-                (((scq * 2) + n_docs) // (n_docs * 2)) / 1000000.0
-                  AS mean_cli,
+                (CASE WHEN scq >= 0
+                      THEN ((scq * 2) + n_docs) // (n_docs * 2)
+                      ELSE -((((-scq) * 2) + n_docs) // (n_docs * 2))
+                 END) / 1000000.0 AS mean_cli,
                 (((n_college * 1000000 * 2) + n_docs) // (n_docs * 2))
                   / 1000000.0 AS college_share
          FROM ra ORDER BY source""",
@@ -7417,8 +7420,10 @@ object SparkEntry {
       val nCh = types.size
       val nFact = (1 to nCh).foldLeft(1L)(_ * _)
       val kCols = types.zipWithIndex.map { case (t, i) =>
-        s"""CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
-                  OVER w AS BIGINT) AS k_$i"""
+        // coalesce: the strict 1-PRECEDING frame is EMPTY for a
+        // purchase with no prior events and sum-over-empty is NULL
+        s"""CAST(coalesce(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+                  OVER w, 0) AS BIGINT) AS k_$i"""
       }.mkString(",\n                    ")
       val maskExpr = types.indices
         .map(i => s"(CASE WHEN k_$i > 0 THEN ${1L << i} ELSE 0 END)")
@@ -7440,7 +7445,7 @@ object SparkEntry {
              FROM she
              WINDOW w AS (PARTITION BY user_id ORDER BY tsu
                RANGE BETWEEN ${7 * 86400L * 1000000L} PRECEDING
-                 AND CURRENT ROW)),
+                 AND 1 PRECEDING)),
            shp AS (
              SELECT CAST(round(value * 10000) AS BIGINT) AS cents,
                     $maskExpr AS mask
@@ -8118,10 +8123,12 @@ object SparkEntry {
                      * CAST(round(ln(CAST(c.nij AS DOUBLE) / r.ni) * 1e9)
                        AS BIGINT)) AS HUGEINT) AS sc
                    FROM mec c JOIN mer r USING (f)),
-           mhu AS (SELECT CAST(sum(CAST(r.ni AS HUGEINT)
-                     * CAST(round(ln(CAST(r.ni AS DOUBLE) / t.nn) * 1e9)
+           mel AS (SELECT t, CAST(sum(nij) AS BIGINT) AS nj
+                   FROM mec GROUP BY 1),
+           mhu AS (SELECT CAST(sum(CAST(l.nj AS HUGEINT)
+                     * CAST(round(ln(CAST(l.nj AS DOUBLE) / t.nn) * 1e9)
                        AS BIGINT)) AS HUGEINT) AS su
-                   FROM mer r CROSS JOIN met t),
+                   FROM mel l CROSS JOIN met t),
            meh AS (SELECT t.nn, t.n_states,
                           (((-u.su) * 1000000 * 2)
                            + CAST(t.nn AS HUGEINT) * 1000000000)

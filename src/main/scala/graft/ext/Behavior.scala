@@ -68,26 +68,17 @@ object Behavior {
           .otherwise(1).as("stage_reached"))
   }
 
-  /** First-order event-type transition matrix: per (from, to) pair of
-    * consecutive events of one user, the transition count and its
-    * probability among all transitions leaving `from` — sequence mining
-    * over the event log (the Markov layer under next-event prediction
-    * and funnel discovery). Consecutive = by (ts, event_id) — the id
-    * tie-break makes simultaneous events a total order, so the chain is
-    * deterministic.
-    *
-    * One window sort per user (the unavoidable sequence shuffle), then
-    * mart-sized aggregates; probability = count over a window sum, no
-    * second pass. */
   /** Entropy rate of the event-type Markov chain — the ONE-NUMBER
     * predictability readout over [[transitions]]' matrix and the
     * honest ceiling for [[markovPredictorAccuracy]]: conditional
     * entropy H(next|current) = −Σᵢⱼ nᵢⱼ·ln(nᵢⱼ∕nᵢ)∕N in nats, next to
-    * the first-order baseline H(next) = −Σᵢ nᵢ·ln(nᵢ∕N)∕N; their gap
-    * (the information gain of conditioning) is exactly the mutual
-    * information I(current; next) — ≈ 0 says the next event type is
-    * unpredictable from the current one and no sequence model will
-    * beat the marginal.
+    * the first-order baseline H(next) = −Σⱼ nⱼ·ln(nⱼ∕N)∕N over the
+    * NEXT-event marginal (column sums nⱼ — the from-state row sums
+    * would make the gap H(current)−H(next|current), which is not an MI
+    * and can go negative); their gap (the information gain of
+    * conditioning) is exactly the mutual information I(current; next)
+    * — ≈ 0 says the next event type is unpredictable from the current
+    * one and no sequence model will beat the marginal.
     *
     * Exactness: transition counts exact; each ln ratio quantizes 1e-9
     * and multiplies the exact count in decimal(38,0) (order-free
@@ -118,9 +109,12 @@ object Behavior {
         * round(log(col("nij").cast("double") / col("ni")) * 1e9)
           .cast("long")).as("term"))
       .agg(sum(col("term")).as("sc"))
-    val hUni = rows.crossJoin(broadcast(tot))
-      .select((col("ni").cast(dec)
-        * round(log(col("ni").cast("double") / col("nn")) * 1e9)
+    // the baseline marginal is over the NEXT event (column sums) — the
+    // H(next) that makes hu - hc the mutual information
+    val cols = cells.groupBy(col("t")).agg(sum(col("nij")).as("nj"))
+    val hUni = cols.crossJoin(broadcast(tot))
+      .select((col("nj").cast(dec)
+        * round(log(col("nj").cast("double") / col("nn")) * 1e9)
           .cast("long")).as("term"))
       .agg(sum(col("term")).as("su"))
     tot.crossJoin(broadcast(hCond)).crossJoin(broadcast(hUni))
@@ -135,6 +129,17 @@ object Behavior {
         ((col("hu") - col("hc")) / 1e6).as("info_gain"))
   }
 
+  /** First-order event-type transition matrix: per (from, to) pair of
+    * consecutive events of one user, the transition count and its
+    * probability among all transitions leaving `from` — sequence mining
+    * over the event log (the Markov layer under next-event prediction
+    * and funnel discovery). Consecutive = by (ts, event_id) — the id
+    * tie-break makes simultaneous events a total order, so the chain is
+    * deterministic.
+    *
+    * One window sort per user (the unavoidable sequence shuffle), then
+    * mart-sized aggregates; probability = count over a window sum, no
+    * second pass. */
   def transitions(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -202,7 +207,11 @@ object Behavior {
         struct(col("tsu").as("t"), col("event_id").as("id"),
           col("event_type").as("ty"))))
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
-      .rangeBetween(-lookbackMicros, 0)
+      // upper bound -1, not 0: a touch at the purchase's exact
+      // microsecond cannot causally precede it — STRICT tt < tp, the
+      // same boundary as the join-form siblings (timeDecay/position/
+      // capped), so the attribution family reconciles cross-model
+      .rangeBetween(-lookbackMicros, -1)
     tagged
       .withColumn("first_touch", min(col("touch")).over(w))
       .withColumn("last_touch", max(col("touch")).over(w))
@@ -274,8 +283,6 @@ object Behavior {
       events: DataFrame,
       step1: String = "signup", step2: String = "view", step3: String = "purchase")
       : DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
     val f = funnel(events, step1, step2, step3)
     val counts = f.agg(
       count(col(s"${step1}_ts")).as("n1"),
@@ -469,8 +476,12 @@ object Behavior {
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("tsu"))
       .withColumn("prev", lag(col("tsu"), 1).over(byTs))
+      // gap >= breaks the session — the SAME boundary rule as the
+      // streaming StatefulSessionizer (us - last >= gapUs) and Spark's
+      // half-open session_window [start, last+gap), so the batch marts
+      // and sessionPaths agree at exact-gap instants
       .withColumn("is_new",
-        when(col("prev").isNull || col("tsu") - col("prev") > gapUs, 1L)
+        when(col("prev").isNull || col("tsu") - col("prev") >= gapUs, 1L)
           .otherwise(0L))
       .withColumn("sid", sum(col("is_new")).over(run))
       .groupBy(col("user_id"), col("sid"))
@@ -598,7 +609,11 @@ object Behavior {
       "q184_linear_attribution")
     val lookbackMicros = lookbackDays * 86400L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
-      .rangeBetween(-lookbackMicros, 0)
+      // upper bound -1, not 0: a touch at the purchase's exact
+      // microsecond cannot causally precede it — STRICT tt < tp, the
+      // same boundary as the join-form siblings (timeDecay/position/
+      // capped), so the attribution family reconciles cross-model
+      .rangeBetween(-lookbackMicros, -1)
     val base = events.select(
       col("user_id"), col("event_type"), col("value"),
       unix_micros(col("ts")).as("tsu"))
@@ -606,8 +621,13 @@ object Behavior {
     // withColumn stacks one Window operator per type over the same sort)
     val counted = base.select(
       base.columns.map(col) ++ touchTypes.zipWithIndex.map { case (t, i) =>
-        sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w)
-          .as(s"k_$i")
+        // coalesce: with the strict [-lookback, -1) frame a purchase
+        // with no prior events has an EMPTY frame, and sum over an
+        // empty frame is NULL, not 0 — uncoalesced, such purchases
+        // would silently vanish from the direct arm
+        coalesce(
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w),
+          lit(0L)).as(s"k_$i")
       }: _*)
     val purchases = counted
       .filter(col("event_type") === "purchase")
@@ -855,6 +875,18 @@ object Behavior {
     val pairs = p.join(t, Seq("user_id"))
       .filter(col("tt") < col("tp") &&
         col("tp") - col("tt") <= lookbackMicros)
+    positionCreditRollup(pairs, p)
+  }
+
+  /** The shared U-shape credit + channel rollup tail of the position
+    * family — `pairs` carries one row per credited (purchase, touch)
+    * with (purchase_id, cents, tid, ty, tt); `purchases` supplies the
+    * direct arm. ONE body for [[positionAttribution]] and the capped
+    * sibling, so the 40/20/40 formula (and its n==2 and rounding
+    * subtleties) cannot silently drift between the spec form and the
+    * scale form the law test compares. */
+  private def positionCreditRollup(
+      pairs: DataFrame, purchases: DataFrame): DataFrame = {
     val perP = pairs.groupBy(col("purchase_id"), col("cents"))
       .agg(count(lit(1)).as("n"),
         min(struct(col("tt"), col("tid"), col("ty"))).as("ft"),
@@ -876,7 +908,7 @@ object Behavior {
         // decimal(38,0) envelope (see timeDecayAttribution's rev_mu)
         expr("(CAST(cents AS DECIMAL(38,0)) * 1000 * share_u) div 1000000")
           .as("rev_mu"))
-    val direct = p.join(perP.select(col("purchase_id")),
+    val direct = purchases.join(perP.select(col("purchase_id")),
         Seq("purchase_id"), "left_anti")
       .select(lit("direct").as("ty"), col("purchase_id"),
         lit(1000000L).as("share_u"),
@@ -1003,40 +1035,7 @@ object Behavior {
           case (acc, (ty, i)) => acc.when(expr(s"kept.id % $m") === i.toLong, lit(ty))
         }.as("ty"),
         col("kept.score").cast("long").as("tt"))
-    val perP = pairs.groupBy(col("purchase_id"), col("cents"))
-      .agg(count(lit(1)).as("n"),
-        min(struct(col("tt"), col("tid"), col("ty"))).as("ft"),
-        max(struct(col("tt"), col("tid"), col("ty"))).as("lt"))
-    val perChan = pairs.groupBy(col("purchase_id"), col("ty"))
-      .agg(count(lit(1)).as("k"))
-    val indF = (col("ft.ty") === col("ty")).cast("long")
-    val indL = (col("lt.ty") === col("ty")).cast("long")
-    val credited = perChan.join(perP, Seq("purchase_id"))
-      .withColumn("share_u",
-        when(col("n") === 1, indF * 1000000L)
-          .when(col("n") === 2, (indF + indL) * 500000L)
-          .otherwise(
-            (indF + indL) * 400000L +
-            (col("k") - indF - indL) *
-              expr("((200000 * 2) + (n - 2)) div ((n - 2) * 2)")))
-      .filter(col("share_u") > 0)
-      .select(col("ty"), col("purchase_id"), col("share_u"),
-        expr("(CAST(cents AS DECIMAL(38,0)) * 1000 * share_u) div 1000000")
-          .as("rev_mu"))
-    val direct = p.join(perP.select(col("purchase_id")),
-        Seq("purchase_id"), "left_anti")
-      .select(lit("direct").as("ty"), col("purchase_id"),
-        lit(1000000L).as("share_u"),
-        (col("cents") * 1000L).as("rev_mu"))
-    credited.unionByName(direct)
-      .groupBy(col("ty"))
-      .agg(countDistinct(col("purchase_id")).as("n_purchases"),
-        sum(col("share_u").cast("decimal(38,0)")).as("su"),
-        sum(col("rev_mu").cast("decimal(38,0)")).as("sr"))
-      .select(col("ty").as("touch_type"), col("n_purchases"),
-        round(col("su") / 1e6, 6).as("total_credit"),
-        round(col("sr") / 1e7, 6).as("attributed_revenue"))
-      .orderBy(col("touch_type"))
+    positionCreditRollup(pairs, p)
   }
 
   /** Exact-factorial Shapley coefficient s!·(n−1−s)! — the numerator of
@@ -1088,7 +1087,11 @@ object Behavior {
     val nFact = (1 to n).foldLeft(1L)(_ * _)
     val lookbackMicros = lookbackDays * 86400L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
-      .rangeBetween(-lookbackMicros, 0)
+      // upper bound -1, not 0: a touch at the purchase's exact
+      // microsecond cannot causally precede it — STRICT tt < tp, the
+      // same boundary as the join-form siblings (timeDecay/position/
+      // capped), so the attribution family reconciles cross-model
+      .rangeBetween(-lookbackMicros, -1)
     val base = events.select(
       col("user_id"), col("event_type"), col("value"),
       unix_micros(col("ts")).as("tsu"))
@@ -1096,8 +1099,13 @@ object Behavior {
     // linearAttribution device)
     val counted = base.select(
       base.columns.map(col) ++ touchTypes.zipWithIndex.map { case (t, i) =>
-        sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w)
-          .as(s"k_$i")
+        // coalesce: with the strict [-lookback, -1) frame a purchase
+        // with no prior events has an EMPTY frame, and sum over an
+        // empty frame is NULL, not 0 — uncoalesced, such purchases
+        // would silently vanish from the direct arm
+        coalesce(
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w),
+          lit(0L)).as(s"k_$i")
       }: _*)
     val dec = "decimal(38,0)"
     val perMask = counted

@@ -73,7 +73,13 @@ object Curation {
       .join(langs, Seq(idCol))
       .join(losers, Seq(idCol), "left_outer")
       .withColumn("disposition",
-        when(col("quality_score") < minQuality, "low_quality")
+        // null-safe: a NULL quality score (null/empty text zeroes the
+        // ratio denominators) FAILS curate's `quality >= min` gate, so
+        // the manifest must file it under low_quality too — otherwise
+        // it would fall through to wrong_lang/kept and break the
+        // manifest-vs-keep-list reconciliation this operator promises
+        when(col("quality_score").isNull
+          || col("quality_score") < minQuality, "low_quality")
           .when(col("detected_lang") =!= lang, "wrong_lang")
           .when(col("is_loser"), "near_dup")
           .otherwise("kept"))
@@ -147,26 +153,54 @@ object Curation {
     * unpartitioned rank window is over that mart, not data). */
   def tokenBudgetPlan(
       docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, budget: Long = 1000000L): DataFrame = {
-    val perSource = TextAnalysis.tokenCounts(docs, idCol, textCol)
+      sourceCol: String, budget: Long = 1000000L): DataFrame =
+    apportion(perSourceTokens(docs, idCol, textCol, sourceCol), "n_tokens",
+        budget)
+      .select(
+        col("source"), col("n_tokens"), col("alloc_tokens"),
+        (col("alloc_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("epochs"))
+
+  /** Doc-grain whitespace-token counts with their source — the shared
+    * head of every mix planner. */
+  private def docTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame =
+    TextAnalysis.tokenCounts(docs, idCol, textCol)
       .join(docs.select(col(idCol), col(sourceCol).as("source")), Seq(idCol))
+      .select(col(idCol).as("doc_id"), col("source"),
+        col("n_ws_tokens").cast("long").as("tk"))
+
+  private def perSourceTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame =
+    docTokens(docs, idCol, textCol, sourceCol)
       .groupBy(col("source"))
-      .agg(sum(col("n_ws_tokens").cast("long")).as("n_tokens"))
-    val total = perSource.agg(sum(col("n_tokens")).as("w_total"))
+      .agg(sum(col("tk")).as("n_tokens"))
+
+  /** Largest-remainder (Hamilton) integer apportionment of `budget`
+    * across the mix-grain `perSource` frame, proportional to
+    * `weightCol`: floor shares + one extra unit to the R sources with
+    * the largest remainders (ties by source name), so Σ alloc = budget
+    * exactly. ONE body for both planners — the r_extra-via-window and
+    * tie-break rules are subtle enough that two copies WOULD drift.
+    * All arithmetic int64-exact; budget·max(weight) must fit int64
+    * (the caller-facing envelope documented on [[tokenBudgetPlan]]).
+    * Returns the input columns plus `alloc_tokens`. */
+  private def apportion(
+      perSource: DataFrame, weightCol: String, budget: Long): DataFrame = {
+    val total = perSource.agg(sum(col(weightCol)).as("w_total"))
     val shares = perSource.crossJoin(broadcast(total))
-      .withColumn("share", expr(s"(${budget}L * n_tokens) div w_total"))
-      .withColumn("rem", expr(s"(${budget}L * n_tokens) % w_total"))
+      .withColumn("share", expr(s"(${budget}L * `$weightCol`) div w_total"))
+      .withColumn("rem", expr(s"(${budget}L * `$weightCol`) % w_total"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-    val alloc = col("share") +
-      when(col("rnk") <= col("r_extra"), 1L).otherwise(0L)
     shares
       .withColumn("r_extra", lit(budget) - sum(col("share")).over(wAll))
       .withColumn("rnk", row_number().over(
         wAll.orderBy(col("rem").desc, col("source"))))
-      .select(
-        col("source"), col("n_tokens"),
-        alloc.as("alloc_tokens"),
-        (alloc.cast("double") / col("n_tokens").cast("double")).as("epochs"))
+      .withColumn("alloc_tokens",
+        col("share") + when(col("rnk") <= col("r_extra"), 1L).otherwise(0L))
+      .drop("w_total", "share", "rem", "r_extra", "rnk")
   }
 
   /** Budget REALIZATION: turn [[tokenBudgetPlan]]'s per-source token
@@ -188,12 +222,17 @@ object Curation {
       docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, budget: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val plan = tokenBudgetPlan(docs, idCol, textCol, sourceCol, budget)
+    // ONE tokenization scan: the plan's per-source aggregate and the
+    // selection cumsum both read this doc-grain frame, and Catalyst
+    // does not share subplans across consumers (the packCorpus rule) —
+    // deriving the plan via tokenBudgetPlan would tokenize the corpus
+    // twice per action
+    val docToks = docTokens(docs, idCol, textCol, sourceCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plan = apportion(
+        docToks.groupBy(col("source")).agg(sum(col("tk")).as("n_tokens")),
+        "n_tokens", budget)
       .select(col("source"), col("alloc_tokens"))
-    val docToks = TextAnalysis.tokenCounts(docs, idCol, textCol)
-      .join(docs.select(col(idCol), col(sourceCol).as("source")), Seq(idCol))
-      .select(col(idCol).as("doc_id"), col("source"),
-        col("n_ws_tokens").cast("long").as("tk"))
     val cum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val sel = docToks
@@ -226,28 +265,17 @@ object Curation {
     * aggregate to source grain, then mix-grain (#sources) windows. */
   def temperatureMixPlan(
       docs: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, budget: Long = 1000000L): DataFrame = {
-    val perSource = TextAnalysis.tokenCounts(docs, idCol, textCol)
-      .join(docs.select(col(idCol), col(sourceCol).as("source")), Seq(idCol))
-      .groupBy(col("source"))
-      .agg(sum(col("n_ws_tokens").cast("long")).as("n_tokens"))
-      .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
-    val total = perSource.agg(sum(col("w")).as("w_total"))
-    val shares = perSource.crossJoin(broadcast(total))
-      .withColumn("share", expr(s"(${budget}L * w) div w_total"))
-      .withColumn("rem", expr(s"(${budget}L * w) % w_total"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-    val alloc = col("share") +
-      when(col("rnk") <= col("r_extra"), 1L).otherwise(0L)
-    shares
-      .withColumn("r_extra", lit(budget) - sum(col("share")).over(wAll))
-      .withColumn("rnk", row_number().over(
-        wAll.orderBy(col("rem").desc, col("source"))))
+      sourceCol: String, budget: Long = 1000000L): DataFrame =
+    apportion(
+        perSourceTokens(docs, idCol, textCol, sourceCol)
+          .withColumn("w",
+            floor(sqrt(col("n_tokens").cast("double"))).cast("long")),
+        "w", budget)
       .select(
         col("source"), col("n_tokens"), col("w").as("weight"),
-        alloc.as("alloc_tokens"),
-        (alloc.cast("double") / col("n_tokens").cast("double")).as("epochs"))
-  }
+        col("alloc_tokens"),
+        (col("alloc_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("epochs"))
 
   /** Source-ablation ledger: for every source, the corpus health
     * metrics WITHOUT that source — leave-one-source-out mean quality,

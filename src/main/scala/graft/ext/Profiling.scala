@@ -120,7 +120,12 @@ object Profiling {
       .withColumn("rn", row_number().over(w))
       .withColumn("cnt", count(lit(1)).over(cw))
     val aggs = ps.map { p =>
-      val pos = greatest(lit(1L), ceil(lit(p) * col("cnt")))
+      // EXACT decimal position arithmetic (the oracle's form): a double
+      // multiply puts ceil on a float boundary — 0.07*100 is
+      // 7.000000000000001 in IEEE, so ceil picks position 8 where
+      // percentile_disc(0.07) is position 7
+      val pos = greatest(lit(1L),
+        ceil(lit(BigDecimal(p).underlying) * col("cnt")).cast("long"))
       max(when(col("rn") === pos, col(valueCol))).as(quantileLabel(p))
     } :+ max(col("cnt")).as("n_rows")
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
@@ -744,7 +749,7 @@ object Profiling {
     * over the FULL grid (zero cells included — the test statistic is
     * wrong without them). Reads as "is my RFM segmentation independent
     * of market segment, and WHICH cells drive the dependence"
-    * ([[groupMutualInformation]]'s test-statistic sibling).
+    * ([[mutualInformation]]'s test-statistic sibling).
     *
     * Exactness: counts exact; expected = row·col/N and the cell term
     * (n−e)²/e are one shared IEEE chain each, 6dp. Shape: one hash
@@ -946,7 +951,11 @@ object Profiling {
       var n2 = 0L; var i = 0
       while (i < dim) { n2 += wu(i) * wu(i); i += 1 }
       val nrm = math.sqrt(n2.toDouble)
-      v = wu.map(u => u / nrm)
+      // degenerate covariance (constant corpus, or everything quantizes
+      // to zero): Mv = 0 has no principal direction — keep the current
+      // unit vector instead of dividing by zero (0/0 = NaN would crash
+      // the next roundHalfUp); lambda then reads 0, the honest answer
+      if (nrm > 0.0) v = wu.map(u => u / nrm)
     }
     val wf = matvecUnits(v)
     var lambdaUnits = 0L
@@ -1024,13 +1033,19 @@ object Profiling {
   def olsNormalEq(
       df: DataFrame, group: Column,
       y: Column, x1: Column, x2: Column): DataFrame = {
+    // moment sums in decimal(38,0) (the groupCorr envelope): native-type
+    // products overflow silently — an int32 input wraps in x*x itself,
+    // and sum(y·y) at cents scale crosses int64 within a hot group long
+    // before the 100 TB tier this module documents
+    val dec = "decimal(38,0)"
+    def d(c: Column) = c.cast(dec)
     val a = df.groupBy(group.as("grp")).agg(
       count(lit(1)).as("n"),
-      sum(x1).as("sx1"), sum(x2).as("sx2"), sum(y).as("sy"),
-      sum(x1 * x1).as("sx11"), sum(x2 * x2).as("sx22"),
-      sum(x1 * x2).as("sx12"),
-      sum(x1 * y).as("sx1y"), sum(x2 * y).as("sx2y"),
-      sum(y * y).as("syy"))
+      sum(d(x1)).as("sx1"), sum(d(x2)).as("sx2"), sum(d(y)).as("sy"),
+      sum(d(x1) * d(x1)).as("sx11"), sum(d(x2) * d(x2)).as("sx22"),
+      sum(d(x1) * d(x2)).as("sx12"),
+      sum(d(x1) * d(y)).as("sx1y"), sum(d(x2) * d(y)).as("sx2y"),
+      sum(d(y) * d(y)).as("syy"))
     // n-scaled centered moments, cast to double BEFORE the products so
     // the (potentially > int64) cross terms never overflow — the same
     // cast shape is mirrored in the SQL oracle

@@ -682,7 +682,10 @@ object TextAnalysis {
       docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
     val w = size(Portable.tokens(col(textCol))).cast("long")
     val c = length(regexp_replace(col(textCol), "\\s", "")).cast("long")
-    val s = expr(s"regexp_count($textCol, '[.!?]+')").cast("long")
+    // Column-based (not a spliced SQL string): a textCol needing
+    // backticks would misparse, and a dotted name would silently
+    // resolve as a struct field
+    val s = regexp_count(col(textCol), lit("[.!?]+")).cast("long")
     val cli = lit(0.0588) * (lit(100.0) * c / w) -
       lit(0.296) * (lit(100.0) * s / w) - lit(15.8)
     docs
@@ -693,7 +696,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("cq")).as("scq"),
         sum(when(col("cq") >= 12000000L, 1L).otherwise(0L)).as("n_college"))
       .select(col("source"), col("n_docs"),
-        expr("(((scq * 2) + n_docs) div (n_docs * 2)) " +
+        // sign-aware half-up: `div` truncates toward zero, so the
+        // (2a+b) div 2b trick is HALF_UP only for a >= 0 — a negative
+        // CLI sum (short-word corpora go below zero) must round half
+        // AWAY from zero via its magnitude or the mean biases up to
+        // 1.5e-6 toward zero
+        expr("(CASE WHEN scq >= 0 THEN ((scq * 2) + n_docs) div (n_docs * 2) " +
+          "ELSE -((((-scq) * 2) + n_docs) div (n_docs * 2)) END) " +
           "/ cast(1000000 as double)").as("mean_cli"),
         expr("(((n_college * 1000000 * 2) + n_docs) div (n_docs * 2)) " +
           "/ cast(1000000 as double)").as("college_share"))
@@ -1041,7 +1050,10 @@ object TextAnalysis {
       .select(col("bucket"), col("n_docs"),
         expr("((st * 1000000 * 2 + n_docs) div (n_docs * 2)) " +
           "/ cast(1000000 as double)").as("avg_tokens"),
-        expr("((slp * 2 + n_docs) div (n_docs * 2)) " +
+        // slp (a log-prob sum) is negative on essentially every input:
+        // sign-aware half-up (see readability's mean_cli note)
+        expr("(CASE WHEN slp >= 0 THEN (slp * 2 + n_docs) div (n_docs * 2) " +
+          "ELSE -(((-slp) * 2 + n_docs) div (n_docs * 2)) END) " +
           "/ cast(1000000 as double)").as("mean_logprob"))
 
   /** Corpus novelty saturation: documents in id-order batches of
@@ -1057,7 +1069,10 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String,
       bucketSize: Int = 50): DataFrame = {
     val pairs = docs.select(
-        expr(s"$idCol div $bucketSize").as("bucket"),
+        // backtick-quoted: a raw splice would misparse id columns
+        // needing quoting (and `div` keeps the bucket exact in LONG —
+        // double division would lose exactness past 2^53)
+        expr(s"`$idCol` div $bucketSize").as("bucket"),
         explode(graft.functions.WordShingles.shingles(
           lower(col(textCol)), 3)).as("g"))
       .distinct()

@@ -18,8 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
-  /** Daily revenue per restaurant with missing days zero-filled across
-    * each restaurant's own active span; `is_gap` marks filled rows. */
   /** Weekday seasonal profile per restaurant: each ISO weekday's mean
     * daily revenue and its effect (weekday mean − overall mean) — the
     * additive seasonal component a forecast or anomaly baseline
@@ -113,12 +111,14 @@ object Timeseries {
         (abs(col("z")) >= zThresh).as("is_outlier"))
   }
 
-  /** Per-restaurant linear revenue trend: OLS slope/intercept of daily
-    * revenue over the day index, with R² — the per-key trend feature a
+  /** Per-restaurant linear revenue trend: OLS slope of daily revenue
+    * over the day index, with R² — the per-key trend feature a
     * forecasting or ranking model consumes, and the "is this account
     * growing" KPI in one aggregate. Days are indexed from a fixed epoch
-    * (slope is translation-invariant; the intercept is reported AT the
-    * key's mean day, which is the stable formulation).
+    * (slope is translation-invariant). The emitted columns are n_days,
+    * slope_per_day, and r2 — no intercept (it would have to be pinned
+    * to an arbitrary origin; reconstruct fitted values from the daily
+    * mart if needed).
     *
     * Exactness: y rides integral CENT units (Σy² at 1e-4 grain
     * overflows int64 exactly where [[seasonalResidualOutliers]]
@@ -263,10 +263,14 @@ object Timeseries {
         (col("prev") / 10000.0).as("forecast_revenue"))
   }
 
+  /** Daily revenue per restaurant with missing days zero-filled across
+    * each restaurant's own active span; `is_gap` marks filled rows. */
   def gapFillDaily(orderRevenue: DataFrame): DataFrame = {
     val daily = orderRevenue
       .groupBy(col("restaurant_id"), col("creation_date"))
-      .agg(sum(round(col("total_revenue") * 10000)).as("cents"))
+      // integer-long cent sums (the rollingMarketCorr form): a double
+      // sum stays exact only below 2^53 1e-4-units per group
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
     val spine = daily
       .groupBy(col("restaurant_id"))
       .agg(min(col("creation_date")).as("d0"), max(col("creation_date")).as("d1"))
@@ -293,7 +297,8 @@ object Timeseries {
   def gapFillLocf(orderRevenue: DataFrame): DataFrame = {
     val daily = orderRevenue
       .groupBy(col("restaurant_id"), col("creation_date"))
-      .agg(sum(round(col("total_revenue") * 10000)).as("cents"))
+      // the gapFillDaily long-cents discipline
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
     val spine = daily
       .groupBy(col("restaurant_id"))
       .agg(min(col("creation_date")).as("d0"), max(col("creation_date")).as("d1"))
@@ -1055,22 +1060,34 @@ object Timeseries {
     // two driver-side scalars are the bounded-collect shape the
     // watermark loaders already use.
     val nPairs = slopes.count()
-    val (k1, k2) = ((nPairs - 1) / 2, nPairs / 2)
-    val sel = slopes.orderBy(col("sq")).rdd.map(_.getLong(0)).zipWithIndex()
-      .filter { case (_, i) => i == k1 || i == k2 }
-      .map(_._1).collect().sorted
-    slopes.unpersist()
-    // (a+b)/2 == lower + (upper-lower)·0.5 exactly for in-range longs —
-    // the same value percentile(sq, 0.5) interpolates to
-    val m = (sel.head + sel.last) / 2.0
-    grid
-      .select(
-        round((col("x").cast("double") - lit(m) / lit(1000000.0) * col("d"))
-          * 100).cast("long").as("rq"))
-      .agg(expr("percentile(rq, 0.5)").as("ic"), count(lit(1)).as("n_days"))
-      .select(col("n_days"), lit(nPairs).as("n_pairs"),
-        round(lit(m) / lit(1.0e10), 6).as("slope_per_day"),
-        round(col("ic") / lit(1000000.0), 6).as("intercept"))
+    if (nPairs == 0) {
+      // zero slope pairs (empty input, or a single calendar day): no
+      // slope is estimable — emit the empty frame with the operator's
+      // schema instead of crashing on sel.head
+      slopes.unpersist()
+      grid
+        .select(count(lit(1)).as("n_days"), lit(0L).as("n_pairs"),
+          lit(null).cast("double").as("slope_per_day"),
+          lit(null).cast("double").as("intercept"))
+        .filter(lit(false))
+    } else {
+      val (k1, k2) = ((nPairs - 1) / 2, nPairs / 2)
+      val sel = slopes.orderBy(col("sq")).rdd.map(_.getLong(0)).zipWithIndex()
+        .filter { case (_, i) => i == k1 || i == k2 }
+        .map(_._1).collect().sorted
+      slopes.unpersist()
+      // (a+b)/2 == lower + (upper-lower)·0.5 exactly for in-range longs —
+      // the same value percentile(sq, 0.5) interpolates to
+      val m = (sel.head + sel.last) / 2.0
+      grid
+        .select(
+          round((col("x").cast("double") - lit(m) / lit(1000000.0) * col("d"))
+            * 100).cast("long").as("rq"))
+        .agg(expr("percentile(rq, 0.5)").as("ic"), count(lit(1)).as("n_days"))
+        .select(col("n_days"), lit(nPairs).as("n_pairs"),
+          round(lit(m) / lit(1.0e10), 6).as("slope_per_day"),
+          round(col("ic") / lit(1000000.0), 6).as("intercept"))
+    }
   }
 
   /** Mann–Kendall trend test per restaurant — the SIGNIFICANCE

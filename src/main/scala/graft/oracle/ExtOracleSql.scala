@@ -1468,8 +1468,10 @@ object ExtOracleSql {
        |SELECT bucket, n_docs,
        |       ((st * 1000000 * 2 + n_docs) // (n_docs * 2)) / 1000000.0
        |         AS avg_tokens,
-       |       ((slp * 2 + n_docs) // (n_docs * 2)) / 1000000.0
-       |         AS mean_logprob
+       |       (CASE WHEN slp >= 0
+       |             THEN (slp * 2 + n_docs) // (n_docs * 2)
+       |             ELSE -(((-slp) * 2 + n_docs) // (n_docs * 2))
+       |        END) / 1000000.0 AS mean_logprob
        |FROM la ORDER BY bucket""".stripMargin
 
   /** Mirrors [[graft.ext.TextAnalysis.ngramNovelty]]. */
@@ -2598,7 +2600,8 @@ object ExtOracleSql {
     s"""WITH RECURSIVE ${curationCtes(minJaccard)},
        |disp AS (
        |  SELECT d.source,
-       |         CASE WHEN q.quality_score < $minQuality THEN 'low_quality'
+       |         CASE WHEN q.quality_score IS NULL
+       |                OR q.quality_score < $minQuality THEN 'low_quality'
        |              WHEN l.detected_lang <> '$lang' THEN 'wrong_lang'
        |              WHEN d.doc_id IN (SELECT doc_id FROM losers)
        |                THEN 'near_dup'

@@ -59,11 +59,25 @@ class DemandReadabilitySpec extends SparkSpec {
     ).toDF("source", "text")
     val got = TextAnalysis.readability(docs, "text", "source")
       .as[(String, Long, Double, Double)].collect().toSeq
-    // truncating micro mean of a negative single value loses the last
-    // micro digit toward zero: -7.08 -> -7.079999
+    // sign-aware half-up: a negative single value round-trips exactly
+    // (the old positive-only (2a+b) div 2b trick truncated -7.08 to
+    // -7.079999 — biased toward zero)
     assert(got == Seq(
-      ("s1", 1L, -7.079999, 0.0),
-      ("s2", 1L, -15.799999, 0.0)))
+      ("s1", 1L, -7.08, 0.0),
+      ("s2", 1L, -15.8, 0.0)))
+  }
+
+  test("readability: negative mean rounds half AWAY from zero (the HALF_UP contract)") {
+    // two docs with an exact integer micro mean (-11.44): the old
+    // positive-only trick truncated the half-shifted quotient toward
+    // zero and emitted -11.439999; HALF_UP must return -11.44
+    val docs = Seq(
+      ("s1", "Hi there."), // CLI -7.08
+      ("s1", "   "))       // CLI -15.8 -> mean -11.44 exactly
+    .toDF("source", "text")
+    val got = TextAnalysis.readability(docs, "text", "source")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("s1", 2L, -11.44, 0.0)), s"got $got")
   }
 
   test("crostonForecast: hand-computed size/interval levels; single-event parts give NULL forecast; layout-stable") {

@@ -101,13 +101,31 @@ class ProfilingSpec extends SparkSpec {
     }.toDF("user_id", "ts", "event_id", "event_type", "value")
     val got = Behavior.markovEntropyRate(events)
       .as[(Long, Long, Double, Double, Double)].collect().head
-    // cells (a->b x3, b->a x2): H(next|cur) = 0; marginal over FROM
-    // states: n_a=3, n_b=2, N=5 -> hand-quantized unigram entropy
+    // cells (a->b x3, b->a x2): H(next|cur) = 0; marginal over NEXT
+    // events: n_b=3, n_a=2, N=5 -> hand-quantized unigram entropy
     val su = 3L * math.round(math.log(3.0 / 5) * 1e9) +
       2L * math.round(math.log(2.0 / 5) * 1e9)
     val hu = ((-su) * 2000000L + 5000000000L) / 10000000000L
     assert(got == ((5L, 2L, hu / 1e6, 0.0, hu / 1e6)))
     assert(got._3 > 0.6 && got._3 < 0.7) // ~ln(2) ballpark sanity
+  }
+
+  test("markovEntropyRate: info_gain is a mutual information — zero for an independent next event, never negative") {
+    import java.sql.Timestamp
+    // every transition leaves the SAME state (login -> one of a,b,c,d,
+    // one user each): conditioning on the current state tells you
+    // nothing, so I(current; next) must be 0. The old from-state
+    // baseline gave H(current)=0 and info_gain = -ln(4) here.
+    val events = Seq("a", "b", "c", "d").zipWithIndex.flatMap {
+      case (t, u) => Seq(
+        (u.toLong, Timestamp.valueOf("2024-01-01 10:00:00"), 2L * u, "login", 0.0),
+        (u.toLong, Timestamp.valueOf("2024-01-01 10:01:00"), 2L * u + 1, t, 0.0))
+    }.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Behavior.markovEntropyRate(events)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 4L && got._5 == 0.0,
+      s"independent next event must have zero info_gain: $got")
+    assert(got._3 == got._4, "H(next) == H(next|current) here")
   }
 
   test("groupQuantilesDisc: percentile_disc positions, singleton group, labels") {
@@ -121,6 +139,17 @@ class ProfilingSpec extends SparkSpec {
     assert(got(1) == (("b", 42L, 42L, 42L, 1L)))
     assert(Profiling.quantileLabel(0.999) == "p99_9")
     assert(Profiling.quantileLabel(0.5) == "p50")
+  }
+
+  test("groupQuantilesDisc: exact-integer position boundary (0.07 x 100) stays on position 7") {
+    // IEEE 0.07*100 = 7.000000000000001, so a double ceil picks
+    // position 8 — percentile_disc (and the exact-decimal oracle) says
+    // position 7. The decimal position arithmetic must agree.
+    val df = (1L to 100L).map(v => ("a", v))
+    val got = Profiling.groupQuantilesDisc(
+        df.toDF("g", "v"), "g", "v", Seq(0.07))
+      .as[(String, Long, Long)].collect()
+    assert(got.toSeq == Seq(("a", 7L, 100L)), s"got ${got.toSeq}")
   }
 
   test("mutualInformation: zero under independence, H under determinism") {

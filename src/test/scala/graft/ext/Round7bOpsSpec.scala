@@ -73,6 +73,21 @@ class Round7bOpsSpec extends SparkSpec {
       ("click", 1L, 10.0), ("direct", 1L, 12.0), ("view", 1L, 20.0)))
   }
 
+  test("linearAttribution: a same-microsecond touch cannot precede its purchase (strict tt < tp)") {
+    // the attribution family's shared causal boundary: the frame-form
+    // operators must file this purchase under direct, exactly like the
+    // join-form siblings (timeDecay/position) whose filter is tt < tp
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq(
+      (1L, 1L, "click", 0.0, t0),
+      (1L, 2L, "purchase", 50.0, t0))
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    val got = Behavior.linearAttribution(ev, Seq("click", "signup", "view"))
+      .select("touch_type", "n_purchases", "attributed_revenue")
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq == Seq(("direct", 1L, 50.0)), s"got ${got.toSeq}")
+  }
+
   test("markovPredictorAccuracy: a deterministic chain scores accuracy 1") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
@@ -119,6 +134,21 @@ class Round7bOpsSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect()
     assert(got.toSeq == Seq(
       (1L, 2L, 0.666667, 0.0), (2L, 1L, 0.333333, 600.0)))
+  }
+
+  test("sessionStats: an EXACT 30-minute gap starts a new session (the StatefulSessionizer boundary)") {
+    // gap == gapMinutes must break, matching the streaming sessionizer
+    // (us - last >= gapUs) and session_window's half-open interval —
+    // under the old strict > rule these two events were one session
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq(
+      (1L, 1L, "view", t0),
+      (1L, 2L, "view", new java.sql.Timestamp(t0.getTime + 30 * 60000L)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Behavior.sessionStats(ev)
+      .select("depth", "n_sessions").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L)),
+      s"two single-event sessions expected: ${got.toSeq}")
   }
 
   test("seasonalNaiveBacktest: a perfect weekly cycle pins MAE 0 and NULL MASE") {
