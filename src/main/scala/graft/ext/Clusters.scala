@@ -112,7 +112,12 @@ object Clusters {
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // node-grain degrees, EAGER (the ranks localCheckpoint rule): the
+    // final select joins deg after edges.unpersist() below — left lazy,
+    // the caller's action would re-run the edge union+distinct shuffle
+    // from source against a dropped cache
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
 
     val nRow = nodes.select(count(lit(1)).as("n"))
     val base = nodes.select(col(idCol).as("id"))
@@ -142,11 +147,6 @@ object Clusters {
         (col("units") / 1e9).as("pagerank"))
   }
 
-  /** Near-dup clusters of a document corpus: LSH-verified pairs at
-    * `minJaccard` or above → connected components → cluster membership
-    * with size and a canonical-keeper flag (the component's min id — the
-    * row a dedup pipeline keeps). Singletons (docs with no near-dup) are
-    * not emitted; they are trivially their own keeper. */
   /** Per-node triangle counts over an undirected pair list — the
     * clustering-coefficient primitive (community density, link-spam and
     * bot-ring detection over co-occurrence graphs).
@@ -201,6 +201,11 @@ object Clusters {
     tri.groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Near-dup clusters of a document corpus: LSH-verified pairs at
+    * `minJaccard` or above → connected components → cluster membership
+    * with size and a canonical-keeper flag (the component's min id — the
+    * row a dedup pipeline keeps). Singletons (docs with no near-dup) are
+    * not emitted; they are trivially their own keeper. */
   def nearDupClusters(
       docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5): DataFrame = {

@@ -42,9 +42,14 @@ object Dedup {
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
 
-  /** Exact content dedup: canonical (min) id per distinct text. */
+  /** Exact content dedup: canonical (min) id per distinct text. NULL
+    * texts are excluded (the [[minhashSignatures]] rule) — md5(NULL) is
+    * NULL and groupBy keeps one NULL key, so unknown contents would
+    * otherwise collapse into one fake "duplicate" group and a
+    * keep-canonical pass would delete docs never actually compared. */
   def exactByContent(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("content_md5"))
+    docs.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("content_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
   /** MinHash signatures: one row per doc, `sig` = array<long> of
@@ -87,6 +92,18 @@ object Dedup {
     * banding-theory candidate-volume model holds at corpus scale) while
     * the band self-join still shuffles 8-byte keys, not variable-length
     * strings. */
+  /** numPerms ∕ bands, REQUIRING exact divisibility — a non-dividing
+    * `bands` would silently truncate the signature (16 perms at 5 bands
+    * bands over sig[0..14] and ignores sig[15]), so the run executes a
+    * different LSH design than the caller configured. Every banding
+    * site derives rowsPerBand through this. */
+  private def bandedRowsPerBand(numPerms: Int, bands: Int): Int = {
+    require(bands >= 1 && numPerms % bands == 0,
+      s"bands ($bands) must divide numPerms ($numPerms) exactly - " +
+        "a truncated signature would silently change the LSH design")
+    numPerms / bands
+  }
+
   def lshCandidates(
       sig: DataFrame, idCol: String, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val bandKeys = (0 until bands).map { j =>
@@ -134,7 +151,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 16, bands: Int = 4, buckets: Int = 10,
       capDocs: Int = 1000): DataFrame = {
-    val rowsPerBand = numPerms / bands
+    val rowsPerBand = bandedRowsPerBand(numPerms, bands)
     val spark = docs.sparkSession
     val d = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), col(textCol))
@@ -207,7 +224,7 @@ object Dedup {
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 16, bands: Int = 4, minEst: Double = 0.5): DataFrame = {
-    val rowsPerBand = numPerms / bands
+    val rowsPerBand = bandedRowsPerBand(numPerms, bands)
     val sig = minhashSignatures(docs, idCol, textCol, numPerms)
     val bandKeys = (0 until bands).map { j =>
       Portable.bandKey(
@@ -244,7 +261,7 @@ object Dedup {
       numPerms: Int = 16, bands: Int = 4): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, numPerms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = lshCandidates(sig, idCol, bands, numPerms / bands)
+    val pairs = lshCandidates(sig, idCol, bands, bandedRowsPerBand(numPerms, bands))
     exactJaccard(docs, pairs, idCol, textCol)
   }
 
@@ -318,10 +335,22 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, isBatch: Column,
       numPerms: Int = 16, bands: Int = 4, minJaccard: Double = 0.5): DataFrame = {
     import graft.functions.TopKAggregate.top_k
+    // the best-match heap (top_k) carries ids as LONG: a string id
+    // would cast to NULL and silently emit best_match_id = NULL while
+    // n_matches stays positive — fail loudly instead (the other Dedup
+    // ops use min/least and accept any ordered id type; this one not)
+    require(Seq("byte", "short", "integer", "long")
+        .contains(docs.schema(idCol).dataType.typeName),
+      s"dedupAgainst needs an integral $idCol (top_k heap ids are long); " +
+        s"got ${docs.schema(idCol).dataType.typeName}")
+    // NULL predicate means "corpus side" (the decontaminate rule): a
+    // bare filter(pred)/filter(!pred) pair would silently drop
+    // NULL-predicate rows from BOTH the index and the probe
+    val isBatchSafe = coalesce(isBatch, lit(false))
     val sig = minhashSignatures(docs, idCol, textCol, numPerms)
-      .join(docs.select(col(idCol), isBatch.as("is_batch")), Seq(idCol))
+      .join(docs.select(col(idCol), isBatchSafe.as("is_batch")), Seq(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rowsPerBand = numPerms / bands
+    val rowsPerBand = bandedRowsPerBand(numPerms, bands)
     val bandKeys = (0 until bands).map { j =>
       Portable.bandKey(
         (0 until rowsPerBand).map(r => col("sig").getItem(j * rowsPerBand + r)))
@@ -361,7 +390,7 @@ object Dedup {
       numPerms: Int = 16, bands: Int = 4): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, numPerms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = lshCandidates(sig, idCol, bands, numPerms / bands)
+    val pairs = lshCandidates(sig, idCol, bands, bandedRowsPerBand(numPerms, bands))
     val sh = graft.core.Scans.spread(docs)
       .select(col(idCol), WordShingles.shingles(lower(col(textCol))).as("sh"))
     val a = sh.toDF("id_a", "sh_a")
@@ -503,7 +532,7 @@ object Dedup {
     val sig = graft.core.Scans.spread(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), Sketches.minhash_sig(grams, numPerms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = lshCandidates(sig, idCol, bands, numPerms / bands)
+    val pairs = lshCandidates(sig, idCol, bands, bandedRowsPerBand(numPerms, bands))
     exactJaccardBy(docs, pairs, idCol, grams)
   }
 
@@ -658,21 +687,31 @@ object Dedup {
     * the O(len·window) scan early on non-matching pairs. The jw VALUE
     * is recomputed only for surviving pairs (a ≪1% tail). Same pairs
     * out, bit-identical scores — property-law-tested. */
+  /** O(1) lossless Jaro–Winkler prefilter (q168) over the standard
+    * (len_a, len_b, cmask_a, cmask_b) pair columns: the min/max length
+    * band implied by the JW floor (1e-9 slack for the double multiply)
+    * plus a shared-character bitmask test; `lit(true)` when the floor
+    * is non-binding. ONE body for [[jaroWinklerPairs]] and
+    * [[fellegiSunter]] — the slack and the floor<=0 degenerate case
+    * must not drift between them. */
+  private def jwCheapFilter(minSim: Double): Column = {
+    val floor = graft.functions.StringSimilarity.jaroFloor(minSim)
+    if (floor <= 0) lit(true)
+    else least(col("len_a"), col("len_b")) >=
+           lit(floor) * greatest(col("len_a"), col("len_b")) - lit(1e-9) &&
+         col("cmask_a").bitwiseAND(col("cmask_b")) =!= 0L
+  }
+
   def jaroWinklerPairs(
       df: DataFrame, idCol: String, nameCol: String, blockCol: String,
       minSim: Double): DataFrame = {
-    val floor = graft.functions.StringSimilarity.jaroFloor(minSim)
     val slim = df.select(col(blockCol).as("block"),
       col(idCol).as("id"), col(nameCol).as("name"),
       length(col(nameCol)).cast("double").as("len"),
       graft.functions.StringSimilarity.charMask(col(nameCol)).as("cmask"))
     val a = slim.toDF("block_a", "id_a", "name_a", "len_a", "cmask_a")
     val b = slim.toDF("block_b", "id_b", "name_b", "len_b", "cmask_b")
-    val cheap =
-      if (floor <= 0) lit(true)
-      else least(col("len_a"), col("len_b")) >=
-             lit(floor) * greatest(col("len_a"), col("len_b")) - lit(1e-9) &&
-           col("cmask_a").bitwiseAND(col("cmask_b")) =!= 0L
+    val cheap = jwCheapFilter(minSim)
     val cond = col("block_a") === col("block_b") &&
       col("id_a") < col("id_b") && cheap &&
       graft.functions.StringSimilarity.jaroWinklerGte(
@@ -725,9 +764,35 @@ object Dedup {
     val dup = d.join(keep, Seq("h"))
       .select(col("doc_id"),
         (col("doc_id") =!= col("keep_id")).cast("long").as("is_dup"))
-    q.join(dup, Seq("doc_id"))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("qu").asc, col("doc_id").asc)))
+    val joined = q.join(dup, Seq("doc_id"))
+    // DISTRIBUTED ntile: a bare ntile(10) over an unpartitioned window
+    // funnels the whole doc-grain frame through ONE task's sort — the
+    // exact shape this file's other operators avoid. Equivalent plan:
+    // a range-partitioned global sort (distributed), zipWithIndex for
+    // the global row number (the theilSen index-selection device), and
+    // ntile's bucket arithmetic applied per row: with n rows in k
+    // buckets, q = n div k and r = n mod k, the first r buckets take
+    // q+1 rows — identical bucket assignment to the window form.
+    val nTotal = joined.count()
+    val k = 10L
+    val (bq, br) = (nTotal / k, nTotal % k)
+    val sorted = joined
+      .orderBy(col("qu").asc, col("doc_id").asc)
+      .select(col("qu"), col("is_dup"))
+    val spark = docs.sparkSession
+    val byDecile = sorted.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .zipWithIndex()
+      .map { case ((qu, isDup), idx) =>
+        val rn = idx + 1
+        // first br buckets take bq+1 rows, the rest bq (if rn lands in
+        // the second branch then bq >= 1: br*(bq+1) >= rn would
+        // otherwise have caught it)
+        val decile =
+          if (rn <= br * (bq + 1)) (rn - 1) / (bq + 1) + 1
+          else br + (rn - br * (bq + 1) - 1) / bq + 1
+        (decile.toInt, qu, isDup)
+      }
+    spark.createDataFrame(byDecile).toDF("decile", "qu", "is_dup")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"),
         sum(col("qu")).as("sq"))
@@ -738,26 +803,6 @@ object Dedup {
           "/ cast(1000000 as double)").as("mean_quality"))
   }
 
-  /** Quality-aware canonical selection vs keep-min-id — the keep-
-    * POLICY audit: within each near-dup group (the [[TextAnalysis
-    * .fingerprint]] min-shingle blocking key, whose cross-engine
-    * parity q25 already gates), keep the HIGHEST-quality copy
-    * (id tie-break) instead of the smallest id, and price what the
-    * smarter policy buys. [[dedupYield]] assumes min-id; real
-    * curation keeps the best duplicate — near-identical copies differ
-    * in boilerplate and therefore in quality score, which is exactly
-    * where the two policies diverge (on EXACT-dup groups they cannot:
-    * identical text ⇒ identical score ⇒ the id tie-break decides both
-    * ways identically — the audit must run at near-dup grain to say
-    * anything). Docs too short to shingle (NULL fingerprint) become
-    * singletons via a salted id hash. One row out: group counts, the
-    * policy-flip count, and the mean kept-quality under each policy
-    * plus the gain — half-up micro ratios of exact decimal sums.
-    *
-    * Shape: ONE doc pass to group grain via two argmin struct
-    * aggregates in the same hash aggregate (min(id) and min((−qu,
-    * id))), a join back for the min-id winner's score, one
-    * constant-size aggregate. */
   /** Exact-substring span dedup (Lee et al., "Deduplicating Training
     * Data Makes Language Models Better", ACL '22): remove every token
     * span of ≥ `n` tokens that occurs more than once in the corpus —
@@ -822,6 +867,26 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware canonical selection vs keep-min-id — the keep-
+    * POLICY audit: within each near-dup group (the [[TextAnalysis
+    * .fingerprint]] min-shingle blocking key, whose cross-engine
+    * parity q25 already gates), keep the HIGHEST-quality copy
+    * (id tie-break) instead of the smallest id, and price what the
+    * smarter policy buys. [[dedupYield]] assumes min-id; real
+    * curation keeps the best duplicate — near-identical copies differ
+    * in boilerplate and therefore in quality score, which is exactly
+    * where the two policies diverge (on EXACT-dup groups they cannot:
+    * identical text ⇒ identical score ⇒ the id tie-break decides both
+    * ways identically — the audit must run at near-dup grain to say
+    * anything). Docs too short to shingle (NULL fingerprint) become
+    * singletons via a salted id hash. One row out: group counts, the
+    * policy-flip count, and the mean kept-quality under each policy
+    * plus the gain — half-up micro ratios of exact decimal sums.
+    *
+    * Shape: ONE doc pass to group grain via two argmin struct
+    * aggregates in the same hash aggregate (min(id) and min((−qu,
+    * id))), a join back for the min-id winner's score, one
+    * constant-size aggregate. */
   def canonicalPolicyAudit(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val q = TextAnalysis.qualityScore(docs, idCol, textCol)
@@ -1041,18 +1106,16 @@ object Dedup {
     // short-circuits the agree_name conjunction: pairs failing the O(1)
     // length band / char-mask bound are `false` without ever running
     // the O(len·window) JW expression. Same flags, cheaper scan.
-    val cheapName =
-      if (graft.functions.StringSimilarity.jaroFloor(jwMin) <= 0) lit(true)
-      else {
-        val floor = graft.functions.StringSimilarity.jaroFloor(jwMin)
-        least(col("len_a"), col("len_b")) >=
-          lit(floor) * greatest(col("len_a"), col("len_b")) - lit(1e-9) &&
-        col("cmask_a").bitwiseAND(col("cmask_b")) =!= 0L
-      }
+    val cheapName = jwCheapFilter(jwMin)
     val flagCols =
       (cheapName && graft.functions.StringSimilarity.jaroWinklerGte(
           col("name_a"), col("name_b"), jwMin)).as("agree_name") +:
-      exactCols.map(c => (col(c + "_a") === col(c + "_b")).as("agree_" + c))
+      // null-safe FALSE: a NULL field value cannot attest agreement —
+      // a bare === would leak 3-valued NULL flags into the pattern
+      // grain (breaking the <= 2^#fields contract) and score them as
+      // disagreement while the u estimate counted them as agreement
+      exactCols.map(c =>
+        coalesce(col(c + "_a") === col(c + "_b"), lit(false)).as("agree_" + c))
     val pat = slim.toDF(aCols: _*).join(slim.toDF(bCols: _*), Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(flagCols: _*)
@@ -1061,7 +1124,12 @@ object Dedup {
     val withU = exactCols.foldLeft(pat) { (acc, c) =>
       acc.crossJoin(broadcast(
         df.groupBy(col(c)).agg(count(lit(1)).as("nv"))
-          .agg(sum(col("nv").cast(dec) * col("nv")).as(s"st_$c"),
+          // the NULL group carries no agreement mass (nulls never agree
+          // above) but its records still draw pairs — numerator skips
+          // it, the denominator keeps the full N
+          .agg(sum(when(col(c).isNotNull,
+              col("nv").cast(dec) * col("nv"))
+              .otherwise(lit(0).cast(dec))).as(s"st_$c"),
             sum(col("nv")).as(s"nn_$c"))))
     }
     def u(c: String) =

@@ -28,8 +28,16 @@ import graft.functions.VectorFunctions.{dot, l2dist, l2norm}
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns (codegen'd). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity of two array<double> columns (codegen'd).
+    * Cosine against a zero-norm vector is DEFINED as 0.0 — the
+    * scoreBlock kernel's convention; a bare division would emit NaN,
+    * which Spark's round() passes through and [[graft.functions
+    * .TopKAggregate]]'s total ordering ranks LAST (opposite to a SQL
+    * ORDER BY DESC, which puts NaN first). */
+  def cosine(a: Column, b: Column): Column = {
+    val den = l2norm(a) * l2norm(b)
+    when(den === 0.0, lit(0.0)).otherwise(dot(a, b) / den)
+  }
 
   private def withNorm(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
     vecs.select(
@@ -85,8 +93,17 @@ object Similarity {
     val v = withNorm(vecs, idCol, vecCol)
       .select(col("id").cast("long"), col("emb"), col("nrm"))
       .as[(Long, Array[Double], Double)]
-    // size probe: one corpus scan whose result is a single Long
-    val n = v.count()
+    // size + shape probe in ONE corpus scan: row count, and min/max
+    // embedding width. Ragged widths would silently misalign the flat
+    // block images (vector j's components read from vector i's slot) —
+    // fail fast here instead, where the check costs nothing extra.
+    val probeRow = v.toDF("id", "emb", "nrm")
+      .agg(count(lit(1)), min(size(col("emb"))), max(size(col("emb"))))
+      .collect().head
+    val n = probeRow.getLong(0)
+    if (n > 0) require(probeRow.getInt(1) == probeRow.getInt(2),
+      s"ragged embedding dims: ${probeRow.getInt(1)}..${probeRow.getInt(2)} " +
+        "— topKNeighbors requires a uniform-width embedding column")
     val nBlocks = math.max(1, math.ceil(n.toDouble / blockRows).toInt)
     // `probeFilter` (a predicate over the renamed `id` column) restricts
     // WHICH vectors get a neighbor list; the candidate/block side always
@@ -128,8 +145,14 @@ object Similarity {
       // pack each block with one hash aggregation (map-side partials,
       // codegen); sort_array on (id, nrm, emb) structs orders by id so
       // candidate iteration — and thus tie-breaking — is deterministic
+      // HASH the id before the mod: raw pmod(id, nBlocks) would let any
+      // id-space structure (all-even ids from a strided snapshot, a
+      // filtered range) pile the whole corpus into one block and blow
+      // the bounded-driver-residency contract; xxhash64 makes block
+      // sizes uniform for ANY id distribution (assignment is arbitrary
+      // for correctness — every block is scored against every probe)
       val packed = v.toDF("id", "emb", "nrm")
-        .groupBy(pmod(col("id"), lit(nBlocks.toLong)).cast("int").as("blk"))
+        .groupBy(pmod(xxhash64(col("id")), lit(nBlocks.toLong)).cast("int").as("blk"))
         .agg(array_sort(collect_list(struct(col("id"), col("nrm"), col("emb"))))
           .as("rows"))
         .select(col("blk"),
@@ -175,7 +198,11 @@ object Similarity {
         val dLim = math.min(bDim, pEmb.length)
         var d = 0
         while (d < dLim) { s += pEmb(d) * bFlat(base + d); d += 1 }
-        val raw = s / (pNrm * bNorms(c))
+        // zero-norm guard: cosine against the zero vector is DEFINED as
+        // 0.0 (a NaN here would crash roundHalfUp6's BigDecimal path —
+        // and Matryoshka prefix-slices of valid vectors CAN be all-zero)
+        val den = pNrm * bNorms(c)
+        val raw = if (den == 0.0) 0.0 else s / den
         // The exact HALF_UP rounding ([[roundHalfUp6]]) costs ~0.5 µs per
         // call (Double.toString inside BigDecimal.valueOf); gate it on a
         // conservative raw-score test — rounding moves a value by at most
@@ -376,6 +403,21 @@ object Similarity {
       .select(col("label"), col("pos"),
         ((col("s") / col("n")) / 1000000.0).as("centroid_component"))
 
+  /** [[labelCentroids]] packed into one 6dp-rounded centroid ARRAY per
+    * label (pos-sorted) — the consumer-side shape of the Lloyd chain.
+    * One body shared by the k-means update step and the silhouette's
+    * centroid table, so a rounding or ordering change cannot desync
+    * them. */
+  private def packedCentroids(
+      pts: DataFrame, labelCol: String, vecCol: String,
+      outLabel: String): DataFrame =
+    labelCentroids(pts, labelCol, vecCol)
+      .groupBy(col("label").as(outLabel))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        round(col("centroid_component"), 6).as("c")))).as("ps"))
+      .select(col(outLabel),
+        transform(col("ps"), p => p.getField("c")).as("cemb"))
+
   /** Label confusability matrix: pairwise L2 distance between the
     * exact per-label centroids — which classes sit close enough in
     * embedding space to confuse a classifier (the geometry companion
@@ -490,12 +532,9 @@ object Similarity {
       val assigned = assignNearest(v, cents)
       if (it == iters) assigned
       else // update step: exact integer-unit means, re-quantized to 6dp
-        labelCentroids(assigned.select(col("cluster"), col("emb")), "cluster", "emb")
-          .groupBy(col("label").as("cluster"))
-          .agg(array_sort(collect_list(struct(col("pos"),
-            round(col("centroid_component"), 6).as("c")))).as("ps"))
-          .select(col("cluster"),
-            transform(col("ps"), p => p.getField("c")).as("cemb"))
+        packedCentroids(
+          assigned.select(col("cluster"), col("emb")), "cluster", "emb",
+          "cluster")
     }
     finalAssign.select(col("id").as("vec_id"), col("cluster"),
       col("cos").as("cosine"))
@@ -583,13 +622,8 @@ object Similarity {
       .join(assigned, Seq("id"))
       // feeds both the centroid aggregate and the scoring pass
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = labelCentroids(v.select(col("cluster"), col("emb")),
-        "cluster", "emb")
-      .groupBy(col("label").as("mcluster"))
-      .agg(array_sort(collect_list(struct(col("pos"),
-        round(col("centroid_component"), 6).as("c")))).as("ps"))
-      .select(col("mcluster"),
-        transform(col("ps"), p => p.getField("c")).as("cemb"))
+    val cents = packedCentroids(
+      v.select(col("cluster"), col("emb")), "cluster", "emb", "mcluster")
     val sab = v.crossJoin(broadcast(cents))
       .withColumn("d", lit(1.0) - round(cosine(col("emb"), col("cemb")), 6))
       .groupBy(col("id"), col("cluster"))
@@ -1144,9 +1178,20 @@ object Similarity {
     vecs.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("emb"))
       .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+      // the guard lives INSIDE the slice expression (a dropped check
+      // column would be pruned away): a dim not divisible by `blocks`
+      // would silently drop the trailing dim%blocks components from
+      // every code — two vectors differing only there would collide,
+      // and the published ADC recall would be measured against an
+      // index that never saw those dims. Fail fast instead (the FAISS
+      // PQ contract: d % M == 0).
       .select(col("id"), col("blk"),
-        expr(s"slice(emb, blk * (size(emb) div $blocks) + 1, " +
-          s"size(emb) div $blocks)").as("semb"))
+        expr(s"CASE WHEN size(emb) % $blocks = 0 THEN " +
+          s"slice(emb, blk * (size(emb) div $blocks) + 1, " +
+          s"size(emb) div $blocks) ELSE raise_error(concat(" +
+          s"'pqSub: embedding dim ', size(emb), ' not divisible by " +
+          s"blocks=$blocks - trailing dims would be silently dropped')) " +
+          "END").as("semb"))
 
   /** Nearest-codeword assignment per (vector, block): 6dp-rounded L2
     * argmin, code-asc tie-break. Keeps `semb` so the M-step can reuse
@@ -1219,10 +1264,13 @@ object Similarity {
       vecs: DataFrame, idCol: String, vecCol: String,
       queryModEvery: Int = 50, k: Int = 5,
       blocks: Int = 4, iters: Int = 2, seedEvery: Int = 100): DataFrame = {
+    val sub = pqSub(vecs, idCol, vecCol, blocks)
     val book = pqCodebook(vecs, idCol, vecCol, blocks, iters, seedEvery)
-    val codes = pqEncode(vecs, idCol, vecCol, blocks, iters, seedEvery)
-      .select(col("vec_id"), col("blk"), col("code"))
-    val qsub = pqSub(vecs, idCol, vecCol, blocks)
+    // encode against the ALREADY-trained book (pqEncode would re-run
+    // the full Lloyd chain — identical result, twice the training cost)
+    val codes = pqAssign(sub, book)
+      .select(col("id").as("vec_id"), col("blk"), col("code"))
+    val qsub = sub
       .filter(col("id") % queryModEvery === 0)
       .select(col("id").as("query_id"), col("blk"), col("semb"))
     val table = qsub.join(broadcast(book), Seq("blk"))
@@ -1293,11 +1341,14 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cellOf = assigned.select(col("id").as("vec_id"),
       element_at(col("topc"), 1).getField("id").as("cell"))
-    val codes = pqEncode(vecs, idCol, vecCol, blocks, iters, seedEvery)
-      .select(col("vec_id"), col("blk"), col("code"))
-      .join(cellOf, Seq("vec_id"))
+    val sub = pqSub(vecs, idCol, vecCol, blocks)
     val book = pqCodebook(vecs, idCol, vecCol, blocks, iters, seedEvery)
-    val table = pqSub(vecs, idCol, vecCol, blocks)
+    // the pqAdcTopK rule: one trained book feeds both the index codes
+    // and the query distance tables — never train twice
+    val codes = pqAssign(sub, book)
+      .select(col("id").as("vec_id"), col("blk"), col("code"))
+      .join(cellOf, Seq("vec_id"))
+    val table = sub
       .filter(col("id") % queryModEvery === 0)
       .select(col("id").as("query_id"), col("blk"), col("semb"))
       .join(broadcast(book), Seq("blk"))
@@ -1389,7 +1440,7 @@ object Similarity {
     * variance term quantizes to an integer unit BEFORE the cross-dim
     * sum (order-free), and the two outputs are single divisions. */
   def sourceDispersion(
-      vecs: DataFrame, idCol: String, vecCol: String, sourceCol: Column,
+      vecs: DataFrame, vecCol: String, sourceCol: Column,
       unitsPerValue: Int = 1000): DataFrame = {
     val q = vecs.select(sourceCol.as("source"),
       transform(col(vecCol), x =>

@@ -77,8 +77,12 @@ object Portable {
   def h60Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
-  /** SQL fragment mirroring [[tokens]]. */
-  def tokensSql(e: String): String = s"string_split_regex(lower($e), '\\s+')"
+  /** SQL fragment mirroring [[tokens]]. The whitespace class is spelled
+    * out: Java's `\s` (the Spark side) is `[ \t\n\x0B\f\r]`, but RE2's
+    * `\s` (DuckDB) omits vertical tab — a `\s+` here would tokenize
+    * VT-containing text differently per engine. */
+  def tokensSql(e: String): String =
+    s"string_split_regex(lower($e), '[ \\t\\n\\x0B\\f\\r]+')"
 
   /** SQL fragment mirroring [[shingles]] over a token-list expression. */
   def shinglesSql(t: String, n: Int = 3): String = {

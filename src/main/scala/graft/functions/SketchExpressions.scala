@@ -55,30 +55,49 @@ object Sketches {
 case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression
     with CodegenFallback {
 
-  require(numPerms >= 1, "numPerms must be >= 1")
+  // upper bound 2048: h (< 2^31) x aCoef(i) = 1 + i*1000003 stays under
+  // 2^62 only while i < ~2148 — beyond that the multiply wraps and the
+  // Spark side silently emits negative "signatures" while the DuckDB
+  // mirror raises on BIGINT overflow
+  require(numPerms >= 1 && numPerms <= 2048,
+    "numPerms must be in [1, 2048] (coefficient overflow above)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // a doc whose shingle set is empty (or all-null) has NO signature:
+  // the composed spec (explode + md5 + min-agg) emits zero rows for it,
+  // so it drops out — an all-MaxValue sentinel signature would instead
+  // band every such doc as a mutual near-dup candidate
+  override def nullable: Boolean = true
 
   private val aCoefs: Array[Long] = Array.tabulate(numPerms)(Portable.aCoef)
   private val bCoefs: Array[Long] = Array.tabulate(numPerms)(Portable.bCoef)
 
+  // per-instance digest: expression trees deserialize per task (single
+  // threaded), so one JCA lookup serves every row instead of one per doc
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    val md = MessageDigest.getInstance("MD5")
     val mins = Array.fill(numPerms)(Long.MaxValue)
+    var seen = false
     var i = 0
     while (i < arr.numElements()) {
-      val h = Sketches.md5h60(md, arr.getUTF8String(i).getBytes) % Portable.P31
-      var p = 0
-      while (p < numPerms) {
-        val hv = (h * aCoefs(p) + bCoefs(p)) % Portable.P31
-        if (hv < mins(p)) mins(p) = hv
-        p += 1
+      // null elements hash to null in the composed spec and fall out of
+      // the min aggregate — skip them here for the same result
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val h = Sketches.md5h60(md, arr.getUTF8String(i).getBytes) % Portable.P31
+        var p = 0
+        while (p < numPerms) {
+          val hv = (h * aCoefs(p) + bCoefs(p)) % Portable.P31
+          if (hv < mins(p)) mins(p) = hv
+          p += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (!seen) null else new GenericArrayData(mins)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -89,22 +108,30 @@ case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression
 case class SimHashPack(child: Expression, bits: Int) extends UnaryExpression
     with CodegenFallback {
 
-  require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+  // cap 60: the underlying md5h60 hash carries 60 bits — bits 60..62
+  // would read constant 0 for every token, a silently degenerate
+  // sketch with zero entropy in its top bits
+  require(bits >= 1 && bits <= 60, "bits must be in [1, 60] (60-bit hash)")
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
+  // the MinHashSig digest-reuse rule
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    val md = MessageDigest.getInstance("MD5")
     val counts = new Array[Long](bits)
     var i = 0
     while (i < arr.numElements()) {
-      val h = Sketches.md5h60(md, arr.getUTF8String(i).getBytes)
-      var b = 0
-      while (b < bits) {
-        counts(b) += ((h >>> b) & 1L) * 2L - 1L
-        b += 1
+      // the MinHashSig null-element rule
+      if (!arr.isNullAt(i)) {
+        val h = Sketches.md5h60(md, arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < bits) {
+          counts(b) += ((h >>> b) & 1L) * 2L - 1L
+          b += 1
+        }
       }
       i += 1
     }

@@ -27,7 +27,13 @@ import org.apache.spark.sql.types._
   * Output: array<struct<id, score, rank>> ordered by rank — `inline` it
   * to rows. Ordering ties break on id asc, matching the window variant
   * exactly, so oracle results are unchanged.
-  */
+  *
+  * NaN scores: the Ordering negation ranks NaN WORST (it falls out of
+  * any contested top-k), where a SQL `ORDER BY score DESC` window ranks
+  * NaN FIRST — the one ordering this aggregate does not mirror. Callers
+  * must not feed NaN: the engine's score chains guarantee it (cosine
+  * defines zero-norm as 0.0, distances quantize to longs before
+  * negation), so the divergence is unreachable from gated operators. */
 case class TopKAggregate(
     score: Expression,
     id: Expression,

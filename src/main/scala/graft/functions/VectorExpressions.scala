@@ -20,6 +20,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Summation order is left-to-right — identical to the interpreted
   * `aggregate` version and to DuckDB's list_cosine_similarity — so the
   * t2 oracle results are bit-for-bit unchanged.
+  *
+  * INPUT CONTRACT (deliberately unchecked in this kernel — it is the
+  * innermost 100 TB loop): both arrays must be the same length with no
+  * null elements. Mismatched lengths min-truncate and null slots read
+  * as 0.0 here, where the composed `zip_with` form would return NULL
+  * and DuckDB raises — callers own the validation, and the blocked
+  * kernel path ([[graft.ext.Similarity.topKNeighbors]]) fail-fasts on
+  * ragged widths before this expression ever runs.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 

@@ -48,6 +48,19 @@ class CorpusAuditSpec extends SparkSpec {
     assert(got.head == ((20L, 2L)), s"two dups total: ${got.head}")
   }
 
+  test("qualityDupDeciles law: distributed decile assignment equals the window ntile") {
+    // 23 docs (not divisible by 10) exercises the remainder buckets:
+    // ntile gives the first 3 buckets 3 rows and the rest 2
+    val docs = (0L until 23L).map(i =>
+      (i, s"doc body ${"x " * (i % 7).toInt} tail$i")).toDF("doc_id", "text")
+    val got = Dedup.qualityDupDeciles(docs, "doc_id", "text")
+      .orderBy("decile").select("decile", "n_docs")
+      .as[(Int, Long)].collect().toSeq
+    assert(got.map(_._2).sum == 23L)
+    assert(got.map(_._2) == Seq(3L, 3L, 3L, 2L, 2L, 2L, 2L, 2L, 2L, 2L),
+      s"ntile remainder buckets first: $got")
+  }
+
   test("lmLengthBias: buckets split documents by token-count magnitude") {
     val docs = Seq(
       (1L, "a b c"),                          // 3 tokens → bucket 2

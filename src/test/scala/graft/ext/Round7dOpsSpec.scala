@@ -40,7 +40,7 @@ class Round7dOpsSpec extends SparkSpec {
     val vecs = ((0 until 10).map(i => ("flat", Array(1.0f, 2.0f))) ++
       (0 until 10).map(i => ("wide", Array(i.toFloat, 0.0f))))
       .toDF("source", "embedding").withColumn("vec_id", monotonically_increasing_id())
-    val got = Similarity.sourceDispersion(vecs, "vec_id", "embedding", col("source"))
+    val got = Similarity.sourceDispersion(vecs, "embedding", col("source"))
       .orderBy("source").select("source", "dispersion")
       .as[(String, Double)].collect().toMap
     assert(got("flat") == 0.0)
