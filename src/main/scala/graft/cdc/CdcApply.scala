@@ -25,12 +25,22 @@ object CdcApply {
     * minimal one-row-per-key set. Keys carrying any change row leave the
     * target; the new images (insert/update actions, identical per key by
     * construction) re-enter deduped. Pure deletes carry no insert/update
-    * row, so they just drop. */
+    * row, so they just drop.
+    *
+    * Rows with a NULL or unrecognized `cdc_action` are IGNORED — they
+    * neither pull the key out of the target nor contribute an image
+    * (the compactLog null-handling rule: a malformed log row must never
+    * silently destroy a key). An unfiltered key set would anti-join the
+    * key away while `isin("insert","update")` (NULL for a NULL action)
+    * drops its image — unknown action silently becoming delete. */
   def merge(target: DataFrame, changes: DataFrame, pk: Seq[String]): DataFrame = {
     val dataCols = target.columns.toIndexedSeq
-    val changedKeys = changes.select(pk.map(col): _*).distinct()
+    val known = changes.filter(
+      coalesce(col("cdc_action").isin("insert", "update", "delete"),
+        lit(false)))
+    val changedKeys = known.select(pk.map(col): _*).distinct()
     val survivors = target.join(changedKeys, pk, "left_anti")
-    val images = changes
+    val images = known
       .filter(col("cdc_action").isin("insert", "update"))
       .select(dataCols.map(col): _*)
       .dropDuplicates(pk)

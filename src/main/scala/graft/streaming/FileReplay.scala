@@ -30,13 +30,18 @@ private[streaming] final class FileReplay(prefix: String) {
   /** Append one slice; mtime ordering is assigned by call order. */
   def writeSlice(df: DataFrame): Unit = {
     df.coalesce(1).write.mode("append").parquet(inDir)
-    Files.list(Paths.get(inDir)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-"))
-      .filterNot(p => stamped.contains(p.toString))
-      .foreach { p =>
-        p.toFile.setLastModified(1700000000000L + nextIdx * 60000L)
-        stamped += p.toString
-      }
+    // Files.list holds an open directory handle — close it, or every
+    // slice leaks one fd for the session's lifetime
+    val listing = Files.list(Paths.get(inDir))
+    try {
+      listing.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .filterNot(p => stamped.contains(p.toString))
+        .foreach { p =>
+          p.toFile.setLastModified(1700000000000L + nextIdx * 60000L)
+          stamped += p.toString
+        }
+    } finally listing.close()
     nextIdx += 1
   }
 
@@ -54,5 +59,30 @@ private[streaming] final class FileReplay(prefix: String) {
         unix_millis(col(tsCol)) < bounds(k + 1)))
     }
     (minMs, maxMs)
+  }
+}
+
+private[streaming] object FileReplay {
+  /** State-store instance count sized to the state VOLUME (the
+    * SessionReplay rationale, shared by every replay harness): at the
+    * gate SF few instances halve the per-micro-batch commit wall, but
+    * the 10x soak measured a fixed 8 WORSE than 32 once each instance
+    * carries real state — so instances scale with rows. Grouping-key
+    * results are partition-count-independent; the gate hash is
+    * untouched either way. */
+  def stateParts(nRows: Long): String =
+    math.max(8L, math.min(32L, nRows / 25000L)).toString
+
+  /** Drain a replay's memory-sink table: pin the (small) result with an
+    * eager localCheckpoint, then drop the temp view so the sink's row
+    * buffer — which otherwise lives for the session — can be GC'd. Each
+    * harness run registers a UUID-named table; without this, repeated
+    * gate/bench runs in one JVM accumulate every replay's full result
+    * set. */
+  def drain(spark: org.apache.spark.sql.SparkSession, queryName: String)(
+      project: DataFrame => DataFrame): DataFrame = {
+    val res = project(spark.table(queryName)).localCheckpoint(true)
+    spark.catalog.dropTempView(queryName)
+    res
   }
 }

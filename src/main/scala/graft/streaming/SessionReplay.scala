@@ -1,9 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
-
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -46,43 +43,22 @@ object SessionReplay {
         col("ts").cast("timestamp").as("ts"),
         col("value").cast("double").as("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (minTs, maxTs) = events.agg(min(col("ts")), max(col("ts")))
-      .as[(Timestamp, Timestamp)].head()
-    require(minTs != null && maxTs != null, "events table is empty")
     val nEvents = events.count() // on the persisted frame, pre-unpersist
 
-    val inDir = Files.createTempDirectory("graft-replay-in").toString
-    val ckpt = Files.createTempDirectory("graft-replay-ckpt").toString
-    val stamped = scala.collection.mutable.Set[String]()
-    def writeSlice(df: DataFrame, idx: Int): Unit = {
-      df.coalesce(1).write.mode("append").parquet(inDir)
-      // deterministic, strictly increasing mtimes drive the file
-      // source's oldest-first ordering
-      Files.list(Paths.get(inDir)).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-"))
-        .filterNot(p => stamped.contains(p.toString))
-        .foreach { p =>
-          p.toFile.setLastModified(1700000000000L + idx * 60000L)
-          stamped += p.toString
-        }
-    }
-    val span = maxTs.getTime - minTs.getTime + 1
-    val bounds = (0 to slices).map(k => minTs.getTime + span * k / slices)
-    (0 until slices).foreach { k =>
-      writeSlice(
-        events.filter(unix_millis(col("ts")) >= bounds(k) &&
-          unix_millis(col("ts")) < bounds(k + 1)), k)
-    }
-    val s1 = maxTs.getTime + gapMs + 86400000L
+    // the shared replay construction (time-ordered slices, strictly
+    // increasing mtimes, 0-second watermark kept exact)
+    val replay = new FileReplay("graft-replay")
+    val (_, maxMs) = replay.writeHistory(events, "ts", slices)
+    val s1 = maxMs + gapMs + 86400000L
     Seq((-1L, new Timestamp(s1), 0.0), (-2L, new Timestamp(s1 + 86400000L), 0.0))
-      .zipWithIndex.foreach { case (row, i) =>
-        writeSlice(Seq(row).toDF("user_id", "ts", "value"), slices + i)
+      .foreach { row =>
+        replay.writeSlice(Seq(row).toDF("user_id", "ts", "value"))
       }
     events.unpersist()
 
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(inDir)
+      .parquet(replay.inDir)
       .withWatermark("ts", "0 seconds")
       .as[StatefulSessionizer.Event]
     val out = StatefulSessionizer.sessionsStreaming(stream, gapMs)
@@ -98,20 +74,20 @@ object SessionReplay {
     // instance carries real state, so instances scale with rows.
     // Grouping-key results are partition-count-independent, so the
     // gate hash is untouched either way.
-    val stateParts =
-      math.max(8L, math.min(32L, nEvents / 25000L)).toString
+    val stateParts = FileReplay.stateParts(nEvents)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", stateParts)
       val q = out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", replay.checkpointDir)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(qn).filter(col("user_id") >= 0)
-      .select(col("user_id"), col("session_start"), col("session_end"),
-        col("n_events"), col("value_sum"))
+    FileReplay.drain(spark, qn)(
+      _.filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("value_sum")))
   }
 }

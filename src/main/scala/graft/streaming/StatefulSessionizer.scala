@@ -59,7 +59,19 @@ object StatefulSessionizer {
       s.n, s.cents / 10000.0)
 
   /** Fold time-ordered events into closed sessions + the trailing open
-    * one. `open` carries state from a previous micro-batch, if any. */
+    * one. `open` carries state from a previous micro-batch, if any.
+    *
+    * Cross-batch out-of-order contract: events are sorted WITHIN a
+    * batch, but under a nonzero watermark delay an admitted event can
+    * precede the open session carried from the previous batch. Such an
+    * event MERGES (start/last extend by min/max — a bare `last = us`
+    * would move the session end backwards and could emit end < start).
+    * An admitted event more than a gap before the open session's start
+    * is absorbed into it rather than emitted as its own session —
+    * one-open-session state cannot retroactively split; sessionization
+    * is exact when input is in-order per user (the replay gates, or
+    * any delay ≤ gap), which is the operating point the scaladoc
+    * documents. */
   private def fold(
       userId: Long, open: Option[OpenSession], events: Seq[Event], gapMs: Long)
       : (Vector[Session], Option[OpenSession]) = {
@@ -73,7 +85,8 @@ object StatefulSessionizer {
           closed += toSession(userId, s, gapMs)
           cur = Some(OpenSession(us, us, 1L, toCents(e.value)))
         case Some(s) =>
-          cur = Some(OpenSession(s.start, us, s.n + 1, s.cents + toCents(e.value)))
+          cur = Some(OpenSession(math.min(s.start, us), math.max(s.last, us),
+            s.n + 1, s.cents + toCents(e.value)))
         case None =>
           cur = Some(OpenSession(us, us, 1L, toCents(e.value)))
       }

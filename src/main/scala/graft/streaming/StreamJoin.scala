@@ -53,9 +53,14 @@ object StreamJoin {
         col("event_id").cast("long").as("event_id"),
         col("event_type").cast("string").as("event_type"),
         col("ts").cast("timestamp").as("ts"))
+      // persisted for the slicing loop (the SessionReplay rationale:
+      // min/max + one filter-write per slice would otherwise rescan
+      // the source slices+1 times)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val replay = new FileReplay("graft-sjoin-bkt")
     replay.writeHistory(events, "ts", slices)
+    events.unpersist()
 
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1)
@@ -93,7 +98,7 @@ object StreamJoin {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(qn)
+    FileReplay.drain(spark, qn)(identity)
   }
 
   /** Purchases ⨝ views within `rangeSeconds` before each purchase, per
@@ -117,9 +122,12 @@ object StreamJoin {
         col("event_id").cast("long").as("event_id"),
         col("event_type").cast("string").as("event_type"),
         col("ts").cast("timestamp").as("ts"))
+      // the SessionReplay persist rationale (see bucketed sibling)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val replay = new FileReplay("graft-sjoin")
     replay.writeHistory(events, "ts", slices)
+    events.unpersist()
 
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1)
@@ -158,6 +166,6 @@ object StreamJoin {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(qn)
+    FileReplay.drain(spark, qn)(identity)
   }
 }

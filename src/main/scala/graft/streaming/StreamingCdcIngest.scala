@@ -35,9 +35,17 @@ object StreamingCdcIngest {
     val tagged = AppendOnlyCdc(stream, cdcTs)
     val writer = tagged.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // IDEMPOTENT landing keyed by batch id: foreachBatch is
+        // at-least-once (a crash after the sink commit but before the
+        // checkpoint records the batch re-runs it on restart), so a
+        // blind Append would duplicate the batch's rows in bronze.
+        // Overwriting the batch's OWN subdirectory makes the replay a
+        // no-op; batch_id surfaces as a partition column downstream —
+        // the provenance a landing zone wants anyway.
         ParquetSink.partitioned(
-          batch, lake.cdc(table, runDate), Seq("cdc_action"), SaveMode.Append)
+          batch, s"${lake.cdc(table, runDate)}/batch_id=$batchId",
+          Seq("cdc_action"), SaveMode.Overwrite)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }

@@ -1,10 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-import java.sql.Timestamp
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -49,36 +44,17 @@ object StreamingDedup {
         col("event_type").cast("string").as("event_type"),
         col("ts").cast("timestamp").as("ts"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (minTs, maxTs) = events.agg(min(col("ts")), max(col("ts")))
-      .as[(Timestamp, Timestamp)].head()
-    require(minTs != null && maxTs != null, "events table is empty")
     val nEvents = events.count() // on the persisted frame, pre-unpersist
 
-    val inDir = Files.createTempDirectory("graft-dedup-in").toString
-    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
-    val stamped = scala.collection.mutable.Set[String]()
-    def writeSlice(df: DataFrame, idx: Int): Unit = {
-      df.coalesce(1).write.mode("append").parquet(inDir)
-      Files.list(Paths.get(inDir)).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-"))
-        .filterNot(p => stamped.contains(p.toString))
-        .foreach { p =>
-          p.toFile.setLastModified(1700000000000L + idx * 60000L)
-          stamped += p.toString
-        }
-    }
-    val span = maxTs.getTime - minTs.getTime + 1
-    val bounds = (0 to slices).map(k => minTs.getTime + span * k / slices)
-    (0 until slices).foreach { k =>
-      writeSlice(
-        events.filter(unix_millis(col("ts")) >= bounds(k) &&
-          unix_millis(col("ts")) < bounds(k + 1)), k)
-    }
+    // the shared replay construction (time-ordered slices, strictly
+    // increasing mtimes)
+    val replay = new FileReplay("graft-dedup")
+    replay.writeHistory(events, "ts", slices)
     events.unpersist()
 
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(inDir)
+      .parquet(replay.inDir)
     val out = distinctKeys(stream, Seq("user_id", "event_type"))
     val qn = "graft_dedup_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -86,18 +62,17 @@ object StreamingDedup {
     // SessionReplay rationale — adaptive: 8 instances win at the gate
     // SF, more amortize once each carries real state); dedup output is
     // partition-count-independent
-    val stateParts =
-      math.max(8L, math.min(32L, nEvents / 25000L)).toString
+    val stateParts = FileReplay.stateParts(nEvents)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", stateParts)
       val q = out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", replay.checkpointDir)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(qn)
+    FileReplay.drain(spark, qn)(identity)
   }
 }

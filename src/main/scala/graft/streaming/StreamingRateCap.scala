@@ -149,8 +149,7 @@ object StreamingRateCap {
     val qn = "graft_ratecap_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     // state instances sized to state VOLUME (the SessionReplay rule)
-    val stateParts =
-      math.max(8L, math.min(32L, nEvents / 25000L)).toString
+    val stateParts = FileReplay.stateParts(nEvents)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", stateParts)
@@ -161,8 +160,9 @@ object StreamingRateCap {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(qn).filter(col("user_id") >= 0)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        col("tsu"), col("value"))
+    FileReplay.drain(spark, qn)(
+      _.filter(col("user_id") >= 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("tsu"), col("value")))
   }
 }

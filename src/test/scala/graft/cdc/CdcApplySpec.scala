@@ -42,6 +42,24 @@ class CdcApplySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("merge: a NULL or unrecognized cdc_action never destroys a key") {
+    // the compactLog rule applied to merge: a malformed change row is
+    // IGNORED — the unfiltered variant anti-joined the key out of the
+    // target while isin("insert","update") (NULL for a NULL action)
+    // dropped its image, turning unknown action into silent delete
+    val malformed = Seq(
+      (1L, "a", 999.0, null.asInstanceOf[String]), // NULL action
+      (2L, "b", 999.0, "UPSERT"),                  // unrecognized action
+      (4L, "d", 40.0, "insert")                    // one real change
+    ).toDF("k", "name", "amt", "cdc_action")
+    val got = CdcApply.merge(prev, malformed, pk = Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    val want = prev.unionByName(Seq((4L, "d", 40.0)).toDF("k", "name", "amt"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == want,
+      s"keys 1 and 2 must keep their target rows untouched: $got")
+  }
+
   test("scd2 emits open/closed version rows per key") {
     val rows = CdcApply.scd2(cur, prev, pk = Seq("k"))
       .orderBy("k", "valid_from")

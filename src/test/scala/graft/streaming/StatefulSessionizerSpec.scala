@@ -76,6 +76,43 @@ class StatefulSessionizerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an admitted out-of-order event merges by min/max, never moving the session end backwards") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30 * 60 * 1000L
+    val input = MemoryStream[StatefulSessionizer.Event]
+    // 10-minute watermark delay: an event earlier than the open
+    // session's last event can be ADMITTED in a later micro-batch; the
+    // old fold set last = us unconditionally, so the open session's end
+    // moved backwards (and could emit end < start)
+    val sessions = StatefulSessionizer.sessionsStreaming(
+      input.toDS().withWatermark("ts", "10 minutes")
+        .as[StatefulSessionizer.Event],
+      gapMs)
+    val q = sessions.writeStream.format("memory")
+      .queryName("ooo_sessions").outputMode("append").start()
+    try {
+      input.addData(StatefulSessionizer.Event(1L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // in-watermark (wm = 11:50) but BEFORE the open session's events
+      input.addData(StatefulSessionizer.Event(1L, ts("2024-01-01 11:55:00"), 2.0))
+      q.processAllAvailable()
+      // two far-future pushers close the session via event-time timeout
+      input.addData(StatefulSessionizer.Event(2L, ts("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(StatefulSessionizer.Event(2L, ts("2024-01-01 18:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ooo_sessions")
+        .filter($"user_id" === 1L)
+        .select($"session_start".cast("string"),
+          $"session_end".cast("string"), $"n_events", $"value_sum")
+        .as[(String, String, Long, Double)].collect().toSeq
+      assert(got == Seq(
+        ("2024-01-01 11:55:00", "2024-01-01 12:30:00", 2L, 3.0)),
+        s"out-of-order event must extend start and keep the true end: $got")
+    } finally q.stop()
+  }
+
   test("file-stream replay equals batch sessionization on the sf0.001 events table") {
     val dir = "/root/testdata/sf0.001"
     assume(Files.isDirectory(java.nio.file.Paths.get(dir)))
