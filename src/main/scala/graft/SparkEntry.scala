@@ -5198,8 +5198,10 @@ object SparkEntry {
            FROM order_revenue GROUP BY 1, 2, 3)""",
       """SELECT restaurant_id, y, m, revenue,
                 lag(revenue) OVER w AS prev_revenue,
-                round((revenue - lag(revenue) OVER w)
-                      / lag(revenue) OVER w * 100, 6) AS mom_pct
+                CASE WHEN lag(revenue) OVER w = 0 THEN NULL
+                     ELSE round((revenue - lag(revenue) OVER w)
+                                / lag(revenue) OVER w * 100, 6)
+                END AS mom_pct
          FROM momg WINDOW w AS (PARTITION BY restaurant_id ORDER BY y, m)
          ORDER BY restaurant_id, y, m"""),
 

@@ -18,6 +18,11 @@ object Scans {
     * check is on the PLANNED partition count, so a 100 TB input never
     * pays a pointless full-corpus shuffle. */
   def spread(df: DataFrame): DataFrame = {
+    // SCAN-ONLY contract: the df.rdd probe finalizes the adaptive plan,
+    // which EXECUTES any upstream exchange just to read a partition
+    // count (then the real action re-runs it — no cross-execution
+    // shuffle reuse). Every in-repo caller passes a bare table scan,
+    // where the probe is plan-only; don't route shuffled frames here.
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
   }

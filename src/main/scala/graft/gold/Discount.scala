@@ -48,7 +48,10 @@ object Discount {
     perOrder
       .groupBy(col("is_discounted_order"))
       .agg(
-        countDistinct(col("order_id")).as("num_orders"),
+        // perOrder is one row per order_id by construction (both call
+        // paths groupBy it) — a countDistinct here would plan a
+        // redundant dedup Expand through the shuffle for free
+        count(lit(1)).as("num_orders"),
         (sum(col("order_cents")) / 10000.0).as("total_revenue"))
       .withColumn("avg_order_value", col("total_revenue") / col("num_orders"))
       .select(

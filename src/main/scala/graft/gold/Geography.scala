@@ -69,7 +69,7 @@ object Geography {
     val cells = orderRevenue
       .join(broadcast(dims), Seq("restaurant_id"))
       .groupBy(col("nation"), col("item_category"))
-      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("a"))
+      .agg(sum(Money.cents(col("total_revenue")).cast("long")).as("a"))
     val natW = Window.partitionBy(col("nation"))
     val catW = Window.partitionBy(col("item_category"))
     val all = Window.partitionBy()
@@ -106,7 +106,7 @@ object Geography {
     val leaf = orderRevenue
       .join(broadcast(dims), Seq("restaurant_id"))
       .groupBy(col("region"), col("nation"), col("restaurant_id"))
-      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+      .agg(sum(Money.cents(col("total_revenue")).cast("long")).as("cents"))
     // market total via the scalar-broadcast crossJoin idiom, NOT an
     // empty-partition window: Window.partitionBy() funnels the whole
     // restaurant-grain mart into one partition, while the one-row

@@ -109,10 +109,19 @@ private[gold] object IncrementalAnchored {
     val prevAnchor = prevMart.agg(max(col(prevAnchorCol))).head()
     val deltaMax = delta.agg(max(col("creation_date"))).head()
     if (deltaMax.isNullAt(0)) prevMart // empty delta: nothing to maintain
-    else if (prevAnchor.isNullAt(0) ||
-        deltaMax.getDate(0).after(prevAnchor.getDate(0))) rebuild(revenue)
-    else IncrementalKeyScoped(prevMart, revenue, delta, "user_id")(
-      buildAt(_, prevAnchor.getDate(0)))
+    else {
+      // the held anchor is valid iff it still IS the current global max:
+      // comparing only against the DELTA's max catches an advance but
+      // not a REGRESSION (a delete/update delta removing every row on
+      // the anchor date), where a full rebuild would anchor earlier and
+      // every user's recency shifts. One column-max over revenue —
+      // parquet footer statistics make it near-free — guards both ways.
+      val curMax = revenue.agg(max(col("creation_date"))).head()
+      if (prevAnchor.isNullAt(0) || curMax.isNullAt(0) ||
+          !curMax.getDate(0).equals(prevAnchor.getDate(0))) rebuild(revenue)
+      else IncrementalKeyScoped(prevMart, revenue, delta, "user_id")(
+        buildAt(_, prevAnchor.getDate(0)))
+    }
   }
 }
 

@@ -29,7 +29,7 @@ object Ltv {
   def daily(orderRevenue: DataFrame): DataFrame = {
     val dailyAgg = orderRevenue
       .groupBy(col("user_id"), col("creation_date"))
-      .agg(sum(round(col("total_revenue") * 10000)).as("__cents"))
+      .agg(sum(Money.cents(col("total_revenue"))).as("__cents"))
     val w = Window
       .partitionBy(col("user_id"))
       .orderBy(col("creation_date"))
@@ -129,7 +129,7 @@ object Ltv {
   def trailingRevenue(orderRevenue: DataFrame, days: Int = 7): DataFrame = {
     val dailyAgg = orderRevenue
       .groupBy(col("user_id"), col("creation_date"))
-      .agg(sum(round(col("total_revenue") * 10000)).as("__cents"))
+      .agg(sum(Money.cents(col("total_revenue"))).as("__cents"))
       .withColumn("__day", datediff(col("creation_date"), lit("1970-01-01").cast("date")))
     val w = Window
       .partitionBy(col("user_id"))

@@ -24,7 +24,7 @@ object Percentiles {
       .groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n_lines"),
-        (median(round(col("total_revenue") * 10000)) / 10000.0)
+        (median(Money.cents(col("total_revenue"))) / 10000.0)
           .as("median_line_revenue"))
 
   /** z at 97.5% — shared 17-digit literal (the dcgDiscounts device). */
@@ -53,7 +53,7 @@ object Percentiles {
     import org.apache.spark.sql.expressions.Window
     val hist = orderRevenue
       .select(col(groupCol).as("g"),
-        round(col("total_revenue") * 10000).cast("long").as("u"))
+        Money.cents(col("total_revenue")).cast("long").as("u"))
       .groupBy(col("g"), col("u")).agg(count(lit(1)).as("c"))
     val cum = Window.partitionBy(col("g")).orderBy(col("u"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -103,7 +103,7 @@ object Percentiles {
   def rankReport(orderRevenue: DataFrame): DataFrame = {
     val byRest = orderRevenue
       .groupBy(col("restaurant_id"))
-      .agg((sum(round(col("total_revenue") * 10000)) / 10000.0)
+      .agg((sum(Money.cents(col("total_revenue"))) / 10000.0)
         .as("total_revenue"))
     val wTies = org.apache.spark.sql.expressions.Window
       .orderBy(col("total_revenue").desc)

@@ -86,8 +86,10 @@ object Rfm {
   def migrationMatrix(
       orderRevenue: DataFrame, backDays: Int = 90): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t2 = orderRevenue.agg(max(col("creation_date")).as("t"))
-      .head().getDate(0)
+    val tRow = orderRevenue.agg(max(col("creation_date")).as("t")).head()
+    require(!tRow.isNullAt(0),
+      "migrationMatrix: input has no rows (no anchor date)")
+    val t2 = tRow.getDate(0)
     val t1 = java.sql.Date.valueOf(t2.toLocalDate.minusDays(backDays.toLong))
     val past = anchoredAt(
         orderRevenue.filter(col("creation_date") <= lit(t1)), t1)

@@ -84,9 +84,13 @@ object SalesTrends {
       .partitionBy(col("restaurant_id")).orderBy(col("y"), col("m"))
     monthly
       .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      // zero-prev guard (the Churn.pct_spend_change rule): a refund
+      // month netting to exactly 0 would otherwise be an ANSI
+      // DIVIDE_BY_ZERO abort; growth from a zero base is undefined
       .withColumn("mom_pct",
-        round((col("revenue") - col("prev_revenue"))
-          / col("prev_revenue") * 100, 6))
+        when(col("prev_revenue") === 0, lit(null).cast("double"))
+          .otherwise(round((col("revenue") - col("prev_revenue"))
+            / col("prev_revenue") * 100, 6)))
   }
 
   /** Inverse of [[monthlyPivot]]: melt the wide m1..m12 report back to

@@ -35,12 +35,19 @@ object Formats {
     * that column upstream if it can occur in a feed. */
   val CsvNull = "\\N"
   val TsPattern = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  /** The NTZ twin of [[TsPattern]] (no zone offset — TIMESTAMP_NTZ
+    * carries none); wired to `timestampNTZFormat` everywhere TsPattern
+    * is, or NTZ columns silently round-trip at millisecond grain. */
+  val TsNtzPattern = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
   val CorruptCol = "_corrupt_record"
 
   private def csvOptions = Map(
     "header" -> "true",
     "nullValue" -> CsvNull,
     "timestampFormat" -> TsPattern,
+    // NTZ columns fall back to Spark's millisecond default without this
+    // - a silent microsecond truncation on the round-trip
+    "timestampNTZFormat" -> TsNtzPattern,
     "dateFormat" -> "yyyy-MM-dd",
     // WRITE-side trimming is ON by default in Spark's CSV writer:
     // leading/trailing whitespace would be silently eaten on the way out
@@ -71,6 +78,7 @@ object Formats {
                  mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode)
       .option("timestampFormat", TsPattern)
+      .option("timestampNTZFormat", TsNtzPattern)
       .option("compression", "gzip").json(path)
 
   /** Schema-enforced JSON-lines read. JSON distinguishes null/''
@@ -78,6 +86,7 @@ object Formats {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .option("timestampFormat", TsPattern)
+      .option("timestampNTZFormat", TsNtzPattern)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .schema(schema).json(path)

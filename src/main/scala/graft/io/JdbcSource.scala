@@ -32,16 +32,31 @@ object JdbcSource {
   def incrementalQuery(table: String, watermarkCol: String, lastRun: String): String =
     s"SELECT * FROM $table WHERE $watermarkCol >= '${lastRun.replace("'", "''")}'"
 
-  /** S1: watermarked incremental read with the predicate pushed to the DB. */
+  /** S1: watermarked incremental read with the predicate pushed to the
+    * DB. The pushed SQL is wrapped as a `dbtable` subquery rather than
+    * the `query` option — Spark forbids `query` + `partitionColumn`,
+    * and the incremental FACT extract is exactly the read that needs
+    * parallel range partitions: a large backfill through the `query`
+    * path would run as ONE single-threaded JDBC cursor on one executor
+    * (the 100 TB ingest bottleneck this file warns about). Pass
+    * `partitionColumn` for volume loads; dimension-sized deltas can
+    * omit it. */
   def readIncremental(
       spark: SparkSession, url: String, table: String,
       watermarkCol: String, lastRun: String,
-      options: Map[String, String] = Map.empty): DataFrame =
-    spark.read.format("jdbc")
+      partitionColumn: Option[(String, Long, Long, Int)] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
       .option("url", url)
-      .option("query", incrementalQuery(table, watermarkCol, lastRun))
+      .option("dbtable",
+        s"(${incrementalQuery(table, watermarkCol, lastRun)}) graft_inc")
       .options(options)
-      .load()
+    partitionColumn.fold(base) { case (c, lo, hi, n) =>
+      base.option("partitionColumn", c)
+        .option("lowerBound", lo).option("upperBound", hi)
+        .option("numPartitions", n)
+    }.load()
+  }
 
   /** S2: full-table read, optionally partitioned across executors. */
   def readFull(

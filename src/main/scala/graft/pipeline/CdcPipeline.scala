@@ -79,7 +79,13 @@ final class CdcPipeline(
       val previous = ParquetSource.readOrEmpty(spark, lake.snapshot(table), current)
       val changes = SnapshotDiff(current, previous, pk, cdcTs)
       ParquetSink.partitioned(changes, lake.cdc(table, runDate), Seq("cdc_action"))
-      ParquetSink.flat(current, lake.snapshot(table))
+      // swap, never overwrite in place: an in-place Overwrite that dies
+      // midway leaves a READABLE partial part-file set with no marker,
+      // and the next run would diff against it as if it were the full
+      // previous snapshot — emitting every missing row as a spurious
+      // insert (readOrEmpty can only guard genuine absence). The swap
+      // keeps the old snapshot intact until the new one is complete.
+      swapWrite(current, lake.snapshot(table), Nil)
     } finally { current.unpersist() }
   }
 

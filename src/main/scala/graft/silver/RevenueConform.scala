@@ -52,7 +52,13 @@ object CleanConform {
       casts: Map[String, String],
       dedupKeys: Seq[String],
       orderCols: Seq[Column] = Nil): DataFrame = {
-    val casted = casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+    // try_cast, not cast: a CLEANSE must null malformed values and keep
+    // going (the reference's non-ANSI Spark-3 behavior) — under this
+    // engine's ANSI default a plain cast would abort the whole silver
+    // job on the first dirty field, inverting the operator's purpose
+    val casted = casts.foldLeft(df) { case (d, (c, t)) =>
+      d.withColumn(c, expr(s"try_cast(`$c` AS $t)"))
+    }
     if (dedupKeys.isEmpty) casted.dropDuplicates()
     else if (orderCols.isEmpty) casted.dropDuplicates(dedupKeys)
     else {

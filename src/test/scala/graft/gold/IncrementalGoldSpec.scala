@@ -93,6 +93,26 @@ class IncrementalGoldSpec extends SparkSpec {
       Rfm(v1).collect().map(_.toSeq).toSet)
   }
 
+  test("IncrementalRfm: anchor REGRESSION (delete delta empties the max date) forces the full rebuild") {
+    val v1 = Conformed.orderRevenue(spark, sf)
+    val anchor1 = v1.agg(max($"creation_date")).head().getDate(0)
+    // a delete delta removes EVERY row on the anchor date: the delta's
+    // own max never exceeds the held anchor, so an advance-only guard
+    // would keep the stale anchor while a full rebuild anchors earlier
+    // and every user's recency shifts
+    val deleted = v1.filter($"creation_date" === lit(anchor1))
+    assert(deleted.count() > 0, "fixture must have rows on the max date")
+    val v2 = v1.filter($"creation_date" =!= lit(anchor1))
+    val incremental = IncrementalRfm(Rfm(v1), v2, deleted)
+      .select($"user_id", $"recency", $"segment")
+      .as[(Long, Int, String)].collect().toSet
+    val full = Rfm(v2)
+      .select($"user_id", $"recency", $"segment")
+      .as[(Long, Int, String)].collect().toSet
+    assert(incremental == full,
+      "a regressed anchor must be rebuilt, not key-scope-maintained")
+  }
+
   test("IncrementalChurn: key-scoped maintenance equals the full recompute") {
     val v1 = Conformed.orderRevenue(spark, sf)
     val v2 = v1.withColumn(
