@@ -57,6 +57,7 @@ object ScaleRouting {
     * per-purchase cap also ships as its own operator (q305 → q338 in
     * [[siblings]]). */
   val ingestContract: Set[String] = Set(
+    "q130_attribution",
     "q184_linear_attribution",
     "q303_time_decay_attribution",
     "q314_shapley_attribution")

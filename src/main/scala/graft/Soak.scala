@@ -275,8 +275,10 @@ object SoakBench {
     // subset, and failing the run because that corpus lacks the planted
     // hot key (guard "missed" on raw) would gate local iteration on an
     // assertion it never asked for.
-    val (guardFailed, cappedFailed) =
-      if (only.nonEmpty) (Seq.empty[String], Seq.empty[String]) else {
+    val (guardFailed, cappedFailed, streamCapFailed) =
+      if (only.nonEmpty)
+        (Seq.empty[String], Seq.empty[String], Seq.empty[String])
+      else {
     // ---- AQE skew-split proof on the planted hot restaurant ----
     // The restaurant-grain rollup joins lineitem (hot l_suppkey) to
     // orders; thresholds lowered size-relatively so the 10x-local soak
@@ -345,6 +347,31 @@ object SoakBench {
     val nKept = spark.read.parquet(s"$capDir/events.parquet").count()
     println(f"""[soak] {"q":"rate_cap_ingest","sec":$capSec%.2f,"rows_in":$nRaw,"rows_kept":$nKept,"max_per_day":200}""")
 
+    // ---- the STREAMING cap on the same raw corpus and coefficients:
+    // per-batch state observability (max state rows, watermark drops)
+    // so a cap/state regression surfaces as DATA, not just wall time.
+    // Two contracts checked: (1) stream-kept rows == batch-kept rows
+    // (the q344 equivalence, here at the soak's 200/day), (2) max state
+    // rows ever held <= distinct open (entity, day) x cap — the bound
+    // that makes the operator admission control rather than a buffer.
+    val tSc = System.nanoTime()
+    val (scDf, scM) = graft.streaming.StreamingRateCap
+      .cappedViaStreamWithMetrics(spark, dataDir, maxPerDay = 200, slices = 4)
+    val scKept = scDf.count()
+    val entityDays = graft.core.Tables.events(spark, dataDir)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / lit(86400L * 1000000L)).cast("long"))
+      .distinct().count()
+    val scStateBound = entityDays * 200L
+    val scOk = scKept == nKept && scM.maxStateRows <= scStateBound
+    val scSec = (System.nanoTime() - tSc) / 1e9
+    spark.catalog.clearCache()
+    println(f"""[soak] {"q":"stream_rate_cap_state","sec":$scSec%.2f,"rows_kept":$scKept,"batch_rows_kept":$nKept,"max_state_rows":${scM.maxStateRows},"state_bound":$scStateBound,"dropped_by_watermark":${scM.rowsDroppedByWatermark},"batches":${scM.batches},"ok":$scOk}""")
+    val streamCapFailed =
+      if (scOk) Nil
+      else Seq(if (scKept != nKept) "stream_rate_cap_kept_mismatch"
+               else "stream_rate_cap_state_unbounded")
+
     // ---- the sampled hot-key guard, observed on BOTH sides of the
     // contract: in fail mode it must throw on the raw 20%-hot corpus
     // BEFORE the quadratic window executes (construction alone proves
@@ -389,7 +416,7 @@ object SoakBench {
       spark.catalog.clearCache()
       if (!jOk) Seq(s"${name}_on_rate_capped_ingest") else Nil
     }
-    (guardFailed, cappedFailed)
+    (guardFailed, cappedFailed, streamCapFailed)
     }
 
     // a documented spec form (ScaleRouting) hitting the wall timeout is
@@ -408,7 +435,7 @@ object SoakBench {
     val failed = results
       .filterNot(_._3)
       .filterNot(exemptTimeout)
-      .map(_._1) ++ cappedFailed ++ guardFailed
+      .map(_._1) ++ cappedFailed ++ guardFailed ++ streamCapFailed
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val specToJson = expectedTimeouts.map("\"" + _ + "\"").mkString("[", ",", "]")

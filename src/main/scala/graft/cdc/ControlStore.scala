@@ -18,6 +18,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * (one line), so a whole-file read/overwrite is the right consistency
   * model (matches the reference's PUT-overwrite).
   */
+object ControlStore {
+  /** Stores where `create(path, overwrite=true)` is an atomic
+    * whole-object PUT (visible only at close), so direct overwrite is
+    * safer than any rename dance. */
+  val ObjectStoreSchemes: Set[String] =
+    Set("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+      "oss", "cos", "swift")
+}
+
 final class ControlStore(hadoopConf: Configuration, basePath: String) {
 
   val DefaultWatermark = "2020-01-01"
@@ -39,42 +48,61 @@ final class ControlStore(hadoopConf: Configuration, basePath: String) {
     }
   }
 
-  /** Overwrite a watermark via temp-file-then-replace. The reference's
-    * S3 PUT is atomic (a reader sees the old or the new value, never a
-    * truncated one); a bare create(overwrite=true) truncates first, so
-    * a concurrent get() — or a crash mid-write — would observe "" and
-    * the incremental loader would reprocess the entire history into
-    * its sink. On a local/posix store the replace is a true ATOMIC_MOVE;
-    * on rename-no-overwrite filesystems it degrades to delete+rename,
-    * whose absent-file window a reader resolves to the DEFAULT
-    * watermark (a visible over-read, never a truncated value — and a
-    * real deployment of this control file sits on an object store with
-    * atomic PUT, the reference's own layout). */
+  /** Overwrite a watermark. Strategy is picked per store capability:
+    *
+    *  - OBJECT stores (s3a/gs/abfs/…): write the target directly with
+    *    `create(p, overwrite=true)`. On these stores create() is a
+    *    whole-object PUT that becomes visible only at close() — the
+    *    reference's own boto3 put_object semantics — so a reader sees
+    *    the old or the new value, never a truncated one. A tmp+rename
+    *    here would REGRESS atomicity: object-store "rename" is
+    *    copy+delete with a window where the target is absent, which a
+    *    concurrent get() resolves to the DEFAULT watermark and the
+    *    incremental loader reprocesses full history; a crash between
+    *    delete and rename loses the watermark permanently.
+    *  - local/posix: `create` truncates in place, so stage to a dotted
+    *    tmp in the same directory and NIO ATOMIC_MOVE over the target.
+    *  - hdfs and other truncating rename-capable stores: tmp, then
+    *    delete+rename (Hadoop rename won't overwrite); the absent-file
+    *    window resolves to the default — a visible over-read, never a
+    *    truncated value. */
   def put(key: String, value: String): Unit = {
     val p = pathFor(key)
-    // dot the FILENAME, not the key (keys carry slashes — the reference
-    // layout is "silver/last_run.txt"); same directory as the target so
-    // the move is a same-filesystem rename
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val f = fs(p)
-    val out = f.create(tmp, true)
-    try out.write(value.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val scheme = p.toUri.getScheme
-    if (scheme == null || scheme == "file") {
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(p.toUri.getPath),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      // drop the checksum sidecar the Hadoop local FS wrote for tmp —
-      // the moved data file carries no crc, so reads skip verification
-      val crc = new Path(p.getParent, s"..${p.getName}.tmp.crc")
-      if (f.exists(crc)) f.delete(crc, false)
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    def write(target: Path): Unit = {
+      val out = f.create(target, true)
+      try out.write(value.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    if (ControlStore.ObjectStoreSchemes(scheme)) {
+      write(p) // atomic PUT, visible only at close()
     } else {
-      if (f.exists(p)) f.delete(p, false)
-      if (!f.rename(tmp, p))
-        throw new java.io.IOException(s"watermark rename failed: $tmp -> $p")
+      // dot the FILENAME, not the key (keys carry slashes — the
+      // reference layout is "silver/last_run.txt"); same directory as
+      // the target so the move is a same-filesystem rename
+      val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+      write(tmp)
+      if (scheme == "file") {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // The NIO move bypasses ChecksumFileSystem, so drop BOTH
+        // sidecars: the tmp's (written by the checksummed local FS
+        // just now) and the target's own (left by any earlier
+        // create(p, true) writer) — a stale target sidecar makes the
+        // next checksummed read raise ChecksumException.
+        Seq(s"..${p.getName}.tmp.crc", s".${p.getName}.crc").foreach { n =>
+          val crc = new Path(p.getParent, n)
+          if (f.exists(crc)) f.delete(crc, false)
+        }
+      } else {
+        if (f.exists(p)) f.delete(p, false)
+        if (!f.rename(tmp, p))
+          throw new java.io.IOException(s"watermark rename failed: $tmp -> $p")
+      }
     }
   }
 }

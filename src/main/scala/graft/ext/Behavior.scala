@@ -196,8 +196,16 @@ object Behavior {
     * the naive BETWEEN join. Determinism: candidate touches reduce via
     * min/max over a (ts, event_id, type) struct — total order, no
     * first()/last() physical-row dependence; a purchase with no touch
-    * in window keeps NULL attribution (it is still a conversion). */
+    * in window keeps NULL attribution (it is still a conversion).
+    *
+    * Hot-key contract ([[graft.ScaleRouting.ingestContract]]): the
+    * same user-partitioned range frame as its three guarded siblings
+    * (linear/timeDecay/shapley) — rows×frame-size per entity, so a
+    * 20%-hot user grinds identically; rate-cap at ingest
+    * ([[graft.ext.Curation.eventRateCap]], q340). */
   def attribution(events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+    graft.ScaleRouting.adviseIngestContract("q130_attribution")
+    graft.ScaleRouting.guardHotKeys(events, "user_id", "q130_attribution")
     val lookbackMicros = lookbackDays * 86400L * 1000000L
     val base = events.select(
       col("user_id"), col("event_id"), col("event_type"), col("ts"),

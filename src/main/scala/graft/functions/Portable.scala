@@ -56,10 +56,21 @@ object Portable {
     * cross-band collisions vanishingly rare, is identically computable
     * in DuckDB ([[bandKeySql]]), and keeps the band self-join shuffling
     * 8-byte keys. */
-  def bandKey(sigs: Seq[Column]): Column =
-    h60(concat_ws("-", sigs.map(_.cast("string")): _*))
+  def bandKey(sigs: Seq[Column]): Column = {
+    // NULL-propagating: a doc with no signature (empty shingle set →
+    // minhash_sig = NULL → every element NULL) must get a NULL band
+    // key, which equi-joins and band-bucket groupings then drop. Bare
+    // concat_ws would SKIP the nulls and emit the constant h60("") in
+    // every band, banding all empty-shingle docs together as mutual
+    // near-dup candidates — the quadratic hot-bucket shape LSH exists
+    // to avoid. The SQL mirror needs no guard: `||` propagates NULL.
+    val anyNull = sigs.map(_.isNull).reduce(_ || _)
+    when(anyNull, lit(null).cast("long"))
+      .otherwise(h60(concat_ws("-", sigs.map(_.cast("string")): _*)))
+  }
 
-  /** SQL fragment mirroring [[bandKey]] over signature column names. */
+  /** SQL fragment mirroring [[bandKey]] over signature column names
+    * (NULL-propagating like the Column form: `||` maps NULL to NULL). */
   def bandKeySql(sigs: Seq[String]): String =
     h60Sql(sigs.map(s => s"CAST($s AS VARCHAR)").mkString(" || '-' || "))
 

@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions.col
 final case class Lakehouse(root: String) {
   def bronze(table: String, runDate: String): String = s"$root/bronze/$table/$runDate"
   def cdc(table: String, runDate: String): String = s"$root/cdc/$table/date=$runDate"
+  /** Streaming CDC landing root — deliberately DISJOINT from [[cdc]]:
+    * the streaming ingest lands `batch_id=N/cdc_action=X` (one extra
+    * partition level for idempotent per-micro-batch overwrite), while
+    * the batch pipeline lands `cdc_action=X` flat. Sharing one root
+    * would give partition discovery conflicting directory depths (read
+    * failure) and fixed-schema readers a silently-missing batch_id. */
+  def cdcStream(table: String, runDate: String): String =
+    s"$root/cdc_stream/$table/date=$runDate"
   def snapshot(table: String): String = s"$root/snapshots/$table/latest"
   def silver(table: String): String = s"$root/silver/$table"
   def gold(mart: String): String = s"$root/gold/$mart"

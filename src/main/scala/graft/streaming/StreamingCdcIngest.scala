@@ -42,9 +42,12 @@ object StreamingCdcIngest {
         // blind Append would duplicate the batch's rows in bronze.
         // Overwriting the batch's OWN subdirectory makes the replay a
         // no-op; batch_id surfaces as a partition column downstream —
-        // the provenance a landing zone wants anyway.
+        // the provenance a landing zone wants anyway. The landing root
+        // is cdcStream, NOT cdc: the batch pipeline's flat
+        // cdc_action=X layout and this batch_id=N/cdc_action=X layout
+        // must never share a discovery root (depth conflict).
         ParquetSink.partitioned(
-          batch, s"${lake.cdc(table, runDate)}/batch_id=$batchId",
+          batch, s"${lake.cdcStream(table, runDate)}/batch_id=$batchId",
           Seq("cdc_action"), SaveMode.Overwrite)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

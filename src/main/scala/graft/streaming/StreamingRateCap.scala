@@ -106,6 +106,16 @@ object StreamingRateCap {
       }
   }
 
+  /** Per-run state observability (the q340 manifest discipline on the
+    * stream): max state rows held across batches, watermark-dropped
+    * rows, batch count — the readout that makes a cap/state regression
+    * visible as DATA in the soak log, not just wall time. Sourced from
+    * the streaming query's own progress telemetry
+    * (`StreamingQueryProgress.stateOperators`). */
+  case class StreamCapMetrics(
+      batches: Int, maxStateRows: Long, rowsDroppedByWatermark: Long,
+      inputRows: Long)
+
   /** Replays the batch `events` table through a REAL file-source stream
     * (the [[FileReplay]] construction: time-ordered slices, 0-second
     * watermark kept exact, two far-future sentinels to close every real
@@ -114,7 +124,13 @@ object StreamingRateCap {
     * driver gate checks. */
   def cappedViaStream(
       spark: SparkSession, dir: String, maxPerDay: Int = 3,
-      slices: Int = 4): DataFrame = {
+      slices: Int = 4): DataFrame =
+    cappedViaStreamWithMetrics(spark, dir, maxPerDay, slices)._1
+
+  /** [[cappedViaStream]] plus the run's [[StreamCapMetrics]]. */
+  def cappedViaStreamWithMetrics(
+      spark: SparkSession, dir: String, maxPerDay: Int = 3,
+      slices: Int = 4): (DataFrame, StreamCapMetrics) = {
     import spark.implicits._
     val events = graft.core.Tables.events(spark, dir)
       .select(col("user_id").cast("long").as("user_id"),
@@ -151,7 +167,7 @@ object StreamingRateCap {
     // state instances sized to state VOLUME (the SessionReplay rule)
     val stateParts = FileReplay.stateParts(nEvents)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
+    val metrics = try {
       spark.conf.set("spark.sql.shuffle.partitions", stateParts)
       val q = out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
@@ -159,10 +175,22 @@ object StreamingRateCap {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // recentProgress retains the last 100 updates; this replay runs
+      // slices+2 sentinel batches (single digits), so the window holds
+      // the whole run
+      val progs = q.recentProgress.toSeq
+      val stateRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+      StreamCapMetrics(
+        batches = progs.size,
+        maxStateRows = if (stateRows.isEmpty) 0L else stateRows.max,
+        rowsDroppedByWatermark =
+          progs.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum,
+        inputRows = progs.map(_.numInputRows).sum)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    FileReplay.drain(spark, qn)(
+    val res = FileReplay.drain(spark, qn)(
       _.filter(col("user_id") >= 0)
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("tsu"), col("value")))
+    (res, metrics)
   }
 }

@@ -54,14 +54,28 @@ class ScaleRoutingSpec extends SparkSpec {
       assert(e.getMessage.contains("hot-key guard"))
       assert(e.getMessage.contains("eventRateCap"),
         "the failure must name the prescribed fix (q340 ingest cap)")
-      // the other two family members enforce the same contract
+      // the other three family members enforce the same contract
       intercept[IllegalStateException] {
         graft.ext.Behavior.timeDecayAttribution(hotEvents, Seq("view"))
       }
       intercept[IllegalStateException] {
         graft.ext.Behavior.shapleyAttribution(hotEvents, Seq("view"))
       }
+      intercept[IllegalStateException] {
+        graft.ext.Behavior.attribution(hotEvents)
+      }
     }
+  }
+
+  test("q130 attribution: clean input identical with guard on (fail) vs off") {
+    val off = graft.ext.Behavior.attribution(cleanEvents)
+      .orderBy("purchase_id").collect().toSeq
+    val on = withGuard("fail") {
+      graft.ext.Behavior.attribution(cleanEvents)
+        .orderBy("purchase_id").collect().toSeq
+    }
+    assert(off.nonEmpty)
+    assert(on == off, "the guard must be zero-behavior-change on clean input")
   }
 
   test("guard fail: contract-clean input runs with results identical to guard-off") {

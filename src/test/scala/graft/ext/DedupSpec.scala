@@ -40,6 +40,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated never pairs
   }
 
+  test("NULL signatures never band together (no constant-key hot bucket)") {
+    // docs with no shingles have sig = NULL; their band key must be
+    // NULL (dropped by the equi-join), NOT the constant h60("") that a
+    // null-skipping concat_ws would emit — that constant key banded
+    // every empty-shingle doc with every other one, the exact
+    // quadratic hot-bucket shape LSH exists to avoid.
+    val sig = Seq(
+      (1L, Some(Seq(7L, 8L, 9L, 10L))),
+      (2L, Some(Seq(7L, 8L, 9L, 10L))), // identical: must pair with 1
+      (3L, None),                       // no signature
+      (4L, None),                       // no signature
+    ).toDF("doc_id", "sig")
+    val pairs = Dedup.lshCandidates(sig, "doc_id", bands = 2, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"null-sig docs paired: $pairs")
+  }
+
   test("estimated jaccard is 1.0 for identical docs and tracks exact jaccard") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
     val pairs = Seq((1L, 4L), (1L, 2L)).toDF("id_a", "id_b")

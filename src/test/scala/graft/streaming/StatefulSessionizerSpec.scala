@@ -173,9 +173,16 @@ class StreamingCdcIngestSpec extends SparkSpec {
       lit("2024-06-01 00:00:00").cast("timestamp"), ckpt)
     q.awaitTermination(60000)
 
-    val landed = spark.read.parquet(lake.cdc("events", "2024-06-01"))
+    val landed = spark.read.parquet(lake.cdcStream("events", "2024-06-01"))
     assert(landed.count() == 3)
     assert(landed.select($"cdc_action").distinct().as[String].collect().toSeq == Seq("insert"))
+    // the streaming root is disjoint from the batch cdc zone (depth-
+    // conflict guard): nothing landed under the flat batch layout
+    val batchRoot = new org.apache.hadoop.fs.Path(lake.cdc("events", "2024-06-01"))
+    val fs = batchRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(batchRoot), "streaming ingest leaked into the batch cdc root")
+    // and batch_id rides as a partition column for provenance
+    assert(landed.columns.contains("batch_id"))
   }
 
   test("rate-source soak: continuous input flows, sessions emit, state stays bounded") {

@@ -27,9 +27,19 @@ class StreamingRateCapSpec extends SparkSpec {
 
   test("file-stream replay equals the batch eventRateCap on the sf0.001 events table") {
     val dir = "/root/testdata/sf0.001"
-    val got = StreamingRateCap.cappedViaStream(spark, dir, maxPerDay = 3)
+    val (gotDf, metrics) = StreamingRateCap
+      .cappedViaStreamWithMetrics(spark, dir, maxPerDay = 3)
+    val got = gotDf
       .orderBy($"user_id", $"event_id")
       .as[(Long, Long, String, Long, Double)].collect().toSeq
+    // observability contract: the run reports real telemetry, and the
+    // state held never exceeds open (entity, day) groups x cap
+    assert(metrics.batches > 0 && metrics.inputRows > 0)
+    val entityDays = graft.core.Tables.events(spark, dir)
+      .select($"user_id", (unix_micros($"ts") / (86400L * 1000000L)).cast("long"))
+      .distinct().count()
+    assert(metrics.maxStateRows <= entityDays * 3L,
+      s"state ${metrics.maxStateRows} above the ${entityDays * 3L} bound")
     val events = graft.core.Tables.events(spark, dir)
     val want = graft.ext.Curation.eventRateCap(
         events, "user_id", "event_id", "ts", maxPerDay = 3)
