@@ -249,9 +249,20 @@ object SoakBench {
     }
     val results = selected.map { name =>
       listener.snapshotAndReset()
+      // spec-audit rows run SAMPLED at 10× (stride 8 ≈ 1/8 of the query
+      // anchors): their exact arm is the q128 flood by construction,
+      // and the unsampled arm OOM-killed the 8 GiB sweep JVM in the
+      // r13 full run (r12 survived the same arm at 138 GB spill — a
+      // coin flip, not a margin). Sampling IS the operator's own
+      // documented corpus-scale rule; the gated sf0.01 form stays
+      // unsampled (stride defaults to 1 outside this branch).
+      if (ScaleRouting.specAudits.contains(name))
+        spark.conf.set("spark.graft.audit.queryStride", "8")
       val t0 = System.nanoTime()
       val (rows, ok, timedOut) = runCapped(name, dataDir)
       val sec = (System.nanoTime() - t0) / 1e9
+      if (ScaleRouting.specAudits.contains(name))
+        spark.conf.unset("spark.graft.audit.queryStride")
       // per-query cache isolation: 340+ queries in one JVM accumulate
       // persisted frames (session binding caches, per-query persists)
       // into the unified pool's protected storage half, starving the

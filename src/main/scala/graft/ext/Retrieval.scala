@@ -261,12 +261,24 @@ object Retrieval {
     * index-truncation cost instead of |mList|. Every arm then reuses
     * the production rescore tail. At 100 TB the sweep runs on a
     * hash-sampled query set — probe side sampled, corpus side complete
-    * (the annRecall sampling rule). */
+    * (the annRecall sampling rule). That sampling rule is OPERATIONAL
+    * via `spark.graft.audit.queryStride` (default 1 = every mod-anchor
+    * query, the gated form): stride s keeps every s-th anchor —
+    * effective queryModEvery·s — shrinking the exact arm's flood
+    * (which IS the q128 spec flood by construction) proportionally.
+    * The 10× soak sets it for spec-audit rows: the r13 full sweep
+    * measured the unsampled exact arm OOM-killing the 8 GiB JVM at
+    * planted skew (r12 survived the same arm at 138 GB spill — a coin
+    * flip, not a margin), and an audit at corpus scale is a sampled
+    * readout BY SPEC, never a per-query artifact. */
   def truncationRecallSweep(
       scored: DataFrame, queryModEvery: Int, k: Int,
       mList: Seq[Int]): DataFrame = {
     require(mList.nonEmpty, "mList must be non-empty")
-    val qt = queryTerms(scored, queryModEvery)
+    val stride = scored.sparkSession.conf
+      .get("spark.graft.audit.queryStride", "1").toInt
+    require(stride >= 1, "spark.graft.audit.queryStride must be >= 1")
+    val qt = queryTerms(scored, queryModEvery * stride)
     val exact = probe(scored, qt, k)
       .select(col("query_id"), col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

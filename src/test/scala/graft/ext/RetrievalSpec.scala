@@ -142,6 +142,32 @@ class RetrievalSpec extends SparkSpec {
       s"candidate recall must be monotone in M: $got")
   }
 
+  test("truncationRecallSweep stride law: conf stride s equals direct queryModEvery*s") {
+    // the soak's sampling knob must be a pure query-anchor subsample:
+    // stride s under the conf == the unstrided sweep at s x the anchor
+    // modulus, row for row
+    val docs = (0L to 39L).map(i =>
+      (i, s"alpha shared${i % 3} tail$i " + ("pad " * (i % 5).toInt)))
+      .toDF("doc_id", "text")
+    val scored = Retrieval.scoredPostings(docs, "doc_id", "text")
+    def run(): Seq[(Long, Long, Long, Double)] =
+      Retrieval.truncationRecallSweep(scored,
+          queryModEvery = 5, k = 3, mList = Seq(2, 1000))
+        .orderBy($"max_postings")
+        .select($"max_postings", $"hits", $"n_exact", $"recall")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    val strided =
+      try { spark.conf.set("spark.graft.audit.queryStride", "3"); run() }
+      finally spark.conf.unset("spark.graft.audit.queryStride")
+    val direct = Retrieval.truncationRecallSweep(scored,
+        queryModEvery = 15, k = 3, mList = Seq(2, 1000))
+      .orderBy($"max_postings")
+      .select($"max_postings", $"hits", $"n_exact", $"recall")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(strided == direct, s"$strided != $direct")
+    assert(strided.last._3 > 0, "the sampled sweep must still score queries")
+  }
+
   test("impactTruncate law: salted two-stage selection equals the direct per-term top-M") {
     // tiny vocab over 40 docs -> terms with df far above M, several docs
     // per salt slice, and abundant tn TIES (equal tf and length) so the
