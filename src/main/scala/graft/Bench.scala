@@ -104,8 +104,14 @@ object Bench {
     // regardless of any capture window. Path overridable for local runs.
     // Default is CWD-relative so the artifact lands next to the checkout
     // wherever the bench runs; SPARK_GRAFT_BENCH_OUT overrides.
+    // A FILTERED run defaults to bench_partial.json: in r13 a 3-query
+    // SPARK_GRAFT_ONLY iteration clobbered the committed full quiet-box
+    // close and made the round's uptick triage unverifiable — a partial
+    // must never overwrite the full artifact by default.
+    val defaultOut =
+      if (only.isEmpty) "bench_full.json" else "bench_partial.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      new java.io.File("bench_full.json").getAbsolutePath)
+      new java.io.File(defaultOut).getAbsolutePath)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

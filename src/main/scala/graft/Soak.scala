@@ -256,13 +256,18 @@ object SoakBench {
       // coin flip, not a margin). Sampling IS the operator's own
       // documented corpus-scale rule; the gated sf0.01 form stays
       // unsampled (stride defaults to 1 outside this branch).
-      if (ScaleRouting.specAudits.contains(name))
-        spark.conf.set("spark.graft.audit.queryStride", "8")
+      // try/finally: runCapped catches Throwable today, but a stride
+      // leaked past an escaping exception would silently sample every
+      // later truncationRecallSweep — scope it structurally
+      val isAudit = ScaleRouting.specAudits.contains(name)
+      if (isAudit) spark.conf.set("spark.graft.audit.queryStride", "8")
       val t0 = System.nanoTime()
-      val (rows, ok, timedOut) = runCapped(name, dataDir)
+      val (rows, ok, timedOut) =
+        try runCapped(name, dataDir)
+        finally {
+          if (isAudit) spark.conf.unset("spark.graft.audit.queryStride")
+        }
       val sec = (System.nanoTime() - t0) / 1e9
-      if (ScaleRouting.specAudits.contains(name))
-        spark.conf.unset("spark.graft.audit.queryStride")
       // per-query cache isolation: 340+ queries in one JVM accumulate
       // persisted frames (session binding caches, per-query persists)
       // into the unified pool's protected storage half, starving the
@@ -369,15 +374,17 @@ object SoakBench {
     val (scDf, scM) = graft.streaming.StreamingRateCap
       .cappedViaStreamWithMetrics(spark, dataDir, maxPerDay = 200, slices = 4)
     val scKept = scDf.count()
-    val entityDays = graft.core.Tables.events(spark, dataDir)
-      .select(col("user_id"),
-        (unix_micros(col("ts")) / lit(86400L * 1000000L)).cast("long"))
-      .distinct().count()
-    val scStateBound = entityDays * 200L
+    // the FALSIFIABLE state bound: max concurrent OPEN (entity, day)
+    // keys under the replay's own slice/watermark schedule — state rows
+    // are one per open key regardless of cap, so the former
+    // entityDays×cap bound could never fail (advisor r13). Broken key
+    // eviction accumulates every seen key and crosses this by ~slices/3×.
+    val scStateBound = graft.streaming.StreamingRateCap.openEntityDayBound(
+      graft.core.Tables.events(spark, dataDir), "user_id", "ts", slices = 4)
     val scOk = scKept == nKept && scM.maxStateRows <= scStateBound
     val scSec = (System.nanoTime() - tSc) / 1e9
     spark.catalog.clearCache()
-    println(f"""[soak] {"q":"stream_rate_cap_state","sec":$scSec%.2f,"rows_kept":$scKept,"batch_rows_kept":$nKept,"max_state_rows":${scM.maxStateRows},"state_bound":$scStateBound,"dropped_by_watermark":${scM.rowsDroppedByWatermark},"batches":${scM.batches},"ok":$scOk}""")
+    println(f"""[soak] {"q":"stream_rate_cap_state","sec":$scSec%.2f,"rows_kept":$scKept,"batch_rows_kept":$nKept,"max_state_rows":${scM.maxStateRows},"state_bound":$scStateBound,"max_state_bytes":${scM.maxStateBytes},"dropped_by_watermark":${scM.rowsDroppedByWatermark},"batches":${scM.batches},"ok":$scOk}""")
     val streamCapFailed =
       if (scOk) Nil
       else Seq(if (scKept != nKept) "stream_rate_cap_kept_mismatch"
@@ -412,8 +419,12 @@ object SoakBench {
     // semantically quadratic under key concentration even with zero
     // spill and no pair materialization (leg-1 full sweep on the raw
     // 20%-hot corpus: q184 415 s, q303 375 s, q314 478 s)
-    val onCapped = Seq("q98_stream_stream_join", "q184_linear_attribution",
-      "q303_time_decay_attribution", "q314_shapley_attribution")
+    // derived, not hand-maintained: every ingest-contract family member
+    // runs its rate-capped path here (a new member — q130 in r13 —
+    // must not silently skip the leg), plus the q98 spec form whose
+    // contract-clean input is the leg's founding finding
+    val onCapped =
+      (ScaleRouting.ingestContract + "q98_stream_stream_join").toSeq.sorted
     val cappedFailed = onCapped.flatMap { name =>
       // through runCapped: the capped leg inherits the per-query wall
       // timeout + job-group cancellation — if the cap ever fails to tame

@@ -39,6 +39,31 @@ object SoakGate {
 
   final case class SoakRow(q: String, sec: Double, ok: Boolean, timedOut: Boolean)
 
+  /** A gate violation with enough structure for the replay
+    * confirmation step: `bound` is set only for wall-bound breaches
+    * (never for outright failures/timeouts, which no re-run can
+    * launder). */
+  final case class Violation(
+      q: String, sec: Double, bound: Option[Double], msg: String)
+
+  /** The streaming FILE-REPLAY rows: AvailableNow triggers with
+    * maxFilesPerTrigger=1 pay per-batch listing+planning latency that
+    * multiplies under box load, so these rows show ±50% wall variance
+    * even isolated and kept tripping the 30 s floor on contended
+    * sweeps (r12: q59/q339 hand-diagnosed twice; r13 again). A bound
+    * breach here is confirmed by an ISOLATED re-run ([[confirmReplay]])
+    * instead of a hand re-litigation: pass iff the isolated wall is
+    * under the same bound, with both walls recorded. Scoped to
+    * replay-class rows only — everything else keeps the strict
+    * in-sweep bound (a flood does not deserve a second chance). */
+  val replayClass: Set[String] = Set(
+    "q26_event_windows", "q27_sessions", "q36_sliding_windows",
+    "q59_sessions_stream_replay", "q83_watermark_replay",
+    "q88_stream_dedup", "q131_stream_incremental_ltv",
+    "q138_stream_incremental_rfm", "q139_stream_incremental_trends",
+    "q339_stream_join_bucketed", "q344_stream_rate_cap",
+    "q98_stream_stream_join_on_rate_capped_ingest")
+
   /** Walls at or under this never violate a baseline bound: single-rep
     * 10× replays measure ±30% and in-run contention reaches 2× — a
     * 12 s query drifting to 25 s is noise; a flood is 100+ s. */
@@ -65,26 +90,38 @@ object SoakGate {
   def evaluate(
       rows: Seq[SoakRow],
       baseline: Map[String, Double]): (Seq[String], Seq[String]) = {
-    val vio = Seq.newBuilder[String]
+    val (vio, notes) = evaluateTyped(rows, baseline)
+    (vio.map(_.msg), notes)
+  }
+
+  /** [[evaluate]] with structured violations (the replay-confirmation
+    * step needs the breached bound, not a message string). */
+  def evaluateTyped(
+      rows: Seq[SoakRow],
+      baseline: Map[String, Double]): (Seq[Violation], Seq[String]) = {
+    val vio = Seq.newBuilder[Violation]
     val notes = Seq.newBuilder[String]
     val gated = rows.filter(r => r.q.matches("^q\\d.*"))
     gated.foreach { r =>
       if (skipped(r.q)) ()
       else if (!r.ok)
-        vio += s"${r.q}: ${if (r.timedOut) "TIMED OUT" else "FAILED"} in the sweep"
+        vio += Violation(r.q, r.sec, None,
+          s"${r.q}: ${if (r.timedOut) "TIMED OUT" else "FAILED"} in the sweep")
       else baseline.get(r.q) match {
         case Some(b) =>
           val bound = math.max(headroom * b, attentionFloorSec)
           if (r.sec > bound)
-            vio += f"${r.q}: 10x wall ${r.sec}%.1f s exceeds ${bound}%.1f s " +
+            vio += Violation(r.q, r.sec, Some(bound),
+              f"${r.q}: 10x wall ${r.sec}%.1f s exceeds ${bound}%.1f s " +
               f"(committed baseline $b%.1f s x $headroom%.1f, floor " +
               f"$attentionFloorSec%.0f s) - a flood or a regression; " +
-              "diagnose before re-baselining"
+              "diagnose before re-baselining")
         case None =>
           if (r.sec > newQueryFloorSec)
-            vio += f"${r.q}: NEW query's 10x wall ${r.sec}%.1f s exceeds the " +
+            vio += Violation(r.q, r.sec, None,
+              f"${r.q}: NEW query's 10x wall ${r.sec}%.1f s exceeds the " +
               f"$newQueryFloorSec%.0f s new-query floor - document its " +
-              "scaling class and mitigation before adding a baseline row"
+              "scaling class and mitigation before adding a baseline row")
           else
             notes += f"${r.q}: new query (${r.sec}%.1f s) - add its baseline row"
       }
@@ -94,6 +131,41 @@ object SoakGate {
       notes += s"$q: baseline row has no sweep row (renamed or dropped?)"
     }
     (vio.result(), notes.result())
+  }
+
+  /** The mechanical isolated-confirmation step (r13 verdict #3 /
+    * BASELINE's own proposal): a [[replayClass]] row that breached its
+    * WALL bound in-sweep is re-run isolated; it passes iff the isolated
+    * wall is under the same bound, and both walls are recorded either
+    * way. `rerun` returns the isolated wall (None = could not re-run —
+    * the violation stands; unavailability must not green a build).
+    * Failures/timeouts (bound=None) and non-replay rows pass through
+    * untouched. Pure over `rerun` so the decision table is unit-tested
+    * without a 10× corpus. */
+  def confirmReplay(
+      vio: Seq[Violation],
+      rerun: String => Option[Double]): (Seq[String], Seq[String]) = {
+    val out = Seq.newBuilder[String]
+    val notes = Seq.newBuilder[String]
+    vio.foreach { v =>
+      v.bound match {
+        case Some(b) if replayClass(v.q) =>
+          rerun(v.q) match {
+            case Some(iso) if iso <= b =>
+              notes += f"${v.q}: replay row in-sweep ${v.sec}%.1f s over the " +
+                f"$b%.1f s bound; ISOLATED re-run ${iso}%.1f s under bound - " +
+                "in-sweep contention confirmed, pass"
+            case Some(iso) =>
+              out += f"${v.q}: replay row over bound in-sweep " +
+                f"(${v.sec}%.1f s) AND isolated (${iso}%.1f s > $b%.1f s) - " +
+                "a real regression, not contention"
+            case None =>
+              out += v.msg + " [replay row; isolated re-run unavailable]"
+          }
+        case _ => out += v.msg
+      }
+    }
+    (out.result(), notes.result())
   }
 
   /** Minimal parse of the SoakBench row format ("[soak] " prefix
@@ -139,13 +211,22 @@ object SoakGate {
       }.toMap
 
   /** Usage: SoakGate <sweep.jsonl> [<sweep2.jsonl> ...] [baseline.tsv]
-    * — every .jsonl arg is a sweep leg (the full sweep plus the
-    * rate-cap leg), the .tsv arg (default tools/soak_baseline.tsv) the
-    * committed baseline. */
+    * [soakDataDir] — every .jsonl arg is a sweep leg (the full sweep
+    * plus the rate-cap leg), the .tsv arg (default
+    * tools/soak_baseline.tsv) the committed baseline. A directory arg
+    * arms the [[confirmReplay]] step: replay-class bound breaches are
+    * re-run isolated against that corpus (one fresh local session,
+    * clean cache per query) and pass iff the isolated wall is under
+    * bound; each re-run prints a `replay_rerun` JSON row for the soak
+    * log. Without a directory the violation stands — unavailability
+    * never greens a build. */
   def main(args: Array[String]): Unit = {
-    val (tsv, jsonl) = args.partition(_.endsWith(".tsv"))
+    val (tsv, rest) = args.partition(_.endsWith(".tsv"))
+    val (jsonl, dirs) = rest.partition(_.endsWith(".jsonl"))
     val soakPaths = if (jsonl.nonEmpty) jsonl.toSeq else Seq("soak_r11.jsonl")
     val basePath = tsv.headOption.getOrElse("tools/soak_baseline.tsv")
+    val rerunDir = dirs.headOption.filter(d =>
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
     val parsed = soakPaths.map(p =>
       p -> parseJsonl(scala.io.Source.fromFile(p).getLines()))
     val rows = parsed.flatMap(_._2._1)
@@ -154,8 +235,36 @@ object SoakGate {
     }
     val baseline = parseBaseline(
       scala.io.Source.fromFile(basePath).getLines())
-    val (vioEval, notes) = evaluate(rows, baseline)
-    val vio = malformed ++ vioEval
+    val (vioTyped, notesEval) = evaluateTyped(rows, baseline)
+    // fresh session only if a replay-class bound breach actually needs it
+    lazy val rerunSpark = {
+      val s = graft.core.GraftSession.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-soakgate")
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    val cappedSuffix = "_on_rate_capped_ingest"
+    val rerun: String => Option[Double] = q =>
+      rerunDir.flatMap { dir =>
+        // capped-leg rows are the base query against the -ratecap corpus
+        val (name, runDir) =
+          if (q.endsWith(cappedSuffix)) (q.stripSuffix(cappedSuffix), s"$dir-ratecap")
+          else (q, dir)
+        SparkEntry.queries.get(name)
+          .filter(_ => java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(runDir)))
+          .map { fn =>
+            val t0 = System.nanoTime()
+            val n = fn(rerunSpark, runDir).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            rerunSpark.catalog.clearCache()
+            println(f"""[soakgate] {"q":"replay_rerun","query":"$q","sec":$sec%.2f,"rows":$n}""")
+            sec
+          }
+      }
+    val (vioConfirmed, rerunNotes) = confirmReplay(vioTyped, rerun)
+    val vio = malformed ++ vioConfirmed
+    val notes = notesEval ++ rerunNotes
     notes.foreach(n => println(s"[soakgate] NOTE $n"))
     vio.foreach(v => println(s"[soakgate] VIOLATION $v"))
     println(s"[soakgate] ${rows.count(_.q.matches("^q\\d.*"))} query rows, " +

@@ -1014,6 +1014,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- ext: the SAME truncated probe over the term-BUCKETED DISK
+    // index (Retrieval.writeBucketedIndex) — the 100 TB index shape the
+    // in-memory spine rehearses, gated: probe-over-disk must hash-match
+    // the q341 oracle, and the bucketed scan feeds the truncation
+    // windows without a term exchange (DiskIndexSpec asserts the plan) ----
+    "q345_bm25_disk_index" -> ((s, dir) =>
+      graft.ext.Retrieval.bm25TruncatedFromPostings(
+          Corpus.diskIndexCached(s, dir),
+          queryModEvery = 50, k = 10, maxPostingsPerTerm = 1000)
+        .orderBy(col("query_id"), col("rank"))),
+
     // ---- ext: per-source LM-quality pruning audit — rank-based keep
     // fraction (integer predicate, no float threshold) over q76's
     // unigram-LM scores ----
@@ -2984,6 +2995,10 @@ object SparkEntry {
       "q342_rrf_fusion_truncated" -> ExtOracleSql.rrfFusion(
         queryModEvery = 50, kLex = 10, kDen = 10, c = 60, k = 10,
         maxPostingsPerTerm = 1000),
+      // same oracle as q341 BY DESIGN: the disk-index probe must be
+      // indistinguishable from the in-memory-spine probe
+      "q345_bm25_disk_index" -> ExtOracleSql.bm25Truncated(
+        queryModEvery = 50, k = 10, maxPostingsPerTerm = 1000),
       "q343_bm25_truncation_recall" -> ExtOracleSql.bm25TruncationSweep(
         queryModEvery = 50, k = 10, mList = Seq(10, 100, 1000)),
       "q129_dedup_against" ->

@@ -99,8 +99,8 @@ object Conformed {
       options(spark, dir),
       Seq("order_id", "lineitem_id"))
 
-  private val revCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // lifecycle-bounded (r14): evicts on session stop — see [[SessionCache]]
+  private val revCache = new SessionCache[String]
 
   /** [[orderRevenue]], materialized once per (session, dir) — the shape
     * the reference actually runs: gold reads silver as a MATERIALIZED
@@ -111,8 +111,7 @@ object Conformed {
     * tiny relative to the corpus (one conformed fact) and lives for the
     * session; `spark.catalog.clearCache()` drops it. */
   def orderRevenueCached(spark: SparkSession, dir: String): DataFrame = {
-    val df = revCache.getOrElseUpdate(
-      (spark, dir),
+    val df = revCache.getOrElseUpdate(spark, dir)(
       orderRevenue(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // a user-level spark.catalog.clearCache() unpersists the frame while
@@ -123,8 +122,7 @@ object Conformed {
     df
   }
 
-  private val tradeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val tradeCache = new SessionCache[String]
 
   /** [[graft.gold.Geography.tradeSpine]] over the bound tables,
     * materialized once per (session, dir) — q241 and q242 aggregate the
@@ -133,8 +131,7 @@ object Conformed {
     * spine is 5 narrow columns at line grain — smaller than the
     * conformed fact this cache already holds. */
   def tradeSpineCached(spark: SparkSession, dir: String): DataFrame = {
-    val df = tradeCache.getOrElseUpdate(
-      (spark, dir),
+    val df = tradeCache.getOrElseUpdate(spark, dir)(
       graft.gold.Geography.tradeSpine(
         Tables.lineitem(spark, dir), Tables.orders(spark, dir),
         Tables.customer(spark, dir), Tables.supplier(spark, dir),

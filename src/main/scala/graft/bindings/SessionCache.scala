@@ -1,0 +1,66 @@
+package graft.bindings
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped frame cache with a BOUNDED lifecycle — the shared
+  * store behind [[Corpus]] and [[Conformed]]'s build-once spines.
+  *
+  * The r13 shape (a bare TrieMap keyed by `SparkSession`) never
+  * evicted: fine for a one-session harness, but a long-lived JVM that
+  * stops a session would keep that session's analyzed plans (and
+  * through them the whole session state) reachable forever. Weak keys
+  * don't work here — the cached `DataFrame` strongly references its
+  * own `SparkSession`, so a WeakHashMap's value would pin its key and
+  * nothing could ever be collected. Instead the lifecycle is tied to
+  * the thing that actually ends a session's life:
+  *
+  *  - on `SparkSession.stop()` (which stops the SparkContext) an
+  *    application-end listener — registered once per context on first
+  *    use — drops every entry of every session on that context;
+  *  - each access also purges entries whose context is already
+  *    stopped, covering sessions cached before the listener existed
+  *    and contexts stopped without delivering the event;
+  *  - `invalidate(spark)` drops one session's entries explicitly —
+  *    the escape hatch for the one case with no signal to hook: a
+  *    session ABANDONED (unreferenced, never stopped) on a context
+  *    that keeps running. There is no event for that by design.
+  *
+  * Eviction only drops map entries; persisted blocks are unpersisted
+  * by the context teardown itself (stop clears the block manager). */
+private[graft] final class SessionCache[K] {
+  private val map =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, K), DataFrame]
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def hookContext(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (!sc.isStopped && hooked.add(sc.applicationId)) {
+      sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          purgeWhere(s => s.sparkContext eq sc)
+          hooked.remove(sc.applicationId)
+        }
+      })
+    }
+  }
+
+  def getOrElseUpdate(spark: SparkSession, key: K)
+      (build: => DataFrame): DataFrame = {
+    purgeWhere(_.sparkContext.isStopped)
+    hookContext(spark)
+    map.getOrElseUpdate((spark, key), build)
+  }
+
+  /** Drop one session's entries (the abandoned-session escape hatch). */
+  def invalidate(spark: SparkSession): Int = purgeWhere(_ eq spark)
+
+  private[bindings] def purgeWhere(dead: SparkSession => Boolean): Int = {
+    val victims = map.keys.filter(k => dead(k._1)).toList
+    victims.foreach(map.remove)
+    victims.size
+  }
+
+  private[bindings] def size: Int = map.size
+}

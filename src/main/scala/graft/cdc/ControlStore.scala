@@ -21,10 +21,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object ControlStore {
   /** Stores where `create(path, overwrite=true)` is an atomic
     * whole-object PUT (visible only at close), so direct overwrite is
-    * safer than any rename dance. */
+    * safer than any rename dance. TRUE object stores only: ABFS/ADLS
+    * Gen2 (and the legacy wasb driver) are HIERARCHICAL-namespace
+    * filesystems — create() makes a zero-length file visible
+    * immediately and data lands at flush/close, so a direct overwrite
+    * there opens exactly the truncated-read window put() exists to
+    * prevent (a concurrent get() reads "" → trim → empty watermark; a
+    * crash mid-write leaves it empty permanently), while their rename
+    * IS atomic — they take the tmp+rename branch. */
   val ObjectStoreSchemes: Set[String] =
-    Set("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
-      "oss", "cos", "swift")
+    Set("s3a", "s3", "s3n", "gs", "oss", "cos", "swift")
 }
 
 final class ControlStore(hadoopConf: Configuration, basePath: String) {
@@ -50,8 +56,8 @@ final class ControlStore(hadoopConf: Configuration, basePath: String) {
 
   /** Overwrite a watermark. Strategy is picked per store capability:
     *
-    *  - OBJECT stores (s3a/gs/abfs/…): write the target directly with
-    *    `create(p, overwrite=true)`. On these stores create() is a
+    *  - TRUE object stores (s3a/gs/oss/…): write the target directly
+    *    with `create(p, overwrite=true)`. On these stores create() is a
     *    whole-object PUT that becomes visible only at close() — the
     *    reference's own boto3 put_object semantics — so a reader sees
     *    the old or the new value, never a truncated one. A tmp+rename
@@ -62,10 +68,12 @@ final class ControlStore(hadoopConf: Configuration, basePath: String) {
     *    delete and rename loses the watermark permanently.
     *  - local/posix: `create` truncates in place, so stage to a dotted
     *    tmp in the same directory and NIO ATOMIC_MOVE over the target.
-    *  - hdfs and other truncating rename-capable stores: tmp, then
-    *    delete+rename (Hadoop rename won't overwrite); the absent-file
-    *    window resolves to the default — a visible over-read, never a
-    *    truncated value. */
+    *  - hdfs, abfs/abfss/wasb (hierarchical namespaces where create()
+    *    is visible-empty-then-filled but rename IS atomic), and other
+    *    truncating rename-capable stores: tmp, then delete+rename
+    *    (Hadoop rename won't overwrite); the absent-file window
+    *    resolves to the default — a visible over-read, never a
+    *    truncated or empty value. */
   def put(key: String, value: String): Unit = {
     val p = pathFor(key)
     val f = fs(p)

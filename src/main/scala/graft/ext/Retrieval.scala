@@ -312,6 +312,36 @@ object Retrieval {
     sweep
   }
 
+  /** Persist a [[scoredPostings]] index as a parquet table BUCKETED BY
+    * TERM — the disk shape of the 100 TB claim the in-memory spine
+    * rehearses ([[graft.bindings.Corpus]] scaladoc): term is the probe
+    * key, so a term-bucketed scan reports `hashpartitioning(term)` and
+    * every term-clustered stage downstream — both [[impactTruncate]]
+    * windows (their keys are (term, salt) and (term), supersets of the
+    * bucket key) and any per-term df aggregation — runs WITHOUT an
+    * exchange: at corpus scale the index shuffle happens once at
+    * build/write time, never per probe. `sortBy(term)` additionally
+    * orders each bucket file for run-length term locality. Written as
+    * an EXTERNAL table (explicit path): the catalog entry is
+    * session-scoped metadata, the files are the durable artifact. */
+  def writeBucketedIndex(
+      scored: DataFrame, table: String, path: String,
+      buckets: Int = 32): Unit =
+    scored.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Read a [[writeBucketedIndex]] table back as the probe input. The
+    * frame is plan-compatible with [[scoredPostings]]' output — every
+    * probe ([[bm25FromPostings]], [[bm25TruncatedFromPostings]], the
+    * recall sweep) accepts it unchanged. */
+  def fromBucketedIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   def bm25Search(
       docs: DataFrame, idCol: String, textCol: String,
       queryModEvery: Int, k: Int,

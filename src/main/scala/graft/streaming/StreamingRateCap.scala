@@ -84,11 +84,20 @@ object StreamingRateCap {
             state.remove()
             emit(kept)
           } else {
-            val incoming = it.map(e =>
-              KeptEv(micros(e.ts), e.event_id, e.event_type, e.value)).toVector
-            val merged = keepNewest(
-              state.getOption.map(_.kept).getOrElse(Vector.empty) ++ incoming,
-              maxPerDay)
+            // BOUNDED incremental merge — never `it.toVector`: a hot
+            // entity-day's whole batch arrives through this one iterator,
+            // so buffering it before capping holds rate×day rows in one
+            // task (the q98-class pile-up this operator exists to bound).
+            // keepNewest is split-invariant under the total order
+            // (law-tested), so chunked folding equals the one-shot
+            // selection while in-flight memory stays ≤ maxPerDay + chunk.
+            val chunk = math.max(maxPerDay, 256)
+            val merged = it.map(e =>
+                KeptEv(micros(e.ts), e.event_id, e.event_type, e.value))
+              .grouped(chunk)
+              .foldLeft(state.getOption.map(_.kept).getOrElse(Vector.empty)) {
+                (acc, c) => keepNewest(acc ++ c, maxPerDay)
+              }
             state.remove()
             val closeAtUs = (key.day + 1L) * DayMicros
             if (state.getCurrentWatermarkMs() * 1000L >= closeAtUs) {
@@ -114,7 +123,67 @@ object StreamingRateCap {
     * (`StreamingQueryProgress.stateOperators`). */
   case class StreamCapMetrics(
       batches: Int, maxStateRows: Long, rowsDroppedByWatermark: Long,
-      inputRows: Long)
+      inputRows: Long, maxStateBytes: Long)
+
+  /** Data-driven bound on CONCURRENT state keys for a
+    * [[cappedViaStreamWithMetrics]] replay — the falsifiable assertion
+    * the naive `entityDays × cap` bound is not: state rows for
+    * `flatMapGroupsWithState` are one per OPEN (entity, day) key (the
+    * kept vector lives inside that row), so `maxStateRows ≤ entityDays`
+    * holds vacuously and only a bound tied to the watermark's eviction
+    * schedule can catch broken key cleanup.
+    *
+    * Model (mirrors [[FileReplay.writeHistory]]'s slice construction
+    * and the 0-second watermark): an (entity, day) key can be in state
+    * at the end of batch k only if it has events in slices ≤ k and its
+    * day-end timeout exceeds the watermark Spark applies in batch k.
+    * The watermark for batch k derives from data seen through batch
+    * k−1; we allow one EXTRA batch of lag (wm through k−2) so a
+    * late-propagating watermark never fails a healthy run, and add 2
+    * for the far-future sentinel keys. Flush-inline keys (day already
+    * closed at first arrival) are counted as open — an overcount, so
+    * the result is a sound upper bound. Broken eviction accumulates
+    * every seen key and crosses this bound by construction (it sits at
+    * roughly `(lag+1)/slices` of entityDays, far below entityDays for
+    * any real slicing). */
+  def openEntityDayBound(
+      events: DataFrame, entityCol: String, tsCol: String,
+      slices: Int): Long = {
+    val msc = unix_millis(col(tsCol))
+    val mm = events.agg(min(msc).as("mn"), max(msc).as("mx")).head()
+    require(!mm.isNullAt(0), "openEntityDayBound: empty events")
+    val (minMs, maxMs) = (mm.getLong(0), mm.getLong(1))
+    val span = maxMs - minMs + 1
+    val bounds = (0 to slices).map(k => minMs + span * k / slices)
+    // slice index exactly as writeHistory assigns it: monotone bounds,
+    // slice = #{k in 1..slices-1 : ms >= bounds(k)}
+    val sliceIdx = (1 until slices)
+      .map(k => when(msc >= lit(bounds(k)), lit(1)).otherwise(lit(0)))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    // per-key first arrival slice + ms-grained day-end timeout (the
+    // round-up the operator itself applies via setTimeoutTimestamp)
+    val dayCol = (unix_micros(col(tsCol)) / lit(DayMicros)).cast("long")
+    val keys = events
+      .select(col(entityCol).as("e"), dayCol.as("d"), sliceIdx.as("s"), msc.as("ms"))
+      .groupBy(col("e"), col("d"))
+      .agg(min(col("s")).as("first_slice"))
+      .withColumn("timeout_ms",
+        expr(s"((d + 1) * $DayMicros + 999) div 1000"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-slice max ts (driver-side: `slices` rows)
+    val sliceMax = events.select(sliceIdx.as("s"), msc.as("ms"))
+      .groupBy(col("s")).agg(max(col("ms")).as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def wmThrough(k: Int): Long =
+      (0 to k).flatMap(sliceMax.get).foldLeft(Long.MinValue)(math.max)
+    val bound = (0 until slices).map { k =>
+      val wm = wmThrough(k - 2) // one extra batch of watermark lag
+      keys.filter(col("first_slice") <= lit(k) && col("timeout_ms") > lit(wm))
+        .count()
+    }.max
+    keys.unpersist()
+    bound + 2L // the two sentinel keys
+  }
 
   /** Replays the batch `events` table through a REAL file-source stream
     * (the [[FileReplay]] construction: time-ordered slices, 0-second
@@ -180,12 +249,14 @@ object StreamingRateCap {
       // the whole run
       val progs = q.recentProgress.toSeq
       val stateRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+      val stateBytes = progs.flatMap(_.stateOperators.map(_.memoryUsedBytes))
       StreamCapMetrics(
         batches = progs.size,
         maxStateRows = if (stateRows.isEmpty) 0L else stateRows.max,
         rowsDroppedByWatermark =
           progs.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum,
-        inputRows = progs.map(_.numInputRows).sum)
+        inputRows = progs.map(_.numInputRows).sum,
+        maxStateBytes = if (stateBytes.isEmpty) 0L else stateBytes.max)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val res = FileReplay.drain(spark, qn)(
       _.filter(col("user_id") >= 0)

@@ -71,6 +71,46 @@ class SoakGateSpec extends AnyFunSuite {
     assert(vio.isEmpty && notes.isEmpty)
   }
 
+  test("replay-class bound breaches confirm isolated; everything else is untouched") {
+    val rows = Seq(
+      // replay row over bound in-sweep (17.4 x 2 = 34.8 < 42.2)
+      SoakRow("q59_sessions_stream_replay", 42.2, ok = true, timedOut = false),
+      // non-replay flood: must NOT get a second chance
+      SoakRow("q01_order_revenue", 200.0, ok = true, timedOut = false),
+      // replay row that FAILED: bound=None, no re-run can launder it
+      SoakRow("q88_stream_dedup", 1.0, ok = false, timedOut = false))
+    val (vio, _) = SoakGate.evaluateTyped(rows, base)
+    assert(vio.size == 3)
+    var reran = Seq.empty[String]
+    // isolated wall 28.2 s: under the 34.8 s bound -> contention, pass
+    val (v1, n1) = SoakGate.confirmReplay(vio, q => { reran :+= q; Some(28.2) })
+    assert(reran == Seq("q59_sessions_stream_replay"),
+      s"only the replay bound breach may re-run: $reran")
+    assert(v1.size == 2, s"q59 must be confirmed away: $v1")
+    assert(v1.exists(_.contains("q01_order_revenue")) &&
+      v1.exists(_.contains("q88_stream_dedup")))
+    assert(n1.size == 1 && n1.head.contains("ISOLATED") &&
+      n1.head.contains("42.2") && n1.head.contains("28.2"))
+    // isolated wall still over bound -> real regression, violation stands
+    val (v2, n2) = SoakGate.confirmReplay(vio, _ => Some(40.0))
+    assert(v2.size == 3 && n2.isEmpty)
+    assert(v2.exists(v => v.contains("q59") && v.contains("real regression")))
+    // re-run unavailable -> violation stands (unavailability never greens)
+    val (v3, _) = SoakGate.confirmReplay(vio, _ => None)
+    assert(v3.size == 3)
+    assert(v3.exists(_.contains("re-run unavailable")))
+  }
+
+  test("replay class members are real gated/capped-leg names") {
+    SoakGate.replayClass.foreach { q =>
+      val base = q.stripSuffix("_on_rate_capped_ingest")
+      assert(SparkEntry.queries.contains(base),
+        s"replayClass entry $q has no registry query $base")
+    }
+    // spec forms are skipped before confirmation ever sees them
+    assert(!SoakGate.replayClass.contains("q98_stream_stream_join"))
+  }
+
   test("jsonl and baseline parsers round-trip the real formats") {
     val (rows, bad) = SoakGate.parseJsonl(Iterator(
       """{"q":"q59_sessions_stream_replay","sec":17.36,"rows":95393,"ok":true,"timed_out":false,"mem_spill_mb":0}""",

@@ -54,10 +54,13 @@ class WatermarkSpec extends SparkSpec {
     // the branch itself needs an object store to exercise; pin the
     // scheme table so a refactor can't silently route s3a back through
     // the delete+rename path (absent-file window → default-watermark
-    // over-read → full-history reprocess)
-    for (s <- Seq("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs"))
+    // over-read → full-history reprocess), nor abfs/wasb back to direct
+    // PUT (hierarchical namespace: create() is visible-empty-then-
+    // filled, so direct overwrite opens the truncated/empty-read window
+    // while ADLS rename is atomic — advisor r13)
+    for (s <- Seq("s3a", "s3", "s3n", "gs", "oss", "cos", "swift"))
       assert(ControlStore.ObjectStoreSchemes(s), s"$s must use direct PUT")
-    for (s <- Seq("file", "hdfs", "viewfs"))
+    for (s <- Seq("file", "hdfs", "viewfs", "abfs", "abfss", "wasb", "wasbs"))
       assert(!ControlStore.ObjectStoreSchemes(s), s"$s must use tmp+rename")
   }
 

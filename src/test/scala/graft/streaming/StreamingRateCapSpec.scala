@@ -22,6 +22,16 @@ class StreamingRateCapSpec extends SparkSpec {
         StreamingRateCap.keepNewest(a, 5) ++ b, 5)
       assert(incremental == oneShot,
         "selection under the total order must be split-invariant")
+      // the operator's bounded in-task shape: chunked fold over an
+      // arbitrary arrival order equals the one-shot selection for any
+      // chunk size (memory stays ≤ cap + chunk even on a hot day)
+      val chunk = 1 + rnd.nextInt(7)
+      val folded = shuffled.grouped(chunk)
+        .foldLeft(Vector.empty[StreamingRateCap.KeptEv]) {
+          (acc, c) => StreamingRateCap.keepNewest(acc ++ c, 5)
+        }
+      assert(folded == oneShot,
+        s"chunked fold (chunk=$chunk) must equal one-shot selection")
     }
   }
 
@@ -33,13 +43,23 @@ class StreamingRateCapSpec extends SparkSpec {
       .orderBy($"user_id", $"event_id")
       .as[(Long, Long, String, Long, Double)].collect().toSeq
     // observability contract: the run reports real telemetry, and the
-    // state held never exceeds open (entity, day) groups x cap
+    // state held never exceeds the max CONCURRENT open (entity, day)
+    // keys under the replay's slice/watermark schedule. The former
+    // entityDays×cap bound was vacuous (state rows are one per open
+    // key, so maxStateRows ≤ entityDays always — advisor r13); this
+    // bound fails if key eviction breaks (state would accumulate every
+    // seen entity-day, well above the concurrent-open count).
     assert(metrics.batches > 0 && metrics.inputRows > 0)
+    assert(metrics.maxStateBytes > 0, "state memory telemetry must report")
     val entityDays = graft.core.Tables.events(spark, dir)
       .select($"user_id", (unix_micros($"ts") / (86400L * 1000000L)).cast("long"))
       .distinct().count()
-    assert(metrics.maxStateRows <= entityDays * 3L,
-      s"state ${metrics.maxStateRows} above the ${entityDays * 3L} bound")
+    val openBound = StreamingRateCap.openEntityDayBound(
+      graft.core.Tables.events(spark, dir), "user_id", "ts", slices = 4)
+    assert(openBound < entityDays,
+      s"open bound $openBound must bind tighter than entityDays $entityDays")
+    assert(metrics.maxStateRows <= openBound,
+      s"state ${metrics.maxStateRows} above the $openBound open-key bound")
     val events = graft.core.Tables.events(spark, dir)
     val want = graft.ext.Curation.eventRateCap(
         events, "user_id", "event_id", "ts", maxPerDay = 3)
