@@ -247,7 +247,33 @@ object SoakBench {
           (-1L, false, false)
       }
     }
-    val results = selected.map { name =>
+    // Storage-pool telemetry + debris hygiene (r14, the q141 in-sweep
+    // stall diagnosis): the spec-form floods completed ISOLATED at 10×
+    // (q141: 333.6 s / 139 GB spill) but timed out IN-SWEEP at 900 s
+    // with 27 MB shuffle and ZERO spill — stalled, not grinding. After
+    // ~340 queries in one JVM, blocks that only the GC-driven
+    // ContextCleaner releases (every query's broadcast relations, the
+    // replay queries' localCheckpoint blocks — clearCache() touches
+    // neither) accumulate in the unified pool's PROTECTED storage half;
+    // the flood's sorter then asks for a contiguous multi-GB grow that
+    // the shrunken execution pool can never grant, and
+    // TaskMemoryManager's allocation-retry loop pins one straggler task
+    // past the wall (the r13 log's 1.4 GiB page-allocation retries).
+    // Two measures: (a) storage_used_start_mb rides in every row so the
+    // debris is visible as DATA; (b) an explicit System.gc() drives the
+    // ContextCleaner before each spec-form flood and every 25th row —
+    // the single-JVM-harness hygiene a real cluster gets for free from
+    // per-job executor churn.
+    def storageUsedMb(): Long =
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum / 1048576
+    val results = selected.zipWithIndex.map { case (name, idx) =>
+      if (idx % 25 == 0 || ScaleRouting.siblings.contains(name) ||
+          ScaleRouting.specAudits.contains(name)) {
+        System.gc()
+        Thread.sleep(200) // let the cleaner's async block removals land
+      }
+      val storageStartMb = storageUsedMb()
       listener.snapshotAndReset()
       // spec-audit rows run SAMPLED at 10× (stride 8 ≈ 1/8 of the query
       // anchors): their exact arm is the q128 flood by construction,
@@ -280,7 +306,7 @@ object SoakBench {
       // attribution honest (private API waitUntilEmpty is inaccessible)
       Thread.sleep(300)
       val (sw, sr, ms, ds, pw) = listener.snapshotAndReset()
-      println(f"""[soak] {"q":"$name","sec":$sec%.2f,"rows":$rows,"ok":$ok,"timed_out":$timedOut,"shuffle_write_mb":${sw / 1048576},"shuffle_read_mb":${sr / 1048576},"mem_spill_mb":${ms / 1048576},"disk_spill_mb":${ds / 1048576},"peak_task_shuffle_write_mb":${pw / 1048576}}""")
+      println(f"""[soak] {"q":"$name","sec":$sec%.2f,"rows":$rows,"ok":$ok,"timed_out":$timedOut,"shuffle_write_mb":${sw / 1048576},"shuffle_read_mb":${sr / 1048576},"mem_spill_mb":${ms / 1048576},"disk_spill_mb":${ds / 1048576},"peak_task_shuffle_write_mb":${pw / 1048576},"storage_used_start_mb":$storageStartMb}""")
       (name, sec, ok, timedOut)
     }
 

@@ -111,15 +111,18 @@ object Conformed {
     * tiny relative to the corpus (one conformed fact) and lives for the
     * session; `spark.catalog.clearCache()` drops it. */
   def orderRevenueCached(spark: SparkSession, dir: String): DataFrame = {
-    val df = revCache.getOrElseUpdate(spark, dir)(
-      orderRevenue(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // a user-level spark.catalog.clearCache() unpersists the frame while
-    // this map still hands it out — re-arm the persist so the next
-    // action re-materializes instead of silently recomputing per use
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df
+    // this map still hands it out — REBUILD on recovery (the Corpus
+    // clearCache rule, r14): a re-persisted object's memoized plan still
+    // scans the cleared old relation and never fills the new entry
+    def fresh(): DataFrame = orderRevenue(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = revCache.getOrElseUpdate(spark, dir)(fresh())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val d = fresh()
+      revCache.put(spark, dir, d)
+      d
+    } else df
   }
 
   private val tradeCache = new SessionCache[String]
@@ -131,14 +134,16 @@ object Conformed {
     * spine is 5 narrow columns at line grain — smaller than the
     * conformed fact this cache already holds. */
   def tradeSpineCached(spark: SparkSession, dir: String): DataFrame = {
-    val df = tradeCache.getOrElseUpdate(spark, dir)(
-      graft.gold.Geography.tradeSpine(
+    def fresh(): DataFrame = graft.gold.Geography.tradeSpine(
         Tables.lineitem(spark, dir), Tables.orders(spark, dir),
         Tables.customer(spark, dir), Tables.supplier(spark, dir),
         Tables.nation(spark, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tradeCache.getOrElseUpdate(spark, dir)(fresh())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val d = fresh()
+      tradeCache.put(spark, dir, d)
+      d
+    } else df
   }
 }

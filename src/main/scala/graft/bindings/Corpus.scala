@@ -26,12 +26,12 @@ object Corpus {
   private val cache = new SessionCache[(String, String)]
 
   /** Build-once-per-session persist with EAGER materialization: the
-    * count() inside the build (and inside the re-persist after a
-    * harness clearCache) means a consumer that fuses two spines never
-    * computes both arms concurrently in one job — the serialized
-    * memory peak is max(sides), not sum (the r11 q141 OOM fix), now a
-    * property of the spine instead of per-query persist/unpersist
-    * choreography. Ranker-output spines are queries·k rows —
+    * count() inside the build (re-run on a FRESH rebuild after a
+    * harness clearCache — see the clearCache recovery rule below)
+    * means a consumer that fuses two spines never computes both arms
+    * concurrently in one job — the serialized memory peak is
+    * max(sides), not sum (the r11 q141 OOM fix), now a property of
+    * the spine instead of per-query persist/unpersist choreography. Ranker-output spines are queries·k rows —
     * session-lifetime residency is storage-pool-safe, unlike the r11
     * per-call persists that accumulated one block set per invocation.
     * The POSTINGS index deliberately stays [[cachedLazy]]: eager
@@ -40,29 +40,51 @@ object Corpus {
     * queries) — +27% on the q128/q136 10× floods, measured — with no
     * serialization benefit (an index feeds ONE probe at a time; the
     * probe's own scan fills the cache in the same pass). */
+  /** The clearCache recovery rule (r14, the q141 in-sweep stall root
+    * cause): after a harness `spark.catalog.clearCache()` the cached
+    * frame must be REBUILT from its builder, never re-persisted as the
+    * same object. A DataFrame's physical plan is memoized at first
+    * execution, compiled against the caches LIVE at that moment — for
+    * a ranker spine that means `InMemoryTableScan`s over the postings
+    * index and its own relation. Re-persisting the same object
+    * registers a NEW cache entry, but `count()` re-executes the STALE
+    * memoized plan: it recomputes through the cleared old relations
+    * (caching nothing) while the new entry stays cold — the "eager"
+    * re-materialization is illusory, and the fused consumer then
+    * computes BOTH ranker arms concurrently inside one job, the exact
+    * sum-peak the eager spine exists to prevent (measured: the q141
+    * spec form completed 333.6 s ISOLATED at 10× with a fresh plan,
+    * but stalled past 900 s in-sweep where its spine object had been
+    * built in q128's row and cleared since). A fresh rebuild is a
+    * fresh analyzed plan: the CacheManager resolves the CURRENT live
+    * relations and the eager count actually fills them. */
   private def cachedEager(
       spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
-    val df = cache.getOrElseUpdate(spark, (dir, name)) {
+    def fresh(): DataFrame = {
       val d = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       d.count()
       d
     }
+    val df = cache.getOrElseUpdate(spark, (dir, name))(fresh())
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-    }
-    df
+      val d = fresh()
+      cache.put(spark, (dir, name), d)
+      d
+    } else df
   }
 
   private def cachedLazy(
       spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
-    val df = cache.getOrElseUpdate(spark, (dir, name))(
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df
+    def fresh(): DataFrame =
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = cache.getOrElseUpdate(spark, (dir, name))(fresh())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val d = fresh()
+      cache.put(spark, (dir, name), d)
+      d
+    } else df
   }
 
   def scoredPostingsCached(spark: SparkSession, dir: String): DataFrame =

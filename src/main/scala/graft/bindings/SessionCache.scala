@@ -56,6 +56,10 @@ private[graft] final class SessionCache[K] {
   /** Drop one session's entries (the abandoned-session escape hatch). */
   def invalidate(spark: SparkSession): Int = purgeWhere(_ eq spark)
 
+  /** Replace an entry (the rebuild-after-clearCache path). */
+  def put(spark: SparkSession, key: K, df: DataFrame): Unit =
+    map.put((spark, key), df)
+
   private[bindings] def purgeWhere(dead: SparkSession => Boolean): Int = {
     val victims = map.keys.filter(k => dead(k._1)).toList
     victims.foreach(map.remove)

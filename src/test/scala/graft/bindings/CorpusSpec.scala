@@ -19,13 +19,19 @@ class CorpusSpec extends SparkSpec {
     val b = Corpus.truncatedBm25Cached(spark, sf)
     assert(a eq b, "repeat call must return the cached spine, not rebuild")
     // the Verify/Soak discipline: clearCache between queries unpersists
-    // everything; the next call must re-persist AND re-materialize with
-    // identical results
+    // everything; the next call must REBUILD a fresh frame (r14: a
+    // re-persisted old object re-executes its stale memoized plan over
+    // the cleared relations and never fills the new cache entry — the
+    // q141 in-sweep stall) that is persisted, eagerly materialized,
+    // and row-identical
     spark.catalog.clearCache()
     assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     val c = Corpus.truncatedBm25Cached(spark, sf)
-    assert(c.storageLevel.useMemory, "spine must re-persist after clearCache")
-    assert(c.count() == n, "re-persisted spine must carry identical rows")
+    assert(!(c eq a), "recovery must REBUILD, not re-persist the stale object")
+    assert(c.storageLevel.useMemory, "rebuilt spine must be persisted")
+    assert(c.count() == n, "rebuilt spine must carry identical rows")
+    val d = Corpus.truncatedBm25Cached(spark, sf)
+    assert(d eq c, "rebuilt spine must be the new cached entry")
   }
 
   test("dense and lexical spines carry the fusion schema") {
