@@ -53,15 +53,18 @@ object SoakGate {
     * sweeps (r12: q59/q339 hand-diagnosed twice; r13 again). A bound
     * breach here is confirmed by an ISOLATED re-run ([[confirmReplay]])
     * instead of a hand re-litigation: pass iff the isolated wall is
-    * under the same bound, with both walls recorded. Scoped to
-    * replay-class rows only — everything else keeps the strict
-    * in-sweep bound (a flood does not deserve a second chance). */
+    * under the same bound, with both walls recorded. Scoped STRICTLY
+    * to rows whose plan drives a real file-source stream (readStream
+    * over a [[graft.streaming.FileReplay]] landing): batch window
+    * aggregations (q26/q27/q36) and the batch CDC replay loop (q83)
+    * deliberately keep the strict in-sweep bound, as does every
+    * flood — a batch regression must not be laundered as trigger
+    * latency. */
   val replayClass: Set[String] = Set(
-    "q26_event_windows", "q27_sessions", "q36_sliding_windows",
-    "q59_sessions_stream_replay", "q83_watermark_replay",
-    "q88_stream_dedup", "q131_stream_incremental_ltv",
-    "q138_stream_incremental_rfm", "q139_stream_incremental_trends",
-    "q339_stream_join_bucketed", "q344_stream_rate_cap",
+    "q59_sessions_stream_replay", "q88_stream_dedup",
+    "q131_stream_incremental_ltv", "q138_stream_incremental_rfm",
+    "q139_stream_incremental_trends", "q339_stream_join_bucketed",
+    "q344_stream_rate_cap",
     "q98_stream_stream_join_on_rate_capped_ingest")
 
   /** Walls at or under this never violate a baseline bound: single-rep
@@ -223,10 +226,20 @@ object SoakGate {
   def main(args: Array[String]): Unit = {
     val (tsv, rest) = args.partition(_.endsWith(".tsv"))
     val (jsonl, dirs) = rest.partition(_.endsWith(".jsonl"))
-    val soakPaths = if (jsonl.nonEmpty) jsonl.toSeq else Seq("soak_r11.jsonl")
-    val basePath = tsv.headOption.getOrElse("tools/soak_baseline.tsv")
-    val rerunDir = dirs.headOption.filter(d =>
+    // FAIL CLOSED on argument mistakes: a typo'd sweep path must never
+    // silently fall back to some stale committed sweep and exit 0 — the
+    // gate would then green a build against data it never read
+    val badArgs = dirs.filterNot(d =>
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+    require(badArgs.isEmpty,
+      s"unrecognized args (not .jsonl, not .tsv, not a directory): " +
+        badArgs.mkString(", "))
+    require(jsonl.nonEmpty,
+      "no sweep .jsonl given - usage: SoakGate <sweep.jsonl> " +
+        "[<sweep2.jsonl> ...] [baseline.tsv] [soakDataDir]")
+    val soakPaths = jsonl.toSeq
+    val basePath = tsv.headOption.getOrElse("tools/soak_baseline.tsv")
+    val rerunDir = dirs.headOption
     val parsed = soakPaths.map(p =>
       p -> parseJsonl(scala.io.Source.fromFile(p).getLines()))
     val rows = parsed.flatMap(_._2._1)
@@ -244,6 +257,13 @@ object SoakGate {
       s
     }
     val cappedSuffix = "_on_rate_capped_ingest"
+    // the re-run inherits the sweep's wall-timeout discipline: a
+    // replay row that regresses into a STALL (the q141-class shape —
+    // zero progress, not slow-but-finishing) must produce a
+    // bound-breaching wall and a red gate, not a hung CI process
+    val rerunTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_SOAK_TIMEOUT", "600").toLong
+    lazy val rerunExec = java.util.concurrent.Executors.newSingleThreadExecutor()
     val rerun: String => Option[Double] = q =>
       rerunDir.flatMap { dir =>
         // capped-leg rows are the base query against the -ratecap corpus
@@ -255,10 +275,24 @@ object SoakGate {
             java.nio.file.Paths.get(runDir)))
           .map { fn =>
             val t0 = System.nanoTime()
-            val n = fn(rerunSpark, runDir).count()
+            val task = rerunExec.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                rerunSpark.sparkContext.setJobGroup(q, q, interruptOnCancel = true)
+                try fn(rerunSpark, runDir).count()
+                finally rerunSpark.sparkContext.clearJobGroup()
+              }
+            })
+            val n =
+              try task.get(rerunTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+              catch {
+                case _: java.util.concurrent.TimeoutException =>
+                  rerunSpark.sparkContext.cancelJobGroup(q)
+                  task.cancel(true)
+                  -1L
+              }
             val sec = (System.nanoTime() - t0) / 1e9
             rerunSpark.catalog.clearCache()
-            println(f"""[soakgate] {"q":"replay_rerun","query":"$q","sec":$sec%.2f,"rows":$n}""")
+            println(f"""[soakgate] {"q":"replay_rerun","query":"$q","sec":$sec%.2f,"rows":$n,"timed_out":${n < 0}}""")
             sec
           }
       }

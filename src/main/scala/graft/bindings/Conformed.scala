@@ -112,17 +112,13 @@ object Conformed {
     * session; `spark.catalog.clearCache()` drops it. */
   def orderRevenueCached(spark: SparkSession, dir: String): DataFrame = {
     // a user-level spark.catalog.clearCache() unpersists the frame while
-    // this map still hands it out — REBUILD on recovery (the Corpus
-    // clearCache rule, r14): a re-persisted object's memoized plan still
-    // scans the cleared old relation and never fills the new entry
-    def fresh(): DataFrame = orderRevenue(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = revCache.getOrElseUpdate(spark, dir)(fresh())
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      val d = fresh()
-      revCache.put(spark, dir, d)
-      d
-    } else df
+    // this map still hands it out — getOrRebuild REBUILDS on recovery
+    // (the SessionCache clearCache rule, r14): a re-persisted object's
+    // memoized plan still scans the cleared old relation, never filling
+    // the new entry
+    revCache.getOrRebuild(spark, dir)(
+      orderRevenue(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   private val tradeCache = new SessionCache[String]
@@ -133,17 +129,11 @@ object Conformed {
     * fact-fact shuffle (the [[orderRevenueCached]] rationale). The
     * spine is 5 narrow columns at line grain — smaller than the
     * conformed fact this cache already holds. */
-  def tradeSpineCached(spark: SparkSession, dir: String): DataFrame = {
-    def fresh(): DataFrame = graft.gold.Geography.tradeSpine(
+  def tradeSpineCached(spark: SparkSession, dir: String): DataFrame =
+    tradeCache.getOrRebuild(spark, dir)(
+      graft.gold.Geography.tradeSpine(
         Tables.lineitem(spark, dir), Tables.orders(spark, dir),
         Tables.customer(spark, dir), Tables.supplier(spark, dir),
         Tables.nation(spark, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = tradeCache.getOrElseUpdate(spark, dir)(fresh())
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      val d = fresh()
-      tradeCache.put(spark, dir, d)
-      d
-    } else df
-  }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 }

@@ -31,61 +31,35 @@ object Corpus {
     * means a consumer that fuses two spines never computes both arms
     * concurrently in one job — the serialized memory peak is
     * max(sides), not sum (the r11 q141 OOM fix), now a property of
-    * the spine instead of per-query persist/unpersist choreography. Ranker-output spines are queries·k rows —
-    * session-lifetime residency is storage-pool-safe, unlike the r11
-    * per-call persists that accumulated one block set per invocation.
-    * The POSTINGS index deliberately stays [[cachedLazy]]: eager
-    * counting it added a full materialization pass per retrieval query
-    * under cache-isolated harnesses (soak/Verify clearCache between
-    * queries) — +27% on the q128/q136 10× floods, measured — with no
-    * serialization benefit (an index feeds ONE probe at a time; the
-    * probe's own scan fills the cache in the same pass). */
-  /** The clearCache recovery rule (r14, the q141 in-sweep stall root
-    * cause): after a harness `spark.catalog.clearCache()` the cached
-    * frame must be REBUILT from its builder, never re-persisted as the
-    * same object. A DataFrame's physical plan is memoized at first
-    * execution, compiled against the caches LIVE at that moment — for
-    * a ranker spine that means `InMemoryTableScan`s over the postings
-    * index and its own relation. Re-persisting the same object
-    * registers a NEW cache entry, but `count()` re-executes the STALE
-    * memoized plan: it recomputes through the cleared old relations
-    * (caching nothing) while the new entry stays cold — the "eager"
-    * re-materialization is illusory, and the fused consumer then
-    * computes BOTH ranker arms concurrently inside one job, the exact
-    * sum-peak the eager spine exists to prevent (measured: the q141
-    * spec form completed 333.6 s ISOLATED at 10× with a fresh plan,
-    * but stalled past 900 s in-sweep where its spine object had been
-    * built in q128's row and cleared since). A fresh rebuild is a
-    * fresh analyzed plan: the CacheManager resolves the CURRENT live
-    * relations and the eager count actually fills them. */
+    * the spine instead of per-query persist/unpersist choreography.
+    * Ranker-output spines are queries·k rows — session-lifetime
+    * residency is storage-pool-safe, unlike the r11 per-call persists
+    * that accumulated one block set per invocation. The POSTINGS index
+    * deliberately stays [[cachedLazy]]: eager counting it added a full
+    * materialization pass per retrieval query under cache-isolated
+    * harnesses (soak/Verify clearCache between queries) — +27% on the
+    * q128/q136 10× floods, measured — with no serialization benefit
+    * (an index feeds ONE probe at a time; the probe's own scan fills
+    * the cache in the same pass). Recovery after clearCache REBUILDS
+    * via [[SessionCache.getOrRebuild]] (the r14 q141-stall rule: a
+    * re-persisted object's memoized plan scans the cleared relations,
+    * caches nothing, and the fused consumer degrades to the
+    * sum-peak shape — 333.6 s isolated vs a 900 s in-sweep stall,
+    * measured; the rule's full rationale lives on getOrRebuild). */
   private def cachedEager(
       spark: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame = {
-    def fresh(): DataFrame = {
+      (build: => DataFrame): DataFrame =
+    cache.getOrRebuild(spark, (dir, name)) {
       val d = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       d.count()
       d
     }
-    val df = cache.getOrElseUpdate(spark, (dir, name))(fresh())
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      val d = fresh()
-      cache.put(spark, (dir, name), d)
-      d
-    } else df
-  }
 
   private def cachedLazy(
       spark: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame = {
-    def fresh(): DataFrame =
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = cache.getOrElseUpdate(spark, (dir, name))(fresh())
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      val d = fresh()
-      cache.put(spark, (dir, name), d)
-      d
-    } else df
-  }
+      (build: => DataFrame): DataFrame =
+    cache.getOrRebuild(spark, (dir, name))(
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def scoredPostingsCached(spark: SparkSession, dir: String): DataFrame =
     cachedLazy(spark, dir, "postings")(
@@ -99,17 +73,33 @@ object Corpus {
     * dir keyed by the corpus dir; the catalog entry is session-scoped,
     * so a new session re-registers (overwrite) rather than trusting
     * stale metadata. */
+  private val diskIndexLock = new Object
+
   def diskIndexCached(spark: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate(spark, (dir, "lex_disk_index")) {
-      val key = java.lang.Integer.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir))
-      val table = s"graft_lexidx_$key"
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_lexidx_$key").getAbsolutePath
-      Retrieval.writeBucketedIndex(
-        Retrieval.scoredPostings(Tables.documents(spark, dir), "doc_id", "text"),
-        table, path)
-      Retrieval.fromBucketedIndex(spark, table)
+      // the catalog (and the files) are SHARED across sessions of one
+      // context while this cache is per-session: a sibling session that
+      // already wrote this dir's index must be REUSED, not overwritten —
+      // an overwrite would delete the parquet files out from under the
+      // sibling's live frame mid-scan. Same dir == same deterministic
+      // index content, so reuse is exact; the lock serializes the one
+      // first build per JVM. (An index is rebuilt only when no catalog
+      // entry exists — a fresh JVM always rewrites, so external tmp
+      // cleanup between JVMs is harmless.)
+      diskIndexLock.synchronized {
+        val key = java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir))
+        val table = s"graft_lexidx_$key"
+        if (!spark.catalog.tableExists(table)) {
+          val path = new java.io.File(
+            sys.props("java.io.tmpdir"), s"graft_lexidx_$key").getAbsolutePath
+          Retrieval.writeBucketedIndex(
+            Retrieval.scoredPostings(
+              Tables.documents(spark, dir), "doc_id", "text"),
+            table, path)
+        }
+        Retrieval.fromBucketedIndex(spark, table)
+      }
     }
 
   /** The impact-truncated BM25 probe at the engine defaults

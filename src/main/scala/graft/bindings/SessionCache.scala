@@ -60,6 +60,26 @@ private[graft] final class SessionCache[K] {
   def put(spark: SparkSession, key: K, df: DataFrame): Unit =
     map.put((spark, key), df)
 
+  /** The clearCache recovery rule in ONE place (r14, the q141 stall
+    * root cause): if the cached frame has been unpersisted by a
+    * harness `spark.catalog.clearCache()`, REBUILD it from `fresh` —
+    * a re-persisted old object would re-execute its memoized physical
+    * plan over the cleared InMemoryRelations, caching nothing and
+    * leaving the newly registered entry cold. `fresh` must persist
+    * (and, for eager spines, materialize) the frame it returns; it is
+    * re-evaluated verbatim on recovery so nested cached builders
+    * recover too. Kept as the single entry point so no cache user can
+    * fork the re-persist variant back into existence. */
+  def getOrRebuild(spark: SparkSession, key: K)
+      (fresh: => DataFrame): DataFrame = {
+    val df = getOrElseUpdate(spark, key)(fresh)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val d = fresh
+      put(spark, key, d)
+      d
+    } else df
+  }
+
   private[bindings] def purgeWhere(dead: SparkSession => Boolean): Int = {
     val victims = map.keys.filter(k => dead(k._1)).toList
     victims.foreach(map.remove)

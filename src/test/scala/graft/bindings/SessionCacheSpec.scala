@@ -28,6 +28,23 @@ class SessionCacheSpec extends SparkSpec {
     assert(builds == 3 && !(b2 eq b), "invalidated entry must rebuild")
   }
 
+  test("getOrRebuild: persisted entry is reused; unpersisted entry is rebuilt") {
+    val cache = new SessionCache[String]
+    var builds = 0
+    def get() = cache.getOrRebuild(spark, "k") {
+      builds += 1
+      spark.range(3).toDF("n")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val a = get()
+    assert(builds == 1 && (get() eq a), "live persist must be reused")
+    a.unpersist() // what spark.catalog.clearCache() does to every frame
+    val b = get()
+    assert(builds == 2 && !(b eq a),
+      "recovery must rebuild a fresh frame, never re-persist the stale one")
+    assert(b.storageLevel.useMemory && (get() eq b))
+  }
+
   test("purge predicate drives eviction (the stopped-context path)") {
     val cache = new SessionCache[String]
     val s2 = spark.newSession()
