@@ -89,11 +89,20 @@ object SoakGate {
 
   /** Pure evaluation: (violations, notes). Violations fail the build;
     * notes are maintenance signals (new queries to baseline, baseline
-    * rows whose query left the sweep). */
+    * rows whose query left the sweep).
+    *
+    * `fragment = true` gates a PARTIAL sweep (r14 verdict #6): a
+    * targeted repro artifact — e.g. the two-query q141 stall-shape
+    * re-run — is judged by the same bounds for the rows it DOES carry,
+    * while the baseline rows it legitimately omits stop being flagged
+    * as renamed/dropped. Fragments mechanize the repro-evidence class;
+    * they never substitute for the full sweep's coverage check, which
+    * runs with the default. */
   def evaluate(
       rows: Seq[SoakRow],
-      baseline: Map[String, Double]): (Seq[String], Seq[String]) = {
-    val (vio, notes) = evaluateTyped(rows, baseline)
+      baseline: Map[String, Double],
+      fragment: Boolean = false): (Seq[String], Seq[String]) = {
+    val (vio, notes) = evaluateTyped(rows, baseline, fragment)
     (vio.map(_.msg), notes)
   }
 
@@ -101,7 +110,8 @@ object SoakGate {
     * step needs the breached bound, not a message string). */
   def evaluateTyped(
       rows: Seq[SoakRow],
-      baseline: Map[String, Double]): (Seq[Violation], Seq[String]) = {
+      baseline: Map[String, Double],
+      fragment: Boolean = false): (Seq[Violation], Seq[String]) = {
     val vio = Seq.newBuilder[Violation]
     val notes = Seq.newBuilder[String]
     val gated = rows.filter(r => r.q.matches("^q\\d.*"))
@@ -130,9 +140,10 @@ object SoakGate {
       }
     }
     val seen = gated.map(_.q).toSet
-    (baseline.keySet -- seen).toSeq.sorted.foreach { q =>
-      notes += s"$q: baseline row has no sweep row (renamed or dropped?)"
-    }
+    if (!fragment)
+      (baseline.keySet -- seen).toSeq.sorted.foreach { q =>
+        notes += s"$q: baseline row has no sweep row (renamed or dropped?)"
+      }
     (vio.result(), notes.result())
   }
 
@@ -214,9 +225,11 @@ object SoakGate {
       }.toMap
 
   /** Usage: SoakGate <sweep.jsonl> [<sweep2.jsonl> ...] [baseline.tsv]
-    * [soakDataDir] — every .jsonl arg is a sweep leg (the full sweep
-    * plus the rate-cap leg), the .tsv arg (default
-    * tools/soak_baseline.tsv) the committed baseline. A directory arg
+    * [soakDataDir] [--fragment] — every .jsonl arg is a sweep leg (the
+    * full sweep plus the rate-cap leg), the .tsv arg (default
+    * tools/soak_baseline.tsv) the committed baseline; `--fragment`
+    * gates a partial sweep (targeted repro artifacts) by the same
+    * bounds without flagging absent baseline rows. A directory arg
     * arms the [[confirmReplay]] step: replay-class bound breaches are
     * re-run isolated against that corpus (one fresh local session,
     * clean cache per query) and pass iff the isolated wall is under
@@ -224,7 +237,11 @@ object SoakGate {
     * log. Without a directory the violation stands — unavailability
     * never greens a build. */
   def main(args: Array[String]): Unit = {
-    val (tsv, rest) = args.partition(_.endsWith(".tsv"))
+    val (flags, nonFlags) = args.partition(_.startsWith("--"))
+    val badFlags = flags.filterNot(_ == "--fragment")
+    require(badFlags.isEmpty, s"unknown flags: ${badFlags.mkString(", ")}")
+    val fragment = flags.contains("--fragment")
+    val (tsv, rest) = nonFlags.partition(_.endsWith(".tsv"))
     val (jsonl, dirs) = rest.partition(_.endsWith(".jsonl"))
     // FAIL CLOSED on argument mistakes: a typo'd sweep path must never
     // silently fall back to some stale committed sweep and exit 0 — the
@@ -248,8 +265,9 @@ object SoakGate {
     }
     val baseline = parseBaseline(
       scala.io.Source.fromFile(basePath).getLines())
-    val (vioTyped, notesEval) = evaluateTyped(rows, baseline)
+    val (vioTyped, notesEval) = evaluateTyped(rows, baseline, fragment)
     // fresh session only if a replay-class bound breach actually needs it
+    var rerunSparkUsed = false
     lazy val rerunSpark = {
       val s = graft.core.GraftSession.local(
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-soakgate")
@@ -263,7 +281,6 @@ object SoakGate {
     // bound-breaching wall and a red gate, not a hung CI process
     val rerunTimeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_SOAK_TIMEOUT", "600").toLong
-    lazy val rerunExec = java.util.concurrent.Executors.newSingleThreadExecutor()
     val rerun: String => Option[Double] = q =>
       rerunDir.flatMap { dir =>
         // capped-leg rows are the base query against the -ratecap corpus
@@ -274,36 +291,62 @@ object SoakGate {
           .filter(_ => java.nio.file.Files.isDirectory(
             java.nio.file.Paths.get(runDir)))
           .map { fn =>
-            val t0 = System.nanoTime()
-            val task = rerunExec.submit(new java.util.concurrent.Callable[Long] {
-              def call(): Long = {
-                rerunSpark.sparkContext.setJobGroup(q, q, interruptOnCancel = true)
-                try fn(rerunSpark, runDir).count()
-                finally rerunSpark.sparkContext.clearJobGroup()
-              }
-            })
-            val n =
-              try task.get(rerunTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-              catch {
-                case _: java.util.concurrent.TimeoutException =>
-                  rerunSpark.sparkContext.cancelJobGroup(q)
-                  task.cancel(true)
-                  -1L
-              }
-            val sec = (System.nanoTime() - t0) / 1e9
-            rerunSpark.catalog.clearCache()
-            println(f"""[soakgate] {"q":"replay_rerun","query":"$q","sec":$sec%.2f,"rows":$n,"timed_out":${n < 0}}""")
-            sec
+            rerunSparkUsed = true
+            // a FRESH single-thread DAEMON executor per re-run (r14
+            // advisor): a prior re-run whose Spark action shrugged off
+            // the interrupt after cancelJobGroup cannot occupy this
+            // worker, so queue wait never counts against the isolated
+            // wall (inflated walls would convert contention into a
+            // false "real regression"); daemon threads also cannot
+            // keep a green gate's JVM alive after main returns.
+            val exec = java.util.concurrent.Executors.newSingleThreadExecutor(
+              (r: Runnable) => {
+                val t = new Thread(r, s"soakgate-rerun-$q")
+                t.setDaemon(true)
+                t
+              })
+            try {
+              val task = exec.submit(
+                new java.util.concurrent.Callable[(Double, Long)] {
+                  def call(): (Double, Long) = {
+                    rerunSpark.sparkContext
+                      .setJobGroup(q, q, interruptOnCancel = true)
+                    // wall measured INSIDE the worker, around the
+                    // plan+action only — never around submit/queue
+                    val t0 = System.nanoTime()
+                    try {
+                      val n = fn(rerunSpark, runDir).count()
+                      ((System.nanoTime() - t0) / 1e9, n)
+                    } finally rerunSpark.sparkContext.clearJobGroup()
+                  }
+                })
+              val (sec, n) =
+                try task.get(rerunTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+                catch {
+                  case _: java.util.concurrent.TimeoutException =>
+                    rerunSpark.sparkContext.cancelJobGroup(q)
+                    task.cancel(true)
+                    // a timed-out wall reports AS the timeout: always at
+                    // or above every bound, so the violation stands
+                    (rerunTimeoutSec.toDouble, -1L)
+                }
+              rerunSpark.catalog.clearCache()
+              println(f"""[soakgate] {"q":"replay_rerun","query":"$q","sec":$sec%.2f,"rows":$n,"timed_out":${n < 0}}""")
+              sec
+            } finally exec.shutdownNow()
           }
       }
     val (vioConfirmed, rerunNotes) = confirmReplay(vioTyped, rerun)
+    if (rerunSparkUsed) rerunSpark.stop()
     val vio = malformed ++ vioConfirmed
     val notes = notesEval ++ rerunNotes
     notes.foreach(n => println(s"[soakgate] NOTE $n"))
     vio.foreach(v => println(s"[soakgate] VIOLATION $v"))
     println(s"[soakgate] ${rows.count(_.q.matches("^q\\d.*"))} query rows, " +
       s"${baseline.size} baseline rows, ${vio.size} violations, " +
-      s"${notes.size} notes")
-    if (vio.nonEmpty) sys.exit(1)
+      s"${notes.size} notes" + (if (fragment) " [fragment]" else ""))
+    // explicit success exit too (r14 advisor): a green gate must
+    // terminate the JVM even if some library left a non-daemon thread
+    sys.exit(if (vio.nonEmpty) 1 else 0)
   }
 }

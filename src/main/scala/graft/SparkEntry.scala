@@ -1025,6 +1025,30 @@ object SparkEntry {
           queryModEvery = 50, k = 10, maxPostingsPerTerm = 1000)
         .orderBy(col("query_id"), col("rank"))),
 
+    // ---- ext: the SAME IVF probe over the cell-BUCKETED DISK index
+    // (Similarity.writeIvfIndex) — the dense tier's 100 TB index shape
+    // (q345's sibling): cells bound who you score AT DISK, gated:
+    // probe-over-disk must hash-match the q21 oracle, and the bucketed
+    // scan feeds the intra-cell self-join + per-(vec, cell) top-k with
+    // zero exchanges (IvfDiskIndexSpec asserts the plan) ----
+    "q346_ivf_disk_index" -> ((s, dir) =>
+      Similarity.ivfTopKFromAssigned(Corpus.ivfIndexCached(s, dir), k = 5)
+        .orderBy(col("vec_id"), col("rank"))),
+
+    // ---- ext: the SAME IVF-PQ probe over the stored three-table disk
+    // index (codes cell-bucketed; book/cents model-sized) — q192's
+    // production serve path: raw queries encoded online against the
+    // stored model frames, database side touches only stored codes,
+    // gated against the q192 oracle ----
+    "q347_ivfpq_disk_index" -> ((s, dir) => {
+      val (codes, book, cents) = Corpus.ivfPqIndexCached(s, dir)
+      Similarity.ivfPqTopKFromIndex(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          codes, book, cents, queryModEvery = 50, k = 5,
+          blocks = 4, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- ext: per-source LM-quality pruning audit — rank-based keep
     // fraction (integer predicate, no float threshold) over q76's
     // unigram-LM scores ----
@@ -2999,6 +3023,15 @@ object SparkEntry {
       // indistinguishable from the in-memory-spine probe
       "q345_bm25_disk_index" -> ExtOracleSql.bm25Truncated(
         queryModEvery = 50, k = 10, maxPostingsPerTerm = 1000),
+      // same oracle as q21 BY DESIGN: the dense disk-index probe must
+      // be indistinguishable from the in-memory IVF chain
+      "q346_ivf_disk_index" -> ExtOracleSql.ivfTopK(
+        k = 5, centroidEvery = 100),
+      // same oracle as q192 BY DESIGN: serve-path probe over the
+      // stored IVF-PQ index == the fused in-memory chain
+      "q347_ivfpq_disk_index" ->
+        ExtOracleSql.ivfPqTopK(queryModEvery = 50, k = 5, blocks = 4,
+          seedEvery = 100, centroidEvery = 100, nProbe = 2),
       "q343_bm25_truncation_recall" -> ExtOracleSql.bm25TruncationSweep(
         queryModEvery = 50, k = 10, mList = Seq(10, 100, 1000)),
       "q129_dedup_against" ->

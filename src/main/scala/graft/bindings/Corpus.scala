@@ -75,32 +75,117 @@ object Corpus {
     * stale metadata. */
   private val diskIndexLock = new Object
 
+  /** Collision-safe, content-stamped identity for a disk index built
+    * from `<dir>/<dataset>` (r15, closing the r14 verdict #4 window):
+    * 128 bits of SHA-256 over the corpus dir's canonical path PLUS
+    * every source file's (path, length, mtime) — so (a) two distinct
+    * dirs in one JVM cannot collide into one table the way a 32-bit
+    * string hash could, and (b) contents MUTATED under an unchanged
+    * path produce a new stamp and a fresh build instead of being
+    * served stale from the catalog. The stamp is the harness-scale
+    * stand-in for what a metastore's table version provides at cluster
+    * scale; the per-SESSION frame cache above it still assumes
+    * immutable testdata within one session, like every other cached
+    * spine. */
+  private[graft] def indexStamp(dir: String, dataset: String): String = {
+    val root = new java.io.File(new java.io.File(dir), dataset)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+          .sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(new java.io.File(dir).getCanonicalPath.getBytes("UTF-8"))
+    walk(root).foreach { f =>
+      md.update(
+        s"|${f.getCanonicalPath}:${f.length}:${f.lastModified}"
+          .getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString.take(32)
+  }
+
+  /** Shared build-once-per-JVM choreography for every disk index: the
+    * catalog (and the files) are SHARED across sessions of one context
+    * while the frame cache is per-session — a sibling session that
+    * already wrote this stamp's index must be REUSED, not overwritten
+    * (an overwrite would delete the parquet files out from under the
+    * sibling's live frame mid-scan). Reuse is exact because the stamp
+    * pins the source content; the lock serializes the one first build
+    * per JVM. (An index is rebuilt only when no catalog entry exists —
+    * a fresh JVM always rewrites, so external tmp cleanup between JVMs
+    * is harmless.) */
+  private def diskIndexTable(
+      spark: SparkSession, prefix: String, stamp: String)
+      (write: (String, String) => Unit): DataFrame =
+    diskIndexLock.synchronized {
+      val table = s"${prefix}_$stamp"
+      if (!spark.catalog.tableExists(table)) {
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), table).getAbsolutePath
+        write(table, path)
+      }
+      spark.table(table)
+    }
+
   def diskIndexCached(spark: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate(spark, (dir, "lex_disk_index")) {
-      // the catalog (and the files) are SHARED across sessions of one
-      // context while this cache is per-session: a sibling session that
-      // already wrote this dir's index must be REUSED, not overwritten —
-      // an overwrite would delete the parquet files out from under the
-      // sibling's live frame mid-scan. Same dir == same deterministic
-      // index content, so reuse is exact; the lock serializes the one
-      // first build per JVM. (An index is rebuilt only when no catalog
-      // entry exists — a fresh JVM always rewrites, so external tmp
-      // cleanup between JVMs is harmless.)
-      diskIndexLock.synchronized {
-        val key = java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir))
-        val table = s"graft_lexidx_$key"
-        if (!spark.catalog.tableExists(table)) {
-          val path = new java.io.File(
-            sys.props("java.io.tmpdir"), s"graft_lexidx_$key").getAbsolutePath
-          Retrieval.writeBucketedIndex(
-            Retrieval.scoredPostings(
-              Tables.documents(spark, dir), "doc_id", "text"),
-            table, path)
-        }
-        Retrieval.fromBucketedIndex(spark, table)
+      diskIndexTable(spark, "graft_lexidx",
+        indexStamp(dir, "documents.parquet")) { (table, path) =>
+        Retrieval.writeBucketedIndex(
+          Retrieval.scoredPostings(
+            Tables.documents(spark, dir), "doc_id", "text"),
+          table, path)
       }
     }
+
+  /** The DISK form of the DENSE tier's IVF index — [[graft.ext
+    * .Similarity.ivfAssign]]'s (id, emb, nrm, cell) assignment written
+    * once per (JVM, content stamp) as a CELL-bucketed parquet table and
+    * read back as the probe input: the 100 TB shape of "cells bound who
+    * you score", executed rather than asserted (q346 gates
+    * probe-over-disk == probe-over-memory == the q21 DuckDB oracle,
+    * hash-matched; IvfDiskIndexSpec plan-asserts the zero-exchange
+    * probe). Same identity/lifecycle discipline as the lexical
+    * [[diskIndexCached]]. */
+  def ivfIndexCached(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(spark, (dir, "ivf_disk_index")) {
+      diskIndexTable(spark, "graft_ivfidx",
+        indexStamp(dir, "embeddings.parquet")) { (table, path) =>
+        graft.ext.Similarity.writeIvfIndex(
+          graft.ext.Similarity.ivfAssign(
+            Tables.embeddings(spark, dir), "vec_id", "embedding",
+            centroidEvery = 100),
+          table, path)
+      }
+    }
+
+  /** The DISK form of the full IVF-PQ layout (q192's index): ONE
+    * training run writes `codes` (cell-bucketed — the only
+    * corpus-scale frame), `book` and `cents` (model-sized) under one
+    * content stamp; probes encode raw queries online against the
+    * stored model frames ([[graft.ext.Similarity.ivfPqTopKFromIndex]]).
+    * Returns (codes, book, cents). Frames are cheap catalog reads, so
+    * only the build is guarded (same lock + reuse discipline as
+    * [[diskIndexCached]]); a partially-written triple cannot be
+    * observed because the build runs entirely inside the lock and the
+    * existence check covers all three tables. */
+  def ivfPqIndexCached(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val stamp = indexStamp(dir, "embeddings.parquet")
+    def table(part: String) = s"graft_ivfpqidx_${part}_$stamp"
+    diskIndexLock.synchronized {
+      if (!Seq("codes", "book", "cents")
+            .forall(p => spark.catalog.tableExists(table(p)))) {
+        graft.ext.Similarity.writeIvfPqIndex(
+          Tables.embeddings(spark, dir), "vec_id", "embedding",
+          tableFor = table,
+          pathFor = p => new java.io.File(
+            sys.props("java.io.tmpdir"), table(p)).getAbsolutePath)
+      }
+      (spark.table(table("codes")), spark.table(table("book")),
+        spark.table(table("cents")))
+    }
+  }
 
   /** The impact-truncated BM25 probe at the engine defaults
     * (queryModEvery=50, k=10, M=1000) — the shared lexical spine of

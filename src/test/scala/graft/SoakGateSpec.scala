@@ -62,6 +62,31 @@ class SoakGateSpec extends AnyFunSuite {
     assert(notes.count(_.contains("no sweep row")) == base.size)
   }
 
+  test("fragment mode: present rows keep their bounds, absent baseline rows stop being noted") {
+    // r15 (r14 verdict #6): a targeted repro sweep carries only the
+    // queries it re-ran — gate those by the full discipline, but a
+    // 2-row fragment must not page about 300 "missing" baseline rows.
+    val frag = Seq(
+      SoakRow("q01_order_revenue", 12.0, ok = true, timedOut = false))
+    val (vioStrict, notesStrict) = evaluate(frag, base)
+    assert(vioStrict.isEmpty &&
+      notesStrict.count(_.contains("no sweep row")) == 2,
+      "default mode must flag the absent baseline rows")
+    val (vioFrag, notesFrag) = evaluate(frag, base, fragment = true)
+    assert(vioFrag.isEmpty && notesFrag.isEmpty,
+      s"fragment mode must not note absences: $notesFrag")
+    // the bounds themselves are NOT relaxed: a flood in the fragment
+    // still fails, and an in-fragment timeout is still a violation
+    val (vioFlood, _) = evaluate(
+      Seq(SoakRow("q01_order_revenue", 200.0, ok = true, timedOut = false)),
+      base, fragment = true)
+    assert(vioFlood.size == 1)
+    val (vioDead, _) = evaluate(
+      Seq(SoakRow("q01_order_revenue", 600.0, ok = false, timedOut = true)),
+      base, fragment = true)
+    assert(vioDead.size == 1 && vioDead.head.contains("TIMED OUT"))
+  }
+
   test("harness rows (TOTAL, skew_probe, rate_cap_ingest) never enter the gate") {
     val (vio, notes) = evaluate(
       Seq(SoakRow("TOTAL", 9999.0, ok = true, timedOut = false),

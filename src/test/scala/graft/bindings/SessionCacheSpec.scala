@@ -45,6 +45,54 @@ class SessionCacheSpec extends SparkSpec {
     assert(b.storageLevel.useMemory && (get() eq b))
   }
 
+  test("getOrRebuild: racing double-rebuild leaves exactly one persisted block set") {
+    // r15 (r14 verdict #3 / advisor): two callers observing an
+    // unpersisted entry must not BOTH evaluate `fresh` — the loser's
+    // persisted blocks would leak until context teardown. The per-key
+    // monitor serializes the rebuild; builds counts evaluations.
+    val cache = new SessionCache[String]
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val live = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.DataFrame]()
+    def fresh() = {
+      // each build gets a DISTINCT plan (lit(i)): df.storageLevel reads
+      // the cache manager by canonicalized plan, so two builds of the
+      // same plan would alias each other's persist state and hide a
+      // double-persist from the final assertion
+      val i = builds.incrementAndGet()
+      val d = spark.range(3).toDF("n")
+        .withColumn("b", org.apache.spark.sql.functions.lit(i))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      live.synchronized { live += d }
+      d
+    }
+    def race(): Unit = {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fs = (1 to 2).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[
+            org.apache.spark.sql.DataFrame] {
+            def call() = { gate.await(); cache.getOrRebuild(spark, "k")(fresh()) }
+          })
+        }
+        gate.countDown()
+        val got = fs.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+        assert(got(0) eq got(1), "racers must observe the same frame")
+      } finally pool.shutdownNow()
+    }
+    race() // cold build race
+    assert(builds.get == 1, s"cold race must build once, built ${builds.get}")
+    live.head.unpersist() // the harness clearCache shape
+    race() // recovery race
+    assert(builds.get == 2, s"recovery race must rebuild once, built ${builds.get}")
+    val persisted = live.filter(_.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    assert(persisted.size == 1,
+      s"exactly one persisted block set may remain, found ${persisted.size}")
+    persisted.foreach(_.unpersist())
+  }
+
   test("purge predicate drives eviction (the stopped-context path)") {
     val cache = new SessionCache[String]
     val s2 = spark.newSession()

@@ -35,6 +35,34 @@ class DiskIndexSpec extends SparkSpec {
     assert(d == m, "disk-index probe must be indistinguishable from memory")
   }
 
+  test("index identity: two distinct dirs in one JVM build distinct, content-stamped tables") {
+    // r15 (r14 verdict #4): the old 32-bit dir hash could collide two
+    // corpora into one table; the 128-bit content stamp cannot — a
+    // byte-identical corpus COPY (different path + mtime) gets its own
+    // stamp and its own index, whose probe must still match the
+    // original's results exactly (same bytes), proving dir2's build
+    // did not clobber dir1's live table.
+    val copy = java.nio.file.Files.createTempDirectory("graft-corpus-copy")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      copy.resolve("documents.parquet"))
+    val dir2 = copy.toString
+    assert(
+      graft.bindings.Corpus.indexStamp(sf, "documents.parquet") !=
+        graft.bindings.Corpus.indexStamp(dir2, "documents.parquet"),
+      "distinct dirs must stamp distinctly")
+    def probe(dir: String) = Retrieval.bm25TruncatedFromPostings(
+        graft.bindings.Corpus.diskIndexCached(spark, dir),
+        queryModEvery = 50, k = 10, maxPostingsPerTerm = 1000)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val one = probe(sf)
+    val two = probe(dir2)
+    assert(one.nonEmpty && two == one,
+      "the copied corpus's own index must reproduce the original probe")
+    assert(probe(sf) == one,
+      "dir1's index must survive dir2's build untouched")
+  }
+
   test("term-bucketed scan feeds the truncation windows with no exchange") {
     val disk = graft.bindings.Corpus.diskIndexCached(spark, sf)
     val bucketedPlan = planText(Retrieval.impactTruncate(disk, 100))

@@ -22,11 +22,16 @@ def main() -> int:
     path = sys.argv[2] if len(sys.argv) > 2 else "bench_full.json"
     with open(path) as f:
         d = json.load(f)
-    n = len(d.get("queries", {}))
-    failed = d.get("failed", [])
-    ok = n == expected and not failed
+    if not isinstance(d, dict):
+        print(f"[check_bench_full] {path}: not a JSON object -> REFUSE")
+        return 1
+    n = len(d.get("queries") or {})
+    failed = d.get("failed") or []
+    total = d.get("value")
+    total_s = f"{total:.1f}s" if isinstance(total, (int, float)) else "missing"
+    ok = n == expected and not failed and total is not None
     print(f"[check_bench_full] {path}: {n} queries (expected {expected}), "
-          f"{len(failed)} failed, total {d.get('value'):.1f}s -> "
+          f"{len(failed)} failed, total {total_s} -> "
           f"{'OK' if ok else 'REFUSE'}")
     if failed:
         print(f"[check_bench_full] failed: {failed}")
