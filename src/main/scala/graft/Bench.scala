@@ -55,10 +55,25 @@ object Bench {
     // 22 broken events queries "ran" in 0.05-0.08s and contaminated the
     // total). Failures are dropped from the queries/total JSON and carried
     // in a distinct "failed" key instead.
+    // Contention evidence rides IN the artifact (r14: 8 driver rows sat
+    // 2-4x over the committed quiet close and every one was box
+    // contention — attributed only by a separate quiet-box re-run).
+    // Two per-query diagnostics make that attribution mechanical from
+    // BENCH_rN.json alone: cpu_share = this JVM's process-CPU seconds /
+    // wall seconds on the chosen rep (effective parallelism; an upticked
+    // wall whose share collapsed vs its quiet-close share means the box
+    // was busy, not the plan), and loadavg = the OS 1-min load at query
+    // end (external pressure, same reading the uptick audits quote).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuNanos(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
     val ran = selected.map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-      def once(): (Double, Long, Boolean) = {
+      def once(): (Double, Long, Boolean, Double) = {
         val gc0 = gcMillis()
+        val cpu0 = procCpuNanos()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -66,20 +81,29 @@ object Bench {
             Console.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0, ok)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val share =
+          if (cpu0 < 0 || sec <= 0) -1.0
+          else (procCpuNanos() - cpu0) / 1e9 / sec
+        (sec, gcMillis() - gc0, ok, share)
       }
       val first = once()
       val extra = (2 to repsFor(first._1)).map(_ => once())
       val all = first +: extra
-      val (sec, gc, ok) = all.filter(_._3).minByOption(_._1).getOrElse(all.head)
+      val (sec, gc, ok, share) =
+        all.filter(_._3).minByOption(_._1).getOrElse(all.head)
       val reps = all.size
+      val load = osBean.getSystemLoadAverage
       val cached = spark.sparkContext.getPersistentRDDs.size
       Console.err.println(
-        f"[bench] $name%-28s $sec%8.3fs ok=$ok reps=$reps gc=${gc}ms cachedRdds=$cached")
-      (name, sec, gc, reps, ok)
+        f"[bench] $name%-28s $sec%8.3fs ok=$ok reps=$reps gc=${gc}ms " +
+          f"cpuShare=$share%.1f load=$load%.1f cachedRdds=$cached")
+      (name, sec, gc, reps, ok, share, load)
     }
     val failed = ran.filter(!_._5).map(_._1)
-    val results = ran.filter(_._5).map { case (n, s, g, r, _) => (n, s, g, r) }
+    val results = ran.filter(_._5).map { case (n, s, g, r, _, _, _) => (n, s, g, r) }
+    val shares = ran.filter(_._5).map { case (n, _, _, _, _, sh, _) => (n, sh) }
+    val loads = ran.filter(_._5).map { case (n, _, _, _, _, _, l) => (n, l) }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
@@ -96,7 +120,11 @@ object Bench {
     // window on its own. The second line carries a DISTINCT metric name
     // so a consumer keying on "total" never double-counts.
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"gc_ms":$gcs,"reps":$reps,"sf":"$sfDir","queries":$qs}"""
+    def fmtMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+    val ncpu = Runtime.getRuntime.availableProcessors
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"ncpu":$ncpu,"cpu_share":${fmtMap(shares)},"loadavg":${fmtMap(loads)},"gc_ms":$gcs,"reps":$reps,"sf":"$sfDir","queries":$qs}"""
     println(fullLine)
     // Durable artifact: the driver captures only the stdout TAIL (4 KB),
     // which truncated the 307-query wall map in BENCH_r08 (parsed:null).

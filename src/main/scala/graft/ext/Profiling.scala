@@ -763,7 +763,12 @@ object Profiling {
     val rows = cells.groupBy(col("r")).agg(sum(col("n")).as("rt"))
     val cols = cells.groupBy(col("c")).agg(sum(col("n")).as("ct"))
     val tot = cells.agg(sum(col("n")).as("tot"))
-    rows.crossJoin(cols)
+    // the margin grid is segment-cardinality on BOTH sides — broadcast
+    // the column margins so the grid plans as a BNLJ over a bounded
+    // build, never a CartesianProduct (PlanAuditSpec's universal ban:
+    // a cartesian pairs two at-scale partitions; a bounded side must
+    // say so in the plan)
+    rows.crossJoin(broadcast(cols))
       .join(cells, Seq("r", "c"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
       .crossJoin(broadcast(tot))

@@ -1328,12 +1328,30 @@ object Similarity {
     pqAdcRanked(codes, table, k)
   }
 
+  /** The full-ADC scoring tail (every query × every code row — the
+    * un-IVF'd exhaustive variant). The broadcast join amplifies the
+    * codes frame ×|queries| — an amplification AQE cannot see: it
+    * observes only the tiny pre-join codes shuffle (a few MB at 10×)
+    * and coalesces it toward one partition, which then serializes the
+    * ~1e8-row scoring loop on one core (measured at 10×: one task
+    * carried 92 of 105 shuffle-MB and the wall swung 22-42 s with
+    * scheduling luck). Parallelism across the scoring loop is
+    * therefore pinned EXPLICITLY with repartition(n, vec_id) — a
+    * numPartitions-specified shuffle AQE is forbidden to coalesce —
+    * and hashing on vec_id co-locates a vector's block rows so each
+    * (query, vec) pair partial-aggregates exactly once per partition
+    * (measured at 10×: shuffle 105→12 MB, peak task 92→9 MB, wall
+    * stable at ~26 s vs 33-42 s). The extra shuffle moves only the
+    * small codes frame, never the amplified pair stream. */
   private def pqAdcRanked(
-      codes: DataFrame, table: DataFrame, k: Int): DataFrame =
+      codes: DataFrame, table: DataFrame, k: Int): DataFrame = {
+    val n = codes.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     adcRank(
-      codes.join(broadcast(table), Seq("blk", "code"))
+      codes.repartition(n, col("vec_id"))
+        .join(broadcast(table), Seq("blk", "code"))
         .filter(col("vec_id") =!= col("query_id")),
       k)
+  }
 
   /** The shared ADC ranking tail: (query_id, vec_id, pn) block partials
     * → per-pair order-free long sums → bounded per-query heap.
