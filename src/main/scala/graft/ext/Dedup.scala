@@ -716,7 +716,17 @@ object Dedup {
       col("id_a") < col("id_b") && cheap &&
       graft.functions.StringSimilarity.jaroWinklerGte(
         col("name_a"), col("name_b"), minSim)
-    a.join(b, cond)
+    // The slim side broadcasts (it is dim-sized), so the join's
+    // parallelism is the PROBE side's partitioning — a one-row-group
+    // parquet scan at the gate SF, i.e. ONE task carrying the whole
+    // within-block quadratic JW scan (measured: cpu_share 1.2 on 32
+    // cores). Pin a block-keyed repartition on the probe side only:
+    // numPartitions-pinned, so AQE cannot coalesce it away (the q171
+    // lesson — the quadratic join-output cost is invisible to AQE's
+    // byte stats), and the build side stays broadcastable at every
+    // scale. Parallelism becomes min(#blocks, cores) by construction.
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    a.repartition(n, col("block_a")).join(b, cond)
       .select(col("block_a").as(blockCol), col("id_a"), col("id_b"),
         col("name_a"), col("name_b"),
         round(graft.functions.StringSimilarity.jaroWinkler(
@@ -1116,7 +1126,13 @@ object Dedup {
       // disagreement while the u estimate counted them as agreement
       exactCols.map(c =>
         coalesce(col(c + "_a") === col(c + "_b"), lit(false)).as("agree_" + c))
-    val pat = slim.toDF(aCols: _*).join(slim.toDF(bCols: _*), Seq("block"))
+    // pinned block-key repartition on the probe side: same rationale
+    // as [[jaroWinklerPairs]] — the build side broadcasts, so the
+    // quadratic within-block comparison otherwise serializes on the
+    // one-row-group scan task (cpu_share 1.1 measured before the pin)
+    val nPart = df.sparkSession.sparkContext.defaultParallelism
+    val pat = slim.toDF(aCols: _*).repartition(nPart, col("block"))
+      .join(slim.toDF(bCols: _*), Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(flagCols: _*)
       .groupBy(("agree_name" +: exactCols.map("agree_" + _)).map(col): _*)

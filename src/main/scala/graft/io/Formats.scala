@@ -56,9 +56,25 @@ object Formats {
     // quote only when needed; escape embedded quotes the RFC-4180 way
     "quote" -> "\"", "escape" -> "\"")
 
+  /** Landing-zone layout for the TEXT sinks (CSV/JSONL): they compress
+    * one gzip stream per output file, and the matching reads are one
+    * split per file (gzip is unsplittable; `multiLine` CSV is
+    * single-split by contract). A narrow input — one cached partition
+    * at the gate SF,
+    * one parquet row-group upstream — would therefore serialize the
+    * WHOLE write and the whole read-back behind a single gzip stream
+    * (measured: q105 ran at cpu_share 1.1 on 32 cores). Spread to at
+    * least the session's default parallelism going out; at 100 TB the
+    * input already carries far more partitions than cores and this is
+    * a no-op, so the "many modest files" layout holds at every scale. */
+  private def spreadOut(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
   def writeCsv(df: DataFrame, path: String,
                mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).options(csvOptions)
+    spreadOut(df).write.mode(mode).options(csvOptions)
       .option("compression", "gzip").csv(path)
 
   /** Schema-enforced CSV read; malformed lines survive in
@@ -76,7 +92,7 @@ object Formats {
 
   def writeJsonl(df: DataFrame, path: String,
                  mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+    spreadOut(df).write.mode(mode)
       .option("timestampFormat", TsPattern)
       .option("timestampNTZFormat", TsNtzPattern)
       .option("compression", "gzip").json(path)
@@ -98,6 +114,12 @@ object Formats {
     * through Parquet/CSV/JSONL, which are exact. */
   def writeOrc(df: DataFrame, path: String,
                mode: SaveMode = SaveMode.Overwrite): Unit =
+    // NO spread here, asymmetric to the text sinks by measurement: ORC
+    // is stripe-splittable (readers parallelize without many files),
+    // and 32 small-stripe writers cost more than one streaming writer
+    // (each allocates its own stripe buffer + zstd context; probed
+    // 1.4-1.6 s one-file vs 2.1-3.0 s spread on the same input, while
+    // the read gain was only ~0.1-0.9 s)
     df.write.mode(mode).option("compression", "zstd").orc(path)
 
   /** ORC read. ORC is self-describing like Parquet; the schema arg
