@@ -1741,6 +1741,10 @@ object SparkEntry {
           round(col("l_extendedprice")).cast("long").as("y"),
           col("l_quantity").cast("long").as("x1"),
           round(col("l_discount") * 100).cast("long").as("x2"))
+        // pinned brand repartition (r15): the ten decimal(38,0) moment
+        // partials otherwise build inside the one-row-group scan task
+        // (cpu_share 1.2); olsNormalEq's groupBy reuses the distribution
+        .repartition(s.sparkContext.defaultParallelism, col("p_brand"))
       graft.ext.Profiling.olsNormalEq(d, col("p_brand"),
           col("y"), col("x1"), col("x2"))
         .withColumnRenamed("grp", "p_brand")

@@ -117,8 +117,15 @@ object Conformed {
     // memoized plan still scans the cleared old relation, never filling
     // the new entry
     revCache.getOrRebuild(spark, dir)(
-      orderRevenue(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // persistSpread: the materialized conform join coalesces to ~3
+      // partitions at the gate SF (AQE sizes by bytes), and the cache
+      // layout IS the first-stage task count of every mart reading it
+      // — spread once to the session's parallelism, keyed on the PK
+      // grain (high-cardinality, deterministic, no round-robin sort)
+      SessionCache.persistSpread(
+        orderRevenue(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        col("order_id"), col("lineitem_id")))
   }
 
   private val tradeCache = new SessionCache[String]
@@ -131,9 +138,11 @@ object Conformed {
     * conformed fact this cache already holds. */
   def tradeSpineCached(spark: SparkSession, dir: String): DataFrame =
     tradeCache.getOrRebuild(spark, dir)(
-      graft.gold.Geography.tradeSpine(
-        Tables.lineitem(spark, dir), Tables.orders(spark, dir),
-        Tables.customer(spark, dir), Tables.supplier(spark, dir),
-        Tables.nation(spark, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // same persistSpread rationale as [[orderRevenueCached]]
+      SessionCache.persistSpread(
+        graft.gold.Geography.tradeSpine(
+          Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+          Tables.customer(spark, dir), Tables.supplier(spark, dir),
+          Tables.nation(spark, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 }

@@ -118,3 +118,35 @@ private[graft] final class SessionCache[K] {
 
   private[bindings] def size: Int = map.size
 }
+
+private[graft] object SessionCache {
+  /** Persist + materialize a session spine at a layout wide enough to
+    * feed every core. The spine plans are tiny-byte shuffles (a
+    * conformed fact is tens of MB), so AQE's coalescing lands them on
+    * a HANDFUL of partitions (measured: 3 on a 32-core session) — and
+    * because an InMemoryRelation's layout IS the first-stage task
+    * count of every consumer, every one of the ~200 spine-fed queries
+    * then opened on ≤3 tasks. Rebuilding the cache one level wider is
+    * a one-time, in-memory shuffle per session; at scale the
+    * materialized layout already carries ≥ parallelism partitions and
+    * the probe (plan-only on the persisted frame) short-circuits.
+    * `keys` choose hash layout (high-cardinality grain columns — no
+    * round-robin pre-sort, deterministic placement); empty → round
+    * robin. Callers pass the frame ALREADY persisted (the getOrRebuild
+    * `fresh` contract); this materializes it, probes, and if needed
+    * swaps the entry for the wider persisted copy. */
+  private[bindings] def persistSpread(
+      df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    df.count()
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= n) df
+    else {
+      val wide =
+        (if (keys.isEmpty) df.repartition(n) else df.repartition(n, keys: _*))
+          .persist(df.storageLevel)
+      wide.count()
+      df.unpersist(blocking = false)
+      wide
+    }
+  }
+}

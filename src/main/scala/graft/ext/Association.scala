@@ -43,7 +43,14 @@ object Association {
       .filter(col("n_item") >= minItemSupport)
     val pruned = b.join(broadcast(freq.select(col("item"))), Seq("item"), "left_semi")
       .select(col("basket_id"), col("item"))
+    // pinned basket-key repartition (r15): the within-basket pair
+    // fan-out is the cost, and it is invisible to AQE's byte stats —
+    // the pruned table's shuffle is small, so coalescing would land
+    // the whole fan-out + pair count on a few tasks (the q168/q171
+    // class). The pin sets both self-join sides' partition count.
+    val nPart = baskets.sparkSession.sparkContext.defaultParallelism
     val pairs = pruned.withColumnRenamed("item", "item_a")
+      .repartition(nPart, col("basket_id"))
       .join(pruned.withColumnRenamed("item", "item_b"), Seq("basket_id"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
@@ -86,7 +93,10 @@ object Association {
       .filter(col("n_item") >= minItemSupport)
     val pruned = b.join(broadcast(freq.select(col("item"))), Seq("item"), "left_semi")
       .select(col("basket_id"), col("item"))
+    // pinned basket-key repartition: the [[frequentItemPairs]] rationale
     val half = pruned.withColumnRenamed("item", "item_a")
+      .repartition(baskets.sparkSession.sparkContext.defaultParallelism,
+        col("basket_id"))
       .join(pruned.withColumnRenamed("item", "item_b"), Seq("basket_id"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
@@ -142,7 +152,10 @@ object Association {
       .select(col(basketCol).as("basket_id"), col(itemCol).as("item"))
       .distinct()
     val counts = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    // pinned basket-key repartition: the [[frequentItemPairs]] rationale
     val half = b.toDF("basket_id", "item_a")
+      .repartition(baskets.sparkSession.sparkContext.defaultParallelism,
+        col("basket_id"))
       .join(b.toDF("basket_id", "item_b"), Seq("basket_id"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
@@ -173,7 +186,10 @@ object Association {
       .distinct()
     val totals = oc.groupBy(col("cat")).agg(count(lit(1)).as("n_cat"))
     val grand = oc.agg(countDistinct(col("order_id")).as("n_orders"))
+    // pinned order-key repartition: the [[frequentItemPairs]] rationale
     val pairs = oc.toDF("order_id", "cat_a")
+      .repartition(orderRevenue.sparkSession.sparkContext.defaultParallelism,
+        col("order_id"))
       .join(oc.toDF("order_id", "cat_b"), Seq("order_id"))
       .filter(col("cat_a") < col("cat_b"))
       .groupBy(col("cat_a"), col("cat_b"))
@@ -219,7 +235,10 @@ object Association {
     val b = train.select(col("order_id").as("basket_id"), col("cat").as("item"))
       .distinct()
     val counts = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    // pinned basket-key repartition: the [[frequentItemPairs]] rationale
     val half = b.toDF("basket_id", "item_a")
+      .repartition(orderRevenue.sparkSession.sparkContext.defaultParallelism,
+        col("basket_id"))
       .join(b.toDF("basket_id", "item_b"), Seq("basket_id"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))

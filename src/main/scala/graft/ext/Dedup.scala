@@ -508,7 +508,12 @@ object Dedup {
   /** [[exactJaccard]] over an arbitrary shingle column. */
   def exactJaccardBy(
       docs: DataFrame, pairs: DataFrame, idCol: String, shingleCol: Column): DataFrame = {
+    // persist the shingle table: the a/b sides are independent subtrees
+    // (the banded-table rationale above — exchange reuse does not fire
+    // across the two aliases), so without it the shingling of the WHOLE
+    // corpus — the verify stage's dominant compute — runs once per side
     val sh = graft.core.Scans.spread(docs).select(col(idCol), shingleCol.as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.toDF("id_a", "sh_a")
     val b = sh.toDF("id_b", "sh_b")
     pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -1031,9 +1036,19 @@ object Dedup {
       minJaccard: Double = 0.7, numPerms: Int = 16,
       bands: Int = 4): DataFrame = {
     val dec = "decimal(38,0)"
-    val aPairs = lshVerifiedPairs(docs, idCol, textCol, numPerms, bands)
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), lit(1L).as("in_a"))
+    // ONE verify pass (r15): the two detectors' candidate sets overlap
+    // heavily by construction (they hunt the same pairs), and exact
+    // Jaccard — the shingle join + array_intersect — is the dominant
+    // compute. Instead of verifying each detector's candidates
+    // separately and full-outer-joining the verified lists, union the
+    // candidate sets with membership flags, verify the union once, and
+    // read n1/n2/m off the flags: identical counts (a pair's exact
+    // Jaccard does not depend on which detector proposed it), one
+    // verify instead of two, and the pair-list join disappears into
+    // the final scalar aggregate.
+    val sig = minhashSignatures(docs, idCol, textCol, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candA = lshCandidates(sig, idCol, bands, bandedRowsPerBand(numPerms, bands))
     val sh = simhash(docs, idCol, textCol)
     val bandsB = sh.select(col(idCol).as("id"), lit(0).as("b"),
         shiftright(col("simhash"), 16).as("k"))
@@ -1043,14 +1058,20 @@ object Dedup {
       .join(bandsB.toDF("id_b", "b", "k"), Seq("b", "k"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val bPairs = exactJaccard(docs, candB, idCol, textCol)
+    val allCand = candA.withColumn("c_a", lit(true))
+      .join(candB.withColumn("c_b", lit(true)), Seq("id_a", "id_b"),
+        "full_outer")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("c_a"), lit(false)).as("c_a"),
+        coalesce(col("c_b"), lit(false)).as("c_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    exactJaccard(docs, allCand.select(col("id_a"), col("id_b")),
+        idCol, textCol)
       .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), lit(1L).as("in_b"))
-    aPairs.join(bPairs, Seq("id_a", "id_b"), "full_outer")
-      .agg(sum(coalesce(col("in_a"), lit(0L))).as("n1"),
-        sum(coalesce(col("in_b"), lit(0L))).as("n2"),
-        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
-          .otherwise(0L)).as("m"))
+      .join(allCand, Seq("id_a", "id_b"))
+      .agg(sum(when(col("c_a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c_b"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("c_a") && col("c_b"), 1L).otherwise(0L)).as("m"))
       .withColumn("nhat_u",
         (expr(s"""((cast(n1 + 1 as $dec) * (n2 + 1) * 1000000 * 2 + (m + 1))
                  div ((m + 1) * 2))""") - lit(1000000L)).cast("long"))

@@ -406,6 +406,13 @@ object Olap {
       .select(col("item_category"),
         round(col("l_extendedprice") / col("l_quantity") * 100)
           .cast("long").as("uc"))
+      // pinned category repartition (r15): `percentile` partials buffer
+      // EVERY value, so the pre-agg exchange carries the full value set
+      // either way — but without the pin the buffer build runs inside
+      // the one-row-group scan task (cpu_share 1.5 measured). The
+      // groupBy below reuses this distribution, so no exchange is added.
+      .repartition(lineitem.sparkSession.sparkContext.defaultParallelism,
+        col("item_category"))
       .groupBy(col("item_category"))
       .agg(count(lit(1)).as("n_lines"),
         expr("percentile(uc, 0.25)").as("c25"),

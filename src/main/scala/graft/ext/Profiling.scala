@@ -533,7 +533,10 @@ object Profiling {
       df: DataFrame, idCol: String, embCol: String,
       dim: Int = 64, unitsPerValue: Int = 1000): DataFrame = {
     require(dim >= 1 && unitsPerValue >= 1, "bad covariance parameters")
-    val q = df.select(col(idCol),
+    // spread: the dim²/2 pair explosion runs in the SCAN stage (before
+    // the (i,j) shuffle's map-side partials), i.e. on the one-row-group
+    // input's single task without it (cpu_share 1.3 measured)
+    val q = graft.core.Scans.spread(df).select(col(idCol),
       transform(col(embCol), x =>
         round(x.cast("double") * unitsPerValue).cast("long")).as("qv"))
     val pairs = q.select(explode(flatten(
@@ -845,7 +848,9 @@ object Profiling {
       df: DataFrame, idCol: String, embCol: String, isDelta: Column,
       dim: Int = 64, unitsPerValue: Int = 1000): DataFrame = {
     def partials(part: DataFrame) = {
-      val q = part.select(
+      // same spread rationale as [[covariancePairs]] (each arm is a
+      // filtered one-row-group scan — pair explosion would serialize)
+      val q = graft.core.Scans.spread(part).select(
         transform(col(embCol), x =>
           round(x.cast("double") * unitsPerValue).cast("long")).as("qv"))
       val pairs = q.select(explode(flatten(

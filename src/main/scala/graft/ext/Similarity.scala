@@ -322,7 +322,11 @@ object Similarity {
       k: Int): DataFrame = {
     graft.ScaleRouting.advise(
       "q122_hard_negatives", "q137_hard_negatives_cells")
-    val v = vecs.select(
+    // spread the stream side: the label-inequality theta-join plans as
+    // a broadcast nested-loop whose parallelism is the probe scan's —
+    // ONE task on a one-row-group input (cpu_share 1.2 measured), with
+    // the whole O(n²·d) dot-product wall inside it
+    val v = graft.core.Scans.spread(vecs).select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("emb"),
       col(labelCol).as("label"))
@@ -520,6 +524,15 @@ object Similarity {
       vecs: DataFrame, idCol: String, vecCol: String,
       iters: Int = 2, seedEvery: Int = 100): DataFrame = {
     require(iters >= 1, "kmeans needs at least one iteration")
+    // measured, NOT spread (r15): widening the scan here reads as the
+    // assignNearest cross-join's textbook fix, but kmeans re-executes
+    // its input subtree once per iteration (plus once under the
+    // broadcast centroid arm), so a spread exchange multiplies into
+    // 2·iters shuffle stages while the per-iteration assignment is only
+    // n·(n/seedEvery)·d flops — every kmeans-family query got 0.2-0.6 s
+    // SLOWER with the spread (q57 0.86→1.21, q121 3.44→4.00,
+    // q304 0.64→0.86); the heavy single-pass kernels (hardNegatives,
+    // covariancePairs) keep theirs
     val v = vecs.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("emb"))
     val seeds = v.filter(col("id") % seedEvery === 0)
@@ -667,6 +680,8 @@ object Similarity {
   def ivfAssign(
       vecs: DataFrame, idCol: String, vecCol: String,
       centroidEvery: Int = 100): DataFrame = {
+    // not spread — the kmeans measurement (one broadcast pass, tiny
+    // per-row work; the exchange costs more than it parallelizes)
     val v = withNorm(vecs, idCol, vecCol)
     val centroids = v.filter(col("id") % centroidEvery === 0)
       .select(col("id").as("centroid_id"), col("emb").as("cemb"), col("nrm").as("cnrm"))

@@ -47,16 +47,53 @@ private[streaming] final class FileReplay(prefix: String) {
 
   /** Split `df` on `tsCol` into `slices` equal time ranges (oldest
     * first) and write each as one slice. Returns (minTs, maxTs) epoch
-    * millis for follow-up sentinel construction. */
+    * millis for follow-up sentinel construction.
+    *
+    * ONE pass (r15): the original shape ran `slices` filter+write jobs
+    * over a persisted input (callers persisted to avoid re-scanning per
+    * slice) — N+1 jobs of harness prep per streaming gate. Instead the
+    * slice index is computed per row from the SAME monotone bounds
+    * (count of interior bounds ≤ ts — verbatim the bounds array, no
+    * integer-division inversion to get subtly wrong; the
+    * [[StreamingRateCap]] oracle mirrors this assignment) and one
+    * `partitionBy` write lands every slice in one job. A slice lives
+    * entirely in one task (`repartition(slices, $"__slice")`), so each
+    * slice is still exactly ONE file = one micro-batch; files are then
+    * moved into the flat replay dir with a slice prefix (two slices
+    * hashed to one task share a task id, hence a basename) and stamped
+    * with the same strictly increasing mtimes. Callers no longer need
+    * to persist their input for the slicing loop. */
   def writeHistory(df: DataFrame, tsCol: String, slices: Int): (Long, Long) = {
     val row = df.agg(min(unix_millis(col(tsCol))), max(unix_millis(col(tsCol)))).head()
     require(!row.isNullAt(0), "replay history is empty")
     val (minMs, maxMs) = (row.getLong(0), row.getLong(1))
     val span = maxMs - minMs + 1
     val bounds = (0 to slices).map(k => minMs + span * k / slices)
+    val ms = unix_millis(col(tsCol))
+    val sliceIdx = (1 until slices)
+      .map(k => when(ms >= bounds(k), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val tmp = Files.createTempDirectory(s"hist-stage").toString
+    df.withColumn("__slice", sliceIdx)
+      .repartition(slices, col("__slice"))
+      .write.mode("overwrite").partitionBy("__slice").parquet(tmp)
     (0 until slices).foreach { k =>
-      writeSlice(df.filter(unix_millis(col(tsCol)) >= bounds(k) &&
-        unix_millis(col(tsCol)) < bounds(k + 1)))
+      val sliceDir = Paths.get(tmp, s"__slice=$k")
+      if (Files.isDirectory(sliceDir)) {
+        val listing = Files.list(sliceDir)
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .foreach { p =>
+            val dest = Paths.get(inDir, s"slice$k-${p.getFileName}")
+            Files.move(p, dest)
+            dest.toFile.setLastModified(1700000000000L + nextIdx * 60000L)
+            stamped += dest.toString
+          }
+        finally listing.close()
+      }
+      // empty slices advance the clock too, so follow-up writeSlice
+      // sentinels land after every history slice regardless
+      nextIdx += 1
     }
     (minMs, maxMs)
   }
