@@ -138,11 +138,16 @@ object Conformed {
     * conformed fact this cache already holds. */
   def tradeSpineCached(spark: SparkSession, dir: String): DataFrame =
     tradeCache.getOrRebuild(spark, dir)(
-      // same persistSpread rationale as [[orderRevenueCached]]
+      // same persistSpread rationale as [[orderRevenueCached]]; keyed on
+      // the spine's full dimensional grain (thousands of distinct
+      // combinations — spreads over any core count) instead of the r15
+      // round-robin, which paid a deterministic-placement local sort
       SessionCache.persistSpread(
         graft.gold.Geography.tradeSpine(
           Tables.lineitem(spark, dir), Tables.orders(spark, dir),
           Tables.customer(spark, dir), Tables.supplier(spark, dir),
           Tables.nation(spark, dir))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        col("cust_nation"), col("supp_nation"), col("yr"),
+        col("cust_regionkey")))
 }

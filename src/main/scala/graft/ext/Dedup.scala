@@ -262,6 +262,9 @@ object Dedup {
     val sig = minhashSignatures(docs, idCol, textCol, numPerms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidates(sig, idCol, bands, bandedRowsPerBand(numPerms, bands))
+    // freed after the consuming action (r16, guide §5 — the
+    // [[exactJaccardBy]] lifecycle rationale)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(sig)
     exactJaccard(docs, pairs, idCol, textCol)
   }
 
@@ -516,6 +519,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.toDF("id_a", "sh_a")
     val b = sh.toDF("id_b", "sh_b")
+    // BOUNDED persist lifecycle (r16, guide §5): the r15 shape persisted
+    // a full corpus shingle table per call and never unpersisted, so one
+    // session's repeated verify queries (q16/q18/q43/q195/q253/q310/
+    // q327/…) accumulated corpus-sized cached relations for the JVM's
+    // life. Freed after the consuming action ([[CacheLifecycle]] — an
+    // eager checkpoint here was measured to defeat the caller's column
+    // pruning: q33's count() never computes the jaccard projection).
+    graft.core.CacheLifecycle.unpersistAfterNextAction(sh)
     pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn(
@@ -538,6 +549,8 @@ object Dedup {
       .select(col(idCol), Sketches.minhash_sig(grams, numPerms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidates(sig, idCol, bands, bandedRowsPerBand(numPerms, bands))
+    // the lshVerifiedPairs lifecycle rationale (r16, guide §5)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(sig)
     exactJaccardBy(docs, pairs, idCol, grams)
   }
 
@@ -1065,10 +1078,18 @@ object Dedup {
         coalesce(col("c_a"), lit(false)).as("c_a"),
         coalesce(col("c_b"), lit(false)).as("c_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    exactJaccard(docs, allCand.select(col("id_a"), col("id_b")),
+    // pin the (collision-sized) verified+flagged pair list eagerly and
+    // free BOTH corpus-scale caches before the scalar aggregate (r16,
+    // guide §5) — the r15 shape left sig and allCand persisted for the
+    // session's life, one block set per call
+    val flagged = exactJaccard(docs, allCand.select(col("id_a"), col("id_b")),
         idCol, textCol)
       .filter(col("jaccard") >= minJaccard)
       .join(allCand, Seq("id_a", "id_b"))
+      .localCheckpoint(true)
+    sig.unpersist(blocking = false)
+    allCand.unpersist(blocking = false)
+    flagged
       .agg(sum(when(col("c_a"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("c_b"), 1L).otherwise(0L)).as("n2"),
         sum(when(col("c_a") && col("c_b"), 1L).otherwise(0L)).as("m"))

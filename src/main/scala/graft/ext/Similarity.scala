@@ -373,11 +373,20 @@ object Similarity {
       .withColumn("nrm", l2norm(col("emb")))
       .join(assigned, Seq("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-call persist, freed after the consuming action (r16, guide §5)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(v)
     val a = v.select(col("cell"), col("id").as("vec_id"),
       col("label").as("anchor_label"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val b = v.select(col("cell"), col("id").as("neighbor_id"),
       col("label").as("neighbor_label"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
-    val scored = a.join(b, Seq("cell"))
+    // pinned cell-key repartition (r16): the pre-join cell shuffle is
+    // byte-tiny, so AQE coalesces it to a few tasks and the quadratic
+    // within-cell fan-out serializes AFTER the exchange (invisible to
+    // AQE's byte stats — the q168/q171/Association class). Pinning one
+    // side sets both sides' count; the input is the persisted `v`, so
+    // the pin is one cheap in-memory shuffle, never a subtree re-run.
+    val nPart = vecs.sparkSession.sparkContext.defaultParallelism
+    val scored = a.repartition(nPart, col("cell")).join(b, Seq("cell"))
       .filter(col("anchor_label") =!= col("neighbor_label"))
       .withColumn("cosine",
         round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
@@ -589,7 +598,12 @@ object Similarity {
       col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val b = v.select(col("cell"), col("id").as("id_b"),
       col("emb").as("emb_b"), col("nrm").as("nrm_b"))
-    val dupPairs = a.join(b, Seq("cell"))
+    // pinned cell-key repartition (r16): same rationale as
+    // [[hardNegativesInCells]] — the within-cell pair fan-out is the
+    // cost and AQE cannot see it; `v` is persisted, so the pin reads
+    // the cache, never re-runs the Lloyd chain.
+    val nPart = vecs.sparkSession.sparkContext.defaultParallelism
+    val dupPairs = a.repartition(nPart, col("cell")).join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(
         round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6)
@@ -597,6 +611,12 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
     val groups = Clusters.connectedComponents(dupPairs)
       .select(col("id"), col("cluster_id").as("dup_group"))
+    // per-call persist, freed after the consuming action (r16, guide
+    // §5). Registered AFTER the CC pass: CC runs eager actions of its
+    // own during construction, and the one-shot listener must fire on
+    // the FINAL projection's action — the last consumer of v — not on
+    // CC's first internal round.
+    graft.core.CacheLifecycle.unpersistAfterNextAction(v)
     v.join(groups, Seq("id"), "left")
       .select(
         col("id").as("vec_id"), col("cell"),
@@ -635,6 +655,8 @@ object Similarity {
       .join(assigned, Seq("id"))
       // feeds both the centroid aggregate and the scoring pass
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-call persist, freed after the consuming action (r16, guide §5)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(v)
     val cents = packedCentroids(
       v.select(col("cluster"), col("emb")), "cluster", "emb", "mcluster")
     val sab = v.crossJoin(broadcast(cents))
@@ -722,11 +744,26 @@ object Similarity {
   }
 
   /** IVF single-probe approximate top-k: [[ivfAssign]] composed with
-    * [[ivfTopKFromAssigned]]. */
+    * [[ivfTopKFromAssigned]].
+    *
+    * The pinned cell repartition lives HERE, not in
+    * [[ivfTopKFromAssigned]]: the in-memory assignment exits its
+    * groupBy hashed on `id`, so the cell join needs an exchange anyway
+    * — pinning it stops AQE coalescing the byte-tiny shuffle under the
+    * quadratic within-cell fan-out (the q168/q171 class), and both
+    * join sides derive from the pinned frame so no second exchange
+    * appears. The disk path (q346) must NOT pass through this: its
+    * cell-BUCKETED scan already satisfies the join's distribution with
+    * ZERO exchanges (IvfDiskIndexSpec asserts that plan), and a pin
+    * would bolt a pointless full-index shuffle onto every probe. */
   def ivfTopK(
       vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      centroidEvery: Int = 100): DataFrame =
-    ivfTopKFromAssigned(ivfAssign(vecs, idCol, vecCol, centroidEvery), k)
+      centroidEvery: Int = 100): DataFrame = {
+    val nPart = vecs.sparkSession.sparkContext.defaultParallelism
+    ivfTopKFromAssigned(
+      ivfAssign(vecs, idCol, vecCol, centroidEvery)
+        .repartition(nPart, col("cell")), k)
+  }
 
   /** Persist an [[ivfAssign]] index as a parquet table BUCKETED BY
     * CELL — the disk shape of the "cells bound who you score" claim:
@@ -781,13 +818,20 @@ object Similarity {
         first(col("emb")).as("emb"),
         first(col("nrm")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-call persist, freed after the consuming action (r16, guide §5)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(agged)
     val indexed = agged.select(col("id").as("neighbor_id"),
       col("emb").as("emb_b"), col("nrm").as("nrm_b"),
       element_at(col("topc"), 1).getField("id").as("cell"))
     val probes = agged.select(col("id").as("vec_id"),
       col("emb").as("emb_a"), col("nrm").as("nrm_a"),
       explode(transform(col("topc"), t => t.getField("id"))).as("cell"))
-    val scored = probes.join(indexed, Seq("cell"))
+    // pinned cell-key repartition (r16, the ivfTopK rationale): both
+    // sides read the persisted `agged`, so the pin is one cheap
+    // in-memory shuffle that keeps the within-cell scoring fan-out on
+    // defaultParallelism tasks instead of AQE's byte-coalesced few.
+    val nPart = vecs.sparkSession.sparkContext.defaultParallelism
+    val scored = probes.repartition(nPart, col("cell")).join(indexed, Seq("cell"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
@@ -821,6 +865,8 @@ object Similarity {
     val exact = topKNeighbors(vecs, idCol, vecCol, k)
       .select(col("vec_id"), col("neighbor_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-call persist, freed after the consuming action (r16, guide §5)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(exact)
     val arms = probesList.map { p =>
       val approx = ivfTopKMultiProbe(vecs, idCol, vecCol, k, centroidEvery, p)
         .select(col("vec_id"), col("neighbor_id"))

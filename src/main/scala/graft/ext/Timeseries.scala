@@ -557,9 +557,21 @@ object Timeseries {
     val grid = spine.join(daily, Seq("restaurant_id", "creation_date"), "left")
       .select(col("restaurant_id"), col("creation_date"),
         coalesce(col("cents"), lit(0L)).as("x"))
-    val tot = grid.groupBy(col("restaurant_id"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-    val signed = grid.join(tot, Seq("restaurant_id"))
+    // n/Σx as WHOLE-PARTITION window aggregates instead of the r15
+    // groupBy+join-back (r16, guide §2.4): the join-back recomputed the
+    // ENTIRE spine-fill subtree once per side (tot + probe — Catalyst
+    // shares no subplans across join arms) and added an exchange; the
+    // windows reuse the lag window's (restaurant_id, creation_date)
+    // sort, so the grid is built once and shuffled once. Values are
+    // identical: count/sum over the full partition ≡ the grouped
+    // count/sum joined back on the group key.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("restaurant_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val signed = grid
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum(col("x")).over(wAll))
       .withColumn("s",
         when(col("x").cast(dec) * col("n") > col("sx").cast(dec), 1L)
           .otherwise(0L))

@@ -106,9 +106,34 @@ private[gold] object IncrementalAnchored {
       prevAnchorCol: String)(
       rebuild: DataFrame => DataFrame,
       buildAt: (DataFrame, java.sql.Date) => DataFrame): DataFrame = {
-    val prevAnchor = prevMart.agg(max(col(prevAnchorCol))).head()
-    val deltaMax = delta.agg(max(col("creation_date"))).head()
-    if (deltaMax.isNullAt(0)) prevMart // empty delta: nothing to maintain
+    // The anchor probe consumes a FULL build of prevMart, and the
+    // maintained output consumes it again (the left_anti arm) — persist
+    // across the two, freed after the output's action (r16, guide §5).
+    val prev = prevMart.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE driver action for all three anchor scalars (r16): the old
+    // shape ran three sequential .head() jobs — prevMart max (a full
+    // mart build), delta max, revenue max — each a full cluster
+    // barrier before the maintained plan even existed. Unioning the
+    // three single-row aggregates computes them in one job with the
+    // scans proceeding in parallel; the decision logic (and therefore
+    // what the maintainer computes) is unchanged.
+    val anchors = prev
+      .agg(max(col(prevAnchorCol)).cast("date").as("m"))
+      .select(lit("prev").as("w"), col("m"))
+      .unionByName(delta.agg(max(col("creation_date")).cast("date").as("m"))
+        .select(lit("delta").as("w"), col("m")))
+      .unionByName(revenue.agg(max(col("creation_date")).cast("date").as("m"))
+        .select(lit("cur").as("w"), col("m")))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDate(1)))).toMap
+    val (prevAnchor, deltaMax, curMax) =
+      (anchors("prev"), anchors("delta"), anchors("cur"))
+    // registered AFTER the collect above (which is itself an action) so
+    // the one-shot listener fires on the maintained output's action
+    graft.core.CacheLifecycle.unpersistAfterNextAction(prev)
+    if (deltaMax.isEmpty) prev // empty delta: nothing to maintain
     else {
       // the held anchor is valid iff it still IS the current global max:
       // comparing only against the DELTA's max catches an advance but
@@ -116,11 +141,10 @@ private[gold] object IncrementalAnchored {
       // the anchor date), where a full rebuild would anchor earlier and
       // every user's recency shifts. One column-max over revenue —
       // parquet footer statistics make it near-free — guards both ways.
-      val curMax = revenue.agg(max(col("creation_date"))).head()
-      if (prevAnchor.isNullAt(0) || curMax.isNullAt(0) ||
-          !curMax.getDate(0).equals(prevAnchor.getDate(0))) rebuild(revenue)
-      else IncrementalKeyScoped(prevMart, revenue, delta, "user_id")(
-        buildAt(_, prevAnchor.getDate(0)))
+      if (prevAnchor.isEmpty || curMax.isEmpty ||
+          !curMax.get.equals(prevAnchor.get)) rebuild(revenue)
+      else IncrementalKeyScoped(prev, revenue, delta, "user_id")(
+        buildAt(_, prevAnchor.get))
     }
   }
 }

@@ -63,13 +63,41 @@ object Formats {
     * at the gate SF,
     * one parquet row-group upstream — would therefore serialize the
     * WHOLE write and the whole read-back behind a single gzip stream
-    * (measured: q105 ran at cpu_share 1.1 on 32 cores). Spread to at
-    * least the session's default parallelism going out; at 100 TB the
-    * input already carries far more partitions than cores and this is
-    * a no-op, so the "many modest files" layout holds at every scale. */
+    * (measured: q105 ran at cpu_share 1.1 on 32 cores).
+    *
+    * SIZE-AWARE (r16): the r15 shape spread every input to
+    * defaultParallelism unconditionally, which made the CHEAP sinks
+    * slower (q69 0.31→0.39 s, q118 0.88→1.18 s — 32 near-empty gzip
+    * streams cost more setup than they parallelize). The file count now
+    * derives from the input's PLANNED bytes (`optimizedPlan.stats` — a
+    * plan-only probe): one file per `targetFileBytes`, capped at
+    * defaultParallelism. Inputs above `maxSpreadBytes` return untouched
+    * WITHOUT the `.rdd` width probe — at 100 TB the scan is already
+    * wide, and probing `.rdd` on a shuffled frame would finalize the
+    * adaptive plan and execute the upstream exchanges just to read a
+    * partition count (the [[graft.core.Scans.spread]] SCAN-ONLY
+    * caveat). Below the cap the width probe is taken only on frames the
+    * in-repo sinks actually pass (bare scans and cached spines), where
+    * it is plan-only. Both knobs are session-configurable; the defaults
+    * keep q105/q117's parallel-compression win (multi-MB plan bytes →
+    * many files) while trivially small outputs stay single-stream. */
+  private[io] val TargetFileBytesKey = "spark.graft.textsink.targetFileBytes"
+  private[io] val MaxSpreadBytesKey = "spark.graft.textsink.maxSpreadBytes"
   private def spreadOut(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val target = math.max(1L,
+      conf.get(TargetFileBytesKey, (256L * 1024).toString).toLong)
+    val cap = BigInt(
+      conf.get(MaxSpreadBytesKey, (4L * 1024 * 1024 * 1024).toString).toLong)
     val n = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > cap) df
+    else {
+      val want = ((bytes + target - 1) / target).min(BigInt(n)).toInt
+      if (want <= 1) df
+      else if (df.rdd.getNumPartitions >= want) df
+      else df.repartition(want)
+    }
   }
 
   def writeCsv(df: DataFrame, path: String,

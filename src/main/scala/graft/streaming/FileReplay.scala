@@ -74,26 +74,44 @@ private[streaming] final class FileReplay(prefix: String) {
       .map(k => when(ms >= bounds(k), 1).otherwise(0))
       .reduceOption(_ + _).getOrElse(lit(0))
     val tmp = Files.createTempDirectory(s"hist-stage").toString
-    df.withColumn("__slice", sliceIdx)
-      .repartition(slices, col("__slice"))
-      .write.mode("overwrite").partitionBy("__slice").parquet(tmp)
-    (0 until slices).foreach { k =>
-      val sliceDir = Paths.get(tmp, s"__slice=$k")
-      if (Files.isDirectory(sliceDir)) {
-        val listing = Files.list(sliceDir)
-        try listing.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("part-"))
-          .foreach { p =>
-            val dest = Paths.get(inDir, s"slice$k-${p.getFileName}")
-            Files.move(p, dest)
-            dest.toFile.setLastModified(1700000000000L + nextIdx * 60000L)
-            stamped += dest.toString
-          }
-        finally listing.close()
+    try {
+      // NULL event times never entered the old per-slice range filters;
+      // keep that contract explicit (a `when(ms >= bound)` evaluates a
+      // NULL comparison to the otherwise branch, which would silently
+      // file null-ts rows under slice 0)
+      df.filter(col(tsCol).isNotNull)
+        .withColumn("__slice", sliceIdx)
+        .repartition(slices, col("__slice"))
+        .write.mode("overwrite").partitionBy("__slice").parquet(tmp)
+      (0 until slices).foreach { k =>
+        val sliceDir = Paths.get(tmp, s"__slice=$k")
+        if (Files.isDirectory(sliceDir)) {
+          val listing = Files.list(sliceDir)
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("part-"))
+            .foreach { p =>
+              val dest = Paths.get(inDir, s"slice$k-${p.getFileName}")
+              Files.move(p, dest)
+              dest.toFile.setLastModified(1700000000000L + nextIdx * 60000L)
+              stamped += dest.toString
+            }
+          finally listing.close()
+        }
+        // empty slices advance the clock too, so follow-up writeSlice
+        // sentinels land after every history slice regardless
+        nextIdx += 1
       }
-      // empty slices advance the clock too, so follow-up writeSlice
-      // sentinels land after every history slice regardless
-      nextIdx += 1
+    } finally {
+      // the staging dir (committer metadata, _SUCCESS, partition dirs)
+      // would otherwise leak one tree per writeHistory call
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val ls = Files.list(p)
+          try ls.iterator().asScala.foreach(rm) finally ls.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(Paths.get(tmp))
     }
     (minMs, maxMs)
   }
