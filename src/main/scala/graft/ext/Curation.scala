@@ -26,16 +26,18 @@ object Curation {
       docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.3, lang: String = "en",
       minJaccard: Double = 0.5): DataFrame = {
-    val quality = TextAnalysis.qualityScore(docs, idCol, textCol)
-      .select(col(idCol), col("quality_score"))
-    val langs = TextAnalysis.langId(docs, idCol, textCol)
-      .select(col(idCol), col("detected_lang"))
+    // quality + language are pure projections over the corpus scan
+    // (r16, guide §4): compute them INLINE instead of the r15 shape's
+    // two extra corpus scans joined back on the id — the expression
+    // trees are TextAnalysis's own ([[TextAnalysis.qualityScoreCol]] /
+    // [[TextAnalysis.langIdCols]]), so the kept set is bit-identical
+    val (detected, _) = TextAnalysis.langIdCols(col(textCol))
     val dupLosers = Clusters.nearDupClusters(docs, idCol, textCol, minJaccard)
       .filter(!col("is_canonical"))
       .select(col(idCol))
-    val curated = docs.select(col(idCol))
-      .join(quality, Seq(idCol))
-      .join(langs, Seq(idCol))
+    val curated = docs.select(col(idCol),
+        TextAnalysis.qualityScoreCol(col(textCol)).as("quality_score"),
+        detected.as("detected_lang"))
       .filter(col("quality_score") >= minQuality && col("detected_lang") === lang)
       .join(dupLosers, Seq(idCol), "left_anti")
     Sampling.hashSplit(curated, idCol)
@@ -60,17 +62,16 @@ object Curation {
       minQuality: Double = 0.3, lang: String = "en",
       minJaccard: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val quality = TextAnalysis.qualityScore(docs, idCol, textCol)
-      .select(col(idCol), col("quality_score"))
-    val langs = TextAnalysis.langId(docs, idCol, textCol)
-      .select(col(idCol), col("detected_lang"))
+    // inline quality/lang projections — the [[curate]] r16 rationale
+    // (one corpus scan; two id-keyed joins and two extra scans removed)
+    val (detected, _) = TextAnalysis.langIdCols(col(textCol))
     val losers = Clusters.nearDupClusters(docs, idCol, textCol, minJaccard)
       .filter(!col("is_canonical"))
       .select(col(idCol)).withColumn("is_loser", lit(true))
     val bySource = Window.partitionBy(col("source"))
-    docs.select(col(idCol), col(sourceCol).as("source"))
-      .join(quality, Seq(idCol))
-      .join(langs, Seq(idCol))
+    docs.select(col(idCol), col(sourceCol).as("source"),
+        TextAnalysis.qualityScoreCol(col(textCol)).as("quality_score"),
+        detected.as("detected_lang"))
       .join(losers, Seq(idCol), "left_outer")
       .withColumn("disposition",
         // null-safe: a NULL quality score (null/empty text zeroes the
@@ -115,6 +116,10 @@ object Curation {
     val curated = curate(docs, idCol, textCol, minQuality, lang, minJaccard)
       .select(col(idCol).as("doc_id"), col("split"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-call persist, freed after the consuming action (r16, guide §5
+    // — the Dedup lifecycle rationale; both downstream joins live in
+    // ONE final plan, so the first execution is the last consumer)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(curated)
     val kept = docs.withColumnRenamed(idCol, "doc_id")
       .join(curated, Seq("doc_id"))
     val chunks = TextAnalysis.chunk(kept, "doc_id", textCol, chunkSize, overlap)

@@ -35,49 +35,77 @@ object TextAnalysis {
   val qualityStopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
-  /** N-gram/stopword-hit language ID: most-matching lexicon language per
-    * doc, 'und' when no token matches. Deterministic tie-break on lang. */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val lex = lexicon.toDF("lex_lang", "t")
-    val hits = docs
-      .select(col(idCol), explode(Portable.tokens(col(textCol))).as("t"))
-      .join(broadcast(lex), Seq("t"))
-      .groupBy(col(idCol), col("lex_lang"))
-      .agg(count(lit(1)).as("hits"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("hits").desc, col("lex_lang"))
-    val best = hits
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("lex_lang").as("detected_lang"), col("hits"))
-    docs.select(col(idCol))
-      .join(best, Seq(idCol), "left")
-      .na.fill(Map("detected_lang" -> "und", "hits" -> 0L))
+  /** (detected_lang, hits) as PURE COLUMN EXPRESSIONS over a text
+    * column (r16, guide §4): with a FIXED broadcast-sized lexicon the
+    * per-language occurrence count is
+    * `size(filter(tokens, t -> t IN lang_words))` — duplicates counted
+    * exactly as the old explode→lexicon-join→count counted them — and
+    * the argmax with the (hits desc, lang asc) tie-break is a when
+    * chain over the per-language counts in ascending language order.
+    * Whole-stage codegen, zero exchanges, one scan; the r15 shape paid
+    * an explode, a broadcast join, a count shuffle, a row_number window
+    * shuffle, and a join back on the id PER CALL. */
+  private[ext] def langIdCols(textCol: Column): (Column, Column) = {
+    val toks = Portable.tokens(textCol)
+    val perLang = lexicon.groupBy(_._1).map { case (l, ws) =>
+      val arr = array(ws.map { case (_, w) => lit(w) }: _*)
+      // size(null array) is null, not -1 (non-legacy): coalesce keeps
+      // null/empty text on the old "no match -> ('und', 0)" contract
+      l -> coalesce(
+        size(filter(toks, t => array_contains(arr, t))), lit(0)).cast("long")
+    }.toSeq.sortBy(_._1)
+    val best = greatest(perLang.map(_._2): _*)
+    val detected = perLang.foldRight(lit("und"): Column) {
+      case ((l, h), acc) => when(best > 0 && h === best, lit(l)).otherwise(acc)
+    }
+    (detected, best)
   }
+
+  /** N-gram/stopword-hit language ID: most-matching lexicon language per
+    * doc, 'und' when no token matches. Deterministic tie-break on lang.
+    * One projection over the corpus scan ([[langIdCols]]). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (detected, hits) = langIdCols(col(textCol))
+    docs.select(col(idCol), detected.as("detected_lang"), hits.as("hits"))
+  }
+
+  /** The [[qualityScore]] projection as named column expressions over a
+    * text column — exposed (r16, guide §4) so composed pipelines
+    * ([[Curation]]) compute the score INLINE on their base scan instead
+    * of joining the per-doc frame back on id (one scan + zero
+    * exchanges vs an extra scan + an id-keyed join). Expression trees
+    * are identical to the r15 `withColumn` chain, so the IEEE results
+    * match bit-for-bit. */
+  private[ext] def qualityCols(textCol: Column): Seq[(String, Column)] = {
+    val toks = Portable.tokens(textCol)
+    val stopArr = array(qualityStopwords.map(lit): _*)
+    val nChars = length(textCol)
+    val nTokens = size(toks)
+    val nAlpha = length(regexp_replace(textCol, "[^a-zA-Z]", ""))
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    val alphaRatio = nAlpha.cast("double") / nChars
+    val stopRatio = nStop.cast("double") / nTokens
+    Seq(
+      "n_chars" -> nChars, "n_tokens" -> nTokens,
+      "n_alpha" -> nAlpha, "n_stop" -> nStop,
+      "alpha_ratio" -> alphaRatio, "stop_ratio" -> stopRatio,
+      "quality_score" -> round(
+        lit(0.5) * least(lit(1.0), nTokens / 64.0)
+          + lit(0.25) * alphaRatio
+          + lit(0.25) * least(lit(1.0), stopRatio * 4.0),
+        6))
+  }
+
+  /** The quality_score expression alone ([[qualityCols]]). */
+  private[ext] def qualityScoreCol(textCol: Column): Column =
+    qualityCols(textCol).last._2
 
   /** Heuristic quality score: length saturation + alphabetic ratio +
     * stopword density. All terms are identical double formulas on both
     * engines; rounded at the end. */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Portable.tokens(col(textCol))
-    val stopArr = array(qualityStopwords.map(lit): _*)
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
-        col(idCol),
-        length(col(textCol)).as("n_chars"),
-        size(toks).as("n_tokens"),
-        length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).as("n_alpha"),
-        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
-      .withColumn("alpha_ratio", col("n_alpha").cast("double") / col("n_chars"))
-      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
-      .withColumn(
-        "quality_score",
-        round(
-          lit(0.5) * least(lit(1.0), col("n_tokens") / 64.0)
-            + lit(0.25) * col("alpha_ratio")
-            + lit(0.25) * least(lit(1.0), col("stop_ratio") * 4.0),
-          6))
-  }
+      col(idCol) +: qualityCols(col(textCol)).map { case (n, c) => c.as(n) }: _*)
 
   /** Token counting: whitespace tokens, word tokens, and a BPE-ish
     * subword count (greedy ≤4-letter chunks / digits / punctuation). */

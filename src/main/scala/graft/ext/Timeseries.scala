@@ -408,6 +408,13 @@ object Timeseries {
     val grid = spine.join(daily, Seq("restaurant_id", "creation_date"), "left")
       .select(col("restaurant_id"), col("creation_date"),
         expr("coalesce(cents, 0L) div 10000").as("x"))
+      // pinned key repartition before the window (r16): the grid is
+      // byte-tiny, so AQE coalesces the window exchange under the
+      // per-row work (7 lag frames + a 7-wide map explode per row) —
+      // the hampelOutliers rationale
+      .repartition(
+        orderRevenue.sparkSession.sparkContext.defaultParallelism,
+        col("restaurant_id"))
     val lagged = (1 to maxLag).foldLeft(grid) { (df, l) =>
       df.withColumn(s"xl$l", lag(col("x"), l).over(ord))
     }
@@ -1282,6 +1289,13 @@ object Timeseries {
       .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("x"))
     val w = Window.partitionBy(col("restaurant_id"))
       .orderBy(col("creation_date")).rowsBetween(-window, window)
+    // pinned key repartition before the window (r16): the grid is
+    // byte-tiny after the (restaurant, day) rollup, so AQE coalesces
+    // the window's exchange to a few tasks — but the per-row work here
+    // (collect_list frame + two array_sorts + a transform per row) is
+    // invisible to byte stats, and the bench read cpu_share 4.4 on 32
+    // cores. The q168/Association class, applied to a WindowExec.
+    val nPart = orderRevenue.sparkSession.sparkContext.defaultParallelism
     // doubled-unit median of a sorted long array: odd n -> 2*middle,
     // even n -> lo+hi — integer-exact where a /2 would truncate
     def med2Of(sorted: org.apache.spark.sql.Column,
@@ -1291,6 +1305,7 @@ object Timeseries {
         .otherwise(element_at(sorted, (n / 2).cast("int"))
           + element_at(sorted, (n / 2).cast("int") + 1))
     grid
+      .repartition(nPart, col("restaurant_id"))
       .withColumn("srt", array_sort(collect_list(col("x")).over(w)))
       .withColumn("n", size(col("srt")))
       .withColumn("med2", med2Of(col("srt"), col("n")))

@@ -21,6 +21,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == "und")
   }
 
+  test("langId projection equals the explode/join/argmax reference " +
+      "(ties, overlapping lexicon words, dup tokens, empty, null)") {
+    // reference = the pre-r16 shape: token explode -> broadcast lexicon
+    // join -> per-(doc, lang) count -> argmax window with the
+    // (hits desc, lang asc) tie-break, 'und' when nothing matches
+    val adversarial = Seq(
+      (1L, "the cat and the dog"),            // plain en
+      (2L, "de la de la"),                    // fr/es overlap + dups
+      (3L, "in den la"),                      // en/de/es three-way mix
+      (4L, "le el der the 的"),               // five-way single-hit tie
+      (5L, ""),                               // empty text
+      (6L, null.asInstanceOf[String]),        // null text
+      (7L, "zzz qqq"),                        // no hits
+    ).toDF("doc_id", "text")
+    val lex = TextAnalysis.lexicon.toDF("lex_lang", "t")
+    val hits = adversarial
+      .select($"doc_id",
+        explode(graft.functions.Portable.tokens($"text")).as("t"))
+      .join(broadcast(lex), Seq("t"))
+      .groupBy($"doc_id", $"lex_lang")
+      .agg(count(lit(1)).as("hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"hits".desc, $"lex_lang")
+    val reference = adversarial.select($"doc_id")
+      .join(hits.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"lex_lang".as("detected_lang"), $"hits"),
+        Seq("doc_id"), "left")
+      .na.fill(Map("detected_lang" -> "und", "hits" -> 0L))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val got = TextAnalysis.langId(adversarial, "doc_id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == reference.toSeq)
+  }
+
   test("quality score: stopword-rich english text scores above gibberish") {
     val got = TextAnalysis.qualityScore(docs, "doc_id", "text")
       .select($"doc_id", $"quality_score").as[(Long, Double)].collect().toMap
