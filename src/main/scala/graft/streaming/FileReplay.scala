@@ -128,6 +128,36 @@ private[streaming] object FileReplay {
   def stateParts(nRows: Long): String =
     math.max(8L, math.min(32L, nRows / 25000L)).toString
 
+  /** Run `body` with the replay-tuned session confs applied and
+    * restored: state partitioning sized to the state volume
+    * ([[stateParts]]), and the trailing NO-DATA micro-batch disabled
+    * (r16, guide §1 measure-first): StreamProbe telemetry read one full
+    * round of per-batch machinery — queryPlanning ~0.1 s, state commits
+    * ~0.25 s task-wall, offset/commit WAL ~0.07 s, addBatch 0.6–0.9 s
+    * total — spent on a batch with ZERO input rows at the end of every
+    * replay. Each harness is engineered so its final emission rides a
+    * DATA batch (inner joins emit on arrival; the stateful gates close
+    * every real key in the second far-future sentinel's batch — their
+    * scaladocs state the design), so the no-data batch buys nothing at
+    * replay close. Production continuous streams keep the default: the
+    * flag is scoped to the body and restored. */
+  def withReplayConfs[A](
+      spark: org.apache.spark.sql.SparkSession, stateParts: String)(
+      body: => A): A = {
+    val conf = spark.conf
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = conf.get(noDataKey, "true")
+    try {
+      conf.set("spark.sql.shuffle.partitions", stateParts)
+      conf.set(noDataKey, "false")
+      body
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+      conf.set(noDataKey, prevNoData)
+    }
+  }
+
   /** Drain a replay's memory-sink table: pin the (small) result with an
     * eager localCheckpoint, then drop the temp view so the sink's row
     * buffer — which otherwise lives for the session — can be GC'd. Each

@@ -75,16 +75,14 @@ object SessionReplay {
     // Grouping-key results are partition-count-independent, so the
     // gate hash is untouched either way.
     val stateParts = FileReplay.stateParts(nEvents)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+    FileReplay.withReplayConfs(spark, stateParts) {
       val q = out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
         .option("checkpointLocation", replay.checkpointDir)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     FileReplay.drain(spark, qn)(
       _.filter(col("user_id") >= 0)
         .select(col("user_id"), col("session_start"), col("session_end"),

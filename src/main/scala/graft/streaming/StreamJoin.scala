@@ -48,19 +48,19 @@ object StreamJoin {
       spark: SparkSession, dir: String,
       rangeSeconds: Long = 3600, slices: Int = 4): DataFrame = {
     val bucketMicros = rangeSeconds * 1000000L
+    // no persist (r16): the one-pass writeHistory (r15) reads the
+    // source twice — a ts-only column-pruned scan for the bounds and
+    // the slicing write — which is cheaper than materializing the full
+    // 4-column frame into the storage pool first (this harness never
+    // needs a row count, unlike SessionReplay's stateParts sizing)
     val events = graft.core.Tables.events(spark, dir)
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
         col("event_type").cast("string").as("event_type"),
         col("ts").cast("timestamp").as("ts"))
-      // persisted for the slicing loop (the SessionReplay rationale:
-      // min/max + one filter-write per slice would otherwise rescan
-      // the source slices+1 times)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val replay = new FileReplay("graft-sjoin-bkt")
     replay.writeHistory(events, "ts", slices)
-    events.unpersist()
 
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1)
@@ -88,16 +88,14 @@ object StreamJoin {
 
     val qn = "graft_sjoin_bkt_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    FileReplay.withReplayConfs(spark, "8") {
       val q = joined.writeStream.format("memory").queryName(qn)
         .outputMode("append")
         .option("checkpointLocation", replay.checkpointDir)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     FileReplay.drain(spark, qn)(identity)
   }
 
@@ -122,12 +120,10 @@ object StreamJoin {
         col("event_id").cast("long").as("event_id"),
         col("event_type").cast("string").as("event_type"),
         col("ts").cast("timestamp").as("ts"))
-      // the SessionReplay persist rationale (see bucketed sibling)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // no persist — the bucketed sibling's r16 rationale
 
     val replay = new FileReplay("graft-sjoin")
     replay.writeHistory(events, "ts", slices)
-    events.unpersist()
 
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1)
@@ -156,16 +152,14 @@ object StreamJoin {
     // commits dominate, so size the state partitioning to the state
     // volume (tiny here), not the batch-compute default. The setting is
     // baked into the new checkpoint; restored after the run.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    FileReplay.withReplayConfs(spark, "8") {
       val q = joined.writeStream.format("memory").queryName(qn)
         .outputMode("append")
         .option("checkpointLocation", replay.checkpointDir)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     FileReplay.drain(spark, qn)(identity)
   }
 }

@@ -63,16 +63,14 @@ object StreamingDedup {
     // SF, more amortize once each carries real state); dedup output is
     // partition-count-independent
     val stateParts = FileReplay.stateParts(nEvents)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+    FileReplay.withReplayConfs(spark, stateParts) {
       val q = out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
         .option("checkpointLocation", replay.checkpointDir)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     FileReplay.drain(spark, qn)(identity)
   }
 }

@@ -235,9 +235,7 @@ object StreamingRateCap {
       java.util.UUID.randomUUID().toString.replace("-", "")
     // state instances sized to state VOLUME (the SessionReplay rule)
     val stateParts = FileReplay.stateParts(nEvents)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val metrics = try {
-      spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+    val metrics = FileReplay.withReplayConfs(spark, stateParts) {
       val q = out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
         .option("checkpointLocation", replay.checkpointDir)
@@ -257,7 +255,7 @@ object StreamingRateCap {
           progs.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum,
         inputRows = progs.map(_.numInputRows).sum,
         maxStateBytes = if (stateBytes.isEmpty) 0L else stateBytes.max)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val res = FileReplay.drain(spark, qn)(
       _.filter(col("user_id") >= 0)
         .select(col("user_id"), col("event_id"), col("event_type"),
