@@ -36,9 +36,16 @@ object Association {
   def frequentItemPairs(
       baskets: DataFrame, basketCol: String, itemCol: String,
       minItemSupport: Long = 20, minPairSupport: Long = 3): DataFrame = {
+    // persist the distinct (basket, item) table (r16, guide §5): it
+    // feeds the item-support aggregate AND both self-join sides, and
+    // Catalyst shares no subplans across join arms — the r15 plan
+    // computed the scan+distinct up to four times per call. Freed
+    // after the consuming action (the Dedup lifecycle discipline).
     val b = baskets
       .select(col(basketCol).as("basket_id"), col(itemCol).as("item"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(b)
     val freq = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
       .filter(col("n_item") >= minItemSupport)
     val pruned = b.join(broadcast(freq.select(col("item"))), Seq("item"), "left_semi")
@@ -85,6 +92,11 @@ object Association {
   def associationRules(
       baskets: DataFrame, basketCol: String, itemCol: String,
       minItemSupport: Long = 20, minPairSupport: Long = 3): DataFrame = {
+    // NO persist here, deliberately (r16, guide §1): the
+    // frequentItemPairs persist was A/B'd on this function too and
+    // measured consistently SLOWER (q187 2.20 -> 2.55 s twice) — its
+    // duplicate distinct subtrees already dedupe via AQE exchange
+    // reuse, so the cache write is pure cost. Measured, not assumed.
     val b = baskets
       .select(col(basketCol).as("basket_id"), col(itemCol).as("item"))
       .distinct()
@@ -148,6 +160,9 @@ object Association {
       baskets: DataFrame, basketCol: String, itemCol: String,
       minCooc: Long = 3, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NO persist (the associationRules negative-result rationale:
+    // A/B'd q178 1.68 -> 1.96 s twice — AQE exchange reuse already
+    // covers the duplicate distinct subtrees here)
     val b = baskets
       .select(col(basketCol).as("basket_id"), col(itemCol).as("item"))
       .distinct()
@@ -180,10 +195,13 @@ object Association {
   }
 
   def categoryLift(orderRevenue: DataFrame, minSupport: Long = 10): DataFrame = {
+    // the frequentItemPairs persist rationale (totals + grand + sides)
     val oc = orderRevenue
       .select(col("order_id"), col("item_category").as("cat"))
       .filter(col("cat").isNotNull)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(oc)
     val totals = oc.groupBy(col("cat")).agg(count(lit(1)).as("n_cat"))
     val grand = oc.agg(countDistinct(col("order_id")).as("n_orders"))
     // pinned order-key repartition: the [[frequentItemPairs]] rationale
