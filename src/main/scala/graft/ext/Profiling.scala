@@ -154,6 +154,10 @@ object Profiling {
       "ps must be integer percents in (0, 100]")
     val hist = df.groupBy(col(groupCol).as("grp"), valueUnits.as("v"))
       .agg(sum(weight).as("w"))
+    // NO pinned repartition before the cumsum window, deliberately
+    // (r16, guide §1): A/B'd and measured SLOWER (1.25 -> 1.94 s
+    // paired, quiet box) — the rollingMarketCorr negative-result
+    // rationale (cumsum per row is cheap; the pin's exchange is not)
     val cum = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -359,6 +359,13 @@ object Timeseries {
       .select(col("restaurant_id"), col("creation_date"),
         expr("coalesce(cents, 0L) div 10000").as("x"),
         expr("coalesce(mcents, 0L) div 10000").as("y"))
+    // NO pinned repartition before this window, deliberately (r16,
+    // guide §1): the hampelOutliers pin was A/B'd here and measured
+    // SLOWER (0.99 -> 1.26 s paired, quiet box) — plain frame sums are
+    // cheap per row, unlike hampel's array sorts, and the in-sweep low
+    // cpu_share that suggested starvation was the bench's own load.
+    // (The pins that DO pay were re-proven quiet the same day: hampel
+    // 3.26 unpinned -> 1.29 pinned, revenueAcf 1.95 -> 1.46.)
     val ord = org.apache.spark.sql.expressions.Window
       .partitionBy(col("restaurant_id")).orderBy(col("creation_date"))
     val w = ord.rowsBetween(-(windowDays - 1), 0)
