@@ -79,6 +79,8 @@ object Anomaly {
       .groupBy(col("restaurant_id"), col("creation_date"))
       .agg(sum(Money.cents(col("total_revenue")).cast("long")).as("cents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-call cache: freed after the consuming action (guide §5)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(daily)
     val med = daily.groupBy(col("restaurant_id"))
       .agg(count(lit(1)).as("n_days"), median(col("cents")).as("med"))
       .filter(col("n_days") >= minDays)
@@ -167,6 +169,8 @@ object Anomaly {
       .groupBy(col("restaurant_id"), col("creation_date"))
       .agg(sum(Money.cents(col("total_revenue")).cast("long")).as("cents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-call cache: freed after the consuming action (guide §5)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(daily)
     val med = daily.groupBy(col("restaurant_id"))
       .agg(count(lit(1)).as("n_days"), median(col("cents")).as("med"))
       .filter(col("n_days") >= minDays)

@@ -102,6 +102,7 @@ object Behavior {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = cells.groupBy(col("f")).agg(sum(col("nij")).as("ni"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(cells, rows)
     val tot = rows.agg(sum(col("ni")).as("nn"),
       count(lit(1)).as("n_states"))
     val hCond = cells.join(broadcast(rows), Seq("f"))
@@ -259,6 +260,7 @@ object Behavior {
       .select(col("user_id"), col("event_type").as("from_type"),
         col("next_type").as("to_type"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(steps)
     val m = steps.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_ft"))
     val tot = m.groupBy(col("from_type")).agg(sum(col("n_ft")).as("n_f"))
@@ -567,6 +569,7 @@ object Behavior {
         Sampling.hashBucket(col("user_id"), salt) < trainPct)
       .select(col("event_type"), col("next"), col("is_train"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(steps)
     val model = steps.filter(col("is_train"))
       .groupBy(col("event_type"), col("next"))
       .agg(count(lit(1)).as("c"))
@@ -1127,6 +1130,7 @@ object Behavior {
       // ≤ 2^n rows, but its input is the data-sized window pass — the
       // lattice, channel-count, and direct branches all reread it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(perMask)
     val ss = events.sparkSession
     val masks = ss.range(1L << n).toDF("mask")
       .join(perMask, Seq("mask"), "left")

@@ -353,6 +353,7 @@ object Dedup {
     val sig = minhashSignatures(docs, idCol, textCol, numPerms)
       .join(docs.select(col(idCol), isBatchSafe.as("is_batch")), Seq(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(sig)
     val rowsPerBand = bandedRowsPerBand(numPerms, bands)
     val bandKeys = (0 until bands).map { j =>
       Portable.bandKey(
@@ -647,6 +648,7 @@ object Dedup {
       .filter(col("rn") <= prefixLen)
       .select(col("block"), col("id"), col("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(prefix)
     val candLong = prefix.toDF("block", "id_a", "gram")
       .join(prefix.toDF("block", "id_b", "gram"), Seq("block", "gram"))
       .filter(col("id_a") < col("id_b"))
@@ -986,6 +988,7 @@ object Dedup {
         array_distinct(WordShingles.shingles(lower(col(textCol)))).as("sh"))
       // read by the prefix index and both verify sides
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(sh)
     val tokDoc = sh.select(col("doc_id"), explode(col("sh")).as("g"),
       size(col("sh")).cast("long").as("len"))
     val dfreq = tokDoc.groupBy(col("g")).agg(count(lit(1)).as("df"))

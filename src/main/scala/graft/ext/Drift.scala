@@ -164,6 +164,7 @@ object Drift {
       explode(graft.functions.Portable.tokens(col(textCol))).as("term"))
     val cst = tok.groupBy(col("g"), col("term")).agg(count(lit(1)).as("cst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(cst)
     val ct = cst.groupBy(col("term")).agg(sum(col("cst")).as("ct"))
     val ns = cst.groupBy(col("g")).agg(sum(col("cst")).as("ns"))
     val n = cst.agg(sum(col("cst")).as("n"))

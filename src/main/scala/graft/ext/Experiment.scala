@@ -56,6 +56,7 @@ object Experiment {
       // both the pooled-moment and per-variant consumers read this frame;
       // without the persist each would re-scan the event log
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(perUser)
     val pooled = perUser.agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -453,6 +454,7 @@ object Experiment {
       .withColumn("pu", expr("((x * 1000000 * 2) + n) div (n * 2)"))
       // the moment aggregate and the posterior projection both read it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(per)
     val mom = per.agg(count(lit(1)).as("m_rest"),
       sum(col("pu")).as("sp"), sum(col("pu") * col("pu")).as("spp"))
     val m = col("sp").cast("double") / col("m_rest").cast("double") / 1e6
@@ -503,6 +505,7 @@ object Experiment {
       .agg(count(lit(1)).as("n"),
         sum(when(col("is_loyalty"), 1L).otherwise(0L)).as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(per)
     val tot = per.agg(sum(col("n")).as("nn"), sum(col("x")).as("xx"))
     val z = per.crossJoin(broadcast(tot))
       .withColumn("diff",
@@ -527,6 +530,7 @@ object Experiment {
       .withColumn("p_rank", row_number().over(
         Window.orderBy(col("pu"), col("restaurant_id"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(ranked)
     // step-up cutoff: the LARGEST passing rank (everything below it is
     // rejected, even ranks whose own compare fails) — two scalar
     // aggregates returned via broadcast, never a second total-order
@@ -713,6 +717,7 @@ object Experiment {
         sum(when(!col("loyal"), 1L).otherwise(0L)).as("c2"))
       // the cumulative window and the totals both read it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(vals)
     val w = Window.orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = vals.agg(sum(col("c1")).as("m"), sum(col("c2")).as("n"))
@@ -798,6 +803,7 @@ object Experiment {
       // this user-grain aggregate; without the persist each would
       // re-scan the fact
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(perUser)
     val point = perUser.groupBy(col("arm"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("x").cast("decimal(38,0)")).as("sx"))

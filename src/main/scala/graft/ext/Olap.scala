@@ -462,6 +462,7 @@ object Olap {
         .Window.orderBy(col("cents").desc, col("order_id"))))
       // every k arm reads the same bounded mart
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(top)
     ks.map { k =>
       val thr = top.filter(col("rk") === k + 1).select(col("cents").as("xk"))
       val arm = top.filter(col("rk") <= k).crossJoin(broadcast(thr))
@@ -514,6 +515,7 @@ object Olap {
       .filter(col("qty") > 0)
       // base slice + month series both read it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(pm)
     val b = pm.agg(min(col("m")).as("m0"))
     val base = pm.join(broadcast(b), col("m") === col("m0"))
       .select(col("l_partkey"), col("cents").as("cents0"),
@@ -573,6 +575,7 @@ object Olap {
     val nat = rest.groupBy(col("nation"))
       .agg(sum(col("x").cast(dec)).as("xg"), count(lit(1)).as("ng"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(nat)
     val glob = nat.agg(sum(col("xg")).as("xx"), sum(col("ng")).as("nn"))
     val terms = rest.join(nat, Seq("nation")).crossJoin(broadcast(glob))
       .select(col("nation"),
@@ -592,6 +595,7 @@ object Olap {
       .withColumn("twv", round(col("xg").cast("double")
         / col("xx").cast("double") * (col("tgq") / 1e9) * 1e9).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(perNat)
     val tots = perNat.agg(sum(col("ttq")).as("t_tot"),
       sum(col("tbv")).as("t_bet"), sum(col("twv")).as("t_wit"))
     perNat.crossJoin(broadcast(tots))

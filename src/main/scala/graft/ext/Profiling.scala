@@ -411,6 +411,7 @@ object Profiling {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(conf)
     val tot = conf.agg(
       sum(col("c")).as("n"),
       sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("n_agree"))
@@ -449,6 +450,7 @@ object Profiling {
     val joint = df.select(aCol.cast("string").as("a"), bCol.cast("string").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(joint)
     val ma = joint.groupBy(col("a")).agg(sum(col("nab")).as("na"))
     val mb = joint.groupBy(col("b")).agg(sum(col("nab")).as("nb"))
     val tot = joint.agg(sum(col("nab")).as("n"))
@@ -1229,6 +1231,7 @@ object Profiling {
         sum(col("n")).over(w).as("cn"), sum(col("n_pos")).over(w).as("cs"))
       // the bin mart feeds four readers (j, k, i, and the output join)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(pre)
     val jSide = pre.select(col("bin").as("jb"),
       (col("cn") - col("n")).as("cnm1"), (col("cs") - col("n_pos")).as("csm1"))
     val kSide = pre.select(col("bin").as("kb"),

@@ -100,6 +100,7 @@ object Skew {
     val counts = df.groupBy(keyCol.cast("long").as("key"))
       .agg(count(lit(1)).as("n_exact"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(counts)
     def bucket(c: Column): Column =
       pmod(graft.functions.Portable.h60(
         concat(lit("cms"), col("i").cast("string"), lit(":"), c.cast("string"))),

@@ -432,6 +432,7 @@ object TextAnalysis {
       .groupBy(col("c")).agg(count(lit(1)).as("n_types"))
       // read by both sides of the r->r+1 join, the totals, the output
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(coc)
     val tot = coc.agg(
       sum(col("c").cast(dec) * col("n_types").cast(dec)).as("n_tok"),
       sum(when(col("c") === 1L, col("n_types")).otherwise(0L)).as("n1"))
@@ -869,6 +870,7 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), explode(pairs).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(bg)
     val docTf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
     val model = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
@@ -919,6 +921,7 @@ object TextAnalysis {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val model = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(model)
     val bTot = model.agg(sum(col("c12")).as("b"))
     val uni = docs.filter(col(textCol).isNotNull)
       .select(explode(t).as("w")).groupBy(col("w")).agg(count(lit(1)).as("c"))

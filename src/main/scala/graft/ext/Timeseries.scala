@@ -486,6 +486,7 @@ object Timeseries {
         expr("coalesce(cents, 0L) div 10000").as("x"))
       // totals and the lag stack both read it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(grid)
     val tot = grid.groupBy(col("restaurant_id"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x").cast(dec) * col("x")).as("sxx"))
@@ -1143,6 +1144,7 @@ object Timeseries {
       .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("c"))
       // both pair sides + the tie histogram read it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(monthly)
     val s = monthly.as("a").join(monthly.as("b"),
         col("a.restaurant_id") === col("b.restaurant_id")
           && col("b.m") > col("a.m"))
@@ -1208,13 +1210,23 @@ object Timeseries {
       .filter(col("f").isNotNull)
       .withColumn("r", col("x") - col("f"))
     val holdout = col("creation_date") > col("d1") - expr("INTERVAL 7 DAYS")
-    val bands = grid.filter(!holdout)
-      .groupBy(col("restaurant_id"))
-      .agg(count(lit(1)).as("n_train"),
-        expr("percentile(r, 0.1)").as("p10"),
-        expr("percentile(r, 0.9)").as("p90"))
-    grid.filter(holdout)
-      .join(bands, Seq("restaurant_id"))
+    // train-side bands as WHOLE-PARTITION window aggregates on the lag
+    // window's existing (restaurant) distribution instead of a
+    // groupBy + join-back (r16, the q328 idiom): the join-back plan
+    // computed the entire grid subtree (daily agg + spine + left join +
+    // lag window) TWICE — once under the bands aggregate's broadcast
+    // build and once as the probe — plus one aggregate exchange.
+    // Equivalence: count/percentile over when(!holdout, r) see exactly
+    // the train-row multiset per restaurant (aggregates skip the
+    // holdout rows' NULLs), and the old inner join kept a holdout row
+    // iff its restaurant had >= 1 train row == n_train > 0 here.
+    val wAll = Window.partitionBy(col("restaurant_id"))
+    val train = when(!holdout, col("r"))
+    grid
+      .withColumn("n_train", count(train).over(wAll))
+      .withColumn("p10", percentile(train, lit(0.1)).over(wAll))
+      .withColumn("p90", percentile(train, lit(0.9)).over(wAll))
+      .filter(holdout && col("n_train") > 0)
       .select(col("restaurant_id"), col("creation_date"), col("n_train"),
         (col("x") / lit(10000.0)).as("actual"),
         (col("f") / lit(10000.0)).as("forecast"),

@@ -21,6 +21,53 @@ class LedgerTierSpec extends SparkSpec {
     assert(got.forall(r => r == ((10.0, 10.0, 10.0, 10.0, true))))
   }
 
+  test("seasonalNaiveBands: window-aggregate bands match the groupBy+join reference") {
+    // mixed spans + a gap: r1 has 24 days (17 train rows after the lag
+    // filter), r2 has exactly 14 days (ZERO train rows — every f-valid
+    // day is holdout, so the old inner join dropped it and the window
+    // form's n_train > 0 filter must too), r3 has varied values so the
+    // percentiles interpolate
+    val rows =
+      (0 until 24).map(d => (1L, f"2024-01-${d + 1}%02d", 10.0 + (d % 5))) ++
+      (0 until 14).map(d => (2L, f"2024-02-${d + 1}%02d", 50.0)) ++
+      (0 until 20).map(d => (3L, f"2024-03-${d + 1}%02d", d * 3.25))
+    val got = Timeseries.seasonalNaiveBands(rev(rows: _*))
+    // reference: the pre-r16 groupBy + inner-join-back shape
+    import org.apache.spark.sql.expressions.Window
+    val or = rev(rows: _*)
+    val daily = or.groupBy(col("restaurant_id"), col("creation_date"))
+      .agg(sum(round(col("total_revenue") * 10000).cast("long")).as("cents"))
+    val spine = daily.groupBy(col("restaurant_id"))
+      .agg(min(col("creation_date")).as("d0"), max(col("creation_date")).as("d1"))
+      .select(col("restaurant_id"), col("d1"),
+        explode(sequence(col("d0"), col("d1"))).as("creation_date"))
+    val w = Window.partitionBy(col("restaurant_id")).orderBy(col("creation_date"))
+    val grid = spine.join(daily, Seq("restaurant_id", "creation_date"), "left")
+      .select(col("restaurant_id"), col("creation_date"), col("d1"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+      .withColumn("f", lag(col("x"), 7).over(w))
+      .filter(col("f").isNotNull)
+      .withColumn("r", col("x") - col("f"))
+    val holdout = col("creation_date") > col("d1") - expr("INTERVAL 7 DAYS")
+    val bands = grid.filter(!holdout).groupBy(col("restaurant_id"))
+      .agg(count(lit(1)).as("n_train"),
+        expr("percentile(r, 0.1)").as("p10"),
+        expr("percentile(r, 0.9)").as("p90"))
+    val ref = grid.filter(holdout).join(bands, Seq("restaurant_id"))
+      .select(col("restaurant_id"), col("creation_date"), col("n_train"),
+        (col("x") / lit(10000.0)).as("actual"),
+        (col("f") / lit(10000.0)).as("forecast"),
+        ((col("f") + col("p10")) / lit(10000.0)).as("lo"),
+        ((col("f") + col("p90")) / lit(10000.0)).as("hi"),
+        (col("x").cast("double") >= col("f") + col("p10") &&
+          col("x").cast("double") <= col("f") + col("p90")).as("within_band"))
+    val k = Seq("restaurant_id", "creation_date")
+    assert(got.schema == ref.schema)
+    assert(got.filter(col("restaurant_id") === 2L).count() == 0)
+    assert(got.orderBy(k.map(col): _*).collect().toSeq ==
+      ref.orderBy(k.map(col): _*).collect().toSeq)
+  }
+
   test("seasonalStrength: exact weekly periodicity pins eta^2 = 1") {
     // 4 full weeks, value = weekday index * 100 (starts Monday 2024-01-01)
     val rows = (0 until 28).map { d =>
