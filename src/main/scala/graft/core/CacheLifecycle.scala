@@ -28,6 +28,27 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * audits) hold no blocks, so the eventual no-op unpersist is free. */
 object CacheLifecycle {
 
+  /** Free the pinned blocks of an EAGER `localCheckpoint(true)` frame
+    * that a later iteration has fully replaced (iterative CC/PageRank:
+    * each round checkpoints node-grain state, and without this every
+    * superseded round's full table stays pinned for the session).
+    *
+    * Deliberately strict: fires only when the frame IS the bare
+    * checkpoint (plan root is the materialized-RDD leaf). Checkpoint
+    * blocks cannot be recomputed once dropped — the lineage was
+    * truncated — so the caller must pass the superseded iteration
+    * frame itself, only after the replacing iteration has eagerly
+    * materialized, and never a frame any live consumer still reads
+    * through. A non-checkpoint plan is refused (no-op), which also
+    * protects the first iteration of loops whose seed frame is a lazy
+    * view over a checkpoint that later rounds still need. */
+  def freeSupersededCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def unpersistAfterNextAction(frames: DataFrame*): Unit =
     frames.groupBy(_.sparkSession).foreach { case (spark, fs) =>
       val mgr = spark.listenerManager

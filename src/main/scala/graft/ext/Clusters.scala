@@ -48,6 +48,12 @@ object Clusters {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
+    // the bare checkpoint frame of the round `labels` currently reads
+    // from — freed once the NEXT round has eagerly materialized, else
+    // every superseded round's full node-label table stays pinned for
+    // the session (one block set per round per call, node-grain at
+    // 100 TB — guide §5)
+    var prevCp = labels
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -65,6 +71,8 @@ object Clusters {
           (col("nbr_min") < col("cluster_id")).as("shrunk"))
         .localCheckpoint(true)
       changed = next.filter(col("shrunk")).count()
+      graft.core.CacheLifecycle.freeSupersededCheckpoint(prevCp)
+      prevCp = next
       labels = next.drop("shrunk")
       round += 1
     }
@@ -131,14 +139,23 @@ object Clusters {
         .join(ranks.select(col("id").as("src"), col("units")), Seq("src"))
         .select(col("dst"), expr(s"($dampingPct * units) div (100 * deg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val prev = ranks
       ranks = base
         .join(contrib, base("id") === contrib("dst"), "left")
         .select(col("id"), col("n"),
           (expr(s"$teleportNum div (100 * n)") + coalesce(col("s"), lit(0L)))
             .as("units"))
         .localCheckpoint(true)
+      // the new ranks checkpoint is eagerly materialized: the
+      // superseded round's pinned table is unreachable — free it.
+      // (Iteration 1's `prev` is the lazy seed over `base`, which the
+      // strict root match refuses — base stays live for every round.)
+      graft.core.CacheLifecycle.freeSupersededCheckpoint(prev)
     }
     edges.unpersist()
+    // base fed only the in-loop joins; the final ranks checkpoint is
+    // materialized, so base's pinned blocks are unreachable too
+    graft.core.CacheLifecycle.freeSupersededCheckpoint(base)
     ranks
       .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id").as(idCol),
@@ -238,6 +255,7 @@ object Clusters {
       .agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.CacheLifecycle.unpersistAfterNextAction(hist)
     val total = docs.agg(count(lit(1)).as("n_total"))
     val inClusters = hist
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_in"))

@@ -32,6 +32,30 @@ class ClustersSpec extends SparkSpec {
       org.apache.spark.sql.Row(0L, 0L))
   }
 
+  test("iterative checkpoints: superseded rounds free, result stays actionable") {
+    // path 0-1-...-19 forces many propagation rounds; before the
+    // freeSupersededCheckpoint calls every round's node-label table
+    // stayed pinned for the session (one RDD per round)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs)
+    assert(got.count() === 20)
+    // the result frame must survive a SECOND action (its own checkpoint
+    // was never freed — only superseded rounds)
+    assert(got.select(countDistinct(col("cluster_id"))).head.getLong(0) === 1)
+    val afterCc = spark.sparkContext.getPersistentRDDs.size
+    assert(afterCc <= base + 1,
+      s"CC leaked iteration checkpoints: $base -> $afterCc")
+
+    val nodes = (0L until 20L).toDF("id")
+    val pr = Clusters.pageRank(pairs, nodes, "id", iterations = 3)
+    assert(pr.count() === 20)
+    assert(pr.count() === 20) // second action: deg + final ranks intact
+    val afterPr = spark.sparkContext.getPersistentRDDs.size
+    assert(afterPr <= afterCc + 2,
+      s"pageRank leaked iteration checkpoints: $afterCc -> $afterPr")
+  }
+
   test("connectedComponents equals driver union-find on random graphs") {
     val rng = new scala.util.Random(42)
     for (trial <- 1 to 5) {
